@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.graph.{LinkGraph, PageRank}
+
+/** The reference surface (SURVEY.md §2 block A): page count, link
+  * graph extraction, 10-iteration damped PageRank, descending rank
+  * sort — re-expressed as declarative Spark plans over the
+  * `documents` table's word-follow graph.
+  */
+object PageRankQueries {
+
+  /** Shared DuckDB CTEs: tokenized docs → distinct word-follow edges. */
+  private val edgeCtes: String =
+    """w AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      |  FROM documents WHERE length(trim(text)) > 0
+      |),
+      |e AS (
+      |  SELECT DISTINCT p.s AS src, p.d AS dst
+      |  FROM (SELECT unnest(list_transform(range(1, len(w)),
+      |                      i -> {'s': w[i], 'd': w[i+1]})) AS p
+      |        FROM w WHERE len(w) >= 2)
+      |)""".stripMargin
+
+  /** DuckDB CTEs for the full PageRank iteration chain: nodes, degrees
+    * and r0..r{iters} (unrolled — recursive CTEs can't aggregate).
+    * Mirrors graft.graph.PageRank.run's semantics exactly.
+    */
+  private def rankCtes(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |         CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) *
+         |           coalesce(sum(p.rank / ed.outdeg), CAST(0 AS DOUBLE)) AS rank
+         |  FROM nodes n
+         |  LEFT JOIN ed ON ed.dst = n.node
+         |  LEFT JOIN r${i - 1} p ON p.node = ed.src
+         |  GROUP BY n.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""$edgeCtes,
+       |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |ed AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |r0 AS (
+       |  SELECT node,
+       |         CAST(1.0 AS DOUBLE) / (SELECT count(*) FROM nodes) AS rank
+       |  FROM nodes
+       |),
+       |$steps""".stripMargin
+  }
+
+  def all: Seq[Q] = Seq(
+
+    // Phase 1 of the reference: count non-empty pages.
+    Q("pr_page_count",
+      (s, d) => Tables.documents(s, d)
+        .filter(length(trim(col("text"))) > 0)
+        .agg(count(lit(1)).as("n_pages")),
+      Some("""SELECT count(*) AS n_pages
+             |FROM documents WHERE length(trim(text)) > 0""".stripMargin)),
+
+    // Phase 2 of the reference, literal wiki-markup shape: fabricate a
+    // deterministic wiki page per document, then regex-extract
+    // title + [[outlinks]] exactly as the reference's linkGraphJob.
+    Q("pr_wiki_extract",
+      (s, d) => {
+        val w = Tables.documents(s, d)
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+          .filter(size(col("w")) >= 2)
+        val pages = w.select(concat(
+          lit("<title>doc_"), col("doc_id"), lit("</title> "),
+          lit("<text xml:space=\"preserve\"> see [["), expr("w[0]"),
+          lit("]] and [["), expr("w[1]"), lit("]]</text>")).as("page"))
+        LinkGraph.parseWikiPages(pages, "page").orderBy("title", "outlink")
+      },
+      Some(raw"""WITH $edgeCtes,
+              |p AS (
+              |  SELECT '<title>doc_' || doc_id || '</title> ' ||
+              |         '<text xml:space="preserve"> see [[' || w[1] ||
+              |         ']] and [[' || w[2] || ']]</text>' AS page
+              |  FROM w WHERE len(w) >= 2
+              |),
+              |t AS (
+              |  SELECT regexp_extract(page, '<title>(.*?)</title>', 1) AS title,
+              |         regexp_extract(page, '<text(.*?)</text>', 1) AS body
+              |  FROM p
+              |),
+              |x AS (
+              |  SELECT title,
+              |         unnest(regexp_extract_all(body, '\[\[(.*?)\]\]', 1)) AS outlink
+              |  FROM t WHERE title <> ''
+              |)
+              |SELECT title, outlink FROM x ORDER BY title, outlink""".stripMargin)),
+
+    // Phase 2, engine-general form: word-follow edge list + out-degree.
+    Q("pr_link_graph",
+      (s, d) => {
+        val e = LinkGraph.wordFollowEdges(Tables.documents(s, d), "text")
+        e.join(LinkGraph.outDegrees(e), "src")
+          .select(col("src"), col("dst"), col("outdeg"))
+          .orderBy("src", "dst")
+      },
+      Some(s"""WITH $edgeCtes,
+              |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)
+              |SELECT e.src, e.dst, deg.outdeg
+              |FROM e JOIN deg USING (src) ORDER BY src, dst""".stripMargin)),
+
+    // Phase 3: 10 damped iterations (reference formula/semantics).
+    Q("pr_ranks",
+      (s, d) => {
+        val e = LinkGraph.wordFollowEdges(Tables.documents(s, d), "text")
+        PageRank.run(e, iterations = 10, damping = 0.85)
+          .select(col("node"), round(col("rank"), 6).as("rank"))
+          .orderBy("node")
+      },
+      Some(s"""WITH ${rankCtes(10)}
+              |SELECT node, round(rank, 6) AS rank FROM r10 ORDER BY node""".stripMargin)),
+
+    // Phase 4: descending total order by rank, top 20. Spark plans
+    // orderBy+limit as TakeOrderedAndProject — no global sort stage,
+    // unlike the reference's single-reducer total sort.
+    Q("pr_top20",
+      (s, d) => {
+        val e = LinkGraph.wordFollowEdges(Tables.documents(s, d), "text")
+        PageRank.run(e, iterations = 10, damping = 0.85)
+          .select(col("node"), round(col("rank"), 6).as("rank"))
+          .orderBy(col("rank").desc, col("node"))
+          .limit(20)
+      },
+      Some(s"""WITH ${rankCtes(10)}
+              |SELECT node, round(rank, 6) AS rank FROM r10
+              |ORDER BY rank DESC, node LIMIT 20""".stripMargin))
+  )
+}

@@ -1,0 +1,316 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Relational core (SURVEY.md §2 block B): the batch query surface.
+  * Every query is a declarative DataFrame plan — filters and
+  * projections reach the parquet scan, small dimensions are broadcast,
+  * aggregations partial-aggregate before their exchange.
+  */
+object RelationalQueries {
+
+  def all: Seq[Q] = Seq(
+
+    // TPC-H Q1 shape: wide multi-aggregate groupBy with a pushed
+    // range filter. 6 groups — map-side partial agg does ~all work.
+    Q("q1_agg",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 2) AS sum_qty,
+             |  round(sum(l_extendedprice), 2) AS sum_base_price,
+             |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+             |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+             |  round(avg(l_quantity), 4) AS avg_qty,
+             |  round(avg(l_extendedprice), 4) AS avg_price,
+             |  round(avg(l_discount), 4) AS avg_disc,
+             |  count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Selective filter + 3-column projection: PushedFilters +
+    // ReadSchema pruning demo (scan reads 4 of 16 columns).
+    Q("q2_filter_project",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_quantity") === 1.0 && col("l_returnflag") === "R")
+        .select("l_orderkey", "l_partkey", "l_quantity")
+        .orderBy("l_orderkey", "l_partkey"),
+      Some("""SELECT l_orderkey, l_partkey, l_quantity
+             |FROM lineitem WHERE l_quantity = 1.0 AND l_returnflag = 'R'
+             |ORDER BY l_orderkey, l_partkey""".stripMargin)),
+
+    // TPC-H Q3 shape: 3-way join, revenue per order, top-10. Customer
+    // (the small filtered side) is broadcast; lineitem⋈orders shuffles
+    // on orderkey; orderBy+limit plans as TakeOrderedAndProject.
+    Q("q3_topk_join",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") < lit("1998-01-01"))
+        val l = Tables.lineitem(s, d)
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy("o_orderkey", "o_orderdate")
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+          .select("o_orderkey", "revenue", "o_orderdate")
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey,
+             |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+             |  o_orderdate
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01'
+             |GROUP BY o_orderkey, o_orderdate
+             |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // TPC-H Q5 shape: 6-way join with broadcast dimension chain
+    // (supplier/nation/region), local-supplier constraint.
+    Q("q5_region_revenue",
+      (s, d) => {
+        val r = Tables.region(s, d)
+          .filter(col("r_name").isin("ASIA", "AMERICA"))
+        val n = Tables.nation(s, d)
+        val sup = Tables.supplier(s, d)
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01"))
+        val l = Tables.lineitem(s, d)
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(sup),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name")
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name,
+             |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name IN ('ASIA', 'AMERICA')
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |GROUP BY n_name
+             |ORDER BY revenue DESC, n_name""".stripMargin)),
+
+    // TPC-H Q6 shape: single-pass filtered sum, no pre-final shuffle.
+    Q("q6_selective_agg",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue")),
+      Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             |  AND l_shipdate < TIMESTAMP '1998-01-01'
+             |  AND l_discount BETWEEN 0.05 AND 0.07
+             |  AND l_quantity < 24""".stripMargin)),
+
+    // Window function: top order per customer (row_number, rank-1
+    // filter pushed through the window by Catalyst's LimitPushDown
+    // analog for rank filters).
+    Q("q7_window_rank",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("o_custkey", "o_orderkey", "o_totalprice")
+          .orderBy("o_custkey")
+      },
+      Some("""WITH r AS (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    row_number() OVER (
+             |      PARTITION BY o_custkey
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders)
+             |SELECT o_custkey, o_orderkey, o_totalprice
+             |FROM r WHERE rn = 1 ORDER BY o_custkey""".stripMargin)),
+
+    // NOT EXISTS as left_anti join.
+    Q("q8_anti_join",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // EXISTS as left_semi join.
+    Q("q9_semi_join",
+      (s, d) => Tables.supplier(s, d)
+        .join(Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1997-01-01") &&
+            col("l_shipdate") < lit("1998-01-01")),
+          col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey"),
+      Some("""SELECT s_suppkey, s_name FROM supplier
+             |WHERE EXISTS (
+             |  SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey
+             |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+             |    AND l_shipdate < TIMESTAMP '1998-01-01')
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // ROLLUP grouping sets (Expand + partial aggregation). NULL group
+    // keys coalesced so NULL-ordering differences can't matter.
+    Q("q10_rollup",
+      (s, d) => {
+        // Expressed via SQL: Dataset-API rollup attaches dataset-id tags
+        // to the Expand's duplicated grouping attributes, which
+        // false-positives Spark's DetectAmbiguousSelfJoin on any later
+        // reference. spark.sql builds the identical Catalyst plan
+        // (Expand + partial agg, broadcast dims) without the tags.
+        Tables.customer(s, d).createOrReplaceTempView("customer")
+        Tables.nation(s, d).createOrReplaceTempView("nation")
+        Tables.region(s, d).createOrReplaceTempView("region")
+        s.sql("""SELECT coalesce(r_name, 'ALL') AS region_name,
+                |  coalesce(n_name, 'ALL') AS nation_name,
+                |  count(*) AS n_customers,
+                |  round(sum(c_acctbal), 2) AS total_acctbal
+                |FROM customer
+                |JOIN nation ON c_nationkey = n_nationkey
+                |JOIN region ON n_regionkey = r_regionkey
+                |GROUP BY ROLLUP (r_name, n_name)
+                |ORDER BY region_name, nation_name""".stripMargin)
+      },
+      Some("""SELECT coalesce(r_name, 'ALL') AS region_name,
+             |  coalesce(n_name, 'ALL') AS nation_name,
+             |  count(*) AS n_customers,
+             |  round(sum(c_acctbal), 2) AS total_acctbal
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY ROLLUP (r_name, n_name)
+             |ORDER BY region_name, nation_name""".stripMargin)),
+
+    // Conditional (CASE WHEN) aggregation — pivot-style, codegen'd.
+    Q("q11_case_agg",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+            .as("n_finished"),
+          round(sum(when(col("o_totalprice") > 100000.0, col("o_totalprice"))
+            .otherwise(0.0)), 2).as("big_revenue"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |  count(*) AS n_orders,
+             |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_finished,
+             |  round(sum(CASE WHEN o_totalprice > 100000.0 THEN o_totalprice
+             |                 ELSE 0.0 END), 2) AS big_revenue
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // Scalar subquery: parts above the global average retail price.
+    Q("q12_subquery",
+      (s, d) => {
+        val p = Tables.part(s, d)
+        val avgPrice = p.agg(avg("p_retailprice").as("a"))
+        p.join(broadcast(avgPrice))
+          .filter(col("p_retailprice") > col("a"))
+          .select("p_partkey", "p_name", "p_retailprice")
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, p_name, p_retailprice FROM part
+             |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // String function pipeline: substr/upper/cast/modulo bucketing.
+    Q("q13_string_funcs",
+      (s, d) => Tables.customer(s, d)
+        .filter(col("c_name").like("Customer#%"))
+        .select(
+          upper(substring(col("c_name"), 1, 8)).as("prefix"),
+          (expr("CAST(substring(c_name, 10) AS BIGINT)") % 7).as("bucket"))
+        .groupBy("prefix", "bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("prefix", "bucket"),
+      Some("""SELECT upper(substr(c_name, 1, 8)) AS prefix,
+             |  CAST(substr(c_name, 10) AS BIGINT) % 7 AS bucket,
+             |  count(*) AS n
+             |FROM customer WHERE c_name LIKE 'Customer#%'
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Calendar bucketing: orders per month.
+    Q("q14_date_buckets",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("month"),
+      Some("""SELECT date_trunc('month', o_orderdate) AS month,
+             |  count(*) AS n_orders,
+             |  round(sum(o_totalprice), 2) AS revenue
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Exact percentiles (linear interpolation — Spark `percentile`
+    // matches DuckDB `quantile_cont`).
+    Q("q15_percentiles",
+      (s, d) => Tables.part(s, d)
+        .groupBy("p_brand")
+        .agg(
+          round(expr("percentile(p_retailprice, 0.5)"), 4).as("median_price"),
+          round(expr("percentile(p_retailprice, 0.9)"), 4).as("p90_price"),
+          count(lit(1)).as("n_parts"))
+        .orderBy("p_brand"),
+      Some("""SELECT p_brand,
+             |  round(CAST(quantile_cont(p_retailprice, 0.5) AS DOUBLE), 4)
+             |    AS median_price,
+             |  round(CAST(quantile_cont(p_retailprice, 0.9) AS DOUBLE), 4)
+             |    AS p90_price,
+             |  count(*) AS n_parts
+             |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // UNION + distinct (partial-agg distinct, no pre-union shuffle).
+    Q("q16_union_distinct",
+      (s, d) => Tables.customer(s, d)
+        .select(col("c_nationkey").as("nationkey"))
+        .union(Tables.supplier(s, d).select(col("s_nationkey")))
+        .distinct()
+        .orderBy("nationkey"),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |UNION SELECT s_nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin))
+  )
+}

@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate (dev tool only — the
+engine itself is pure Scala/Spark; this script never ships).
+
+Usage: python3 tools/selfcheck.py <sfdir> <outdir> [--skip-verify] [names...]
+
+1. sbt "runMain graft.Verify <sfdir> <outdir>"   (unless --skip-verify)
+2. For each query: run its oracle SQL in DuckDB over views named after
+   the parquet tables, load the Spark parquet result, sort columns by
+   name + rows by value, and compare cell-for-cell.
+"""
+import json
+import subprocess
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df.reset_index(drop=True)
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sfdir, outdir = args[0], args[1]
+    only = set(args[2:])
+    if "--skip-verify" not in sys.argv:
+        r = subprocess.run(
+            ["sbt", f'runMain graft.Verify {sfdir} {outdir}'],
+            capture_output=True, text=True, cwd="/root/repo")
+        if r.returncode != 0:
+            print(r.stdout[-4000:], r.stderr[-4000:])
+            sys.exit(1)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+    ok = fail = 0
+    for name, sql in sorted(oracles.items()):
+        if only and name not in only:
+            continue
+        try:
+            want = canon(con.sql(sql).df())
+            got = canon(con.sql(
+                f"FROM read_parquet('{outdir}/{name}/*.parquet')").df())
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            fail += 1
+            continue
+        if list(want.columns) != list(got.columns):
+            print(f"FAIL {name}: cols want={list(want.columns)} got={list(got.columns)}")
+            fail += 1
+        elif len(want) != len(got):
+            print(f"FAIL {name}: rows want={len(want)} got={len(got)}")
+            fail += 1
+        elif not want.equals(got):
+            neq = (want != got) & ~(want.isna() & got.isna())
+            print(f"FAIL {name}: {int(neq.any(axis=1).sum())} differing rows")
+            diffrows = neq.any(axis=1)
+            print("want:", want[diffrows].head(3).to_string())
+            print("got: ", got[diffrows].head(3).to_string())
+            fail += 1
+        else:
+            print(f"PASS {name} ({len(want)} rows)")
+            ok += 1
+    print(f"== {ok} pass, {fail} fail ==")
+    sys.exit(1 if fail else 0)
+
+
+if __name__ == "__main__":
+    main()
