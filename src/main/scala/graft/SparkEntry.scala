@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{PageRankQueries, RelationalQueries}
+import graft.queries.{EventQueries, PageRankQueries, RelationalQueries}
 
 /** Driver contract — see SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -10,7 +10,8 @@ object SparkEntry {
   /** All implemented capabilities, by block. */
   def blocks: Seq[Q] =
     PageRankQueries.all ++
-      RelationalQueries.all
+      RelationalQueries.all ++
+      EventQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

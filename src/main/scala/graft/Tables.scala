@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the benchmark tables (one parquet file per table under
   * a scale-factor directory). Column pruning and predicate pushdown
@@ -22,7 +24,20 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's
+    * parquet reader rejects. Sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (see GraftSession),
+    * the column arrives as nano-epoch LONG, and we truncate to a
+    * microsecond timestamp here — the same truncation DuckDB applies
+    * reading the file. Integer `div` (not `/`): nano epochs exceed
+    * double's 2^53 exact-integer range.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -16,16 +16,19 @@ import org.apache.spark.sql.functions._
   */
 object Sessionize {
 
-  /** @return input plus `session_id` (per-user ordinal, starts at 1). */
+  /** @return input plus `session_id` (per-user ordinal, starts at 1).
+    * Gap comparison is in integral epoch microseconds — no float or
+    * truncate-to-seconds boundary ambiguity.
+    */
   def apply(events: DataFrame, userCol: String, tsCol: String,
-      gapSeconds: Long): DataFrame = {
+      gapMicros: Long): DataFrame = {
     val byUser = Window.partitionBy(userCol).orderBy(tsCol)
-    val tsSec = unix_timestamp(col(tsCol))
+    val tsUs = unix_micros(col(tsCol))
     events
-      .withColumn("_prev_sec", lag(tsSec, 1).over(byUser))
+      .withColumn("_prev_sec", lag(tsUs, 1).over(byUser))
       .withColumn("_new_session",
         when(col("_prev_sec").isNull ||
-          tsSec - col("_prev_sec") > gapSeconds, 1L).otherwise(0L))
+          tsUs - col("_prev_sec") > gapMicros, 1L).otherwise(0L))
       .withColumn("session_id",
         sum("_new_session").over(
           byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

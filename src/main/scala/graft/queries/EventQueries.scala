@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.operators.Sessionize
+
+/** Event-stream analytics, batch side (SURVEY.md §2 block C). The
+  * Structured Streaming twins live in graft.streaming.EventStream;
+  * these batch plans are the oracle-checked surface.
+  *
+  * Timestamps are microsecond-precision; every time comparison here
+  * is done in integral epoch micros (`unix_micros` ⇔ DuckDB
+  * `epoch_us`) so Spark and the oracle can never disagree on a gap
+  * or window boundary through float rounding.
+  */
+object EventQueries {
+
+  def all: Seq[Q] = Seq(
+
+    // JSON property extraction + aggregate by event type. The JSON
+    // path read is a native codegen'd expression (get_json_object),
+    // not a UDF; the scan prunes to (event_type, props).
+    Q("q17_json_extract",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum("k").as("sum_k"),
+          round(avg("k"), 4).as("avg_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |  count(*) AS n_events,
+             |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+             |  round(avg(CAST(props->>'$.k' AS BIGINT)), 4) AS avg_k
+             |FROM events GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
+    // 30-minute-gap sessionization (graft.operators.Sessionize):
+    // ONE shuffle on user_id, then lag + running sum + the session
+    // aggregation all run within the same partitioning.
+    Q("q18_sessionize",
+      (s, d) => Sessionize(Tables.events(s, d), "user_id", "ts",
+          gapMicros = 1800L * 1000000L)
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("session_start"),
+          max("ts").as("session_end"),
+          (unix_micros(max("ts")) - unix_micros(min("ts")))
+            .as("duration_us"))
+        .orderBy("user_id", "session_id"),
+      Some("""WITH g AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+             |              > 1800 * 1000000
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |),
+             |sid AS (
+             |  SELECT user_id, ts,
+             |    CAST(sum(new_session) OVER (
+             |      PARTITION BY user_id ORDER BY ts
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+             |  FROM g
+             |)
+             |SELECT user_id, session_id,
+             |  count(*) AS n_events,
+             |  min(ts) AS session_start,
+             |  max(ts) AS session_end,
+             |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+             |FROM sid GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin)),
+
+    // signup→purchase conversion funnel: a user converts if their
+    // first purchase is at-or-after their first signup. Two
+    // conditional min-aggregates — one pass over events, one shuffle
+    // on user_id, tiny final rollup.
+    Q("q19_funnel",
+      (s, d) => {
+        val perUser = Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(
+            min(when(col("event_type") === "signup", unix_micros(col("ts"))))
+              .as("first_signup"),
+            min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+              .as("first_purchase"))
+        perUser.agg(
+          count(lit(1)).as("n_users"),
+          count(col("first_signup")).as("n_signed_up"),
+          sum(when(col("first_purchase") >= col("first_signup"), 1L)
+            .otherwise(0L)).as("n_converted"))
+        .select(col("n_users"), col("n_signed_up"), col("n_converted"),
+          round(col("n_converted").cast("double") / col("n_signed_up"), 4)
+            .as("conversion_rate"))
+      },
+      Some("""WITH per_user AS (
+             |  SELECT user_id,
+             |    min(CASE WHEN event_type = 'signup'
+             |             THEN epoch_us(ts) END) AS first_signup,
+             |    min(CASE WHEN event_type = 'purchase'
+             |             THEN epoch_us(ts) END) AS first_purchase
+             |  FROM events GROUP BY user_id
+             |)
+             |SELECT count(*) AS n_users,
+             |  count(first_signup) AS n_signed_up,
+             |  CAST(sum(CASE WHEN first_purchase >= first_signup
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+             |  round(CAST(sum(CASE WHEN first_purchase >= first_signup
+             |                  THEN 1 ELSE 0 END) AS DOUBLE)
+             |        / count(first_signup), 4) AS conversion_rate
+             |FROM per_user""".stripMargin)),
+
+    // Hourly tumbling-window aggregates via the streaming-compatible
+    // `window()` grouping (same expression Structured Streaming uses
+    // with a watermark — the batch/stream twin share this plan shape).
+    Q("q20_tumbling_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("sum_value"))
+        .select(col("window.start").as("hour_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .orderBy("hour_start", "event_type"),
+      Some("""SELECT date_trunc('hour', ts) AS hour_start, event_type,
+             |  count(*) AS n_events,
+             |  round(sum(value), 2) AS sum_value
+             |FROM events GROUP BY 1, 2
+             |ORDER BY hour_start, event_type""".stripMargin))
+  )
+}
