@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{EventQueries, PageRankQueries, RelationalQueries}
+import graft.queries.{EventQueries, PageRankQueries, PipelineQueries, RelationalQueries}
 
 /** Driver contract — see SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -11,7 +11,8 @@ object SparkEntry {
   def blocks: Seq[Q] =
     PageRankQueries.all ++
       RelationalQueries.all ++
-      EventQueries.all
+      EventQueries.all ++
+      PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,193 @@
+package graft.functions
+
+/** The engine's shared deterministic text-hash spec.
+  *
+  * Everything in the dedup/fingerprint family (exact dedup keys,
+  * 3-gram shingles, MinHash permutations, SimHash bit derivation,
+  * whole-document fingerprints) is defined here ONCE, as integral
+  * arithmetic mod P = 1e9+7 over 64-bit values, and emitted twice:
+  * as Spark SQL expression strings (pure higher-order
+  * `transform`/`aggregate` functions — codegen'd, map-side, no UDF)
+  * and as the equivalent DuckDB SQL fragments for the oracle. Both
+  * engines therefore compute bit-identical signatures; there is no
+  * murmur/xxhash cross-engine divergence to paper over.
+  *
+  * All intermediates stay < 2^63: hashes are < P ≈ 1e9, multipliers
+  * < 1e9, so products are ≤ ~1e18 < Long.MaxValue.
+  */
+object TextHash {
+
+  /** Modulus for all polynomial hashes. */
+  val P = 1000000007L
+
+  /** Knuth multiplicative constant for SimHash bit derivation. */
+  val SimMult = 2654435761L
+
+  /** SimHash width (bits) and its band layout for the pigeonhole
+    * pair-generation join: ham ≤ `SimBands - 1` ⇒ the pair agrees
+    * exactly on ≥ 1 of the `SimBands` bit-bands.
+    */
+  val SimBits = 30
+  val SimBands = 3
+  val SimBandBits: Int = SimBits / SimBands
+
+  /** MinHash: 16 permutations h_j(x) = (A(j)·x + B(j)) mod P, banded
+    * 4×4 for LSH. Constants are fixed arbitrary odd/any values < 1e9.
+    */
+  val PermA: Seq[Long] = Seq(
+    347712783L, 161973071L, 423938501L, 698935573L,
+    51847157L, 77777869L, 881836555L, 575398923L,
+    101071365L, 392655487L, 625763865L, 62275871L,
+    976787303L, 544854975L, 230530421L, 40260663L)
+  val PermB: Seq[Long] = Seq(
+    92285142L, 465623510L, 449008934L, 75006691L,
+    258409929L, 97402358L, 591682483L, 455824009L,
+    63469421L, 887825707L, 607151283L, 132931336L,
+    239701014L, 677129422L, 673701293L, 625988156L)
+  val NumPerms: Int = PermA.size
+  val Bands = 4
+  val RowsPerBand: Int = NumPerms / Bands
+
+  // ---------------------------------------------------------------
+  // Spark SQL expression-string builders (for functions.expr)
+  // ---------------------------------------------------------------
+
+  /** Whitespace tokens of the lower-cased, trimmed text column. */
+  def sparkTokens(c: String): String =
+    s"split(lower(trim($c)), '\\\\s+')"
+
+  /** Polynomial char hash of one token-valued lambda variable. */
+  private def sparkCharHash(tok: String): String =
+    s"aggregate(split($tok, ''), CAST(0 AS BIGINT), " +
+      s"(h, ch) -> (h * 31 + ascii(ch)) % $P)"
+
+  /** array<bigint> of per-token hashes (with multiplicity). */
+  def sparkTokenHashes(c: String): String =
+    s"transform(${sparkTokens(c)}, t -> ${sparkCharHash("t")})"
+
+  /** Distinct 3-gram shingle hashes from a token-hash array column
+    * `th` (0-based Spark array indexing).
+    */
+  def sparkShingles(th: String): String =
+    s"array_distinct(transform(sequence(0, size($th) - 3), " +
+      s"i -> ((($th[i] * 31 + $th[i+1]) % $P) * 31 + $th[i+2]) % $P))"
+
+  /** array<bigint>(16) MinHash signature from a distinct-shingle
+    * array column `sh`. Pure map-side HOF — no shuffle, no UDF.
+    */
+  def sparkMinHash(sh: String): String = {
+    val aLit = PermA.mkString("array(", "L, ", "L)")
+    val bLit = PermB.mkString("array(", "L, ", "L)")
+    s"transform(sequence(0, ${NumPerms - 1}), " +
+      s"j -> array_min(transform($sh, " +
+      s"s -> (element_at($aLit, j + 1) * s + element_at($bLit, j + 1)) % $P)))"
+  }
+
+  /** array<bigint>(4) of LSH band signatures from a MinHash array
+    * column `mh`: fold of the band's 4 values,
+    * ((((m0·31+m1) mod P)·31+m2)·31+m3) mod P.
+    */
+  def sparkBandSigs(mh: String): String =
+    s"transform(sequence(0, ${Bands - 1}), b -> " +
+      s"(((($mh[b*$RowsPerBand] * 31 + $mh[b*$RowsPerBand+1]) % $P) * 31 " +
+      s"+ $mh[b*$RowsPerBand+2]) * 31 + $mh[b*$RowsPerBand+3]) % $P)"
+
+  /** 30-bit SimHash fingerprint from a token-hash array column `th`
+    * (multiplicity-weighted bit votes; tie → 0 bit).
+    */
+  def sparkSimHash(th: String): String =
+    s"aggregate(transform(sequence(0, ${SimBits - 1}), b -> " +
+      s"CASE WHEN aggregate($th, CAST(0 AS BIGINT), (acc, t) -> acc + " +
+      s"CASE WHEN (shiftright((t * $SimMult) % ${1L << SimBits}, b) & 1) = 1 " +
+      s"THEN 1 ELSE -1 END) > 0 THEN shiftleft(CAST(1 AS BIGINT), b) " +
+      s"ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+
+  /** Whole-document fingerprint: polynomial char hash of the full
+    * normalized text.
+    */
+  def sparkDocFingerprint(c: String): String =
+    sparkCharHash(s"lower(trim($c))")
+
+  // ---------------------------------------------------------------
+  // DuckDB fragment builders (oracle side; 1-based list indexing)
+  // ---------------------------------------------------------------
+
+  def duckTokens(c: String): String =
+    raw"regexp_split_to_array(lower(trim($c)), '\s+')"
+
+  private def duckCharHash(tok: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($tok, ''), " +
+      s"c2 -> CAST(ascii(c2) AS BIGINT))), (h, c2) -> (h * 31 + c2) % $P)"
+
+  def duckTokenHashes(c: String): String =
+    s"list_transform(${duckTokens(c)}, t -> ${duckCharHash("t")})"
+
+  /** CTE body producing (doc_id, th) token-hash lists per document. */
+  def duckToksCte: String =
+    s"""toks AS (
+       |  SELECT doc_id, ${duckTokenHashes("text")} AS th
+       |  FROM documents
+       |)""".stripMargin
+
+  /** CTE producing distinct (doc_id, s) shingle-hash rows. */
+  def duckShinglesCte: String =
+    s"""sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    (((th[i] * 31 + th[i+1]) % $P) * 31 + th[i+2]) % $P AS s
+       |  FROM toks, unnest(range(1, len(th) - 1)) AS u(i)
+       |  WHERE len(th) >= 3
+       |)""".stripMargin
+
+  def duckMinHashCte: String = {
+    val aLit = PermA.mkString("[", ", ", "]")
+    val bLit = PermB.mkString("[", ", ", "]")
+    s"""mh AS (
+       |  SELECT doc_id, j AS perm,
+       |    min(($aLit[j+1] * s + $bLit[j+1]) % $P) AS m
+       |  FROM sh, unnest(range(0, $NumPerms)) AS u(j)
+       |  GROUP BY doc_id, j
+       |)""".stripMargin
+  }
+
+  def duckBandsCte: String =
+    s"""bands AS (
+       |  SELECT doc_id, perm // $RowsPerBand AS band,
+       |    ((((min(CASE WHEN perm % $RowsPerBand = 0 THEN m END) * 31
+       |       + min(CASE WHEN perm % $RowsPerBand = 1 THEN m END)) % $P) * 31
+       |       + min(CASE WHEN perm % $RowsPerBand = 2 THEN m END)) * 31
+       |       + min(CASE WHEN perm % $RowsPerBand = 3 THEN m END)) % $P AS sig
+       |  FROM mh GROUP BY doc_id, band
+       |)""".stripMargin
+
+  /** CTE producing (doc_id, f) 30-bit SimHash fingerprints. */
+  def duckSimHashCte: String =
+    s"""bits AS (
+       |  SELECT doc_id, b,
+       |    CASE WHEN sum(CASE WHEN ((th * $SimMult) % ${1L << SimBits} >> b) & 1 = 1
+       |                       THEN 1 ELSE -1 END) > 0
+       |         THEN (CAST(1 AS BIGINT) << b) ELSE 0 END AS bitval
+       |  FROM (SELECT doc_id, unnest(th) AS th FROM toks),
+       |       unnest(range(0, $SimBits)) AS u(b)
+       |  GROUP BY doc_id, b
+       |),
+       |fp AS (
+       |  SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS f FROM bits GROUP BY doc_id
+       |)""".stripMargin
+
+  def duckDocFingerprint(c: String): String =
+    duckCharHash(s"lower(trim($c))")
+
+  /** Sequential-fold cosine similarity between two DOUBLE[] columns —
+    * the exact operation order of graft.functions.CosineSimilarity
+    * (per-element double products, left-to-right sum, dot/(√nx·√ny))
+    * so Spark and DuckDB agree bit-for-bit.
+    */
+  def duckCosine(a: String, b: String, dims: Int): String = {
+    def fold(products: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(1, ${dims + 1}), i -> $products)), (acc, x) -> acc + x)"
+    s"(${fold(s"$a[i] * $b[i]")} / " +
+      s"(sqrt(${fold(s"$a[i] * $a[i]")}) * sqrt(${fold(s"$b[i] * $b[i]")})))"
+  }
+}

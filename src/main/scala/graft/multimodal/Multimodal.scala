@@ -1,0 +1,66 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `binary` payloads with
+  * typed metadata, processed per-partition in batches.
+  *
+  * The Spark-side shape is real and tested — binary column + metadata
+  * struct, a typed `Dataset[MediaRow]`, `mapPartitions` batch
+  * processing with an iterator (never materializing a partition), and
+  * a fixed-width feature-vector output schema. The DECODE step is a
+  * deterministic stand-in (this container has no image/audio codecs):
+  * a 16-bin byte histogram normalized by payload length, which is the
+  * exact plumbing contract a real `decode → feature-extract` UDF
+  * would slot into.
+  *
+  * At 100 TB the payload column dominates I/O: the plan projects only
+  * (id, meta.n_bytes, payload), partition sizing comes from
+  * `spark.sql.files.maxPartitionBytes`, and nothing here shuffles —
+  * feature extraction is embarrassingly parallel over row batches.
+  */
+object Multimodal {
+
+  val HistogramBins = 16
+
+  case class MediaRow(doc_id: Long, format: String, n_bytes: Long,
+      payload: Array[Byte])
+  case class MediaFeatures(doc_id: Long, format: String, n_bytes: Long,
+      feature: Array[Double])
+
+  /** Fabricate a deterministic media table from `documents`: the
+    * UTF-8 bytes of `text` stand in for an encoded media payload,
+    * with typed metadata columns.
+    */
+  def mediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      lit("fake/raw").as("format"),
+      length(col("text")).cast("long").as("n_bytes"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+  /** Deterministic stand-in for media decode + feature extraction:
+    * normalized 16-bin histogram over payload bytes. Runs
+    * per-partition over an iterator — the batch shape (not
+    * one-object-at-a-time glue) a vectorized decoder needs.
+    */
+  def extractFeatures(spark: SparkSession, media: DataFrame)
+      : Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val hist = new Array[Double](HistogramBins)
+        var i = 0
+        while (i < r.payload.length) {
+          hist((r.payload(i) & 0xFF) / (256 / HistogramBins)) += 1.0
+          i += 1
+        }
+        val n = math.max(1, r.payload.length).toDouble
+        var b = 0
+        while (b < HistogramBins) { hist(b) /= n; b += 1 }
+        MediaFeatures(r.doc_id, r.format, r.n_bytes, hist)
+      }
+    }
+  }
+}

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash
+
+/** Deduplication operators for the training-data pipeline: exact,
+  * n-gram Jaccard, MinHash+LSH, SimHash. All signatures are the
+  * shared deterministic TextHash spec, so results are reproducible
+  * across engines and runs.
+  *
+  * Scale notes (100 TB corpus):
+  *   - Exact dedup is a single hash-partitioned groupBy on the
+  *     normalized-text key: map-side partial agg collapses
+  *     within-partition copies before the exchange.
+  *   - The Jaccard inverted-index join and both LSH bucket joins
+  *     shuffle on (signature) keys — candidate generation never
+  *     compares all O(n²) pairs, only bucket-colliding ones.
+  *   - Per-document signatures (token hashes, shingles, MinHash,
+  *     SimHash) are pure map-side higher-order functions inside
+  *     whole-stage codegen — zero shuffles, no UDFs.
+  */
+object Dedup {
+
+  /** Exact dedup on normalized text. Returns one row per duplicate
+    * group: the kept (minimum) doc id and the copy count.
+    */
+  def exactDupGroups(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(lower(trim(col("text"))).as("norm_text"))
+      .agg(min("doc_id").as("kept_doc_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .select("kept_doc_id", "n_copies")
+
+  /** (doc_id, th: array<bigint>) token hashes, multiplicity kept. */
+  def tokenHashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      expr(TextHash.sparkTokenHashes("text")).as("th"))
+
+  /** (doc_id, sh: array<bigint>) distinct 3-gram shingle hashes for
+    * docs with ≥ 3 tokens.
+    */
+  def shingleSets(docs: DataFrame): DataFrame =
+    tokenHashes(docs)
+      .filter(size(col("th")) >= 3)
+      .select(col("doc_id"), expr(TextHash.sparkShingles("th")).as("sh"))
+
+  /** All-pairs n-gram Jaccard ≥ `minJaccard` via the inverted-index
+    * self-join: explode shingles, join on the shingle hash (only
+    * co-occurring docs ever meet), count intersections, then compute
+    * |∩| / (|A| + |B| - |∩|). The exploded join is the scalable
+    * shape — the shuffle key is the shingle hash, and no pair without
+    * a shared shingle is ever materialized.
+    */
+  def ngramJaccardPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
+    val sets = shingleSets(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sets.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+    val inv = sets.select(col("doc_id"), explode(col("sh")).as("s"))
+    val inter = inv.as("a").join(inv.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "da")
+        .withColumnRenamed("n", "na"), "da")
+      .join(sizes.withColumnRenamed("doc_id", "db")
+        .withColumnRenamed("n", "nb"), "db")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      // Scaled-integer output: small-rational Jaccards can sit exactly
+      // on a decimal rounding boundary where engines' half-up vs
+      // half-even rules diverge; floor(j*1e6 + 0.5) is rule-free.
+      .select(col("da"), col("db"),
+        floor(col("jaccard") * 1000000 + 0.5).cast("long").as("jaccard_e6"))
+  }
+
+  /** MinHash(16) + LSH(4 bands × 4 rows) near-dup detection, verified
+    * by true Jaccard ≥ `minJaccard`. Candidate generation is the
+    * band-bucket join on (band, band_signature) — the composite key
+    * both sides shuffle on — so the self-join is co-partitioned and
+    * the O(n²) space is pruned to bucket collisions before any exact
+    * verification work happens.
+    */
+  def minhashLshPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
+    val sets = shingleSets(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = sets
+      .select(col("doc_id"), expr(TextHash.sparkMinHash("sh")).as("mh"))
+      .select(col("doc_id"),
+        posexplode(expr(TextHash.sparkBandSigs("mh"))).as(Seq("band", "sig")))
+    val candidates = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    // Exact verification only on candidates: array_intersect on the
+    // (already distinct) shingle sets.
+    candidates
+      .join(sets.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
+      .join(sets.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
+      .withColumn("inter",
+        size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      // Scaled-integer output: small-rational Jaccards can sit exactly
+      // on a decimal rounding boundary where engines' half-up vs
+      // half-even rules diverge; floor(j*1e6 + 0.5) is rule-free.
+      .select(col("da"), col("db"),
+        floor(col("jaccard") * 1000000 + 0.5).cast("long").as("jaccard_e6"))
+  }
+
+  /** (doc_id, f) 30-bit SimHash fingerprints. */
+  def simhashFingerprints(docs: DataFrame): DataFrame =
+    tokenHashes(docs).select(col("doc_id"),
+      expr(TextHash.sparkSimHash("th")).as("f"))
+
+  /** Near-dup pairs with SimHash Hamming distance ≤ `maxHamming`.
+    *
+    * Pair generation uses the pigeonhole band join, not a cross
+    * join: the 30 bits split into 3 bands of 10; any pair within
+    * Hamming ≤ 2 must agree exactly on ≥ 1 band, so candidates come
+    * from a co-partitioned equi-join on (band, band_bits) and the
+    * full fingerprint comparison runs only on those. Identical
+    * result to the brute-force O(n²) scan, but shuffle-joinable at
+    * corpus scale. Requires maxHamming < SimBands (= 3).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming < TextHash.SimBands,
+      s"pigeonhole banding needs maxHamming < ${TextHash.SimBands}")
+    val fps = simhashFingerprints(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = TextHash.SimBandBits
+    val mask = (1L << w) - 1
+    val banded = fps.select(col("doc_id"), col("f"),
+      posexplode(expr(
+        s"transform(sequence(0, ${TextHash.SimBands - 1}), " +
+          s"b -> shiftright(f, b * $w) & $mask)")).as(Seq("band", "bits")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        bit_count(col("a.f").bitwiseXOR(col("b.f"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

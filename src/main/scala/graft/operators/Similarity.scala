@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.CosineSimilarity.cosine_sim
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Two paths, mirroring IVF practice:
+  *   - [[bruteForceTopK]]: the correctness baseline — broadcast the
+  *     (small) query set against every candidate row; the cosine is
+  *     the native codegen'd CosineSimilarity expression, so the
+  *     N×Q scoring loop never leaves generated code. Linear in the
+  *     corpus, no shuffle except the final per-query top-k.
+  *   - [[clusterBlockedPairs]]: the scale path — restrict pair
+  *     search to rows sharing a cluster key (IVF cell). The
+  *     self-join is a co-partitioned equi-join on the cluster key,
+  *     pruning the O(n²) cross-cluster space entirely.
+  *   - [[centroids]]: the IVF training step — per-cluster mean
+  *     vector via posexplode + (label, dim) aggregation, shuffling
+  *     one (row, dim) pair per element with map-side partial sums.
+  */
+object Similarity {
+
+  /** Top-k cosine neighbors for each query row.
+    * @param emb (id, embedding) corpus
+    * @param queries (id, embedding) query rows — must be small
+    *   enough to broadcast (the 10-query driver case; at scale,
+    *   batches of queries stream through this same plan).
+    */
+  def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = emb.select(col("vec_id").as("cand_id"),
+      col("embedding").as("cand_emb"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("query_emb"))
+    val scored = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .withColumn("sim", cosine_sim(col("query_emb"), col("cand_emb")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("cand_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** All same-cluster pairs with cosine ≥ `minSim`. The equi-join on
+    * `labelCol` co-partitions both sides; AQE splits skewed cells.
+    */
+  def clusterBlockedPairs(emb: DataFrame, labelCol: String,
+      minSim: Double): DataFrame = {
+    val a = emb.select(col(labelCol).as("label"), col("vec_id").as("va"),
+      col("embedding").as("ea"))
+    val b = emb.select(col(labelCol).as("label"), col("vec_id").as("vb"),
+      col("embedding").as("eb"))
+    a.join(b, Seq("label"))
+      .filter(col("va") < col("vb"))
+      .withColumn("sim", cosine_sim(col("ea"), col("eb")))
+      .filter(col("sim") >= minSim)
+      .select(col("label"), col("va"), col("vb"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** Per-cluster centroid: mean of each dimension. */
+  def centroids(emb: DataFrame, labelCol: String): DataFrame =
+    emb
+      .select(col(labelCol).as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(round(avg(col("v").cast("double")), 6).as("centroid"))
+}

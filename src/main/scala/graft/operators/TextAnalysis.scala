@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash
+
+/** Text-analysis operators: language ID, quality scoring, token
+  * counting, document fingerprinting. All pure `functions._` column
+  * math / higher-order functions — fully map-side (the only shuffles
+  * are callers' final aggregations), inside whole-stage codegen.
+  */
+object TextAnalysis {
+
+  /** Function words whose presence marks English-like text. */
+  val EnStopwords: Seq[String] = Seq("the", "a")
+
+  /** Per-doc language-ID heuristic: the ratio of function-word tokens.
+    * predicted = 'en' when the stopword ratio ≥ `minRatio`, else
+    * 'und' (undetermined).
+    */
+  def langId(docs: DataFrame, minRatio: Double = 0.02): DataFrame = {
+    val inSet = EnStopwords.map(w => s"t = '$w'").mkString(" OR ")
+    docs
+      .withColumn("_toks", expr(TextHash.sparkTokens("text")))
+      .withColumn("_hits",
+        expr(s"size(filter(_toks, t -> $inSet))").cast("double"))
+      .withColumn("stop_ratio", col("_hits") / size(col("_toks")))
+      .withColumn("predicted",
+        when(col("stop_ratio") >= minRatio, "en").otherwise("und"))
+      .drop("_toks", "_hits")
+  }
+
+  /** Per-doc quality metrics and a composite score in [0, 1]:
+    * type-token ratio, length saturation (n_tokens / 100 capped at
+    * 1), and non-stopword density, weighted 0.4 / 0.3 / 0.3.
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val scored = langId(docs)
+    scored
+      .withColumn("_toks", expr(TextHash.sparkTokens("text")))
+      .withColumn("n_tokens", size(col("_toks")).cast("long"))
+      .withColumn("ttr",
+        size(array_distinct(col("_toks"))).cast("double") / col("n_tokens"))
+      .withColumn("len_sat",
+        least(col("n_tokens").cast("double") / 100.0, lit(1.0)))
+      .withColumn("quality_score",
+        lit(0.4) * col("ttr") + lit(0.3) * col("len_sat") +
+          lit(0.3) * (lit(1.0) - col("stop_ratio")))
+      .drop("_toks")
+  }
+
+  /** Whitespace and regex ("BPE-ish": letter runs / digit runs /
+    * single punctuation) token counts per document.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      expr(s"size(${TextHash.sparkTokens("text")})").cast("long")
+        .as("ws_tokens"),
+      expr("regexp_count(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]')")
+        .cast("long").as("bpe_tokens"))
+
+  /** 64-bit-safe polynomial rolling-hash fingerprint of the full
+    * normalized text (TextHash spec).
+    */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      expr(TextHash.sparkDocFingerprint("text")).as("fingerprint"))
+}

@@ -1,0 +1,280 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.functions.TextHash
+import graft.multimodal.Multimodal
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Training-data pipeline surface (SURVEY.md §2 block D): dedup
+  * family, text analysis, similarity search, multimodal plumbing.
+  *
+  * Every oracle below is generated from the same TextHash constants
+  * as the Spark plans, so signatures match bit-for-bit across
+  * engines. Thresholds (Jaccard 0.8, Hamming ≤ 2, cosine 0.25) were
+  * chosen empirically at sf0.01 to produce non-trivial result sets:
+  * the generator plants real near-duplicates (25 pairs ≥ 0.8 at
+  * sf0.01) and the embedding clusters overlap at cosine ≈ 0.25.
+  */
+object PipelineQueries {
+
+  private val P = TextHash.P
+
+  /** Dedup corpus: documents plus a deterministically re-keyed copy
+    * of every 10th doc, so exact dedup has true duplicate groups to
+    * find (the raw table is generated duplicate-free).
+    */
+  private val dupCorpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text
+      |  FROM documents WHERE doc_id % 10 = 0
+      |)""".stripMargin
+
+  /** Jaccard values are ratios of small integers, which can land
+    * exactly on a rounding boundary (e.g. 103/128 at the 7th
+    * decimal) where Spark (half-up) and DuckDB (half-even) disagree
+    * — so the output is a scaled integer via floor(j·10⁶ + 0.5),
+    * bit-identical on both engines.
+    */
+  private def jaccardTailSql(candSrc: String): String =
+    s"""sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |jac AS (
+       |  SELECT ix.da, ix.db,
+       |    CAST(ix.inter AS DOUBLE) / (x.n + y.n - ix.inter) AS j
+       |  FROM ($candSrc) ix
+       |  JOIN sz x ON x.doc_id = ix.da
+       |  JOIN sz y ON y.doc_id = ix.db
+       |)
+       |SELECT da, db,
+       |  CAST(floor(j * 1000000 + 0.5) AS BIGINT) AS jaccard_e6
+       |FROM jac
+       |WHERE j >= 0.8 ORDER BY da, db""".stripMargin
+
+  def all: Seq[Q] = Seq(
+
+    // Exact dedup: hash-partitioned groupBy on the normalized text,
+    // map-side partial agg; one row per duplicate group.
+    Q("d1_dedup_exact",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val rekeyed = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        Dedup.exactDupGroups(docs.union(rekeyed)).orderBy("kept_doc_id")
+      },
+      Some(s"""WITH $dupCorpusSql
+              |SELECT min(doc_id) AS kept_doc_id, count(*) AS n_copies
+              |FROM corpus GROUP BY lower(trim(text))
+              |HAVING count(*) > 1
+              |ORDER BY kept_doc_id""".stripMargin)),
+
+    // Full n-gram Jaccard near-dup pairs via the inverted-index
+    // self-join (shuffle key = shingle hash, no O(n²) pair space).
+    Q("d2_ngram_jaccard",
+      (s, d) => Dedup
+        .ngramJaccardPairs(Tables.documents(s, d), minJaccard = 0.8)
+        .orderBy("da", "db"),
+      Some(s"""WITH ${TextHash.duckToksCte},
+              |${TextHash.duckShinglesCte},
+              |${jaccardTailSql(
+                 """SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+                   |   FROM sh a JOIN sh b
+                   |     ON a.s = b.s AND a.doc_id < b.doc_id
+                   |   GROUP BY da, db""".stripMargin)}""".stripMargin)),
+
+    // MinHash(16)+LSH(4×4): band-bucket join generates candidates,
+    // exact Jaccard verifies. Same final pair set as d2 — the LSH
+    // recall at these parameters is total on the planted dups.
+    Q("d3_minhash_lsh",
+      (s, d) => Dedup
+        .minhashLshPairs(Tables.documents(s, d), minJaccard = 0.8)
+        .orderBy("da", "db"),
+      Some(s"""WITH ${TextHash.duckToksCte},
+              |${TextHash.duckShinglesCte},
+              |${TextHash.duckMinHashCte},
+              |${TextHash.duckBandsCte},
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+              |  FROM bands a JOIN bands b
+              |    ON a.band = b.band AND a.sig = b.sig
+              |   AND a.doc_id < b.doc_id
+              |),
+              |${jaccardTailSql(
+                 """SELECT c.da, c.db, count(*) AS inter
+                   |   FROM cand c
+                   |   JOIN sh x ON x.doc_id = c.da
+                   |   JOIN sh y ON y.doc_id = c.db AND y.s = x.s
+                   |   GROUP BY c.da, c.db""".stripMargin)}""".stripMargin)),
+
+    // SimHash fingerprints + Hamming-near pairs. Spark generates
+    // pairs via the pigeonhole band join (scalable); the oracle
+    // brute-forces all pairs — identical result by construction.
+    Q("d4_simhash",
+      (s, d) => Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 2)
+        .orderBy("da", "db"),
+      Some(s"""WITH ${TextHash.duckToksCte},
+              |${TextHash.duckSimHashCte}
+              |SELECT a.doc_id AS da, b.doc_id AS db,
+              |  CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+              |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.f, b.f)) <= 2
+              |ORDER BY da, db""".stripMargin)),
+
+    // Stopword-ratio language-ID heuristic vs the labeled lang.
+    Q("d5_lang_id",
+      (s, d) => TextAnalysis.langId(Tables.documents(s, d))
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n_docs"),
+          floor(avg("stop_ratio") * 10000 + 0.5).cast("long")
+            .as("avg_stop_ratio_e4"))
+        .orderBy("lang", "predicted"),
+      Some(s"""WITH t AS (
+              |  SELECT lang,
+              |    CAST(len(list_filter(${TextHash.duckTokens("text")},
+              |           t -> t = 'the' OR t = 'a')) AS DOUBLE)
+              |      / len(${TextHash.duckTokens("text")}) AS r
+              |  FROM documents
+              |)
+              |SELECT lang,
+              |  CASE WHEN r >= 0.02 THEN 'en' ELSE 'und' END AS predicted,
+              |  count(*) AS n_docs,
+              |  CAST(floor(avg(r) * 10000 + 0.5) AS BIGINT)
+              |    AS avg_stop_ratio_e4
+              |FROM t GROUP BY lang, predicted
+              |ORDER BY lang, predicted""".stripMargin)),
+
+    // Per-doc quality metrics + composite score.
+    Q("d6_text_quality",
+      (s, d) => {
+        // Scaled-integer outputs: these ratios are small rationals
+        // (k/n_tokens) that can land exactly on decimal rounding
+        // boundaries where half-up (Spark) and half-even (DuckDB)
+        // disagree — e.g. 0.72925. floor(x·10⁴ + 0.5) is rule-free.
+        def e4(c: String) = floor(col(c) * 10000 + 0.5).cast("long")
+        TextAnalysis.quality(Tables.documents(s, d))
+          .select(col("doc_id"), col("n_tokens"),
+            e4("ttr").as("ttr_e4"),
+            e4("len_sat").as("len_sat_e4"),
+            e4("stop_ratio").as("stop_ratio_e4"),
+            e4("quality_score").as("quality_score_e4"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, ${TextHash.duckTokens("text")} AS tk
+              |  FROM documents
+              |),
+              |m AS (
+              |  SELECT doc_id,
+              |    CAST(len(tk) AS BIGINT) AS n_tokens,
+              |    CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS ttr,
+              |    least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) AS len_sat,
+              |    CAST(len(list_filter(tk, t -> t = 'the' OR t = 'a'))
+              |         AS DOUBLE) / len(tk) AS stop_ratio
+              |  FROM t
+              |)
+              |SELECT doc_id, n_tokens,
+              |  CAST(floor(ttr * 10000 + 0.5) AS BIGINT) AS ttr_e4,
+              |  CAST(floor(len_sat * 10000 + 0.5) AS BIGINT) AS len_sat_e4,
+              |  CAST(floor(stop_ratio * 10000 + 0.5) AS BIGINT)
+              |    AS stop_ratio_e4,
+              |  CAST(floor((0.4 * ttr + 0.3 * len_sat
+              |              + 0.3 * (1.0 - stop_ratio)) * 10000 + 0.5)
+              |       AS BIGINT) AS quality_score_e4
+              |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // Whitespace + BPE-ish regex token counts.
+    Q("d7_token_count",
+      (s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some(raw"""SELECT doc_id,
+              |  CAST(len(${TextHash.duckTokens("text")}) AS BIGINT)
+              |    AS ws_tokens,
+              |  CAST(len(regexp_extract_all(lower(text),
+              |    '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Whole-document polynomial rolling-hash fingerprint.
+    Q("d8_fingerprint",
+      (s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, ${TextHash.duckDocFingerprint("text")}
+              |  AS fingerprint
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Brute-force cosine top-5 for the first 10 vectors — the ANN
+    // correctness baseline (broadcast queries, codegen'd cosine).
+    Q("e1_ann_topk",
+      (s, d) => Similarity.bruteForceTopK(
+          Tables.embeddings(s, d),
+          Tables.embeddings(s, d).filter(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("cand_id"), col("sim"))
+        .orderBy("query_id", "rank"),
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              |  FROM embeddings
+              |),
+              |q AS (SELECT * FROM e WHERE vec_id < 10),
+              |scored AS (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              |    ${TextHash.duckCosine("q.emb", "c.emb", 64)} AS sim
+              |  FROM q JOIN e c ON c.vec_id <> q.vec_id
+              |),
+              |r AS (
+              |  SELECT query_id, cand_id, sim,
+              |    row_number() OVER (
+              |      PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+              |  FROM scored
+              |)
+              |SELECT query_id, rank, cand_id, round(sim, 6) AS sim
+              |FROM r WHERE rank <= 5
+              |ORDER BY query_id, rank""".stripMargin)),
+
+    // IVF-style blocked search: only same-cluster (label) pairs are
+    // scored — the co-partitioned equi-join that makes ANN tractable
+    // at corpus scale.
+    Q("e2_ann_ivf",
+      (s, d) => Similarity.clusterBlockedPairs(
+          Tables.embeddings(s, d), "label", minSim = 0.25)
+        .orderBy("label", "va", "vb"),
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+              |  FROM embeddings
+              |)
+              |SELECT a.label, a.vec_id AS va, b.vec_id AS vb,
+              |  round(${TextHash.duckCosine("a.emb", "b.emb", 64)}, 6) AS sim
+              |FROM e a JOIN e b
+              |  ON a.label = b.label AND a.vec_id < b.vec_id
+              |WHERE ${TextHash.duckCosine("a.emb", "b.emb", 64)} >= 0.25
+              |ORDER BY 1, 2, 3""".stripMargin)),
+
+    // IVF training step: per-cluster centroids.
+    Q("e3_centroids",
+      (s, d) => Similarity.centroids(Tables.embeddings(s, d), "label")
+        .select(col("label"), col("dim").cast("long").as("dim"),
+          col("centroid"))
+        .orderBy("label", "dim"),
+      Some("""SELECT label, i - 1 AS dim, round(avg(v), 6) AS centroid
+             |FROM (
+             |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+             |    generate_subscripts(embedding, 1) AS i
+             |  FROM embeddings
+             |)
+             |GROUP BY label, dim ORDER BY label, dim""".stripMargin)),
+
+    // Multimodal plumbing: binary payload + typed metadata through
+    // per-partition batch feature extraction (decode deterministically
+    // stubbed — no media codecs in this container). Rows-only check.
+    Q("m1_multimodal_stub",
+      (s, d) => {
+        val media = Multimodal.mediaTable(Tables.documents(s, d))
+        Multimodal.extractFeatures(s, media).toDF()
+          .select(col("doc_id"), col("format"), col("n_bytes"),
+            expr("transform(feature, v -> round(v, 6))").as("feature"))
+          .orderBy("doc_id")
+      },
+      None)
+  )
+}
