@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch event-analytics surface
+  * (SURVEY.md §2 block C): the same aggregations, expressed over an
+  * unbounded source with event-time watermarks.
+  *
+  * Batch/stream parity is by construction: [[tumblingCounts]] uses
+  * the identical `window()` grouping expression the batch
+  * q20_tumbling_window plan uses, and [[sessionize]] implements the
+  * same 30-minute-gap semantics as graft.operators.Sessionize, with
+  * state that expires via event-time timeout (bounded memory on an
+  * unbounded stream — the 100 TB/day posture).
+  */
+object EventStream {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Open-session state (public: Spark's state encoder codegen needs
+    * constructor access).
+    */
+  case class SessionState(start: Long, end: Long, n: Long)
+
+  /** Hourly tumbling event counts with a watermark: late data beyond
+    * `watermark` is dropped and window state is reclaimed.
+    */
+  def tumblingCounts(events: DataFrame, watermark: String = "2 hours")
+      : DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum("value").as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming 30-min-gap sessionization via flatMapGroupsWithState:
+    * per-user state holds the open session; an event past the gap (or
+    * the event-time timeout firing once the watermark passes
+    * start+gap) closes and emits it. State is O(active users), not
+    * O(events) — the property that keeps this runnable forever.
+    */
+  def sessionize(spark: SparkSession, events: Dataset[Event],
+      gapMicros: Long = 1800L * 1000000L,
+      watermark: String = "1 hour"): Dataset[SessionOut] = {
+    import spark.implicits._
+
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000
+
+    def toTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(us / 1000)
+      t.setNanos(((us % 1000000) * 1000).toInt)
+      t
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, toTs(s.start), toTs(s.end), s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => micros(e.ts))
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            for (e <- sorted) {
+              val t = micros(e.ts)
+              cur match {
+                case Some(s) if t - s.end <= gapMicros =>
+                  cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, toTs(s.start), toTs(s.end), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // Expire once the watermark passes the gap after the
+              // session's last event.
+              state.setTimeoutTimestamp((s.end + gapMicros) / 1000 + 1)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import graft.graph.{LinkGraph, PageRank}
+
+/** Semantics tests for the graph layer against hand-computed values
+  * (reference formula: PR' = 0.15 + 0.85·Σ pr/outdeg, see
+  * /root/reference/PageRank.java:523).
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("wordFollowEdges extracts distinct adjacent pairs") {
+    val docs = Seq((1L, "a b c b c"), (2L, " "), (3L, "solo")).toDF("doc_id", "text")
+    val edges = LinkGraph.wordFollowEdges(docs, "text")
+      .as[(String, String)].collect().toSet
+    assert(edges == Set(("a", "b"), ("b", "c"), ("c", "b")))
+  }
+
+  test("parseWikiPages extracts title and outlinks like the reference") {
+    val pages = Seq(
+      "<title>Page One</title> <text>see [[A]] and [[B]]</text>",
+      "no title here [[C]]").toDF("page")
+    val got = LinkGraph.parseWikiPages(pages, "page")
+      .as[(String, String)].collect().toSet
+    assert(got == Set(("Page One", "A"), ("Page One", "B")))
+  }
+
+  test("two-node cycle converges toward rank 1.0 under the reference formula") {
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val ranks = PageRank.run(edges, iterations = 10)
+      .as[(String, Double)].collect().toMap
+    // Fixed point of r = 0.15 + 0.85 r is r = 1; from 0.5 after 10
+    // damped iterations the residual is 0.5·0.85^10 ≈ 0.0984.
+    assert(math.abs(ranks("a") - ranks("b")) < 1e-12)
+    assert(math.abs(ranks("a") - (1.0 - 0.5 * math.pow(0.85, 10))) < 1e-9)
+  }
+
+  test("dangling node receives rank but leaks its own (reference semantics)") {
+    // a -> b, b has no outlinks: b's rank grows from a only; a gets
+    // only the teleport term.
+    val edges = Seq(("a", "b")).toDF("src", "dst")
+    val ranks = PageRank.run(edges, iterations = 10)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(ranks("a") - 0.15) < 1e-12)
+    assert(math.abs(ranks("b") - (0.15 + 0.85 * 0.15)) < 1e-12)
+  }
+}

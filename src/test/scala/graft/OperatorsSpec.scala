@@ -1,0 +1,126 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.CosineSimilarity.cosine_sim
+import graft.multimodal.Multimodal
+import graft.operators.{Dedup, Sessionize, Similarity, TextAnalysis}
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  test("sessionize splits on gaps > threshold") {
+    val events = Seq(
+      (1L, ts(0)), (1L, ts(10)), (1L, ts(50)), // gap 40 min -> new session
+      (2L, ts(5))).toDF("user_id", "ts")
+    val got = Sessionize(events, "user_id", "ts", gapMicros = 1800L * 1000000L)
+      .select("user_id", "session_id").as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(got(1L) == Seq(1L, 1L, 2L))
+    assert(got(2L) == Seq(1L))
+  }
+
+  test("exact dedup keeps min doc_id per duplicate group") {
+    val docs = Seq((5L, "Hello World"), (2L, "hello  world!"),
+      (9L, "  hello world  "), (7L, "unique")).toDF("doc_id", "text")
+    val got = Dedup.exactDupGroups(docs).as[(Long, Long)].collect().toSet
+    // "hello world" (5, 9) normalize equal; "hello  world!" differs.
+    assert(got == Set((5L, 2L)))
+  }
+
+  test("minhash LSH finds a heavily-overlapping pair") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 39).map(i => s"tok$i").mkString(" ") + " tokX"
+    val far = (100 to 140).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(docs, minJaccard = 0.5)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash pair generation equals brute force on a small corpus") {
+    val docs = (1L to 30L).map(i =>
+      (i, (0 to 20).map(j => s"w${(i * 7 + j) % 25}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val viaBands = Dedup.simhashPairs(docs, maxHamming = 2)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val fps = Dedup.simhashFingerprints(docs).as[(Long, Long)].collect()
+    val brute = (for {
+      (da, fa) <- fps; (db, fb) <- fps
+      if da < db && java.lang.Long.bitCount(fa ^ fb) <= 2
+    } yield (da, db)).toSet
+    assert(viaBands == brute)
+  }
+
+  test("language ID and quality score") {
+    val docs = Seq((1L, "the cat sat on a mat"), (2L, "wort wort wort wort"))
+      .toDF("doc_id", "text")
+    val lang = TextAnalysis.langId(docs)
+      .select("doc_id", "predicted").as[(Long, String)].collect().toMap
+    assert(lang(1L) == "en" && lang(2L) == "und")
+    val q = TextAnalysis.quality(docs)
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    assert(q.values.forall(s => s >= 0.0 && s <= 1.0))
+    // Repetitive doc 2 has lower TTR -> lower score despite no stopwords.
+    assert(q(1L) > 0.5)
+  }
+
+  test("token counts: whitespace vs BPE-ish") {
+    val docs = Seq((1L, "Hello, world! abc123")).toDF("doc_id", "text")
+    val (ws, bpe) = TextAnalysis.tokenCounts(docs)
+      .select("ws_tokens", "bpe_tokens").as[(Long, Long)].head()
+    assert(ws == 3)
+    // hello , world ! abc 123 -> 6
+    assert(bpe == 6)
+  }
+
+  test("cosine_sim: native expression and SQL registration") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(3.0f, 4.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    val sims = df.select(cosine_sim(col("a"), col("b"))).as[Double].collect()
+    assert(math.abs(sims(0) - 1.0) < 1e-15)
+    assert(math.abs(sims(1)) < 1e-15)
+    assert(math.abs(sims(2) - 1.0) < 1e-15)
+    // SQL path through GraftExtensions:
+    df.createOrReplaceTempView("vecs")
+    val viaSql = spark.sql("SELECT cosine_sim(a, b) FROM vecs")
+      .as[Double].collect()
+    assert(viaSql.zip(sims).forall { case (x, y) => x == y })
+  }
+
+  test("brute-force top-k ranks by similarity then id") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), 2)
+      .select("rank", "cand_id").as[(Int, Long)].collect().toSeq.sorted
+    assert(got == Seq((1, 3L), (2, 1L))) // exact match first, then closest
+  }
+
+  test("centroids average each dimension per cluster") {
+    val emb = Seq(
+      (0L, 0, Array(1.0f, 3.0f)), (1L, 0, Array(3.0f, 5.0f)),
+      (2L, 1, Array(2.0f, 2.0f))).toDF("vec_id", "label", "embedding")
+    val got = Similarity.centroids(emb, "label")
+      .as[(Int, Int, Double)].collect().toSet
+    assert(got == Set((0, 0, 2.0), (0, 1, 4.0), (1, 0, 2.0), (1, 1, 2.0)))
+  }
+
+  test("multimodal stub: histogram normalized over payload bytes") {
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val feats = Multimodal.extractFeatures(spark, Multimodal.mediaTable(docs))
+      .collect()
+    assert(feats.length == 1)
+    val f = feats(0)
+    assert(f.n_bytes == 4)
+    assert(math.abs(f.feature.sum - 1.0) < 1e-12)
+    // 'a' = 97 -> bin 97/16 = 6 holds all mass.
+    assert(f.feature(6) == 1.0)
+  }
+}
