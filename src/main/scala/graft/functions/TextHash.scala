@@ -66,11 +66,15 @@ object TextHash {
     s"transform(${sparkTokens(c)}, t -> ${sparkCharHash("t")})"
 
   /** Distinct 3-gram shingle hashes from a token-hash array column
-    * `th` (0-based Spark array indexing).
+    * `th` (0-based Spark array indexing). Guarded for < 3 tokens:
+    * `sequence(0, n)` runs DESCENDING for negative n, so the
+    * unguarded transform would index out of bounds.
     */
   def sparkShingles(th: String): String =
-    s"array_distinct(transform(sequence(0, size($th) - 3), " +
-      s"i -> ((($th[i] * 31 + $th[i+1]) % $P) * 31 + $th[i+2]) % $P))"
+    s"CASE WHEN size($th) >= 3 THEN " +
+      s"array_distinct(transform(sequence(0, size($th) - 3), " +
+      s"i -> ((($th[i] * 31 + $th[i+1]) % $P) * 31 + $th[i+2]) % $P)) " +
+      s"ELSE CAST(array() AS array<bigint>) END"
 
   /** array<bigint>(16) MinHash signature from a distinct-shingle
     * array column `sh`. Pure map-side HOF — no shuffle, no UDF.

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextHash
+import graft.functions.TextHashExprs._
 
 /** Deduplication operators for the training-data pipeline: exact,
   * n-gram Jaccard, MinHash+LSH, SimHash. All signatures are the
@@ -33,10 +34,13 @@ object Dedup {
       .filter(col("n_copies") > 1)
       .select("kept_doc_id", "n_copies")
 
-  /** (doc_id, th: array<bigint>) token hashes, multiplicity kept. */
+  /** (doc_id, th: array<bigint>) token hashes, multiplicity kept.
+    * Compiled kernel expression (TextHashKernels) — same values as
+    * the TextHash HOF formulation, ~40x faster.
+    */
   def tokenHashes(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      expr(TextHash.sparkTokenHashes("text")).as("th"))
+      token_hashes(expr(TextHash.sparkTokens("text"))).as("th"))
 
   /** (doc_id, sh: array<bigint>) distinct 3-gram shingle hashes for
     * docs with ≥ 3 tokens.
@@ -44,7 +48,7 @@ object Dedup {
   def shingleSets(docs: DataFrame): DataFrame =
     tokenHashes(docs)
       .filter(size(col("th")) >= 3)
-      .select(col("doc_id"), expr(TextHash.sparkShingles("th")).as("sh"))
+      .select(col("doc_id"), shingle_set(col("th")).as("sh"))
 
   /** All-pairs n-gram Jaccard ≥ `minJaccard` via the inverted-index
     * self-join: explode shingles, join on the shingle hash (only
@@ -88,9 +92,9 @@ object Dedup {
     val sets = shingleSets(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = sets
-      .select(col("doc_id"), expr(TextHash.sparkMinHash("sh")).as("mh"))
+      .select(col("doc_id"), minhash_sig(col("sh")).as("mh"))
       .select(col("doc_id"),
-        posexplode(expr(TextHash.sparkBandSigs("mh"))).as(Seq("band", "sig")))
+        posexplode(band_sigs(col("mh"))).as(Seq("band", "sig")))
     val candidates = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -115,8 +119,7 @@ object Dedup {
 
   /** (doc_id, f) 30-bit SimHash fingerprints. */
   def simhashFingerprints(docs: DataFrame): DataFrame =
-    tokenHashes(docs).select(col("doc_id"),
-      expr(TextHash.sparkSimHash("th")).as("f"))
+    tokenHashes(docs).select(col("doc_id"), simhash(col("th")).as("f"))
 
   /** Near-dup pairs with SimHash Hamming distance ≤ `maxHamming`.
     *

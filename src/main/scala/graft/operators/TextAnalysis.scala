@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextHash
+import graft.functions.TextHashExprs.string_poly_hash
 
 /** Text-analysis operators: language ID, quality scoring, token
   * counting, document fingerprinting. All pure `functions._` column
@@ -65,5 +66,5 @@ object TextAnalysis {
     */
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      expr(TextHash.sparkDocFingerprint("text")).as("fingerprint"))
+      string_poly_hash(lower(trim(col("text")))).as("fingerprint"))
 }

@@ -49,3 +49,53 @@ class TextHashSpec extends SparkSpec {
     assert(fs.forall(f => f >= 0 && f < (1L << TextHash.SimBits)))
   }
 }
+
+/** The compiled kernels must equal the HOF formulation of the spec
+  * value-for-value (the oracle SQL is generated from the HOF spec).
+  */
+class TextHashKernelSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.TextHashExprs._
+
+  private val docs = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "a b c d e f g h i j k l m",
+    "short",
+    "Mixed CASE text With   spacing").toDF("text")
+  private val th = expr(TextHash.sparkTokenHashes("text"))
+  private val thK = token_hashes(expr(TextHash.sparkTokens("text")))
+
+  test("token_hashes kernel == HOF spec") {
+    assert(docs.filter(expr(TextHash.sparkTokenHashes("text")) =!=
+      token_hashes(expr(TextHash.sparkTokens("text")))).count() == 0)
+  }
+
+  test("shingle/minhash/band/simhash kernels == HOF spec") {
+    // MinHash/bands are only defined for docs with >= 3 tokens (the
+    // operators filter shorter docs; the oracle drops them) — compare
+    // on that domain.
+    val both = docs
+      .select(th.as("th"), thK.as("thk"))
+      .filter(size(col("th")) >= 3)
+      .select(col("th"), col("thk"),
+        expr(TextHash.sparkShingles("th")).as("sh"),
+        shingle_set(col("thk")).as("shk"))
+      .select(col("*"),
+        expr(TextHash.sparkMinHash("sh")).as("mh"),
+        minhash_sig(col("shk")).as("mhk"),
+        expr(TextHash.sparkSimHash("th")).as("f"),
+        simhash(col("thk")).as("fk"))
+      .select(col("*"),
+        expr(TextHash.sparkBandSigs("mh")).as("b"),
+        band_sigs(col("mhk")).as("bk"))
+    assert(both.filter(
+      col("sh") =!= col("shk") || col("mh") =!= col("mhk") ||
+        col("f") =!= col("fk") || col("b") =!= col("bk")).count() == 0)
+  }
+
+  test("string_poly_hash == HOF doc fingerprint") {
+    assert(docs.filter(
+      expr(TextHash.sparkDocFingerprint("text")) =!=
+        string_poly_hash(lower(trim(col("text"))))).count() == 0)
+  }
+}
