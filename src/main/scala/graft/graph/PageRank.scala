@@ -87,4 +87,47 @@ object PageRank {
     }
     ranks
   }
+
+  /** PageRank with the reference's EXACT page semantics
+    * (/root/reference/PageRank.java:437-530): the node set is the
+    * page/title set (not src ∪ dst), initial rank is 1/N with N the
+    * phase-1 page count, out-degree counts every outlink occurrence
+    * (duplicates included), and contributions to targets that are not
+    * themselves pages are dropped — the reducer's
+    * `hasOriginalPRAndOutlinkList` guard (PageRank.java:527) — so
+    * their mass leaks, as in the reference.
+    *
+    * Same scale shape as [[run]]: links co-partitioned by src once,
+    * only the O(|pages|) rank table moves per iteration.
+    *
+    * @param pages one row per page, column `node`
+    * @param links (src, dst) with MULTIPLICITY (one row per outlink
+    *   occurrence)
+    * @param nPages the phase-1 page count (1/N initial rank)
+    */
+  def runOnPages(pages: DataFrame, links: DataFrame, nPages: Long,
+      iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+    val outDeg = links.groupBy("src").agg(count("*").as("outdeg"))
+    val linked = links.join(outDeg, "src")
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val p = pages.select("node").persist(StorageLevel.MEMORY_AND_DISK)
+
+    var ranks = p.withColumn("rank", lit(1.0 / nPages))
+    for (_ <- 1 to iterations) {
+      val contribs = linked
+        .join(ranks, linked("src") === ranks("node"))
+        .select(linked("dst").as("tgt"),
+          (col("rank") / col("outdeg")).as("contrib"))
+        .groupBy("tgt")
+        .agg(sum("contrib").as("incoming"))
+      // Left join FROM pages: contributions to non-page targets drop.
+      ranks = p
+        .join(contribs, p("node") === col("tgt"), "left")
+        .select(p("node"),
+          (lit(1.0 - damping) +
+            lit(damping) * coalesce(col("incoming"), lit(0.0))).as("rank"))
+    }
+    ranks
+  }
 }

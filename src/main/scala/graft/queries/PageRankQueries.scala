@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
 import graft.graph.{LinkGraph, PageRank}
+import graft.sources.WikiPageRankPipeline
 
 /** The reference surface (SURVEY.md §2 block A): page count, link
   * graph extraction, 10-iteration damped PageRank, descending rank
@@ -133,6 +134,70 @@ object PageRankQueries {
           .limit(20)
       },
       Some(s"""WITH ${rankCtes(10)}
+              |SELECT node, round(rank, 6) AS rank FROM r10
+              |ORDER BY rank DESC, node LIMIT 20""".stripMargin)),
+
+    // The complete reference pipeline with its EXACT page semantics
+    // (PageRank.runOnPages): fabricated wiki pages whose outlinks
+    // point at other titles (plus a deterministic share of dangling
+    // targets whose contributions must drop), regex link extraction,
+    // duplicate-counting out-degrees, 1/N init from the phase-1
+    // count, 10 iterations, top-20 by rank.
+    Q("pr_wiki_ranks",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val n = docs.count()
+        val pages = docs.select(concat(
+          lit("<title>doc_"), col("doc_id"),
+          lit("</title> <text xml:space=\"preserve\"> see [[doc_"),
+          (col("doc_id") * 7 + 13) % n,
+          lit("]] and [[doc_"),
+          when(col("doc_id") % 7 === 0, col("doc_id") + 1000000)
+            .otherwise((col("doc_id") * 31 + 101) % n),
+          lit("]]</text>")).as("page"))
+        val (_, ranks) = WikiPageRankPipeline.run(s, pages, "page")
+        ranks.select(col("node"), round(col("rank"), 6).as("rank"))
+          .orderBy(col("rank").desc, col("node"))
+          .limit(20)
+      },
+      Some(s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+              |p AS (
+              |  SELECT '<title>doc_' || doc_id ||
+              |    '</title> <text xml:space="preserve"> see [[doc_' ||
+              |    ((doc_id * 7 + 13) % nn.n) || ']] and [[doc_' ||
+              |    (CASE WHEN doc_id % 7 = 0 THEN doc_id + 1000000
+              |          ELSE (doc_id * 31 + 101) % nn.n END) ||
+              |    ']]</text>' AS page
+              |  FROM documents, nn
+              |),
+              |t AS (
+              |  SELECT regexp_extract(page, '<title>(.*?)</title>', 1) AS title,
+              |         regexp_extract(page, '<text(.*?)</text>', 1) AS body
+              |  FROM p
+              |),
+              |l AS (
+              |  SELECT title AS src,
+              |         unnest(regexp_extract_all(body, '\\[\\[(.*?)\\]\\]', 1)) AS dst
+              |  FROM t WHERE title <> ''
+              |),
+              |deg AS (SELECT src, count(*) AS outdeg FROM l GROUP BY src),
+              |pg AS (SELECT DISTINCT src AS node FROM l),
+              |r0 AS (
+              |  SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+              |  FROM pg
+              |),
+              |${(1 to 10).map { i =>
+                  s"""r$i AS (
+                     |  SELECT pg.node,
+                     |    CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) *
+                     |      coalesce(sum(r.rank / deg.outdeg), CAST(0 AS DOUBLE)) AS rank
+                     |  FROM pg
+                     |  LEFT JOIN l ON l.dst = pg.node
+                     |  LEFT JOIN r${i - 1} r ON r.node = l.src
+                     |  LEFT JOIN deg ON deg.src = l.src
+                     |  GROUP BY pg.node
+                     |)""".stripMargin
+                }.mkString(",\n")}
               |SELECT node, round(rank, 6) AS rank FROM r10
               |ORDER BY rank DESC, node LIMIT 20""".stripMargin))
   )
