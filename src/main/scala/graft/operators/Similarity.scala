@@ -63,11 +63,55 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
-  /** Per-cluster centroid: mean of each dimension. */
+  /** Per-cluster centroid: mean of each dimension, rounded to 6
+    * decimals. (The rounding is also what makes downstream
+    * centroid-based scoring bit-reproducible: engines disagree about
+    * float summation order at ~1e-16, the round collapses it.)
+    */
   def centroids(emb: DataFrame, labelCol: String): DataFrame =
     emb
       .select(col(labelCol).as("label"),
         posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy("label", "dim")
       .agg(round(avg(col("v").cast("double")), 6).as("centroid"))
+
+  /** Centroids as ordered vectors: (label, cvec array<double>). */
+  def centroidVectors(emb: DataFrame, labelCol: String): DataFrame =
+    centroids(emb, labelCol)
+      .groupBy("label")
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(dim, centroid)))," +
+          " s -> s.centroid)").as("cvec"))
+
+  /** IVF query path: assign each query to its nearest centroid
+    * (nprobe = 1), then brute-force top-k INSIDE that cluster only.
+    * Two broadcasts (centroid table, then assigned queries) — the
+    * corpus never shuffles; scoring touches one cluster's partition
+    * slice per query instead of the full corpus.
+    */
+  def ivfProbeTopK(emb: DataFrame, queries: DataFrame, labelCol: String,
+      k: Int): DataFrame = {
+    val cent = centroidVectors(emb, labelCol)
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("query_emb"))
+    val wAssign = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("label"))
+    val assigned = q.join(broadcast(cent))
+      .withColumn("csim", cosine_sim(col("query_emb"), col("cvec")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("query_emb"), col("label"))
+    val cand = emb.select(col(labelCol).as("label"),
+      col("vec_id").as("cand_id"), col("embedding").as("cand_emb"))
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("cand_id"))
+    cand.join(broadcast(assigned),
+        cand("label") === assigned("label") &&
+          col("cand_id") =!= col("query_id"))
+      .withColumn("sim", cosine_sim(col("query_emb"), col("cand_emb")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), assigned("label"), col("rank"),
+        col("cand_id"), round(col("sim"), 6).as("sim"))
+  }
 }

@@ -264,6 +264,60 @@ object PipelineQueries {
              |)
              |GROUP BY label, dim ORDER BY label, dim""".stripMargin)),
 
+    // IVF query path: nearest-centroid assignment (nprobe=1) then
+    // top-5 within the assigned cluster only — the search shape that
+    // scales (centroid table broadcast, corpus never shuffled).
+    Q("e4_ann_ivf_probe",
+      (s, d) => Similarity.ivfProbeTopK(
+          Tables.embeddings(s, d),
+          Tables.embeddings(s, d).filter(col("vec_id") < 10),
+          "label", k = 5)
+        .select(col("query_id"), col("label"),
+          col("rank").cast("long").as("rank"), col("cand_id"), col("sim"))
+        .orderBy("query_id", "rank"),
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+              |  FROM embeddings
+              |),
+              |c0 AS (
+              |  SELECT label, i - 1 AS dim, round(avg(v), 6) AS c
+              |  FROM (
+              |    SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+              |      generate_subscripts(embedding, 1) AS i
+              |    FROM embeddings
+              |  ) GROUP BY label, dim
+              |),
+              |cent AS (
+              |  SELECT label, list(c ORDER BY dim) AS cvec FROM c0 GROUP BY label
+              |),
+              |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 10),
+              |ass0 AS (
+              |  SELECT q.query_id, q.qe, cent.label,
+              |    ${TextHash.duckCosine("q.qe", "cent.cvec", 64)} AS cs
+              |  FROM q, cent
+              |),
+              |ass AS (
+              |  SELECT query_id, qe, label FROM (
+              |    SELECT *, row_number() OVER (
+              |      PARTITION BY query_id ORDER BY cs DESC, label) AS rn
+              |    FROM ass0
+              |  ) WHERE rn = 1
+              |),
+              |probe AS (
+              |  SELECT a.query_id, a.label, e.vec_id AS cand_id,
+              |    ${TextHash.duckCosine("a.qe", "e.emb", 64)} AS sim
+              |  FROM ass a JOIN e ON e.label = a.label AND e.vec_id <> a.query_id
+              |),
+              |r AS (
+              |  SELECT query_id, label, cand_id, sim,
+              |    row_number() OVER (
+              |      PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+              |  FROM probe
+              |)
+              |SELECT query_id, label, rank, cand_id, round(sim, 6) AS sim
+              |FROM r WHERE rank <= 5
+              |ORDER BY query_id, rank""".stripMargin)),
+
     // Multimodal plumbing: binary payload + typed metadata through
     // per-partition batch feature extraction (decode deterministically
     // stubbed — no media codecs in this container). Rows-only check.
