@@ -40,6 +40,30 @@ object Multimodal {
       length(col("text")).cast("long").as("n_bytes"),
       encode(col("text"), "UTF-8").as("payload"))
 
+  case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Frame sampling stand-in: split the payload into `nFrames` evenly
+    * spaced byte windows (a real video decoder would emit decoded
+    * frames here; the iterator-in/iterator-out partition shape and
+    * the one-row-to-many explode are the actual plumbing a frame
+    * sampler needs). Frames of empty payloads are empty.
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame, nFrames: Int)
+      : Dataset[Frame] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val len = r.payload.length
+        val w = math.max(1, len / nFrames)
+        (0 until nFrames).iterator.map { i =>
+          val from = math.min(i * w, len)
+          val until = if (i == nFrames - 1) len else math.min(from + w, len)
+          Frame(r.doc_id, i, java.util.Arrays.copyOfRange(r.payload, from, until))
+        }
+      }
+    }
+  }
+
   /** Deterministic stand-in for media decode + feature extraction:
     * normalized 16-bin histogram over payload bytes. Runs
     * per-partition over an iterator — the batch shape (not

@@ -112,6 +112,16 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Set((0, 0, 2.0), (0, 1, 4.0), (1, 0, 2.0), (1, 1, 2.0)))
   }
 
+  test("multimodal frame sampling covers the payload exactly") {
+    val docs = Seq((1L, "abcdefghij")).toDF("doc_id", "text") // 10 bytes
+    val frames = Multimodal.sampleFrames(spark,
+      Multimodal.mediaTable(docs), nFrames = 4).collect().sortBy(_.frame_idx)
+    assert(frames.length == 4)
+    // windows of 2 bytes, last frame takes the remainder
+    assert(frames.map(_.frame.length).toSeq == Seq(2, 2, 2, 4))
+    assert(frames.flatMap(f => f.frame).map(_.toChar).mkString == "abcdefghij")
+  }
+
   test("multimodal stub: histogram normalized over payload bytes") {
     val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
     val feats = Multimodal.extractFeatures(spark, Multimodal.mediaTable(docs))
