@@ -137,6 +137,21 @@ object PageRankQueries {
               |SELECT node, round(rank, 6) AS rank FROM r10
               |ORDER BY rank DESC, node LIMIT 20""".stripMargin)),
 
+    // Phase 4 proper: the FULL descending total order (not top-k).
+    // Spark plans orderBy as a range-partitioned distributed sort —
+    // every partition sorted, partitions themselves ordered — vs the
+    // reference's single-reducer bottleneck.
+    Q("pr_rank_sort",
+      (s, d) => {
+        val e = LinkGraph.wordFollowEdges(Tables.documents(s, d), "text")
+        PageRank.run(e, iterations = 10, damping = 0.85)
+          .select(col("node"), round(col("rank"), 6).as("rank"))
+          .orderBy(col("rank").desc, col("node"))
+      },
+      Some(s"""WITH ${rankCtes(10)}
+              |SELECT node, round(rank, 6) AS rank FROM r10
+              |ORDER BY rank DESC, node""".stripMargin)),
+
     // The complete reference pipeline with its EXACT page semantics
     // (PageRank.runOnPages): fabricated wiki pages whose outlinks
     // point at other titles (plus a deterministic share of dangling

@@ -87,6 +87,29 @@ object RelationalQueries {
              |GROUP BY o_orderkey, o_orderdate
              |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)),
 
+    // TPC-H Q4 shape: correlated EXISTS with a cross-table predicate
+    // (order has >= 1 lineitem shipped after the order date) — a
+    // left_semi join whose condition spans both sides.
+    Q("q4_exists_late",
+      (s, d) => Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01") &&
+          col("o_orderdate") < lit("1997-04-01"))
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, count(*) AS n_orders
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+             |  AND o_orderdate < TIMESTAMP '1997-04-01'
+             |  AND EXISTS (
+             |    SELECT 1 FROM lineitem
+             |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
     // TPC-H Q5 shape: 6-way join with broadcast dimension chain
     // (supplier/nation/region), local-supplier constraint.
     Q("q5_region_revenue",
