@@ -28,6 +28,13 @@ object EventStream {
     */
   case class SessionState(start: Long, end: Long, n: Long)
 
+  /** Per-user funnel progress (streaming twin of the batch
+    * q19_funnel aggregate): earliest signup / earliest
+    * at-or-after-signup purchase, in epoch micros (0 = none yet).
+    */
+  case class FunnelState(user_id: Long, first_signup: Long,
+      first_purchase: Long, converted: Boolean)
+
   /** Hourly tumbling event counts with a watermark: late data beyond
     * `watermark` is dropped and window state is reclaimed.
     */
@@ -40,6 +47,43 @@ object EventStream {
         sum("value").as("sum_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
+
+  /** Streaming funnel tracking via mapGroupsWithState (update mode):
+    * one output row per user per batch with their current funnel
+    * state. State is two timestamps per user — O(users), unbounded
+    * stream safe. A user converts when their earliest purchase is
+    * at-or-after their earliest signup (batch q19 semantics).
+    */
+  def funnelState(spark: SparkSession, events: Dataset[Event])
+      : Dataset[FunnelState] = {
+    import spark.implicits._
+
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000
+
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelState](
+        GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          var s = state.getOption
+            .getOrElse(FunnelState(userId, 0L, 0L, converted = false))
+          for (e <- rows) {
+            val t = micros(e.ts)
+            e.event_type match {
+              case "signup" if s.first_signup == 0L || t < s.first_signup =>
+                s = s.copy(first_signup = t)
+              case "purchase" if s.first_purchase == 0L || t < s.first_purchase =>
+                s = s.copy(first_purchase = t)
+              case _ =>
+            }
+          }
+          s = s.copy(converted = s.first_signup > 0L &&
+            s.first_purchase >= s.first_signup)
+          state.update(s)
+          s
+      }
+  }
 
   /** Streaming 30-min-gap sessionization via flatMapGroupsWithState:
     * per-user state holds the open session; an event past the gap (or

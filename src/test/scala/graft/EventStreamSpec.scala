@@ -36,6 +36,28 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel state tracks conversion incrementally") {
+    val stream = MemoryStream[Event](spark)
+    val q = EventStream.funnelState(spark, stream.toDS())
+      .writeStream.format("memory").queryName("funnel_t")
+      .outputMode("update").start()
+    try {
+      // user 1 signs up; user 2 purchases without signup.
+      stream.addData(ev(1, 100, 1, "signup"), ev(2, 100, 2, "purchase"))
+      q.processAllAvailable()
+      // user 1 purchases after signup -> converted; user 2 stays not.
+      stream.addData(ev(3, 150, 1, "purchase"))
+      q.processAllAvailable()
+      val last = spark.table("funnel_t")
+        .groupBy("user_id").agg(max(struct(col("first_purchase"),
+          col("converted"))).as("s"))
+        .select(col("user_id"), col("s.converted"))
+        .as[(Long, Boolean)].collect().toMap
+      assert(last(1L) === true)
+      assert(last(2L) === false)
+    } finally q.stop()
+  }
+
   test("streaming sessionize closes sessions on gap and emits them") {
     val stream = MemoryStream[Event](spark)
     val sessions = EventStream.sessionize(spark, stream.toDS())
