@@ -48,9 +48,17 @@ object Bench {
       results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalCold = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+    val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":${jmap(_._2)},"total_cold":$totalCold,""" +
-      s""""queries_cold":${jmap(_._3)},"sf":"$sfDir"}""")
+      s""""queries_cold":${jmap(_._3)},"sf":"$sfDir"}"""
+    // The JSON must survive sbt's [info]-prefixed stdout wrapping:
+    // write it to a file too, and stop Spark BEFORE printing so the
+    // line is the final stdout of the run, not buried under shutdown
+    // logging.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")), json)
     spark.stop()
+    println(json)
   }
 }

@@ -37,7 +37,7 @@ object Multimodal {
     docs.select(
       col("doc_id"),
       lit("fake/raw").as("format"),
-      length(col("text")).cast("long").as("n_bytes"),
+      octet_length(col("text")).cast("long").as("n_bytes"),
       encode(col("text"), "UTF-8").as("payload"))
 
   case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])

@@ -320,15 +320,50 @@ object PipelineQueries {
 
     // Multimodal plumbing: binary payload + typed metadata through
     // per-partition batch feature extraction (decode deterministically
-    // stubbed — no media codecs in this container). Rows-only check.
+    // stubbed — no media codecs in this container). The feature vector
+    // is EXPLODED to scalar (doc_id, bin, value_e6) rows: the driver's
+    // canonicalizer hashes cell values and cannot sort/hash a raw
+    // array column. e6-scaled ints per the §5 protocol.
+    //
+    // Oracle trick: bin = byte/16 = the byte's high hex nibble, so
+    // DuckDB can histogram payload bytes via hex(encode(text)) —
+    // strpos over '123456789ABCDEF' maps nibble char → bin (0 for
+    // '0' since strpos misses = 0).
     Q("m1_multimodal_stub",
       (s, d) => {
         val media = Multimodal.mediaTable(Tables.documents(s, d))
         Multimodal.extractFeatures(s, media).toDF()
           .select(col("doc_id"), col("format"), col("n_bytes"),
-            expr("transform(feature, v -> round(v, 6))").as("feature"))
-          .orderBy("doc_id")
+            posexplode(col("feature")).as(Seq("bin", "value")))
+          .select(col("doc_id"), col("format"), col("n_bytes"),
+            col("bin").cast("long").as("bin"),
+            floor(col("value") * 1000000 + 0.5).cast("long").as("value_e6"))
+          .orderBy("doc_id", "bin")
       },
-      None)
+      Some("""WITH h AS (
+             |  SELECT doc_id, 'fake/raw' AS format,
+             |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |    hex(encode(text)) AS hx
+             |  FROM documents
+             |),
+             |nib AS (
+             |  SELECT doc_id,
+             |    strpos('123456789ABCDEF', substr(hx, 2 * i + 1, 1)) AS bin
+             |  FROM h, unnest(range(0, n_bytes)) AS t(i)
+             |),
+             |cnt AS (SELECT doc_id, bin, count(*) AS c FROM nib
+             |        GROUP BY doc_id, bin),
+             |grid AS (
+             |  SELECT h.doc_id, h.format, h.n_bytes, b.bin
+             |  FROM h, (SELECT unnest(range(0, 16)) AS bin) b
+             |)
+             |SELECT g.doc_id, g.format, g.n_bytes,
+             |  CAST(g.bin AS BIGINT) AS bin,
+             |  CAST(floor(CAST(COALESCE(c.c, 0) AS DOUBLE)
+             |       / greatest(g.n_bytes, 1) * 1000000 + 0.5) AS BIGINT)
+             |    AS value_e6
+             |FROM grid g LEFT JOIN cnt c
+             |  ON c.doc_id = g.doc_id AND c.bin = g.bin
+             |ORDER BY g.doc_id, g.bin""".stripMargin))
   )
 }

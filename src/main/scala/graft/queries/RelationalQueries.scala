@@ -185,16 +185,22 @@ object RelationalQueries {
              |SELECT o_custkey, o_orderkey, o_totalprice
              |FROM r WHERE rn = 1 ORDER BY o_custkey""".stripMargin)),
 
-    // NOT EXISTS as left_anti join.
+    // NOT EXISTS as left_anti join. The orders side is date-filtered
+    // (customers with no RECENT orders) so the result is non-empty at
+    // every sf — an unfiltered anti join is vacuously empty in this
+    // generator (every customer has at least one order) and a 0=0
+    // match would prove nothing about anti-join semantics.
     Q("q8_anti_join",
       (s, d) => Tables.customer(s, d)
-        .join(Tables.orders(s, d),
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1998-06-01")),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey"),
       Some("""SELECT c_custkey, c_name FROM customer
              |WHERE NOT EXISTS (
-             |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |  SELECT 1 FROM orders WHERE o_custkey = c_custkey
+             |    AND o_orderdate >= TIMESTAMP '1998-06-01')
              |ORDER BY c_custkey""".stripMargin)),
 
     // EXISTS as left_semi join.
