@@ -133,9 +133,12 @@ object TopKByScore {
     def mergeFrom(other: Buffer): Unit =
       other.heap.foreach(c => insert(c.sim, c.id, c.tag))
 
-    /** Best-first (sim DESC, id ASC). */
+    /** Best-first (sim DESC, id ASC). `worstFirst` ranks worse
+      * candidates as GREATER, so plain ascending sort by it is
+      * best-first already.
+      */
     def sortedBestFirst: Array[Cand] =
-      heap.toArray.sorted(worstFirst.reverse)
+      heap.toArray.sorted(worstFirst)
   }
 
   val resultType: ArrayType = ArrayType(StructType(Seq(

@@ -24,6 +24,13 @@ import graft.functions.TextHashExprs._
   */
 object Dedup {
 
+  /** Default document-frequency cap for candidate-generating shingles
+    * (see [[ngramJaccardPairs]]). At the driver's 500-doc correctness
+    * scale this is 20% of the corpus; at web scale the cap is what
+    * keeps any single inverted-index bucket's self-join bounded.
+    */
+  val DefaultMaxShingleDf = 100
+
   /** Exact dedup on normalized text. Returns one row per duplicate
     * group: the kept (minimum) doc id and the copy count.
     */
@@ -52,34 +59,56 @@ object Dedup {
 
   /** All-pairs n-gram Jaccard ≥ `minJaccard` via the inverted-index
     * self-join: explode shingles, join on the shingle hash (only
-    * co-occurring docs ever meet), count intersections, then compute
-    * |∩| / (|A| + |B| - |∩|). The exploded join is the scalable
-    * shape — the shuffle key is the shingle hash, and no pair without
-    * a shared shingle is ever materialized.
+    * co-occurring docs ever meet) to generate candidates, then verify
+    * exact Jaccard on the full shingle sets. The exploded join is the
+    * scalable shape — the shuffle key is the shingle hash, and no
+    * pair without a shared shingle is ever materialized.
+    *
+    * `maxShingleDf` is the frequent-shingle guard: the self-join is
+    * O(df²) per shingle bucket, so one stopword-like shingle present
+    * in a large fraction of a web-scale corpus makes its bucket
+    * quadratic. Shingles with document frequency above the cap are
+    * excluded from CANDIDATE GENERATION only — verification still
+    * scores the full sets, so a true pair is lost only if it shares
+    * exclusively ubiquitous shingles, which no ≥0.8-Jaccard near-dup
+    * does. (The correctness oracle mirrors the same cap.)
     */
-  def ngramJaccardPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
+  def ngramJaccardPairs(docs: DataFrame, minJaccard: Double,
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
     val sets = shingleSets(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sets.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
     val inv = sets.select(col("doc_id"), explode(col("sh")).as("s"))
-    val inter = inv.as("a").join(inv.as("b"),
+    // df per shingle is a partial-agg count on the same key the
+    // self-join shuffles on, so the filter join is co-partitioned.
+    val rare = inv.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf)
+      .select("s")
+    val invRare = inv.join(rare, "s")
+    val candidates = invRare.as("a").join(invRare.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "da")
-        .withColumnRenamed("n", "na"), "da")
-      .join(sizes.withColumnRenamed("doc_id", "db")
-        .withColumnRenamed("n", "nb"), "db")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    verifyJaccard(candidates, sets, minJaccard)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against the full
+    * shingle sets; shared by the inverted-index and LSH paths.
+    */
+  private def verifyJaccard(candidates: DataFrame, sets: DataFrame,
+      minJaccard: Double): DataFrame =
+    candidates
+      .join(sets.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
+      .join(sets.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
+      .withColumn("inter",
+        size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       // Scaled-integer output: small-rational Jaccards can sit exactly
       // on a decimal rounding boundary where engines' half-up vs
       // half-even rules diverge; floor(j*1e6 + 0.5) is rule-free.
       .select(col("da"), col("db"),
         floor(col("jaccard") * 1000000 + 0.5).cast("long").as("jaccard_e6"))
-  }
 
   /** MinHash(16) + LSH(4 bands × 4 rows) near-dup detection, verified
     * by true Jaccard ≥ `minJaccard`. Candidate generation is the
@@ -102,19 +131,7 @@ object Dedup {
       .distinct()
     // Exact verification only on candidates: array_intersect on the
     // (already distinct) shingle sets.
-    candidates
-      .join(sets.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
-      .join(sets.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
-      .withColumn("inter",
-        size(array_intersect(col("sha"), col("shb"))).cast("long"))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("sha")) + size(col("shb")) - col("inter")))
-      .filter(col("jaccard") >= minJaccard)
-      // Scaled-integer output: small-rational Jaccards can sit exactly
-      // on a decimal rounding boundary where engines' half-up vs
-      // half-even rules diverge; floor(j*1e6 + 0.5) is rule-free.
-      .select(col("da"), col("db"),
-        floor(col("jaccard") * 1000000 + 0.5).cast("long").as("jaccard_e6"))
+    verifyJaccard(candidates, sets, minJaccard)
   }
 
   /** (doc_id, f) 30-bit SimHash fingerprints. */

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.CosineSimilarity.cosine_sim
+import graft.functions.TopKByScore.top_k_by_score
 
 /** Similarity search over an embedding column (array<float>).
   *
@@ -37,13 +38,16 @@ object Similarity {
       col("embedding").as("query_emb"))
     val scored = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
       .withColumn("sim", cosine_sim(col("query_emb"), col("cand_emb")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("cand_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("cand_id"),
-        round(col("sim"), 6).as("sim"))
+    // Per-partition bounded-heap top-k (map-side partial agg) instead
+    // of a row_number window: a window would shuffle all N×Q scored
+    // rows into Q partitions and sort the full corpus per query. The
+    // aggregate ships ≤ partitions×k candidates per query; the merge
+    // is k-sized. Same (sim DESC, cand_id ASC) order.
+    scored.groupBy("query_id")
+      .agg(top_k_by_score(col("sim"), col("cand_id"), lit(0L), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("s.cand_id").as("cand_id"), round(col("s.sim"), 6).as("sim"))
   }
 
   /** All same-cluster pairs with cosine ≥ `minSim`. The equi-join on
@@ -83,14 +87,21 @@ object Similarity {
         "transform(array_sort(collect_list(struct(dim, centroid)))," +
           " s -> s.centroid)").as("cvec"))
 
-  /** IVF query path: assign each query to its nearest centroid
-    * (nprobe = 1), then brute-force top-k INSIDE that cluster only.
-    * Two broadcasts (centroid table, then assigned queries) — the
-    * corpus never shuffles; scoring touches one cluster's partition
-    * slice per query instead of the full corpus.
+  /** IVF query path: assign each query to its `nprobe` nearest
+    * centroids, then brute-force top-k over the UNION of those cells
+    * only. Two broadcasts (centroid table, then assigned queries) —
+    * the corpus never shuffles; scoring touches the probed cells'
+    * partition slices per query instead of the full corpus.
+    *
+    * The assignment window is over query × nlist rows (nlist is the
+    * bounded cell count — never corpus-sized), so it is scale-safe;
+    * the candidate ranking is the bounded-heap [[top_k_by_score]]
+    * partial aggregate, not a corpus-wide window sort. Each corpus
+    * vector lives in exactly one cell, so probed candidate sets are
+    * disjoint and rank spans cells without dedup.
     */
   def ivfProbeTopK(emb: DataFrame, queries: DataFrame, labelCol: String,
-      k: Int): DataFrame = {
+      k: Int, nprobe: Int = 1): DataFrame = {
     val cent = centroidVectors(emb, labelCol)
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("query_emb"))
@@ -99,19 +110,21 @@ object Similarity {
     val assigned = q.join(broadcast(cent))
       .withColumn("csim", cosine_sim(col("query_emb"), col("cvec")))
       .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
+      .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("query_emb"), col("label"))
     val cand = emb.select(col(labelCol).as("label"),
       col("vec_id").as("cand_id"), col("embedding").as("cand_emb"))
-    val wRank = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("cand_id"))
     cand.join(broadcast(assigned),
         cand("label") === assigned("label") &&
           col("cand_id") =!= col("query_id"))
       .withColumn("sim", cosine_sim(col("query_emb"), col("cand_emb")))
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), assigned("label"), col("rank"),
-        col("cand_id"), round(col("sim"), 6).as("sim"))
+      .select(col("query_id"), col("sim"), col("cand_id"),
+        cand("label").cast("long").as("tag"))
+      .groupBy("query_id")
+      .agg(top_k_by_score(col("sim"), col("cand_id"), col("tag"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("query_id"), col("s.tag").cast("int").as("label"),
+        (col("pos") + 1).as("rank"), col("s.cand_id").as("cand_id"),
+        round(col("s.sim"), 6).as("sim"))
   }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
 import graft.functions.TextHash
+import graft.graph.ConnectedComponents
 import graft.multimodal.Multimodal
 import graft.operators.{Dedup, Similarity, TextAnalysis}
 
@@ -53,6 +54,24 @@ object PipelineQueries {
        |FROM jac
        |WHERE j >= 0.8 ORDER BY da, db""".stripMargin
 
+  /** Unrolled min-label propagation rounds for the d9 oracle: each
+    * round every vertex takes the min label among itself and its
+    * in-neighbors — the SQL mirror of ConnectedComponents.minLabel.
+    * MATERIALIZED is load-bearing: each round references the previous
+    * one twice, so inlined CTEs re-evaluate the whole upstream
+    * MinHash pipeline 2^n times.
+    */
+  private def labelCtes(n: Int): String =
+    (1 to n).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT id, min(label) AS label FROM (
+         |    SELECT id, label FROM l${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS id, l.label
+         |    FROM edges e JOIN l${i - 1} l ON l.id = e.src
+         |  ) GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+
   def all: Seq[Q] = Seq(
 
     // Exact dedup: hash-partitioned groupBy on the normalized text,
@@ -72,17 +91,30 @@ object PipelineQueries {
 
     // Full n-gram Jaccard near-dup pairs via the inverted-index
     // self-join (shuffle key = shingle hash, no O(n²) pair space).
+    // Candidate generation skips shingles with document frequency
+    // above the cap — the guard that keeps any one bucket's self-join
+    // bounded on a web-scale corpus — and the oracle mirrors the cap.
     Q("d2_ngram_jaccard",
       (s, d) => Dedup
         .ngramJaccardPairs(Tables.documents(s, d), minJaccard = 0.8)
         .orderBy("da", "db"),
       Some(s"""WITH ${TextHash.duckToksCte},
               |${TextHash.duckShinglesCte},
+              |rare AS (
+              |  SELECT s FROM sh GROUP BY s
+              |  HAVING count(*) <= ${Dedup.DefaultMaxShingleDf}
+              |),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+              |  FROM sh a JOIN rare r ON a.s = r.s
+              |  JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id
+              |),
               |${jaccardTailSql(
-                 """SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-                   |   FROM sh a JOIN sh b
-                   |     ON a.s = b.s AND a.doc_id < b.doc_id
-                   |   GROUP BY da, db""".stripMargin)}""".stripMargin)),
+                 """SELECT c.da, c.db, count(*) AS inter
+                   |   FROM cand c
+                   |   JOIN sh x ON x.doc_id = c.da
+                   |   JOIN sh y ON y.doc_id = c.db AND y.s = x.s
+                   |   GROUP BY c.da, c.db""".stripMargin)}""".stripMargin)),
 
     // MinHash(16)+LSH(4×4): band-bucket join generates candidates,
     // exact Jaccard verifies. Same final pair set as d2 — the LSH
@@ -121,6 +153,51 @@ object PipelineQueries {
               |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
               |WHERE bit_count(xor(a.f, b.f)) <= 2
               |ORDER BY da, db""".stripMargin)),
+
+    // Dup-group consolidation: connected components over the
+    // MinHash+LSH pair graph — (a,b),(b,c) collapse to one group
+    // with the min doc id as survivor. 8 propagation rounds on both
+    // sides (near-dup components are shallow; the oracle unrolls the
+    // same count).
+    Q("d9_dup_groups",
+      (s, d) => ConnectedComponents.dupGroups(
+          Dedup.minhashLshPairs(Tables.documents(s, d), minJaccard = 0.8)
+            .select(col("da").as("a"), col("db").as("b")),
+          iters = 8)
+        .orderBy("doc_id"),
+      Some(s"""WITH ${TextHash.duckToksCte},
+              |${TextHash.duckShinglesCte},
+              |${TextHash.duckMinHashCte},
+              |${TextHash.duckBandsCte},
+              |cand AS MATERIALIZED (
+              |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+              |  FROM bands a JOIN bands b
+              |    ON a.band = b.band AND a.sig = b.sig
+              |   AND a.doc_id < b.doc_id
+              |),
+              |sz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |ix AS MATERIALIZED (
+              |  SELECT c.da, c.db, count(*) AS inter
+              |  FROM cand c
+              |  JOIN sh x ON x.doc_id = c.da
+              |  JOIN sh y ON y.doc_id = c.db AND y.s = x.s
+              |  GROUP BY c.da, c.db
+              |),
+              |pairs AS MATERIALIZED (
+              |  SELECT ix.da, ix.db
+              |  FROM ix JOIN sz x ON x.doc_id = ix.da
+              |  JOIN sz y ON y.doc_id = ix.db
+              |  WHERE CAST(ix.inter AS DOUBLE) / (x.n + y.n - ix.inter) >= 0.8
+              |),
+              |edges AS MATERIALIZED (
+              |  SELECT da AS src, db AS dst FROM pairs
+              |  UNION ALL
+              |  SELECT db AS src, da AS dst FROM pairs
+              |),
+              |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM edges),
+              |${labelCtes(8)}
+              |SELECT id AS doc_id, label AS group_id, id = label AS keep
+              |FROM l8 ORDER BY doc_id""".stripMargin)),
 
     // Stopword-ratio language-ID heuristic vs the labeled lang.
     Q("d5_lang_id",
@@ -305,6 +382,61 @@ object PipelineQueries {
               |),
               |probe AS (
               |  SELECT a.query_id, a.label, e.vec_id AS cand_id,
+              |    ${TextHash.duckCosine("a.qe", "e.emb", 64)} AS sim
+              |  FROM ass a JOIN e ON e.label = a.label AND e.vec_id <> a.query_id
+              |),
+              |r AS (
+              |  SELECT query_id, label, cand_id, sim,
+              |    row_number() OVER (
+              |      PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+              |  FROM probe
+              |)
+              |SELECT query_id, label, rank, cand_id, round(sim, 6) AS sim
+              |FROM r WHERE rank <= 5
+              |ORDER BY query_id, rank""".stripMargin)),
+
+    // IVF with nprobe=2: each query probes its TWO nearest cells and
+    // ranks top-5 across their union — the recall knob real IVF
+    // search turns. Candidate sets of distinct cells are disjoint
+    // (each vector lives in one cell), so no dedup is needed.
+    Q("e5_ann_nprobe",
+      (s, d) => Similarity.ivfProbeTopK(
+          Tables.embeddings(s, d),
+          Tables.embeddings(s, d).filter(col("vec_id") < 10),
+          "label", k = 5, nprobe = 2)
+        .select(col("query_id"), col("label"),
+          col("rank").cast("long").as("rank"), col("cand_id"), col("sim"))
+        .orderBy("query_id", "rank"),
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+              |  FROM embeddings
+              |),
+              |c0 AS (
+              |  SELECT label, i - 1 AS dim, round(avg(v), 6) AS c
+              |  FROM (
+              |    SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+              |      generate_subscripts(embedding, 1) AS i
+              |    FROM embeddings
+              |  ) GROUP BY label, dim
+              |),
+              |cent AS (
+              |  SELECT label, list(c ORDER BY dim) AS cvec FROM c0 GROUP BY label
+              |),
+              |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 10),
+              |ass0 AS (
+              |  SELECT q.query_id, q.qe, cent.label,
+              |    ${TextHash.duckCosine("q.qe", "cent.cvec", 64)} AS cs
+              |  FROM q, cent
+              |),
+              |ass AS (
+              |  SELECT query_id, qe, label FROM (
+              |    SELECT *, row_number() OVER (
+              |      PARTITION BY query_id ORDER BY cs DESC, label) AS rn
+              |    FROM ass0
+              |  ) WHERE rn <= 2
+              |),
+              |probe AS (
+              |  SELECT a.query_id, e.label, e.vec_id AS cand_id,
               |    ${TextHash.duckCosine("a.qe", "e.emb", 64)} AS sim
               |  FROM ass a JOIN e ON e.label = a.label AND e.vec_id <> a.query_id
               |),

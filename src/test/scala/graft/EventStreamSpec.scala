@@ -5,8 +5,9 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
+import graft.operators.Sessionize
 import graft.streaming.EventStream
-import graft.streaming.EventStream.Event
+import graft.streaming.EventStream.{Event, FunnelState}
 
 /** Structured Streaming twins driven through MemoryStream: the same
   * aggregates as the batch block-C queries, arriving incrementally.
@@ -77,6 +78,117 @@ class EventStreamSpec extends SparkSpec {
           col("session_end").cast("long"), col("n_events"))
         .as[(Long, Long, Long, Long)].collect().toSet
       assert(got == Set((1L, 6000L, 6600L, 2L)))
+    } finally q.stop()
+  }
+
+  /** Shared multi-user, multi-session event set for the parity tests:
+    * user 1 has two sessions (gap > 30 min), user 2 two, user 3 one;
+    * event types exercise every funnel path (convert, purchase-only,
+    * purchase-before-signup).
+    */
+  private val parityEvents: Seq[Event] = Seq(
+    Event(1, new Timestamp(100 * 60000L), 1, "signup", 1.0),
+    Event(2, new Timestamp(105 * 60000L), 2, "purchase", 0.5),
+    Event(3, new Timestamp(90 * 60000L), 3, "click", 2.0),
+    Event(4, new Timestamp(110 * 60000L), 1, "click", 1.5),
+    Event(5, new Timestamp(118 * 60000L), 3, "view", 0.25),
+    Event(6, new Timestamp(125 * 60000L), 1, "purchase", 4.0),
+    Event(7, new Timestamp(145 * 60000L), 3, "click", 1.0),
+    Event(8, new Timestamp(200 * 60000L), 2, "signup", 0.75),
+    Event(9, new Timestamp(215 * 60000L), 2, "view", 2.5),
+    Event(10, new Timestamp(220 * 60000L), 1, "click", 3.0))
+
+  private def feedInTwoBatches(stream: MemoryStream[Event],
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val (early, late) = parityEvents.partition(_.ts.getTime <= 130 * 60000L)
+    stream.addData(early: _*)
+    q.processAllAvailable()
+    stream.addData(late: _*)
+    q.processAllAvailable()
+  }
+
+  test("parity: streaming sessionize equals batch operators.Sessionize") {
+    val stream = MemoryStream[Event](spark)
+    val q = EventStream.sessionize(spark, stream.toDS())
+      .writeStream.format("memory").queryName("sess_parity_t")
+      .outputMode("append").start()
+    try {
+      feedInTwoBatches(stream, q)
+      // Two sentinel batches on a dummy user: the first advances the
+      // global watermark past every session's end+gap (the watermark
+      // computed in batch N applies in batch N+1), the second gives
+      // the event-time timeout a batch to fire in — flushing every
+      // still-open session so the streamed set is complete.
+      stream.addData(Event(98, new Timestamp(2000 * 60000L), 99, "flush", 0.0))
+      q.processAllAvailable()
+      stream.addData(Event(99, new Timestamp(2100 * 60000L), 99, "flush", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sess_parity_t")
+        .filter(col("user_id") =!= 99L)
+        .select(col("user_id"), col("session_start").cast("long"),
+          col("session_end").cast("long"), col("n_events"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val batch = Sessionize(parityEvents.toDF(), "user_id", "ts",
+          gapMicros = 1800L * 1000000L)
+        .groupBy("user_id", "session_id")
+        .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_start").cast("long"),
+          col("session_end").cast("long"), col("n_events"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("parity: streaming tumbling counts equal the batch q20 plan") {
+    val stream = MemoryStream[Event](spark)
+    val q = EventStream.tumblingCounts(stream.toDF())
+      .writeStream.format("memory").queryName("tumbling_parity_t")
+      .outputMode("complete").start()
+    try {
+      feedInTwoBatches(stream, q)
+      val streamed = spark.table("tumbling_parity_t")
+        .select(col("hour_start").cast("long"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .as[(Long, String, Long, Double)].collect().toSet
+      // The batch q20 grouping expression, applied to the same rows.
+      val batch = parityEvents.toDF()
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+        .select(col("window.start").cast("long"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("parity: streaming funnel final state equals the batch q19 per-user aggregate") {
+    val lastState = scala.collection.concurrent.TrieMap
+      .empty[Long, (Long, Long, Boolean)]
+    val stream = MemoryStream[Event](spark)
+    val q = EventStream.funnelState(spark, stream.toDS())
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[FunnelState], _: Long) =>
+        // A user's last emission IS their final state: state only
+        // changes in batches containing that user's events.
+        df.collect().foreach(s =>
+          lastState(s.user_id) = (s.first_signup, s.first_purchase, s.converted))
+      }.start()
+    try {
+      feedInTwoBatches(stream, q)
+      val batch = parityEvents.toDF()
+        .groupBy("user_id")
+        .agg(
+          coalesce(min(when(col("event_type") === "signup",
+            unix_micros(col("ts")))), lit(0L)).as("fs"),
+          coalesce(min(when(col("event_type") === "purchase",
+            unix_micros(col("ts")))), lit(0L)).as("fp"))
+        .select(col("user_id"), col("fs"), col("fp"),
+          (col("fs") > 0L && col("fp") >= col("fs") && col("fp") > 0L)
+            .as("converted"))
+        .as[(Long, Long, Long, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(lastState.toMap == batch)
     } finally q.stop()
   }
 }
