@@ -194,4 +194,25 @@ object TextHash {
     s"(${fold(s"$a[i] * $b[i]")} / " +
       s"(sqrt(${fold(s"$a[i] * $a[i]")}) * sqrt(${fold(s"$b[i] * $b[i]")})))"
   }
+
+  /** DuckDB twin of TextHashKernels.embedSimHash: 16-bit sign-of-dot
+    * signature over the deterministic ±1 hyperplanes derived from
+    * (PermA, PermB) parity — same left-to-right double fold, so the
+    * signature (and therefore every LSH band) matches Spark
+    * bit-for-bit.
+    */
+  def duckEmbedSimHash(e: String, dims: Int): String = {
+    val bits = (0 until NumPerms).map { p =>
+      val a = PermA(p)
+      val b = PermB(p)
+      val dot = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(1, ${dims + 1}), i -> " +
+        s"(CASE WHEN (($a * i + $b) % $P) % 2 = 0 " +
+        s"THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) * $e[i])), " +
+        s"(acc, x) -> acc + x)"
+      s"(CASE WHEN $dot >= 0 THEN CAST(${1L << p} AS BIGINT) " +
+        s"ELSE CAST(0 AS BIGINT) END)"
+    }
+    bits.mkString("(", " + ", ")")
+  }
 }

@@ -134,6 +134,33 @@ object TextHashKernels {
     f
   }
 
+  /** 16-bit sign-of-dot signature of an embedding over deterministic
+    * ±1 hyperplanes (random-hyperplane LSH for cosine): bit p is set
+    * iff Σ_d sign(p,d)·emb[d] ≥ 0, with
+    * sign(p,d) = +1 iff ((PermA(p)·(d+1) + PermB(p)) mod P) even.
+    * Accumulation is left-to-right double — bit-identical to the
+    * DuckDB twin (TextHash.duckEmbedSimHash).
+    */
+  def embedSimHash(emb: ArrayData): Long = {
+    val n = emb.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < NumPerms) {
+      val a = PermA(p)
+      val b = PermB(p)
+      var dot = 0.0
+      var d = 0
+      while (d < n) {
+        val s = if (((a * (d + 1) + b) % P) % 2 == 0L) 1.0 else -1.0
+        dot += s * emb.getDouble(d)
+        d += 1
+      }
+      if (dot >= 0) sig |= 1L << p
+      p += 1
+    }
+    sig
+  }
+
   /** Whole-string polynomial hash (the document fingerprint). */
   def stringHash(s: UTF8String): Long = {
     val str = s.toString
@@ -223,6 +250,22 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+case class EmbedSimHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"embed_simhash expects array<double>, got ${other.catalogString}")
+  }
+  override protected def nullSafeEval(a: Any): Any =
+    TextHashKernels.embedSimHash(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashKernels.embedSimHash($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 case class StringHashExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -249,5 +292,6 @@ object TextHashExprs {
   def minhash_sig(col: Column): Column = c(MinHashSigExpr(e(col)))
   def band_sigs(col: Column): Column = c(BandSigsExpr(e(col)))
   def simhash(col: Column): Column = c(SimHashExpr(e(col)))
+  def embed_simhash(col: Column): Column = c(EmbedSimHashExpr(e(col)))
   def string_poly_hash(col: Column): Column = c(StringHashExpr(e(col)))
 }

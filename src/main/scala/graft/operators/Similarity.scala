@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.CosineSimilarity.cosine_sim
+import graft.functions.TextHashExprs.embed_simhash
 import graft.functions.TopKByScore.top_k_by_score
 
 /** Similarity search over an embedding column (array<float>).
@@ -48,6 +49,42 @@ object Similarity {
       .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "s")))
       .select(col("query_id"), (col("pos") + 1).as("rank"),
         col("s.cand_id").as("cand_id"), round(col("s.sim"), 6).as("sim"))
+  }
+
+  /** Embedding-cosine near-dup pairs via random-hyperplane LSH: the
+    * label-free dedup path (e2 needs given cluster labels; this
+    * derives its own buckets from the vectors). Each row gets a
+    * 16-bit sign-of-dot signature over deterministic ±1 hyperplanes
+    * (compiled kernel, codegen'd); the signature splits into 4 bands
+    * of 4 bits and candidates come from the co-partitioned band
+    * bucket join — near-parallel vectors agree on (almost) all sign
+    * bits, so they collide in every band, while the O(n²) cross
+    * space never materializes. Candidates are then verified with
+    * exact codegen'd cosine ≥ `minCos`.
+    *
+    * @param emb (vec_id, embedding array<double>)
+    */
+  def embedNearDupPairs(emb: DataFrame, minCos: Double): DataFrame = {
+    val sig = emb.select(col("vec_id"), col("embedding"),
+      embed_simhash(col("embedding")).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sig.select(col("vec_id"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> shiftright(sig, b * 4) & 15)"))
+        .as(Seq("band", "bits")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      .distinct()
+    cand
+      .join(sig.select(col("vec_id").as("va"), col("embedding").as("ea")), "va")
+      .join(sig.select(col("vec_id").as("vb"), col("embedding").as("eb")), "vb")
+      .withColumn("cos", cosine_sim(col("ea"), col("eb")))
+      .filter(col("cos") >= minCos)
+      // e6-scaled integer output per the §5 parity protocol.
+      .select(col("va"), col("vb"),
+        floor(col("cos") * 1000000 + 0.5).cast("long").as("cos_e6"))
   }
 
   /** All same-cluster pairs with cosine ≥ `minSim`. The equi-join on

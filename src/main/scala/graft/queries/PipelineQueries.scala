@@ -199,6 +199,62 @@ object PipelineQueries {
               |SELECT id AS doc_id, label AS group_id, id = label AS keep
               |FROM l8 ORDER BY doc_id""".stripMargin)),
 
+    // Embedding-cosine near-dup: random-hyperplane LSH buckets (no
+    // given labels), exact-cosine verification at 0.99. The corpus
+    // plants near-dups deterministically — a per-dim (1 + i·1e-4)
+    // perturbed copy of every 10th vector — because the generated
+    // embeddings top out at cosine ≈ 0.51 (an unplanted run would be
+    // vacuous). The oracle mirrors signature, banding, and the
+    // perturbation bit-for-bit.
+    Q("d10_embed_dedup",
+      (s, d) => {
+        val base = Tables.embeddings(s, d).select(col("vec_id"),
+          expr("transform(embedding, v -> cast(v as double))")
+            .as("embedding"))
+        val pert = base.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            expr("transform(embedding, (v, i) -> v * (1.0D + i * 0.0001D))")
+              .as("embedding"))
+        Similarity.embedNearDupPairs(base.union(pert), minCos = 0.99)
+          .orderBy("va", "vb")
+      },
+      Some(s"""WITH base AS (
+              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              |  FROM embeddings
+              |),
+              |corpus AS (
+              |  SELECT vec_id, emb FROM base
+              |  UNION ALL
+              |  SELECT vec_id + 1000000 AS vec_id,
+              |    list_transform(range(1, 65), i -> emb[i] *
+              |      (CAST(1.0 AS DOUBLE) + (i - 1) * CAST(0.0001 AS DOUBLE)))
+              |      AS emb
+              |  FROM base WHERE vec_id % 10 = 0
+              |),
+              |sigs AS MATERIALIZED (
+              |  SELECT vec_id, emb,
+              |    ${TextHash.duckEmbedSimHash("emb", 64)} AS sig
+              |  FROM corpus
+              |),
+              |banded AS MATERIALIZED (
+              |  SELECT vec_id, b.band, (sig >> (b.band * 4)) & 15 AS bits
+              |  FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
+              |),
+              |cand AS MATERIALIZED (
+              |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+              |  FROM banded a JOIN banded b
+              |    ON a.band = b.band AND a.bits = b.bits
+              |   AND a.vec_id < b.vec_id
+              |)
+              |SELECT c.va, c.vb,
+              |  CAST(floor(${TextHash.duckCosine("x.emb", "y.emb", 64)}
+              |    * 1000000 + 0.5) AS BIGINT) AS cos_e6
+              |FROM cand c
+              |JOIN sigs x ON x.vec_id = c.va
+              |JOIN sigs y ON y.vec_id = c.vb
+              |WHERE ${TextHash.duckCosine("x.emb", "y.emb", 64)} >= 0.99
+              |ORDER BY va, vb""".stripMargin)),
+
     // Stopword-ratio language-ID heuristic vs the labeled lang.
     Q("d5_lang_id",
       (s, d) => TextAnalysis.langId(Tables.documents(s, d))

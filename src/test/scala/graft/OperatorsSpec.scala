@@ -5,6 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 
 import graft.functions.CosineSimilarity.cosine_sim
+import graft.functions.TextHashExprs.embed_simhash
 import graft.multimodal.Multimodal
 import graft.operators.{Dedup, Sessionize, Similarity, TextAnalysis}
 
@@ -12,6 +13,29 @@ class OperatorsSpec extends SparkSpec {
   import spark.implicits._
 
   private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  test("embed_simhash: scale-invariant; negation complements the bits") {
+    // Power-of-two components: no ±1-weighted dot can be exactly 0,
+    // so sign bits are well-defined and -v must complement all 16.
+    val v = Seq(1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 64.0, 128.0)
+    val sigs = Seq((1L, v), (2L, v.map(_ * 2.0)), (3L, v.map(-_)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), embed_simhash(col("embedding")))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(3L) == (~sigs(1L) & 0xFFFFL))
+  }
+
+  test("embed near-dup LSH finds the planted near-parallel pair only") {
+    val base = (1 to 8).map(_.toDouble)
+    val near = base.zipWithIndex.map { case (x, i) => x * (1 + i * 1e-4) }
+    val other = Seq(1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0)
+    val df = Seq((1L, base), (2L, near), (3L, other))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.embedNearDupPairs(df, minCos = 0.99)
+      .select("va", "vb").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
 
   test("sessionize splits on gaps > threshold") {
     val events = Seq(
