@@ -552,6 +552,48 @@ object PipelineQueries {
              |    AS value_e6
              |FROM grid g LEFT JOIN cnt c
              |  ON c.doc_id = g.doc_id AND c.bin = g.bin
-             |ORDER BY g.doc_id, g.bin""".stripMargin))
+             |ORDER BY g.doc_id, g.bin""".stripMargin)),
+
+    // Frame sampling through the same multimodal plumbing: 4 evenly
+    // spaced byte windows per payload (a video decoder's frame grid),
+    // one-row-to-many via the mapPartitions iterator. Output is
+    // scalar per frame: length + the first byte's high nibble —
+    // which DuckDB reads off hex(payload) directly, so the byte
+    // windowing arithmetic (w = max(1, n/4), clamped ends) is
+    // oracle-checked exactly.
+    Q("m2_frame_sample",
+      (s, d) => {
+        val media = Multimodal.mediaTable(Tables.documents(s, d))
+        Multimodal.sampleFrames(s, media, nFrames = 4).toDF()
+          .select(col("doc_id"),
+            col("frame_idx").cast("long").as("frame_idx"),
+            length(col("frame")).cast("long").as("frame_len"),
+            when(length(col("frame")) > 0,
+              conv(substring(hex(col("frame")), 1, 1), 16, 10).cast("long"))
+              .otherwise(-1L).as("head_nibble"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    CAST(octet_length(encode(text)) AS BIGINT) AS n,
+             |    hex(encode(text)) AS hx
+             |  FROM documents
+             |),
+             |f AS (
+             |  SELECT doc_id, n, hx, i.frame_idx,
+             |    least(i.frame_idx * greatest(1, n // 4), n) AS f_from,
+             |    CASE WHEN i.frame_idx = 3 THEN n
+             |         ELSE least(least(i.frame_idx * greatest(1, n // 4), n)
+             |                    + greatest(1, n // 4), n)
+             |    END AS f_until
+             |  FROM h, (SELECT unnest(range(0, 4)) AS frame_idx) i
+             |)
+             |SELECT doc_id, frame_idx,
+             |  f_until - f_from AS frame_len,
+             |  CASE WHEN f_until > f_from
+             |       THEN CAST(strpos('123456789ABCDEF',
+             |              substr(hx, 2 * f_from + 1, 1)) AS BIGINT)
+             |       ELSE CAST(-1 AS BIGINT) END AS head_nibble
+             |FROM f ORDER BY doc_id, frame_idx""".stripMargin))
   )
 }

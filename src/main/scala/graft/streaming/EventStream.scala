@@ -48,6 +48,21 @@ object EventStream {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** JSON-property extraction + per-type aggregate (the q17 shape).
+    * ONE definition serves batch and stream: applied to a static
+    * DataFrame it is the batch aggregate; applied to a streaming
+    * DataFrame it runs in complete output mode (global aggregation,
+    * state = one row per event type — bounded). This is the
+    * batch/stream parity claim in its strongest form — not twin
+    * plans, the same plan.
+    */
+  def jsonTypeCounts(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("k").as("sum_k"))
+
   /** Streaming funnel tracking via mapGroupsWithState (update mode):
     * one output row per user per batch with their current funnel
     * state. State is two timestamps per user — O(users), unbounded

@@ -162,6 +162,27 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("parity: jsonTypeCounts — ONE definition serves batch and complete-mode stream") {
+    val rows = Seq(("click", """{"k":3}"""), ("click", """{"k":5}"""),
+      ("view", """{"k":1}"""), ("view", null), ("buy", """{"nope":1}"""))
+    val stream = MemoryStream[(String, String)](spark)
+    val q = EventStream.jsonTypeCounts(
+        stream.toDF().toDF("event_type", "props"))
+      .writeStream.format("memory").queryName("json_parity_t")
+      .outputMode("complete").start()
+    try {
+      stream.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      stream.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("json_parity_t")
+        .as[(String, Long, Option[Long])].collect().toSet
+      val batch = EventStream.jsonTypeCounts(rows.toDF("event_type", "props"))
+        .as[(String, Long, Option[Long])].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("parity: streaming funnel final state equals the batch q19 per-user aggregate") {
     val lastState = scala.collection.concurrent.TrieMap
       .empty[Long, (Long, Long, Boolean)]

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.CosineSimilarity.cosine_sim
 import graft.functions.TextHashExprs.embed_simhash
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Sessionize, Similarity, SkewTools, TextAnalysis}
 
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
@@ -24,6 +24,20 @@ class OperatorsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(sigs(1L) == sigs(2L))
     assert(sigs(3L) == (~sigs(1L) & 0xFFFFL))
+  }
+
+  test("salted aggregation equals direct groupBy on skewed keys") {
+    // Integer-valued doubles: sums are exact under any grouping order,
+    // so the two plans must agree bit-for-bit.
+    val rows = (1 to 500).map(i => ("hot", i.toDouble)) ++
+      Seq(("a", 1.0), ("b", 2.0), ("b", 3.0))
+    val df = rows.toDF("k", "v").repartition(5)
+    val got = SkewTools.saltedSumCount(df, "k", "v", salts = 8)
+      .as[(String, Long, Double)].collect().toSet
+    val want = df.groupBy("k")
+      .agg(count(lit(1)).cast("long").as("n"), sum("v").as("sum"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == want)
   }
 
   test("embed near-dup LSH finds the planted near-parallel pair only") {
