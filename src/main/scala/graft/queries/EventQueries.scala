@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
-import graft.operators.Sessionize
+import graft.operators.{AsOfJoin, Sessionize}
 
 /** Event-stream analytics, batch side (SURVEY.md §2 block C). The
   * Structured Streaming twins live in graft.streaming.EventStream;
@@ -128,6 +128,49 @@ object EventQueries {
              |  count(*) AS n_events,
              |  round(sum(value), 2) AS sum_value
              |FROM events GROUP BY 1, 2
-             |ORDER BY hour_start, event_type""".stripMargin))
+             |ORDER BY hour_start, event_type""".stripMargin)),
+
+    // As-of join (click attribution): each purchase gets the user's
+    // latest at-or-before click. graft.operators.AsOfJoin is the
+    // sort-merge union+window shape — one shuffle on user_id, linear
+    // per key, no range-join pair explosion. Clicks pre-aggregate to
+    // one row per (user, ts) so same-ts payloads are deterministic.
+    // Oracle: DuckDB's native ASOF JOIN (same inclusive semantics).
+    Q("q21_asof_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy("user_id", "ts")
+          .agg(max("event_id").as("click_id"))
+          .select(col("user_id"), col("ts"), col("click_id"),
+            unix_micros(col("ts")).as("click_ts_us"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        AsOfJoin(purchases, clicks, "user_id", "ts",
+            Seq("click_id", "click_ts_us"))
+          .filter(col("asof_click_id").isNotNull)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            col("asof_click_id").as("click_id"),
+            col("asof_click_ts_us").as("click_ts_us"),
+            (unix_micros(col("ts")) - col("asof_click_ts_us")).as("gap_us"))
+          .orderBy("event_id")
+      },
+      Some("""WITH clicks AS (
+             |  SELECT user_id, ts, max(event_id) AS click_id,
+             |    epoch_us(ts) AS click_ts_us
+             |  FROM events WHERE event_type = 'click'
+             |  GROUP BY user_id, ts
+             |),
+             |purch AS (
+             |  SELECT event_id, user_id, ts FROM events
+             |  WHERE event_type = 'purchase'
+             |)
+             |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+             |  c.click_id, c.click_ts_us,
+             |  epoch_us(p.ts) - c.click_ts_us AS gap_us
+             |FROM purch p ASOF JOIN clicks c
+             |  ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY p.event_id""".stripMargin))
   )
 }

@@ -1,0 +1,40 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  test("attaches the latest at-or-before right row per key") {
+    val left = Seq(
+      (100L, 1L, ts(10)), (101L, 1L, ts(30)), (102L, 1L, ts(5)),
+      (200L, 2L, ts(50)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, ts(10), "r@10"), (1L, ts(20), "r@20"), (3L, ts(1), "r-other"))
+      .toDF("user_id", "ts", "tag")
+    val got = AsOfJoin(left, right, "user_id", "ts", Seq("tag"))
+      .select("event_id", "asof_tag").as[(Long, Option[String])]
+      .collect().toMap
+    // 100 @10 matches the equal-ts right row (inclusive as-of);
+    // 101 @30 takes the latest earlier (r@20); 102 @5 precedes all
+    // right rows; user 2 has none.
+    assert(got == Map(
+      100L -> Some("r@10"), 101L -> Some("r@20"),
+      102L -> None, 200L -> None))
+  }
+
+  test("left rows are never lost or duplicated") {
+    val left = (1 to 50).map(i => (i.toLong, (i % 5).toLong, ts(i.toLong)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((0L, ts(0), 1L), (1L, ts(25), 2L))
+      .toDF("user_id", "ts", "v")
+    val out = AsOfJoin(left, right, "user_id", "ts", Seq("v"))
+    assert(out.count() == 50)
+    assert(out.select("event_id").distinct().count() == 50)
+  }
+}
