@@ -340,6 +340,53 @@ object RelationalQueries {
         .orderBy("nationkey"),
       Some("""SELECT c_nationkey AS nationkey FROM customer
              |UNION SELECT s_nationkey FROM supplier
-             |ORDER BY nationkey""".stripMargin))
+             |ORDER BY nationkey""".stripMargin)),
+
+    // PIVOT: order counts per priority, one column per order status.
+    // The explicit pivot value list keeps the plan single-pass (no
+    // distinct-values pre-query) — the form that scales.
+    Q("q22_pivot",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O", "P"))
+        .select(col("o_orderpriority"), col("F").as("n_f"),
+          col("O").as("n_o"), col("P").as("n_p"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+             |       AS BIGINT) AS n_f,
+             |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+             |       AS BIGINT) AS n_o,
+             |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+             |       AS BIGINT) AS n_p
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // Running-total window frame: cumulative spend per customer over
+    // their order history (ROWS UNBOUNDED PRECEDING — the frame kind
+    // q7's rank and q18's session sum don't cover). One shuffle on
+    // custkey; the frame is computed within partitions.
+    Q("q23_running_total",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        Tables.orders(s, d)
+          .filter(col("o_custkey") < 100)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            round(sum("o_totalprice").over(w), 2).as("cum_spend"))
+          .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+             |  round(sum(o_totalprice) OVER (
+             |    PARTITION BY o_custkey
+             |    ORDER BY o_orderdate, o_orderkey
+             |    ROWS UNBOUNDED PRECEDING), 2) AS cum_spend
+             |FROM orders WHERE o_custkey < 100
+             |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin))
   )
 }
