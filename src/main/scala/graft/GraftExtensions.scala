@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("top_k_by_score"),
       new ExpressionInfo(classOf[TopKByScore].getName, "top_k_by_score"),
       (exprs: Seq[Expression]) => {
+        if (exprs.length != 4) throw new IllegalArgumentException(
+          s"top_k_by_score expects 4 arguments (score, id, tag, k), " +
+            s"got ${exprs.length}")
         val k = exprs(3) match {
           case Literal(v: Int, IntegerType) => v
           case other => throw new IllegalArgumentException(

@@ -6,6 +6,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -43,6 +44,21 @@ case class TopKByScore(
   require(k > 0, s"top-k needs k > 0, got $k")
 
   override def children: Seq[Expression] = Seq(score, id, tag)
+  // Strict input typing: wrong-typed arguments (e.g. an int id from
+  // SQL) fail analysis instead of ClassCastException-ing inside
+  // executor tasks. Callers cast explicitly — no silent coercion.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val expected = Seq(
+      ("score", score.dataType, DoubleType),
+      ("id", id.dataType, LongType),
+      ("tag", tag.dataType, LongType))
+    expected.find { case (_, got, want) => got != want } match {
+      case Some((name, got, want)) => TypeCheckResult.TypeCheckFailure(
+        s"top_k_by_score: $name must be ${want.catalogString}, " +
+          s"got ${got.catalogString}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
   override def nullable: Boolean = false
   override def dataType: DataType = TopKByScore.resultType
 

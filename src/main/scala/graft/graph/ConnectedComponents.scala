@@ -33,8 +33,18 @@ object ConnectedComponents {
   def minLabel(pairs: DataFrame, iters: Int): DataFrame = {
     val spark = pairs.sparkSession
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+    // Symmetric edges PLUS a self-loop per vertex: with self-loops,
+    // "min over self and neighbors" is ONE join + groupBy per round —
+    // the label table is referenced exactly once per round, keeping
+    // the unrolled plan linear in `iters`. (The union-with-own-label
+    // formulation references labels twice per round: a 2^iters
+    // logical-plan blowup, the Spark-side analog of the inlined-CTE
+    // explosion the SQL oracle needed MATERIALIZED for.)
+    val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val edges = sym
+      .union(sym.select(col("src")).distinct()
+        .select(col("src"), col("src").as("dst")))
       .repartition(shufflePartitions, col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -42,13 +52,12 @@ object ConnectedComponents {
       .distinct()
       .withColumn("label", col("id"))
     for (_ <- 1 to iters) {
-      // Neighbors' labels flow along edges; union with own label and
-      // take the min. The join's streamed side is the persisted
-      // edge partitioning; labels (the small side) shuffle to it.
-      val fromNeighbors = edges.join(labels, edges("src") === labels("id"))
+      // Labels flow along edges (self-loops carry each vertex's own
+      // label); min is a partial aggregate. The join's streamed side
+      // is the persisted edge partitioning; labels (the small side)
+      // shuffle to it.
+      labels = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
-      labels = labels
-        .union(fromNeighbors)
         .groupBy("id")
         .agg(min("label").as("label"))
     }

@@ -38,7 +38,20 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     require(!payloadCols.exists(leftCols.contains),
       s"payload columns ${payloadCols.mkString(",")} collide with left side")
+    val reserved = Seq("_side") ++ payloadCols.map("_p_" + _) ++
+      payloadCols.map("asof_" + _)
+    require(!leftCols.exists(reserved.contains),
+      s"left columns collide with reserved as-of names: " +
+        reserved.filter(leftCols.contains).mkString(","))
     val payloadTypes = payloadCols.map(c => c -> right.schema(c).dataType)
+
+    // Null-key/null-ts right rows can never match under SQL ASOF
+    // semantics (NULL = NULL is not a match; NULL ts satisfies no
+    // comparison) — but a window PARTITION BY groups nulls together,
+    // which would hand null-key left rows a null-key right payload.
+    // Dropping them here restores DuckDB/kdb behavior: null-key left
+    // rows pass through with null payloads.
+    val rClean = right.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
 
     // Align schemas: left rows carry null payloads, right rows carry
     // null left-only columns. _side orders right (0) before left (1)
@@ -46,7 +59,7 @@ object AsOfJoin {
     val lTagged = left.select(
       leftCols.map(col) ++ Seq(lit(1).as("_side")) ++
         payloadTypes.map { case (c, t) => lit(null).cast(t).as("_p_" + c) }: _*)
-    val rTagged = right.select(
+    val rTagged = rClean.select(
       leftCols.map(c =>
         if (c == keyCol || c == tsCol) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)) ++

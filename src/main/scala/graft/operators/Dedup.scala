@@ -69,9 +69,16 @@ object Dedup {
     * in a large fraction of a web-scale corpus makes its bucket
     * quadratic. Shingles with document frequency above the cap are
     * excluded from CANDIDATE GENERATION only — verification still
-    * scores the full sets, so a true pair is lost only if it shares
-    * exclusively ubiquitous shingles, which no ≥0.8-Jaccard near-dup
-    * does. (The correctness oracle mirrors the same cap.)
+    * scores the full sets. The TRADEOFF this buys: a duplicate
+    * CLUSTER larger than the cap makes its own shingles frequent, so
+    * pairs whose every shared shingle sits in such a cluster are not
+    * generated — the standard df-cutoff behavior, and why this
+    * operator is the exact-Jaccard refinement path, not the primary
+    * dedup: [[minhashLshPairs]] buckets on doc-level band signatures
+    * (df-independent — a million-copy cluster is one bucket, not a
+    * quadratic shingle join) and loses nothing to this cap. Size the
+    * cap to the corpus (the default suits the 500-doc correctness
+    * scale); the oracle mirrors whatever cap is used.
     */
   def ngramJaccardPairs(docs: DataFrame, minJaccard: Double,
       maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {

@@ -14,10 +14,15 @@ import org.apache.spark.sql.functions._
   * partials — turning one straggler task into `salts` even ones at
   * the cost of a second (tiny: keys × salts rows) shuffle.
   *
-  * The salt is a row-local counter, not a value hash: hashing a
-  * constant-valued hot key would put every row back in one bucket.
-  * Aggregation results are invariant to how rows are split, so the
-  * salt needs no cross-run stability.
+  * The salt must be DETERMINISTIC in row content: a row-position
+  * salt (monotonically_increasing_id, rand) changes assignment when
+  * a failed map task re-runs, and a partial fetch-failure retry can
+  * then double-count or drop rows (the SPARK-23207 failure class) —
+  * exactly the environment (task retries at 1000-executor scale)
+  * this tool exists for. Callers name `saltByCols`: stable,
+  * high-cardinality columns (a row id, an event id) whose hash
+  * spreads the hot key's rows. Don't salt by the value being
+  * aggregated if it can be constant within the hot key.
   */
 object SkewTools {
 
@@ -25,11 +30,11 @@ object SkewTools {
     * (keyCol, n, sum).
     */
   def saltedSumCount(df: DataFrame, keyCol: String, valCol: String,
-      salts: Int): DataFrame = {
+      salts: Int, saltByCols: Seq[String]): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
+    require(saltByCols.nonEmpty, "need stable columns to derive the salt")
     df
-      .withColumn("_salt",
-        pmod(monotonically_increasing_id(), lit(salts.toLong)))
+      .withColumn("_salt", pmod(hash(saltByCols.map(col): _*), lit(salts)))
       .groupBy(col(keyCol), col("_salt"))
       .agg(count(lit(1)).as("_c"), sum(col(valCol)).as("_s"))
       .groupBy(col(keyCol))

@@ -41,7 +41,12 @@ object EventLogSource {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
 
-  /** Well-formed rows only (corrupt column dropped). */
+  /** Well-formed rows only (corrupt column dropped). As with
+    * [[corrupt]], pass a CACHED read: on a raw scan, a fully-pruned
+    * consumer (e.g. `clean(read(...)).count()`) leaves
+    * `_corrupt_record` as the only referenced scan column, which
+    * Spark rejects outright.
+    */
   def clean(events: DataFrame): DataFrame =
     events.filter(col("_corrupt_record").isNull)
       .drop("_corrupt_record")

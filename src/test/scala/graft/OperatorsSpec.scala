@@ -29,10 +29,11 @@ class OperatorsSpec extends SparkSpec {
   test("salted aggregation equals direct groupBy on skewed keys") {
     // Integer-valued doubles: sums are exact under any grouping order,
     // so the two plans must agree bit-for-bit.
-    val rows = (1 to 500).map(i => ("hot", i.toDouble)) ++
-      Seq(("a", 1.0), ("b", 2.0), ("b", 3.0))
-    val df = rows.toDF("k", "v").repartition(5)
-    val got = SkewTools.saltedSumCount(df, "k", "v", salts = 8)
+    val rows = (1 to 500).map(i => ("hot", i.toLong, i.toDouble)) ++
+      Seq(("a", 501L, 1.0), ("b", 502L, 2.0), ("b", 503L, 3.0))
+    val df = rows.toDF("k", "id", "v").repartition(5)
+    val got = SkewTools
+      .saltedSumCount(df, "k", "v", salts = 8, saltByCols = Seq("id"))
       .as[(String, Long, Double)].collect().toSet
     val want = df.groupBy("k")
       .agg(count(lit(1)).cast("long").as("n"), sum("v").as("sum"))
