@@ -63,6 +63,34 @@ object EventStream {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"), sum("k").as("sum_k"))
 
+  /** Watermarked stream-stream inner join: purchases within one hour
+    * after a click by the same user (interval attribution, both
+    * sides unbounded). The time-bound condition plus both watermarks
+    * is what makes this runnable forever: Spark derives how long a
+    * click must be buffered (1 hour of purchases) and how late a
+    * purchase may arrive, then evicts state past the watermark.
+    * Without the time bounds the join state would grow without
+    * limit.
+    *
+    * Applied to static frames the same function is the batch interval
+    * join (watermarks are no-ops in batch) — used by the parity test.
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame)
+      : DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("interval 1 hour"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   /** Streaming funnel tracking via mapGroupsWithState (update mode):
     * one output row per user per batch with their current funnel
     * state. State is two timestamps per user — O(users), unbounded

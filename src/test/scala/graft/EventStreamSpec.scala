@@ -183,6 +183,39 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("parity: watermarked stream-stream join equals the batch interval join") {
+    val clicks = Seq(ev(1, 100, 1, "click"), ev(2, 130, 1, "click"),
+      ev(3, 100, 2, "click"))
+    val purchases = Seq(ev(10, 120, 1, "purchase"),   // 20 min after c1
+      ev(11, 200, 1, "purchase"),                     // 70 min after c2: out
+      ev(12, 155, 2, "purchase"))                     // 55 min after c3
+    val cStream = MemoryStream[Event](spark)
+    val pStream = MemoryStream[Event](spark)
+    val q = EventStream.clickPurchaseJoin(cStream.toDF(), pStream.toDF())
+      .writeStream.format("memory").queryName("ssjoin_parity_t")
+      .outputMode("append").start()
+    try {
+      cStream.addData(clicks.take(2): _*)
+      pStream.addData(purchases.take(1): _*)
+      q.processAllAvailable()
+      cStream.addData(clicks.drop(2): _*)
+      pStream.addData(purchases.drop(1): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ssjoin_parity_t")
+        .select("user_id", "click_id", "purchase_id")
+        .as[(Long, Long, Long)].collect().toSet
+      val batch = EventStream.clickPurchaseJoin(
+          clicks.toDF(), purchases.toDF())
+        .select("user_id", "click_id", "purchase_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch)
+      // c2@130 → p11@200 is 70 min out-of-window; everything in-window
+      // joins (c1→p10 at 20 min, c1@100→nothing else for user 1 in
+      // range except p10; c3→p12 at 55 min).
+      assert(batch == Set((1L, 1L, 10L), (2L, 3L, 12L)))
+    } finally q.stop()
+  }
+
   test("parity: streaming funnel final state equals the batch q19 per-user aggregate") {
     val lastState = scala.collection.concurrent.TrieMap
       .empty[Long, (Long, Long, Boolean)]
