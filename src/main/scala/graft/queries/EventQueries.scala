@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
-import graft.operators.{AsOfJoin, Sessionize}
+import graft.operators.{AsOfJoin, RangeJoinBinned, Sessionize}
 
 /** Event-stream analytics, batch side (SURVEY.md §2 block C). The
   * Structured Streaming twins live in graft.streaming.EventStream;
@@ -171,6 +171,72 @@ object EventQueries {
              |  epoch_us(p.ts) - c.click_ts_us AS gap_us
              |FROM purch p ASOF JOIN clicks c
              |  ON p.user_id = c.user_id AND p.ts >= c.ts
-             |ORDER BY p.event_id""".stripMargin))
+             |ORDER BY p.event_id""".stripMargin)),
+
+    // Range join (interval containment): error events attributed to
+    // the click session window they fall inside. A session WINDOW
+    // runs from its first click until the 30-min gap timeout after
+    // its last (clicks are sparse here — the bare [min,max] span is
+    // almost always a point, which would make the query vacuous).
+    // graft.operators.RangeJoinBinned turns the BETWEEN predicate
+    // into an equi-join on (user_id, time bin) — no broadcast-
+    // nested-loop pair scan. The oracle uses a plain range join
+    // (DuckDB handles it; Spark at scale must not).
+    Q("q24_range_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val sessions = Sessionize(
+            ev.filter(col("event_type") === "click")
+              .select("user_id", "ts"),
+            "user_id", "ts", gapMicros = 1800L * 1000000L)
+          .groupBy("user_id", "session_id")
+          .agg(min("ts").as("session_start"),
+            (max("ts") + expr("INTERVAL 30 MINUTES")).as("session_end"))
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts"))
+        RangeJoinBinned(errors, "ts", sessions,
+            "session_start", "session_end",
+            binMicros = 1800L * 1000000L, keyCols = Seq("user_id"))
+          .groupBy(col("user_id"), col("session_id"),
+            unix_micros(col("session_start")).as("start_us"),
+            unix_micros(col("session_end")).as("end_us"))
+          .agg(count(lit(1)).as("n_errors"))
+          .select("user_id", "session_id", "start_us", "end_us", "n_errors")
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+             |              > 1800 * 1000000
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM events WHERE event_type = 'click'
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |),
+             |sid AS (
+             |  SELECT user_id, ts,
+             |    CAST(sum(new_session) OVER (
+             |      PARTITION BY user_id ORDER BY ts
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+             |  FROM g
+             |),
+             |sess AS (
+             |  SELECT user_id, session_id,
+             |    min(ts) AS session_start,
+             |    max(ts) + INTERVAL 30 MINUTE AS session_end
+             |  FROM sid GROUP BY user_id, session_id
+             |),
+             |err AS (
+             |  SELECT user_id, ts FROM events WHERE event_type = 'error'
+             |)
+             |SELECT s.user_id, s.session_id,
+             |  epoch_us(s.session_start) AS start_us,
+             |  epoch_us(s.session_end) AS end_us,
+             |  count(*) AS n_errors
+             |FROM sess s JOIN err e
+             |  ON e.user_id = s.user_id
+             | AND e.ts >= s.session_start AND e.ts <= s.session_end
+             |GROUP BY s.user_id, s.session_id, s.session_start, s.session_end
+             |ORDER BY s.user_id, s.session_id""".stripMargin))
   )
 }

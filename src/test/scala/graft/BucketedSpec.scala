@@ -6,8 +6,12 @@ class BucketedSpec extends SparkSpec {
   import spark.implicits._
 
   test("same-key bucketed tables sort-merge join with no exchange") {
-    spark.sql(
-      "CREATE DATABASE IF NOT EXISTS graft_bt LOCATION '/tmp/graft_bt_wh'")
+    // Fresh location per run: the in-memory catalog forgets tables
+    // between JVMs but their files persist, and CREATE refuses an
+    // existing managed-table location.
+    val wh = java.nio.file.Files.createTempDirectory("graft_bt_wh")
+    spark.sql("DROP DATABASE IF EXISTS graft_bt CASCADE")
+    spark.sql(s"CREATE DATABASE graft_bt LOCATION '$wh'")
     val facts = (1 to 1000).map(i => (i.toLong % 50, i.toLong)).toDF("k", "a")
     val dims = (1 to 1000).map(i => (i.toLong % 50, i * 2.0)).toDF("k", "b")
     Bucketed.writeBucketed(facts, "graft_bt.f", "k", 8)
