@@ -124,6 +124,30 @@ object Similarity {
         "transform(array_sort(collect_list(struct(dim, centroid)))," +
           " s -> s.centroid)").as("cvec"))
 
+  /** Bulk kNN-graph construction: top-k cosine neighbors for EVERY
+    * vector, restricted to its own cluster (IVF cell) — the operator
+    * behind dedup graphs and semantic clustering at corpus scale.
+    * Unlike [[bruteForceTopK]] (small broadcast query set) this is
+    * all-vs-all within cells: a co-partitioned self-equi-join on the
+    * cluster key (no O(n²) cross-cell space, AQE splits skewed
+    * cells), then the bounded-heap [[top_k_by_score]] partial
+    * aggregate per source vector — never a corpus-wide window sort.
+    */
+  def knnGraph(emb: DataFrame, labelCol: String, k: Int): DataFrame = {
+    val a = emb.select(col(labelCol).as("label"), col("vec_id"),
+      col("embedding").as("ea"))
+    val b = emb.select(col(labelCol).as("label"),
+      col("vec_id").as("nbr_id"), col("embedding").as("eb"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .withColumn("sim", cosine_sim(col("ea"), col("eb")))
+      .groupBy("vec_id")
+      .agg(top_k_by_score(col("sim"), col("nbr_id"), lit(0L), k).as("tk"))
+      .select(col("vec_id"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("vec_id"), (col("pos") + 1).as("rank"),
+        col("s.cand_id").as("nbr_id"), round(col("s.sim"), 6).as("sim"))
+  }
+
   /** IVF query path: assign each query to its `nprobe` nearest
     * centroids, then brute-force top-k over the UNION of those cells
     * only. Two broadcasts (centroid table, then assigned queries) —

@@ -67,4 +67,25 @@ object TextAnalysis {
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       string_poly_hash(lower(trim(col("text")))).as("fingerprint"))
+
+  /** Intra-document repetition metrics (the Gopher-style "fraction of
+    * duplicated n-grams" quality signal): every rolling `n`-token
+    * window of the doc, counted once vs. distinct. A document shorter
+    * than `n` tokens is one window. Pure per-row higher-order-function
+    * math — no shuffle, no join; repetition inside a doc never needs
+    * to see another doc.
+    */
+  def repetition(docs: DataFrame, n: Int = 8): DataFrame =
+    docs
+      .withColumn("_toks", expr(TextHash.sparkTokens("text")))
+      .withColumn("_wins", expr(
+        s"transform(sequence(1, greatest(size(_toks) - ${n - 1}, 1)), " +
+          s"i -> array_join(slice(_toks, i, $n), ' '))"))
+      .select(col("doc_id"),
+        size(col("_wins")).cast("long").as("n_windows"),
+        (size(col("_wins")) - size(array_distinct(col("_wins"))))
+          .cast("long").as("n_dup_windows"))
+      .withColumn("rep_ratio_e4",
+        floor(col("n_dup_windows").cast("double") / col("n_windows")
+          * 10000 + 0.5).cast("long"))
 }

@@ -6,7 +6,7 @@ import graft.{Q, Tables}
 import graft.functions.TextHash
 import graft.graph.ConnectedComponents
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, PiiScrub, Similarity, TextAnalysis}
 
 /** Training-data pipeline surface (SURVEY.md §2 block D): dedup
   * family, text analysis, similarity search, multimodal plumbing.
@@ -336,6 +336,133 @@ object PipelineQueries {
               |  AS fingerprint
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // PII scrub: detect + mask emails/phones before text enters a
+    // training corpus. The generator's word-soup has no natural PII,
+    // so both engines plant it deterministically (every 7th doc an
+    // email, every 5th a 555-phone; multiples of 35 get both), then
+    // scrub and fingerprint the masked text. Map-side regex math
+    // only — no shuffle.
+    Q("d11_pii_scrub",
+      (s, d) => {
+        val planted = Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" reach me at user"),
+                col("doc_id").cast("string"),
+                lit("@mail.example.com"))).otherwise(lit("")),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" call 555-"),
+                (lit(1000L) + col("doc_id") % 9000L).cast("string")))
+              .otherwise(lit(""))).as("text"))
+        PiiScrub.scrub(planted)
+          .filter(col("n_emails") + col("n_phones") > 0)
+          .select(col("doc_id"), col("n_emails"), col("n_phones"),
+            md5(col("scrubbed")).as("scrub_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH planted AS (
+              |  SELECT doc_id, text ||
+              |    CASE WHEN doc_id % 7 = 0
+              |      THEN ' reach me at user' || CAST(doc_id AS VARCHAR)
+              |        || '@mail.example.com' ELSE '' END ||
+              |    CASE WHEN doc_id % 5 = 0
+              |      THEN ' call 555-' ||
+              |        CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END
+              |    AS text
+              |  FROM documents
+              |),
+              |scr AS (
+              |  SELECT doc_id,
+              |    CAST(len(regexp_extract_all(text,
+              |      '${PiiScrub.EmailPattern}')) AS BIGINT) AS n_emails,
+              |    CAST(len(regexp_extract_all(text,
+              |      '${PiiScrub.PhonePattern}')) AS BIGINT) AS n_phones,
+              |    md5(regexp_replace(regexp_replace(text,
+              |      '${PiiScrub.EmailPattern}', '${PiiScrub.EmailMask}', 'g'),
+              |      '${PiiScrub.PhonePattern}', '${PiiScrub.PhoneMask}', 'g'))
+              |      AS scrub_md5
+              |  FROM planted
+              |)
+              |SELECT doc_id, n_emails, n_phones, scrub_md5 FROM scr
+              |WHERE n_emails + n_phones > 0
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Intra-document repetition (Gopher-style duplicated-8-gram
+    // fraction): rolling 8-token windows, duplicated vs distinct.
+    // Every 4th doc is self-concatenated on both sides so the metric
+    // has real signal (the generator's docs barely self-repeat).
+    Q("d12_repetition",
+      (s, d) => {
+        val planted = Tables.documents(s, d).select(col("doc_id"),
+          when(col("doc_id") % 4 === 0,
+            concat(col("text"), lit(" "), col("text")))
+            .otherwise(col("text")).as("text"))
+        TextAnalysis.repetition(planted, n = 8).orderBy("doc_id")
+      },
+      Some(raw"""WITH planted AS (
+              |  SELECT doc_id,
+              |    CASE WHEN doc_id % 4 = 0 THEN text || ' ' || text
+              |         ELSE text END AS text
+              |  FROM documents
+              |),
+              |t AS (
+              |  SELECT doc_id,
+              |    regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+              |  FROM planted
+              |),
+              |w AS (
+              |  SELECT doc_id,
+              |    list_transform(range(1, greatest(len(tk) - 7, 1) + 1),
+              |      i -> array_to_string(list_slice(tk, i, i + 7), ' '))
+              |      AS wins
+              |  FROM t
+              |)
+              |SELECT doc_id,
+              |  CAST(len(wins) AS BIGINT) AS n_windows,
+              |  CAST(len(wins) - len(list_distinct(wins)) AS BIGINT)
+              |    AS n_dup_windows,
+              |  CAST(floor(CAST(len(wins) - len(list_distinct(wins))
+              |      AS DOUBLE) / len(wins) * 10000 + 0.5) AS BIGINT)
+              |    AS rep_ratio_e4
+              |FROM w ORDER BY doc_id""".stripMargin)),
+
+    // Quality-filter composition — the actual corpus-curation step:
+    // keep docs that pass language ID, composite quality, and length
+    // gates together. One scan, map-side filters only; the thresholds
+    // are mid-distribution at sf0.01 so the gate really cuts.
+    Q("d13_quality_filter",
+      (s, d) => TextAnalysis.quality(Tables.documents(s, d))
+        .filter(col("predicted") === "en" &&
+          col("quality_score") >= 0.63 &&
+          col("n_tokens").between(20L, 10000L))
+        .select(col("doc_id"),
+          floor(col("quality_score") * 10000 + 0.5).cast("long")
+            .as("quality_score_e4"))
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, ${TextHash.duckTokens("text")} AS tk
+              |  FROM documents
+              |),
+              |m AS (
+              |  SELECT doc_id,
+              |    CAST(len(tk) AS BIGINT) AS n_tokens,
+              |    CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS ttr,
+              |    least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) AS len_sat,
+              |    CAST(len(list_filter(tk, t -> t = 'the' OR t = 'a'))
+              |         AS DOUBLE) / len(tk) AS stop_ratio
+              |  FROM t
+              |)
+              |SELECT doc_id,
+              |  CAST(floor((0.4 * ttr + 0.3 * len_sat
+              |              + 0.3 * (1.0 - stop_ratio)) * 10000 + 0.5)
+              |       AS BIGINT) AS quality_score_e4
+              |FROM m
+              |WHERE stop_ratio >= 0.02
+              |  AND (0.4 * ttr + 0.3 * len_sat
+              |       + 0.3 * (1.0 - stop_ratio)) >= 0.63
+              |  AND n_tokens BETWEEN 20 AND 10000
+              |ORDER BY doc_id""".stripMargin)),
+
     // Brute-force cosine top-5 for the first 10 vectors — the ANN
     // correctness baseline (broadcast queries, codegen'd cosine).
     Q("e1_ann_topk",
@@ -505,6 +632,35 @@ object PipelineQueries {
               |SELECT query_id, label, rank, cand_id, round(sim, 6) AS sim
               |FROM r WHERE rank <= 5
               |ORDER BY query_id, rank""".stripMargin)),
+
+    // Bulk kNN graph: top-3 in-cluster neighbors for EVERY vector
+    // (dedup-graph / clustering substrate) — co-partitioned equi-join
+    // on the cell key plus the bounded-heap top-k aggregate; neither
+    // the cross-cell pair space nor a corpus-wide sort ever exists.
+    Q("e6_knn_graph",
+      (s, d) => Similarity.knnGraph(Tables.embeddings(s, d), "label", k = 3)
+        .select(col("vec_id"), col("rank").cast("long").as("rank"),
+          col("nbr_id"), col("sim"))
+        .orderBy("vec_id", "rank"),
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+              |  FROM embeddings
+              |),
+              |p AS (
+              |  SELECT a.vec_id, b.vec_id AS nbr_id,
+              |    ${TextHash.duckCosine("a.emb", "b.emb", 64)} AS sim
+              |  FROM e a JOIN e b
+              |    ON a.label = b.label AND a.vec_id <> b.vec_id
+              |),
+              |r AS (
+              |  SELECT vec_id, nbr_id, sim,
+              |    row_number() OVER (
+              |      PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS rank
+              |  FROM p
+              |)
+              |SELECT vec_id, rank, nbr_id, round(sim, 6) AS sim
+              |FROM r WHERE rank <= 3
+              |ORDER BY vec_id, rank""".stripMargin)),
 
     // Multimodal plumbing: binary payload + typed metadata through
     // per-partition batch feature extraction (decode deterministically

@@ -387,6 +387,47 @@ object RelationalQueries {
              |    ORDER BY o_orderdate, o_orderkey
              |    ROWS UNBOUNDED PRECEDING), 2) AS cum_spend
              |FROM orders WHERE o_custkey < 100
-             |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin))
+             |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)),
+
+    // Arbitrary GROUPING SETS (not a rollup/cube prefix chain):
+    // detail, per-status, and grand-total sets in ONE pass — Expand
+    // duplicates each input row per set, partial aggregation runs
+    // before the single exchange. Same SQL text on both engines.
+    Q("q25_grouping_sets",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        s.sql(GroupingSetsSql)
+      },
+      Some(GroupingSetsSql)),
+
+    // Correlated scalar subquery: customers holding more than twice
+    // their own nation's average balance. Catalyst decorrelates the
+    // per-row subquery into one per-nation aggregate + a broadcast
+    // equi-join — the plan a hand-rewrite would build, derived from
+    // the declarative form. Same SQL text on both engines.
+    Q("q26_corr_subquery",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer")
+        s.sql(CorrSubquerySql)
+      },
+      Some(CorrSubquerySql))
   )
+
+  private val GroupingSetsSql =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+      |  coalesce(o_orderstatus, 'ALL') AS status,
+      |  count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS total_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+      |                        (o_orderstatus), ())
+      |ORDER BY priority, status""".stripMargin
+
+  private val CorrSubquerySql =
+    """SELECT c_custkey, c_nationkey
+      |FROM customer c
+      |WHERE c_acctbal > CAST(2.0 AS DOUBLE) * (
+      |  SELECT avg(c2.c_acctbal) FROM customer c2
+      |  WHERE c2.c_nationkey = c.c_nationkey)
+      |ORDER BY c_custkey""".stripMargin
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.CosineSimilarity.cosine_sim
 import graft.functions.TextHashExprs.embed_simhash
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Sessionize, Similarity, SkewTools, TextAnalysis}
+import graft.operators.{Dedup, PiiScrub, Sessionize, Similarity, SkewTools, TextAnalysis}
 
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
@@ -171,5 +171,52 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(f.feature.sum - 1.0) < 1e-12)
     // 'a' = 97 -> bin 97/16 = 6 holds all mass.
     assert(f.feature(6) == 1.0)
+  }
+
+  test("pii scrub masks every email and phone, counts them") {
+    val docs = Seq(
+      (1L, "write a.b-c@mail.example.com or x@y.io today"),
+      (2L, "call 555-1234 then 555-987 (too short) and 555-4321"),
+      (3L, "clean text, no pii")).toDF("doc_id", "text")
+    val got = PiiScrub.scrub(docs)
+      .select("doc_id", "n_emails", "n_phones", "scrubbed")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 2L, 0L, "write <EMAIL> or <EMAIL> today")))
+    // 555-987 must NOT match (\b555-[0-9]{4}\b needs 4 digits exactly)
+    assert(got(1)._2 == 0L && got(1)._3 == 2L)
+    assert(got(1)._4 == "call <PHONE> then 555-987 (too short) and <PHONE>")
+    assert(got(2) == ((3L, 0L, 0L, "clean text, no pii")))
+  }
+
+  test("repetition: self-concatenated doc repeats, distinct doc doesn't") {
+    val words = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, words),                 // 20 distinct tokens, no dup 8-grams
+      (2L, s"$words $words"),      // doubled: every window reappears
+      (3L, "tiny doc")).toDF("doc_id", "text") // < 8 tokens: one window
+    val got = TextAnalysis.repetition(docs, n = 8)
+      .select("doc_id", "n_windows", "n_dup_windows")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 13L, 0L)))
+    // 40 tokens -> 33 windows; windows 1..13 equal windows 21..33
+    // (offset 20 = one full copy), so 13 duplicates.
+    assert(got(1) == ((2L, 33L, 13L)))
+    assert(got(2) == ((3L, 1L, 0L)))
+  }
+
+  test("knn graph ranks in-cluster neighbors only, (sim desc, id asc)") {
+    val e = Seq(
+      (0L, 0, Array(1.0f, 0.0f)), (1L, 0, Array(1.0f, 0.1f)),
+      (2L, 0, Array(0.0f, 1.0f)), (3L, 1, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.knnGraph(e, "label", k = 2)
+      .select("vec_id", "rank", "nbr_id")
+      .as[(Long, Int, Long)].collect().toSet
+    // vec 3 is alone in its cluster: no rows; vec 0's best is 1 (cos
+    // ~0.995) then 2 (cos 0); cross-cluster 3 never appears.
+    assert(!got.exists(_._1 == 3L))
+    assert(got.filter(_._1 == 0L) == Set((0L, 1, 1L), (0L, 2, 2L)))
+    assert(got.filter(_._1 == 2L).map(r => (r._2, r._3)) ==
+      Set((1, 1L), (2, 0L)))
   }
 }
