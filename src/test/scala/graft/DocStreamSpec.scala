@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, PiiScrub}
+import graft.streaming.DocStream
+
+/** Streaming twins of the document-curation steps, driven through
+  * MemoryStream, each parity-checked against its batch definition.
+  */
+object DocStreamSpec {
+  case class Doc(doc_id: Long, ingest_ts: Timestamp, text: String)
+}
+
+class DocStreamSpec extends SparkSpec {
+  import spark.implicits._
+  import DocStreamSpec.Doc
+
+  private def doc(id: Long, min: Long, text: String): Doc =
+    Doc(id, new Timestamp(min * 60000L), text)
+
+  test("parity: streaming PII scrub equals the batch PiiScrub plan") {
+    val rows = Seq(
+      doc(1, 10, "mail me at a.b@mail.example.com now"),
+      doc(2, 11, "call 555-1234 or 555-9876"),
+      doc(3, 12, "nothing sensitive here"))
+    val stream = MemoryStream[Doc](spark)
+    val q = DocStream.scrubbed(stream.toDF())
+      .writeStream.format("memory").queryName("scrub_t")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("scrub_t")
+        .select("doc_id", "n_emails", "n_phones", "scrubbed")
+        .as[(Long, Long, Long, String)].collect().toSet
+      val want = PiiScrub.scrub(rows.toDF())
+        .select("doc_id", "n_emails", "n_phones", "scrubbed")
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(got == want)
+      assert(got.exists(r => r._4 == "mail me at <EMAIL> now"))
+    } finally q.stop()
+  }
+
+  test("streaming dedup keeps first arrival, agrees with batch d1 groups") {
+    val stream = MemoryStream[Doc](spark)
+    val q = DocStream.dedup(stream.toDF())
+      .writeStream.format("memory").queryName("dedup_t")
+      .outputMode("append").start()
+    try {
+      // Batch 1: three distinct docs. Batch 2: two in-watermark
+      // copies (same text, higher ids) and one genuinely new doc.
+      stream.addData(doc(1, 100, "alpha beta"), doc(2, 101, "gamma"),
+        doc(3, 102, "delta epsilon"))
+      q.processAllAvailable()
+      stream.addData(doc(11, 110, "Alpha  Beta ".toLowerCase),
+        doc(12, 111, "gamma"), doc(13, 112, "zeta"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_t").select("doc_id")
+        .as[Long].collect().toSet
+      // "alpha  beta" normalizes differently (inner double space) ->
+      // doc 11 survives; doc 12 is an exact dup of 2 -> dropped.
+      assert(got == Set(1L, 2L, 3L, 11L, 13L))
+
+      // Batch view of the same corpus: exactDupGroups must name the
+      // streaming survivors as keepers of their duplicate groups.
+      val all = Seq(doc(1, 100, "alpha beta"), doc(2, 101, "gamma"),
+        doc(3, 102, "delta epsilon"), doc(11, 110, "alpha  beta "),
+        doc(12, 111, "gamma"), doc(13, 112, "zeta"))
+        .toDF().select(col("doc_id"), col("text"))
+      val groups = Dedup.exactDupGroups(all)
+        .as[(Long, Long)].collect().toMap
+      assert(groups == Map(2L -> 2L)) // one dup group, kept id 2, size 2
+    } finally q.stop()
+  }
+}
