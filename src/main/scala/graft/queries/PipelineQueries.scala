@@ -6,7 +6,7 @@ import graft.{Q, Tables}
 import graft.functions.TextHash
 import graft.graph.ConnectedComponents
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, PiiScrub, Similarity, TextAnalysis}
+import graft.operators.{Dedup, PiiScrub, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline surface (SURVEY.md §2 block D): dedup
   * family, text analysis, similarity search, multimodal plumbing.
@@ -632,6 +632,25 @@ object PipelineQueries {
               |SELECT query_id, label, rank, cand_id, round(sim, 6) AS sim
               |FROM r WHERE rank <= 5
               |ORDER BY query_id, rank""".stripMargin)),
+
+    // Deterministic stratified sampling — downsample over-represented
+    // languages at per-stratum rates. The keep/drop decision is a
+    // pure hash of the doc id (shared poly-hash spec), so the sample
+    // is reproducible across runs, engines, and partitionings; the
+    // plan is a map-side filter, no shuffle, no RNG state.
+    Q("d14_stratified_sample",
+      (s, d) => Sampling.stratifiedSample(
+          Tables.documents(s, d).select("doc_id", "lang"),
+          keyCol = "doc_id", strataCol = "lang",
+          rates = Map("en" -> 0.2, "fr" -> 0.5), defaultRate = 1.0)
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, lang FROM documents
+              |WHERE ${TextHash.duckDocFingerprint(
+                 "CAST(doc_id AS VARCHAR)")} * ${Sampling.Mixer}
+              |    % ${Sampling.MixMod} % ${Sampling.Buckets} <
+              |  CASE lang WHEN 'en' THEN 2000 WHEN 'fr' THEN 5000
+              |    ELSE 10000 END
+              |ORDER BY doc_id""".stripMargin)),
 
     // Bulk kNN graph: top-3 in-cluster neighbors for EVERY vector
     // (dedup-graph / clustering substrate) — co-partitioned equi-join

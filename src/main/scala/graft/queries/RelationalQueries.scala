@@ -410,7 +410,75 @@ object RelationalQueries {
         Tables.customer(s, d).createOrReplaceTempView("customer")
         s.sql(CorrSubquerySql)
       },
-      Some(CorrSubquerySql))
+      Some(CorrSubquerySql)),
+
+    // lead/lag window: month-over-month revenue delta. The global
+    // window runs over the PRE-AGGREGATED month table (dozens of
+    // rows), never the raw orders — the only safe place for an
+    // unpartitioned ORDER BY window at scale.
+    Q("q27_lag_delta",
+      (s, d) => {
+        val w = Window.orderBy("month")
+        Tables.orders(s, d)
+          .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+          .agg(round(sum("o_totalprice"), 2).as("rev"))
+          .select(col("month"), col("rev"),
+            round(col("rev") - coalesce(lag("rev", 1).over(w), col("rev")), 2)
+              .as("delta"))
+          .orderBy("month")
+      },
+      Some("""WITH m AS (
+             |  SELECT date_trunc('month', o_orderdate) AS month,
+             |    round(sum(o_totalprice), 2) AS rev
+             |  FROM orders GROUP BY 1
+             |)
+             |SELECT month, rev,
+             |  round(rev - coalesce(lag(rev, 1) OVER (ORDER BY month), rev), 2)
+             |    AS delta
+             |FROM m ORDER BY month""".stripMargin)),
+
+    // INTERSECT / EXCEPT set semantics in one result: nations with
+    // both customers and suppliers vs customer-only nations. Spark
+    // plans these as distinct + semi/anti joins (broadcast here).
+    Q("q28_set_ops",
+      (s, d) => {
+        val c = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        val sup = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+        c.intersect(sup).withColumn("side", lit("both"))
+          .union(c.except(sup).withColumn("side", lit("cust_only")))
+          .select("side", "nationkey")
+          .orderBy("side", "nationkey")
+      },
+      Some("""SELECT 'both' AS side, nationkey FROM (
+             |  SELECT c_nationkey AS nationkey FROM customer
+             |  INTERSECT
+             |  SELECT s_nationkey FROM supplier
+             |)
+             |UNION ALL
+             |SELECT 'cust_only' AS side, nationkey FROM (
+             |  SELECT c_nationkey AS nationkey FROM customer
+             |  EXCEPT
+             |  SELECT s_nationkey FROM supplier
+             |)
+             |ORDER BY side, nationkey""".stripMargin)),
+
+    // Exact multi-column DISTINCT aggregation: two distinct counts at
+    // different cardinalities plus a plain count in one pass — the
+    // Expand-based distinct-agg plan (each row duplicated per
+    // distinct clause, partial agg before the exchange).
+    Q("q29_count_distinct",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          countDistinct(col("o_orderpriority")).as("n_prio"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+             |  count(DISTINCT o_custkey) AS n_cust,
+             |  count(DISTINCT o_orderpriority) AS n_prio,
+             |  count(*) AS n_orders
+             |FROM orders GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin))
   )
 
   private val GroupingSetsSql =

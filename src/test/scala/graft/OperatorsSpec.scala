@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.CosineSimilarity.cosine_sim
 import graft.functions.TextHashExprs.embed_simhash
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, PiiScrub, Sessionize, Similarity, SkewTools, TextAnalysis}
+import graft.operators.{Dedup, PiiScrub, Sampling, Sessionize, Similarity, SkewTools, TextAnalysis}
 
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
@@ -202,6 +202,25 @@ class OperatorsSpec extends SparkSpec {
     // (offset 20 = one full copy), so 13 duplicates.
     assert(got(1) == ((2L, 33L, 13L)))
     assert(got(2) == ((3L, 1L, 0L)))
+  }
+
+  test("stratified sample: deterministic, per-stratum rates, no shuffle") {
+    val docs = (1L to 400L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de")).toDF("doc_id", "lang")
+    def run() = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.25), defaultRate = 1.0)
+      .as[(Long, String)].collect().toSet
+    val s1 = run()
+    assert(s1 == run()) // identical membership on re-run
+    val byLang = s1.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byLang("de") == 200) // rate 1.0 keeps every de doc
+    // en rate 0.25 over 200 docs: hash-bucketed, so roughly 50
+    assert(byLang("en") > 25 && byLang("en") < 75)
+    // repartitioning must not change the sample (pure row function)
+    val s2 = Sampling.stratifiedSample(docs.repartition(7), "doc_id",
+      "lang", Map("en" -> 0.25), defaultRate = 1.0)
+      .as[(Long, String)].collect().toSet
+    assert(s2 == s1)
   }
 
   test("knn graph ranks in-cluster neighbors only, (sim desc, id asc)") {
