@@ -88,6 +88,63 @@ object PageRank {
     ranks
   }
 
+  /** Convergence-driven PageRank: iterate until the maximum absolute
+    * per-node rank change drops below `tol` (or `maxIterations`
+    * hits). The reference hardwires 10 iterations; real deployments
+    * stop on the residual instead — fewer iterations on
+    * fast-converging graphs, guaranteed accuracy on slow ones.
+    *
+    * The residual check is ONE driver-side scalar per iteration
+    * (`max(abs(Δ))` — same O(1) driver traffic as the phase-1 count
+    * handoff); ranks are checkpointed on the same cadence [[run]]
+    * uses for open-ended loops, since the iteration count is unknown
+    * up front.
+    *
+    * @return (ranks DataFrame, iterations actually executed)
+    */
+  def runUntilConverged(edges: DataFrame, tol: Double = 1e-6,
+      maxIterations: Int = 100, damping: Double = 0.85,
+      checkpointEvery: Int = 20): (DataFrame, Int) = {
+    val e = edges.select("src", "dst").distinct()
+    val outDeg = e.groupBy("src").agg(count("*").as("outdeg"))
+    val linked = e.join(outDeg, "src")
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    var iters = 0
+    var residual = Double.MaxValue
+    while (residual > tol && iters < maxIterations) {
+      val contribs = linked
+        .join(ranks, linked("src") === ranks("node"))
+        .select(linked("dst").as("node"),
+          (col("rank") / col("outdeg")).as("contrib"))
+        .groupBy("node")
+        .agg(sum("contrib").as("incoming"))
+      val next = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) +
+            lit(damping) * coalesce(col("incoming"), lit(0.0))).as("rank"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // One aggregated scalar: the residual that decides termination.
+      residual = next.join(ranks.withColumnRenamed("rank", "prev"), "node")
+        .agg(max(abs(col("rank") - col("prev"))))
+        .head().getDouble(0)
+      ranks.unpersist()
+      ranks = if (checkpointEvery > 0 && (iters + 1) % checkpointEvery == 0)
+        next.localCheckpoint(true)
+      else next
+      iters += 1
+    }
+    (ranks, iters)
+  }
+
   /** PageRank with the reference's EXACT page semantics
     * (/root/reference/PageRank.java:437-530): the node set is the
     * page/title set (not src ∪ dst), initial rank is 1/N with N the

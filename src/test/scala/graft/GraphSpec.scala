@@ -35,6 +35,20 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(ranks("a") - (1.0 - 0.5 * math.pow(0.85, 10))) < 1e-9)
   }
 
+  test("convergence-driven run stops early and matches the fixed point") {
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val (ranksDf, iters) = PageRank.runUntilConverged(edges, tol = 1e-2,
+      maxIterations = 100, checkpointEvery = 5)
+    val ranks = ranksDf.as[(String, Double)].collect().toMap
+    // Per-iteration delta is 0.075·0.85^(k-1): < 1e-2 first at k = 14
+    // — far below maxIterations, so the loop genuinely stopped on the
+    // residual, and the rank matches the closed form 1 − 0.5·0.85^k.
+    assert(iters == 14, s"iters = $iters")
+    assert(math.abs(ranks("a") - ranks("b")) < 1e-12)
+    assert(math.abs(ranks("a") -
+      (1.0 - 0.5 * math.pow(0.85, iters))) < 1e-9)
+  }
+
   test("dangling node receives rank but leaks its own (reference semantics)") {
     // a -> b, b has no outlinks: b's rank grows from a only; a gets
     // only the teleport term.

@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.sources.{EventLogSource, ParquetSink}
+import graft.sources.{CsvSource, EventLogSource, ParquetSink}
 
 class SourcesSpec extends SparkSpec {
   import spark.implicits._
@@ -29,6 +29,30 @@ class SourcesSpec extends SparkSpec {
       Seq(1L, 2L))
     val bad = EventLogSource.corrupt(raw).as[String].collect()
     assert(bad.toSeq == Seq("this is not json at all"))
+  }
+
+  test("CSV source: typed clean rows, malformed lines quarantine") {
+    val dir = Files.createTempDirectory("graft_csv").toFile
+    val w = new java.io.PrintWriter(new java.io.File(dir, "part-0.csv"))
+    w.println("id,name,score")
+    w.println("1,alice,2.5")
+    w.println("2,bob,not_a_double") // type error -> corrupt
+    w.println("3,carol,9.0")
+    w.close()
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType)))
+    val raw = CsvSource.read(spark, dir.getAbsolutePath, schema).cache()
+    val clean = CsvSource.clean(raw)
+    assert(clean.as[(Long, String, Double)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "alice", 2.5), (3L, "carol", 9.0)))
+    assert(CsvSource.corrupt(raw).as[String].collect().toSeq ==
+      Seq("2,bob,not_a_double"))
   }
 
   test("partitioned parquet sink: directory layout prunes, round-trips") {
