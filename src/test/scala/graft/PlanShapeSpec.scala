@@ -1,0 +1,56 @@
+package graft
+
+/** Plan-shape regression tests: the scale-critical properties the
+  * SURVEY claims are pinned here against the ACTUAL physical plans,
+  * so a refactor that silently reintroduces a corpus-wide window
+  * sort, an extra shuffle, or an unpushed filter fails the suite —
+  * not a 100 TB run.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("ANN top-k queries use the bounded-heap aggregate, not a window") {
+    for (q <- Seq("e1_ann_topk", "e4_ann_ivf_probe", "e6_knn_graph")) {
+      val p = plan(q)
+      assert(p.contains("ObjectHashAggregate"),
+        s"$q lost the top_k_by_score partial aggregate")
+      // e4/e5 rank CENTROID assignments with a window (bounded nlist
+      // rows) — what must never appear is a window over the scored
+      // candidate rows, which carries the full corpus. The candidate
+      // path is the aggregate; brute-force e1 and bulk e6 must have
+      // no window at all.
+      if (q != "e4_ann_ivf_probe")
+        assert(!p.contains("RunningWindowFunction") && !p.contains("Window"),
+          s"$q ranks candidates through a window sort")
+    }
+  }
+
+  test("map-side pipeline ops shuffle only for their deterministic sort") {
+    for (q <- Seq("d11_pii_scrub", "d12_repetition", "d13_quality_filter",
+        "d14_stratified_sample", "d6_text_quality", "d7_token_count",
+        "d8_fingerprint")) {
+      val p = plan(q)
+      val exchanges = "Exchange (?:range|hash|Single)".r.findAllIn(p).size
+      assert(exchanges == 1,
+        s"$q: expected exactly the ORDER BY exchange, got $exchanges\n$p")
+    }
+  }
+
+  test("selective scan pushes filters and prunes columns") {
+    val p = plan("q2_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"),
+      "q2 lost parquet filter pushdown")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_quantity:double"),
+      "q2 reads more columns than the projection needs")
+  }
+
+  test("top-k ordering never global-sorts: TakeOrderedAndProject") {
+    val p = plan("pr_top20")
+    assert(p.contains("TakeOrderedAndProject"),
+      "pr_top20 must use TakeOrderedAndProject, not a total sort + limit")
+  }
+}
