@@ -64,6 +64,30 @@ object Multimodal {
     }
   }
 
+  case class Thumb(doc_id: Long, idx: Int, byte_val: Int)
+
+  /** Resize stand-in: nearest-neighbor downsample of the payload to a
+    * fixed `width` bytes (out[i] = payload[⌊i·n/width⌋] — the stride
+    * arithmetic an image thumbnailer runs per axis, in 1-D). Empty
+    * payloads emit nothing. Same iterator-per-partition shape as the
+    * other decode steps; output is fixed-size regardless of input
+    * size, which is what makes a downstream feature store's row
+    * width predictable.
+    */
+  def resize(spark: SparkSession, media: DataFrame, width: Int)
+      : Dataset[Thumb] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val n = r.payload.length
+        if (n == 0) Iterator.empty
+        else (0 until width).iterator.map { i =>
+          Thumb(r.doc_id, i, r.payload((i.toLong * n / width).toInt) & 0xFF)
+        }
+      }
+    }
+  }
+
   /** Deterministic stand-in for media decode + feature extraction:
     * normalized 16-bin histogram over payload bytes. Runs
     * per-partition over an iterator — the batch shape (not

@@ -769,6 +769,36 @@ object PipelineQueries {
              |       THEN CAST(strpos('123456789ABCDEF',
              |              substr(hx, 2 * f_from + 1, 1)) AS BIGINT)
              |       ELSE CAST(-1 AS BIGINT) END AS head_nibble
-             |FROM f ORDER BY doc_id, frame_idx""".stripMargin))
+             |FROM f ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // Resize through the same plumbing: nearest-neighbor downsample
+    // of every payload to a fixed 8-byte thumbnail
+    // (out[i] = payload[⌊i·n/8⌋]). The oracle reads each selected
+    // byte's two hex nibbles off hex(payload), so the stride
+    // arithmetic is checked exactly.
+    Q("m3_resize",
+      (s, d) => {
+        val media = Multimodal.mediaTable(Tables.documents(s, d))
+        Multimodal.resize(s, media, width = 8).toDF()
+          .select(col("doc_id"), col("idx").cast("long").as("idx"),
+            col("byte_val").cast("long").as("byte_val"))
+          .orderBy("doc_id", "idx")
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    CAST(octet_length(encode(text)) AS BIGINT) AS n,
+             |    hex(encode(text)) AS hx
+             |  FROM documents
+             |),
+             |g AS (
+             |  SELECT doc_id, n, hx, i.idx, (i.idx * n) // 8 AS p
+             |  FROM h, (SELECT unnest(range(0, 8)) AS idx) i
+             |  WHERE n > 0
+             |)
+             |SELECT doc_id, CAST(idx AS BIGINT) AS idx,
+             |  CAST(strpos('123456789ABCDEF', substr(hx, 2 * p + 1, 1)) * 16
+             |     + strpos('123456789ABCDEF', substr(hx, 2 * p + 2, 1))
+             |     AS BIGINT) AS byte_val
+             |FROM g ORDER BY doc_id, idx""".stripMargin))
   )
 }

@@ -161,6 +161,15 @@ class OperatorsSpec extends SparkSpec {
     assert(frames.flatMap(f => f.frame).map(_.toChar).mkString == "abcdefghij")
   }
 
+  test("multimodal resize: fixed-width nearest-neighbor byte stride") {
+    val docs = Seq((1L, "abcdefghijkl"), (2L, "")).toDF("doc_id", "text")
+    val got = Multimodal.resize(spark, Multimodal.mediaTable(docs), width = 8)
+      .collect().sortBy(_.idx)
+    // 12 bytes -> positions floor(i*12/8) = 0,1,3,4,6,7,9,10
+    assert(got.map(_.doc_id).distinct.toSeq == Seq(1L)) // empty emits none
+    assert(got.map(_.byte_val.toChar).mkString == "abdeghjk")
+  }
+
   test("multimodal stub: histogram normalized over payload bytes") {
     val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
     val feats = Multimodal.extractFeatures(spark, Multimodal.mediaTable(docs))
