@@ -478,7 +478,41 @@ object RelationalQueries {
              |  count(DISTINCT o_orderpriority) AS n_prio,
              |  count(*) AS n_orders
              |FROM orders GROUP BY o_orderstatus
-             |ORDER BY o_orderstatus""".stripMargin))
+             |ORDER BY o_orderstatus""".stripMargin)),
+
+    // FULL OUTER join over two pre-aggregated keyed sides, with real
+    // unmatched rows on BOTH (the sampled customer set covers 12 of
+    // 25 nations, the sampled supplier set 20) — coalesced keys and
+    // zero-filled counts so the null-padding semantics are what the
+    // oracle hashes.
+    Q("q30_full_outer",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+          .filter(col("c_custkey") % 97 === 0)
+          .groupBy(col("c_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("n_cust"))
+        val sup = Tables.supplier(s, d)
+          .filter(col("s_suppkey") % 3 === 0)
+          .groupBy(col("s_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("n_supp"))
+        c.join(sup, Seq("nationkey"), "full_outer")
+          .select(col("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+          .orderBy("nationkey")
+      },
+      Some("""SELECT nationkey,
+             |  coalesce(c.n_cust, 0) AS n_cust,
+             |  coalesce(s.n_supp, 0) AS n_supp
+             |FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+             |      FROM customer WHERE c_custkey % 97 = 0
+             |      GROUP BY 1) c
+             |FULL OUTER JOIN
+             |     (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+             |      FROM supplier WHERE s_suppkey % 3 = 0
+             |      GROUP BY 1) s
+             |USING (nationkey)
+             |ORDER BY nationkey""".stripMargin))
   )
 
   private val GroupingSetsSql =
