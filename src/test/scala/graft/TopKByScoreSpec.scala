@@ -39,6 +39,39 @@ class TopKByScoreSpec extends SparkSpec {
     assert(viaAgg == viaWindow)
   }
 
+  test("randomized: equals the window formulation for arbitrary shapes") {
+    // 8 seeded-random datasets sweeping the regimes that stress the
+    // heap merge differently: k larger/smaller than group size, heavy
+    // score ties, many tiny groups, one giant group, varied partition
+    // counts. Equality must hold exactly in every case.
+    val rnd = new scala.util.Random(20260812L)
+    for (round <- 1 to 8) {
+      val nGroups = 1 + rnd.nextInt(20)
+      val maxRows = 1 + rnd.nextInt(120)
+      val k = 1 + rnd.nextInt(12)
+      val tieSpread = 1 + rnd.nextInt(30) // small => many exact ties
+      val rows = for {
+        g <- 1 to nGroups
+        _ <- 1 to (1 + rnd.nextInt(maxRows))
+      } yield (g, rnd.nextLong(1000000L), rnd.nextInt(tieSpread).toDouble)
+      val df = rows.distinct.toDF("g", "id", "score")
+        .repartition(1 + rnd.nextInt(9))
+
+      val viaAgg = explodeTopK(
+        df.groupBy("g").agg(
+          top_k_by_score(col("score"), col("id"), lit(0L), k).as("tk")))
+        .as[(Int, Int, Long, Double)].collect().toSet
+      val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+      val viaWindow = df
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("g"), col("rank"), col("id"), col("score"))
+        .as[(Int, Int, Long, Double)].collect().toSet
+      assert(viaAgg == viaWindow,
+        s"round $round: nGroups=$nGroups k=$k tieSpread=$tieSpread")
+    }
+  }
+
   test("ties break by ascending id; short groups return all rows") {
     val df = Seq((1, 10L, 2.0), (1, 3L, 2.0), (1, 7L, 2.0), (1, 1L, 1.0))
       .toDF("g", "id", "score")
