@@ -28,6 +28,32 @@ class AsOfJoinSpec extends SparkSpec {
       102L -> None, 200L -> None))
   }
 
+  test("randomized: equals the brute-force latest-at-or-before match") {
+    val rnd = new scala.util.Random(42L)
+    for (round <- 1 to 6) {
+      val nKeys = 1 + rnd.nextInt(6)
+      val lefts = (1 to 1 + rnd.nextInt(60)).map(i =>
+        (i.toLong, rnd.nextInt(nKeys + 2).toLong, // some keys right-less
+          ts(rnd.nextInt(100).toLong)))
+      // At most one right row per (key, ts): the operator's contract.
+      val rights = (1 to 1 + rnd.nextInt(40)).map(_ =>
+        (rnd.nextInt(nKeys).toLong, ts(rnd.nextInt(100).toLong)))
+        .distinct.map { case (k, t) => (k, t, s"p$k@${t.getTime}") }
+
+      val got = AsOfJoin(
+        lefts.toDF("event_id", "user_id", "ts"),
+        rights.toDF("user_id", "ts", "tag"),
+        "user_id", "ts", Seq("tag"))
+        .select("event_id", "asof_tag").as[(Long, Option[String])]
+        .collect().toMap
+      val want = lefts.map { case (id, k, t) =>
+        val m = rights.filter(r => r._1 == k && !r._2.after(t))
+        id -> (if (m.isEmpty) None else Some(m.maxBy(_._2.getTime)._3))
+      }.toMap
+      assert(got == want, s"round $round: nKeys=$nKeys")
+    }
+  }
+
   test("left rows are never lost or duplicated") {
     val left = (1 to 50).map(i => (i.toLong, (i % 5).toLong, ts(i.toLong)))
       .toDF("event_id", "user_id", "ts")

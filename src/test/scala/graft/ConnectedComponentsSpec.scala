@@ -17,6 +17,47 @@ class ConnectedComponentsSpec extends SparkSpec {
       (20L, 20L, true), (21L, 20L, false), (22L, 20L, false)))
   }
 
+  test("randomized: agrees with union-find on arbitrary pair graphs") {
+    val rnd = new scala.util.Random(7L)
+    for (round <- 1 to 5) {
+      val n = 6 + rnd.nextInt(20)
+      val pairs = (1 to n).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2).distinct
+      if (pairs.nonEmpty) {
+        // Union-find ground truth.
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+        val verts = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        val want = verts.groupBy(find).flatMap { case (_, vs) =>
+          val m = vs.min; vs.map(_ -> m)
+        }.toMap
+
+        // iters = the exact propagation depth: the deepest BFS level
+        // from any component's min vertex (min-label needs that many
+        // rounds to reach the farthest member, and no more).
+        val adj = (pairs ++ pairs.map(_.swap))
+          .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        val depth = want.groupBy(_._2).keys.map { root =>
+          var frontier = Set(root); var seen = Set(root); var d = 0
+          while (frontier.nonEmpty) {
+            frontier = frontier.flatMap(adj.getOrElse(_, Nil)) -- seen
+            seen ++= frontier; if (frontier.nonEmpty) d += 1
+          }
+          d
+        }.max
+        val got = ConnectedComponents
+          .minLabel(pairs.toDF("a", "b"), iters = math.max(depth, 1))
+          .as[(Long, Long)].collect().toMap
+        assert(got == want, s"round $round: n=$n pairs=${pairs.size}")
+      }
+    }
+  }
+
   test("propagation reaches the far end of a path within diameter rounds") {
     // path 5-6-7-8-9: min label 5 must reach 9 (diameter 4).
     val pairs = Seq((8L, 9L), (6L, 7L), (5L, 6L), (7L, 8L)).toDF("a", "b")
