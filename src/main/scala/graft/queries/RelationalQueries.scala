@@ -512,7 +512,43 @@ object RelationalQueries {
              |      FROM supplier WHERE s_suppkey % 3 = 0
              |      GROUP BY 1) s
              |USING (nationkey)
-             |ORDER BY nationkey""".stripMargin))
+             |ORDER BY nationkey""".stripMargin)),
+
+    // Time-series gap filling (densification): months with no
+    // qualifying orders appear as explicit zero rows. The spine is
+    // generated from the aggregated min/max (two scalars broadcast
+    // into a sequence — never a driver collect), then left-joined
+    // back to the sparse counts. The high-value filter leaves real
+    // gaps at the correctness SFs.
+    Q("q31_gap_fill",
+      (s, d) => {
+        def hv = Tables.orders(s, d)
+          .filter(col("o_totalprice") > 490000.0)
+          .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+          .agg(count(lit(1)).as("n_orders"))
+        val spine = hv.agg(min("month").as("lo"), max("month").as("hi"))
+          .select(explode(expr("sequence(lo, hi, interval 1 month)"))
+            .as("month"))
+        spine.join(hv, Seq("month"), "left")
+          .select(col("month"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+          .orderBy("month")
+      },
+      Some("""WITH hv AS (
+             |  SELECT date_trunc('month', o_orderdate) AS month,
+             |    count(*) AS n_orders
+             |  FROM orders WHERE o_totalprice > CAST(490000 AS DOUBLE)
+             |  GROUP BY 1
+             |),
+             |b AS (SELECT min(month) AS lo, max(month) AS hi FROM hv),
+             |spine AS (
+             |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH))
+             |    AS month
+             |  FROM b
+             |)
+             |SELECT s.month AS month, coalesce(hv.n_orders, 0) AS n_orders
+             |FROM spine s LEFT JOIN hv ON hv.month = s.month
+             |ORDER BY 1""".stripMargin))
   )
 
   private val GroupingSetsSql =
