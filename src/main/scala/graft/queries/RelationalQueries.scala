@@ -548,7 +548,27 @@ object RelationalQueries {
              |)
              |SELECT s.month AS month, coalesce(hv.n_orders, 0) AS n_orders
              |FROM spine s LEFT JOIN hv ON hv.month = s.month
-             |ORDER BY 1""".stripMargin))
+             |ORDER BY 1""".stripMargin)),
+
+    // Numeric histogram: fixed-width binning of order totals — one
+    // scan, map-side bin computation, partial-agg groupBy on the bin
+    // id. Bin arithmetic is integer floor((x - lo) / w) written
+    // identically on both engines (no width_bucket dialect
+    // divergence); the last bin is right-closed.
+    Q("q32_histogram",
+      (s, d) => {
+        val lo = 0.0; val w = 30000.0; val bins = 20
+        Tables.orders(s, d)
+          .select(least(floor((col("o_totalprice") - lo) / w),
+            lit((bins - 1).toLong)).cast("long").as("bin"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy("bin")
+      },
+      Some("""SELECT least(CAST(floor((o_totalprice - CAST(0 AS DOUBLE))
+             |         / CAST(30000 AS DOUBLE)) AS BIGINT), 19) AS bin,
+             |  count(*) AS n_orders
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   private val GroupingSetsSql =
