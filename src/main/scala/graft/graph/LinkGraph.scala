@@ -52,4 +52,19 @@ object LinkGraph {
   /** Out-degree per source node. */
   def outDegrees(edges: DataFrame): DataFrame =
     edges.groupBy("src").agg(count("*").as("outdeg"))
+
+  /** Weighted plain-text graph: (src, dst, weight) where weight is the
+    * number of times dst immediately follows src across the corpus —
+    * the co-occurrence multiplicity [[wordFollowEdges]] discards.
+    */
+  def wordFollowWeighted(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(split(trim(col(textCol)), "\\s+").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2)," +
+          " i -> struct(w[i] as src, w[i + 1] as dst))")).as("e"))
+      .groupBy(col("e.src").as("src"), col("e.dst").as("dst"))
+      .agg(count(lit(1)).as("weight"))
 }

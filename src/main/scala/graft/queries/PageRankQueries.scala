@@ -54,6 +54,51 @@ object PageRankQueries {
        |$steps""".stripMargin
   }
 
+  /** DuckDB CTEs for the WEIGHTED iteration chain (mirrors
+    * graft.graph.PageRank.runWeighted: contribution =
+    * rank / out-weight · edge-weight, same operation order).
+    */
+  private def weightedRankCtes(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |         CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) *
+         |           coalesce(sum(p.rank / ed.outw * ed.weight),
+         |                    CAST(0 AS DOUBLE)) AS rank
+         |  FROM nodes n
+         |  LEFT JOIN ed ON ed.dst = n.node
+         |  LEFT JOIN r${i - 1} p ON p.node = ed.src
+         |  GROUP BY n.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    """w AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      |  FROM documents WHERE length(trim(text)) > 0
+      |),
+      |we AS MATERIALIZED (
+      |  SELECT p.s AS src, p.d AS dst, count(*) AS weight
+      |  FROM (SELECT unnest(list_transform(range(1, len(w)),
+      |                      i -> {'s': w[i], 'd': w[i+1]})) AS p
+      |        FROM w WHERE len(w) >= 2)
+      |  GROUP BY 1, 2
+      |),
+      |wdeg AS (SELECT src, CAST(sum(weight) AS BIGINT) AS outw
+      |         FROM we GROUP BY src),
+      |ed AS MATERIALIZED (
+      |  SELECT we.src, we.dst, we.weight, wdeg.outw
+      |  FROM we JOIN wdeg USING (src)
+      |),
+      |nodes AS MATERIALIZED (
+      |  SELECT src AS node FROM we UNION SELECT dst FROM we
+      |),
+      |r0 AS (
+      |  SELECT node,
+      |         CAST(1.0 AS DOUBLE) / (SELECT count(*) FROM nodes) AS rank
+      |  FROM nodes
+      |),
+      |""".stripMargin + steps
+  }
+
   def all: Seq[Q] = Seq(
 
     // Phase 1 of the reference: count non-empty pages.
@@ -121,6 +166,20 @@ object PageRankQueries {
       },
       Some(s"""WITH ${rankCtes(10)}
               |SELECT node, round(rank, 6) AS rank FROM r10 ORDER BY node""".stripMargin)),
+
+    // Weighted generalization of phase 3: rank flows in proportion to
+    // word-follow co-occurrence counts (the multiplicity the distinct
+    // edge list discards). Uniform weights reduce to pr_ranks exactly.
+    Q("pr_weighted_ranks",
+      (s, d) => {
+        val e = LinkGraph.wordFollowWeighted(Tables.documents(s, d), "text")
+        PageRank.runWeighted(e, iterations = 10, damping = 0.85)
+          .select(col("node"), round(col("rank"), 6).as("rank"))
+          .orderBy("node")
+      },
+      Some(s"""WITH ${weightedRankCtes(10)}
+              |SELECT node, round(rank, 6) AS rank FROM r10
+              |ORDER BY node""".stripMargin)),
 
     // Phase 4: descending total order by rank, top 20. Spark plans
     // orderBy+limit as TakeOrderedAndProject — no global sort stage,

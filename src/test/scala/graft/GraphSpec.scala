@@ -35,6 +35,26 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(ranks("a") - (1.0 - 0.5 * math.pow(0.85, 10))) < 1e-9)
   }
 
+  test("weighted PageRank: uniform weights reduce to run(); skew shifts rank") {
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "a"), ("c", "a"))
+      .toDF("src", "dst")
+    val uniform = edges.withColumn("weight",
+      org.apache.spark.sql.functions.lit(1L))
+    val plain = PageRank.run(edges, iterations = 6)
+      .as[(String, Double)].collect().toMap
+    val viaW = PageRank.runWeighted(uniform, iterations = 6)
+      .as[(String, Double)].collect().toMap
+    for (k <- plain.keys) assert(math.abs(plain(k) - viaW(k)) < 1e-14)
+
+    // 9:1 weight on a->b must rank b above c (equal under run()).
+    val skewed = Seq(("a", "b", 9L), ("a", "c", 1L), ("b", "a", 1L),
+      ("c", "a", 1L)).toDF("src", "dst", "weight")
+    val got = PageRank.runWeighted(skewed, iterations = 6)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(plain("b") - plain("c")) < 1e-14)
+    assert(got("b") > got("c") + 0.1)
+  }
+
   test("convergence-driven run stops early and matches the fixed point") {
     val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
     val (ranksDf, iters) = PageRank.runUntilConverged(edges, tol = 1e-2,
