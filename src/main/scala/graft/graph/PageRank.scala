@@ -88,6 +88,54 @@ object PageRank {
     ranks
   }
 
+  /** Personalized PageRank: the teleport mass lands on a SOURCE SET
+    * instead of uniformly — `PR'(u) = (1-d)·1[u∈S]/|S| + d·Σ…` —
+    * ranking nodes by proximity to the sources (recommendation /
+    * related-entity queries). Initial rank is the teleport vector
+    * itself. Sources are broadcast (a query-sized set); the edge side
+    * is identical to [[run]]: partitioned once, only ranks move.
+    */
+  def runPersonalized(edges: DataFrame, sources: DataFrame,
+      iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+    val e = edges.select("src", "dst").distinct()
+    val outDeg = e.groupBy("src").agg(count("*").as("outdeg"))
+    val linked = e.join(outDeg, "src")
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val s = sources.select(col("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nSources = s.count() // O(1) driver scalar, like run()'s n
+    require(nSources > 0, "personalized PageRank needs a non-empty source set")
+
+    // Teleport vector: (1-d)/|S| on sources, 0 elsewhere. Broadcast
+    // left-semi-style flag join; the flag column rides the rank table.
+    val flagged = nodes.join(broadcast(s.withColumn("_is_src", lit(1.0))),
+        Seq("node"), "left")
+      .select(col("node"),
+        (coalesce(col("_is_src"), lit(0.0)) / nSources).as("tele"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var ranks = flagged.select(col("node"), col("tele").as("rank"))
+    for (_ <- 1 to iterations) {
+      val contribs = linked
+        .join(ranks, linked("src") === ranks("node"))
+        .select(linked("dst").as("node"),
+          (col("rank") / col("outdeg")).as("contrib"))
+        .groupBy("node")
+        .agg(sum("contrib").as("incoming"))
+      ranks = flagged
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) * col("tele") +
+            lit(damping) * coalesce(col("incoming"), lit(0.0))).as("rank"))
+    }
+    ranks
+  }
+
   /** Weighted PageRank: rank flows along each edge in proportion to
     * its weight — `PR'(u) = (1-d) + d·Σ PR(v)·w(v,u)/W(v)` with
     * `W(v) = Σ_out w(v,·)` — the generalization of [[run]] (uniform

@@ -99,6 +99,40 @@ object PageRankQueries {
       |""".stripMargin + steps
   }
 
+  /** DuckDB CTEs for the PERSONALIZED chain: teleport mass lands on
+    * `srcList` (SQL IN-list) instead of uniformly. Mirrors
+    * graft.graph.PageRank.runPersonalized.
+    */
+  private def personalizedRankCtes(iters: Int, srcList: String,
+      nSrc: Int): String = {
+    def tele(node: String) =
+      s"CASE WHEN $node IN ($srcList) THEN CAST(1.0 AS DOUBLE) / $nSrc " +
+        "ELSE CAST(0 AS DOUBLE) END"
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |         CAST(0.15 AS DOUBLE) * ${tele("n.node")} +
+         |         CAST(0.85 AS DOUBLE) *
+         |           coalesce(sum(p.rank / ed.outdeg), CAST(0 AS DOUBLE))
+         |           AS rank
+         |  FROM nodes n
+         |  LEFT JOIN ed ON ed.dst = n.node
+         |  LEFT JOIN r${i - 1} p ON p.node = ed.src
+         |  GROUP BY n.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""$edgeCtes,
+       |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |ed AS MATERIALIZED (
+       |  SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)
+       |),
+       |nodes AS MATERIALIZED (
+       |  SELECT src AS node FROM e UNION SELECT dst FROM e
+       |),
+       |r0 AS (SELECT node, ${tele("node")} AS rank FROM nodes),
+       |$steps""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
 
     // Phase 1 of the reference: count non-empty pages.
@@ -180,6 +214,25 @@ object PageRankQueries {
       Some(s"""WITH ${weightedRankCtes(10)}
               |SELECT node, round(rank, 6) AS rank FROM r10
               |ORDER BY node""".stripMargin)),
+
+    // Personalized generalization of phase 3: teleport mass lands on
+    // a two-word source set, ranking every word by proximity to it —
+    // the related-entity query shape. Sources broadcast; edge side
+    // identical to pr_ranks.
+    Q("pr_personalized",
+      (s, d) => {
+        import s.implicits._
+        val e = LinkGraph.wordFollowEdges(Tables.documents(s, d), "text")
+        val sources = Seq("spark", "data").toDF("node")
+        PageRank.runPersonalized(e, sources, iterations = 10, damping = 0.85)
+          .select(col("node"), floor(col("rank") * 1000000 + 0.5)
+            .cast("long").as("rank_e6"))
+          .orderBy("node")
+      },
+      Some(s"""WITH ${personalizedRankCtes(10, "'spark', 'data'", 2)}
+              |SELECT node,
+              |  CAST(floor(rank * 1000000 + 0.5) AS BIGINT) AS rank_e6
+              |FROM r10 ORDER BY node""".stripMargin)),
 
     // Phase 4: descending total order by rank, top 20. Spark plans
     // orderBy+limit as TakeOrderedAndProject — no global sort stage,

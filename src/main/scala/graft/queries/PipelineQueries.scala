@@ -633,6 +633,57 @@ object PipelineQueries {
               |FROM r WHERE rank <= 5
               |ORDER BY query_id, rank""".stripMargin)),
 
+    // Benchmark decontamination: find every corpus document containing
+    // any probe n-gram (8 canonical-whitespace tokens drawn from
+    // benchmark docs — here every 50th doc stands in for "the eval
+    // set"). The probe table is query-sized and BROADCAST; matching is
+    // a map-side substring scan over each document — the shape a
+    // multi-pattern matcher (Aho-Corasick) drops into. The re-keyed
+    // duplicate corpus (as in d1) provides true contaminated docs.
+    Q("d15_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val rekeyed = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        val corpus = docs.union(rekeyed)
+          .select(col("doc_id"),
+            regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("norm"))
+        val probes = corpus
+          .filter(col("doc_id") % 50 === 0 && col("doc_id") < 1000000L &&
+            size(split(col("norm"), " ")) >= 10)
+          .select(col("doc_id").as("probe_src"),
+            expr("array_join(slice(split(norm, ' '), 3, 8), ' ')")
+              .as("probe"))
+        corpus.join(broadcast(probes),
+            instr(col("norm"), col("probe")) > 0 &&
+              col("doc_id") =!= col("probe_src"))
+          .select(col("doc_id"), col("probe_src"))
+          .orderBy("doc_id", "probe_src")
+      },
+      Some(raw"""WITH corpus0 AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 1000000 AS doc_id, text
+              |  FROM documents WHERE doc_id % 10 = 0
+              |),
+              |corpus AS (
+              |  SELECT doc_id,
+              |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+              |  FROM corpus0
+              |),
+              |probes AS (
+              |  SELECT doc_id AS probe_src,
+              |    array_to_string(list_slice(string_split(norm, ' '), 3, 10),
+              |      ' ') AS probe
+              |  FROM corpus
+              |  WHERE doc_id % 50 = 0 AND doc_id < 1000000
+              |    AND len(string_split(norm, ' ')) >= 10
+              |)
+              |SELECT c.doc_id, p.probe_src
+              |FROM corpus c JOIN probes p
+              |  ON strpos(c.norm, p.probe) > 0 AND c.doc_id <> p.probe_src
+              |ORDER BY 1, 2""".stripMargin)),
+
     // Deterministic stratified sampling — downsample over-represented
     // languages at per-stratum rates. The keep/drop decision is a
     // pure hash of the doc id (shared poly-hash spec), so the sample

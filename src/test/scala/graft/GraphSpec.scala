@@ -55,6 +55,28 @@ class GraphSpec extends SparkSpec {
     assert(got("b") > got("c") + 0.1)
   }
 
+  test("personalized PageRank: teleport lands on sources, recurrence exact") {
+    val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
+      .toDF("src", "dst")
+    val sources = Seq("a").toDF("node")
+    val got = PageRank.runPersonalized(edges, sources, iterations = 8)
+      .as[(String, Double)].collect().toMap
+    // Hand-iterate the same recurrence: tele = (1,0,0); out-degrees
+    // a=1, b=2, c=1.
+    var (ra, rb, rc) = (1.0, 0.0, 0.0)
+    for (_ <- 1 to 8) {
+      val (na, nb, nc) =
+        (0.15 * 1.0 + 0.85 * (rb / 2), 0.85 * (ra / 1 + rc / 1),
+          0.85 * (rb / 2))
+      ra = na; rb = nb; rc = nc
+    }
+    assert(math.abs(got("a") - ra) < 1e-12)
+    assert(math.abs(got("b") - rb) < 1e-12)
+    assert(math.abs(got("c") - rc) < 1e-12)
+    // Proximity ordering: the source outranks its neighborhood.
+    assert(got("a") > got("b") && got("b") > got("c"))
+  }
+
   test("convergence-driven run stops early and matches the fixed point") {
     val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
     val (ranksDf, iters) = PageRank.runUntilConverged(edges, tol = 1e-2,
