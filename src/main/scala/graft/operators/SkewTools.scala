@@ -40,4 +40,29 @@ object SkewTools {
       .groupBy(col(keyCol))
       .agg(sum("_c").cast("long").as("n"), sum("_s").as("sum"))
   }
+
+  /** Salted inner equi-join for when AQE can't help: AQE splits a
+    * skewed partition only at runtime under its size thresholds;
+    * when one key is pathologically hot on the BIG side, salting
+    * fixes the layout by construction. Each big-side row gets a
+    * deterministic salt in [0, salts) from `saltByCols`; the small
+    * side is REPLICATED once per salt value (explode over a
+    * `sequence` literal — rows × salts, so keep `small` genuinely
+    * small); the join key becomes (key, salt) and the hot key's rows
+    * spread over `salts` tasks. Result is row-identical to
+    * `big.join(small, keyCol)`.
+    *
+    * The same determinism rule as [[saltedSumCount]] applies to
+    * `saltByCols` — task retries must re-derive the same salt.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keyCol: String,
+      salts: Int, saltByCols: Seq[String]): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    require(saltByCols.nonEmpty, "need stable columns to derive the salt")
+    val b = big.withColumn("_salt",
+      pmod(hash(saltByCols.map(col): _*), lit(salts)))
+    val s = small.withColumn("_salt",
+      explode(expr(s"sequence(0, ${salts - 1})")))
+    b.join(s, Seq(keyCol, "_salt")).drop("_salt")
+  }
 }

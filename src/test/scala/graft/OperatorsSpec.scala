@@ -41,6 +41,21 @@ class OperatorsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("salted join equals the plain join on a hot key") {
+    // 400 of 403 big-side rows share one key — the skew shape.
+    val big = ((1 to 400).map(i => ("hot", i.toLong)) ++
+      Seq(("a", 401L), ("b", 402L), ("c", 403L))).toDF("k", "id")
+      .repartition(5)
+    val small = Seq(("hot", "H"), ("a", "A"), ("x", "X")).toDF("k", "tag")
+    val got = SkewTools.saltedJoin(big, small, "k", salts = 8,
+      saltByCols = Seq("id"))
+      .select("k", "id", "tag").as[(String, Long, String)].collect()
+    val want = big.join(small, Seq("k"))
+      .select("k", "id", "tag").as[(String, Long, String)].collect()
+    assert(got.sorted.toSeq == want.sorted.toSeq)
+    assert(got.length == 401) // 400 hot matches + ("a",401,"A")
+  }
+
   test("embed near-dup LSH finds the planted near-parallel pair only") {
     val base = (1 to 8).map(_.toDouble)
     val near = base.zipWithIndex.map { case (x, i) => x * (1 + i * 1e-4) }
