@@ -20,15 +20,26 @@ object TextHash {
   /** Modulus for all polynomial hashes. */
   val P = 1000000007L
 
-  /** Knuth multiplicative constant for SimHash bit derivation. */
+  /** Knuth multiplicative constants for SimHash bit derivation: the
+    * fingerprint's low 32 bits mix with `SimMult`, the high 32 with
+    * `SimMult2` — both products stay < 2^62 for token hashes < P, so
+    * the derivation is exact signed-64-bit on every engine (a single
+    * 64-bit multiplier would overflow and wrap engine-dependently).
+    */
   val SimMult = 2654435761L
+  val SimMult2 = 2246822519L
+  val Mod32 = 4294967296L // 2^32
 
   /** SimHash width (bits) and its band layout for the pigeonhole
     * pair-generation join: ham ≤ `SimBands - 1` ⇒ the pair agrees
-    * exactly on ≥ 1 of the `SimBands` bit-bands.
+    * exactly on ≥ 1 of the `SimBands` bit-bands. 64 bits in 4 bands
+    * of 16 give 65,536 bucket values per band, so band buckets keep
+    * pruning at corpus scale (the earlier 30-bit / 10-bit-band layout
+    * had only 1,024 values per band — each bucket held ~n/1024 docs
+    * and the band self-join degenerated at billions of documents).
     */
-  val SimBits = 30
-  val SimBands = 3
+  val SimBits = 64
+  val SimBands = 4
   val SimBandBits: Int = SimBits / SimBands
 
   /** MinHash: 16 permutations h_j(x) = (A(j)·x + B(j)) mod P, banded
@@ -47,6 +58,22 @@ object TextHash {
   val NumPerms: Int = PermA.size
   val Bands = 4
   val RowsPerBand: Int = NumPerms / Bands
+
+  /** Random-hyperplane LSH for embeddings: 64 sign-of-dot planes in
+    * 8 bands of 8 bits — 256 bucket values per band (the earlier
+    * 16-plane / 4-bit-band layout had 16, so each band bucket held
+    * ~n/16 of the corpus and the candidate self-join degenerated
+    * toward O(n²/16) at scale). Plane p's ±1 pattern derives from
+    * (PermA, PermB) parity with a per-16-plane-block offset, so all
+    * 64 plane constants come from the same 16 published pairs.
+    */
+  val EmbedPlanes = 64
+  val EmbedBands = 8
+  val EmbedBandBits: Int = EmbedPlanes / EmbedBands
+  private val EmbedBlockOffset = 536870923L
+  def embedPlaneA(p: Int): Long = PermA(p % NumPerms)
+  def embedPlaneB(p: Int): Long =
+    (PermB(p % NumPerms) + (p / NumPerms) * EmbedBlockOffset) % P
 
   // ---------------------------------------------------------------
   // Spark SQL expression-string builders (for functions.expr)
@@ -96,13 +123,18 @@ object TextHash {
       s"(((($mh[b*$RowsPerBand] * 31 + $mh[b*$RowsPerBand+1]) % $P) * 31 " +
       s"+ $mh[b*$RowsPerBand+2]) * 31 + $mh[b*$RowsPerBand+3]) % $P)"
 
-  /** 30-bit SimHash fingerprint from a token-hash array column `th`
-    * (multiplicity-weighted bit votes; tie → 0 bit).
+  /** 64-bit SimHash fingerprint from a token-hash array column `th`
+    * (multiplicity-weighted bit votes; tie → 0 bit). Bits 0-31 come
+    * from (t·SimMult) mod 2³², bits 32-63 from (t·SimMult2) mod 2³².
+    * Bit 63 makes the fingerprint negative as a signed long — fine:
+    * both engines' shifts are arithmetic and band extraction masks,
+    * so the two's-complement bit pattern is all that matters.
     */
   def sparkSimHash(th: String): String =
     s"aggregate(transform(sequence(0, ${SimBits - 1}), b -> " +
       s"CASE WHEN aggregate($th, CAST(0 AS BIGINT), (acc, t) -> acc + " +
-      s"CASE WHEN (shiftright((t * $SimMult) % ${1L << SimBits}, b) & 1) = 1 " +
+      s"CASE WHEN (shiftright(CASE WHEN b < 32 THEN (t * $SimMult) % $Mod32 " +
+      s"ELSE (t * $SimMult2) % $Mod32 END, b % 32) & 1) = 1 " +
       s"THEN 1 ELSE -1 END) > 0 THEN shiftleft(CAST(1 AS BIGINT), b) " +
       s"ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
 
@@ -164,13 +196,22 @@ object TextHash {
        |  FROM mh GROUP BY doc_id, band
        |)""".stripMargin
 
-  /** CTE producing (doc_id, f) 30-bit SimHash fingerprints. */
+  /** CTE producing (doc_id, f) 64-bit SimHash fingerprints. DuckDB
+    * raises on `1::BIGINT << 63`, so bit 63's value is the
+    * Long.MinValue literal; the partial sums of bits 0-62 stay below
+    * 2^63 and adding the negative bit-63 term lands back in range, so
+    * the fold reproduces the two's-complement pattern exactly.
+    */
   def duckSimHashCte: String =
     s"""bits AS (
        |  SELECT doc_id, b,
-       |    CASE WHEN sum(CASE WHEN ((th * $SimMult) % ${1L << SimBits} >> b) & 1 = 1
+       |    CASE WHEN sum(CASE WHEN ((CASE WHEN b < 32
+       |                    THEN (th * $SimMult) % $Mod32
+       |                    ELSE (th * $SimMult2) % $Mod32 END) >> (b % 32)) & 1 = 1
        |                       THEN 1 ELSE -1 END) > 0
-       |         THEN (CAST(1 AS BIGINT) << b) ELSE 0 END AS bitval
+       |         THEN CASE WHEN b = 63 THEN CAST(${Long.MinValue} AS BIGINT)
+       |              ELSE (CAST(1 AS BIGINT) << b) END
+       |         ELSE 0 END AS bitval
        |  FROM (SELECT doc_id, unnest(th) AS th FROM toks),
        |       unnest(range(0, $SimBits)) AS u(b)
        |  GROUP BY doc_id, b
@@ -195,16 +236,18 @@ object TextHash {
       s"(sqrt(${fold(s"$a[i] * $a[i]")}) * sqrt(${fold(s"$b[i] * $b[i]")})))"
   }
 
-  /** DuckDB twin of TextHashKernels.embedSimHash: 16-bit sign-of-dot
+  /** DuckDB twin of TextHashKernels.embedSimHash: 64-bit sign-of-dot
     * signature over the deterministic ±1 hyperplanes derived from
     * (PermA, PermB) parity — same left-to-right double fold, so the
     * signature (and therefore every LSH band) matches Spark
-    * bit-for-bit.
+    * bit-for-bit. Bit 63's value interpolates as the Long.MinValue
+    * literal (DuckDB has no 1<<63); it is added LAST, so every
+    * partial sum stays in signed-64 range.
     */
   def duckEmbedSimHash(e: String, dims: Int): String = {
-    val bits = (0 until NumPerms).map { p =>
-      val a = PermA(p)
-      val b = PermB(p)
+    val bits = (0 until EmbedPlanes).map { p =>
+      val a = embedPlaneA(p)
+      val b = embedPlaneB(p)
       val dot = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
         s"list_transform(range(1, ${dims + 1}), i -> " +
         s"(CASE WHEN (($a * i + $b) % $P) % 2 = 0 " +

@@ -28,7 +28,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextHashKernels {
 
-  import TextHash.{P, SimMult, SimBits, PermA, PermB, NumPerms, Bands, RowsPerBand}
+  import TextHash.{P, SimMult, SimMult2, Mod32, SimBits, PermA, PermB,
+    NumPerms, Bands, RowsPerBand, EmbedPlanes, embedPlaneA, embedPlaneB}
 
   /** Polynomial char hash per token: fold (h·31 + codepoint) mod P. */
   def tokenHashes(tokens: ArrayData): ArrayData = {
@@ -110,17 +111,22 @@ object TextHashKernels {
     new GenericArrayData(out)
   }
 
-  /** 30-bit SimHash over token hashes (multiplicity-weighted). */
+  /** 64-bit SimHash over token hashes (multiplicity-weighted): bits
+    * 0-31 vote on (t·SimMult) mod 2³², bits 32-63 on (t·SimMult2)
+    * mod 2³² — both products exact in signed 64-bit.
+    */
   def simHash(th: ArrayData): Long = {
     val votes = new Array[Long](SimBits)
     val n = th.numElements()
-    val mask = (1L << SimBits) - 1
     var i = 0
     while (i < n) {
-      val m = (th.getLong(i) * SimMult) % (mask + 1)
+      val h = th.getLong(i)
+      val m1 = (h * SimMult) % Mod32
+      val m2 = (h * SimMult2) % Mod32
       var b = 0
-      while (b < SimBits) {
-        if (((m >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+      while (b < 32) {
+        if (((m1 >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        if (((m2 >> b) & 1L) == 1L) votes(b + 32) += 1 else votes(b + 32) -= 1
         b += 1
       }
       i += 1
@@ -134,20 +140,20 @@ object TextHashKernels {
     f
   }
 
-  /** 16-bit sign-of-dot signature of an embedding over deterministic
+  /** 64-bit sign-of-dot signature of an embedding over deterministic
     * ±1 hyperplanes (random-hyperplane LSH for cosine): bit p is set
     * iff Σ_d sign(p,d)·emb[d] ≥ 0, with
-    * sign(p,d) = +1 iff ((PermA(p)·(d+1) + PermB(p)) mod P) even.
-    * Accumulation is left-to-right double — bit-identical to the
-    * DuckDB twin (TextHash.duckEmbedSimHash).
+    * sign(p,d) = +1 iff ((embedPlaneA(p)·(d+1) + embedPlaneB(p)) mod P)
+    * even. Accumulation is left-to-right double — bit-identical to
+    * the DuckDB twin (TextHash.duckEmbedSimHash).
     */
   def embedSimHash(emb: ArrayData): Long = {
     val n = emb.numElements()
     var sig = 0L
     var p = 0
-    while (p < NumPerms) {
-      val a = PermA(p)
-      val b = PermB(p)
+    while (p < EmbedPlanes) {
+      val a = embedPlaneA(p)
+      val b = embedPlaneB(p)
       var dot = 0.0
       var d = 0
       while (d < n) {

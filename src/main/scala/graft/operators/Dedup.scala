@@ -141,19 +141,20 @@ object Dedup {
     verifyJaccard(candidates, sets, minJaccard)
   }
 
-  /** (doc_id, f) 30-bit SimHash fingerprints. */
+  /** (doc_id, f) 64-bit SimHash fingerprints. */
   def simhashFingerprints(docs: DataFrame): DataFrame =
     tokenHashes(docs).select(col("doc_id"), simhash(col("th")).as("f"))
 
   /** Near-dup pairs with SimHash Hamming distance ≤ `maxHamming`.
     *
     * Pair generation uses the pigeonhole band join, not a cross
-    * join: the 30 bits split into 3 bands of 10; any pair within
-    * Hamming ≤ 2 must agree exactly on ≥ 1 band, so candidates come
-    * from a co-partitioned equi-join on (band, band_bits) and the
-    * full fingerprint comparison runs only on those. Identical
+    * join: the 64 bits split into 4 bands of 16 (65,536 bucket values
+    * per band, so buckets keep pruning at corpus scale); any pair
+    * within Hamming ≤ 3 must agree exactly on ≥ 1 band, so candidates
+    * come from a co-partitioned equi-join on (band, band_bits) and
+    * the full fingerprint comparison runs only on those. Identical
     * result to the brute-force O(n²) scan, but shuffle-joinable at
-    * corpus scale. Requires maxHamming < SimBands (= 3).
+    * corpus scale. Requires maxHamming < SimBands (= 4).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming < TextHash.SimBands,

@@ -54,23 +54,28 @@ object Similarity {
   /** Embedding-cosine near-dup pairs via random-hyperplane LSH: the
     * label-free dedup path (e2 needs given cluster labels; this
     * derives its own buckets from the vectors). Each row gets a
-    * 16-bit sign-of-dot signature over deterministic ±1 hyperplanes
-    * (compiled kernel, codegen'd); the signature splits into 4 bands
-    * of 4 bits and candidates come from the co-partitioned band
-    * bucket join — near-parallel vectors agree on (almost) all sign
-    * bits, so they collide in every band, while the O(n²) cross
-    * space never materializes. Candidates are then verified with
-    * exact codegen'd cosine ≥ `minCos`.
+    * 64-bit sign-of-dot signature over deterministic ±1 hyperplanes
+    * (compiled kernel, codegen'd); the signature splits into 8 bands
+    * of 8 bits — 256 bucket values per band, so buckets stay
+    * selective at corpus scale — and candidates come from the
+    * co-partitioned band bucket join: near-parallel vectors agree on
+    * (almost) all sign bits, so they collide in some band, while the
+    * O(n²) cross space never materializes. Candidates are then
+    * verified with exact codegen'd cosine ≥ `minCos`.
     *
     * @param emb (vec_id, embedding array<double>)
     */
   def embedNearDupPairs(emb: DataFrame, minCos: Double): DataFrame = {
+    val bands = graft.functions.TextHash.EmbedBands
+    val w = graft.functions.TextHash.EmbedBandBits
+    val mask = (1L << w) - 1
     val sig = emb.select(col("vec_id"), col("embedding"),
       embed_simhash(col("embedding")).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select(col("vec_id"),
       posexplode(expr(
-        "transform(sequence(0, 3), b -> shiftright(sig, b * 4) & 15)"))
+        s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> shiftright(sig, b * $w) & $mask)"))
         .as(Seq("band", "bits")))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&

@@ -237,8 +237,11 @@ object PipelineQueries {
               |  FROM corpus
               |),
               |banded AS MATERIALIZED (
-              |  SELECT vec_id, b.band, (sig >> (b.band * 4)) & 15 AS bits
-              |  FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
+              |  SELECT vec_id, b.band,
+              |    (sig >> (b.band * ${TextHash.EmbedBandBits}))
+              |      & ${(1L << TextHash.EmbedBandBits) - 1} AS bits
+              |  FROM sigs,
+              |    (SELECT unnest(range(0, ${TextHash.EmbedBands})) AS band) b
               |),
               |cand AS MATERIALIZED (
               |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb

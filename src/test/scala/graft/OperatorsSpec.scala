@@ -16,14 +16,14 @@ class OperatorsSpec extends SparkSpec {
 
   test("embed_simhash: scale-invariant; negation complements the bits") {
     // Power-of-two components: no ±1-weighted dot can be exactly 0,
-    // so sign bits are well-defined and -v must complement all 16.
+    // so sign bits are well-defined and -v must complement all 64.
     val v = Seq(1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 64.0, 128.0)
     val sigs = Seq((1L, v), (2L, v.map(_ * 2.0)), (3L, v.map(-_)))
       .toDF("vec_id", "embedding")
       .select(col("vec_id"), embed_simhash(col("embedding")))
       .as[(Long, Long)].collect().toMap
     assert(sigs(1L) == sigs(2L))
-    assert(sigs(3L) == (~sigs(1L) & 0xFFFFL))
+    assert(sigs(3L) == ~sigs(1L))
   }
 
   test("salted aggregation equals direct groupBy on skewed keys") {

@@ -38,7 +38,7 @@ class TextHashSpec extends SparkSpec {
     assert(mh.forall(m => m >= 0 && m < TextHash.P))
   }
 
-  test("simhash is a 30-bit value, identical for identical text") {
+  test("simhash is a 64-bit value, identical for identical text") {
     val df = Seq("alpha beta gamma", "alpha beta gamma", "delta eps zeta")
       .toDF("text")
       .select(expr(TextHash.sparkTokenHashes("text")).as("th"))
@@ -46,7 +46,9 @@ class TextHashSpec extends SparkSpec {
     val fs = df.as[Long].collect()
     assert(fs(0) == fs(1))
     assert(fs(0) != fs(2))
-    assert(fs.forall(f => f >= 0 && f < (1L << TextHash.SimBits)))
+    // High half must carry real bits (the widened fingerprint is not
+    // the old 30-bit value zero-extended).
+    assert(fs.exists(f => (f >>> 32) != 0L))
   }
 }
 
