@@ -111,6 +111,33 @@ object TextHashKernels {
     new GenericArrayData(out)
   }
 
+  /** Distinct n-gram hashes over a token-hash array (first-occurrence
+    * order): gram i = fold (h·31 + th[i+j]) mod P over j < n — the
+    * 3-gram [[shingleSet]] generalized to any width (decontamination
+    * probes use 8). Fewer than n tokens ⇒ empty array.
+    */
+  def ngramHashes(th: ArrayData, n: Int): ArrayData = {
+    val m = th.numElements()
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i <= m - n) {
+      var h = 0L
+      var j = 0
+      while (j < n) {
+        h = (h * 31 + th.getLong(i + j)) % P
+        j += 1
+      }
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash over token hashes (multiplicity-weighted): bits
     * 0-31 vote on (t·SimMult) mod 2³², bits 32-63 on (t·SimMult2)
     * mod 2³² — both products exact in signed 64-bit.
@@ -222,6 +249,19 @@ case class ShingleSetExpr(child: Expression) extends KernelArrayExpression {
     copy(child = c)
 }
 
+case class NGramHashesExpr(child: Expression, n: Int)
+    extends KernelArrayExpression {
+  override protected def kernelName: String = "ngramHashes"
+  override protected def inputElemType: DataType = LongType
+  override protected def kernel(a: ArrayData): ArrayData =
+    TextHashKernels.ngramHashes(a, n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashKernels.ngramHashes($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 case class MinHashSigExpr(child: Expression) extends KernelArrayExpression {
   override protected def kernelName: String = "minHashSig"
   override protected def inputElemType: DataType = LongType
@@ -295,6 +335,7 @@ object TextHashExprs {
 
   def token_hashes(col: Column): Column = c(TokenHashesExpr(e(col)))
   def shingle_set(col: Column): Column = c(ShingleSetExpr(e(col)))
+  def ngram_hashes(col: Column, n: Int): Column = c(NGramHashesExpr(e(col), n))
   def minhash_sig(col: Column): Column = c(MinHashSigExpr(e(col)))
   def band_sigs(col: Column): Column = c(BandSigsExpr(e(col)))
   def simhash(col: Column): Column = c(SimHashExpr(e(col)))

@@ -44,10 +44,29 @@ object PageRank {
     *   scale. Turn on (e.g. every 20) only for deep/open-ended
     *   iteration counts where analysis time or failure-recovery depth
     *   would otherwise grow without bound.
+    * @param saltHotKeys when > 0, the per-iteration contribution
+    *   aggregation runs through [[graft.operators.SkewTools]]'s
+    *   two-stage salted sum instead of a plain groupBy(dst): a
+    *   pathological hub (one node receiving a large share of all
+    *   edges) otherwise lands its whole incoming sum on ONE reducer —
+    *   AQE splits skewed JOIN partitions, not skewed aggregation
+    *   keys. The salt derives from the contributing src (stable row
+    *   content, retry-safe), spreading the hub over `saltHotKeys`
+    *   reducers. Result-identical up to float summation order
+    *   (GraphSpec pins equality at 1e-12).
+    * @param redistributeDangling the reference drops rank flowing
+    *   into dangling pages (PageRank.java:527) and its (1-d) teleport
+    *   is un-normalized, so total mass is NOT conserved. `true`
+    *   switches to the mass-conserving textbook variant most users
+    *   mean by "PageRank": PR'(u) = (1-d)/N + d·(Σ pr/outdeg + DM/N)
+    *   where DM = Σ ranks of nodes with no outlinks. The dangling
+    *   mass is a one-row aggregate broadcast back into the update —
+    *   an O(1)-sized cross join, no driver round-trip.
     * @return DataFrame(node, rank) for every node appearing in edges.
     */
   def run(edges: DataFrame, iterations: Int = 10, damping: Double = 0.85,
-      checkpointEvery: Int = 0): DataFrame = {
+      checkpointEvery: Int = 0, saltHotKeys: Int = 0,
+      redistributeDangling: Boolean = false): DataFrame = {
     val e = edges.select("src", "dst").distinct()
 
     // Static across iterations: (src, dst, outdeg), co-partitioned and
@@ -68,19 +87,54 @@ object PageRank {
     // reference's phase-1 page count handed to phase 2 via job conf.
     val n = nodes.count()
 
+    // Static dangling flags (node has no outlinks) — only built when
+    // the conserving variant needs the per-iteration dangling mass.
+    val flagged = if (redistributeDangling) {
+      nodes.join(
+          outDeg.select(col("src").as("node"), lit(true).as("_has_out")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("_has_out"), lit(false)).as("_has_out"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    } else nodes // unused
+
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (i <- 1 to iterations) {
-      val contribs = linked
+      val contribRows = linked
         .join(ranks, linked("src") === ranks("node"))
-        .select(linked("dst").as("node"),
+        .select(linked("src").as("_sb"), linked("dst").as("node"),
           (col("rank") / col("outdeg")).as("contrib"))
-        .groupBy("node")
-        .agg(sum("contrib").as("incoming"))
-      ranks = nodes
-        .join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (lit(1.0 - damping) +
-            lit(damping) * coalesce(col("incoming"), lit(0.0))).as("rank"))
+      val contribs =
+        if (saltHotKeys > 0)
+          graft.operators.SkewTools
+            .saltedSumCount(contribRows, "node", "contrib",
+              salts = saltHotKeys, saltByCols = Seq("_sb"))
+            .select(col("node"), col("sum").as("incoming"))
+        else
+          contribRows.groupBy("node").agg(sum("contrib").as("incoming"))
+      ranks =
+        if (redistributeDangling) {
+          // One-row dangling-mass aggregate, broadcast into the update.
+          // This branch reads `ranks` TWICE (contributions + dangling
+          // mass), so the lazy plan would double per iteration; the
+          // eager checkpoint below cuts it to one iteration's depth —
+          // one small job per round, same cadence as the dm aggregate
+          // itself.
+          val dm = flagged.join(ranks, Seq("node"))
+            .filter(!col("_has_out"))
+            .agg(coalesce(sum("rank"), lit(0.0)).as("_dm"))
+          nodes.join(contribs, Seq("node"), "left")
+            .crossJoin(broadcast(dm))
+            .select(col("node"),
+              (lit(1.0 - damping) / n + lit(damping) *
+                (coalesce(col("incoming"), lit(0.0)) + col("_dm") / n))
+                .as("rank"))
+            .localCheckpoint(true)
+        } else {
+          nodes.join(contribs, Seq("node"), "left")
+            .select(col("node"),
+              (lit(1.0 - damping) +
+                lit(damping) * coalesce(col("incoming"), lit(0.0))).as("rank"))
+        }
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iterations) {
         ranks = ranks.localCheckpoint(true)
       }

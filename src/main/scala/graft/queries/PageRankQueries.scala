@@ -99,6 +99,53 @@ object PageRankQueries {
       |""".stripMargin + steps
   }
 
+  /** DuckDB CTEs for the mass-CONSERVING chain over the word graph
+    * plus planted dangling sinks (every src word of length % 3 == 0
+    * links to a '#sink' node with no outlinks). Mirrors
+    * graft.graph.PageRank.run(redistributeDangling = true):
+    * PR' = (1-d)/N + d·(Σ pr/outdeg + DM/N), DM = Σ dangling ranks.
+    */
+  private def conservingRankCtes(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""d$i AS (
+         |  SELECT coalesce(sum(r.rank), CAST(0 AS DOUBLE)) AS dm
+         |  FROM r${i - 1} r WHERE r.node NOT IN (SELECT src FROM e2)
+         |),
+         |r$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |    CAST(0.15 AS DOUBLE) / (SELECT count(*) FROM nodes) +
+         |    CAST(0.85 AS DOUBLE) *
+         |      (coalesce(sum(p.rank / ed.outdeg), CAST(0 AS DOUBLE))
+         |       + (SELECT dm FROM d$i) / (SELECT count(*) FROM nodes))
+         |      AS rank
+         |  FROM nodes n
+         |  LEFT JOIN ed ON ed.dst = n.node
+         |  LEFT JOIN r${i - 1} p ON p.node = ed.src
+         |  GROUP BY n.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""$edgeCtes,
+       |e2 AS MATERIALIZED (
+       |  SELECT src, dst FROM e
+       |  UNION ALL
+       |  SELECT DISTINCT src, src || '#sink' AS dst FROM e
+       |  WHERE length(src) % 3 = 0
+       |),
+       |deg AS (SELECT src, count(*) AS outdeg FROM e2 GROUP BY src),
+       |ed AS MATERIALIZED (
+       |  SELECT e2.src, e2.dst, deg.outdeg FROM e2 JOIN deg USING (src)
+       |),
+       |nodes AS MATERIALIZED (
+       |  SELECT src AS node FROM e2 UNION SELECT dst FROM e2
+       |),
+       |r0 AS (
+       |  SELECT node,
+       |         CAST(1.0 AS DOUBLE) / (SELECT count(*) FROM nodes) AS rank
+       |  FROM nodes
+       |),
+       |$steps""".stripMargin
+  }
+
   /** DuckDB CTEs for the PERSONALIZED chain: teleport mass lands on
     * `srcList` (SQL IN-list) instead of uniformly. Mirrors
     * graft.graph.PageRank.runPersonalized.
@@ -214,6 +261,29 @@ object PageRankQueries {
       Some(s"""WITH ${weightedRankCtes(10)}
               |SELECT node, round(rank, 6) AS rank FROM r10
               |ORDER BY node""".stripMargin)),
+
+    // Mass-conserving variant of phase 3: the textbook PageRank most
+    // users mean — normalized teleport, dangling rank redistributed
+    // uniformly instead of leaking (the reference's drop semantics
+    // stay the default). The word graph has no natural dangling
+    // nodes, so deterministic '#sink' targets are planted on both
+    // sides to give the redistribution real mass to move.
+    Q("pr_ranks_conserving",
+      (s, d) => {
+        val base = LinkGraph.wordFollowEdges(Tables.documents(s, d), "text")
+        val sinks = base.select(col("src")).distinct()
+          .filter(length(col("src")) % 3 === 0)
+          .select(col("src"), concat(col("src"), lit("#sink")).as("dst"))
+        PageRank.run(base.union(sinks), iterations = 10, damping = 0.85,
+            redistributeDangling = true)
+          .select(col("node"), floor(col("rank") * 1000000 + 0.5)
+            .cast("long").as("rank_e6"))
+          .orderBy("node")
+      },
+      Some(s"""WITH ${conservingRankCtes(10)}
+              |SELECT node,
+              |  CAST(floor(rank * 1000000 + 0.5) AS BIGINT) AS rank_e6
+              |FROM r10 ORDER BY node""".stripMargin)),
 
     // Personalized generalization of phase 3: teleport mass lands on
     // a two-word source set, ranking every word by proximity to it —

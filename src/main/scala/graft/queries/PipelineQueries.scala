@@ -6,7 +6,7 @@ import graft.{Q, Tables}
 import graft.functions.TextHash
 import graft.graph.ConnectedComponents
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, PiiScrub, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Decontaminate, Dedup, PiiScrub, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline surface (SURVEY.md §2 block D): dedup
   * family, text analysis, similarity search, multimodal plumbing.
@@ -639,10 +639,17 @@ object PipelineQueries {
     // Benchmark decontamination: find every corpus document containing
     // any probe n-gram (8 canonical-whitespace tokens drawn from
     // benchmark docs — here every 50th doc stands in for "the eval
-    // set"). The probe table is query-sized and BROADCAST; matching is
-    // a map-side substring scan over each document — the shape a
-    // multi-pattern matcher (Aho-Corasick) drops into. The re-keyed
-    // duplicate corpus (as in d1) provides true contaminated docs.
+    // set") as a run of whole tokens. graft.operators.Decontaminate:
+    // documents explode to distinct token-8-gram HASHES, probes reduce
+    // to one hash each, candidates come from the hash EQUI-join
+    // (shuffle keyed on the gram hash — never the O(docs × probes)
+    // broadcast nested-loop substring scan), and one aligned-substring
+    // check verifies collisions exactly. The oracle states the
+    // SEMANTICS directly (token-aligned containment via space-padded
+    // strpos): a probe aligned in a doc always collides on its gram
+    // hash, so the Spark candidate pruning is invisible to results.
+    // The re-keyed duplicate corpus (as in d1) provides true
+    // contaminated docs.
     Q("d15_decontaminate",
       (s, d) => {
         val docs = Tables.documents(s, d).select("doc_id", "text")
@@ -657,10 +664,7 @@ object PipelineQueries {
           .select(col("doc_id").as("probe_src"),
             expr("array_join(slice(split(norm, ' '), 3, 8), ' ')")
               .as("probe"))
-        corpus.join(broadcast(probes),
-            instr(col("norm"), col("probe")) > 0 &&
-              col("doc_id") =!= col("probe_src"))
-          .select(col("doc_id"), col("probe_src"))
+        Decontaminate.matches(corpus, probes, n = 8)
           .orderBy("doc_id", "probe_src")
       },
       Some(raw"""WITH corpus0 AS (
@@ -684,7 +688,8 @@ object PipelineQueries {
               |)
               |SELECT c.doc_id, p.probe_src
               |FROM corpus c JOIN probes p
-              |  ON strpos(c.norm, p.probe) > 0 AND c.doc_id <> p.probe_src
+              |  ON strpos(' ' || c.norm || ' ', ' ' || p.probe || ' ') > 0
+              | AND c.doc_id <> p.probe_src
               |ORDER BY 1, 2""".stripMargin)),
 
     // Deterministic stratified sampling — downsample over-represented

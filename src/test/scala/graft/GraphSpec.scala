@@ -91,6 +91,41 @@ class GraphSpec extends SparkSpec {
       (1.0 - 0.5 * math.pow(0.85, iters))) < 1e-9)
   }
 
+  test("saltHotKeys: salted contribution aggregation matches unsalted") {
+    // 50:1 in-degree hub — the aggregation-skew shape saltHotKeys
+    // exists for. Salting only changes float summation order, so the
+    // two runs agree to ~1 ulp per iteration.
+    val edges = ((1 to 50).map(i => (s"n$i", "hub")) ++
+      (1 to 50).map(i => ("hub", s"n$i"))).toDF("src", "dst")
+    val plain = PageRank.run(edges, iterations = 5)
+      .as[(String, Double)].collect().toMap
+    val salted = PageRank.run(edges, iterations = 5, saltHotKeys = 8)
+      .as[(String, Double)].collect().toMap
+    assert(plain.keySet == salted.keySet)
+    for (k <- plain.keys)
+      assert(math.abs(plain(k) - salted(k)) < 1e-12, s"node $k")
+  }
+
+  test("redistributeDangling: conserving recurrence exact, mass sums to 1") {
+    // a -> b with b dangling: under reference semantics b's outflow
+    // leaks; conserving redistributes it uniformly and normalizes the
+    // teleport, so total mass stays exactly 1 every iteration.
+    val edges = Seq(("a", "b")).toDF("src", "dst")
+    val ranks = PageRank.run(edges, iterations = 10,
+      redistributeDangling = true).as[(String, Double)].collect().toMap
+    var (ra, rb) = (0.5, 0.5)
+    for (_ <- 1 to 10) {
+      val dm = rb // b is the dangling node
+      val t = (1.0 - 0.85) / 2
+      val na = t + 0.85 * (0.0 + dm / 2)
+      val nb = t + 0.85 * (ra / 1 + dm / 2)
+      ra = na; rb = nb
+    }
+    assert(math.abs(ranks("a") - ra) < 1e-12)
+    assert(math.abs(ranks("b") - rb) < 1e-12)
+    assert(math.abs(ranks("a") + ranks("b") - 1.0) < 1e-12)
+  }
+
   test("dangling node receives rank but leaks its own (reference semantics)") {
     // a -> b, b has no outlinks: b's rank grows from a only; a gets
     // only the teleport term.

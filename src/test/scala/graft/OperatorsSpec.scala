@@ -67,6 +67,22 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Set((1L, 2L)))
   }
 
+  test("decontaminate matches whole-token runs only, skips self-matches") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta eps zeta eta theta iota"), // probe src
+      (2L, "x alpha beta gamma delta eps zeta eta theta y"),  // aligned hit
+      (3L, "xalpha beta gamma delta eps zeta eta theta"), // mid-token: miss
+      (4L, "alpha beta gamma delta eps zeta eta"),        // 7 tokens: miss
+      (5L, "completely unrelated words here and more of them too"))
+      .toDF("doc_id", "norm")
+    val probes = Seq(
+      (1L, "alpha beta gamma delta eps zeta eta theta")).toDF(
+      "probe_src", "probe")
+    val got = operators.Decontaminate.matches(corpus, probes, n = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((2L, 1L)))
+  }
+
   test("sessionize splits on gaps > threshold") {
     val events = Seq(
       (1L, ts(0)), (1L, ts(10)), (1L, ts(50)), // gap 40 min -> new session

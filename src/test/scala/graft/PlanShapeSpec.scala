@@ -48,6 +48,32 @@ class PlanShapeSpec extends SparkSpec {
       "q2 reads more columns than the projection needs")
   }
 
+  test("as-of join never materializes pairs: union+window, no join op") {
+    // The range-join encoding (r.ts <= l.ts + window over pairs) would
+    // reintroduce a Join operator carrying every (left, earlier-right)
+    // pair; the sort-merge union+window shape has NO join at all.
+    val p = plan("q21_asof_join")
+    assert(!p.contains("Join"),
+      s"q21 regressed from the union+window as-of encoding to a pair join\n$p")
+    assert(p.contains("Window"), "q21 lost the last-non-null window")
+  }
+
+  test("range join stays a hash equi-join on the bin key") {
+    val p = plan("q24_range_join")
+    assert(p.contains("HashJoin"),
+      s"q24's interval join must equi-join on (key, bin)\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"q24 regressed to a nested-loop interval scan\n$p")
+  }
+
+  test("decontamination is a hash equi-join, not a nested-loop scan") {
+    val p = plan("d15_decontaminate")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"d15 regressed to an O(docs × probes) pair scan\n$p")
+  }
+
   test("top-k ordering never global-sorts: TakeOrderedAndProject") {
     val p = plan("pr_top20")
     assert(p.contains("TakeOrderedAndProject"),
