@@ -6,7 +6,7 @@ import graft.{Q, Tables}
 import graft.functions.TextHash
 import graft.graph.ConnectedComponents
 import graft.multimodal.Multimodal
-import graft.operators.{Decontaminate, Dedup, PiiScrub, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Decontaminate, Dedup, KMeans, PiiScrub, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline surface (SURVEY.md §2 block D): dedup
   * family, text analysis, similarity search, multimodal plumbing.
@@ -71,6 +71,54 @@ object PipelineQueries {
          |    FROM edges e JOIN l${i - 1} l ON l.id = e.src
          |  ) GROUP BY id)""".stripMargin
     }.mkString(",\n")
+
+  /** DuckDB CTEs mirroring graft.operators.KMeans: deterministic
+    * hash-picked seeds (cell 0..k-1 in (samplingHash, vec_id) order),
+    * then `iters` unrolled Lloyd rounds — assignment by
+    * (cosine DESC, cell ASC) row_number, update by per-(cell, dim)
+    * round(avg, 6). Produces `e`, `cent0..cent$iters` (vector form)
+    * and `c{i}d` (per-dim form). MATERIALIZED is load-bearing: each
+    * round reads the previous twice.
+    */
+  private def kmeansCtes(k: Int, iters: Int): String = {
+    val bucket =
+      s"${TextHash.duckDocFingerprint("CAST(vec_id AS VARCHAR)")} " +
+        s"* ${Sampling.Mixer} % ${Sampling.MixMod} % ${Sampling.Buckets}"
+    val steps = (1 to iters).map { i =>
+      s"""a$i AS MATERIALIZED (
+         |  SELECT vec_id, emb, cell FROM (
+         |    SELECT v.vec_id, v.emb, c.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${TextHash.duckCosine("v.emb", "c.cvec", 64)} DESC,
+         |                 c.cell) AS rn
+         |    FROM e v, cent${i - 1} c
+         |  ) WHERE rn = 1
+         |),
+         |c${i}d AS MATERIALIZED (
+         |  SELECT cell, i - 1 AS dim, round(avg(v), 6) AS centroid
+         |  FROM (SELECT cell, unnest(emb) AS v,
+         |          generate_subscripts(emb, 1) AS i FROM a$i)
+         |  GROUP BY cell, dim
+         |),
+         |cent$i AS MATERIALIZED (
+         |  SELECT cell, list(centroid ORDER BY dim) AS cvec
+         |  FROM c${i}d GROUP BY cell
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+       |),
+       |s0 AS MATERIALIZED (
+       |  SELECT vec_id, emb, $bucket AS b FROM e
+       |  ORDER BY b, vec_id LIMIT $k
+       |),
+       |cent0 AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY b, vec_id) - 1 AS cell,
+       |    emb AS cvec
+       |  FROM s0
+       |),
+       |$steps""".stripMargin
+  }
 
   def all: Seq[Q] = Seq(
 
@@ -739,6 +787,93 @@ object PipelineQueries {
               |SELECT vec_id, rank, nbr_id, round(sim, 6) AS sim
               |FROM r WHERE rank <= 3
               |ORDER BY vec_id, rank""".stripMargin)),
+
+    // The IVF TRAINER: spherical k-means over the raw vectors —
+    // deterministic hash seeds, 3 Lloyd rounds (assignment =
+    // broadcast-centroid argmax, zero corpus shuffle; update =
+    // one partial-aggregated exchange). This is what lets the whole
+    // e-series run label-free: e2-e6 consumed the generator's
+    // ground-truth labels; e7 learns cells any real corpus can have.
+    Q("e7_kmeans_train",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d).select(col("vec_id"),
+          expr("transform(embedding, v -> cast(v as double))")
+            .as("embedding"))
+        KMeans.train(emb, k = 8, iters = 3)
+          .select(col("cell"),
+            posexplode(col("cvec")).as(Seq("dim", "centroid")))
+          .select(col("cell"), col("dim").cast("long").as("dim"),
+            col("centroid"))
+          .orderBy("cell", "dim")
+      },
+      Some(s"""WITH ${kmeansCtes(8, 3)}
+              |SELECT cell, CAST(dim AS BIGINT) AS dim, centroid
+              |FROM c3d ORDER BY cell, dim""".stripMargin)),
+
+    // LEARNED cells end-to-end: assign every vector to its trained
+    // k-means cell, then run the e4 probe path (nearest-centroid
+    // assignment, top-5 inside that cell only) over those learned
+    // cells — the full label-free IVF search stack. The probe's
+    // centroid table is the per-cell mean of the FINAL assignment
+    // (one more Lloyd update — what ivfProbeTopK computes from any
+    // cell column), mirrored as a4/cent4 in the oracle.
+    Q("e8_ann_learned",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d).select(col("vec_id"),
+          expr("transform(embedding, v -> cast(v as double))")
+            .as("embedding"))
+        val cent = KMeans.train(emb, k = 8, iters = 3)
+        val withCell = emb.join(KMeans.assign(emb, cent), "vec_id")
+        Similarity.ivfProbeTopK(withCell,
+            emb.filter(col("vec_id") < 10), "cell", k = 5)
+          .select(col("query_id"), col("label").cast("long").as("cell"),
+            col("rank").cast("long").as("rank"), col("cand_id"), col("sim"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH ${kmeansCtes(8, 3)},
+              |a4 AS MATERIALIZED (
+              |  SELECT vec_id, emb, cell FROM (
+              |    SELECT v.vec_id, v.emb, c.cell,
+              |      row_number() OVER (PARTITION BY v.vec_id
+              |        ORDER BY ${TextHash.duckCosine("v.emb", "c.cvec", 64)} DESC,
+              |                 c.cell) AS rn
+              |    FROM e v, cent3 c
+              |  ) WHERE rn = 1
+              |),
+              |cent4 AS MATERIALIZED (
+              |  SELECT cell, list(centroid ORDER BY dim) AS cvec FROM (
+              |    SELECT cell, i - 1 AS dim, round(avg(v), 6) AS centroid
+              |    FROM (SELECT cell, unnest(emb) AS v,
+              |            generate_subscripts(emb, 1) AS i FROM a4)
+              |    GROUP BY cell, dim
+              |  ) GROUP BY cell
+              |),
+              |q AS (SELECT vec_id AS query_id, emb AS qe FROM e
+              |      WHERE vec_id < 10),
+              |ass AS (
+              |  SELECT query_id, qe, cell FROM (
+              |    SELECT q.query_id, q.qe, c.cell,
+              |      row_number() OVER (PARTITION BY q.query_id
+              |        ORDER BY ${TextHash.duckCosine("q.qe", "c.cvec", 64)} DESC,
+              |                 c.cell) AS rn
+              |    FROM q, cent4 c
+              |  ) WHERE rn = 1
+              |),
+              |probe AS (
+              |  SELECT a.query_id, a.cell, v.vec_id AS cand_id,
+              |    ${TextHash.duckCosine("a.qe", "v.emb", 64)} AS sim
+              |  FROM ass a JOIN a4 v
+              |    ON v.cell = a.cell AND v.vec_id <> a.query_id
+              |),
+              |r AS (
+              |  SELECT query_id, cell, cand_id, sim,
+              |    row_number() OVER (
+              |      PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+              |  FROM probe
+              |)
+              |SELECT query_id, cell, rank, cand_id, round(sim, 6) AS sim
+              |FROM r WHERE rank <= 5
+              |ORDER BY query_id, rank""".stripMargin)),
 
     // Multimodal plumbing: binary payload + typed metadata through
     // per-partition batch feature extraction (decode deterministically

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.CosineSimilarity.cosine_sim
 import graft.functions.TextHashExprs.embed_simhash
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, PiiScrub, Sampling, Sessionize, Similarity, SkewTools, TextAnalysis}
+import graft.operators.{Dedup, KMeans, PiiScrub, Sampling, Sessionize, Similarity, SkewTools, TextAnalysis}
 
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
@@ -171,6 +171,44 @@ class OperatorsSpec extends SparkSpec {
     val got = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), 2)
       .select("rank", "cand_id").as[(Int, Long)].collect().toSeq.sorted
     assert(got == Seq((1, 3L), (2, 1L))) // exact match first, then closest
+  }
+
+  test("kmeans separates planted clusters; assignment is true argmax") {
+    // Two tight cones around orthogonal axes, small last-dim jitter.
+    def mk(base: Seq[Double], i: Int) =
+      base.updated(3, 0.01 * (i % 5 + 1))
+    val a = Seq(1.0, 0.0, 0.0, 0.0)
+    val b = Seq(0.0, 1.0, 0.0, 0.0)
+    val rows = (0 until 10).map(i => (i.toLong, mk(a, i))) ++
+      (10 until 20).map(i => (i.toLong, mk(b, i)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val cent = KMeans.train(emb, k = 2, iters = 3)
+    val cvecs = cent.as[(Long, Seq[Double])].collect().toMap
+    assert(cvecs.size == 2)
+    val assigned = KMeans.assign(emb, cent)
+      .as[(Long, Long)].collect().toMap
+    // Assignment must be the exact cosine argmax against the learned
+    // centroids (tie -> lowest cell), independent of partitioning.
+    def cos(x: Seq[Double], y: Seq[Double]) = {
+      val d = x.zip(y).map { case (p, q) => p * q }.sum
+      d / (math.sqrt(x.map(p => p * p).sum) * math.sqrt(y.map(q => q * q).sum))
+    }
+    for ((id, v) <- rows) {
+      val best = cvecs.toSeq
+        .map { case (c, cv) => (cos(v, cv), c) }
+        .sortBy { case (s, c) => (-s, c) }.head._2
+      assert(assigned(id) == best, s"vec $id")
+    }
+    // The planted structure is linearly separable and k-means with 2
+    // cells lands on it: each cone is one cell.
+    assert((0L until 10L).map(assigned).toSet.size == 1)
+    assert((10L until 20L).map(assigned).toSet.size == 1)
+    assert(assigned(0L) != assigned(10L))
+    // Determinism across partitionings.
+    val again = KMeans.assign(emb.repartition(7),
+      KMeans.train(emb.repartition(5), k = 2, iters = 3))
+      .as[(Long, Long)].collect().toMap
+    assert(again == assigned)
   }
 
   test("centroids average each dimension per cluster") {
