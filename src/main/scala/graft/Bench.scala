@@ -13,7 +13,13 @@ object Bench {
 
   val headline: Seq[String] = Seq(
     "pr_ranks", "q1_agg", "q3_topk_join", "q18_sessionize",
-    "d3_minhash_lsh", "e1_ann_topk")
+    "d3_minhash_lsh", "e1_ann_topk",
+    // One representative per newer family, so regressions in the
+    // round-3/4/5 operators are visible to the gate (BASELINE.md
+    // carries their round-5 medians): bulk kNN graph, hyperplane-LSH
+    // embedding dedup, sort-merge as-of join, the full reference
+    // pipeline with exact page semantics.
+    "e6_knn_graph", "d10_embed_dedup", "q21_asof_join", "pr_wiki_ranks")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -36,7 +42,13 @@ object Bench {
     val results = headline.map { name =>
       val secs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, sfDir).count()
+        // toRdd, not count(): under a bare count() Catalyst prunes
+        // every computed column — and with distinct-key propagation
+        // the rank queries' joins-against-aggregates get ELIMINATED,
+        // so count() was timing a node-list scan, not 10 PageRank
+        // iterations. toRdd materializes every output column: the
+        // honest cost of producing the query's actual result.
+        SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9
       }
       System.err.println(
