@@ -141,6 +141,44 @@ object Dedup {
     verifyJaccard(candidates, sets, minJaccard)
   }
 
+  /** Line-level corpus dedup (the C4/boilerplate-removal step): drop
+    * every line whose normalized form appears in MORE than
+    * `maxLineDocFreq` distinct documents (navigation chrome, cookie
+    * banners, license footers), keep the rest, and reassemble each
+    * document in original line order. Documents whose every line is
+    * boilerplate disappear entirely.
+    *
+    * Scale shape: the line-frequency table is one partial-aggregated
+    * exchange keyed on the normalized line; the frequent set (real
+    * boilerplate is a tiny fraction of distinct lines) feeds a
+    * left_anti join — AQE broadcasts it; reassembly is one exchange
+    * on doc_id with per-group state bounded by the document's own
+    * line count.
+    *
+    * @param docs (doc_id, text) with '\n'-separated lines
+    * @return (doc_id, n_lines, n_kept, kept_md5) — md5 of the
+    *   reassembled kept text (cross-engine comparable)
+    */
+  def lineDedup(docs: DataFrame, maxLineDocFreq: Int): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      size(split(col("text"), "\n")).cast("long").as("n_lines"),
+      posexplode(split(col("text"), "\n")).as(Seq("line_no", "line")))
+    val frequent = lines
+      .groupBy(lower(trim(col("line"))).as("norm"))
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") > maxLineDocFreq)
+      .select("norm")
+    val kept = lines.join(frequent,
+      lower(trim(lines("line"))) === frequent("norm"), "left_anti")
+    kept.groupBy("doc_id", "n_lines")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("line_no"), col("line")))),
+          s => s.getField("line")), "\n").as("kept_text"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        md5(col("kept_text")).as("kept_md5"))
+  }
+
   /** (doc_id, f) 64-bit SimHash fingerprints. */
   def simhashFingerprints(docs: DataFrame): DataFrame =
     tokenHashes(docs).select(col("doc_id"), simhash(col("th")).as("f"))

@@ -68,6 +68,46 @@ object TextAnalysis {
     docs.select(col("doc_id"),
       string_poly_hash(lower(trim(col("text")))).as("fingerprint"))
 
+  /** Per-document TF-IDF top-`k` terms — keyword extraction over the
+    * corpus. tf = term count within the doc; idf = ln(N / df) with df
+    * the number of documents containing the term (derived from the
+    * already-deduplicated tf table — no second corpus scan). Scores
+    * ship e6-scaled per the §5 protocol and ranking uses the SCALED
+    * integer, so both engines rank identical values (ln is the one
+    * operation the oracle cannot mirror bit-for-bit; at e6 precision
+    * a libm ulp never moves the integer off a boundary in practice).
+    *
+    * Scale shape: tf is one (doc_id, token) exchange with map-side
+    * partial counts; df a vocabulary-sized aggregate of tf; the
+    * tf ⋈ df join broadcasts the vocabulary side (AQE). Per-doc top-k
+    * is a bounded collect per GROUP (state = the doc's own vocabulary,
+    * never corpus-wide) sorted and sliced in one aggregation — no
+    * global window sort.
+    *
+    * @param nDocs corpus document count (the driver-scalar handoff,
+    *   as in the reference's phase-1 count)
+    */
+  def tfidfTopTerms(docs: DataFrame, nDocs: Long, k: Int): DataFrame = {
+    val tk = docs.select(col("doc_id"),
+      explode(expr(TextHash.sparkTokens("text"))).as("token"))
+    val tf = tk.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfq, "token")
+      .select(col("doc_id"), col("token"),
+        floor(col("tf") * log(lit(nDocs.toDouble) / col("df")) * 1000000
+          + 0.5).cast("long").as("score_e6"))
+    // (score DESC, token ASC) via ascending sort of (-score, token).
+    val top = scored.groupBy("doc_id")
+      .agg(slice(transform(
+        array_sort(collect_list(struct(
+          (-col("score_e6")).as("neg"), col("token")))),
+        s => struct((-s.getField("neg")).as("score_e6"),
+          s.getField("token").as("token"))), 1, k).as("top"))
+    top.select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("s.token").as("token"), col("s.score_e6").as("score_e6"))
+  }
+
   /** Intra-document repetition metrics (the Gopher-style "fraction of
     * duplicated n-grams" quality signal): every rolling `n`-token
     * window of the doc, counted once vs. distinct. A document shorter

@@ -306,6 +306,93 @@ object PipelineQueries {
               |WHERE ${TextHash.duckCosine("x.emb", "y.emb", 64)} >= 0.99
               |ORDER BY va, vb""".stripMargin)),
 
+    // Line-level corpus dedup (C4-style boilerplate removal): lines
+    // appearing in > 2 distinct docs are dropped, docs reassembled in
+    // line order. The generator's docs are single-line word soup, so
+    // both sides plant structure deterministically: a newsletter
+    // banner on every 3rd doc, a rights footer on every 7th, and body
+    // text split into lines at each ' table ' occurrence (so body
+    // lines can ALSO collide across docs — and when one passes the
+    // frequency gate, both engines drop it identically).
+    Q("d16_line_dedup",
+      (s, d) => {
+        val planted = Tables.documents(s, d).select(col("doc_id"),
+          concat(
+            when(col("doc_id") % 3 === 0,
+              lit("Subscribe to our newsletter today\n")).otherwise(lit("")),
+            regexp_replace(col("text"), lit(" table "), lit("\ntable ")),
+            when(col("doc_id") % 7 === 0,
+              lit("\nall rights reserved")).otherwise(lit("")))
+            .as("text"))
+        Dedup.lineDedup(planted, maxLineDocFreq = 2).orderBy("doc_id")
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 3 = 0
+             |      THEN 'Subscribe to our newsletter today' || chr(10)
+             |      ELSE '' END ||
+             |    regexp_replace(text, ' table ', chr(10) || 'table ', 'g') ||
+             |    CASE WHEN doc_id % 7 = 0
+             |      THEN chr(10) || 'all rights reserved' ELSE '' END AS text
+             |  FROM documents
+             |),
+             |lines AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+             |    generate_subscripts(string_split(text, chr(10)), 1) - 1
+             |      AS line_no,
+             |    unnest(string_split(text, chr(10))) AS line
+             |  FROM planted
+             |),
+             |freq AS (
+             |  SELECT lower(trim(line)) AS norm FROM lines
+             |  GROUP BY 1 HAVING count(DISTINCT doc_id) > 2
+             |),
+             |kept AS (
+             |  SELECT * FROM lines
+             |  WHERE lower(trim(line)) NOT IN (SELECT norm FROM freq)
+             |)
+             |SELECT doc_id, n_lines, CAST(count(*) AS BIGINT) AS n_kept,
+             |  md5(string_agg(line, chr(10) ORDER BY line_no)) AS kept_md5
+             |FROM kept GROUP BY doc_id, n_lines
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Per-doc TF-IDF top-3 terms (keyword extraction): tf from one
+    // (doc, token) aggregation, df derived from the tf table itself
+    // (vocabulary-sized, broadcast into the join), per-doc top-k via
+    // a bounded per-group collect — no corpus-wide window. Ranking is
+    // on the e6-SCALED score so both engines order identical integers.
+    Q("d17_tfidf",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val n = docs.count()
+        TextAnalysis.tfidfTopTerms(docs, n, k = 3)
+          .orderBy("doc_id", "rank")
+      },
+      Some(s"""WITH tk AS (
+              |  SELECT doc_id, unnest(${TextHash.duckTokens("text")}) AS token
+              |  FROM documents
+              |),
+              |tf AS (
+              |  SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2
+              |),
+              |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+              |s AS (
+              |  SELECT tf.doc_id, tf.token,
+              |    CAST(floor(tf.tf * ln(CAST((SELECT count(*) FROM documents)
+              |          AS DOUBLE) / df.df) * 1000000 + 0.5) AS BIGINT)
+              |      AS score_e6
+              |  FROM tf JOIN df USING (token)
+              |),
+              |r AS (
+              |  SELECT doc_id, token, score_e6,
+              |    row_number() OVER (
+              |      PARTITION BY doc_id ORDER BY score_e6 DESC, token) AS rank
+              |  FROM s
+              |)
+              |SELECT doc_id, rank, token, score_e6 FROM r WHERE rank <= 3
+              |ORDER BY doc_id, rank""".stripMargin)),
+
     // Stopword-ratio language-ID heuristic vs the labeled lang.
     Q("d5_lang_id",
       (s, d) => TextAnalysis.langId(Tables.documents(s, d))

@@ -126,6 +126,38 @@ class OperatorsSpec extends SparkSpec {
     assert(viaBands == brute)
   }
 
+  test("line dedup drops boilerplate lines, reassembles the rest in order") {
+    val docs = Seq(
+      (1L, "COOKIE BANNER\nunique alpha\nfooter text"),
+      (2L, "cookie banner\nunique beta\nfooter text"),
+      (3L, "Cookie Banner \nunique gamma\nfooter text"),
+      (4L, "cookie banner")).toDF("doc_id", "text")
+    // normalized 'cookie banner' df=4 and 'footer text' df=3 exceed
+    // the cap (2) -> dropped; unique body lines kept; doc 4 was all
+    // boilerplate and disappears.
+    val got = Dedup.lineDedup(docs, maxLineDocFreq = 2)
+      .select("doc_id", "n_lines", "n_kept", "kept_md5")
+      .as[(Long, Long, Long, String)].collect()
+    assert(got.map(r => (r._1, r._2, r._3)).toSet ==
+      Set((1L, 3L, 1L), (2L, 3L, 1L), (3L, 3L, 1L)))
+    assert(got.map(_._4).distinct.length == 3) // distinct kept bodies
+  }
+
+  test("tfidf ranks rare terms above common ones, scaled-integer order") {
+    val docs = Seq(
+      (1L, "apple banana banana"),
+      (2L, "apple cherry"),
+      (3L, "apple")).toDF("doc_id", "text")
+    // df: apple 3 (idf ln(1)=0), banana 1, cherry 1.
+    val got = TextAnalysis.tfidfTopTerms(docs, nDocs = 3, k = 2)
+      .select("doc_id", "rank", "token").as[(Long, Long, String)]
+      .collect().toSet
+    assert(got == Set(
+      (1L, 1L, "banana"), (1L, 2L, "apple"),
+      (2L, 1L, "cherry"), (2L, 2L, "apple"),
+      (3L, 1L, "apple")))
+  }
+
   test("language ID and quality score") {
     val docs = Seq((1L, "the cat sat on a mat"), (2L, "wort wort wort wort"))
       .toDF("doc_id", "text")
