@@ -7,33 +7,41 @@ import org.apache.spark.sql.functions._
 /** As-of join: for every left row, attach the payload of the LATEST
   * right row with `right.ts <= left.ts` within the same key — the
   * "most recent quote for each trade" / "last click before each
-  * purchase" operator.
+  * purchase" operator — or, with `direction = "forward"`, the
+  * EARLIEST right row with `right.ts >= left.ts` ("next event
+  * at-or-after": the fill-after-quote / next-heartbeat shape).
   *
   * Spark has no native as-of join; the naive encodings both fail at
   * scale: a range join (`l.key = r.key AND r.ts <= l.ts` + window)
   * materializes every (left, earlier-right) pair before pruning —
   * quadratic per key — and a correlated max-subquery plans as the
   * same thing. This implementation is the sort-merge shape instead:
-  * UNION both sides tagged, ONE shuffle on the key, then a
-  * running `last(payload, ignoreNulls)` window over (ts, side)
-  * ordering — right rows sort before left rows at equal ts, so a
-  * left row sees a same-timestamp right row (inclusive as-of,
-  * DuckDB/kdb semantics). Linear work per key, no pair explosion.
+  * UNION both sides tagged, ONE shuffle on the key, then a running
+  * `last(payload, ignoreNulls)` over the preceding frame (backward)
+  * or `first(payload, ignoreNulls)` over the following frame
+  * (forward), with (ts, side) ordering placing the right row inside
+  * the frame at equal timestamps — inclusive as-of, DuckDB/kdb
+  * semantics. Linear work per key, no pair explosion.
   *
   * Determinism: callers must ensure at most one right row per
   * (key, ts) — pre-aggregate duplicates — otherwise which same-ts
   * payload wins is plan-dependent. Right-payload NULLs are treated
-  * as "no value" by `last(ignoreNulls)` (the match looks further
-  * back); keep payloads non-null for strict row semantics.
+  * as "no value" by ignoreNulls (the match looks further
+  * back/ahead); keep payloads non-null for strict row semantics.
   *
   * @param payloadCols right-side columns to attach; emitted as
-  *   `asof_<name>`, NULL when no right row is at-or-before the left
-  *   row's timestamp.
+  *   `asof_<name>`, NULL when no right row is at-or-before
+  *   (at-or-after) the left row's timestamp.
+  * @param direction "backward" (default: latest at-or-before) or
+  *   "forward" (earliest at-or-after)
   */
 object AsOfJoin {
 
   def apply(left: DataFrame, right: DataFrame, keyCol: String,
-      tsCol: String, payloadCols: Seq[String]): DataFrame = {
+      tsCol: String, payloadCols: Seq[String],
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be 'backward' or 'forward', got '$direction'")
     require(payloadCols.nonEmpty, "as-of join needs payload columns")
     val leftCols = left.columns.toSeq
     require(!payloadCols.exists(leftCols.contains),
@@ -54,28 +62,35 @@ object AsOfJoin {
     val rClean = right.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
 
     // Align schemas: left rows carry null payloads, right rows carry
-    // null left-only columns. _side orders right (0) before left (1)
-    // at equal timestamps.
+    // null left-only columns. At equal timestamps the right row must
+    // sit INSIDE the left row's frame: backward frames end at the
+    // current row, so right sorts first (0) and left last (1);
+    // forward frames start at the current row, so the tags flip.
+    val (lSide, rSide) = if (direction == "backward") (1, 0) else (0, 1)
     val lTagged = left.select(
-      leftCols.map(col) ++ Seq(lit(1).as("_side")) ++
+      leftCols.map(col) ++ Seq(lit(lSide).as("_side")) ++
         payloadTypes.map { case (c, t) => lit(null).cast(t).as("_p_" + c) }: _*)
     val rTagged = rClean.select(
       leftCols.map(c =>
         if (c == keyCol || c == tsCol) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)) ++
-        Seq(lit(0).as("_side")) ++
+        Seq(lit(rSide).as("_side")) ++
         payloadTypes.map { case (c, _) => col(c).as("_p_" + c) }: _*)
 
-    val w = Window.partitionBy(keyCol)
+    val ordered = Window.partitionBy(keyCol)
       .orderBy(col(tsCol).asc, col("_side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val (w, pick) =
+      if (direction == "backward")
+        (ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+          (c: String) => last(col("_p_" + c), ignoreNulls = true))
+      else
+        (ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing),
+          (c: String) => first(col("_p_" + c), ignoreNulls = true))
     lTagged.union(rTagged)
       .select(
         leftCols.map(col) ++ Seq(col("_side")) ++
-          payloadCols.map(c =>
-            last(col("_p_" + c), ignoreNulls = true).over(w)
-              .as("asof_" + c)): _*)
-      .filter(col("_side") === 1)
+          payloadCols.map(c => pick(c).over(w).as("asof_" + c)): _*)
+      .filter(col("_side") === lSide)
       .drop("_side")
   }
 }

@@ -173,6 +173,48 @@ object EventQueries {
              |  ON p.user_id = c.user_id AND p.ts >= c.ts
              |ORDER BY p.event_id""".stripMargin)),
 
+    // Forward as-of: each purchase gets the user's EARLIEST
+    // at-or-after click — the "next follow-up event" direction of
+    // the same sort-merge operator (first-over-following-frame
+    // instead of last-over-preceding; still one shuffle, no pair
+    // explosion). Oracle: DuckDB ASOF with the comparison flipped.
+    Q("q33_asof_forward",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy("user_id", "ts")
+          .agg(max("event_id").as("click_id"))
+          .select(col("user_id"), col("ts"), col("click_id"),
+            unix_micros(col("ts")).as("click_ts_us"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        AsOfJoin(purchases, clicks, "user_id", "ts",
+            Seq("click_id", "click_ts_us"), direction = "forward")
+          .filter(col("asof_click_id").isNotNull)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            col("asof_click_id").as("click_id"),
+            col("asof_click_ts_us").as("click_ts_us"),
+            (col("asof_click_ts_us") - unix_micros(col("ts"))).as("gap_us"))
+          .orderBy("event_id")
+      },
+      Some("""WITH clicks AS (
+             |  SELECT user_id, ts, max(event_id) AS click_id,
+             |    epoch_us(ts) AS click_ts_us
+             |  FROM events WHERE event_type = 'click'
+             |  GROUP BY user_id, ts
+             |),
+             |purch AS (
+             |  SELECT event_id, user_id, ts FROM events
+             |  WHERE event_type = 'purchase'
+             |)
+             |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+             |  c.click_id, c.click_ts_us,
+             |  c.click_ts_us - epoch_us(p.ts) AS gap_us
+             |FROM purch p ASOF JOIN clicks c
+             |  ON p.user_id = c.user_id AND p.ts <= c.ts
+             |ORDER BY p.event_id""".stripMargin)),
+
     // Range join (interval containment): error events attributed to
     // the click session window they fall inside. A session WINDOW
     // runs from its first click until the 30-min gap timeout after

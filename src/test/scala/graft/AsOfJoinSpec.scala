@@ -54,6 +54,50 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("forward: attaches the earliest at-or-after right row per key") {
+    val left = Seq(
+      (100L, 1L, ts(10)), (101L, 1L, ts(30)), (102L, 1L, ts(5)),
+      (200L, 2L, ts(50)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, ts(10), "r@10"), (1L, ts(20), "r@20"), (3L, ts(1), "r-other"))
+      .toDF("user_id", "ts", "tag")
+    val got = AsOfJoin(left, right, "user_id", "ts", Seq("tag"),
+        direction = "forward")
+      .select("event_id", "asof_tag").as[(Long, Option[String])]
+      .collect().toMap
+    // 100 @10 matches the equal-ts right row (inclusive); 101 @30 has
+    // nothing after it; 102 @5 takes the earliest later (r@10).
+    assert(got == Map(
+      100L -> Some("r@10"), 101L -> None,
+      102L -> Some("r@10"), 200L -> None))
+  }
+
+  test("randomized forward: equals the brute-force earliest-at-or-after") {
+    val rnd = new scala.util.Random(7L)
+    for (round <- 1 to 6) {
+      val nKeys = 1 + rnd.nextInt(6)
+      val lefts = (1 to 1 + rnd.nextInt(60)).map(i =>
+        (i.toLong, rnd.nextInt(nKeys + 2).toLong,
+          ts(rnd.nextInt(100).toLong)))
+      val rights = (1 to 1 + rnd.nextInt(40)).map(_ =>
+        (rnd.nextInt(nKeys).toLong, ts(rnd.nextInt(100).toLong)))
+        .distinct.map { case (k, t) => (k, t, s"p$k@${t.getTime}") }
+
+      val got = AsOfJoin(
+        lefts.toDF("event_id", "user_id", "ts"),
+        rights.toDF("user_id", "ts", "tag"),
+        "user_id", "ts", Seq("tag"), direction = "forward")
+        .select("event_id", "asof_tag").as[(Long, Option[String])]
+        .collect().toMap
+      val want = lefts.map { case (id, k, t) =>
+        val m = rights.filter(r => r._1 == k && !r._2.before(t))
+        id -> (if (m.isEmpty) None else Some(m.minBy(_._2.getTime)._3))
+      }.toMap
+      assert(got == want, s"round $round: nKeys=$nKeys")
+    }
+  }
+
   test("left rows are never lost or duplicated") {
     val left = (1 to 50).map(i => (i.toLong, (i % 5).toLong, ts(i.toLong)))
       .toDF("event_id", "user_id", "ts")
