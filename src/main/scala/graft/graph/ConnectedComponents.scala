@@ -71,4 +71,87 @@ object ConnectedComponents {
     minLabel(pairs, iters)
       .select(col("id").as("doc_id"), col("label").as("group_id"),
         (col("id") === col("label")).as("keep"))
+
+  /** Alternating large-star / small-star contraction — the O(log n)
+    * connected-components algorithm (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014) for graphs whose
+    * DIAMETER is not small: [[minLabel]] needs one round per hop, so
+    * a million-link chain (adversarial near-dup transitivity) needs a
+    * million rounds; star contraction collapses any component in
+    * O(log n) rounds regardless of depth.
+    *
+    * Per round, large-star points every strictly-larger neighbor of
+    * each node at the node's minimum neighborhood member, then
+    * small-star re-points each node's smaller neighbors (and the node
+    * itself) at their minimum — both pure join + partial-agg steps on
+    * the edge list. The loop stops when the edge set reaches a
+    * fixpoint (every component a star centered on its minimum),
+    * detected by one (count, hash-sum) scalar per round — the same
+    * O(1) driver traffic as `PageRank.runUntilConverged`'s residual.
+    * Each round's edge set is persisted and the previous unpersisted,
+    * so lineage stays one round deep.
+    *
+    * @param pairs undirected edges as (a, b) — both long ids
+    * @return (id, label) — component minimum per vertex, identical to
+    *   a converged [[minLabel]]
+    */
+  def starContract(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    // (count, xor-of-hashes): order-insensitive, ANSI-overflow-free
+    // (a sum of 64-bit hashes overflows under ANSI arithmetic), and
+    // xor-cancellation needs duplicate rows, which distinct() rules
+    // out. A collision would only end the loop one round early with
+    // probability ~2^-64.
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    // Eager localCheckpoint per round, not persist: one round reads
+    // the previous edge set many times (sym, both join sides), so an
+    // un-truncated logical plan grows ~8× per round — the checkpoint
+    // makes each round's output a LEAF (and materializes its blocks),
+    // keeping every plan one round deep.
+    var edges = pairs
+      .select(col("a").cast("long").as("u"), col("b").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var prev = (-1L, 0L)
+    var cur = checksum(edges)
+    var rounds = 0
+    while (cur != prev && rounds < maxRounds) {
+      // Large-star: m(u) = min(Γ(u) ∪ {u}); emit (v, m(u)) for every
+      // neighbor v > u. Output edges are (node, smaller-target), so
+      // they arrive pre-oriented for the small-star step.
+      val sym = edges.select("u", "v")
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mLarge = sym.groupBy("u").agg(min("v").as("_mv"))
+        .select(col("u"), least(col("_mv"), col("u")).as("m"))
+      val large = sym.filter(col("v") > col("u"))
+        .join(mLarge, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // Small-star over the (hi, lo) edges: m(hi) = min of its
+      // smaller neighbors; re-point every lo neighbor and hi itself
+      // at m. Self-edges (the m member) drop out.
+      val mSmall = large.groupBy("u").agg(min("v").as("m"))
+      val small = large.join(mSmall, "u")
+        .select(col("v").as("n"), col("m"))
+        .union(mSmall.select(col("u").as("n"), col("m")))
+        .filter(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      edges = small
+      prev = cur
+      cur = checksum(small)
+      rounds += 1
+    }
+    // Fixpoint: every edge is (member, componentMin).
+    edges.select(col("u").as("id"), col("v").as("label"))
+      .union(edges.select(col("v").as("id"), col("v").as("label")))
+      .groupBy("id").agg(min("label").as("label"))
+  }
 }

@@ -65,4 +65,30 @@ class ConnectedComponentsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(labels == Map(5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 5L, 9L -> 5L))
   }
+
+  test("star contraction equals converged min-label on random graphs") {
+    val rnd = new scala.util.Random(11L)
+    for (round <- 1 to 4) {
+      val edges = (1 to 30 + rnd.nextInt(40))
+        .map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter(p => p._1 != p._2)
+      val df = edges.toDF("a", "b")
+      // 30 rounds >> the diameter of a 60-node random graph.
+      val want = ConnectedComponents.minLabel(df, iters = 30)
+        .as[(Long, Long)].collect().toMap
+      val got = ConnectedComponents.starContract(df)
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"round $round")
+    }
+  }
+
+  test("star contraction collapses a 200-node chain in O(log n) rounds") {
+    // min-label would need 199 rounds for this diameter; the
+    // maxRounds cap pins the logarithmic convergence claim.
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = ConnectedComponents.starContract(chain, maxRounds = 15)
+      .as[(Long, Long)].collect()
+    assert(labels.length == 200)
+    assert(labels.forall(_._2 == 0L))
+  }
 }
