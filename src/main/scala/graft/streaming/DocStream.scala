@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.operators.TextAnalysis
 import graft.operators.PiiScrub
 
 /** Structured Streaming twins of the document-pipeline surface
@@ -27,6 +28,21 @@ object DocStream {
     PiiScrub.scrub(docs)
       .select(col("doc_id"), col("n_emails"), col("n_phones"),
         col("scrubbed"))
+
+  /** The d13 corpus-curation gate over an arriving stream — the batch
+    * quality/language/length filters applied unchanged (stateless
+    * map-side column math, append mode, no watermark needed). One
+    * definition, two engines.
+    */
+  def qualityGated(docs: DataFrame, minScore: Double = 0.63,
+      minTokens: Long = 20L, maxTokens: Long = 10000L): DataFrame =
+    TextAnalysis.quality(docs)
+      .filter(col("predicted") === "en" &&
+        col("quality_score") >= minScore &&
+        col("n_tokens").between(minTokens, maxTokens))
+      .select(col("doc_id"),
+        floor(col("quality_score") * 10000 + 0.5).cast("long")
+          .as("quality_score_e4"))
 
   /** Streaming exact dedup: first arrival of each normalized-text key
     * survives; later copies arriving within `watermark` of event time

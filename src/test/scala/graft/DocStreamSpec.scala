@@ -45,6 +45,32 @@ class DocStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("parity: streaming quality gate equals the batch d13 filter") {
+    // One doc passes every gate (en, long, diverse); the others each
+    // fail one: stopword-free (lang 'und'), too short, low TTR.
+    val good = "the quick brown fox jumps over a lazy dog while " +
+      (1 to 60).map(i => s"w$i").mkString(" ")
+    val rows = Seq(
+      doc(1, 10, good),
+      doc(2, 11, (1 to 60).map(i => s"x$i").mkString(" ")), // no stopwords
+      doc(3, 12, "the tiny a"),                             // too short
+      doc(4, 13, "the " + Seq.fill(80)("spam").mkString(" ")))
+    val stream = MemoryStream[Doc](spark)
+    val q = DocStream.qualityGated(stream.toDF())
+      .writeStream.format("memory").queryName("qgate_t")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("qgate_t")
+        .as[(Long, Long)].collect().toSet
+      val want = DocStream.qualityGated(rows.toDF())
+        .as[(Long, Long)].collect().toSet
+      assert(got == want) // ONE definition, both engines
+      assert(got.map(_._1) == Set(1L))
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first arrival, agrees with batch d1 groups") {
     val stream = MemoryStream[Doc](spark)
     val q = DocStream.dedup(stream.toDF())
