@@ -393,6 +393,36 @@ object PipelineQueries {
               |SELECT doc_id, rank, token, score_e6 FROM r WHERE rank <= 3
               |ORDER BY doc_id, rank""".stripMargin)),
 
+    // Corpus heavy hitters (frequent-token mining): one pass builds a
+    // Misra-Gries sketch (capacity 64 ⇒ every token with true count
+    // > N/65 is guaranteed in it, whatever the partitioning), then an
+    // exact count pass confined to the candidate set verifies the
+    // threshold — the shuffle carries candidate tokens only, never
+    // the full (token) group space. The composed result is exact and
+    // deterministic even though sketch internals are order-dependent.
+    Q("d18_heavy_hitters",
+      (s, d) => {
+        import graft.functions.HeavyHittersSketch.heavy_hitters
+        val tk = Tables.documents(s, d)
+          .select(explode(expr(TextHash.sparkTokens("text"))).as("token"))
+        val total = tk.count()
+        val cand = tk.agg(heavy_hitters(col("token"), 64).as("hh"))
+          .select(explode(col("hh")).as("h"))
+          .select(col("h.item").as("token"))
+        tk.join(broadcast(cand), "token")
+          .groupBy("token").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= total / 40)
+          .orderBy(col("cnt").desc, col("token"))
+      },
+      Some(s"""WITH tk AS (
+              |  SELECT unnest(${TextHash.duckTokens("text")}) AS token
+              |  FROM documents
+              |)
+              |SELECT token, count(*) AS cnt FROM tk
+              |GROUP BY token
+              |HAVING count(*) >= (SELECT count(*) // 40 FROM tk)
+              |ORDER BY cnt DESC, token""".stripMargin)),
+
     // Stopword-ratio language-ID heuristic vs the labeled lang.
     Q("d5_lang_id",
       (s, d) => TextAnalysis.langId(Tables.documents(s, d))

@@ -158,6 +158,33 @@ class OperatorsSpec extends SparkSpec {
       (3L, 1L, "apple")))
   }
 
+  test("heavy hitters sketch: guaranteed recall, bounded undercount") {
+    import graft.functions.HeavyHittersSketch.heavy_hitters
+    val k = 8
+    // 3 planted heavy items (2000 each) in a 6000-item tail spread
+    // over 400 distinct values: N = 12000, bound N/(k+1) ≈ 1333.
+    val rnd = new scala.util.Random(3L)
+    val items = (Seq.fill(2000)("hot1") ++ Seq.fill(2000)("hot2") ++
+      Seq.fill(2000)("hot3") ++
+      Seq.fill(6000)(s"tail${rnd.nextInt(400)}"))
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (parts <- Seq(1, 7, 32)) {
+      val sketch = items.toDF("token").repartition(parts)
+        .agg(heavy_hitters(col("token"), k).as("hh"))
+        .select(explode(col("hh")).as("h"))
+        .select(col("h.item"), col("h.lower_bound"))
+        .as[(String, Long)].collect().toMap
+      assert(sketch.size <= k)
+      val bound = items.size / (k + 1)
+      for (hot <- Seq("hot1", "hot2", "hot3")) {
+        assert(sketch.contains(hot), s"$hot missing at parts=$parts")
+        assert(sketch(hot) <= truth(hot), s"$hot overcounted")
+        assert(truth(hot) - sketch(hot) <= bound,
+          s"$hot undercount ${truth(hot) - sketch(hot)} > $bound")
+      }
+    }
+  }
+
   test("language ID and quality score") {
     val docs = Seq((1L, "the cat sat on a mat"), (2L, "wort wort wort wort"))
       .toDF("doc_id", "text")
