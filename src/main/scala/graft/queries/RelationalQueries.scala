@@ -568,7 +568,61 @@ object RelationalQueries {
       Some("""SELECT least(CAST(floor((o_totalprice - CAST(0 AS DOUBLE))
              |         / CAST(30000 AS DOUBLE)) AS BIGINT), 19) AS bin,
              |  count(*) AS n_orders
-             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // TPC-H Q13 shape: the customer-order-count DISTRIBUTION,
+    // including zero-order customers — the left join + count +
+    // re-aggregation double grouping. Filtering the order side before
+    // the join is the ON-clause predicate of the SQL form; Spark's
+    // count(col) counts non-null matches, so no-order customers land
+    // in bucket 0 rather than vanishing.
+    Q("q34_custdist",
+      (s, d) => {
+        val c = Tables.customer(s, d).select("c_custkey")
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select("o_custkey", "o_orderkey")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy(c("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, count(*) AS custdist
+             |FROM (
+             |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+             |  FROM customer c LEFT JOIN orders o
+             |    ON c.c_custkey = o.o_custkey
+             |   AND o.o_orderpriority <> '1-URGENT'
+             |  GROUP BY c.c_custkey
+             |)
+             |GROUP BY c_count
+             |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // Sliding window frame (ROWS 2 PRECEDING): trailing 3-month
+    // moving average over the pre-aggregated month table — the frame
+    // type q23 (running total) and q27 (lag) don't cover. The window
+    // runs over months only (bounded), never raw rows.
+    Q("q35_sliding_avg",
+      (s, d) => {
+        val w = Window.orderBy("month").rowsBetween(-2, 0)
+        Tables.orders(s, d)
+          .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+          .agg(round(sum("o_totalprice"), 2).as("rev"))
+          .select(col("month"), col("rev"),
+            round(avg("rev").over(w), 2).as("rev_ma3"))
+          .orderBy("month")
+      },
+      Some("""WITH m AS (
+             |  SELECT date_trunc('month', o_orderdate) AS month,
+             |    round(sum(o_totalprice), 2) AS rev
+             |  FROM orders GROUP BY 1
+             |)
+             |SELECT month, rev,
+             |  round(avg(rev) OVER (ORDER BY month
+             |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS rev_ma3
+             |FROM m ORDER BY month""".stripMargin))
   )
 
   private val GroupingSetsSql =
