@@ -1040,6 +1040,66 @@ object PipelineQueries {
              |  ON c.doc_id = g.doc_id AND c.bin = g.bin
              |ORDER BY g.doc_id, g.bin""".stripMargin)),
 
+    // Perceptual-hash media dedup: quantize each payload's 16-bin
+    // byte-histogram feature to e6 ints, key on the concatenated
+    // vector, and group — identical-content media (the re-keyed
+    // corpus plants true copies) collapse to one group per perceptual
+    // key. Map-side feature + key, ONE partial-aggregated exchange:
+    // the multimodal analog of d1's exact dedup, and the join point
+    // between the media plumbing and the dedup family.
+    Q("m4_media_phash",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val rekeyed = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        val media = Multimodal.mediaTable(docs.union(rekeyed))
+        Multimodal.extractFeatures(s, media).toDF()
+          .select(col("doc_id"), concat_ws(",", expr(
+            "transform(feature, v -> cast(cast(floor(v * 1000000 + 0.5)" +
+              " as bigint) as string))")).as("phash"))
+          .groupBy("phash")
+          .agg(min("doc_id").as("kept_doc_id"),
+            count(lit(1)).as("n_copies"))
+          .filter(col("n_copies") > 1)
+          .select("kept_doc_id", "n_copies")
+          .orderBy("kept_doc_id")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000 AS doc_id, text
+             |  FROM documents WHERE doc_id % 10 = 0
+             |),
+             |h AS (
+             |  SELECT doc_id,
+             |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |    hex(encode(text)) AS hx
+             |  FROM corpus
+             |),
+             |nib AS (
+             |  SELECT doc_id,
+             |    strpos('123456789ABCDEF', substr(hx, 2 * i + 1, 1)) AS bin
+             |  FROM h, unnest(range(0, n_bytes)) AS t(i)
+             |),
+             |cnt AS (SELECT doc_id, bin, count(*) AS c FROM nib
+             |        GROUP BY doc_id, bin),
+             |grid AS (
+             |  SELECT h.doc_id, h.n_bytes, b.bin
+             |  FROM h, (SELECT unnest(range(0, 16)) AS bin) b
+             |),
+             |vec AS (
+             |  SELECT g.doc_id,
+             |    string_agg(CAST(CAST(floor(CAST(COALESCE(c.c, 0) AS DOUBLE)
+             |        / greatest(g.n_bytes, 1) * 1000000 + 0.5) AS BIGINT)
+             |        AS VARCHAR), ',' ORDER BY g.bin) AS phash
+             |  FROM grid g LEFT JOIN cnt c
+             |    ON c.doc_id = g.doc_id AND c.bin = g.bin
+             |  GROUP BY g.doc_id
+             |)
+             |SELECT min(doc_id) AS kept_doc_id, count(*) AS n_copies
+             |FROM vec GROUP BY phash HAVING count(*) > 1
+             |ORDER BY kept_doc_id""".stripMargin)),
+
     // Frame sampling through the same multimodal plumbing: 4 evenly
     // spaced byte windows per payload (a video decoder's frame grid),
     // one-row-to-many via the mapPartitions iterator. Output is
