@@ -83,6 +83,59 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Set((2L, 1L)))
   }
 
+  test("randomized decontaminate: equals brute-force aligned containment") {
+    val rnd = new scala.util.Random(19L)
+    val vocab = (1 to 12).map(i => s"w$i")
+    def randDoc(len: Int) =
+      (1 to len).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    for (round <- 1 to 4) {
+      val corpus = (1L to 40L).map(id => (id, randDoc(6 + rnd.nextInt(10))))
+      // Probes: 4-token windows lifted from random docs (small vocab
+      // makes cross-doc hits likely).
+      val probes = (1 to 6).map { i =>
+        val (src, text) = corpus(rnd.nextInt(corpus.size))
+        val toks = text.split(" ")
+        val at = rnd.nextInt(math.max(1, toks.length - 3))
+        (src, toks.slice(at, at + 4).mkString(" "))
+      }.distinct
+      val got = operators.Decontaminate.matches(
+          corpus.toDF("doc_id", "norm"), probes.toDF("probe_src", "probe"),
+          n = 4)
+        .as[(Long, Long)].collect().toSet
+      val want = (for {
+        (id, norm) <- corpus
+        (src, probe) <- probes
+        if id != src && s" $norm ".contains(s" $probe ")
+      } yield (id, src)).toSet
+      assert(got == want, s"round $round")
+    }
+  }
+
+  test("randomized line dedup: equals brute-force document reassembly") {
+    val rnd = new scala.util.Random(23L)
+    val lines = (1 to 8).map(i => s"line $i")
+    for (round <- 1 to 4) {
+      val docs = (1L to 25L).map { id =>
+        (id, (1 to 1 + rnd.nextInt(5))
+          .map(_ => lines(rnd.nextInt(lines.size))).mkString("\n"))
+      }
+      val cap = 1 + rnd.nextInt(4)
+      val got = Dedup.lineDedup(docs.toDF("doc_id", "text"), cap)
+        .select("doc_id", "n_lines", "n_kept")
+        .as[(Long, Long, Long)].collect().toSet
+      val df = docs.flatMap { case (id, t) =>
+        t.split("\n", -1).map(l => (id, l.toLowerCase.trim))
+      }.groupBy(_._2).view.mapValues(_.map(_._1).distinct.size).toMap
+      val want = docs.flatMap { case (id, t) =>
+        val all = t.split("\n", -1)
+        val kept = all.filter(l => df(l.toLowerCase.trim) <= cap)
+        if (kept.isEmpty) None
+        else Some((id, all.length.toLong, kept.length.toLong))
+      }.toSet
+      assert(got == want, s"round $round cap=$cap")
+    }
+  }
+
   test("sessionize splits on gaps > threshold") {
     val events = Seq(
       (1L, ts(0)), (1L, ts(10)), (1L, ts(50)), // gap 40 min -> new session

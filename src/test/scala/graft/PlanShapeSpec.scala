@@ -80,4 +80,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       "pr_top20 must use TakeOrderedAndProject, not a total sort + limit")
   }
+
+  test("tf-idf per-doc top-k never window-sorts the corpus") {
+    val p = plan("d17_tfidf")
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window"),
+      s"d17 ranks per-doc terms through a window sort\n$p")
+  }
+
+  test("heavy hitters: sketch is a partial aggregate, no full group space") {
+    val p = plan("d18_heavy_hitters")
+    assert(p.contains("ObjectHashAggregate"),
+      s"d18 lost the sketch partial aggregate\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"d18 candidate verification regressed to a pair scan\n$p")
+  }
+
+  test("line dedup: anti-join on the frequent set, no pair scan") {
+    val p = plan("d16_line_dedup")
+    assert(p.contains("LeftAnti"),
+      s"d16 lost the frequent-line anti join\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"d16 regressed to a nested-loop line scan\n$p")
+  }
+
+  test("k-means seeding is TakeOrderedAndProject, not a corpus sort") {
+    val p = plan("e7_kmeans_train")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"e7's deterministic seed pick must be a bounded top-k\n$p")
+  }
 }
