@@ -600,6 +600,50 @@ object RelationalQueries {
              |GROUP BY c_count
              |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
 
+    // TPC-H Q21 shape (sole-blame suppliers): suppliers with returned
+    // lines on multi-supplier orders where NO other supplier had a
+    // return — the EXISTS + NOT-EXISTS double correlation, the
+    // hardest decorrelation pattern in the TPC-H suite. Both
+    // correlations compile to one semi and one anti hash join on
+    // l_orderkey with the supplier inequality as residual; the
+    // returned-pairs table is deduplicated once and reused on both
+    // sides of the anti join.
+    Q("q36_sole_blame",
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_suppkey", "l_returnflag")
+        val ret = l.filter(col("l_returnflag") === "R")
+          .select("l_orderkey", "l_suppkey").distinct()
+        val others = l.select(col("l_orderkey").as("o_k"),
+          col("l_suppkey").as("o_s"))
+        val otherRet = ret.select(col("l_orderkey").as("r_k"),
+          col("l_suppkey").as("r_s"))
+        ret
+          .join(others, col("l_orderkey") === col("o_k") &&
+            col("l_suppkey") =!= col("o_s"), "left_semi")
+          .join(otherRet, col("l_orderkey") === col("r_k") &&
+            col("l_suppkey") =!= col("r_s"), "left_anti")
+          .groupBy(col("l_suppkey").as("suppkey"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("suppkey"))
+      },
+      Some("""WITH ret AS (
+             |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+             |  WHERE l_returnflag = 'R'
+             |)
+             |SELECT r.l_suppkey AS suppkey, count(*) AS numwait
+             |FROM ret r
+             |WHERE EXISTS (
+             |    SELECT 1 FROM lineitem l2
+             |    WHERE l2.l_orderkey = r.l_orderkey
+             |      AND l2.l_suppkey <> r.l_suppkey)
+             |  AND NOT EXISTS (
+             |    SELECT 1 FROM ret r2
+             |    WHERE r2.l_orderkey = r.l_orderkey
+             |      AND r2.l_suppkey <> r.l_suppkey)
+             |GROUP BY 1
+             |ORDER BY numwait DESC, suppkey""".stripMargin)),
+
     // Sliding window frame (ROWS 2 PRECEDING): trailing 3-month
     // moving average over the pre-aggregated month table — the frame
     // type q23 (running total) and q27 (lag) don't cover. The window
