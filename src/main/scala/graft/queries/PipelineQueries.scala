@@ -423,6 +423,39 @@ object PipelineQueries {
               |HAVING count(*) >= (SELECT count(*) // 40 FROM tk)
               |ORDER BY cnt DESC, token""".stripMargin)),
 
+    // LM fluency scoring (the CCNet perplexity-filter shape, with a
+    // corpus unigram model standing in for KenLM — no external model
+    // files in this container): build the LM as one (token, count)
+    // aggregation over the corpus, broadcast it (vocabulary-sized),
+    // and score every document map-side as the mean token log
+    // probability. Low scores = token-salad documents a perplexity
+    // gate would drop. The two-pass build-then-score plumbing is
+    // exactly where a real external LM plugs in.
+    Q("d19_lm_score",
+      (s, d) => {
+        val tk = Tables.documents(s, d).select(col("doc_id"),
+          explode(expr(TextHash.sparkTokens("text"))).as("token"))
+        val n = tk.count() // corpus token count (driver scalar handoff)
+        val lm = tk.groupBy("token").agg(count(lit(1)).as("cnt"))
+        tk.join(lm, "token")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            floor(avg(log(col("cnt").cast("double") / n)) * 1000000 + 0.5)
+              .cast("long").as("logprob_e6"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tk AS (
+              |  SELECT doc_id, unnest(${TextHash.duckTokens("text")}) AS token
+              |  FROM documents
+              |),
+              |lm AS (SELECT token, count(*) AS cnt FROM tk GROUP BY 1)
+              |SELECT t.doc_id, count(*) AS n_tokens,
+              |  CAST(floor(avg(ln(CAST(lm.cnt AS DOUBLE)
+              |      / (SELECT count(*) FROM tk))) * 1000000 + 0.5) AS BIGINT)
+              |    AS logprob_e6
+              |FROM tk t JOIN lm USING (token)
+              |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)),
+
     // Stopword-ratio language-ID heuristic vs the labeled lang.
     Q("d5_lang_id",
       (s, d) => TextAnalysis.langId(Tables.documents(s, d))
