@@ -49,4 +49,41 @@ object Sampling {
     }
     df.filter(hashBucket(col(keyCol)) < threshold)
   }
+
+  /** Training-mix construction: replicate each row by its stratum's
+    * WEIGHT, fractional weights included — weight 2.5 gives every row
+    * 2 copies plus a 3rd for the deterministic hash-selected half,
+    * weight 0.5 downsamples (0 or 1 copies). This is the "source X at
+    * 2.5 epochs" mixing step of a pretraining data recipe, with the
+    * same reproducibility contract as [[stratifiedSample]]: the copy
+    * count is a pure function of the row key, so the mixture is
+    * identical across runs, engines and partitionings.
+    *
+    * Weights decompose in SCALA to (whole, fractional-buckets)
+    * INTEGER literals baked into the plan, so no float arithmetic can
+    * diverge between engines. Output carries a 0-based `copy` index
+    * (an epoch tag downstream shuffles can salt by); rows with 0
+    * copies disappear.
+    */
+  def mixtureRepeat(df: DataFrame, keyCol: String, strataCol: String,
+      weights: Map[String, Double], defaultWeight: Double): DataFrame = {
+    def split(w: Double): (Long, Long) = {
+      require(w >= 0, s"mixture weight must be >= 0, got $w")
+      val base = math.floor(w).toLong
+      (base, math.floor((w - base) * Buckets).toLong)
+    }
+    val (db, dfrac) = split(defaultWeight)
+    val base = weights.foldLeft(lit(db)) { case (acc, (s, w)) =>
+      when(col(strataCol) === s, lit(split(w)._1)).otherwise(acc)
+    }
+    val frac = weights.foldLeft(lit(dfrac)) { case (acc, (s, w)) =>
+      when(col(strataCol) === s, lit(split(w)._2)).otherwise(acc)
+    }
+    df.withColumn("_n",
+        base + when(hashBucket(col(keyCol)) < frac, 1L).otherwise(0L))
+      .filter(col("_n") > 0)
+      .withColumn("copy", explode(expr("sequence(0, _n - 1)")))
+      .drop("_n")
+      .withColumn("copy", col("copy").cast("long"))
+  }
 }

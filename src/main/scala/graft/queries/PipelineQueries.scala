@@ -909,6 +909,40 @@ object PipelineQueries {
               |    ELSE 10000 END
               |ORDER BY doc_id""".stripMargin)),
 
+    // Training-mix construction: source src0 at 2.5 epochs, src1 at
+    // 0.5, everything else at 1.0 — deterministic fractional
+    // replication (Sampling.mixtureRepeat), the upsampling
+    // counterpart of d14's downsampling. Weights decompose to integer
+    // (whole, fraction-buckets) literals in Scala, so both engines
+    // compute identical copy counts from the shared key hash.
+    Q("d20_mixture",
+      (s, d) => Sampling.mixtureRepeat(
+          Tables.documents(s, d).select("doc_id", "source"),
+          keyCol = "doc_id", strataCol = "source",
+          weights = Map("src0" -> 2.5, "src1" -> 0.5),
+          defaultWeight = 1.0)
+        .orderBy("doc_id", "copy"),
+      Some(s"""WITH b AS (
+              |  SELECT doc_id, source,
+              |    ${TextHash.duckDocFingerprint("CAST(doc_id AS VARCHAR)")}
+              |      * ${Sampling.Mixer} % ${Sampling.MixMod}
+              |      % ${Sampling.Buckets} AS bucket
+              |  FROM documents
+              |),
+              |n AS (
+              |  SELECT doc_id, source,
+              |    (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+              |      ELSE 1 END)
+              |    + (CASE WHEN bucket <
+              |        (CASE source WHEN 'src0' THEN 5000
+              |          WHEN 'src1' THEN 5000 ELSE 0 END)
+              |       THEN 1 ELSE 0 END) AS n
+              |  FROM b
+              |)
+              |SELECT doc_id, source, CAST(copy AS BIGINT) AS copy
+              |FROM n, unnest(range(0, n)) AS t(copy)
+              |ORDER BY doc_id, copy""".stripMargin)),
+
     // Bulk kNN graph: top-3 in-cluster neighbors for EVERY vector
     // (dedup-graph / clustering substrate) — co-partitioned equi-join
     // on the cell key plus the bounded-heap top-k aggregate; neither

@@ -413,6 +413,29 @@ class OperatorsSpec extends SparkSpec {
     assert(s2 == s1)
   }
 
+  test("mixture repeat: fractional epochs, deterministic, key-pure") {
+    val docs = (1L to 400L).map(i =>
+      (i, if (i % 2 == 0) "web" else "code")).toDF("doc_id", "source")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.mixtureRepeat(df, "doc_id", "source",
+        Map("web" -> 2.5, "code" -> 0.25), defaultWeight = 1.0)
+        .as[(Long, String, Long)].collect().toSeq.sorted
+    val out = run(docs)
+    val byDoc = out.groupBy(_._1).view.mapValues(_.size).toMap
+    // web docs get 2 or 3 copies; code docs 0 or 1.
+    assert(byDoc.filterKeys(_ % 2 == 0).values.forall(n => n == 2 || n == 3))
+    assert(byDoc.filterKeys(_ % 2 == 1).values.forall(_ == 1))
+    val webCopies = out.count(_._2 == "web")
+    val codeDocs = byDoc.count(_._1 % 2 == 1)
+    assert(webCopies > 400 && webCopies < 600) // ~2.5 × 200
+    assert(codeDocs > 25 && codeDocs < 75)     // ~0.25 × 200
+    // copy indices are dense 0..n-1 per doc
+    assert(out.groupBy(_._1).forall { case (_, rows) =>
+      rows.map(_._3).sorted == (0L until rows.size.toLong) })
+    // partitioning-invariant
+    assert(run(docs.repartition(7)) == out)
+  }
+
   test("knn graph ranks in-cluster neighbors only, (sim desc, id asc)") {
     val e = Seq(
       (0L, 0, Array(1.0f, 0.0f)), (1L, 0, Array(1.0f, 0.1f)),
