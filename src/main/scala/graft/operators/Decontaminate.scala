@@ -43,9 +43,13 @@ object Decontaminate {
   def matches(corpus: DataFrame, probes: DataFrame, n: Int = 8): DataFrame = {
     val grams = corpus.select(col("doc_id"),
       explode(ngram_hashes(token_hashes(split(col("norm"), " ")), n)).as("g"))
+    // get() (0-based, null on out-of-range), not element_at: under
+    // ANSI mode element_at THROWS on a malformed probe with fewer
+    // than n tokens (empty gram array); a null gram hash instead
+    // equi-joins nothing, so short probes simply match no documents.
     val p = probes.select(col("probe_src"), col("probe"),
-      element_at(
-        ngram_hashes(token_hashes(split(col("probe"), " ")), n), 1).as("g"))
+      get(ngram_hashes(token_hashes(split(col("probe"), " ")), n), lit(0))
+        .as("g"))
     val cand = grams.join(broadcast(p), Seq("g"))
       .filter(col("doc_id") =!= col("probe_src"))
       .select("doc_id", "probe_src", "probe")

@@ -81,6 +81,12 @@ class OperatorsSpec extends SparkSpec {
     val got = operators.Decontaminate.matches(corpus, probes, n = 8)
       .as[(Long, Long)].collect().toSet
     assert(got == Set((2L, 1L)))
+
+    // A malformed (too-short) probe must match nothing, not throw
+    // (ANSI element_at on its empty gram array would).
+    val short = Seq((9L, "alpha beta")).toDF("probe_src", "probe")
+    assert(operators.Decontaminate.matches(corpus, short, n = 8)
+      .count() == 0)
   }
 
   test("randomized decontaminate: equals brute-force aligned containment") {
