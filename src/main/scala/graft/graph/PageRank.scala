@@ -35,6 +35,24 @@ import org.apache.spark.storage.StorageLevel
   */
 object PageRank {
 
+  /** Shared contribution aggregation: sum per target node, either the
+    * plain partial-aggregated groupBy or SkewTools' two-stage salted
+    * sum when a pathological hub would otherwise land its whole
+    * incoming mass on one reducer (AQE splits skewed joins, not
+    * skewed aggregation keys). `contribRows` must carry `_sb` (the
+    * contributing src — stable content for a retry-safe salt),
+    * `node`, `contrib`.
+    */
+  private def aggContribs(contribRows: DataFrame,
+      saltHotKeys: Int): DataFrame =
+    if (saltHotKeys > 0)
+      graft.operators.SkewTools
+        .saltedSumCount(contribRows, "node", "contrib",
+          salts = saltHotKeys, saltByCols = Seq("_sb"))
+        .select(col("node"), col("sum").as("incoming"))
+    else
+      contribRows.groupBy("node").agg(sum("contrib").as("incoming"))
+
   /** @param edges DataFrame with `src`, `dst` columns (any type).
     * @param checkpointEvery truncate rank lineage every N iterations
     *   (0 = never). Leave OFF for bounded iteration counts: the
@@ -99,18 +117,10 @@ object PageRank {
 
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (i <- 1 to iterations) {
-      val contribRows = linked
+      val contribs = aggContribs(linked
         .join(ranks, linked("src") === ranks("node"))
         .select(linked("src").as("_sb"), linked("dst").as("node"),
-          (col("rank") / col("outdeg")).as("contrib"))
-      val contribs =
-        if (saltHotKeys > 0)
-          graft.operators.SkewTools
-            .saltedSumCount(contribRows, "node", "contrib",
-              salts = saltHotKeys, saltByCols = Seq("_sb"))
-            .select(col("node"), col("sum").as("incoming"))
-        else
-          contribRows.groupBy("node").agg(sum("contrib").as("incoming"))
+          (col("rank") / col("outdeg")).as("contrib")), saltHotKeys)
       ranks =
         if (redistributeDangling) {
           // One-row dangling-mass aggregate, broadcast into the update.
@@ -150,7 +160,8 @@ object PageRank {
     * is identical to [[run]]: partitioned once, only ranks move.
     */
   def runPersonalized(edges: DataFrame, sources: DataFrame,
-      iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+      iterations: Int = 10, damping: Double = 0.85,
+      saltHotKeys: Int = 0): DataFrame = {
     val e = edges.select("src", "dst").distinct()
     val outDeg = e.groupBy("src").agg(count("*").as("outdeg"))
     val linked = e.join(outDeg, "src")
@@ -175,12 +186,10 @@ object PageRank {
 
     var ranks = flagged.select(col("node"), col("tele").as("rank"))
     for (_ <- 1 to iterations) {
-      val contribs = linked
+      val contribs = aggContribs(linked
         .join(ranks, linked("src") === ranks("node"))
-        .select(linked("dst").as("node"),
-          (col("rank") / col("outdeg")).as("contrib"))
-        .groupBy("node")
-        .agg(sum("contrib").as("incoming"))
+        .select(linked("src").as("_sb"), linked("dst").as("node"),
+          (col("rank") / col("outdeg")).as("contrib")), saltHotKeys)
       ranks = flagged
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
@@ -200,7 +209,7 @@ object PageRank {
     * @param edges (src, dst, weight) — weight integral or double
     */
   def runWeighted(edges: DataFrame, iterations: Int = 10,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85, saltHotKeys: Int = 0): DataFrame = {
     val e = edges.select("src", "dst", "weight")
     val outW = e.groupBy("src").agg(sum("weight").as("outw"))
     val linked = e.join(outW, "src")
@@ -214,12 +223,11 @@ object PageRank {
 
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iterations) {
-      val contribs = linked
+      val contribs = aggContribs(linked
         .join(ranks, linked("src") === ranks("node"))
-        .select(linked("dst").as("node"),
-          (col("rank") / col("outw") * col("weight")).as("contrib"))
-        .groupBy("node")
-        .agg(sum("contrib").as("incoming"))
+        .select(linked("src").as("_sb"), linked("dst").as("node"),
+          (col("rank") / col("outw") * col("weight")).as("contrib")),
+        saltHotKeys)
       ranks = nodes
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
@@ -304,7 +312,8 @@ object PageRank {
     * @param nPages the phase-1 page count (1/N initial rank)
     */
   def runOnPages(pages: DataFrame, links: DataFrame, nPages: Long,
-      iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+      iterations: Int = 10, damping: Double = 0.85,
+      saltHotKeys: Int = 0): DataFrame = {
     val outDeg = links.groupBy("src").agg(count("*").as("outdeg"))
     val linked = links.join(outDeg, "src")
       .repartition(col("src"))
@@ -313,12 +322,11 @@ object PageRank {
 
     var ranks = p.withColumn("rank", lit(1.0 / nPages))
     for (_ <- 1 to iterations) {
-      val contribs = linked
+      val contribs = aggContribs(linked
         .join(ranks, linked("src") === ranks("node"))
-        .select(linked("dst").as("tgt"),
-          (col("rank") / col("outdeg")).as("contrib"))
-        .groupBy("tgt")
-        .agg(sum("contrib").as("incoming"))
+        .select(linked("src").as("_sb"), linked("dst").as("node"),
+          (col("rank") / col("outdeg")).as("contrib")), saltHotKeys)
+        .withColumnRenamed("node", "tgt")
       // Left join FROM pages: contributions to non-page targets drop.
       ranks = p
         .join(contribs, p("node") === col("tgt"), "left")

@@ -106,6 +106,28 @@ class GraphSpec extends SparkSpec {
       assert(math.abs(plain(k) - salted(k)) < 1e-12, s"node $k")
   }
 
+  test("saltHotKeys on the weighted and page variants matches unsalted") {
+    val edges = ((1 to 40).map(i => (s"n$i", "hub", (i % 3 + 1).toLong)) ++
+      (1 to 40).map(i => ("hub", s"n$i", 1L))).toDF("src", "dst", "weight")
+    val plain = PageRank.runWeighted(edges, iterations = 4)
+      .as[(String, Double)].collect().toMap
+    val salted = PageRank.runWeighted(edges, iterations = 4, saltHotKeys = 8)
+      .as[(String, Double)].collect().toMap
+    for (k <- plain.keys)
+      assert(math.abs(plain(k) - salted(k)) < 1e-12, s"weighted $k")
+
+    val links = ((1 to 40).map(i => (s"n$i", "hub")) ++
+      (1 to 40).map(i => ("hub", s"n$i"))).toDF("src", "dst")
+    val pages = links.select(org.apache.spark.sql.functions.col("src")
+      .as("node")).distinct()
+    val p1 = PageRank.runOnPages(pages, links, nPages = 41, iterations = 4)
+      .as[(String, Double)].collect().toMap
+    val p2 = PageRank.runOnPages(pages, links, nPages = 41, iterations = 4,
+      saltHotKeys = 8).as[(String, Double)].collect().toMap
+    for (k <- p1.keys)
+      assert(math.abs(p1(k) - p2(k)) < 1e-12, s"pages $k")
+  }
+
   test("redistributeDangling: conserving recurrence exact, mass sums to 1") {
     // a -> b with b dangling: under reference semantics b's outflow
     // leaks; conserving redistributes it uniformly and normalizes the
