@@ -1,0 +1,64 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Triangle counting over an undirected graph by degree-ordered
+  * orientation (the "compact-forward" scheme): orient every edge
+  * from its lower-(degree, id) endpoint to the higher, build wedges
+  * at each vertex from ordered pairs of its out-neighbors, and close
+  * them against the oriented edge list.
+  *
+  * Why this shape scales: after orientation, every vertex's
+  * out-degree is O(√m) on ANY graph (a vertex keeps an out-edge only
+  * toward higher-degree endpoints, and there can't be more than √m
+  * vertices of degree ≥ √m) — so the wedge self-join's per-key
+  * fan-out is bounded even on power-law graphs where a naive
+  * adjacency self-join explodes at the hubs. Each triangle is
+  * counted exactly once, at its minimum-(degree, id) corner. Both
+  * joins are plain equi-joins on vertex keys — co-partitioned
+  * shuffles, AQE-splittable.
+  */
+object Triangles {
+
+  /** Global triangle count.
+    * @param edges directed or undirected (src, dst) pairs; direction
+    *   and duplicates are normalized away, self-loops dropped.
+    * @return one row: (n_triangles)
+    */
+  def globalCount(edges: DataFrame): DataFrame = {
+    // Canonical undirected edge set.
+    val und = edges
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    // Undirected degrees.
+    val deg = und.select(col("a").as("n")).union(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // Orient a→b iff (deg(a), a) < (deg(b), b); carry the head's
+    // (degree, id) so wedge legs can be ordered without re-joining.
+    val withDeg = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+    val oriented = withDeg.select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("u"), col("b").as("v"),
+            col("db").as("dv")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"),
+            col("da").as("dv"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Wedges at u: ordered out-neighbor pairs; the closing edge is
+    // oriented exactly (lower leg → higher leg), so one equi-join
+    // counts each triangle once.
+    val e1 = oriented.select(col("u"), col("v").as("v1"), col("dv").as("d1"))
+    val e2 = oriented.select(col("u"), col("v").as("v2"), col("dv").as("d2"))
+    val wedges = e1.join(e2, Seq("u"))
+      .filter(struct(col("d1"), col("v1")) < struct(col("d2"), col("v2")))
+    val closing = oriented.select(col("u").as("cu"), col("v").as("cv"))
+    wedges.join(closing,
+        col("v1") === col("cu") && col("v2") === col("cv"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+}

@@ -334,6 +334,43 @@ object PageRankQueries {
               |SELECT node, round(rank, 6) AS rank FROM r10
               |ORDER BY rank DESC, node""".stripMargin)),
 
+    // Triangle count over the undirected word-follow graph — the
+    // clustering-structure primitive alongside PageRank (centrality)
+    // and connected components (grouping). Degree-ordered orientation
+    // caps every vertex's out-degree at O(√m), so the wedge self-join
+    // survives power-law hubs; each triangle counts once at its
+    // minimum-(degree, id) corner.
+    Q("g1_triangle_count",
+      (s, d) => {
+        val e = LinkGraph.wordFollowEdges(Tables.documents(s, d), "text")
+        graft.graph.Triangles.globalCount(e)
+      },
+      Some(s"""WITH $edgeCtes,
+              |und AS (
+              |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              |  FROM e WHERE src <> dst
+              |),
+              |deg AS (
+              |  SELECT n, count(*) AS d FROM (
+              |    SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und
+              |  ) GROUP BY n
+              |),
+              |o AS (
+              |  SELECT CASE WHEN (da.d, u2.a) < (db.d, u2.b)
+              |           THEN u2.a ELSE u2.b END AS u,
+              |         CASE WHEN (da.d, u2.a) < (db.d, u2.b)
+              |           THEN u2.b ELSE u2.a END AS v,
+              |         CASE WHEN (da.d, u2.a) < (db.d, u2.b)
+              |           THEN db.d ELSE da.d END AS dv
+              |  FROM und u2
+              |  JOIN deg da ON da.n = u2.a
+              |  JOIN deg db ON db.n = u2.b
+              |)
+              |SELECT count(*) AS n_triangles
+              |FROM o e1
+              |JOIN o e2 ON e1.u = e2.u AND (e1.dv, e1.v) < (e2.dv, e2.v)
+              |JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v""".stripMargin)),
+
     // The complete reference pipeline with its EXACT page semantics
     // (PageRank.runOnPages): fabricated wiki pages whose outlinks
     // point at other titles (plus a deterministic share of dangling

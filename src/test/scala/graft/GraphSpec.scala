@@ -148,6 +148,25 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(ranks("a") + ranks("b") - 1.0) < 1e-12)
   }
 
+  test("triangle count: complete graph, path, hub+rim; input direction-free") {
+    import graft.graph.Triangles
+    def tri(pairs: Seq[(String, String)]): Long =
+      Triangles.globalCount(pairs.toDF("src", "dst")).as[Long].head()
+    // K4: C(4,3) = 4 triangles.
+    val k4 = for {
+      a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d")
+      if a < b
+    } yield (a, b)
+    assert(tri(k4) == 4L)
+    // Path: none.
+    assert(tri(Seq(("a", "b"), ("b", "c"), ("c", "d"))) == 0L)
+    // Hub star + one rim edge closes exactly one triangle; duplicate
+    // and reversed edges must not change the count.
+    val star = (1 to 10).map(i => ("hub", s"n$i")) ++
+      Seq(("n1", "n2"), ("n2", "n1"), ("hub", "n1"))
+    assert(tri(star) == 1L)
+  }
+
   test("dangling node receives rank but leaks its own (reference semantics)") {
     // a -> b, b has no outlinks: b's rank grows from a only; a gets
     // only the teleport term.
