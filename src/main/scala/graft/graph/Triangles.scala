@@ -21,12 +21,10 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
-  /** Global triangle count.
-    * @param edges directed or undirected (src, dst) pairs; direction
-    *   and duplicates are normalized away, self-loops dropped.
-    * @return one row: (n_triangles)
+  /** (closed wedges (u, v1, v2) — one row per triangle — and the
+    * undirected degree table (n, d)).
     */
-  def globalCount(edges: DataFrame): DataFrame = {
+  private def closedWedges(edges: DataFrame): (DataFrame, DataFrame) = {
     // Canonical undirected edge set.
     val und = edges
       .filter(col("src") =!= col("dst"))
@@ -51,14 +49,45 @@ object Triangles {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Wedges at u: ordered out-neighbor pairs; the closing edge is
     // oriented exactly (lower leg → higher leg), so one equi-join
-    // counts each triangle once.
+    // finds each triangle once.
     val e1 = oriented.select(col("u"), col("v").as("v1"), col("dv").as("d1"))
     val e2 = oriented.select(col("u"), col("v").as("v2"), col("dv").as("d2"))
     val wedges = e1.join(e2, Seq("u"))
       .filter(struct(col("d1"), col("v1")) < struct(col("d2"), col("v2")))
     val closing = oriented.select(col("u").as("cu"), col("v").as("cv"))
-    wedges.join(closing,
+    val closed = wedges.join(closing,
         col("v1") === col("cu") && col("v2") === col("cv"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
+      .select("u", "v1", "v2")
+    (closed, deg)
+  }
+
+  /** Global triangle count.
+    * @param edges directed or undirected (src, dst) pairs; direction
+    *   and duplicates are normalized away, self-loops dropped.
+    * @return one row: (n_triangles)
+    */
+  def globalCount(edges: DataFrame): DataFrame =
+    closedWedges(edges)._1.agg(count(lit(1)).as("n_triangles"))
+
+  /** Per-node triangle counts and local clustering coefficient
+    * (2·t / (d·(d−1)), e4-scaled; 0 for degree < 2): each found
+    * triangle fans out to its three corners — one extra exchange on
+    * the node key — then joins the degree table. Every graph node
+    * appears, zero-triangle nodes included.
+    */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val (closed, deg) = closedWedges(edges)
+    val corners = closed.select(col("u").as("node"))
+      .union(closed.select(col("v1").as("node")))
+      .union(closed.select(col("v2").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    deg.select(col("n").as("node"), col("d"))
+      .join(corners, Seq("node"), "left")
+      .select(col("node"), col("d").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("d") >= 2,
+          floor(lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+            (col("d") * (col("d") - 1)) * 10000 + 0.5).cast("long"))
+          .otherwise(0L).as("coeff_e4"))
   }
 }

@@ -371,6 +371,59 @@ object PageRankQueries {
               |JOIN o e2 ON e1.u = e2.u AND (e1.dv, e1.v) < (e2.dv, e2.v)
               |JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v""".stripMargin)),
 
+    // Per-node triangle counts + local clustering coefficient over
+    // the word graph: the found triangles fan out to their three
+    // corners (one exchange on the node key), then join the degree
+    // table — 2·t/(d·(d−1)), e4-scaled, zero-triangle nodes included.
+    Q("g2_clustering_coeff",
+      (s, d) => {
+        val e = LinkGraph.wordFollowEdges(Tables.documents(s, d), "text")
+        graft.graph.Triangles.clusteringCoefficients(e).orderBy("node")
+      },
+      Some(s"""WITH $edgeCtes,
+              |und AS (
+              |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              |  FROM e WHERE src <> dst
+              |),
+              |deg AS (
+              |  SELECT n, count(*) AS d FROM (
+              |    SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und
+              |  ) GROUP BY n
+              |),
+              |o AS (
+              |  SELECT CASE WHEN (da.d, u2.a) < (db.d, u2.b)
+              |           THEN u2.a ELSE u2.b END AS u,
+              |         CASE WHEN (da.d, u2.a) < (db.d, u2.b)
+              |           THEN u2.b ELSE u2.a END AS v,
+              |         CASE WHEN (da.d, u2.a) < (db.d, u2.b)
+              |           THEN db.d ELSE da.d END AS dv
+              |  FROM und u2
+              |  JOIN deg da ON da.n = u2.a
+              |  JOIN deg db ON db.n = u2.b
+              |),
+              |t AS (
+              |  SELECT e1.u, e1.v AS v1, e2.v AS v2
+              |  FROM o e1
+              |  JOIN o e2 ON e1.u = e2.u AND (e1.dv, e1.v) < (e2.dv, e2.v)
+              |  JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v
+              |),
+              |corners AS (
+              |  SELECT u AS node FROM t
+              |  UNION ALL SELECT v1 FROM t
+              |  UNION ALL SELECT v2 FROM t
+              |),
+              |tc AS (SELECT node, count(*) AS n_triangles FROM corners
+              |       GROUP BY node)
+              |SELECT d.n AS node, d.d AS degree,
+              |  CAST(COALESCE(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+              |  CASE WHEN d.d >= 2
+              |    THEN CAST(floor(CAST(2.0 AS DOUBLE)
+              |      * COALESCE(tc.n_triangles, 0) / (d.d * (d.d - 1))
+              |      * 10000 + 0.5) AS BIGINT)
+              |    ELSE 0 END AS coeff_e4
+              |FROM deg d LEFT JOIN tc ON tc.node = d.n
+              |ORDER BY node""".stripMargin)),
+
     // The complete reference pipeline with its EXACT page semantics
     // (PageRank.runOnPages): fabricated wiki pages whose outlinks
     // point at other titles (plus a deterministic share of dangling

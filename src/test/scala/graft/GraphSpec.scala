@@ -165,6 +165,21 @@ class GraphSpec extends SparkSpec {
     val star = (1 to 10).map(i => ("hub", s"n$i")) ++
       Seq(("n1", "n2"), ("n2", "n1"), ("hub", "n1"))
     assert(tri(star) == 1L)
+
+    // Clustering coefficients on the hub graph: hub has d=10, t=1
+    // (coeff 2/90 -> 222 e4); n1/n2 have d=2, t=1 (coeff 1.0); the
+    // other rim nodes d=1, t=0, coeff 0.
+    val cc = Triangles.clusteringCoefficients(star.toDF("src", "dst"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(cc("hub") == ((10L, 1L, 222L)))
+    assert(cc("n1") == ((2L, 1L, 10000L)))
+    assert(cc("n2") == ((2L, 1L, 10000L)))
+    assert(cc("n3") == ((1L, 0L, 0L)))
+    // K4: every node d=3, t=3, coeff exactly 1.
+    val cck4 = Triangles.clusteringCoefficients(k4.toDF("src", "dst"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(cck4.forall(r => r._2 == 3L && r._3 == 3L && r._4 == 10000L))
   }
 
   test("dangling node receives rank but leaks its own (reference semantics)") {
