@@ -159,41 +159,50 @@ object TextHash {
   def duckTokenHashes(c: String): String =
     s"list_transform(${duckTokens(c)}, t -> ${duckCharHash("t")})"
 
-  /** CTE body producing (doc_id, th) token-hash lists per document. */
-  def duckToksCte: String =
-    s"""toks AS (
+  /** CTE body producing (doc_id, th) token-hash lists per document.
+    * `sfx` renames the whole CTE chain (toks/sh/mh/bands → toksD/…)
+    * so one query can run the pipeline over two sources (the
+    * incremental delta-vs-corpus dedup); `from` is the source
+    * relation (a table name or a parenthesized subquery).
+    */
+  def duckToksCte: String = duckToksCte("documents", "")
+  def duckToksCte(from: String, sfx: String): String =
+    s"""toks$sfx AS (
        |  SELECT doc_id, ${duckTokenHashes("text")} AS th
-       |  FROM documents
+       |  FROM $from
        |)""".stripMargin
 
   /** CTE producing distinct (doc_id, s) shingle-hash rows. */
-  def duckShinglesCte: String =
-    s"""sh AS (
+  def duckShinglesCte: String = duckShinglesCte("")
+  def duckShinglesCte(sfx: String): String =
+    s"""sh$sfx AS (
        |  SELECT DISTINCT doc_id,
        |    (((th[i] * 31 + th[i+1]) % $P) * 31 + th[i+2]) % $P AS s
-       |  FROM toks, unnest(range(1, len(th) - 1)) AS u(i)
+       |  FROM toks$sfx, unnest(range(1, len(th) - 1)) AS u(i)
        |  WHERE len(th) >= 3
        |)""".stripMargin
 
-  def duckMinHashCte: String = {
+  def duckMinHashCte: String = duckMinHashCte("")
+  def duckMinHashCte(sfx: String): String = {
     val aLit = PermA.mkString("[", ", ", "]")
     val bLit = PermB.mkString("[", ", ", "]")
-    s"""mh AS (
+    s"""mh$sfx AS (
        |  SELECT doc_id, j AS perm,
        |    min(($aLit[j+1] * s + $bLit[j+1]) % $P) AS m
-       |  FROM sh, unnest(range(0, $NumPerms)) AS u(j)
+       |  FROM sh$sfx, unnest(range(0, $NumPerms)) AS u(j)
        |  GROUP BY doc_id, j
        |)""".stripMargin
   }
 
-  def duckBandsCte: String =
-    s"""bands AS (
+  def duckBandsCte: String = duckBandsCte("")
+  def duckBandsCte(sfx: String): String =
+    s"""bands$sfx AS (
        |  SELECT doc_id, perm // $RowsPerBand AS band,
        |    ((((min(CASE WHEN perm % $RowsPerBand = 0 THEN m END) * 31
        |       + min(CASE WHEN perm % $RowsPerBand = 1 THEN m END)) % $P) * 31
        |       + min(CASE WHEN perm % $RowsPerBand = 2 THEN m END)) * 31
        |       + min(CASE WHEN perm % $RowsPerBand = 3 THEN m END)) % $P AS sig
-       |  FROM mh GROUP BY doc_id, band
+       |  FROM mh$sfx GROUP BY doc_id, band
        |)""".stripMargin
 
   /** CTE producing (doc_id, f) 64-bit SimHash fingerprints. DuckDB

@@ -100,12 +100,18 @@ object Dedup {
 
   /** Exact-Jaccard verification of candidate pairs against the full
     * shingle sets; shared by the inverted-index and LSH paths.
+    * `setsA`/`setsB` are the da/db sides — the same table for
+    * self-joins, distinct tables for the delta-vs-corpus path.
     */
   private def verifyJaccard(candidates: DataFrame, sets: DataFrame,
       minJaccard: Double): DataFrame =
+    verifyJaccard2(candidates, sets, sets, minJaccard)
+
+  private def verifyJaccard2(candidates: DataFrame, setsA: DataFrame,
+      setsB: DataFrame, minJaccard: Double): DataFrame =
     candidates
-      .join(sets.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
-      .join(sets.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
+      .join(setsA.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
+      .join(setsB.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
       .withColumn("inter",
         size(array_intersect(col("sha"), col("shb"))).cast("long"))
       .withColumn("jaccard", col("inter").cast("double") /
@@ -139,6 +145,35 @@ object Dedup {
     // Exact verification only on candidates: array_intersect on the
     // (already distinct) shingle sets.
     verifyJaccard(candidates, sets, minJaccard)
+  }
+
+  /** Incremental near-dup detection: a DELTA batch checked against an
+    * existing CORPUS — the continuous-ingestion path (d3's self-join
+    * dedups a corpus against itself; daily ingest only needs new docs
+    * vs everything already kept). Same MinHash band machinery, but
+    * the bucket join is delta-bands ⋈ corpus-bands: work scales with
+    * the DELTA, and at 100 TB the corpus-side bands are the
+    * precomputed table a real pipeline maintains incrementally
+    * (bucketed by (band, sig), so this join needs no corpus shuffle).
+    *
+    * @return (da = delta doc, db = corpus doc, jaccard_e6) pairs with
+    *   Jaccard ≥ `minJaccard`
+    */
+  def minhashLshAgainst(delta: DataFrame, corpus: DataFrame,
+      minJaccard: Double): DataFrame = {
+    def bandsOf(sets: DataFrame): DataFrame = sets
+      .select(col("doc_id"), minhash_sig(col("sh")).as("mh"))
+      .select(col("doc_id"),
+        posexplode(band_sigs(col("mh"))).as(Seq("band", "sig")))
+    val dSets = shingleSets(delta)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cSets = shingleSets(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = bandsOf(dSets).as("a").join(bandsOf(cSets).as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    verifyJaccard2(candidates, dSets, cSets, minJaccard)
   }
 
   /** Line-level corpus dedup (the C4/boilerplate-removal step): drop

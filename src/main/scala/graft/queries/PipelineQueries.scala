@@ -188,6 +188,53 @@ object PipelineQueries {
                    |   JOIN sh y ON y.doc_id = c.db AND y.s = x.s
                    |   GROUP BY c.da, c.db""".stripMargin)}""".stripMargin)),
 
+    // Incremental dedup: a DELTA batch (every 10th doc, re-keyed —
+    // the day's ingest, full of docs the corpus already has) checked
+    // against the existing corpus. The band join is delta × corpus,
+    // not a self-join: work scales with the delta, and the corpus
+    // bands are the precomputed table a real pipeline maintains.
+    Q("d21_incremental_dedup",
+      (s, d) => {
+        val corpus = Tables.documents(s, d).select("doc_id", "text")
+        val delta = corpus.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        Dedup.minhashLshAgainst(delta, corpus, minJaccard = 0.8)
+          .orderBy("da", "db")
+      },
+      Some(s"""WITH ${TextHash.duckToksCte},
+              |${TextHash.duckShinglesCte},
+              |${TextHash.duckMinHashCte},
+              |${TextHash.duckBandsCte},
+              |${TextHash.duckToksCte(
+                 "(SELECT doc_id + 1000000 AS doc_id, text FROM documents " +
+                   "WHERE doc_id % 10 = 0)", "D")},
+              |${TextHash.duckShinglesCte("D")},
+              |${TextHash.duckMinHashCte("D")},
+              |${TextHash.duckBandsCte("D")},
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+              |  FROM bandsD a JOIN bands b
+              |    ON a.band = b.band AND a.sig = b.sig
+              |),
+              |szA AS (SELECT doc_id, count(*) AS n FROM shD GROUP BY doc_id),
+              |szB AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |ix AS (
+              |  SELECT c.da, c.db, count(*) AS inter
+              |  FROM cand c
+              |  JOIN shD x ON x.doc_id = c.da
+              |  JOIN sh y ON y.doc_id = c.db AND y.s = x.s
+              |  GROUP BY c.da, c.db
+              |),
+              |jac AS (
+              |  SELECT ix.da, ix.db,
+              |    CAST(ix.inter AS DOUBLE) / (a.n + b.n - ix.inter) AS j
+              |  FROM ix JOIN szA a ON a.doc_id = ix.da
+              |  JOIN szB b ON b.doc_id = ix.db
+              |)
+              |SELECT da, db,
+              |  CAST(floor(j * 1000000 + 0.5) AS BIGINT) AS jaccard_e6
+              |FROM jac WHERE j >= 0.8 ORDER BY da, db""".stripMargin)),
+
     // SimHash fingerprints + Hamming-near pairs. Spark generates
     // pairs via the pigeonhole band join (scalable); the oracle
     // brute-forces all pairs — identical result by construction.

@@ -171,6 +171,27 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("incremental dedup finds delta-vs-corpus matches only") {
+    val corpus = Seq(
+      (1L, (1 to 40).map(i => s"tok$i").mkString(" ")),
+      (2L, (100 to 140).map(i => s"w$i").mkString(" ")),
+      (3L, (200 to 240).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      // near-copy of corpus doc 1 (one token changed)
+      (11L, ((1 to 39).map(i => s"tok$i") :+ "tokX").mkString(" ")),
+      // genuinely new
+      (12L, (300 to 340).map(i => s"q$i").mkString(" ")),
+      // near-copies of EACH OTHER but of nothing in the corpus:
+      // the delta-vs-corpus join must NOT pair delta docs together
+      (13L, (400 to 440).map(i => s"p$i").mkString(" ")),
+      (14L, (400 to 440).map(i => s"p$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashLshAgainst(delta, corpus, minJaccard = 0.5)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(got == Set((11L, 1L)))
+  }
+
   test("simhash pair generation equals brute force on a small corpus") {
     val docs = (1L to 30L).map(i =>
       (i, (0 to 20).map(j => s"w${(i * 7 + j) % 25}").mkString(" ")))
