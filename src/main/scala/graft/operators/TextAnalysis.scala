@@ -108,6 +108,29 @@ object TextAnalysis {
         col("s.token").as("token"), col("s.score_e6").as("score_e6"))
   }
 
+  /** Context-window chunking: split each document into `chunkTokens`-
+    * token windows starting every `stride` tokens (stride < chunk ⇒
+    * overlap, the continuity trick training pipelines use so no
+    * boundary context is lost). The final window may be short. Pure
+    * map-side HOF math — one row explodes to its chunks, no shuffle;
+    * each chunk carries its token count and the shared-spec
+    * fingerprint (the join key for downstream chunk-level dedup).
+    */
+  def chunk(docs: DataFrame, chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
+      s"need 0 < stride <= chunkTokens, got $stride / $chunkTokens")
+    docs
+      .withColumn("_toks", expr(TextHash.sparkTokens("text")))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, (size(_toks) - 1) div $stride), " +
+            s"i -> array_join(slice(_toks, i * $stride + 1, $chunkTokens)," +
+            " ' '))")).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(split(col("chunk"), " ")).cast("long").as("n_chunk_tokens"),
+        string_poly_hash(col("chunk")).as("chunk_fp"))
+  }
+
   /** Intra-document repetition metrics (the Gopher-style "fraction of
     * duplicated n-grams" quality signal): every rolling `n`-token
     * window of the doc, counted once vs. distinct. A document shorter

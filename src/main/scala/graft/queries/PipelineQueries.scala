@@ -440,6 +440,30 @@ object PipelineQueries {
               |SELECT doc_id, rank, token, score_e6 FROM r WHERE rank <= 3
               |ORDER BY doc_id, rank""".stripMargin)),
 
+    // Context-window chunking: 32-token windows every 24 tokens
+    // (8-token overlap) — the split-long-documents step of training
+    // prep, with per-chunk fingerprints for chunk-level dedup. Pure
+    // map-side explode; the only exchange is the output ORDER BY.
+    Q("d22_chunking",
+      (s, d) => TextAnalysis.chunk(Tables.documents(s, d),
+          chunkTokens = 32, stride = 24)
+        .orderBy("doc_id", "chunk_idx"),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, ${TextHash.duckTokens("text")} AS tk
+              |  FROM documents
+              |),
+              |c AS (
+              |  SELECT doc_id, i AS chunk_idx,
+              |    array_to_string(list_slice(tk, i * 24 + 1, i * 24 + 32),
+              |      ' ') AS chunk
+              |  FROM t, unnest(range(0, (len(tk) - 1) // 24 + 1)) AS u(i)
+              |)
+              |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+              |  CAST(len(string_split(chunk, ' ')) AS BIGINT)
+              |    AS n_chunk_tokens,
+              |  ${TextHash.duckDocFingerprint("chunk")} AS chunk_fp
+              |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     // Corpus heavy hitters (frequent-token mining): one pass builds a
     // Misra-Gries sketch (capacity 64 ⇒ every token with true count
     // > N/65 is guaranteed in it, whatever the partitioning), then an

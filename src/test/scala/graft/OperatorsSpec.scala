@@ -278,6 +278,17 @@ class OperatorsSpec extends SparkSpec {
     assert(q(1L) > 0.5)
   }
 
+  test("chunking: overlapping windows cover every token, short tail kept") {
+    val docs = Seq((1L, (1 to 50).map(i => s"t$i").mkString(" ")),
+      (2L, "tiny doc")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunk(docs, chunkTokens = 32, stride = 24)
+      .select("doc_id", "chunk_idx", "n_chunk_tokens")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    // 50 tokens: chunks at 0 (32 tokens), 24 (26 tokens), 48 (2).
+    assert(got == Seq((1L, 0L, 32L), (1L, 1L, 26L), (1L, 2L, 2L),
+      (2L, 0L, 2L)))
+  }
+
   test("token counts: whitespace vs BPE-ish") {
     val docs = Seq((1L, "Hello, world! abc123")).toDF("doc_id", "text")
     val (ws, bpe) = TextAnalysis.tokenCounts(docs)
