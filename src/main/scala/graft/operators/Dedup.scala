@@ -188,7 +188,10 @@ object Dedup {
     * boilerplate is a tiny fraction of distinct lines) feeds a
     * left_anti join — AQE broadcasts it; reassembly is one exchange
     * on doc_id with per-group state bounded by the document's own
-    * line count.
+    * line count. The frequency key is the line STRING, not a 64-bit
+    * hash: at billions of distinct lines a single-word hash key
+    * would birthday-collide and silently drop rare lines — a scale
+    * variant would key on a 128-bit digest, never the bare hash.
     *
     * @param docs (doc_id, text) with '\n'-separated lines
     * @return (doc_id, n_lines, n_kept, kept_md5) — md5 of the

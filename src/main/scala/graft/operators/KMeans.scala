@@ -23,9 +23,14 @@ import graft.functions.CosineSimilarity.cosine_sim
   * Scale shape (per iteration):
   *   - Assignment: the k×dims centroid table collapses to ONE row
   *     holding a sorted (cell, cvec) array, broadcast to every
-  *     corpus partition; each row computes its argmax cell in a
-  *     single codegen'd pass over that array (cosine_sim is the
-  *     native expression). ZERO shuffle — the corpus never moves.
+  *     corpus partition; each row folds over that array picking its
+  *     argmax cell. ZERO shuffle — the corpus never moves. The fold
+  *     is a higher-order function, so the k lambda steps dispatch
+  *     interpreted, but each step's cosine is the native compiled
+  *     expression (a tight JVM loop): fine for IVF-scale k (≤ a few
+  *     thousand); a corpus-resident nearest-centroid KERNEL (the
+  *     TextHashExprs treatment) is the next rung if profiling ever
+  *     shows the dispatch dominating.
   *   - Update: posexplode to (cell, dim, v) and partial-aggregated
   *     groupBy — the one exchange, carrying ≤ partitions × k × dims
   *     partials, never corpus rows.
