@@ -93,7 +93,9 @@ object ConnectedComponents {
     *
     * @param pairs undirected edges as (a, b) — both long ids
     * @return (id, label) — component minimum per vertex, identical to
-    *   a converged [[minLabel]]
+    *   a converged [[minLabel]] on any graph of real pairs (a vertex
+    *   appearing ONLY in self-loops has nothing to consolidate and is
+    *   dropped here, where minLabel would emit it self-labeled)
     */
   def starContract(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     // (count, xor-of-hashes): order-insensitive, ANSI-overflow-free
