@@ -570,6 +570,23 @@ object RelationalQueries {
              |  count(*) AS n_orders
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // CUBE: all four aggregation levels of (priority, status) in one
+    // pass — completes the grouping-construct family alongside
+    // ROLLUP (q10) and arbitrary GROUPING SETS (q25). Same Expand +
+    // partial-agg plan: one exchange regardless of level count.
+    Q("q37_cube",
+      (s, d) => Tables.orders(s, d)
+        .cube(col("o_orderpriority").as("priority"),
+          col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("priority", "status"),
+      Some("""SELECT o_orderpriority AS priority, o_orderstatus AS status,
+             |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+             |FROM orders
+             |GROUP BY CUBE (o_orderpriority, o_orderstatus)
+             |ORDER BY priority, status""".stripMargin)),
+
     // TPC-H Q13 shape: the customer-order-count DISTRIBUTION,
     // including zero-order customers — the left join + count +
     // re-aggregation double grouping. Filtering the order side before
