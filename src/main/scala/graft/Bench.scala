@@ -7,7 +7,10 @@ import org.apache.spark.sql.SparkSession
   *
   * One short warm-up job runs first so JVM/codegen startup cost is
   * not attributed to the first measured query; each headline query
-  * then executes once, timed end-to-end including its full action.
+  * then runs 4× end-to-end (1 cold + 3 steady), and the reported
+  * `value` is the per-query MEDIAN of the steady runs — robust to
+  * the box's documented co-tenant contention bursts, which min-of-2
+  * could not reject.
   */
 object Bench {
 
@@ -32,15 +35,18 @@ object Bench {
     // parquet reader, codegen and shuffle machinery.
     SparkEntry.queries("q1_agg")(spark, sfDir).collect()
 
-    // Two timed runs per query. Run 1 is cold (includes scan, signature
-    // computation, first-time AQE planning); run 2 is steady-state —
-    // operators that persist their invariant side (PageRank's
-    // partitioned edges, LSH's shingle sets) legitimately reuse it,
-    // which is the "partition once, iterate" design claim. The
-    // headline value is the steady-state (min); cold times ship
-    // alongside for transparency.
+    // Four timed runs per query: run 1 is cold (includes scan,
+    // signature computation, first-time AQE planning); runs 2-4 are
+    // steady-state — operators that persist their invariant side
+    // (PageRank's partitioned edges, LSH's shingle sets) legitimately
+    // reuse it, which is the "partition once, iterate" design claim.
+    // The headline value is the MEDIAN of the three steady runs:
+    // min-of-2 could not reject a co-tenant contention burst spanning
+    // both runs (the round-5 recorded bench was a 2.44× artifact of
+    // exactly that), while a median needs 2 of 3 runs corrupted to
+    // move. Min and cold ship alongside for transparency.
     val results = headline.map { name =>
-      val secs = (1 to 2).map { _ =>
+      val secs = (1 to 4).map { _ =>
         val t0 = System.nanoTime()
         // toRdd, not count(): under a bare count() Catalyst prunes
         // every computed column — and with distinct-key propagation
@@ -51,18 +57,22 @@ object Bench {
         SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9
       }
+      val steady = secs.drop(1)
+      val median = steady.sorted.apply(steady.size / 2)
       System.err.println(
-        f"[bench] $name%-16s best ${secs.min}%8.3f s  (runs: ${
+        f"[bench] $name%-16s median $median%8.3f s  (runs: ${
           secs.map(s => f"$s%.3f").mkString(", ")})")
-      (name, secs.min, secs.head)
+      (name, median, steady.min, secs.head)
     }
-    def jmap(f: ((String, Double, Double)) => Double) =
+    def jmap(f: ((String, Double, Double, Double)) => Double) =
       results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val totalCold = results.map(_._3).sum
+    val totalMin = results.map(_._3).sum
+    val totalCold = results.map(_._4).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""queries":${jmap(_._2)},"total_cold":$totalCold,""" +
-      s""""queries_cold":${jmap(_._3)},"sf":"$sfDir"}"""
+      s""""queries":${jmap(_._2)},"total_min":$totalMin,""" +
+      s""""queries_min":${jmap(_._3)},"total_cold":$totalCold,""" +
+      s""""queries_cold":${jmap(_._4)},"sf":"$sfDir"}"""
     // The JSON must survive sbt's [info]-prefixed stdout wrapping:
     // write it to a file too, and stop Spark BEFORE printing so the
     // line is the final stdout of the run, not buried under shutdown

@@ -136,7 +136,9 @@ object HeavyHittersSketch {
 
     def add(item: String, weight: Long): Unit = {
       counts.update(item, counts.getOrElse(item, 0L) + weight)
-      if (counts.size > k) shrink()
+      if (counts.size > k) {
+        if (weight == 1L) decrementAll() else shrink()
+      }
     }
 
     def mergeFrom(other: Buffer): Unit = {
@@ -144,6 +146,24 @@ object HeavyHittersSketch {
         counts.update(it, counts.getOrElse(it, 0L) + c)
       }
       if (counts.size > k) shrink()
+    }
+
+    /** The classic Misra-Gries step for a unit-weight arrival into a
+      * full sketch: decrement every counter by 1 and drop the zeros —
+      * the just-inserted item (at count 1) leaves unless re-seen.
+      * O(k) with no sort, so the steady-state per-row cost of the
+      * one-pass scan stays O(k); the sort-based [[shrink]] is
+      * reserved for weighted adds and buffer merges, which are
+      * O(partitions), not O(rows). Error accounting is unchanged:
+      * each decrement charges all k+1 live counters by 1, bounding
+      * the total undercount by N / (k + 1).
+      */
+    private def decrementAll(): Unit = {
+      val dead = mutable.ArrayBuffer.empty[String]
+      counts.foreach { case (it, c) =>
+        if (c <= 1L) dead += it else counts.update(it, c - 1L)
+      }
+      dead.foreach(counts.remove)
     }
 
     private def shrink(): Unit = {

@@ -61,16 +61,44 @@ object ConnectedComponents {
         .groupBy("id")
         .agg(min("label").as("label"))
     }
-    labels
+    // Eager localCheckpoint: materializes the O(|V|) label table ONCE
+    // (so every downstream action — and dupGroups' convergence check
+    // plus its final output — reads stored blocks instead of re-running
+    // `iters` join rounds), truncates the iters-deep lineage, and lets
+    // the edge cache be released here instead of leaking into the
+    // caller's session (cached blocks otherwise pile up across a
+    // many-query verify run and lean on LRU eviction).
+    val out = labels.localCheckpoint(true)
+    edges.unpersist()
+    out
   }
 
   /** Dedup consolidation: (doc_id, group_id, keep) for every doc in
     * the pair graph, keeping the minimum doc id of each group.
+    *
+    * `iters` rounds of min-label propagation converge only when every
+    * component's min-eccentricity is ≤ `iters` — true for real LSH
+    * dup graphs (star-shaped copies of a common source) but silently
+    * wrong for adversarially deep graphs (a chain of hops longer than
+    * `iters`). So the result is CHECKED: min-label is at a fixpoint
+    * iff both endpoints of every input pair carry the same label (one
+    * O(|pairs|) scalar over the already-materialized label table). If
+    * any edge still disagrees, fall through to [[starContract]],
+    * whose round count is O(log n) regardless of diameter — callers
+    * always get fully-consolidated groups.
     */
-  def dupGroups(pairs: DataFrame, iters: Int = 8): DataFrame =
-    minLabel(pairs, iters)
+  def dupGroups(pairs: DataFrame, iters: Int = 8): DataFrame = {
+    val labels = minLabel(pairs, iters)
+    val la = labels.select(col("id").as("a"), col("label").as("la"))
+    val lb = labels.select(col("id").as("b"), col("label").as("lb"))
+    val converged = pairs.join(la, "a").join(lb, "b")
+      .filter(col("la") =!= col("lb"))
+      .isEmpty
+    val resolved = if (converged) labels else starContract(pairs)
+    resolved
       .select(col("id").as("doc_id"), col("label").as("group_id"),
         (col("id") === col("label")).as("keep"))
+  }
 
   /** Alternating large-star / small-star contraction — the O(log n)
     * connected-components algorithm (Kiveris et al., "Connected
@@ -151,6 +179,13 @@ object ConnectedComponents {
       cur = checksum(small)
       rounds += 1
     }
+    // A partially-contracted edge set would hand back SPLIT labels
+    // with no signal — fail loudly instead. The default cap of 50
+    // O(log n) rounds covers any graph that fits on hardware (2^50
+    // nodes); hitting it means the input, not the cap, is the bug.
+    if (cur != prev) throw new IllegalStateException(
+      s"starContract: no edge fixpoint after $maxRounds rounds — " +
+        "components would be silently split; raise maxRounds")
     // Fixpoint: every edge is (member, componentMin).
     edges.select(col("u").as("id"), col("v").as("label"))
       .union(edges.select(col("v").as("id"), col("v").as("label")))

@@ -18,6 +18,11 @@ import org.apache.spark.sql.functions._
   * counted exactly once, at its minimum-(degree, id) corner. Both
   * joins are plain equi-joins on vertex keys — co-partitioned
   * shuffles, AQE-splittable.
+  *
+  * Cache lifetime: the oriented edge table is persisted because the
+  * returned plan reads it three times (two wedge legs + the closing
+  * semi-join), so it must outlive this call; the caller owns the
+  * cache after materializing (see [[graft.operators.Dedup]]'s note).
   */
 object Triangles {
 

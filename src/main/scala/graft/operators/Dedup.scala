@@ -21,6 +21,15 @@ import graft.functions.TextHashExprs._
   *   - Per-document signatures (token hashes, shingles, MinHash,
   *     SimHash) are pure map-side higher-order functions inside
   *     whole-stage codegen — zero shuffles, no UDFs.
+  *
+  * Cache lifetime: the pair operators persist their signature/set
+  * tables (MEMORY_AND_DISK) because the RETURNED plan reads them
+  * twice — candidate generation and exact verification — so the
+  * blocks must outlive this call and cannot be unpersisted here. The
+  * caller owns the lifetime: `df.sparkSession.catalog.clearCache()`
+  * (or unpersisting via the plan's cached leaves) after materializing
+  * the result; unreferenced blocks otherwise age out via LRU, which
+  * is safe (MEMORY_AND_DISK recomputes) but not free.
   */
 object Dedup {
 

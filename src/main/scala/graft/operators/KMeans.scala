@@ -107,6 +107,13 @@ object KMeans {
           a.select(col("cell").as("label"), col("embedding")), "label")
         .select(col("label").as("cell"), col("cvec"))
     }
-    cent
+    // Training is inherently an action-driven loop, so run it HERE:
+    // the eager localCheckpoint materializes the k-row centroid table
+    // once (every later action reads k stored rows instead of
+    // re-running `iters` Lloyd rounds) and lets the corpus cache be
+    // released now instead of leaking into the caller's session.
+    val out = cent.localCheckpoint(true)
+    corpus.unpersist()
+    out
   }
 }

@@ -63,6 +63,10 @@ object Similarity {
     * O(n²) cross space never materializes. Candidates are then
     * verified with exact codegen'd cosine ≥ `minCos`.
     *
+    * The signature table is persisted because the returned plan reads
+    * it three times (banding + both verify sides); the caller owns the
+    * cache lifetime after materializing (see [[Dedup]]'s cache note).
+    *
     * @param emb (vec_id, embedding array<double>)
     */
   def embedNearDupPairs(emb: DataFrame, minCos: Double): DataFrame = {
@@ -144,6 +148,55 @@ object Similarity {
     val b = emb.select(col(labelCol).as("label"),
       col("vec_id").as("nbr_id"), col("embedding").as("eb"))
     a.join(b, Seq("label"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .withColumn("sim", cosine_sim(col("ea"), col("eb")))
+      .groupBy("vec_id")
+      .agg(top_k_by_score(col("sim"), col("nbr_id"), lit(0L), k).as("tk"))
+      .select(col("vec_id"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("vec_id"), (col("pos") + 1).as("rank"),
+        col("s.cand_id").as("nbr_id"), round(col("s.sim"), 6).as("sim"))
+  }
+
+  /** Multi-probe bulk kNN graph: like [[knnGraph]], but each vector
+    * searches its `nprobe` nearest CELLS (by centroid cosine) instead
+    * of only the cell it lives in — the fix for IVF's standard
+    * cell-boundary recall loss, where a vector sitting near a cell
+    * edge silently gets neighbors from the wrong side of the
+    * boundary. This is the bulk counterpart of [[ivfProbeTopK]]'s
+    * `nprobe` knob (there the query set is small; here every corpus
+    * vector is a query).
+    *
+    * Scale shape: the bounded centroid table collapses to ONE sorted
+    * (label, cvec) array row broadcast to every partition (the
+    * KMeans-assignment trick) — each vector picks its top-`nprobe`
+    * cells map-side via an array_sort over nlist scored cells, so
+    * assignment costs ZERO shuffle (never a corpus×nlist exchange).
+    * The candidate join then shuffles nprobe probe rows per vector
+    * against the corpus keyed on the cell — work is
+    * Σ_cell |cell|·(probes landing there) ≈ nprobe·Σ_cell |cell|² —
+    * and ranking is the bounded-heap [[top_k_by_score]] partial
+    * aggregate. Probed cells are distinct per vector and each
+    * candidate lives in exactly one cell, so no pair is scored twice.
+    */
+  def knnGraphProbed(emb: DataFrame, labelCol: String, k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val centArr = centroidVectors(emb, labelCol)
+      .agg(array_sort(collect_list(struct(col("label"), col("cvec"))))
+        .as("cents"))
+    // (-cos, label) sorts as (cos DESC, label ASC) — the same probe
+    // order ivfProbeTopK's row_number states; negation is exact in
+    // IEEE doubles, so no tie behavior can diverge from the oracle.
+    val probes = emb
+      .select(col("vec_id"), col("embedding").as("ea"))
+      .crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("ea"),
+        explode(slice(array_sort(transform(col("cents"), c =>
+          struct((-cosine_sim(col("ea"), c.getField("cvec"))).as("neg"),
+            c.getField("label").as("label")))), 1, nprobe)).as("p"))
+      .select(col("vec_id"), col("ea"), col("p.label").as("label"))
+    val cand = emb.select(col(labelCol).as("label"),
+      col("vec_id").as("nbr_id"), col("embedding").as("eb"))
+    probes.join(cand, Seq("label"))
       .filter(col("vec_id") =!= col("nbr_id"))
       .withColumn("sim", cosine_sim(col("ea"), col("eb")))
       .groupBy("vec_id")

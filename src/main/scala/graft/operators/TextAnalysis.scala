@@ -108,6 +108,38 @@ object TextAnalysis {
         col("s.token").as("token"), col("s.score_e6").as("score_e6"))
   }
 
+  /** LM fluency scoring against a SUPPLIED (token, logprob) model
+    * table — the external-LM plug point (SURVEY.md §2 d19): the
+    * operator's contract is only the two-column table, so a KenLM
+    * dump, BPE-unit logprobs, or d19's corpus-derived unigram
+    * stand-in all drive the identical plan with zero operator
+    * changes. The LM is vocabulary-sized → broadcast into the join;
+    * scoring is then map-side per token plus one partial-aggregated
+    * exchange on doc_id.
+    *
+    * @param docTokens (doc_id, token) — one row per token occurrence
+    *   (the tokenizer plug point: any tokenization that yields this
+    *   shape works)
+    * @param lm (token, logprob) — logprob DOUBLE, one row per token
+    * @param oovLogprob score for tokens absent from `lm`; None drops
+    *   them (d19's corpus-built LM covers every token by
+    *   construction; a real LM wants Some(penalty))
+    * @return (doc_id, n_tokens, logprob_e6) mean token log-prob,
+    *   e6-scaled per the §5 parity protocol
+    */
+  def lmScore(docTokens: DataFrame, lm: DataFrame,
+      oovLogprob: Option[Double] = None): DataFrame = {
+    val scored = oovLogprob match {
+      case None => docTokens.join(broadcast(lm), "token")
+      case Some(lp) => docTokens.join(broadcast(lm), Seq("token"), "left")
+        .withColumn("logprob", coalesce(col("logprob"), lit(lp)))
+    }
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        floor(avg(col("logprob")) * 1000000 + 0.5).cast("long")
+          .as("logprob_e6"))
+  }
+
   /** Context-window chunking: split each document into `chunkTokens`-
     * token windows starting every `stride` tokens (stride < chunk ⇒
     * overlap, the continuity trick training pipelines use so no

@@ -72,18 +72,27 @@ object PipelineQueries {
          |  ) GROUP BY id)""".stripMargin
     }.mkString(",\n")
 
+  /** The shared Sampling hash-bucket expression in DuckDB form —
+    * used for k-means seeding AND for e10's training-subset
+    * predicate, so both mirror graft.operators.Sampling bit-for-bit.
+    */
+  private val duckVecBucket =
+    s"${TextHash.duckDocFingerprint("CAST(vec_id AS VARCHAR)")} " +
+      s"* ${Sampling.Mixer} % ${Sampling.MixMod} % ${Sampling.Buckets}"
+
   /** DuckDB CTEs mirroring graft.operators.KMeans: deterministic
     * hash-picked seeds (cell 0..k-1 in (samplingHash, vec_id) order),
     * then `iters` unrolled Lloyd rounds — assignment by
     * (cosine DESC, cell ASC) row_number, update by per-(cell, dim)
-    * round(avg, 6). Produces `e`, `cent0..cent$iters` (vector form)
-    * and `c{i}d` (per-dim form). MATERIALIZED is load-bearing: each
-    * round reads the previous twice.
+    * round(avg, 6). Produces `e` (the FULL corpus), `et` (the
+    * training set: `e` filtered by `trainPred` — TRUE for e7/e8's
+    * full-corpus training, the sampling-bucket predicate for e10's
+    * sampled training), `cent0..cent$iters` (vector form) and `c{i}d`
+    * (per-dim form). MATERIALIZED is load-bearing: each round reads
+    * the previous twice.
     */
-  private def kmeansCtes(k: Int, iters: Int): String = {
-    val bucket =
-      s"${TextHash.duckDocFingerprint("CAST(vec_id AS VARCHAR)")} " +
-        s"* ${Sampling.Mixer} % ${Sampling.MixMod} % ${Sampling.Buckets}"
+  private def kmeansCtes(k: Int, iters: Int,
+      trainPred: String = "TRUE"): String = {
     val steps = (1 to iters).map { i =>
       s"""a$i AS MATERIALIZED (
          |  SELECT vec_id, emb, cell FROM (
@@ -91,7 +100,7 @@ object PipelineQueries {
          |      row_number() OVER (PARTITION BY v.vec_id
          |        ORDER BY ${TextHash.duckCosine("v.emb", "c.cvec", 64)} DESC,
          |                 c.cell) AS rn
-         |    FROM e v, cent${i - 1} c
+         |    FROM et v, cent${i - 1} c
          |  ) WHERE rn = 1
          |),
          |c${i}d AS MATERIALIZED (
@@ -108,8 +117,11 @@ object PipelineQueries {
     s"""e AS MATERIALIZED (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
        |),
+       |et AS MATERIALIZED (
+       |  SELECT vec_id, emb FROM e WHERE $trainPred
+       |),
        |s0 AS MATERIALIZED (
-       |  SELECT vec_id, emb, $bucket AS b FROM e
+       |  SELECT vec_id, emb, $duckVecBucket AS b FROM et
        |  ORDER BY b, vec_id LIMIT $k
        |),
        |cent0 AS MATERIALIZED (
@@ -119,6 +131,58 @@ object PipelineQueries {
        |),
        |$steps""".stripMargin
   }
+
+  /** The learned-cell IVF search tail shared by e8 and e10: assign
+    * the FULL corpus (`e`) to the trained `cent3` cells, rebuild the
+    * per-cell centroids from that final assignment (the one extra
+    * Lloyd update ivfProbeTopK computes from any cell column), then
+    * probe top-5 for the 10 query vectors — mirroring
+    * KMeans.assign + Similarity.ivfProbeTopK.
+    */
+  private def learnedIvfTailSql: String =
+    s"""a4 AS MATERIALIZED (
+       |  SELECT vec_id, emb, cell FROM (
+       |    SELECT v.vec_id, v.emb, c.cell,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${TextHash.duckCosine("v.emb", "c.cvec", 64)} DESC,
+       |                 c.cell) AS rn
+       |    FROM e v, cent3 c
+       |  ) WHERE rn = 1
+       |),
+       |cent4 AS MATERIALIZED (
+       |  SELECT cell, list(centroid ORDER BY dim) AS cvec FROM (
+       |    SELECT cell, i - 1 AS dim, round(avg(v), 6) AS centroid
+       |    FROM (SELECT cell, unnest(emb) AS v,
+       |            generate_subscripts(emb, 1) AS i FROM a4)
+       |    GROUP BY cell, dim
+       |  ) GROUP BY cell
+       |),
+       |q AS (SELECT vec_id AS query_id, emb AS qe FROM e
+       |      WHERE vec_id < 10),
+       |ass AS (
+       |  SELECT query_id, qe, cell FROM (
+       |    SELECT q.query_id, q.qe, c.cell,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${TextHash.duckCosine("q.qe", "c.cvec", 64)} DESC,
+       |                 c.cell) AS rn
+       |    FROM q, cent4 c
+       |  ) WHERE rn = 1
+       |),
+       |probe AS (
+       |  SELECT a.query_id, a.cell, v.vec_id AS cand_id,
+       |    ${TextHash.duckCosine("a.qe", "v.emb", 64)} AS sim
+       |  FROM ass a JOIN a4 v
+       |    ON v.cell = a.cell AND v.vec_id <> a.query_id
+       |),
+       |r AS (
+       |  SELECT query_id, cell, cand_id, sim,
+       |    row_number() OVER (
+       |      PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+       |  FROM probe
+       |)
+       |SELECT query_id, cell, rank, cand_id, round(sim, 6) AS sim
+       |FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
 
   def all: Seq[Q] = Seq(
 
@@ -477,6 +541,16 @@ object PipelineQueries {
         val tk = Tables.documents(s, d)
           .select(explode(expr(TextHash.sparkTokens("text"))).as("token"))
         val total = tk.count()
+        // The sketch only guarantees recall of tokens with true count
+        // > total/65 (capacity 64), while the exact pass keeps count
+        // >= total/40 (integer floor) — sound only while the floored
+        // threshold exceeds the guarantee bound. This is exactly
+        // `total/40 * 65 > total`; it holds for any real corpus
+        // (fails only for total < 40 or total in [65, 79]), and the
+        // require turns the silent-miss window into a loud error.
+        require(total / 40 * 65 > total,
+          s"d18: capacity-64 sketch cannot guarantee recall at " +
+            s"threshold total/40 for a $total-token corpus")
         val cand = tk.agg(heavy_hitters(col("token"), 64).as("hh"))
           .select(explode(col("hh")).as("h"))
           .select(col("h.item").as("token"))
@@ -507,13 +581,13 @@ object PipelineQueries {
         val tk = Tables.documents(s, d).select(col("doc_id"),
           explode(expr(TextHash.sparkTokens("text"))).as("token"))
         val n = tk.count() // corpus token count (driver scalar handoff)
-        val lm = tk.groupBy("token").agg(count(lit(1)).as("cnt"))
-        tk.join(lm, "token")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_tokens"),
-            floor(avg(log(col("cnt").cast("double") / n)) * 1000000 + 0.5)
-              .cast("long").as("logprob_e6"))
-          .orderBy("doc_id")
+        // The unigram stand-in LM, built as an explicit (token,
+        // logprob) table — the exact shape a real KenLM/BPE scorer
+        // drops in for (TextAnalysis.lmScore is the plug point; its
+        // contract test feeds a hand-written table).
+        val lm = tk.groupBy("token")
+          .agg(log(count(lit(1)).cast("double") / n).as("logprob"))
+        TextAnalysis.lmScore(tk, lm).orderBy("doc_id")
       },
       Some(s"""WITH tk AS (
               |  SELECT doc_id, unnest(${TextHash.duckTokens("text")}) AS token
@@ -1043,6 +1117,62 @@ object PipelineQueries {
               |FROM r WHERE rank <= 3
               |ORDER BY vec_id, rank""".stripMargin)),
 
+    // Multi-probe bulk kNN graph: e6 confines each vector's
+    // neighbors to its OWN cell, so a vector near a cell boundary
+    // silently gets wrong neighbors (standard IVF recall loss). Here
+    // every vector searches its TWO nearest cells by centroid cosine
+    // — the bulk counterpart of e5's nprobe knob. Assignment is a
+    // map-side array_sort over the one-row broadcast centroid array
+    // (zero shuffle); candidates come from the co-partitioned cell
+    // join; ranking is the bounded-heap aggregate. Recall vs the e1
+    // brute force is measured in OperatorsSpec on learned (e7) cells.
+    Q("e9_knn_graph_probed",
+      (s, d) => Similarity.knnGraphProbed(
+          Tables.embeddings(s, d), "label", k = 3, nprobe = 2)
+        .select(col("vec_id"), col("rank").cast("long").as("rank"),
+          col("nbr_id"), col("sim"))
+        .orderBy("vec_id", "rank"),
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+              |  FROM embeddings
+              |),
+              |c0 AS (
+              |  SELECT label, i - 1 AS dim, round(avg(v), 6) AS c
+              |  FROM (
+              |    SELECT label, unnest(emb) AS v,
+              |      generate_subscripts(emb, 1) AS i
+              |    FROM e
+              |  ) GROUP BY label, dim
+              |),
+              |cent AS (
+              |  SELECT label, list(c ORDER BY dim) AS cvec FROM c0
+              |  GROUP BY label
+              |),
+              |ass AS MATERIALIZED (
+              |  SELECT vec_id, emb, label FROM (
+              |    SELECT v.vec_id, v.emb, c.label,
+              |      row_number() OVER (PARTITION BY v.vec_id
+              |        ORDER BY ${TextHash.duckCosine("v.emb", "c.cvec", 64)}
+              |          DESC, c.label) AS rn
+              |    FROM e v, cent c
+              |  ) WHERE rn <= 2
+              |),
+              |p AS (
+              |  SELECT a.vec_id, b.vec_id AS nbr_id,
+              |    ${TextHash.duckCosine("a.emb", "b.emb", 64)} AS sim
+              |  FROM ass a JOIN e b
+              |    ON b.label = a.label AND b.vec_id <> a.vec_id
+              |),
+              |r AS (
+              |  SELECT vec_id, nbr_id, sim,
+              |    row_number() OVER (
+              |      PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS rank
+              |  FROM p
+              |)
+              |SELECT vec_id, rank, nbr_id, round(sim, 6) AS sim
+              |FROM r WHERE rank <= 3
+              |ORDER BY vec_id, rank""".stripMargin)),
+
     // The IVF TRAINER: spherical k-means over the raw vectors —
     // deterministic hash seeds, 3 Lloyd rounds (assignment =
     // broadcast-centroid argmax, zero corpus shuffle; update =
@@ -1085,50 +1215,33 @@ object PipelineQueries {
             col("rank").cast("long").as("rank"), col("cand_id"), col("sim"))
           .orderBy("query_id", "rank")
       },
-      Some(s"""WITH ${kmeansCtes(8, 3)},
-              |a4 AS MATERIALIZED (
-              |  SELECT vec_id, emb, cell FROM (
-              |    SELECT v.vec_id, v.emb, c.cell,
-              |      row_number() OVER (PARTITION BY v.vec_id
-              |        ORDER BY ${TextHash.duckCosine("v.emb", "c.cvec", 64)} DESC,
-              |                 c.cell) AS rn
-              |    FROM e v, cent3 c
-              |  ) WHERE rn = 1
-              |),
-              |cent4 AS MATERIALIZED (
-              |  SELECT cell, list(centroid ORDER BY dim) AS cvec FROM (
-              |    SELECT cell, i - 1 AS dim, round(avg(v), 6) AS centroid
-              |    FROM (SELECT cell, unnest(emb) AS v,
-              |            generate_subscripts(emb, 1) AS i FROM a4)
-              |    GROUP BY cell, dim
-              |  ) GROUP BY cell
-              |),
-              |q AS (SELECT vec_id AS query_id, emb AS qe FROM e
-              |      WHERE vec_id < 10),
-              |ass AS (
-              |  SELECT query_id, qe, cell FROM (
-              |    SELECT q.query_id, q.qe, c.cell,
-              |      row_number() OVER (PARTITION BY q.query_id
-              |        ORDER BY ${TextHash.duckCosine("q.qe", "c.cvec", 64)} DESC,
-              |                 c.cell) AS rn
-              |    FROM q, cent4 c
-              |  ) WHERE rn = 1
-              |),
-              |probe AS (
-              |  SELECT a.query_id, a.cell, v.vec_id AS cand_id,
-              |    ${TextHash.duckCosine("a.qe", "v.emb", 64)} AS sim
-              |  FROM ass a JOIN a4 v
-              |    ON v.cell = a.cell AND v.vec_id <> a.query_id
-              |),
-              |r AS (
-              |  SELECT query_id, cell, cand_id, sim,
-              |    row_number() OVER (
-              |      PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
-              |  FROM probe
-              |)
-              |SELECT query_id, cell, rank, cand_id, round(sim, 6) AS sim
-              |FROM r WHERE rank <= 5
-              |ORDER BY query_id, rank""".stripMargin)),
+      Some(s"WITH ${kmeansCtes(8, 3)},\n$learnedIvfTailSql")),
+
+    // Sampled-training k-means — the 100 TB recipe exercised end to
+    // end (SURVEY §4 documents it; this key proves it): train the
+    // cells on a deterministic 25% hash subset of the corpus
+    // (Sampling.hashBucket < 2500 — k-means needs a representative
+    // sample, not every row), then ASSIGN the full corpus once and
+    // probe over the learned cells. Same search tail as e8; only the
+    // training set differs — the oracle mirrors the subset predicate
+    // inside the kmeans CTEs via the shared bucket expression.
+    Q("e10_sampled_ivf",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d).select(col("vec_id"),
+          expr("transform(embedding, v -> cast(v as double))")
+            .as("embedding"))
+        val trainSet = emb.filter(
+          Sampling.hashBucket(col("vec_id")) < 2500)
+        val cent = KMeans.train(trainSet, k = 8, iters = 3)
+        val withCell = emb.join(KMeans.assign(emb, cent), "vec_id")
+        Similarity.ivfProbeTopK(withCell,
+            emb.filter(col("vec_id") < 10), "cell", k = 5)
+          .select(col("query_id"), col("label").cast("long").as("cell"),
+            col("rank").cast("long").as("rank"), col("cand_id"), col("sim"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"WITH ${kmeansCtes(8, 3, s"$duckVecBucket < 2500")}," +
+        s"\n$learnedIvfTailSql")),
 
     // Multimodal plumbing: binary payload + typed metadata through
     // per-partition batch feature extraction (decode deterministically

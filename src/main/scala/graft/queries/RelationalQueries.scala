@@ -580,12 +580,18 @@ object RelationalQueries {
           col("o_orderstatus").as("status"))
         .agg(count(lit(1)).as("n_orders"),
           round(sum("o_totalprice"), 2).as("revenue"))
-        .orderBy("priority", "status"),
+        // Coalesce the nullable CUBE keys before ORDER BY (the q10
+        // convention): Spark sorts NULLS FIRST, DuckDB NULLS LAST, so
+        // ordering the raw keys would make the two engines' stated
+        // output orders differ.
+        .orderBy(coalesce(col("priority"), lit("ALL")),
+          coalesce(col("status"), lit("ALL"))),
       Some("""SELECT o_orderpriority AS priority, o_orderstatus AS status,
              |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
              |FROM orders
              |GROUP BY CUBE (o_orderpriority, o_orderstatus)
-             |ORDER BY priority, status""".stripMargin)),
+             |ORDER BY coalesce(priority, 'ALL'), coalesce(status, 'ALL')"""
+        .stripMargin)),
 
     // TPC-H Q13 shape: the customer-order-count DISTRIBUTION,
     // including zero-order customers — the left join + count +

@@ -3,8 +3,9 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.TextAnalysis
-import graft.operators.PiiScrub
+import graft.functions.TextHash
+import graft.functions.TextHashExprs.{band_sigs, minhash_sig, shingle_set, token_hashes}
+import graft.operators.{Dedup, PiiScrub, TextAnalysis}
 
 /** Structured Streaming twins of the document-pipeline surface
   * (SURVEY.md §2 block D): the curation steps a training corpus runs
@@ -57,4 +58,55 @@ object DocStream {
         lower(trim(col("text"))).as("text_key"))
       .withWatermark("ingest_ts", watermark)
       .dropDuplicatesWithinWatermark("text_key")
+
+  /** Streaming incremental near-dup detection — the d21 batch
+    * operator ([[Dedup.minhashLshAgainst]]) in its natural streaming
+    * form: arriving documents are MinHash-banded map-side (the same
+    * compiled kernels as batch) and checked against the STATIC corpus
+    * band table via a stream-static equi-join on (band, sig) —
+    * stateless, so the corpus side is exactly the precomputed table a
+    * real pipeline maintains. A pair colliding in several bands would
+    * verify repeatedly, so candidates pass through
+    * `dropDuplicatesWithinWatermark` on (da, db) first — state
+    * bounded by the watermark, not the stream — and exact Jaccard
+    * verification then runs once per surviving pair against the
+    * static shingle sets.
+    *
+    * @param delta streaming (doc_id, ingest_ts, text)
+    * @param corpusDocs static (doc_id, text) — the already-kept corpus
+    * @return streaming (da = delta doc, db = corpus doc, jaccard_e6)
+    *   with Jaccard ≥ `minJaccard`, matching the batch operator
+    */
+  def incrementalDedup(delta: DataFrame, corpusDocs: DataFrame,
+      minJaccard: Double, watermark: String = "1 hour"): DataFrame = {
+    // Stream side: per-doc shingle sets + band signatures, all pure
+    // map-side kernel expressions (ingest_ts rides along for the
+    // watermark).
+    val dSets = delta
+      .select(col("doc_id").as("da"), col("ingest_ts"),
+        token_hashes(expr(TextHash.sparkTokens("text"))).as("th"))
+      .filter(size(col("th")) >= 3)
+      .select(col("da"), col("ingest_ts"),
+        shingle_set(col("th")).as("sha"))
+    val dBands = dSets.select(col("da"), col("ingest_ts"), col("sha"),
+      posexplode(band_sigs(minhash_sig(col("sha")))).as(Seq("band", "sig")))
+    // Static side: the corpus band + set tables (what a production
+    // pipeline keeps bucketed by (band, sig) on disk).
+    val cSets = Dedup.shingleSets(corpusDocs)
+    val cBands = cSets.select(col("doc_id").as("db"),
+      posexplode(band_sigs(minhash_sig(col("sh")))).as(Seq("band", "sig")))
+    dBands
+      .withWatermark("ingest_ts", watermark)
+      .join(cBands, Seq("band", "sig"))
+      .select(col("da"), col("ingest_ts"), col("sha"), col("db"))
+      .dropDuplicatesWithinWatermark("da", "db")
+      .join(cSets.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
+      .withColumn("inter",
+        size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("da"), col("db"),
+        floor(col("jaccard") * 1000000 + 0.5).cast("long").as("jaccard_e6"))
+  }
 }

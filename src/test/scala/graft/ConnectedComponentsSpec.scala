@@ -66,6 +66,25 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(labels == Map(5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 5L, 9L -> 5L))
   }
 
+  test("dupGroups auto-falls-through to star contraction on deep chains") {
+    // 40-hop chain: diameter 39 >> the default 8 min-label rounds, so
+    // the d9 entry point's convergence check (any pair with
+    // disagreeing endpoint labels?) must detect the miss and reroute
+    // through starContract — callers always get fully-consolidated
+    // groups, never silently split ones.
+    val chain = (0L until 39L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = ConnectedComponents.dupGroups(chain) // default iters = 8
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == (0L to 39L).map(i => (i, 0L, i == 0L)).toSet)
+    // And the check must NOT reroute a shallow graph: a star (the
+    // real LSH dup-group shape) converges in one round and takes the
+    // fixed-round path unchanged.
+    val star = (1L to 5L).map(i => (0L, i)).toDF("a", "b")
+    val gotStar = ConnectedComponents.dupGroups(star, iters = 2)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(gotStar == (0L to 5L).map(i => (i, 0L, i == 0L)).toSet)
+  }
+
   test("star contraction equals converged min-label on random graphs") {
     val rnd = new scala.util.Random(11L)
     for (round <- 1 to 4) {

@@ -71,6 +71,49 @@ class DocStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("parity: streaming incremental dedup equals batch minhashLshAgainst") {
+    // Static corpus a pipeline already keeps; the stream delivers the
+    // daily delta: one exact copy (jaccard 1.0), one appended-token
+    // near-dup, one unrelated doc sharing no shingles.
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "red green blue cyan magenta yellow black white"))
+      .toDF("doc_id", "text")
+    val deltaRows = Seq(
+      doc(101, 10, "alpha beta gamma delta epsilon zeta eta theta"),
+      doc(102, 11, "one two three four five six seven eight nine"),
+      doc(103, 12, "completely unrelated words live here instead now"))
+    val stream = MemoryStream[Doc](spark)
+    val q = DocStream.incrementalDedup(stream.toDF(), corpus,
+        minJaccard = 0.8)
+      .writeStream.format("memory").queryName("incdedup_t")
+      .outputMode("append").start()
+    try {
+      stream.addData(deltaRows: _*)
+      q.processAllAvailable()
+      val got = spark.table("incdedup_t")
+        .as[(Long, Long, Long)].collect().toSet
+      val want = Dedup.minhashLshAgainst(
+          deltaRows.toDF().select(col("doc_id"), col("text")), corpus,
+          minJaccard = 0.8)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == want) // band join + verify: one definition's worth
+      // The exact copy is always found, at jaccard exactly 1.
+      assert(got.contains((101L, 1L, 1000000L)))
+      // The unrelated doc shares no shingle bucket with any corpus doc.
+      assert(!got.exists(_._1 == 103L))
+      // A second micro-batch re-delivering the same pair within the
+      // watermark is suppressed by the (da, db) dedup state.
+      stream.addData(doc(101, 13,
+        "alpha beta gamma delta epsilon zeta eta theta"))
+      q.processAllAvailable()
+      val again = spark.table("incdedup_t")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(again.count(r => r._1 == 101L && r._2 == 1L) == 1)
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first arrival, agrees with batch d1 groups") {
     val stream = MemoryStream[Doc](spark)
     val q = DocStream.dedup(stream.toDF())

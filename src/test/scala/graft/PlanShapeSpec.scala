@@ -106,7 +106,14 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("k-means seeding is TakeOrderedAndProject, not a corpus sort") {
-    val p = plan("e7_kmeans_train")
+    // train() localCheckpoints its k-row result (cache hygiene), so
+    // e7's FINAL plan is a checkpoint scan — pin the property on the
+    // seeds plan itself, which is what runs inside the checkpoint.
+    import org.apache.spark.sql.functions.{col, expr}
+    val emb = graft.Tables.embeddings(spark, sf).select(col("vec_id"),
+      expr("transform(embedding, v -> cast(v as double))").as("embedding"))
+    val p = graft.operators.KMeans.seeds(emb, 8)
+      .queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"),
       s"e7's deterministic seed pick must be a bounded top-k\n$p")
   }
