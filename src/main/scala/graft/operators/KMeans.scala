@@ -1,11 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.functions.CosineSimilarity.cosine_sim
+import graft.functions.NearestCentroidCell.nearest_centroid
 
 /** Spherical k-means (Lloyd's algorithm, cosine assignment) over a
   * (vec_id, embedding array<double>) DataFrame — the IVF TRAINER: the
@@ -21,16 +21,14 @@ import graft.functions.CosineSimilarity.cosine_sim
   * whole loop is oracle-checkable with fixed iteration counts.
   *
   * Scale shape (per iteration):
-  *   - Assignment: the k×dims centroid table collapses to ONE row
-  *     holding a sorted (cell, cvec) array, broadcast to every
-  *     corpus partition; each row folds over that array picking its
-  *     argmax cell. ZERO shuffle — the corpus never moves. The fold
-  *     is a higher-order function, so the k lambda steps dispatch
-  *     interpreted, but each step's cosine is the native compiled
-  *     expression (a tight JVM loop): fine for IVF-scale k (≤ a few
-  *     thousand); a corpus-resident nearest-centroid KERNEL (the
-  *     TextHashExprs treatment) is the next rung if profiling ever
-  *     shows the dispatch dominating.
+  *   - Assignment: the bounded k×dims centroid table bakes into the
+  *     compiled [[graft.functions.NearestCentroidCell]] kernel — one
+  *     native expression computing the argmax cell per row inside
+  *     whole-stage codegen. ZERO shuffle: the corpus never moves.
+  *     (Profiling at k=256 showed the previous higher-order-function
+  *     fold spent ~10× the cosine arithmetic on per-cell interpreter
+  *     dispatch — the kernel removes it and reuses the row norm
+  *     across all k cells.)
   *   - Update: posexplode to (cell, dim, v) and partial-aggregated
   *     groupBy — the one exchange, carrying ≤ partitions × k × dims
   *     partials, never corpus rows.
@@ -45,24 +43,6 @@ import graft.functions.CosineSimilarity.cosine_sim
   * run [[assign]] once over the full corpus.
   */
 object KMeans {
-
-  /** Per-row nearest-centroid argmax over the broadcast (cell, cvec)
-    * array: strictly-greater keeps the earliest (lowest) cell on
-    * cosine ties — the same (cos DESC, cell ASC) order the oracle's
-    * row_number states. cosine ≥ -1 > the -2 seed, so the fold always
-    * picks a real cell. Pure Column API (the native cosine_sim
-    * expression directly) — no SQL-function registration required.
-    */
-  private def argmaxCell(emb: Column, cents: Column): Column =
-    aggregate(cents,
-      struct(lit(-2.0).as("cos"), lit(-1L).as("cell")),
-      (acc, c) => {
-        val cs = cosine_sim(emb, c.getField("cvec"))
-        when(cs > acc.getField("cos"),
-          struct(cs.as("cos"), c.getField("cell").as("cell")))
-          .otherwise(acc)
-      },
-      acc => acc.getField("cell"))
 
   /** Deterministic seeds: the k vectors with the smallest
     * (samplingHash(vec_id), vec_id) — a TakeOrderedAndProject, never
@@ -79,13 +59,22 @@ object KMeans {
           .cast("long"))
       .select(col("cell"), col("embedding").as("cvec"))
 
+  /** The k-row centroid table collapses to a DRIVER-side matrix baked
+    * into the compiled [[NearestCentroidCell]] kernel — an O(k×dims)
+    * scalar handoff (the same bounded data the previous formulation
+    * shipped as a one-row broadcast array; the reference's phase-1→2
+    * conf-handoff pattern), NEVER a corpus-sized collect. Assignment
+    * is then pure map-side generated code: zero shuffle, zero
+    * per-cell interpreter dispatch (see NearestCentroid.scala for the
+    * measured 10×-overhead fold this replaced).
+    */
   private def assignedWithEmb(corpus: DataFrame,
       centroids: DataFrame): DataFrame = {
-    val centArr = centroids.agg(
-      array_sort(collect_list(struct(col("cell"), col("cvec")))).as("cents"))
-    corpus.crossJoin(broadcast(centArr))
-      .withColumn("cell", argmaxCell(col("embedding"), col("cents")))
-      .drop("cents")
+    val cents = centroids.select(col("cell").cast("long"), col("cvec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    corpus.withColumn("cell",
+      nearest_centroid(col("embedding"), cents.toSeq))
   }
 
   /** (vec_id, cell): each vector's nearest centroid by cosine. */

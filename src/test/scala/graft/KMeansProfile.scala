@@ -20,11 +20,12 @@ import graft.operators.KMeans
   *   1. baseline: count() over the persisted rows (scan floor),
   *   2. one compiled cosine per row (the pure-codegen floor for any
   *      per-row vector op),
-  *   3. the k=256 argmax fold (what assign() runs per iteration).
-  * The verdict is (3) vs 256×(2): if the fold costs much more than k
-  * compiled cosines, HOF dispatch dominates and a kernel pays off;
-  * if it is within a small factor, the interpreter overhead is noise
-  * next to the arithmetic and the fold stays.
+  *   3. the k=256 nearest-centroid assignment (what assign() runs
+  *      per iteration).
+  * The HOF-fold measurement this harness produced (ratios in the
+  * inline note below) is what justified replacing the fold with the
+  * compiled NearestCentroidCell kernel; the harness stays so the
+  * assignment cost keeps getting measured, not assumed.
   */
 object KMeansProfile {
 
@@ -70,7 +71,12 @@ object KMeansProfile {
           .as("c"))
         .queryExecution.toRdd.count()
     }
-    val tFold = time(s"argmax fold, k=$k") {
+    // Historical result on this harness (sf0.1 ×20 = 40k rows,
+    // k=256): the HOF fold measured 4.16 s net (~0.41 µs/row·cell,
+    // ~10× the cosine arithmetic — dispatch dominated), which is what
+    // justified building the NearestCentroidCell kernel; the kernel
+    // measures ~0.46 s net (~0.045 µs/row·cell) on the same data.
+    val tFold = time(s"nearest-centroid assign, k=$k") {
       KMeans.assign(corpus, cent).queryExecution.toRdd.count()
     }
 
