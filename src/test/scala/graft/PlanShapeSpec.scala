@@ -105,6 +105,21 @@ class PlanShapeSpec extends SparkSpec {
       s"d16 regressed to a nested-loop line scan\n$p")
   }
 
+  test("multi-probe knn graph: no window over candidates, heap aggregate") {
+    // e9's cell assignment is a map-side array_sort over the one-row
+    // broadcast centroid array and its ranking the bounded-heap
+    // aggregate — a Window in this plan would mean either a
+    // corpus×nlist assignment exchange or a corpus-wide candidate
+    // sort snuck back in.
+    val p = plan("e9_knn_graph_probed")
+    assert(p.contains("ObjectHashAggregate"),
+      s"e9 lost the top_k_by_score partial aggregate\n$p")
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window"),
+      s"e9 ranks through a window sort\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"e9 regressed to an all-pairs scan\n$p")
+  }
+
   test("k-means seeding is TakeOrderedAndProject, not a corpus sort") {
     // train() localCheckpoints its k-row result (cache hygiene), so
     // e7's FINAL plan is a checkpoint scan — pin the property on the
