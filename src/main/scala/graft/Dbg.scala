@@ -1,5 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Dev tool: run one named query at sf0.001 and show 5 rows, or dump
+  * its formatted physical plan for the explain audit.
+  *
+  * Usage: runMain graft.Dbg <query_name> [explain] [sfDir]
+  */
 object Dbg {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
@@ -7,7 +13,12 @@ object Dbg {
       .config("spark.ui.enabled","false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    try SparkEntry.queries(args(0))(spark, "/root/testdata/sf0.001").show(5)
+    val sfDir = args.lift(2).getOrElse("/root/testdata/sf0.001")
+    try {
+      val df = SparkEntry.queries(args(0))(spark, sfDir)
+      if (args.lift(1).contains("explain")) df.explain("formatted")
+      else df.show(5)
+    }
     catch { case e: Throwable => e.printStackTrace() }
     spark.stop()
   }

@@ -81,6 +81,15 @@ object KMeans {
   def assign(corpus: DataFrame, centroids: DataFrame): DataFrame =
     assignedWithEmb(corpus, centroids).select("vec_id", "cell")
 
+  /** The corpus with its `cell` column attached in place — what a
+    * search stack should use instead of `corpus ⋈ assign(corpus, c)`:
+    * the cell is one generated column off the kernel, so re-joining
+    * it back by vec_id would re-scan and hash-join the corpus for
+    * data it already has on every row.
+    */
+  def withCells(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    assignedWithEmb(corpus, centroids)
+
   /** Run `iters` Lloyd iterations from the deterministic seeds.
     * @return (cell, cvec array<double>) learned centroids — cells
     *   that lose all members along the way drop out (both engines

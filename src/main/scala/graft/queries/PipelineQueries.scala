@@ -1208,7 +1208,7 @@ object PipelineQueries {
           expr("transform(embedding, v -> cast(v as double))")
             .as("embedding"))
         val cent = KMeans.train(emb, k = 8, iters = 3)
-        val withCell = emb.join(KMeans.assign(emb, cent), "vec_id")
+        val withCell = KMeans.withCells(emb, cent)
         Similarity.ivfProbeTopK(withCell,
             emb.filter(col("vec_id") < 10), "cell", k = 5)
           .select(col("query_id"), col("label").cast("long").as("cell"),
@@ -1233,7 +1233,7 @@ object PipelineQueries {
         val trainSet = emb.filter(
           Sampling.hashBucket(col("vec_id")) < 2500)
         val cent = KMeans.train(trainSet, k = 8, iters = 3)
-        val withCell = emb.join(KMeans.assign(emb, cent), "vec_id")
+        val withCell = KMeans.withCells(emb, cent)
         Similarity.ivfProbeTopK(withCell,
             emb.filter(col("vec_id") < 10), "cell", k = 5)
           .select(col("query_id"), col("label").cast("long").as("cell"),

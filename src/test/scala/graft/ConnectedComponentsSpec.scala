@@ -101,6 +101,16 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("star contraction fails loudly when maxRounds cuts convergence") {
+    // A 64-node chain cannot reach the fixpoint in 1 round; returning
+    // the partially-contracted edges would hand back split labels.
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      ConnectedComponents.starContract(chain, maxRounds = 1).collect()
+    }
+    assert(e.getMessage.contains("no edge fixpoint"))
+  }
+
   test("star contraction collapses a 200-node chain in O(log n) rounds") {
     // min-label would need 199 rounds for this diameter; the
     // maxRounds cap pins the logarithmic convergence claim.

@@ -361,6 +361,29 @@ class OperatorsSpec extends SparkSpec {
     assert(again == assigned)
   }
 
+  test("nearest-centroid kernel: float inputs, ties to lowest cell") {
+    import graft.functions.NearestCentroidCell.nearest_centroid
+    // Float corpus (the raw embeddings table type) against double
+    // centroids — the kernel must widen exactly like CosineSimilarity.
+    // Cells 5 and 9 are the same direction at a power-of-2 scale, so
+    // their cosines are BIT-identical for every query (numerator and
+    // denominator both scale by exactly 2): a guaranteed tie that
+    // must resolve to the lowest cell.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),   // ties 5/9 at cos 1 -> 5
+      (1L, Array(0.0f, 2.0f)),   // cell 7 wins at cos 1
+      (2L, Array(1.0f, 1.0f)))   // three-way tie at 1/sqrt(2) -> 5
+      .toDF("vec_id", "embedding")
+    val cents = Seq(
+      (9L, Array(4.0, 0.0)),     // deliberately unsorted input order
+      (5L, Array(2.0, 0.0)),
+      (7L, Array(0.0, 1.0)))
+    val got = emb.select(col("vec_id"),
+        nearest_centroid(col("embedding"), cents).as("cell"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 5L, 1L -> 7L, 2L -> 5L))
+  }
+
   test("centroids average each dimension per cluster") {
     val emb = Seq(
       (0L, 0, Array(1.0f, 3.0f)), (1L, 0, Array(3.0f, 5.0f)),
@@ -491,8 +514,7 @@ class OperatorsSpec extends SparkSpec {
     }
     val emb = rows.toDF("vec_id", "embedding")
     val cent = KMeans.train(emb, k = 4, iters = 3)
-    val withCell = emb.join(KMeans.assign(emb, cent), "vec_id")
-      .select(col("vec_id"), col("embedding"), col("cell"))
+    val withCell = KMeans.withCells(emb, cent)
 
     val k = 5
     def pairs(df: org.apache.spark.sql.DataFrame) = df
