@@ -358,6 +358,89 @@ object PipelineQueries {
               |SELECT id AS doc_id, label AS group_id, id = label AS keep
               |FROM l8 ORDER BY doc_id""".stripMargin)),
 
+    // Quality-based survivor selection — the step AFTER d9 in a real
+    // dedup pipeline: min-id is an arbitrary survivor; production
+    // curation keeps the BEST member of each near-dup group (highest
+    // composite quality, d6's metric), so boilerplate-padded or
+    // truncated variants lose to the cleanest copy. One aggregation
+    // over the (group, member) table: argmax via max(struct(q, -id))
+    // — (quality DESC, doc_id ASC), deterministic on ties — with the
+    // e4-scaled score so both engines rank identical integers.
+    Q("d23_survivor_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val groups = ConnectedComponents.dupGroups(
+          Dedup.minhashLshPairs(docs, minJaccard = 0.8)
+            .select(col("da").as("a"), col("db").as("b")))
+        val quality = TextAnalysis.quality(docs)
+          .select(col("doc_id"),
+            floor(col("quality_score") * 10000 + 0.5).cast("long")
+              .as("q_e4"))
+        groups.join(quality, "doc_id")
+          .groupBy("group_id")
+          .agg(count(lit(1)).as("n_members"),
+            max(struct(col("q_e4"), (-col("doc_id")).as("neg")))
+              .as("best"))
+          .select(col("group_id"), (-col("best.neg")).as("survivor_id"),
+            col("n_members"), col("best.q_e4").as("q_e4"))
+          .orderBy("group_id")
+      },
+      Some(s"""WITH ${TextHash.duckToksCte},
+              |${TextHash.duckShinglesCte},
+              |${TextHash.duckMinHashCte},
+              |${TextHash.duckBandsCte},
+              |cand AS MATERIALIZED (
+              |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+              |  FROM bands a JOIN bands b
+              |    ON a.band = b.band AND a.sig = b.sig
+              |   AND a.doc_id < b.doc_id
+              |),
+              |sz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |ix AS MATERIALIZED (
+              |  SELECT c.da, c.db, count(*) AS inter
+              |  FROM cand c
+              |  JOIN sh x ON x.doc_id = c.da
+              |  JOIN sh y ON y.doc_id = c.db AND y.s = x.s
+              |  GROUP BY c.da, c.db
+              |),
+              |pairs AS MATERIALIZED (
+              |  SELECT ix.da, ix.db
+              |  FROM ix JOIN sz x ON x.doc_id = ix.da
+              |  JOIN sz y ON y.doc_id = ix.db
+              |  WHERE CAST(ix.inter AS DOUBLE) / (x.n + y.n - ix.inter) >= 0.8
+              |),
+              |edges AS MATERIALIZED (
+              |  SELECT da AS src, db AS dst FROM pairs
+              |  UNION ALL
+              |  SELECT db AS src, da AS dst FROM pairs
+              |),
+              |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM edges),
+              |${labelCtes(8)},
+              |qt AS (
+              |  SELECT doc_id, ${TextHash.duckTokens("text")} AS tk
+              |  FROM documents
+              |),
+              |q AS (
+              |  SELECT doc_id, CAST(floor(
+              |    (0.4 * (CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk))
+              |     + 0.3 * least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0)
+              |     + 0.3 * (1.0 - CAST(len(list_filter(tk,
+              |         t -> t = 'the' OR t = 'a')) AS DOUBLE) / len(tk)))
+              |    * 10000 + 0.5) AS BIGINT) AS q_e4
+              |  FROM qt
+              |),
+              |scored AS (
+              |  SELECT l.label AS group_id, l.id AS doc_id, q.q_e4,
+              |    count(*) OVER (PARTITION BY l.label) AS n_members,
+              |    row_number() OVER (PARTITION BY l.label
+              |      ORDER BY q.q_e4 DESC, l.id) AS rn
+              |  FROM l8 l JOIN q ON q.doc_id = l.id
+              |)
+              |SELECT group_id, doc_id AS survivor_id,
+              |  CAST(n_members AS BIGINT) AS n_members, q_e4
+              |FROM scored WHERE rn = 1
+              |ORDER BY group_id""".stripMargin)),
+
     // Embedding-cosine near-dup: random-hyperplane LSH buckets (no
     // given labels), exact-cosine verification at 0.99. The corpus
     // plants near-dups deterministically — a per-dim (1 + i·1e-4)
