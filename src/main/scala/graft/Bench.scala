@@ -19,10 +19,14 @@ object Bench {
     "d3_minhash_lsh", "e1_ann_topk",
     // One representative per newer family, so regressions in the
     // round-3/4/5 operators are visible to the gate (BASELINE.md
-    // carries their round-5 medians): bulk kNN graph, hyperplane-LSH
+    // carries their medians): bulk kNN graph, hyperplane-LSH
     // embedding dedup, sort-merge as-of join, the full reference
-    // pipeline with exact page semantics.
-    "e6_knn_graph", "d10_embed_dedup", "q21_asof_join", "pr_wiki_ranks")
+    // pipeline with exact page semantics, and (since round 6) the
+    // label-free IVF stack end-to-end — k-means training, the
+    // compiled nearest-centroid assignment, and the learned-cell
+    // probe, none of which the other nine queries exercise.
+    "e6_knn_graph", "d10_embed_dedup", "q21_asof_join", "pr_wiki_ranks",
+    "e8_ann_learned")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

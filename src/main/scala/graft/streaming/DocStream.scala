@@ -78,6 +78,19 @@ object DocStream {
     *   with Jaccard ≥ `minJaccard`, matching the batch operator
     */
   def incrementalDedup(delta: DataFrame, corpusDocs: DataFrame,
+      minJaccard: Double, watermark: String = "1 hour"): DataFrame =
+    incrementalDedupAgainstSets(delta, Dedup.shingleSets(corpusDocs),
+      minJaccard, watermark)
+
+  /** [[incrementalDedup]] against a PRECOMPUTED corpus shingle-set
+    * table (doc_id, sh) — the form a production pipeline runs: the
+    * static side of a stream-static join re-executes every
+    * micro-batch, so at scale it must be a maintained parquet table
+    * (bucketed by doc_id; its derived band table by (band, sig)),
+    * not a re-derivation from raw text. The docs-input overload
+    * exists for parity tests and ad-hoc runs.
+    */
+  def incrementalDedupAgainstSets(delta: DataFrame, corpusSets: DataFrame,
       minJaccard: Double, watermark: String = "1 hour"): DataFrame = {
     // Stream side: per-doc shingle sets + band signatures, all pure
     // map-side kernel expressions (ingest_ts rides along for the
@@ -90,9 +103,7 @@ object DocStream {
         shingle_set(col("th")).as("sha"))
     val dBands = dSets.select(col("da"), col("ingest_ts"), col("sha"),
       posexplode(band_sigs(minhash_sig(col("sha")))).as(Seq("band", "sig")))
-    // Static side: the corpus band + set tables (what a production
-    // pipeline keeps bucketed by (band, sig) on disk).
-    val cSets = Dedup.shingleSets(corpusDocs)
+    val cSets = corpusSets
     val cBands = cSets.select(col("doc_id").as("db"),
       posexplode(band_sigs(minhash_sig(col("sh")))).as(Seq("band", "sig")))
     dBands

@@ -48,6 +48,24 @@ object EventStream {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** SLIDING-window event counts (the q35 moving-average shape in
+    * its streaming form): `windowLen` windows advancing every
+    * `slide`, so each event lands in windowLen/slide overlapping
+    * windows — `window()` expands it map-side, the aggregation state
+    * is per (window, type) and reclaimed past the watermark. ONE
+    * definition serves batch and stream (`withWatermark` is a no-op
+    * on a static frame).
+    */
+  def slidingCounts(events: DataFrame, windowLen: String = "2 hours",
+      slide: String = "1 hour", watermark: String = "2 hours")
+      : DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"))
+
   /** JSON-property extraction + per-type aggregate (the q17 shape).
     * ONE definition serves batch and stream: applied to a static
     * DataFrame it is the batch aggregate; applied to a streaming

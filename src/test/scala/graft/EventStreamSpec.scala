@@ -162,6 +162,31 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("parity: sliding windows — ONE definition, overlap counted in both") {
+    val stream = MemoryStream[Event](spark)
+    val q = EventStream.slidingCounts(stream.toDF())
+      .writeStream.format("memory").queryName("sliding_parity_t")
+      .outputMode("complete").start()
+    try {
+      feedInTwoBatches(stream, q)
+      val streamed = spark.table("sliding_parity_t")
+        .select(col("win_start").cast("long"), col("event_type"),
+          col("n_events"))
+        .as[(Long, String, Long)].collect().toSet
+      val batch = EventStream.slidingCounts(parityEvents.toDF())
+        .select(col("win_start").cast("long"), col("event_type"),
+          col("n_events"))
+        .as[(Long, String, Long)].collect().toSet
+      assert(streamed == batch)
+      // 2h window / 1h slide: every event must appear in exactly two
+      // windows, so total window-membership = 2 × events per type.
+      val perType = parityEvents.groupBy(_.event_type).view
+        .mapValues(_.size * 2L).toMap
+      assert(batch.toSeq.groupBy(_._2).view
+        .mapValues(_.map(_._3).sum).toMap == perType)
+    } finally q.stop()
+  }
+
   test("parity: jsonTypeCounts — ONE definition serves batch and complete-mode stream") {
     val rows = Seq(("click", """{"k":3}"""), ("click", """{"k":5}"""),
       ("view", """{"k":1}"""), ("view", null), ("buy", """{"nope":1}"""))

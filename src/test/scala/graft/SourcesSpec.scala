@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.sources.{CsvSource, EventLogSource, ParquetSink}
+import graft.sources.{CsvSource, EventLogSource, OrcSink, ParquetSink}
 
 class SourcesSpec extends SparkSpec {
   import spark.implicits._
@@ -73,5 +73,28 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == 4)
     assert(back.filter(col("dt") === "2026-01-02")
       .select("id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+  }
+
+  test("orc sink: same layout contract, filters push to the orc scan") {
+    val dir = Files.createTempDirectory("graft_osink").toFile.getAbsolutePath
+    val df = Seq(
+      (1L, "2026-01-01", 30L), (2L, "2026-01-01", 10L),
+      (3L, "2026-01-02", 20L), (4L, "2026-01-02", 5L))
+      .toDF("id", "dt", "v")
+    OrcSink.writePartitioned(df, dir, Seq("dt"), Seq("v"))
+
+    val dirs = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("dt=")).sorted.toSeq
+    assert(dirs == Seq("dt=2026-01-01", "dt=2026-01-02"))
+
+    val back = OrcSink.read(spark, dir)
+    assert(back.count() == 4)
+    assert(back.filter(col("dt") === "2026-01-02")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+    // Predicate pushdown reaches the ORC scan (stripe-skipping path),
+    // exactly as PlanShapeSpec pins it for parquet.
+    val p = back.filter(col("v") > 10).queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(v), GreaterThan(v,10)"),
+      s"orc scan lost filter pushdown\n$p")
   }
 }
