@@ -34,24 +34,40 @@ import org.apache.spark.sql.functions._
   *   (at-or-after) the left row's timestamp.
   * @param direction "backward" (default: latest at-or-before) or
   *   "forward" (earliest at-or-after)
+  * @param toleranceUs maximum |left.ts − matched right.ts| in
+  *   microseconds (pandas merge_asof's `tolerance`, the attribution
+  *   window of click-attribution pipelines): a match staler than the
+  *   bound yields NULL payloads, exactly as if no right row existed
+  *   — the left row is kept either way. The as-of match is unique
+  *   per left row, so the bound is a pure post-predicate on the
+  *   matched timestamp: same one-shuffle plan, no pair scan.
+  *   Requires a timestamp-typed `tsCol`.
   */
 object AsOfJoin {
 
   def apply(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, payloadCols: Seq[String],
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      toleranceUs: Option[Long] = None): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be 'backward' or 'forward', got '$direction'")
     require(payloadCols.nonEmpty, "as-of join needs payload columns")
+    require(toleranceUs.forall(_ >= 0), "tolerance must be >= 0")
     val leftCols = left.columns.toSeq
     require(!payloadCols.exists(leftCols.contains),
       s"payload columns ${payloadCols.mkString(",")} collide with left side")
-    val reserved = Seq("_side") ++ payloadCols.map("_p_" + _) ++
-      payloadCols.map("asof_" + _)
+    // `_rts` is the internal matched-right-timestamp payload backing
+    // the tolerance predicate.
+    val allPayloads = payloadCols ++ (if (toleranceUs.isDefined)
+      Seq("_rts") else Nil)
+    val reserved = Seq("_side") ++ allPayloads.map("_p_" + _) ++
+      allPayloads.map("asof_" + _)
     require(!leftCols.exists(reserved.contains),
       s"left columns collide with reserved as-of names: " +
         reserved.filter(leftCols.contains).mkString(","))
-    val payloadTypes = payloadCols.map(c => c -> right.schema(c).dataType)
+    val payloadTypes = payloadCols.map(c => c -> right.schema(c).dataType) ++
+      (if (toleranceUs.isDefined) Seq("_rts" -> right.schema(tsCol).dataType)
+       else Nil)
 
     // Null-key/null-ts right rows can never match under SQL ASOF
     // semantics (NULL = NULL is not a match; NULL ts satisfies no
@@ -75,7 +91,10 @@ object AsOfJoin {
         if (c == keyCol || c == tsCol) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)) ++
         Seq(lit(rSide).as("_side")) ++
-        payloadTypes.map { case (c, _) => col(c).as("_p_" + c) }: _*)
+        payloadTypes.map {
+          case ("_rts", _) => col(tsCol).as("_p__rts")
+          case (c, _)      => col(c).as("_p_" + c)
+        }: _*)
 
     val ordered = Window.partitionBy(keyCol)
       .orderBy(col(tsCol).asc, col("_side").asc)
@@ -86,11 +105,24 @@ object AsOfJoin {
       else
         (ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing),
           (c: String) => first(col("_p_" + c), ignoreNulls = true))
-    lTagged.union(rTagged)
+    val matched = lTagged.union(rTagged)
       .select(
         leftCols.map(col) ++ Seq(col("_side")) ++
-          payloadCols.map(c => pick(c).over(w).as("asof_" + c)): _*)
+          allPayloads.map(c => pick(c).over(w).as("asof_" + c)): _*)
       .filter(col("_side") === lSide)
       .drop("_side")
+    toleranceUs match {
+      case None => matched
+      case Some(tol) =>
+        val gap =
+          if (direction == "backward")
+            unix_micros(col(tsCol)) - unix_micros(col("asof__rts"))
+          else unix_micros(col("asof__rts")) - unix_micros(col(tsCol))
+        val inTol = col("asof__rts").isNotNull && gap <= tol
+        matched
+          .select(leftCols.map(col) ++ payloadCols.map(c =>
+            when(inTol, col("asof_" + c)).otherwise(lit(null))
+              .as("asof_" + c)): _*)
+    }
   }
 }

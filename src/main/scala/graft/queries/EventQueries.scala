@@ -215,6 +215,52 @@ object EventQueries {
              |  ON p.user_id = c.user_id AND p.ts <= c.ts
              |ORDER BY p.event_id""".stripMargin)),
 
+    // Bounded-staleness as-of (pandas merge_asof `tolerance`; the
+    // ATTRIBUTION WINDOW of click-attribution pipelines): each
+    // purchase keeps its latest at-or-before click only if it is
+    // ≤ 30 min old; staler matches null out, and every purchase
+    // survives (left semantics). The match is unique per left row,
+    // so the bound is a pure post-predicate on the matched
+    // timestamp: same one-shuffle sort-merge plan. Oracle: DuckDB
+    // ASOF LEFT JOIN with the window stated as CASE.
+    Q("q38_asof_window",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy("user_id", "ts")
+          .agg(max("event_id").as("click_id"))
+          .select(col("user_id"), col("ts"), col("click_id"),
+            unix_micros(col("ts")).as("click_ts_us"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        AsOfJoin(purchases, clicks, "user_id", "ts",
+            Seq("click_id", "click_ts_us"),
+            toleranceUs = Some(30L * 60 * 1000000))
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            col("asof_click_id").as("click_id"),
+            col("asof_click_ts_us").as("click_ts_us"))
+          .orderBy("event_id")
+      },
+      Some("""WITH clicks AS (
+             |  SELECT user_id, ts, max(event_id) AS click_id,
+             |    epoch_us(ts) AS click_ts_us
+             |  FROM events WHERE event_type = 'click'
+             |  GROUP BY user_id, ts
+             |),
+             |purch AS (
+             |  SELECT event_id, user_id, ts FROM events
+             |  WHERE event_type = 'purchase'
+             |)
+             |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+             |  CASE WHEN epoch_us(p.ts) - c.click_ts_us <= 1800000000
+             |       THEN c.click_id END AS click_id,
+             |  CASE WHEN epoch_us(p.ts) - c.click_ts_us <= 1800000000
+             |       THEN c.click_ts_us END AS click_ts_us
+             |FROM purch p ASOF LEFT JOIN clicks c
+             |  ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY p.event_id""".stripMargin)),
+
     // Range join (interval containment): error events attributed to
     // the click session window they fall inside. A session WINDOW
     // runs from its first click until the 30-min gap timeout after

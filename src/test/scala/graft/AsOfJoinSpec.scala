@@ -28,6 +28,32 @@ class AsOfJoinSpec extends SparkSpec {
       102L -> None, 200L -> None))
   }
 
+  test("tolerance nulls stale matches, keeps every left row") {
+    val left = Seq(
+      (100L, 1L, ts(10)), (101L, 1L, ts(60)), (102L, 2L, ts(30)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((1L, ts(8), "r@8"), (1L, ts(20), "r@20"))
+      .toDF("user_id", "ts", "tag")
+    // 15-minute tolerance: 100 @10 matches r@8 (2 min old);
+    // 101 @60's nearest match r@20 is 40 min stale -> NULL payload;
+    // 102 has no right rows at all -> NULL. All three rows survive.
+    val got = AsOfJoin(left, right, "user_id", "ts", Seq("tag"),
+        toleranceUs = Some(15L * 60 * 1000000))
+      .select("event_id", "asof_tag").as[(Long, Option[String])]
+      .collect().toMap
+    assert(got == Map(
+      100L -> Some("r@8"), 101L -> None, 102L -> None))
+    // Forward direction bounds the gap the other way.
+    val fwd = AsOfJoin(left, right, "user_id", "ts", Seq("tag"),
+        direction = "forward", toleranceUs = Some(15L * 60 * 1000000))
+      .select("event_id", "asof_tag").as[(Long, Option[String])]
+      .collect().toMap
+    // 100 @10 -> next right r@20 (10 min ahead, in tolerance);
+    // 101 @60 has nothing after it; 102 no right rows.
+    assert(fwd == Map(
+      100L -> Some("r@20"), 101L -> None, 102L -> None))
+  }
+
   test("randomized: equals the brute-force latest-at-or-before match") {
     val rnd = new scala.util.Random(42L)
     for (round <- 1 to 6) {
