@@ -684,6 +684,51 @@ object PipelineQueries {
               |FROM tk t JOIN lm USING (token)
               |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)),
 
+    // Per-stratum RELATIVE quality gate (the CCNet-style bucket cut):
+    // d13 filters on an absolute score, but curation pipelines also
+    // cut the bottom decile WITHIN each language so low-resource
+    // strata aren't wiped out by an absolute threshold tuned on the
+    // dominant one. Scale shape: the per-stratum thresholds are one
+    // exact-percentile aggregation over (stratum) — a handful of
+    // rows — broadcast back; the gate itself is a map-side filter.
+    // Never a corpus-wide per-stratum window sort. The comparison is
+    // integer-vs-interpolated-threshold: adjacent data values bound
+    // every interpolation, so an engine ulp can't flip membership.
+    Q("d24_quality_percentile",
+      (s, d) => {
+        val q = TextAnalysis.quality(Tables.documents(s, d))
+          .select(col("doc_id"), col("lang"),
+            floor(col("quality_score") * 10000 + 0.5).cast("long")
+              .as("q_e4"))
+        val thr = q.groupBy("lang")
+          .agg(percentile(col("q_e4"), lit(0.1)).as("p10"))
+        q.join(broadcast(thr), "lang")
+          .filter(col("q_e4") >= col("p10"))
+          .select(col("doc_id"), col("lang"), col("q_e4"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, lang, ${TextHash.duckTokens("text")} AS tk
+              |  FROM documents
+              |),
+              |q AS (
+              |  SELECT doc_id, lang, CAST(floor(
+              |    (0.4 * (CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk))
+              |     + 0.3 * least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0)
+              |     + 0.3 * (1.0 - CAST(len(list_filter(tk,
+              |         t -> t = 'the' OR t = 'a')) AS DOUBLE) / len(tk)))
+              |    * 10000 + 0.5) AS BIGINT) AS q_e4
+              |  FROM t
+              |),
+              |thr AS (
+              |  SELECT lang, quantile_cont(q_e4, 0.1) AS p10
+              |  FROM q GROUP BY lang
+              |)
+              |SELECT q.doc_id, q.lang, q.q_e4
+              |FROM q JOIN thr USING (lang)
+              |WHERE q.q_e4 >= thr.p10
+              |ORDER BY q.doc_id""".stripMargin)),
+
     // Stopword-ratio language-ID heuristic vs the labeled lang.
     Q("d5_lang_id",
       (s, d) => TextAnalysis.langId(Tables.documents(s, d))
