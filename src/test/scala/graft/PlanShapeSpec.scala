@@ -105,6 +105,17 @@ class PlanShapeSpec extends SparkSpec {
       s"d16 regressed to a nested-loop line scan\n$p")
   }
 
+  test("percentile gate: broadcast thresholds, never a per-stratum window") {
+    // d24's relative cut must stay [stratum-count-sized percentile agg
+    // → broadcast join → map filter]; percent_rank/ntile would drag
+    // the whole corpus through one sort per stratum.
+    val p = plan("d24_quality_percentile")
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window"),
+      s"d24 regressed to a per-stratum window sort\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"d24's threshold join must broadcast the stratum table\n$p")
+  }
+
   test("multi-probe knn graph: no window over candidates, heap aggregate") {
     // e9's cell assignment is a map-side array_sort over the one-row
     // broadcast centroid array and its ranking the bounded-heap
