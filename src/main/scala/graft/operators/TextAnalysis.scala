@@ -163,6 +163,46 @@ object TextAnalysis {
         string_poly_hash(col("chunk")).as("chunk_fp"))
   }
 
+  /** Sequence packing — the training-prep step complementary to
+    * [[chunk]]: chunking SPLITS long documents, packing CONCATENATES
+    * short ones into fixed `seqTokens`-token training sequences
+    * (GPT-style concat-and-split: a document may straddle a sequence
+    * boundary and continue in the next). Each document gets its
+    * position in the packed stream: which sequence it starts in and
+    * at what token offset.
+    *
+    * Scale shape: a single global concatenation order would funnel
+    * the corpus through one task, so the stream is SHARDED by the
+    * deterministic Sampling hash (`shards` of them, sized to the
+    * cluster) and packing runs independently per shard: one window
+    * per shard computing a running token sum in (doc_id) order —
+    * state is a single counter per shard, the shuffle is one
+    * exchange on the shard key. All arithmetic is integer, so both
+    * engines compute identical placements.
+    *
+    * @return (doc_id, shard, n_tokens, seq_id, offset) — seq_id is
+    *   the shard-local sequence the doc STARTS in, offset its token
+    *   position there
+    */
+  def packSequences(docs: DataFrame, seqTokens: Int,
+      shards: Int): DataFrame = {
+    require(seqTokens > 0 && shards > 0,
+      s"need seqTokens > 0 and shards > 0, got $seqTokens / $shards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    docs
+      .select(col("doc_id"),
+        (Sampling.hashBucket(col("doc_id")) % shards).as("shard"),
+        expr(s"size(${TextHash.sparkTokens("text")})").cast("long")
+          .as("n_tokens"))
+      .withColumn("start", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        (col("start") / seqTokens).cast("long").as("seq_id"),
+        (col("start") % seqTokens).as("offset"))
+  }
+
   /** Intra-document repetition metrics (the Gopher-style "fraction of
     * duplicated n-grams" quality signal): every rolling `n`-token
     * window of the doc, counted once vs. distinct. A document shorter

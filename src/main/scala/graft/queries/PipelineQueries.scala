@@ -611,6 +611,40 @@ object PipelineQueries {
               |  ${TextHash.duckDocFingerprint("chunk")} AS chunk_fp
               |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
 
+    // Sequence packing — the concat-and-split training-prep step
+    // complementary to d22: short documents concatenate into fixed
+    // 64-token training sequences (docs may straddle boundaries),
+    // sharded 4 ways by the deterministic Sampling hash so no single
+    // task owns the corpus-wide concatenation order. Each doc's
+    // placement (sequence id + token offset, shard-local) is pure
+    // integer arithmetic off a per-shard running token sum — one
+    // exchange on the shard key, identical on both engines.
+    Q("d25_pack_sequences",
+      (s, d) => TextAnalysis.packSequences(Tables.documents(s, d),
+          seqTokens = 64, shards = 4)
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id,
+              |    ${TextHash.duckDocFingerprint("CAST(doc_id AS VARCHAR)")}
+              |      * ${Sampling.Mixer} % ${Sampling.MixMod}
+              |      % ${Sampling.Buckets} % 4 AS shard,
+              |    CAST(len(${TextHash.duckTokens("text")}) AS BIGINT)
+              |      AS n_tokens
+              |  FROM documents
+              |),
+              |p AS (
+              |  SELECT doc_id, shard, n_tokens,
+              |    COALESCE(SUM(n_tokens) OVER (
+              |      PARTITION BY shard ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              |      0) AS st
+              |  FROM t
+              |)
+              |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+              |  CAST(st // 64 AS BIGINT) AS seq_id,
+              |  CAST(st % 64 AS BIGINT) AS offset
+              |FROM p ORDER BY doc_id""".stripMargin)),
+
     // Corpus heavy hitters (frequent-token mining): one pass builds a
     // Misra-Gries sketch (capacity 64 ⇒ every token with true count
     // > N/65 is guaranteed in it, whatever the partitioning), then an

@@ -361,6 +361,30 @@ class OperatorsSpec extends SparkSpec {
     assert(again == assigned)
   }
 
+  test("sequence packing: gapless shard-local placement, straddles kept") {
+    val docs = (1L to 40L).map(i =>
+      (i, (1 to (i % 7 + 1).toInt).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.packSequences(docs, seqTokens = 10, shards = 3)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.length == 40)
+    for ((_, shard, _, seqId, off) <- got)
+      assert(shard >= 0 && shard < 3 && off >= 0 && off < 10 && seqId >= 0)
+    // Gapless concat stream per shard: every doc starts exactly where
+    // the previous one (in doc_id order) ended.
+    for ((_, rows) <- got.groupBy(_._2)) {
+      var expectStart = 0L
+      for ((_, _, n, seqId, off) <- rows.sortBy(_._1)) {
+        assert(seqId * 10 + off == expectStart)
+        expectStart += n
+      }
+    }
+    // Deterministic across partitionings (pure hash + window).
+    val again = TextAnalysis.packSequences(docs.repartition(7), 10, 3)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(again.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
+  }
+
   test("nearest-centroid kernel: float inputs, ties to lowest cell") {
     import graft.functions.NearestCentroidCell.nearest_centroid
     // Float corpus (the raw embeddings table type) against double
