@@ -180,6 +180,10 @@ object TextAnalysis {
     * exchange on the shard key. All arithmetic is integer, so both
     * engines compute identical placements.
     *
+    * @param shards concurrent packing streams; pick a divisor of
+    *   [[Sampling.Buckets]] (10000) for exactly uniform shard sizes
+    *   — a non-divisor skews shard populations by at most
+    *   1/Buckets per shard
     * @return (doc_id, shard, n_tokens, seq_id, offset) — seq_id is
     *   the shard-local sequence the doc STARTS in, offset its token
     *   position there

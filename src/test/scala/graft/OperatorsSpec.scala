@@ -521,6 +521,27 @@ class OperatorsSpec extends SparkSpec {
     assert(run(docs.repartition(7)) == out)
   }
 
+  test("hyperplane LSH finds every planted near-identical pair") {
+    // d10's recall contract on its actual workload: a perturbed copy
+    // (per-dim 1 + i·1e-4, cosine ≈ 0.9999+) agrees with its source
+    // on (almost) all 64 sign bits, so SOME 8-bit band must collide
+    // and the exact-cosine verify keeps the pair. Miss = the banding
+    // or signature broke, not bad luck.
+    val rnd = new scala.util.Random(7L)
+    val base = (0L until 60L).map(i =>
+      (i, Seq.fill(16)(rnd.nextGaussian())))
+    val pert = base.filter(_._1 % 5 == 0).map { case (i, v) =>
+      (i + 1000L, v.zipWithIndex.map { case (x, j) => x * (1 + j * 1e-4) })
+    }
+    val emb = (base ++ pert).toDF("vec_id", "embedding")
+    val got = Similarity.embedNearDupPairs(emb, minCos = 0.99)
+      .select("va", "vb").as[(Long, Long)].collect().toSet
+    val planted = base.filter(_._1 % 5 == 0)
+      .map { case (i, _) => (i, i + 1000L) }.toSet
+    assert(planted.subsetOf(got),
+      s"missed planted pairs: ${planted -- got}")
+  }
+
   test("multi-probe knn graph: recall vs brute force on learned cells") {
     // A corpus with real cell boundaries: 4 loose clusters in 8 dims
     // (deterministic seeded noise), cells LEARNED by e7's k-means —
