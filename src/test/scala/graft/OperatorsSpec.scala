@@ -508,8 +508,9 @@ class OperatorsSpec extends SparkSpec {
     val out = run(docs)
     val byDoc = out.groupBy(_._1).view.mapValues(_.size).toMap
     // web docs get 2 or 3 copies; code docs 0 or 1.
-    assert(byDoc.filterKeys(_ % 2 == 0).values.forall(n => n == 2 || n == 3))
-    assert(byDoc.filterKeys(_ % 2 == 1).values.forall(_ == 1))
+    assert(byDoc.view.filterKeys(_ % 2 == 0).values
+      .forall(n => n == 2 || n == 3))
+    assert(byDoc.view.filterKeys(_ % 2 == 1).values.forall(_ == 1))
     val webCopies = out.count(_._2 == "web")
     val codeDocs = byDoc.count(_._1 % 2 == 1)
     assert(webCopies > 400 && webCopies < 600) // ~2.5 × 200
