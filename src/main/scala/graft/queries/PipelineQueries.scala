@@ -763,6 +763,60 @@ object PipelineQueries {
               |WHERE q.q_e4 >= thr.p10
               |ORDER BY q.doc_id""".stripMargin)),
 
+    // Corpus statistics ("data card" reporting): doc/token volumes
+    // and mean quality per (lang, source), per lang, and overall —
+    // one GROUPING SETS pass (Expand + partial agg, single
+    // exchange), the summary table a curation run publishes next to
+    // its output. Mean quality is stated as floor(sum/count + 0.5)
+    // on an EXACT integer sum — avg() would sum doubles in
+    // partition order and can land a half-ulp either side of a .5
+    // boundary; an integer sum divided once is bit-stable on both
+    // engines. Keys coalesce to 'ALL' post-grouping (q10 convention)
+    // so the stated order is engine-consistent.
+    Q("d26_corpus_stats",
+      (s, d) => {
+        TextAnalysis.quality(Tables.documents(s, d))
+          .select(col("lang"), col("source"), col("n_tokens"),
+            floor(col("quality_score") * 10000 + 0.5).cast("long")
+              .as("q_e4"))
+          .createOrReplaceTempView("qstats")
+        s.sql("""SELECT coalesce(lang, 'ALL') AS lang,
+                |  coalesce(source, 'ALL') AS source,
+                |  count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+                |  CAST(floor(CAST(sum(q_e4) AS DOUBLE) / count(*) + 0.5)
+                |    AS BIGINT) AS avg_q_e4,
+                |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+                |FROM qstats
+                |GROUP BY GROUPING SETS ((lang, source), (lang), ())
+                |ORDER BY lang, source""".stripMargin)
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, lang, source,
+              |    ${TextHash.duckTokens("text")} AS tk
+              |  FROM documents
+              |),
+              |q AS (
+              |  SELECT lang, source,
+              |    CAST(len(tk) AS BIGINT) AS n_tokens,
+              |    CAST(floor(
+              |    (0.4 * (CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk))
+              |     + 0.3 * least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0)
+              |     + 0.3 * (1.0 - CAST(len(list_filter(tk,
+              |         t -> t = 'the' OR t = 'a')) AS DOUBLE) / len(tk)))
+              |    * 10000 + 0.5) AS BIGINT) AS q_e4
+              |  FROM t
+              |)
+              |SELECT coalesce(lang, 'ALL') AS lang,
+              |  coalesce(source, 'ALL') AS source,
+              |  count(*) AS n_docs,
+              |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+              |  CAST(floor(CAST(sum(q_e4) AS DOUBLE) / count(*) + 0.5)
+              |    AS BIGINT) AS avg_q_e4,
+              |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+              |FROM q
+              |GROUP BY GROUPING SETS ((lang, source), (lang), ())
+              |ORDER BY lang, source""".stripMargin)),
+
     // Stopword-ratio language-ID heuristic vs the labeled lang.
     Q("d5_lang_id",
       (s, d) => TextAnalysis.langId(Tables.documents(s, d))
