@@ -88,16 +88,26 @@ object ConnectedComponents {
     * always get fully-consolidated groups.
     */
   def dupGroups(pairs: DataFrame, iters: Int = 8): DataFrame = {
-    val labels = minLabel(pairs, iters)
-    val la = labels.select(col("id").as("a"), col("label").as("la"))
-    val lb = labels.select(col("id").as("b"), col("label").as("lb"))
-    val converged = pairs.join(la, "a").join(lb, "b")
-      .filter(col("la") =!= col("lb"))
-      .isEmpty
-    val resolved = if (converged) labels else starContract(pairs)
-    resolved
-      .select(col("id").as("doc_id"), col("label").as("group_id"),
-        (col("id") === col("label")).as("keep"))
+    // The pair list is typically the OUTPUT of an expensive candidate
+    // pipeline (LSH bucket join + exact verify); it is read up to
+    // three times here (edge build, convergence check, fallback), so
+    // cache it for the duration. Everything downstream materializes
+    // eagerly (labels via minLabel's checkpoint, star rounds via
+    // theirs), so the cache can be dropped before returning — the
+    // returned plan reads only checkpointed blocks.
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val labels = minLabel(p, iters)
+      val la = labels.select(col("id").as("a"), col("label").as("la"))
+      val lb = labels.select(col("id").as("b"), col("label").as("lb"))
+      val converged = p.join(la, "a").join(lb, "b")
+        .filter(col("la") =!= col("lb"))
+        .isEmpty
+      val resolved = if (converged) labels else starContract(p)
+      resolved
+        .select(col("id").as("doc_id"), col("label").as("group_id"),
+          (col("id") === col("label")).as("keep"))
+    } finally p.unpersist(blocking = false)
   }
 
   /** Alternating large-star / small-star contraction — the O(log n)

@@ -77,6 +77,27 @@ class AsOfJoinSpec extends SparkSpec {
         id -> (if (m.isEmpty) None else Some(m.maxBy(_._2.getTime)._3))
       }.toMap
       assert(got == want, s"round $round: nKeys=$nKeys")
+
+      // The tolerance variant against the same brute force: the
+      // unique match survives iff it is recent enough.
+      val tolMin = 1L + rnd.nextInt(40)
+      val gotTol = AsOfJoin(
+        lefts.toDF("event_id", "user_id", "ts"),
+        rights.toDF("user_id", "ts", "tag"),
+        "user_id", "ts", Seq("tag"),
+        toleranceUs = Some(tolMin * 60000000L))
+        .select("event_id", "asof_tag").as[(Long, Option[String])]
+        .collect().toMap
+      val wantTol = lefts.map { case (id, k, t) =>
+        val m = rights.filter(r => r._1 == k && !r._2.after(t))
+        id -> (if (m.isEmpty) None else {
+          val best = m.maxBy(_._2.getTime)
+          if (t.getTime - best._2.getTime <= tolMin * 60000L)
+            Some(best._3)
+          else None
+        })
+      }.toMap
+      assert(gotTol == wantTol, s"round $round tol=$tolMin min")
     }
   }
 
