@@ -90,6 +90,52 @@ object KMeans {
   def withCells(corpus: DataFrame, centroids: DataFrame): DataFrame =
     assignedWithEmb(corpus, centroids)
 
+  /** Residual-driven training (the [[graft.graph.PageRank]]
+    * `runUntilConverged` counterpart): Lloyd rounds until no centroid
+    * coordinate moves more than `tol`, or `maxIters`. The residual is
+    * computed on the k×dims centroid matrix the kernel needs COLLECTED
+    * anyway — an O(k·dims) driver scalar per round, never corpus data;
+    * a cell dropping or appearing counts as full movement, so the
+    * loop cannot stop across a cell-set change. Fixed-round [[train]]
+    * remains the oracle-checkable form (an unrolled SQL mirror needs
+    * a static round count); this is the form a pipeline runs when it
+    * wants "train to stability" semantics.
+    *
+    * @return (cell, cvec array<double>) converged centroids
+    */
+  def trainUntilConverged(emb: DataFrame, k: Int, tol: Double = 1e-6,
+      maxIters: Int = 25): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val corpus = emb.select("vec_id", "embedding")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def collectCents(df: DataFrame): Array[(Long, Array[Double])] =
+      df.select(col("cell").cast("long"), col("cvec")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+    var cents = collectCents(seeds(corpus, k))
+    var moved = Double.MaxValue
+    var it = 0
+    while (moved > tol && it < maxIters) {
+      val assigned = corpus.withColumn("cell",
+        nearest_centroid(col("embedding"), cents.toSeq))
+      val next = collectCents(Similarity.centroidVectors(
+          assigned.select(col("cell").as("label"), col("embedding")),
+          "label")
+        .select(col("label").as("cell"), col("cvec")))
+      val prev = cents.toMap
+      moved =
+        if (next.map(_._1).toSet != prev.keySet) Double.MaxValue
+        else next.iterator.map { case (c, v) =>
+          v.zip(prev(c)).map { case (a, b) => math.abs(a - b) }.max
+        }.max
+      cents = next
+      it += 1
+    }
+    corpus.unpersist()
+    cents.toSeq.map { case (c, v) => (c, v.toSeq) }.toDF("cell", "cvec")
+  }
+
   /** Run `iters` Lloyd iterations from the deterministic seeds.
     * @return (cell, cvec array<double>) learned centroids — cells
     *   that lose all members along the way drop out (both engines

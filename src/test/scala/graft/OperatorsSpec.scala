@@ -408,6 +408,24 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Map(0L -> 5L, 1L -> 7L, 2L -> 5L))
   }
 
+  test("convergence-driven kmeans reaches the fixed-round fixpoint") {
+    // On cleanly separated cones Lloyd stabilizes in a few rounds:
+    // residual-driven training must land on the same centroids as a
+    // generous fixed-round run (both from the same deterministic
+    // seeds). Centroids round per iteration, so "equal" is exact.
+    def mk(base: Seq[Double], i: Int) = base.updated(3, 0.01 * (i % 5 + 1))
+    val a = Seq(1.0, 0.0, 0.0, 0.0)
+    val b = Seq(0.0, 1.0, 0.0, 0.0)
+    val rows = (0 until 10).map(i => (i.toLong, mk(a, i))) ++
+      (10 until 20).map(i => (i.toLong, mk(b, i)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val conv = KMeans.trainUntilConverged(emb, k = 2, tol = 0.0)
+      .as[(Long, Seq[Double])].collect().toMap
+    val fixed = KMeans.train(emb, k = 2, iters = 12)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(conv == fixed)
+  }
+
   test("centroids average each dimension per cluster") {
     val emb = Seq(
       (0L, 0, Array(1.0f, 3.0f)), (1L, 0, Array(3.0f, 5.0f)),
