@@ -1567,6 +1567,80 @@ object PipelineQueries {
              |FROM vec GROUP BY phash HAVING count(*) > 1
              |ORDER BY kept_doc_id""".stripMargin)),
 
+    // Reverse media search: top-5 most similar media per query item
+    // by cosine over the 16-bin byte-histogram feature — the
+    // multimodal analog of e1, joining the media plumbing to the ANN
+    // family (m4 did the same for exact dedup). Features are exact
+    // rationals (count/n) computed identically in both engines, so
+    // raw-cosine ranking cannot diverge; the OUTPUT similarity is
+    // e6-floored (round() on small rationals can straddle the
+    // half-even boundary). Same codegen'd cosine + bounded-heap
+    // shape as e1 — no window sort.
+    Q("m5_media_sim",
+      (s, d) => {
+        val media = Multimodal.mediaTable(Tables.documents(s, d))
+        val feats = Multimodal.extractFeatures(s, media).toDF()
+          .select(col("doc_id").as("cand_id"),
+            col("feature").as("cand_emb"))
+        val q = feats.filter(col("cand_id") < 10)
+          .select(col("cand_id").as("query_id"),
+            col("cand_emb").as("query_emb"))
+        import graft.functions.CosineSimilarity.cosine_sim
+        import graft.functions.TopKByScore.top_k_by_score
+        feats.join(broadcast(q), col("cand_id") =!= col("query_id"))
+          .withColumn("sim", cosine_sim(col("query_emb"), col("cand_emb")))
+          .groupBy("query_id")
+          .agg(top_k_by_score(col("sim"), col("cand_id"), lit(0L), 5)
+            .as("tk"))
+          .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "s")))
+          .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+            col("s.cand_id").as("cand_id"),
+            floor(col("s.sim") * 1000000 + 0.5).cast("long").as("sim_e6"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH h AS (
+              |  SELECT doc_id,
+              |    CAST(octet_length(encode(text)) AS BIGINT) AS n,
+              |    hex(encode(text)) AS hx
+              |  FROM documents
+              |),
+              |nib AS (
+              |  SELECT doc_id,
+              |    strpos('123456789ABCDEF', substr(hx, 2 * i + 1, 1)) AS bin
+              |  FROM h, unnest(range(0, n)) AS t(i)
+              |),
+              |cnt AS (SELECT doc_id, bin, count(*) AS c FROM nib
+              |        GROUP BY doc_id, bin),
+              |grid AS (
+              |  SELECT h.doc_id, h.n, b.bin
+              |  FROM h, (SELECT unnest(range(0, 16)) AS bin) b
+              |),
+              |vec AS (
+              |  SELECT g.doc_id,
+              |    list(CAST(COALESCE(c.c, 0) AS DOUBLE) / greatest(g.n, 1)
+              |      ORDER BY g.bin) AS emb
+              |  FROM grid g LEFT JOIN cnt c
+              |    ON c.doc_id = g.doc_id AND c.bin = g.bin
+              |  GROUP BY g.doc_id, g.n
+              |),
+              |q AS (SELECT doc_id AS query_id, emb AS qe FROM vec
+              |      WHERE doc_id < 10),
+              |scored AS (
+              |  SELECT q.query_id, v.doc_id AS cand_id,
+              |    ${TextHash.duckCosine("q.qe", "v.emb", 16)} AS sim
+              |  FROM q JOIN vec v ON v.doc_id <> q.query_id
+              |),
+              |r AS (
+              |  SELECT query_id, cand_id, sim,
+              |    row_number() OVER (
+              |      PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+              |  FROM scored
+              |)
+              |SELECT query_id, rank, cand_id,
+              |  CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS sim_e6
+              |FROM r WHERE rank <= 5
+              |ORDER BY query_id, rank""".stripMargin)),
+
     // Frame sampling through the same multimodal plumbing: 4 evenly
     // spaced byte windows per payload (a video decoder's frame grid),
     // one-row-to-many via the mapPartitions iterator. Output is
