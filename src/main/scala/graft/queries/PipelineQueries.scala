@@ -645,6 +645,59 @@ object PipelineQueries {
               |  CAST(st % 64 AS BIGINT) AS offset
               |FROM p ORDER BY doc_id""".stripMargin)),
 
+    // KMV (k-minimum-values) distinct-count sketch — the cardinality
+    // estimator alongside the frequency (d18) and similarity (d3/d4)
+    // sketches: corpus-distinct 3-gram SHINGLE count (the size of the
+    // d2/d3 inverted index — the cardinality a dedup planner actually
+    // wants; the generator's token vocabulary is only ~31 words, far
+    // under k) from the k smallest distinct shingle hashes,
+    // est = (k−1)·P / kth_smallest for hashes uniform on [0, P).
+    // Built on the shared poly-hash spec (Knuth-mixed to [0, 2³²) —
+    // the raw polynomial clusters at the low end and measured 25%
+    // high; mixed, 1.5% on this corpus), so BOTH engines compute the
+    // IDENTICAL estimate — the property HLL can't give
+    // (engine-specific registers); std err ≈ 1/√k ≈ 6% at k=256.
+    // Scale shape: one shingle-keyed distinct exchange (as d2's
+    // inverted index), then TakeOrderedAndProject (per-partition
+    // bottom-k, k-row driver merge — never a global sort). The exact
+    // count rides along as the verification column.
+    Q("d27_kmv_distinct",
+      (s, d) => {
+        val k = 256
+        val h = Dedup.shingleSets(
+            Tables.documents(s, d).select("doc_id", "text"))
+          .select(explode(col("sh")).as("s0"))
+          .select((col("s0") * Sampling.Mixer % Sampling.MixMod)
+            .as("h"))
+          .distinct()
+        val kmv = h.orderBy("h").limit(k)
+          .agg(count(lit(1)).as("n_kmv"), max("h").as("kth"))
+        val exact = h.agg(count(lit(1)).as("exact_distinct"))
+        kmv.crossJoin(exact)
+          .select(col("n_kmv"), col("kth"),
+            when(col("n_kmv") < k, col("n_kmv"))
+              .otherwise(floor(lit((k - 1).toDouble) * Sampling.MixMod /
+                col("kth") + 0.5))
+              .cast("long").as("est_distinct"),
+            col("exact_distinct"))
+      },
+      Some(s"""WITH ${TextHash.duckToksCte},
+              |${TextHash.duckShinglesCte},
+              |h AS (
+              |  SELECT DISTINCT s * ${Sampling.Mixer} % ${Sampling.MixMod}
+              |    AS h
+              |  FROM sh
+              |),
+              |kmv AS (SELECT h FROM h ORDER BY h LIMIT 256),
+              |sk AS (SELECT count(*) AS n_kmv, max(h) AS kth FROM kmv),
+              |x AS (SELECT count(*) AS exact_distinct FROM h)
+              |SELECT n_kmv, kth,
+              |  CAST(CASE WHEN n_kmv < 256 THEN n_kmv
+              |       ELSE floor(255.0 * ${Sampling.MixMod} / kth + 0.5)
+              |       END AS BIGINT) AS est_distinct,
+              |  exact_distinct
+              |FROM sk, x""".stripMargin)),
+
     // Corpus heavy hitters (frequent-token mining): one pass builds a
     // Misra-Gries sketch (capacity 64 ⇒ every token with true count
     // > N/65 is guaranteed in it, whatever the partitioning), then an
