@@ -689,7 +689,44 @@ object RelationalQueries {
              |SELECT month, rev,
              |  round(avg(rev) OVER (ORDER BY month
              |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS rev_ma3
-             |FROM m ORDER BY month""".stripMargin))
+             |FROM m ORDER BY month""".stripMargin)),
+
+    // Value-RANGE window frame — the third frame mode, alongside
+    // ROWS-bounded (q35) and unbounded-running (q23): trailing
+    // 90-DAY revenue per order date, where the frame is defined by
+    // the ORDER-BY VALUE (days elapsed), not a row count — sparse
+    // dates contribute exactly the days that fall in the interval.
+    // Runs over the pre-aggregated per-day table only (bounded date
+    // domain, never raw orders). Daily revenue is carried in integer
+    // CENTS so the window sums are exact — a double sum's
+    // frame-order rounding could straddle a .005 boundary between
+    // engines.
+    Q("q39_range_frame",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        s.sql("""WITH dd AS (
+                |  SELECT o_orderdate AS d,
+                |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                |      AS BIGINT) AS rev_c
+                |  FROM orders GROUP BY 1
+                |)
+                |SELECT d, rev_c,
+                |  sum(rev_c) OVER (ORDER BY d
+                |    RANGE BETWEEN INTERVAL 90 DAYS PRECEDING
+                |    AND CURRENT ROW) AS rev_90d_c
+                |FROM dd ORDER BY d""".stripMargin)
+      },
+      Some("""WITH dd AS (
+             |  SELECT o_orderdate AS d,
+             |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             |      AS BIGINT) AS rev_c
+             |  FROM orders GROUP BY 1
+             |)
+             |SELECT d, rev_c,
+             |  CAST(sum(rev_c) OVER (ORDER BY d
+             |    RANGE BETWEEN INTERVAL 90 DAYS PRECEDING
+             |    AND CURRENT ROW) AS BIGINT) AS rev_90d_c
+             |FROM dd ORDER BY d""".stripMargin))
   )
 
   private val GroupingSetsSql =
