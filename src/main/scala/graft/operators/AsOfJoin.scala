@@ -32,8 +32,14 @@ import org.apache.spark.sql.functions._
   * @param payloadCols right-side columns to attach; emitted as
   *   `asof_<name>`, NULL when no right row is at-or-before
   *   (at-or-after) the left row's timestamp.
-  * @param direction "backward" (default: latest at-or-before) or
-  *   "forward" (earliest at-or-after)
+  * @param direction "backward" (default: latest at-or-before),
+  *   "forward" (earliest at-or-after), or "nearest" (whichever of
+  *   the two is temporally closer, ties to backward — pandas
+  *   merge_asof semantics). Nearest computes BOTH picks over the
+  *   SAME sorted partition (two frames, one shuffle+sort): the
+  *   ordering places equal-ts right rows in the preceding frame
+  *   only, which is harmless — an equal-ts match has gap 0 and the
+  *   backward side wins that tie by definition.
   * @param toleranceUs maximum |left.ts − matched right.ts| in
   *   microseconds (pandas merge_asof's `tolerance`, the attribution
   *   window of click-attribution pipelines): a match staler than the
@@ -49,25 +55,24 @@ object AsOfJoin {
       tsCol: String, payloadCols: Seq[String],
       direction: String = "backward",
       toleranceUs: Option[Long] = None): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"direction must be 'backward' or 'forward', got '$direction'")
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward/forward/nearest, got '$direction'")
     require(payloadCols.nonEmpty, "as-of join needs payload columns")
     require(toleranceUs.forall(_ >= 0), "tolerance must be >= 0")
     val leftCols = left.columns.toSeq
     require(!payloadCols.exists(leftCols.contains),
       s"payload columns ${payloadCols.mkString(",")} collide with left side")
     // `_rts` is the internal matched-right-timestamp payload backing
-    // the tolerance predicate.
-    val allPayloads = payloadCols ++ (if (toleranceUs.isDefined)
-      Seq("_rts") else Nil)
+    // the tolerance predicate and the nearest-side choice.
+    val needRts = toleranceUs.isDefined || direction == "nearest"
+    val allPayloads = payloadCols ++ (if (needRts) Seq("_rts") else Nil)
     val reserved = Seq("_side") ++ allPayloads.map("_p_" + _) ++
       allPayloads.map("asof_" + _)
     require(!leftCols.exists(reserved.contains),
       s"left columns collide with reserved as-of names: " +
         reserved.filter(leftCols.contains).mkString(","))
     val payloadTypes = payloadCols.map(c => c -> right.schema(c).dataType) ++
-      (if (toleranceUs.isDefined) Seq("_rts" -> right.schema(tsCol).dataType)
-       else Nil)
+      (if (needRts) Seq("_rts" -> right.schema(tsCol).dataType) else Nil)
 
     // Null-key/null-ts right rows can never match under SQL ASOF
     // semantics (NULL = NULL is not a match; NULL ts satisfies no
@@ -82,7 +87,8 @@ object AsOfJoin {
     // sit INSIDE the left row's frame: backward frames end at the
     // current row, so right sorts first (0) and left last (1);
     // forward frames start at the current row, so the tags flip.
-    val (lSide, rSide) = if (direction == "backward") (1, 0) else (0, 1)
+    // Nearest uses the backward layout (see the direction scaladoc).
+    val (lSide, rSide) = if (direction == "forward") (0, 1) else (1, 0)
     val lTagged = left.select(
       leftCols.map(col) ++ Seq(lit(lSide).as("_side")) ++
         payloadTypes.map { case (c, t) => lit(null).cast(t).as("_p_" + c) }: _*)
@@ -98,26 +104,46 @@ object AsOfJoin {
 
     val ordered = Window.partitionBy(keyCol)
       .orderBy(col(tsCol).asc, col("_side").asc)
-    val (w, pick) =
-      if (direction == "backward")
-        (ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow),
-          (c: String) => last(col("_p_" + c), ignoreNulls = true))
-      else
-        (ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing),
-          (c: String) => first(col("_p_" + c), ignoreNulls = true))
-    val matched = lTagged.union(rTagged)
-      .select(
-        leftCols.map(col) ++ Seq(col("_side")) ++
-          allPayloads.map(c => pick(c).over(w).as("asof_" + c)): _*)
-      .filter(col("_side") === lSide)
+    val wB = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    def bwd(c: String) = last(col("_p_" + c), ignoreNulls = true).over(wB)
+    def fwd(c: String) = first(col("_p_" + c), ignoreNulls = true).over(wF)
+    val union = lTagged.union(rTagged)
+    val matched = (direction match {
+      case "nearest" =>
+        // Both picks over the ONE sorted partition (same window
+        // partition+ordering → one shuffle and sort feeds both
+        // frames); per row, backward wins unless forward is strictly
+        // closer.
+        val bts = bwd("_rts")
+        val fts = fwd("_rts")
+        val useBwd = bts.isNotNull && (fts.isNull ||
+          (unix_micros(col(tsCol)) - unix_micros(bts)) <=
+            (unix_micros(fts) - unix_micros(col(tsCol))))
+        union.select(
+          leftCols.map(col) ++ Seq(col("_side")) ++
+            allPayloads.map(c =>
+              when(useBwd, bwd(c)).otherwise(fwd(c)).as("asof_" + c)): _*)
+      case "backward" =>
+        union.select(leftCols.map(col) ++ Seq(col("_side")) ++
+          allPayloads.map(c => bwd(c).as("asof_" + c)): _*)
+      case _ =>
+        union.select(leftCols.map(col) ++ Seq(col("_side")) ++
+          allPayloads.map(c => fwd(c).as("asof_" + c)): _*)
+    }).filter(col("_side") === lSide)
       .drop("_side")
     toleranceUs match {
-      case None => matched
+      case None =>
+        if (needRts) matched.drop("asof__rts") else matched
       case Some(tol) =>
-        val gap =
-          if (direction == "backward")
+        val gap = direction match {
+          case "backward" =>
             unix_micros(col(tsCol)) - unix_micros(col("asof__rts"))
-          else unix_micros(col("asof__rts")) - unix_micros(col(tsCol))
+          case "forward" =>
+            unix_micros(col("asof__rts")) - unix_micros(col(tsCol))
+          case _ =>
+            abs(unix_micros(col(tsCol)) - unix_micros(col("asof__rts")))
+        }
         val inTol = col("asof__rts").isNotNull && gap <= tol
         matched
           .select(leftCols.map(col) ++ payloadCols.map(c =>

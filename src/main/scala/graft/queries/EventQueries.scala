@@ -261,6 +261,59 @@ object EventQueries {
              |  ON p.user_id = c.user_id AND p.ts >= c.ts
              |ORDER BY p.event_id""".stripMargin)),
 
+    // Nearest as-of (pandas merge_asof direction='nearest'): each
+    // purchase takes its temporally CLOSEST click in either
+    // direction, ties to the at-or-before side — the third as-of
+    // direction after backward (q21) and forward (q33). Both picks
+    // come from one shuffle+sort (two frames over the same window
+    // partition); the oracle states the semantics directly as an
+    // argmin over the per-user pair space (fine for DuckDB at oracle
+    // scale; the Spark plan must never materialize those pairs).
+    Q("q40_asof_nearest",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy("user_id", "ts")
+          .agg(max("event_id").as("click_id"))
+          .select(col("user_id"), col("ts"), col("click_id"),
+            unix_micros(col("ts")).as("click_ts_us"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        AsOfJoin(purchases, clicks, "user_id", "ts",
+            Seq("click_id", "click_ts_us"), direction = "nearest")
+          .filter(col("asof_click_id").isNotNull)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            col("asof_click_id").as("click_id"),
+            col("asof_click_ts_us").as("click_ts_us"),
+            abs(unix_micros(col("ts")) - col("asof_click_ts_us"))
+              .as("gap_us"))
+          .orderBy("event_id")
+      },
+      Some("""WITH clicks AS (
+             |  SELECT user_id, ts, max(event_id) AS click_id,
+             |    epoch_us(ts) AS click_ts_us
+             |  FROM events WHERE event_type = 'click'
+             |  GROUP BY user_id, ts
+             |),
+             |purch AS (
+             |  SELECT event_id, user_id, ts FROM events
+             |  WHERE event_type = 'purchase'
+             |),
+             |r AS (
+             |  SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+             |    c.click_id, c.click_ts_us,
+             |    abs(epoch_us(p.ts) - c.click_ts_us) AS gap_us,
+             |    row_number() OVER (PARTITION BY p.event_id
+             |      ORDER BY abs(epoch_us(p.ts) - c.click_ts_us),
+             |        CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END) AS rn
+             |  FROM purch p JOIN clicks c ON c.user_id = p.user_id
+             |)
+             |SELECT event_id, user_id, ts_us, click_id, click_ts_us,
+             |  gap_us
+             |FROM r WHERE rn = 1
+             |ORDER BY event_id""".stripMargin)),
+
     // Range join (interval containment): error events attributed to
     // the click session window they fall inside. A session WINDOW
     // runs from its first click until the 30-min gap timeout after

@@ -45,6 +45,16 @@ object DocStream {
         floor(col("quality_score") * 10000 + 0.5).cast("long")
           .as("quality_score_e4"))
 
+  /** Context-window chunking over an arriving stream — the batch
+    * [[TextAnalysis.chunk]] plan applied unchanged (a stateless
+    * map-side explode is source-agnostic; one definition, both
+    * engines): long documents split into training-window chunks as
+    * they arrive, ahead of the downstream packing/dedup steps.
+    */
+  def chunked(docs: DataFrame, chunkTokens: Int = 32,
+      stride: Int = 24): DataFrame =
+    TextAnalysis.chunk(docs, chunkTokens, stride)
+
   /** Streaming exact dedup: first arrival of each normalized-text key
     * survives; later copies arriving within `watermark` of event time
     * are dropped, and the key's state is reclaimed once the watermark

@@ -120,6 +120,58 @@ class AsOfJoinSpec extends SparkSpec {
       102L -> Some("r@10"), 200L -> None))
   }
 
+  test("nearest: picks the temporally closer side, ties to backward") {
+    val left = Seq(
+      (100L, 1L, ts(10)),  // r@8 is 2 back, r@20 is 10 ahead -> r@8
+      (101L, 1L, ts(17)),  // r@20 is 3 ahead, r@8 is 9 back -> r@20
+      (102L, 1L, ts(14)),  // equidistant (6 each) -> backward r@8
+      (103L, 1L, ts(8)),   // equal ts -> gap 0 -> r@8
+      (104L, 2L, ts(30)))  // no right rows
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((1L, ts(8), "r@8"), (1L, ts(20), "r@20"))
+      .toDF("user_id", "ts", "tag")
+    val got = AsOfJoin(left, right, "user_id", "ts", Seq("tag"),
+        direction = "nearest")
+      .select("event_id", "asof_tag").as[(Long, Option[String])]
+      .collect().toMap
+    assert(got == Map(100L -> Some("r@8"), 101L -> Some("r@20"),
+      102L -> Some("r@8"), 103L -> Some("r@8"), 104L -> None))
+    // With a tolerance the chosen match must also be close enough.
+    val tol = AsOfJoin(left, right, "user_id", "ts", Seq("tag"),
+        direction = "nearest", toleranceUs = Some(3L * 60 * 1000000))
+      .select("event_id", "asof_tag").as[(Long, Option[String])]
+      .collect().toMap
+    assert(tol == Map(100L -> Some("r@8"), 101L -> Some("r@20"),
+      102L -> None, 103L -> Some("r@8"), 104L -> None))
+  }
+
+  test("randomized nearest: equals the brute-force closest match") {
+    val rnd = new scala.util.Random(13L)
+    for (round <- 1 to 6) {
+      val nKeys = 1 + rnd.nextInt(6)
+      val lefts = (1 to 1 + rnd.nextInt(60)).map(i =>
+        (i.toLong, rnd.nextInt(nKeys + 2).toLong,
+          ts(rnd.nextInt(100).toLong)))
+      val rights = (1 to 1 + rnd.nextInt(40)).map(_ =>
+        (rnd.nextInt(nKeys).toLong, ts(rnd.nextInt(100).toLong)))
+        .distinct.map { case (k, t) => (k, t, s"p$k@${t.getTime}") }
+      val got = AsOfJoin(
+        lefts.toDF("event_id", "user_id", "ts"),
+        rights.toDF("user_id", "ts", "tag"),
+        "user_id", "ts", Seq("tag"), direction = "nearest")
+        .select("event_id", "asof_tag").as[(Long, Option[String])]
+        .collect().toMap
+      val want = lefts.map { case (id, k, t) =>
+        val m = rights.filter(_._1 == k)
+        id -> (if (m.isEmpty) None else Some(
+          // (|gap| ASC, at-or-before first) — pandas nearest ties.
+          m.minBy(r => (math.abs(r._2.getTime - t.getTime),
+            if (r._2.after(t)) 1 else 0))._3))
+      }.toMap
+      assert(got == want, s"round $round: nKeys=$nKeys")
+    }
+  }
+
   test("randomized forward: equals the brute-force earliest-at-or-after") {
     val rnd = new scala.util.Random(7L)
     for (round <- 1 to 6) {

@@ -114,6 +114,26 @@ class DocStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("parity: streaming chunking equals the batch d22 explode") {
+    val rows = Seq(
+      doc(1, 10, (1 to 80).map(i => s"w$i").mkString(" ")), // 4 chunks
+      doc(2, 11, "tiny doc"))                               // 1 chunk
+    val stream = MemoryStream[Doc](spark)
+    val q = DocStream.chunked(stream.toDF())
+      .writeStream.format("memory").queryName("chunk_t")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("chunk_t")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val want = DocStream.chunked(rows.toDF())
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == want) // ONE definition, both engines
+      assert(got.count(_._1 == 1L) == 4 && got.count(_._1 == 2L) == 1)
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first arrival, agrees with batch d1 groups") {
     val stream = MemoryStream[Doc](spark)
     val q = DocStream.dedup(stream.toDF())

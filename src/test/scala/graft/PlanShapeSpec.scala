@@ -52,11 +52,16 @@ class PlanShapeSpec extends SparkSpec {
   test("as-of join never materializes pairs: union+window, no join op") {
     // The range-join encoding (r.ts <= l.ts + window over pairs) would
     // reintroduce a Join operator carrying every (left, earlier-right)
-    // pair; the sort-merge union+window shape has NO join at all.
-    val p = plan("q21_asof_join")
-    assert(!p.contains("Join"),
-      s"q21 regressed from the union+window as-of encoding to a pair join\n$p")
-    assert(p.contains("Window"), "q21 lost the last-non-null window")
+    // pair; the sort-merge union+window shape has NO join at all —
+    // pinned across all four as-of variants (backward, forward,
+    // tolerance-bounded, nearest).
+    for (q <- Seq("q21_asof_join", "q33_asof_forward", "q38_asof_window",
+        "q40_asof_nearest")) {
+      val p = plan(q)
+      assert(!p.contains("Join"),
+        s"$q regressed from the union+window as-of encoding to a pair join\n$p")
+      assert(p.contains("Window"), s"$q lost the as-of pick window")
+    }
   }
 
   test("range join stays a hash equi-join on the bin key") {
