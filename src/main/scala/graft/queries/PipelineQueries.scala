@@ -698,6 +698,65 @@ object PipelineQueries {
               |  exact_distinct
               |FROM sk, x""".stripMargin)),
 
+    // Per-GROUP cardinality via the mergeable KMV aggregate: d27
+    // estimates one corpus-wide count (TakeOrdered suffices there);
+    // per-language counts with that approach would pay a distinct
+    // exchange per group, so `kmv_sketch` keeps k=256 smallest
+    // distinct hashes as bounded O(k) state under ObjectHashAggregate
+    // — per-group cardinality sketching in ONE aggregation pass, the
+    // same sketch-state shape as d18's Misra-Gries. The estimate is
+    // order/merge-independent (k smallest distinct values are a
+    // function of the SET), so it oracle-checks exactly; the exact
+    // per-group count rides along for verification.
+    Q("d28_kmv_per_lang",
+      (s, d) => {
+        import graft.functions.KmvSketch.kmv_sketch
+        val k = 256
+        val docs = Tables.documents(s, d)
+        val h = Dedup.shingleSets(docs.select("doc_id", "text"))
+          .join(docs.select("doc_id", "lang"), "doc_id")
+          .select(col("lang"), explode(col("sh")).as("s0"))
+          .select(col("lang"),
+            (col("s0") * Sampling.Mixer % Sampling.MixMod).as("h"))
+        h.groupBy("lang")
+          .agg(kmv_sketch(col("h"), k).as("kmv"),
+            countDistinct(col("h")).as("exact_distinct"))
+          .select(col("lang"),
+            size(col("kmv")).cast("long").as("n_kmv"),
+            element_at(col("kmv"), -1).as("kth"),
+            when(size(col("kmv")) < k, size(col("kmv")).cast("long"))
+              .otherwise(floor(lit((k - 1).toDouble) * Sampling.MixMod /
+                element_at(col("kmv"), -1) + 0.5).cast("long"))
+              .as("est_distinct"),
+            col("exact_distinct"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH ${TextHash.duckToksCte},
+              |${TextHash.duckShinglesCte},
+              |hl AS (
+              |  SELECT DISTINCT d.lang,
+              |    s.s * ${Sampling.Mixer} % ${Sampling.MixMod} AS h
+              |  FROM sh s JOIN documents d USING (doc_id)
+              |),
+              |r AS (
+              |  SELECT lang, h,
+              |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+              |  FROM hl
+              |),
+              |kmv AS (
+              |  SELECT lang, count(*) AS n_kmv, max(h) AS kth
+              |  FROM r WHERE rn <= 256 GROUP BY lang
+              |),
+              |x AS (SELECT lang, count(*) AS exact_distinct FROM hl
+              |      GROUP BY lang)
+              |SELECT lang, CAST(n_kmv AS BIGINT) AS n_kmv, kth,
+              |  CAST(CASE WHEN n_kmv < 256 THEN n_kmv
+              |       ELSE floor(255.0 * ${Sampling.MixMod} / kth + 0.5)
+              |       END AS BIGINT) AS est_distinct,
+              |  CAST(exact_distinct AS BIGINT) AS exact_distinct
+              |FROM kmv JOIN x USING (lang)
+              |ORDER BY lang""".stripMargin)),
+
     // Corpus heavy hitters (frequent-token mining): one pass builds a
     // Misra-Gries sketch (capacity 64 ⇒ every token with true count
     // > N/65 is guaranteed in it, whatever the partitioning), then an

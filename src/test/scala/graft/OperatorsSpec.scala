@@ -361,6 +361,19 @@ class OperatorsSpec extends SparkSpec {
     assert(again == assigned)
   }
 
+  test("kmv sketch keeps the k smallest distinct values, any partitioning") {
+    import graft.functions.KmvSketch.kmv_sketch
+    val values = (1L to 500L).map(_ * 7919L % 10007L) // dups included
+    val want = values.distinct.sorted.take(16)
+    for (parts <- Seq(1, 7)) {
+      val got = values.toDF("h").repartition(parts)
+        .agg(kmv_sketch(col("h"), 16).as("kmv"))
+        .select(explode(col("kmv")).as("v"))
+        .as[Long].collect().toSeq
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
   test("sequence packing: gapless shard-local placement, straddles kept") {
     val docs = (1L to 40L).map(i =>
       (i, (1 to (i % 7 + 1).toInt).map(j => s"w$j").mkString(" ")))
