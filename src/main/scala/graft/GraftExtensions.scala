@@ -5,21 +5,42 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, TopKByScore}
+import graft.functions.{CosineSimilarity, HeavyHittersSketch, KmvSketch, TopKByScore}
 
 /** Registers graft's native expressions for SQL use:
   * `SELECT cosine_sim(a, b)` — a codegen'd Catalyst expression, not a
-  * UDF, so it participates in whole-stage codegen — and the
-  * bounded-heap aggregate `top_k_by_score(score, id, tag, k)` (k must
-  * be an integer literal; it sizes the per-partition heap at plan
-  * time).
+  * UDF, so it participates in whole-stage codegen — and the bounded
+  * sketch aggregates `top_k_by_score(score, id, tag, k)`,
+  * `heavy_hitters(item, capacity)` and `kmv_sketch(hash, k)` (the
+  * size argument must be an integer literal in each; it sizes the
+  * per-partition state at plan time).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: size must be an integer literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))
+    ))
+    ext.injectFunction((
+      new FunctionIdentifier("heavy_hitters"),
+      new ExpressionInfo(classOf[HeavyHittersSketch].getName,
+        "heavy_hitters"),
+      (exprs: Seq[Expression]) => HeavyHittersSketch(exprs.head,
+        intLit(exprs(1), "heavy_hitters"))
+    ))
+    ext.injectFunction((
+      new FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[KmvSketch].getName, "kmv_sketch"),
+      (exprs: Seq[Expression]) => KmvSketch(exprs.head,
+        intLit(exprs(1), "kmv_sketch"))
     ))
     ext.injectFunction((
       new FunctionIdentifier("top_k_by_score"),

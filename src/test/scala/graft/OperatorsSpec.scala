@@ -361,6 +361,21 @@ class OperatorsSpec extends SparkSpec {
     assert(again == assigned)
   }
 
+  test("SQL registration: sketch aggregates usable from spark.sql") {
+    Seq((1L, "a"), (2L, "b"), (2L, "b"), (7L, "a"), (5L, "c"))
+      .toDF("h", "item").createOrReplaceTempView("sk_sql_t")
+    val kmv = spark.sql(
+        "SELECT kmv_sketch(h, 3) AS s FROM sk_sql_t")
+      .select(explode(col("s"))).as[Long].collect().toSeq
+    assert(kmv == Seq(1L, 2L, 5L)) // 3 smallest DISTINCT
+    val hh = spark.sql(
+        "SELECT heavy_hitters(item, 8) AS s FROM sk_sql_t")
+      .select(explode(col("s")).as("e"))
+      .select("e.item", "e.lower_bound")
+      .as[(String, Long)].collect().toSet
+    assert(hh == Set(("a", 2L), ("b", 2L), ("c", 1L)))
+  }
+
   test("kmv sketch keeps the k smallest distinct values, any partitioning") {
     import graft.functions.KmvSketch.kmv_sketch
     val values = (1L to 500L).map(_ * 7919L % 10007L) // dups included
