@@ -638,6 +638,44 @@ class OperatorsSpec extends SparkSpec {
       rs.map(_._2).sorted.toSeq == (1 to rs.length) })
   }
 
+  test("randomized: probed knn graph is exact within its probe set") {
+    // Recall (how good the probe choice is) is measured elsewhere;
+    // this pins EXACTNESS: given the top-2 cells the operator probes,
+    // its neighbors must be precisely the brute-force top-k within
+    // those cells' members — no candidate lost or invented.
+    val rnd = new scala.util.Random(99L)
+    val rows = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(6)(rnd.nextGaussian()), i % 5)
+    }
+    val emb = rows.map { case (id, v, c) => (id, v, c) }
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnGraphProbed(emb, "label", k = 4, nprobe = 2)
+      .select("vec_id", "rank", "nbr_id")
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+
+    def cos(x: Seq[Double], y: Seq[Double]) = {
+      val d = x.zip(y).map { case (p, q) => p * q }.sum
+      d / (math.sqrt(x.map(p => p * p).sum) *
+        math.sqrt(y.map(q => q * q).sum))
+    }
+    // Rounded per-cell centroids, exactly as centroidVectors builds.
+    val cents = rows.groupBy(_._3).view.mapValues { vs =>
+      val dims = vs.head._2.indices
+      dims.map(j => BigDecimal(vs.map(_._2(j)).sum / vs.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+    for ((id, v, _) <- rows) {
+      val probed = cents.toSeq
+        .map { case (c, cv) => (-cos(v, cv), c) }.sorted.take(2)
+        .map(_._2).toSet
+      val want = rows
+        .filter(r => r._1 != id && probed.contains(r._3))
+        .map(r => (-cos(v, r._2), r._1)).sorted.take(4).map(_._2)
+      assert(got.getOrElse(id, Seq.empty) == want, s"vec $id")
+    }
+  }
+
   test("lmScore: external (token, logprob) table is the contract") {
     // A hand-written LM — the KenLM/BPE plug point: the operator must
     // score with EXACTLY these numbers, never recompute its own.
