@@ -691,6 +691,44 @@ object RelationalQueries {
              |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS rev_ma3
              |FROM m ORDER BY month""".stripMargin)),
 
+    // TPC-H Q22 shape (global sales opportunity): positive-balance
+    // customers above the average balance (scalar subquery → one
+    // broadcast literal) with NO orders since 1998 (windowed NOT
+    // EXISTS → anti join; every synthetic customer has SOME order,
+    // so the unwindowed form is vacuous), re-grouped by nation.
+    // Combines the three correlation forms — scalar subquery,
+    // anti-join, and double aggregation — in the one query q8/q12
+    // cover separately. The strict > against an averaged double is
+    // boundary-safe: a 2-decimal balance equalling a many-decimal
+    // average to the ulp does not occur.
+    Q("q41_no_order_customers",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer")
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        s.sql("""SELECT c_nationkey, count(*) AS numcust,
+                |  round(sum(c_acctbal), 2) AS totacctbal
+                |FROM customer
+                |WHERE c_acctbal > (
+                |    SELECT avg(c_acctbal) FROM customer
+                |    WHERE c_acctbal > 0.0)
+                |  AND NOT EXISTS (
+                |    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                |    AND o_orderdate >= TIMESTAMP '1998-01-01')
+                |GROUP BY c_nationkey
+                |ORDER BY c_nationkey""".stripMargin)
+      },
+      Some("""SELECT c_nationkey, count(*) AS numcust,
+             |  round(sum(c_acctbal), 2) AS totacctbal
+             |FROM customer
+             |WHERE c_acctbal > (
+             |    SELECT avg(c_acctbal) FROM customer
+             |    WHERE c_acctbal > 0.0)
+             |  AND NOT EXISTS (
+             |    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+             |    AND o_orderdate >= TIMESTAMP '1998-01-01')
+             |GROUP BY c_nationkey
+             |ORDER BY c_nationkey""".stripMargin)),
+
     // Value-RANGE window frame — the third frame mode, alongside
     // ROWS-bounded (q35) and unbounded-running (q23): trailing
     // 90-DAY revenue per order date, where the frame is defined by
