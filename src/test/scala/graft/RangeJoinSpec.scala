@@ -26,6 +26,32 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == Set((1L, "A"), (2L, "A"), (3L, "B")))
   }
 
+  test("randomized: equals the brute-force containment join") {
+    val rnd = new scala.util.Random(21L)
+    for (round <- 1 to 5) {
+      val nKeys = 1 + rnd.nextInt(4)
+      val points = (1 to 1 + rnd.nextInt(50)).map(i =>
+        (i.toLong, rnd.nextInt(nKeys).toLong, ts(rnd.nextInt(300).toLong)))
+      val intervals = (1 to 1 + rnd.nextInt(20)).map { i =>
+        val s = rnd.nextInt(280)
+        (rnd.nextInt(nKeys).toLong, s"iv$i",
+          ts(s.toLong), ts((s + rnd.nextInt(80)).toLong))
+      }
+      // Bin size deliberately unaligned with the data's granularity.
+      val got = RangeJoinBinned(
+        points.toDF("pid", "user_id", "ts"),
+        "ts", intervals.toDF("user_id", "name", "s", "e"), "s", "e",
+        binMicros = 17L * 60000000L, keyCols = Seq("user_id"))
+        .select("pid", "name").as[(Long, String)].collect().sorted.toSeq
+      val want = (for {
+        (pid, pk, pt) <- points
+        (ik, name, s, e) <- intervals
+        if ik == pk && !pt.before(s) && !pt.after(e)
+      } yield (pid, name)).sorted
+      assert(got == want, s"round $round: nKeys=$nKeys")
+    }
+  }
+
   test("boundary timestamps are inclusive on both ends") {
     val points = Seq((1L, ts(50)), (2L, ts(60))).toDF("pid", "ts")
       .withColumn("k", org.apache.spark.sql.functions.lit(1L))
