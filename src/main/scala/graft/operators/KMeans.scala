@@ -40,7 +40,9 @@ import graft.functions.NearestCentroidCell.nearest_centroid
   *     bounded iteration counts.
   * At 100 TB, train on a [[Sampling.stratifiedSample]]-style hash
   * subset (k-means needs a representative sample, not the corpus) and
-  * run [[assign]] once over the full corpus.
+  * run [[assign]]/[[withCells]] once over the full corpus — exercised
+  * end-to-end and oracle-checked by the `e10_sampled_ivf` query (25%
+  * subset training, full-corpus assignment, learned-cell probe).
   */
 object KMeans {
 
