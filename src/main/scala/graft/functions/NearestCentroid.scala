@@ -90,7 +90,8 @@ object NearestCentroidKernels {
     * diverge from the Catalyst GreaterThan it replaces.
     */
   private def gtSparkSql(x: Double, y: Double): Boolean =
-    if (x == y) false
+    if (java.lang.Double.isNaN(x) && java.lang.Double.isNaN(y)) false
+    else if (x == y) false
     else if (java.lang.Double.isNaN(x)) true
     else if (java.lang.Double.isNaN(y)) false
     else x > y

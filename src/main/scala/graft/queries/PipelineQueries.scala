@@ -834,20 +834,24 @@ object PipelineQueries {
     // d13 filters on an absolute score, but curation pipelines also
     // cut the bottom decile WITHIN each language so low-resource
     // strata aren't wiped out by an absolute threshold tuned on the
-    // dominant one. Scale shape: the per-stratum thresholds are one
-    // exact-percentile aggregation over (stratum) — a handful of
-    // rows — broadcast back; the gate itself is a map-side filter.
-    // Never a corpus-wide per-stratum window sort. The comparison is
-    // integer-vs-interpolated-threshold: adjacent data values bound
-    // every interpolation, so an engine ulp can't flip membership.
+    // dominant one. Scale shape: the per-stratum thresholds come
+    // from ExactPercentile — count-per-(lang, q_e4) partial agg +
+    // cumulative pick over the distinct-score table (q_e4 has at
+    // most 10^4+1 values, so per-stratum state is domain-bounded, NOT
+    // O(stratum) like the built-in `percentile` buffer) — broadcast
+    // back; the gate itself is a map-side filter. Never a corpus-wide
+    // per-stratum window sort. The comparison is integer-vs-
+    // interpolated-threshold: adjacent data values bound every
+    // interpolation, so an engine ulp can't flip membership.
     Q("d24_quality_percentile",
       (s, d) => {
         val q = TextAnalysis.quality(Tables.documents(s, d))
           .select(col("doc_id"), col("lang"),
             floor(col("quality_score") * 10000 + 0.5).cast("long")
               .as("q_e4"))
-        val thr = q.groupBy("lang")
-          .agg(percentile(col("q_e4"), lit(0.1)).as("p10"))
+        val thr = graft.operators.ExactPercentile
+          .grouped(q, Seq("lang"), "q_e4", Seq("p10" -> 0.1))
+          .select(col("lang"), col("p10"))
         q.join(broadcast(thr), "lang")
           .filter(col("q_e4") >= col("p10"))
           .select(col("doc_id"), col("lang"), col("q_e4"))

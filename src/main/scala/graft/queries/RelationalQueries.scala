@@ -313,15 +313,22 @@ object RelationalQueries {
              |  round(sum(o_totalprice), 2) AS revenue
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    // Exact percentiles (linear interpolation — Spark `percentile`
-    // matches DuckDB `quantile_cont`).
+    // Exact percentiles (linear interpolation matching DuckDB
+    // `quantile_cont`) — computed scale-safe via ExactPercentile:
+    // a count-per-(brand, price) partial aggregation + cumulative
+    // pick over the bounded distinct-value table, NOT the built-in
+    // `percentile` whose per-group buffer is O(rows). Grouping on
+    // the raw double (TPC-H prices are discrete cents from a fixed
+    // generator domain, so distinct values are domain-bounded) keeps
+    // the interpolation bit-identical to the built-in it replaces.
     Q("q15_percentiles",
-      (s, d) => Tables.part(s, d)
-        .groupBy("p_brand")
-        .agg(
-          round(expr("percentile(p_retailprice, 0.5)"), 4).as("median_price"),
-          round(expr("percentile(p_retailprice, 0.9)"), 4).as("p90_price"),
-          count(lit(1)).as("n_parts"))
+      (s, d) => graft.operators.ExactPercentile
+        .grouped(Tables.part(s, d), Seq("p_brand"), "p_retailprice",
+          Seq("median_price" -> 0.5, "p90_price" -> 0.9))
+        .select(col("p_brand"),
+          round(col("median_price"), 4).as("median_price"),
+          round(col("p90_price"), 4).as("p90_price"),
+          col("n").as("n_parts"))
         .orderBy("p_brand"),
       Some("""SELECT p_brand,
              |  round(CAST(quantile_cont(p_retailprice, 0.5) AS DOUBLE), 4)

@@ -413,6 +413,44 @@ class OperatorsSpec extends SparkSpec {
     assert(again.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
   }
 
+  test("ExactPercentile matches the built-in percentile bit-for-bit") {
+    // The scale-safe cumulative pick must reproduce Catalyst's
+    // Percentile interpolation EXACTLY — including both of its
+    // no-interpolation shortcuts (integer position; equal adjacent
+    // values) — on ties, singleton groups, and uneven group sizes.
+    val rows = Seq(
+      ("a", 1.0), ("a", 1.0), ("a", 2.0), ("a", 10.0), ("a", 10.0),
+      ("a", 11.5), ("a", 13.25),
+      ("b", 5.0),                       // singleton group
+      ("c", 3.0), ("c", 3.0), ("c", 3.0), ("c", 7.0),
+      ("d", -2.5), ("d", 0.0), ("d", 4.0), ("d", 4.0), ("d", 9.0),
+      ("d", 9.0), ("d", 9.0), ("d", 100.0))
+    val df = rows.toDF("g", "v")
+    for (p <- Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0)) {
+      val builtin = df.groupBy("g")
+        .agg(expr(s"percentile(v, $p)").as("want"))
+        .as[(String, Double)].collect().toMap
+      val got = graft.operators.ExactPercentile
+        .grouped(df, Seq("g"), "v", Seq("got" -> p))
+        .select(col("g"), col("got"))
+        .as[(String, Double)].collect().toMap
+      assert(got.keySet == builtin.keySet)
+      for ((g, want) <- builtin)
+        assert(java.lang.Double.doubleToLongBits(got(g)) ==
+          java.lang.Double.doubleToLongBits(want),
+          s"p=$p g=$g: got ${got(g)}, built-in $want")
+    }
+    // Long values (the d24 shape) widen to double identically.
+    val dl = Seq(("x", 1L), ("x", 2L), ("x", 4L), ("x", 8L), ("y", 3L))
+      .toDF("g", "v")
+    val wantL = dl.groupBy("g").agg(expr("percentile(v, 0.1)").as("w"))
+      .as[(String, Double)].collect().toMap
+    val gotL = graft.operators.ExactPercentile
+      .grouped(dl, Seq("g"), "v", Seq("w" -> 0.1))
+      .select(col("g"), col("w")).as[(String, Double)].collect().toMap
+    assert(gotL == wantL)
+  }
+
   test("nearest-centroid kernel: float inputs, ties to lowest cell") {
     import graft.functions.NearestCentroidCell.nearest_centroid
     // Float corpus (the raw embeddings table type) against double
@@ -434,6 +472,29 @@ class OperatorsSpec extends SparkSpec {
         nearest_centroid(col("embedding"), cents).as("cell"))
       .as[(Long, Long)].collect().toMap
     assert(got == Map(0L -> 5L, 1L -> 7L, 2L -> 5L))
+  }
+
+  test("nearest-centroid kernel: all-NaN cosines keep the first cell") {
+    import graft.functions.NearestCentroidCell.nearest_centroid
+    // A zero-norm embedding makes every cosine 0/0 = NaN. Catalyst's
+    // nanSafeCompareDoubles treats NaN == NaN, so the GreaterThan fold
+    // this kernel replaces never updates the argmax — the FIRST
+    // (lowest) cell must win, matching the oracle's (cos DESC, cell
+    // ASC) rule. A zero centroid triggers the same NaN on one cell
+    // only; NaN ranks above every real cosine in Spark's ordering, so
+    // that cell must win for a normal embedding.
+    val emb = Seq(
+      (0L, Array(0.0f, 0.0f)),   // zero-norm query: all cosines NaN -> cell 3
+      (1L, Array(1.0f, 0.0f)))   // real query: NaN cell 8 outranks cos 1 -> 8
+      .toDF("vec_id", "embedding")
+    val cents = Seq(
+      (3L, Array(1.0, 0.0)),
+      (8L, Array(0.0, 0.0)),     // zero centroid: cosine NaN for everyone
+      (5L, Array(0.0, 1.0)))
+    val got = emb.select(col("vec_id"),
+        nearest_centroid(col("embedding"), cents).as("cell"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 3L, 1L -> 8L))
   }
 
   test("convergence-driven kmeans reaches the fixed-round fixpoint") {

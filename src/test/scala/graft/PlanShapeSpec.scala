@@ -41,6 +41,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("exact percentiles carry domain-bounded state, not row-linear buffers") {
+    // The built-in `percentile` ObjectHashAggregate buffers every
+    // group value — a 100x scale-killer on large strata. Both
+    // percentile queries must run through ExactPercentile's
+    // count-per-(group, value) + cumulative-pick plan instead.
+    for (q <- Seq("q15_percentiles", "d24_quality_percentile")) {
+      val p = plan(q)
+      assert(!p.toLowerCase.contains("percentile("),
+        s"$q reintroduced the row-linear percentile aggregate\n$p")
+    }
+  }
+
   test("selective scan pushes filters and prunes columns") {
     val p = plan("q2_filter_project")
     assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"),
