@@ -170,20 +170,35 @@ object Dedup {
     */
   def minhashLshAgainst(delta: DataFrame, corpus: DataFrame,
       minJaccard: Double): DataFrame = {
-    def bandsOf(sets: DataFrame): DataFrame = sets
-      .select(col("doc_id"), minhash_sig(col("sh")).as("mh"))
-      .select(col("doc_id"),
-        posexplode(band_sigs(col("mh"))).as(Seq("band", "sig")))
     val dSets = shingleSets(delta)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cSets = shingleSets(corpus)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candidates = bandsOf(dSets).as("a").join(bandsOf(cSets).as("b"),
+    val candidates = lshCandidates(bandTable(dSets), bandTable(cSets))
+    verifyJaccard2(candidates, dSets, cSets, minJaccard)
+  }
+
+  /** (doc_id, band, sig) LSH band table from shingle sets — the
+    * artifact a 100 TB pipeline PERSISTS bucketed by (band, sig)
+    * (sources.Bucketed) so every incremental [[lshCandidates]] probe
+    * reads it exchange-free; BucketedSpec pins that composition.
+    */
+  def bandTable(sets: DataFrame): DataFrame = sets
+    .select(col("doc_id"), minhash_sig(col("sh")).as("mh"))
+    .select(col("doc_id"),
+      posexplode(band_sigs(col("mh"))).as(Seq("band", "sig")))
+
+  /** Delta-vs-corpus candidate generation: the (band, sig) composite
+    * equi-join between a delta band table and the (ideally bucketed)
+    * corpus band table. Only the delta side needs a shuffle when the
+    * corpus table is bucketed on (band, sig).
+    */
+  def lshCandidates(deltaBands: DataFrame,
+      corpusBands: DataFrame): DataFrame =
+    deltaBands.as("a").join(corpusBands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    verifyJaccard2(candidates, dSets, cSets, minJaccard)
-  }
 
   /** Line-level corpus dedup (the C4/boilerplate-removal step): drop
     * every line whose normalized form appears in MORE than
@@ -193,14 +208,16 @@ object Dedup {
     * boilerplate disappear entirely.
     *
     * Scale shape: the line-frequency table is one partial-aggregated
-    * exchange keyed on the normalized line; the frequent set (real
-    * boilerplate is a tiny fraction of distinct lines) feeds a
-    * left_anti join — AQE broadcasts it; reassembly is one exchange
-    * on doc_id with per-group state bounded by the document's own
-    * line count. The frequency key is the line STRING, not a 64-bit
-    * hash: at billions of distinct lines a single-word hash key
-    * would birthday-collide and silently drop rare lines — a scale
-    * variant would key on a 128-bit digest, never the bare hash.
+    * exchange keyed on `md5(normalized line)` — a 128-bit digest, so
+    * the shuffle and aggregation state carry 16 bytes per distinct
+    * line instead of the line text, and (unlike a 64-bit hash, which
+    * would birthday-collide at billions of distinct lines and
+    * silently drop rare lines) collisions are cryptographically
+    * negligible. The frequent set (real boilerplate is a tiny
+    * fraction of distinct lines) feeds a left_anti join on the same
+    * digest — AQE broadcasts it; reassembly is one exchange on
+    * doc_id with per-group state bounded by the document's own line
+    * count.
     *
     * @param docs (doc_id, text) with '\n'-separated lines
     * @return (doc_id, n_lines, n_kept, kept_md5) — md5 of the
@@ -211,12 +228,13 @@ object Dedup {
       size(split(col("text"), "\n")).cast("long").as("n_lines"),
       posexplode(split(col("text"), "\n")).as(Seq("line_no", "line")))
     val frequent = lines
-      .groupBy(lower(trim(col("line"))).as("norm"))
+      .groupBy(md5(lower(trim(col("line")))).as("norm_digest"))
       .agg(countDistinct("doc_id").as("df"))
       .filter(col("df") > maxLineDocFreq)
-      .select("norm")
+      .select("norm_digest")
     val kept = lines.join(frequent,
-      lower(trim(lines("line"))) === frequent("norm"), "left_anti")
+      md5(lower(trim(lines("line")))) === frequent("norm_digest"),
+      "left_anti")
     kept.groupBy("doc_id", "n_lines")
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(

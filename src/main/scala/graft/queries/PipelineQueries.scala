@@ -539,12 +539,13 @@ object PipelineQueries {
              |  FROM planted
              |),
              |freq AS (
-             |  SELECT lower(trim(line)) AS norm FROM lines
+             |  SELECT md5(lower(trim(line))) AS norm_digest FROM lines
              |  GROUP BY 1 HAVING count(DISTINCT doc_id) > 2
              |),
              |kept AS (
              |  SELECT * FROM lines
-             |  WHERE lower(trim(line)) NOT IN (SELECT norm FROM freq)
+             |  WHERE md5(lower(trim(line)))
+             |    NOT IN (SELECT norm_digest FROM freq)
              |)
              |SELECT doc_id, n_lines, CAST(count(*) AS BIGINT) AS n_kept,
              |  md5(string_agg(line, chr(10) ORDER BY line_no)) AS kept_md5
@@ -620,17 +621,38 @@ object PipelineQueries {
     // integer arithmetic off a per-shard running token sum — one
     // exchange on the shard key, identical on both engines.
     Q("d25_pack_sequences",
-      (s, d) => TextAnalysis.packSequences(Tables.documents(s, d),
-          seqTokens = 64, shards = 4)
-        .orderBy("doc_id"),
-      Some(s"""WITH t AS (
+      (s, d) => {
+        // Shards sized to the corpus (never a constant): total token
+        // count is one aggregate — a bounded driver scalar — and the
+        // oracle recomputes the identical ceil from the same sum.
+        val docs = Tables.documents(s, d)
+        val total = docs
+          .select(sum(expr(s"size(${TextHash.sparkTokens("text")})"))
+            .cast("long")).head.getLong(0)
+        val shards = TextAnalysis.shardsFor(total, seqTokens = 64,
+          targetSeqsPerShard = 200)
+        TextAnalysis.packSequences(docs, seqTokens = 64, shards = shards)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tok AS (
               |  SELECT doc_id,
               |    ${TextHash.duckDocFingerprint("CAST(doc_id AS VARCHAR)")}
               |      * ${Sampling.Mixer} % ${Sampling.MixMod}
-              |      % ${Sampling.Buckets} % 4 AS shard,
+              |      % ${Sampling.Buckets} AS bucket,
               |    CAST(len(${TextHash.duckTokens("text")}) AS BIGINT)
               |      AS n_tokens
               |  FROM documents
+              |),
+              |shc AS (
+              |  SELECT GREATEST(1, CAST(CEIL(
+              |    CAST(SUM(n_tokens) AS DOUBLE) / (64.0 * 200)) AS BIGINT))
+              |    AS s
+              |  FROM tok
+              |),
+              |t AS (
+              |  SELECT doc_id, bucket % (SELECT s FROM shc) AS shard,
+              |    n_tokens
+              |  FROM tok
               |),
               |p AS (
               |  SELECT doc_id, shard, n_tokens,

@@ -20,10 +20,17 @@ object Bucketed {
 
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
       buckets: Int): Unit =
+    writeBucketed(df, table, Seq(bucketCol), buckets)
+
+  /** Composite-key form: joins must list the keys in the same order
+    * as `bucketCols` to inherit the table's HashPartitioning.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      buckets: Int): Unit =
     df.write
       .mode("overwrite")
       .format("parquet")
-      .bucketBy(buckets, bucketCol)
-      .sortBy(bucketCol)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
 }

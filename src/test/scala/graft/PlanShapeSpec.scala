@@ -53,6 +53,27 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing shuffles once on the shard key") {
+    // Packing must be one hash exchange (the per-shard window) plus
+    // the deterministic ORDER BY range exchange — a second hash
+    // exchange would mean the running-sum window stopped being
+    // co-partitioned with the shard assignment.
+    val p = plan("d25_pack_sequences")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    val rangeEx = "Exchange rangepartitioning".r.findAllIn(p).size
+    assert(hashEx == 1 && rangeEx == 1,
+      s"d25: expected 1 hash + 1 range exchange, got $hashEx/$rangeEx\n$p")
+  }
+
+  test("line dedup keys its frequency exchange on the 128-bit digest") {
+    // At billions of distinct lines the frequency shuffle must carry
+    // a 16-byte digest, not the raw line string (and never a
+    // birthday-collidable 64-bit hash).
+    val p = plan("d16_line_dedup")
+    assert(p.contains("md5("),
+      "d16 lost the digest key on its line-frequency exchange\n" + p)
+  }
+
   test("selective scan pushes filters and prunes columns") {
     val p = plan("q2_filter_project")
     assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"),
@@ -123,12 +144,24 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("percentile gate: broadcast thresholds, never a per-stratum window") {
-    // d24's relative cut must stay [stratum-count-sized percentile agg
-    // → broadcast join → map filter]; percent_rank/ntile would drag
-    // the whole corpus through one sort per stratum.
+    // d24's relative cut must stay [domain-bounded threshold pick →
+    // broadcast join → map filter]; percent_rank/ntile would drag the
+    // whole corpus through one sort per stratum. ExactPercentile's
+    // cumulative-count window is allowed ONLY because it reads the
+    // (lang, q_e4) distinct-value AGGREGATE — every logical Window
+    // must sit above an Aggregate, never on raw corpus rows.
+    val df = SparkEntry.queries("d24_quality_percentile")(spark, sf)
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    for (w <- wins)
+      assert(w.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.isDefined,
+        s"d24 window reads non-aggregated corpus rows\n$w")
     val p = plan("d24_quality_percentile")
-    assert(!p.contains("RunningWindowFunction") && !p.contains("Window"),
-      s"d24 regressed to a per-stratum window sort\n$p")
+    assert(!p.contains("RunningWindowFunction"),
+      s"d24 regressed to a per-stratum running window\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"d24's threshold join must broadcast the stratum table\n$p")
   }
