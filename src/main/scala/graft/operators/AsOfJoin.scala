@@ -25,9 +25,12 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: callers must ensure at most one right row per
   * (key, ts) — pre-aggregate duplicates — otherwise which same-ts
-  * payload wins is plan-dependent. Right-payload NULLs are treated
-  * as "no value" by ignoreNulls (the match looks further
-  * back/ahead); keep payloads non-null for strict row semantics.
+  * payload wins is plan-dependent. The matched right row is picked
+  * ATOMICALLY (one `last`/`first` over a STRUCT of all payload
+  * columns): a NULL payload value in the matched row stays NULL
+  * rather than backfilling per-column from an older/newer row, so
+  * the tolerance bound always validates the same row whose values
+  * are returned.
   *
   * @param payloadCols right-side columns to attach; emitted as
   *   `asof_<name>`, NULL when no right row is at-or-before
@@ -47,7 +50,10 @@ import org.apache.spark.sql.functions._
   *   — the left row is kept either way. The as-of match is unique
   *   per left row, so the bound is a pure post-predicate on the
   *   matched timestamp: same one-shuffle plan, no pair scan.
-  *   Requires a timestamp-typed `tsCol`.
+  *   Requires a timestamp-typed `tsCol`, as does
+  *   `direction = "nearest"` (both do microsecond gap arithmetic on
+  *   the matched timestamp); backward/forward without tolerance work
+  *   on any orderable type.
   */
 object AsOfJoin {
 
@@ -62,17 +68,27 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     require(!payloadCols.exists(leftCols.contains),
       s"payload columns ${payloadCols.mkString(",")} collide with left side")
-    // `_rts` is the internal matched-right-timestamp payload backing
-    // the tolerance predicate and the nearest-side choice.
-    val needRts = toleranceUs.isDefined || direction == "nearest"
-    val allPayloads = payloadCols ++ (if (needRts) Seq("_rts") else Nil)
-    val reserved = Seq("_side") ++ allPayloads.map("_p_" + _) ++
-      allPayloads.map("asof_" + _)
+    // Tolerance and nearest both do microsecond arithmetic on the
+    // matched right timestamp.
+    if (toleranceUs.isDefined || direction == "nearest")
+      require(right.schema(tsCol).dataType ==
+          org.apache.spark.sql.types.TimestampType,
+        s"toleranceUs and direction='nearest' need a timestamp-typed " +
+          s"'$tsCol', got ${right.schema(tsCol).dataType.simpleString}")
+    val reserved = Seq("_side", "_p_row", "_asof_row") ++
+      payloadCols.map("asof_" + _)
     require(!leftCols.exists(reserved.contains),
       s"left columns collide with reserved as-of names: " +
         reserved.filter(leftCols.contains).mkString(","))
-    val payloadTypes = payloadCols.map(c => c -> right.schema(c).dataType) ++
-      (if (needRts) Seq("_rts" -> right.schema(tsCol).dataType) else Nil)
+    // The whole matched right row travels as ONE struct (`_rts` = the
+    // right timestamp, backing the tolerance predicate and the
+    // nearest-side choice) so the pick is atomic — never a per-column
+    // ignoreNulls backfill mixing values from different right rows.
+    val rowType = org.apache.spark.sql.types.StructType(
+      payloadCols.map(c => org.apache.spark.sql.types.StructField(c,
+        right.schema(c).dataType)) :+
+        org.apache.spark.sql.types.StructField("_rts",
+          right.schema(tsCol).dataType))
 
     // Null-key/null-ts right rows can never match under SQL ASOF
     // semantics (NULL = NULL is not a match; NULL ts satisfies no
@@ -90,65 +106,54 @@ object AsOfJoin {
     // Nearest uses the backward layout (see the direction scaladoc).
     val (lSide, rSide) = if (direction == "forward") (0, 1) else (1, 0)
     val lTagged = left.select(
-      leftCols.map(col) ++ Seq(lit(lSide).as("_side")) ++
-        payloadTypes.map { case (c, t) => lit(null).cast(t).as("_p_" + c) }: _*)
+      leftCols.map(col) ++ Seq(lit(lSide).as("_side"),
+        lit(null).cast(rowType).as("_p_row")): _*)
     val rTagged = rClean.select(
       leftCols.map(c =>
         if (c == keyCol || c == tsCol) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)) ++
-        Seq(lit(rSide).as("_side")) ++
-        payloadTypes.map {
-          case ("_rts", _) => col(tsCol).as("_p__rts")
-          case (c, _)      => col(c).as("_p_" + c)
-        }: _*)
+        Seq(lit(rSide).as("_side"),
+          struct(payloadCols.map(col) :+ col(tsCol).as("_rts"): _*)
+            .cast(rowType).as("_p_row")): _*)
 
     val ordered = Window.partitionBy(keyCol)
       .orderBy(col(tsCol).asc, col("_side").asc)
     val wB = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wF = ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    def bwd(c: String) = last(col("_p_" + c), ignoreNulls = true).over(wB)
-    def fwd(c: String) = first(col("_p_" + c), ignoreNulls = true).over(wF)
-    val union = lTagged.union(rTagged)
-    val matched = (direction match {
+    val bwd = last(col("_p_row"), ignoreNulls = true).over(wB)
+    val fwd = first(col("_p_row"), ignoreNulls = true).over(wF)
+    val pick = direction match {
       case "nearest" =>
         // Both picks over the ONE sorted partition (same window
         // partition+ordering → one shuffle and sort feeds both
         // frames); per row, backward wins unless forward is strictly
         // closer.
-        val bts = bwd("_rts")
-        val fts = fwd("_rts")
-        val useBwd = bts.isNotNull && (fts.isNull ||
-          (unix_micros(col(tsCol)) - unix_micros(bts)) <=
-            (unix_micros(fts) - unix_micros(col(tsCol))))
-        union.select(
-          leftCols.map(col) ++ Seq(col("_side")) ++
-            allPayloads.map(c =>
-              when(useBwd, bwd(c)).otherwise(fwd(c)).as("asof_" + c)): _*)
-      case "backward" =>
-        union.select(leftCols.map(col) ++ Seq(col("_side")) ++
-          allPayloads.map(c => bwd(c).as("asof_" + c)): _*)
-      case _ =>
-        union.select(leftCols.map(col) ++ Seq(col("_side")) ++
-          allPayloads.map(c => fwd(c).as("asof_" + c)): _*)
-    }).filter(col("_side") === lSide)
-      .drop("_side")
-    toleranceUs match {
-      case None =>
-        if (needRts) matched.drop("asof__rts") else matched
-      case Some(tol) =>
-        val gap = direction match {
-          case "backward" =>
-            unix_micros(col(tsCol)) - unix_micros(col("asof__rts"))
-          case "forward" =>
-            unix_micros(col("asof__rts")) - unix_micros(col(tsCol))
-          case _ =>
-            abs(unix_micros(col(tsCol)) - unix_micros(col("asof__rts")))
-        }
-        val inTol = col("asof__rts").isNotNull && gap <= tol
-        matched
-          .select(leftCols.map(col) ++ payloadCols.map(c =>
-            when(inTol, col("asof_" + c)).otherwise(lit(null))
-              .as("asof_" + c)): _*)
+        val useBwd = bwd.isNotNull && (fwd.isNull ||
+          (unix_micros(col(tsCol)) - unix_micros(bwd.getField("_rts"))) <=
+            (unix_micros(fwd.getField("_rts")) - unix_micros(col(tsCol))))
+        when(useBwd, bwd).otherwise(fwd)
+      case "backward" => bwd
+      case _          => fwd
     }
+    val matched = lTagged.union(rTagged)
+      .select(leftCols.map(col) ++
+        Seq(col("_side"), pick.as("_asof_row")): _*)
+      .filter(col("_side") === lSide)
+    val row = col("_asof_row")
+    val outPayloads = toleranceUs match {
+      case None =>
+        payloadCols.map(c => row.getField(c).as("asof_" + c))
+      case Some(tol) =>
+        val rts = row.getField("_rts")
+        val gap = direction match {
+          case "backward" => unix_micros(col(tsCol)) - unix_micros(rts)
+          case "forward"  => unix_micros(rts) - unix_micros(col(tsCol))
+          case _          => abs(unix_micros(col(tsCol)) - unix_micros(rts))
+        }
+        val inTol = rts.isNotNull && gap <= tol
+        payloadCols.map(c =>
+          when(inTol, row.getField(c)).otherwise(lit(null)).as("asof_" + c))
+    }
+    matched.select(leftCols.map(col) ++ outPayloads: _*)
   }
 }

@@ -188,6 +188,24 @@ object TextAnalysis {
     *   the shard-local sequence the doc STARTS in, offset its token
     *   position there
     */
+  /** Shard count for [[packSequences]] sized to the corpus: enough
+    * shards that each packs ~`targetSeqsPerShard` sequences, never
+    * fewer than one. Callers that know total corpus tokens (one
+    * count aggregate — a bounded driver scalar, same class as
+    * KMeans' centroid handoff) should use this instead of a
+    * constant: a constant under-shards at 100x (each shard's window
+    * funnels corpus/shards tokens through one task) and over-shards
+    * tiny corpora.
+    */
+  def shardsFor(totalTokens: Long, seqTokens: Int,
+      targetSeqsPerShard: Long): Int = {
+    require(totalTokens >= 0 && seqTokens > 0 && targetSeqsPerShard > 0,
+      s"bad shardsFor($totalTokens, $seqTokens, $targetSeqsPerShard)")
+    math.max(1L, math.ceil(
+      totalTokens.toDouble / (seqTokens.toDouble * targetSeqsPerShard))
+      .toLong).toInt
+  }
+
   def packSequences(docs: DataFrame, seqTokens: Int,
       shards: Int): DataFrame = {
     require(seqTokens > 0 && shards > 0,
@@ -202,8 +220,11 @@ object TextAnalysis {
         expr(s"size(${TextHash.sparkTokens("text")})").cast("long")
           .as("n_tokens"))
       .withColumn("start", coalesce(sum("n_tokens").over(w), lit(0L)))
+      // `div` is INTEGER floor division — Column `/` is double
+      // division + cast, which silently loses exactness once a
+      // shard's cumulative token count exceeds 2^53.
       .select(col("doc_id"), col("shard"), col("n_tokens"),
-        (col("start") / seqTokens).cast("long").as("seq_id"),
+        expr(s"start div $seqTokens").as("seq_id"),
         (col("start") % seqTokens).as("offset"))
   }
 

@@ -28,6 +28,39 @@ class AsOfJoinSpec extends SparkSpec {
       102L -> None, 200L -> None))
   }
 
+  test("matched row is picked atomically: its NULL payloads stay NULL") {
+    // The matched (latest at-or-before) right row at ts=20 has a NULL
+    // note: that NULL must be RETURNED, not backfilled per-column
+    // from the older row at ts=10 — a backfilled value would be
+    // staler than what the tolerance predicate validates.
+    val left = Seq((100L, 1L, ts(30))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, ts(10), Some("old-note"), "q10"),
+      (1L, ts(20), None: Option[String], "q20"))
+      .toDF("user_id", "ts", "note", "quote")
+    for (tol <- Seq(None, Some(60L * 60 * 1000000))) {
+      val got = AsOfJoin(left, right, "user_id", "ts",
+          Seq("note", "quote"), toleranceUs = tol)
+        .select("event_id", "asof_note", "asof_quote")
+        .as[(Long, Option[String], Option[String])].collect().toSeq
+      assert(got == Seq((100L, None, Some("q20"))), s"tol=$tol: $got")
+    }
+  }
+
+  test("nearest direction requires a timestamp-typed ts column") {
+    val left = Seq((1L, 1L, 10L)).toDF("event_id", "user_id", "ts")
+    val right = Seq((1L, 5L, "r")).toDF("user_id", "ts", "tag")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin(left, right, "user_id", "ts", Seq("tag"),
+        direction = "nearest")
+    }
+    assert(e.getMessage.contains("timestamp-typed"))
+    // backward/forward stay orderable-typed: longs work.
+    val ok = AsOfJoin(left, right, "user_id", "ts", Seq("tag"))
+      .select("asof_tag").as[Option[String]].collect().toSeq
+    assert(ok == Seq(Some("r")))
+  }
+
   test("tolerance nulls stale matches, keeps every left row") {
     val left = Seq(
       (100L, 1L, ts(10)), (101L, 1L, ts(60)), (102L, 2L, ts(30)))
