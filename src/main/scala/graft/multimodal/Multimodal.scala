@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media as opaque `binary` payloads with
@@ -86,6 +86,104 @@ object Multimodal {
         }
       }
     }
+  }
+
+  case class ImageHeader(doc_id: Long, format: String, width: Long,
+      height: Long, bit_depth: Long, n_components: Long)
+
+  /** Fabricate a media table whose payloads carry VALID PNG / JPEG
+    * headers (deterministic per doc_id — even ids get a PNG
+    * signature + IHDR, odd ids a JFIF APP0 [+ an optional
+    * variable-length COM segment] + SOF0), followed by the document
+    * text as body bytes. Unlike [[mediaTable]]'s opaque stand-in,
+    * these bytes have real image STRUCTURE for
+    * [[parseImageHeaders]] to parse; the construction is pure
+    * hex-string concat so the DuckDB oracle plants bit-identical
+    * payloads.
+    */
+  def imageTable(docs: DataFrame): DataFrame = {
+    def be(c: Column, nBytes: Int): Column =
+      unhex(lpad(hex(c), nBytes * 2, "0"))
+    val w = lit(16L) + col("doc_id") % 1024
+    val h = lit(16L) + (col("doc_id") * 7) % 1024
+    val half = expr("doc_id div 2")
+    val depth = lit(8L) + lit(8L) * (half % 2)
+    val colorType = when(half % 3 === 0, 0L)
+      .when(half % 3 === 1, 2L).otherwise(6L)
+    val com = concat(lit("doc"), col("doc_id").cast("string"))
+    // signature + IHDR(len 13) + w4 h4 depth1 color1 +
+    // compression/filter/interlace + CRC placeholder
+    val png = concat(
+      unhex(lit("89504E470D0A1A0A0000000D49484452")),
+      be(w, 4), be(h, 4), be(depth, 1), be(colorType, 1),
+      unhex(lit("00000000000000")),
+      encode(col("text"), "UTF-8"))
+    // SOI + JFIF APP0(len 16) + optional COM (length field counts
+    // itself: 2 + |comment|) + SOF0(len 17, precision 8, 3 comps)
+    val jpeg = concat(
+      unhex(lit("FFD8FFE000104A46494600010100000100010000")),
+      when(col("doc_id") % 3 === 0,
+        concat(unhex(lit("FFFE")), be(octet_length(com) + 2, 2),
+          encode(com, "UTF-8")))
+        .otherwise(lit(Array.empty[Byte])),
+      unhex(lit("FFC0001108")), be(h, 2), be(w, 2),
+      unhex(lit("03012200021101031101")),
+      encode(col("text"), "UTF-8"))
+    val payload = when(col("doc_id") % 2 === 0, png).otherwise(jpeg)
+    docs.select(col("doc_id"), lit("image/planted").as("format"),
+      octet_length(payload).cast("long").as("n_bytes"),
+      payload.as("payload"))
+  }
+
+  /** Header parse over media payloads: the format/dimension sniff a
+    * real ingest pipeline runs BEFORE deciding to decode — pure JVM
+    * byte arithmetic, no codec. PNG reads the fixed-offset IHDR
+    * (signature, chunk length and type verified); JPEG runs a real
+    * marker-segment walk — skipping APPn/COM/anything by its
+    * big-endian length field, standalone markers by 2 — until a
+    * SOF0/1/2 frame header. Unparseable payloads are dropped.
+    */
+  def parseImageHeaders(spark: SparkSession, media: DataFrame)
+      : Dataset[ImageHeader] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        parseImageHeader(r.payload).map { case (fmt, w, h, d, n) =>
+          ImageHeader(r.doc_id, fmt, w, h, d, n)
+        }
+      }
+    }
+  }
+
+  /** (format, width, height, bit_depth, n_components), or None. */
+  def parseImageHeader(p: Array[Byte])
+      : Option[(String, Long, Long, Long, Long)] = {
+    def u(i: Int): Int = p(i) & 0xFF
+    def be(off: Int, n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) { v = (v << 8) | u(off + i); i += 1 }
+      v
+    }
+    if (p.length >= 26 && be(0, 8) == 0x89504E470D0A1A0AL &&
+        be(8, 4) == 13L && be(12, 4) == 0x49484452L) {
+      val nComp = u(25) match {
+        case 0 => 1L; case 2 => 3L; case 3 => 1L; case 4 => 2L; case 6 => 4L
+        case _ => return None
+      }
+      Some(("png", be(16, 4), be(20, 4), u(24).toLong, nComp))
+    } else if (p.length >= 4 && u(0) == 0xFF && u(1) == 0xD8) {
+      var off = 2
+      while (off + 10 <= p.length && u(off) == 0xFF) {
+        val m = u(off + 1)
+        if (m == 0xC0 || m == 0xC1 || m == 0xC2)
+          return Some(("jpeg", be(off + 7, 2), be(off + 5, 2),
+            u(off + 4).toLong, u(off + 9).toLong))
+        // TEM / RSTn are standalone (no length field)
+        if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) off += 2
+        else off += 2 + be(off + 2, 2).toInt
+      }
+      None
+    } else None
   }
 
   /** Deterministic stand-in for media decode + feature extraction:

@@ -1849,6 +1849,90 @@ object PipelineQueries {
              |  CAST(strpos('123456789ABCDEF', substr(hx, 2 * p + 1, 1)) * 16
              |     + strpos('123456789ABCDEF', substr(hx, 2 * p + 2, 1))
              |     AS BIGINT) AS byte_val
-             |FROM g ORDER BY doc_id, idx""".stripMargin))
+             |FROM g ORDER BY doc_id, idx""".stripMargin)),
+
+    // Image header sniff — real PNG/JPEG STRUCTURE (not stand-in
+    // bytes): both engines plant bit-identical valid headers from
+    // doc_id (PNG signature + IHDR for even ids; JFIF APP0 +
+    // optional variable-length COM + SOF0 for odd), then parse
+    // width/height/bit-depth/components back OUT OF THE BYTES — the
+    // Spark side with a marker-walking byte parser in the multimodal
+    // mapPartitions contract, the oracle over hex(payload). Scale
+    // shape: map-side only (parse is per-row byte arithmetic, no
+    // shuffle but the deterministic sort).
+    Q("m6_image_headers",
+      (s, d) => Multimodal.parseImageHeaders(s,
+          Multimodal.imageTable(Tables.documents(s, d)))
+        .toDF().orderBy("doc_id"),
+      Some("""WITH img AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 2 = 0 THEN
+             |      unhex('89504E470D0A1A0A0000000D49484452')
+             |      || unhex(lpad(to_hex(16 + doc_id % 1024), 8, '0'))
+             |      || unhex(lpad(to_hex(16 + (doc_id * 7) % 1024), 8, '0'))
+             |      || unhex(lpad(to_hex(8 + 8 * ((doc_id // 2) % 2)), 2, '0'))
+             |      || unhex(lpad(to_hex(CASE (doc_id // 2) % 3
+             |           WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 6 END), 2, '0'))
+             |      || unhex('00000000000000')
+             |      || encode(text)
+             |    ELSE
+             |      unhex('FFD8FFE000104A46494600010100000100010000')
+             |      || CASE WHEN doc_id % 3 = 0 THEN
+             |           unhex('FFFE')
+             |           || unhex(lpad(to_hex(octet_length(
+             |                encode('doc' || CAST(doc_id AS VARCHAR))) + 2),
+             |                4, '0'))
+             |           || encode('doc' || CAST(doc_id AS VARCHAR))
+             |         ELSE ''::BLOB END
+             |      || unhex('FFC0001108')
+             |      || unhex(lpad(to_hex(16 + (doc_id * 7) % 1024), 4, '0'))
+             |      || unhex(lpad(to_hex(16 + doc_id % 1024), 4, '0'))
+             |      || unhex('03012200021101031101')
+             |      || encode(text)
+             |    END AS payload
+             |  FROM documents
+             |),
+             |hx AS (SELECT doc_id, hex(payload) AS h FROM img),
+             |png AS (
+             |  SELECT doc_id, 'png' AS format,
+             |    CAST(concat('0x', substring(h, 33, 8)) AS BIGINT) AS width,
+             |    CAST(concat('0x', substring(h, 41, 8)) AS BIGINT) AS height,
+             |    CAST(concat('0x', substring(h, 49, 2)) AS BIGINT)
+             |      AS bit_depth,
+             |    CAST(CASE CAST(concat('0x', substring(h, 51, 2)) AS BIGINT)
+             |      WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 1 WHEN 4 THEN 2
+             |      ELSE 4 END AS BIGINT) AS n_components
+             |  FROM hx WHERE substring(h, 1, 16) = '89504E470D0A1A0A'
+             |),
+             |jseg AS (
+             |  -- after SOI(2): an APP0 whose length is READ FROM THE
+             |  -- BYTES, then optionally one COM, then SOF0.
+             |  SELECT doc_id, h,
+             |    4 + CAST(concat('0x', substring(h, 9, 4)) AS BIGINT) AS o2
+             |  FROM hx WHERE substring(h, 1, 4) = 'FFD8'
+             |),
+             |jsof AS (
+             |  SELECT doc_id, h,
+             |    CASE WHEN substring(h, 2 * o2 + 1, 4) = 'FFFE'
+             |      THEN o2 + 2
+             |        + CAST(concat('0x', substring(h, 2 * o2 + 5, 4))
+             |            AS BIGINT)
+             |      ELSE o2 END AS o3
+             |  FROM jseg
+             |),
+             |jpg AS (
+             |  SELECT doc_id, 'jpeg' AS format,
+             |    CAST(concat('0x', substring(h, 2 * o3 + 15, 4)) AS BIGINT)
+             |      AS width,
+             |    CAST(concat('0x', substring(h, 2 * o3 + 11, 4)) AS BIGINT)
+             |      AS height,
+             |    CAST(concat('0x', substring(h, 2 * o3 + 9, 2)) AS BIGINT)
+             |      AS bit_depth,
+             |    CAST(concat('0x', substring(h, 2 * o3 + 19, 2)) AS BIGINT)
+             |      AS n_components
+             |  FROM jsof WHERE substring(h, 2 * o3 + 1, 4) = 'FFC0'
+             |)
+             |SELECT * FROM png UNION ALL SELECT * FROM jpg
+             |ORDER BY doc_id""".stripMargin))
   )
 }

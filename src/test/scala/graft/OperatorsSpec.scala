@@ -524,6 +524,28 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Set((0, 0, 2.0), (0, 1, 4.0), (1, 0, 2.0), (1, 1, 2.0)))
   }
 
+  test("image header parse: marker walk, standalone markers, garbage") {
+    import graft.multimodal.Multimodal.parseImageHeader
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // Minimal PNG: 640x480, depth 8, truecolor (3 components).
+    val png = hx("89504E470D0A1A0A0000000D49484452" +
+      "00000280000001E0" + "0802" + "00000000000000")
+    assert(parseImageHeader(png) == Some(("png", 640L, 480L, 8L, 3L)))
+    // JPEG whose walk must skip APP0, a COM, AND a standalone RST2
+    // marker (no length field) before hitting SOF0: 31x5, 1 comp.
+    val jpg = hx("FFD8" + "FFE000104A46494600010100000100010000" +
+      "FFFE0004ABCD" + "FFD2" + "FFC0000B08" + "0005" + "001F" +
+      "01" + "012200")
+    assert(parseImageHeader(jpg) == Some(("jpeg", 31L, 5L, 8L, 1L)))
+    // Truncated mid-walk, bad signature, bad IHDR type: all None.
+    assert(parseImageHeader(jpg.take(8)).isEmpty)
+    assert(parseImageHeader(hx("0011223344556677889900")).isEmpty)
+    assert(parseImageHeader(hx("89504E470D0A1A0A0000000D49484453" +
+      "00000280000001E0" + "0802" + "00000000000000")).isEmpty)
+    assert(parseImageHeader(Array.empty[Byte]).isEmpty)
+  }
+
   test("multimodal frame sampling covers the payload exactly") {
     val docs = Seq((1L, "abcdefghij")).toDF("doc_id", "text") // 10 bytes
     val frames = Multimodal.sampleFrames(spark,
