@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
-import graft.functions.TextHash
+import graft.functions.{Bpe, TextHash}
 import graft.graph.ConnectedComponents
 import graft.multimodal.Multimodal
 import graft.operators.{Decontaminate, Dedup, KMeans, PiiScrub, Sampling, Similarity, TextAnalysis}
@@ -850,6 +850,61 @@ object PipelineQueries {
               |      / (SELECT count(*) FROM tk))) * 1000000 + 0.5) AS BIGINT)
               |    AS logprob_e6
               |FROM tk t JOIN lm USING (token)
+              |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)),
+
+    // BPE-unit tokenization: the d7 "BPE-ish regex" gap closed with a
+    // REAL byte-pair-merge tokenizer — a fixed rank-ordered merge
+    // table applied with the classic greedy encode, as a compiled
+    // kernel expression (BpeUnitsExpr, codegen'd like token_hashes).
+    // The md5 over the space-joined unit sequence forces the oracle
+    // to reproduce the EXACT units in the EXACT order, not just
+    // counts. Scale shape: map-side per-row kernel + the
+    // deterministic sort — no shuffle.
+    Q("d29_bpe_tokenize",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          Bpe.bpe_units(expr(TextHash.sparkTokens("text"))).as("units"))
+        .select(col("doc_id"),
+          size(col("units")).cast("long").as("n_units"),
+          md5(array_join(col("units"), " ")).as("units_md5"))
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE ${Bpe.duckBpeCtes("documents")},
+              |j AS (
+              |  SELECT w.doc_id, w.widx, u.s
+              |  FROM wtoks w JOIN wunits u USING (tok)
+              |)
+              |SELECT doc_id,
+              |  CAST(SUM(len(string_split(s, ' '))) AS BIGINT) AS n_units,
+              |  md5(string_agg(s, ' ' ORDER BY widx)) AS units_md5
+              |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // d19's (token, logprob) contract fed with BPE units: the
+    // unigram LM is built over SUBWORD units instead of whitespace
+    // words — the scoring numbers a curation gate would actually see
+    // from a subword-tokenized model. Same two-pass
+    // build-then-score plumbing as d19 (TextAnalysis.lmScore is the
+    // shared plug point).
+    Q("d30_bpe_lm_score",
+      (s, d) => {
+        val tk = Tables.documents(s, d).select(col("doc_id"),
+          explode(Bpe.bpe_units(expr(TextHash.sparkTokens("text"))))
+            .as("token"))
+        val n = tk.count() // corpus unit count (driver scalar handoff)
+        val lm = tk.groupBy("token")
+          .agg(log(count(lit(1)).cast("double") / n).as("logprob"))
+        TextAnalysis.lmScore(tk, lm).orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE ${Bpe.duckBpeCtes("documents")},
+              |units AS (
+              |  SELECT w.doc_id, unnest(string_split(u.s, ' ')) AS token
+              |  FROM wtoks w JOIN wunits u USING (tok)
+              |),
+              |lm AS (SELECT token, count(*) AS cnt FROM units GROUP BY 1)
+              |SELECT t.doc_id, count(*) AS n_tokens,
+              |  CAST(floor(avg(ln(CAST(lm.cnt AS DOUBLE)
+              |      / (SELECT count(*) FROM units))) * 1000000 + 0.5)
+              |    AS BIGINT) AS logprob_e6
+              |FROM units t JOIN lm USING (token)
               |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)),
 
     // Per-stratum RELATIVE quality gate (the CCNet-style bucket cut):

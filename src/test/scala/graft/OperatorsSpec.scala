@@ -524,6 +524,21 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Set((0, 0, 2.0), (0, 1, 4.0), (1, 0, 2.0), (1, 1, 2.0)))
   }
 
+  test("bpe kernel: greedy rank-ordered merges, multi-level composition") {
+    import graft.functions.Bpe.bpe_units
+    val df = Seq((1L, "the thinking mother esses understanding x.y,"))
+      .toDF("doc_id", "text")
+    val got = df.select(bpe_units(split(lower(col("text")), "\\s+"))
+      .as("u")).as[Seq[String]].head
+    // Hand-computed greedy apply of BpeKernels.Merges: (t,h)→th then
+    // (th,e)→the composes; "esses" pins the left-to-right overlap
+    // rule ((e,s) twice, never the middle s); punctuation passes
+    // through as single code points.
+    assert(got == Seq("the", "th", "in", "k", "ing", "m", "o", "the",
+      "r", "es", "s", "es", "u", "n", "d", "er", "st", "and", "ing",
+      "x", ".", "y", ","))
+  }
+
   test("image header parse: marker walk, standalone markers, garbage") {
     import graft.multimodal.Multimodal.parseImageHeader
     def hx(s: String): Array[Byte] =
