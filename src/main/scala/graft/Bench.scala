@@ -7,10 +7,19 @@ import org.apache.spark.sql.SparkSession
   *
   * One short warm-up job runs first so JVM/codegen startup cost is
   * not attributed to the first measured query; each headline query
-  * then runs 4× end-to-end (1 cold + 3 steady), and the reported
+  * then runs 6× end-to-end (1 cold + 5 steady), and the reported
   * `value` is the per-query MEDIAN of the steady runs — robust to
   * the box's documented co-tenant contention bursts, which min-of-2
-  * could not reject.
+  * (and, in round 6, even median-of-3) could not reject.
+  *
+  * Contention self-adjudication: a clean steady query has
+  * median ≈ min; a co-tenant burst inflates some runs but not the
+  * best one. If the steady median exceeds 1.5× the steady min, the
+  * query re-runs (up to 4 extra rounds) until the spread closes or
+  * the budget is spent, the median is taken over ALL steady runs,
+  * and the query is flagged `contended` in the JSON — so a reader
+  * can distinguish "slow plan" (median ≈ min, both high) from
+  * "noisy box" (median ≫ min) without re-running by hand.
   */
 object Bench {
 
@@ -39,18 +48,19 @@ object Bench {
     // parquet reader, codegen and shuffle machinery.
     SparkEntry.queries("q1_agg")(spark, sfDir).collect()
 
-    // Four timed runs per query: run 1 is cold (includes scan,
-    // signature computation, first-time AQE planning); runs 2-4 are
+    // Six timed runs per query: run 1 is cold (includes scan,
+    // signature computation, first-time AQE planning); runs 2-6 are
     // steady-state — operators that persist their invariant side
     // (PageRank's partitioned edges, LSH's shingle sets) legitimately
     // reuse it, which is the "partition once, iterate" design claim.
-    // The headline value is the MEDIAN of the three steady runs:
-    // min-of-2 could not reject a co-tenant contention burst spanning
-    // both runs (the round-5 recorded bench was a 2.44× artifact of
-    // exactly that), while a median needs 2 of 3 runs corrupted to
-    // move. Min and cold ship alongside for transparency.
+    // The headline value is the MEDIAN of the steady runs (order
+    // statistic at size/2 — the upper middle for even sizes), with
+    // the contention self-adjudication loop documented above. Min
+    // and cold ship alongside for transparency.
+    case class R(name: String, median: Double, min: Double, cold: Double,
+        nSteady: Int, contended: Boolean)
     val results = headline.map { name =>
-      val secs = (1 to 4).map { _ =>
+      def run(): Double = {
         val t0 = System.nanoTime()
         // toRdd, not count(): under a bare count() Catalyst prunes
         // every computed column — and with distinct-key propagation
@@ -61,22 +71,33 @@ object Bench {
         SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9
       }
-      val steady = secs.drop(1)
-      val median = steady.sorted.apply(steady.size / 2)
+      val cold = run()
+      val steady = scala.collection.mutable.ArrayBuffer.fill(5)(run())
+      def median = steady.sorted.apply(steady.size / 2)
+      var extra = 0
+      while (extra < 4 && median > 1.5 * steady.min) {
+        steady += run()
+        extra += 1
+      }
+      val contended = median > 1.5 * steady.min
       System.err.println(
-        f"[bench] $name%-16s median $median%8.3f s  (runs: ${
-          secs.map(s => f"$s%.3f").mkString(", ")})")
-      (name, median, steady.min, secs.head)
+        f"[bench] $name%-16s median $median%8.3f s  min ${steady.min}%.3f" +
+          f"  cold $cold%.3f  (${steady.size} steady runs" +
+          (if (contended) ", STILL CONTENDED)" else ")"))
+      R(name, median, steady.min, cold, steady.size, contended)
     }
-    def jmap(f: ((String, Double, Double, Double)) => Double) =
-      results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val totalMin = results.map(_._3).sum
-    val totalCold = results.map(_._4).sum
+    def jmap(f: R => String) =
+      results.map(r => "\"" + r.name + "\":" + f(r)).mkString("{", ",", "}")
+    val total = results.map(_.median).sum
+    val totalMin = results.map(_.min).sum
+    val totalCold = results.map(_.cold).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""queries":${jmap(_._2)},"total_min":$totalMin,""" +
-      s""""queries_min":${jmap(_._3)},"total_cold":$totalCold,""" +
-      s""""queries_cold":${jmap(_._4)},"sf":"$sfDir"}"""
+      s""""queries":${jmap(_.median.toString)},"total_min":$totalMin,""" +
+      s""""queries_min":${jmap(_.min.toString)},"total_cold":$totalCold,""" +
+      s""""queries_cold":${jmap(_.cold.toString)},""" +
+      s""""queries_runs":${jmap(_.nSteady.toString)},""" +
+      s""""queries_contended":${jmap(_.contended.toString)},""" +
+      s""""sf":"$sfDir"}"""
     // The JSON must survive sbt's [info]-prefixed stdout wrapping:
     // write it to a file too, and stop Spark BEFORE printing so the
     // line is the final stdout of the run, not buried under shutdown
