@@ -88,6 +88,75 @@ object Multimodal {
     }
   }
 
+  /** Plant REAL PNGs (encoded by [[Png.encode]] with the real zlib
+    * Deflater, rotating through all five scanline filter types, IDAT
+    * split across two chunks): dimensions and every pixel byte are
+    * deterministic in doc_id — width 4 + id%5, height 4 + (id*3)%5,
+    * byte(y, x, c) = (id*31 + y*7 + x*3 + c) % 256 — so the oracle
+    * can recompute the expected pixels WITHOUT a decoder and pin the
+    * decoded bytes exactly.
+    */
+  def pngTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (4 + id % 5).toInt
+        val h = (4 + (id * 3) % 5).toInt
+        val rgb = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var c = 0
+            while (c < 3) {
+              rgb((y * w + x) * 3 + c) =
+                ((id * 31 + y * 7 + x * 3 + c) % 256).toByte
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        val payload = Png.encode(w, h, rgb, y => y % 5)
+        MediaRow(id, "image/png", payload.length.toLong, payload)
+      }
+    }.toDF()
+  }
+
+  case class PngStats(doc_id: Long, width: Long, height: Long,
+      sum_rgb: Long, pixels_md5: String)
+
+  /** REAL decode ([[Png.decode]]: chunk walk + CRC32 verify + zlib
+    * inflate + all five unfilters) reduced to oracle-checkable
+    * per-image stats; `pixels_md5` (over the lowercase hex of the
+    * decoded RGB bytes) binds every byte of the reconstruction.
+    * Undecodable payloads are dropped.
+    */
+  def decodePngStats(spark: SparkSession, media: DataFrame)
+      : Dataset[PngStats] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        Png.decode(r.payload).map { d =>
+          var sum = 0L
+          val sb = new java.lang.StringBuilder(d.rgb.length * 2)
+          var i = 0
+          while (i < d.rgb.length) {
+            val b = d.rgb(i) & 0xFF
+            sum += b
+            sb.append(Character.forDigit(b >> 4, 16))
+              .append(Character.forDigit(b & 15, 16))
+            i += 1
+          }
+          val dig = java.security.MessageDigest.getInstance("MD5")
+            .digest(sb.toString.getBytes("US-ASCII"))
+          PngStats(r.doc_id, d.width.toLong, d.height.toLong, sum,
+            dig.map(b => f"${b & 0xFF}%02x").mkString)
+        }
+      }
+    }
+  }
+
   case class ImageHeader(doc_id: Long, format: String, width: Long,
       height: Long, bit_depth: Long, n_components: Long)
 

@@ -1906,6 +1906,42 @@ object PipelineQueries {
              |     AS BIGINT) AS byte_val
              |FROM g ORDER BY doc_id, idx""".stripMargin)),
 
+    // REAL PNG decode: planted images go through the real zlib
+    // Deflater at write time and the full Png.decode at read time —
+    // chunk walk with CRC32 verification, two-chunk IDAT reassembly,
+    // Inflater, and scanline reconstruction for ALL FIVE filter
+    // types (each image rotates None/Sub/Up/Average/Paeth by row).
+    // Every pixel byte is a formula in doc_id, so the oracle pins
+    // the decoded bytes md5-exactly WITHOUT a decoder: if inflation
+    // or any unfilter is wrong, the hash diverges. Scale shape:
+    // map-side decode, no shuffle but the deterministic sort.
+    Q("m7_png_decode",
+      (s, d) => Multimodal.decodePngStats(s,
+          Multimodal.pngTable(s, Tables.documents(s, d)))
+        .toDF().orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id,
+             |    4 + doc_id % 5 AS w,
+             |    4 + (doc_id * 3) % 5 AS h
+             |  FROM documents
+             |),
+             |px AS (
+             |  SELECT doc_id, w, h, gy.y AS y, gx.x AS x, gc.c AS c,
+             |    (doc_id * 31 + gy.y * 7 + gx.x * 3 + gc.c) % 256 AS b
+             |  FROM dims,
+             |    (SELECT unnest(range(0, 8)) AS y) gy,
+             |    (SELECT unnest(range(0, 8)) AS x) gx,
+             |    (SELECT unnest(range(0, 3)) AS c) gc
+             |  WHERE gy.y < h AND gx.x < w
+             |)
+             |SELECT doc_id, CAST(w AS BIGINT) AS width,
+             |  CAST(h AS BIGINT) AS height,
+             |  CAST(SUM(b) AS BIGINT) AS sum_rgb,
+             |  md5(lower(string_agg(lpad(to_hex(b), 2, '0'), ''
+             |    ORDER BY y, x, c))) AS pixels_md5
+             |FROM px GROUP BY doc_id, w, h
+             |ORDER BY doc_id""".stripMargin)),
+
     // Image header sniff — real PNG/JPEG STRUCTURE (not stand-in
     // bytes): both engines plant bit-identical valid headers from
     // doc_id (PNG signature + IHDR for even ids; JFIF APP0 +
