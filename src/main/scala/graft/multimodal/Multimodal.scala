@@ -157,6 +157,76 @@ object Multimodal {
     }
   }
 
+  /** Plant REAL WAV clips (encoded by [[Wav.encode]]: RIFF container,
+    * odd-length LIST chunk exercising skip-and-pad, interleaved
+    * 16-bit PCM): rate/channels/frames and every sample are
+    * deterministic in doc_id — rate 8000 + (id%4)·4000, channels
+    * 1 + id%2, frames 32 + (id·7)%33, sample(i, c) =
+    * ((id·131 + i·37 + c·17 + 13) % 65536) − 32768 — so the oracle
+    * recomputes the expected samples WITHOUT a decoder.
+    */
+  def wavTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val sr = (8000 + (id % 4) * 4000).toInt
+        val ch = (1 + id % 2).toInt
+        val nf = (32 + (id * 7) % 33).toInt
+        val samples = new Array[Short](nf * ch)
+        var i = 0
+        while (i < nf) {
+          var c = 0
+          while (c < ch) {
+            samples(i * ch + c) =
+              (((id * 131 + i * 37 + c * 17 + 13) % 65536) - 32768).toShort
+            c += 1
+          }
+          i += 1
+        }
+        val payload = Wav.encode(sr, ch, samples)
+        MediaRow(id, "audio/wav", payload.length.toLong, payload)
+      }
+    }.toDF()
+  }
+
+  case class WavStats(doc_id: Long, sample_rate: Long, channels: Long,
+      n_samples: Long, sum_val: Long, peak: Long, samples_md5: String)
+
+  /** REAL decode ([[Wav.decode]]: RIFF chunk walk + fmt validation +
+    * PCM extraction) reduced to oracle-checkable per-clip stats;
+    * `samples_md5` (over the comma-joined signed decimal samples in
+    * interleaved order) binds every decoded sample exactly.
+    * Undecodable payloads are dropped.
+    */
+  def decodeWavStats(spark: SparkSession, media: DataFrame)
+      : Dataset[WavStats] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        Wav.decode(r.payload).map { d =>
+          var sum = 0L
+          var peak = 0L
+          val sb = new java.lang.StringBuilder(d.samples.length * 7)
+          var i = 0
+          while (i < d.samples.length) {
+            val v = d.samples(i).toLong
+            sum += v
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            if (i > 0) sb.append(',')
+            sb.append(v)
+            i += 1
+          }
+          val dig = java.security.MessageDigest.getInstance("MD5")
+            .digest(sb.toString.getBytes("US-ASCII"))
+          WavStats(r.doc_id, d.sampleRate.toLong, d.channels.toLong,
+            d.samples.length.toLong, sum, peak,
+            dig.map(b => f"${b & 0xFF}%02x").mkString)
+        }
+      }
+    }
+  }
+
   case class ImageHeader(doc_id: Long, format: String, width: Long,
       height: Long, bit_depth: Long, n_components: Long)
 

@@ -1942,6 +1942,44 @@ object PipelineQueries {
              |FROM px GROUP BY doc_id, w, h
              |ORDER BY doc_id""".stripMargin)),
 
+    // REAL WAV decode: planted clips are full RIFF containers (odd-
+    // length LIST chunk exercising the skip-and-pad path, interleaved
+    // 16-bit PCM) and Wav.decode walks chunks with CRC-less RIFF
+    // rules: magic check, fmt field validation (PCM tag, blockAlign,
+    // byteRate), word-aligned skip of ancillary chunks, LE sample
+    // extraction. Every sample is a formula in doc_id, so the oracle
+    // pins the decoded stream md5-exactly WITHOUT a decoder. Scale
+    // shape: map-side decode, no shuffle but the deterministic sort.
+    Q("m8_wav_decode",
+      (s, d) => Multimodal.decodeWavStats(s,
+          Multimodal.wavTable(s, Tables.documents(s, d)))
+        .toDF().orderBy("doc_id"),
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |    8000 + (doc_id % 4) * 4000 AS sr,
+             |    1 + doc_id % 2 AS ch,
+             |    32 + (doc_id * 7) % 33 AS nf
+             |  FROM documents
+             |),
+             |s AS (
+             |  SELECT doc_id, sr, ch, gi.i AS i, gc.c AS c,
+             |    ((doc_id * 131 + gi.i * 37 + gc.c * 17 + 13) % 65536)
+             |      - 32768 AS v
+             |  FROM p,
+             |    (SELECT unnest(range(0, 65)) AS i) gi,
+             |    (SELECT unnest(range(0, 2)) AS c) gc
+             |  WHERE gi.i < nf AND gc.c < ch
+             |)
+             |SELECT doc_id, CAST(sr AS BIGINT) AS sample_rate,
+             |  CAST(ch AS BIGINT) AS channels,
+             |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+             |  CAST(SUM(v) AS BIGINT) AS sum_val,
+             |  CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+             |  md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY i, c))
+             |    AS samples_md5
+             |FROM s GROUP BY doc_id, sr, ch
+             |ORDER BY doc_id""".stripMargin)),
+
     // Image header sniff — real PNG/JPEG STRUCTURE (not stand-in
     // bytes): both engines plant bit-identical valid headers from
     // doc_id (PNG signature + IHDR for even ids; JFIF APP0 +
