@@ -1,0 +1,497 @@
+package graft.multimodal
+
+/** A real (minimal) baseline JPEG codec — pure JVM, no image
+  * libraries. Grayscale (single-component) baseline sequential DCT,
+  * the ITU T.81 subset every decoder must support.
+  *
+  * The ENCODER is a full forward path (level shift → 2-D DCT →
+  * quantization → DC prediction → run-length AC coding → canonical
+  * Huffman entropy coding with 0xFF byte stuffing) using the public
+  * ITU T.81 Annex K example luminance tables; the DECODER is the
+  * capability: marker walk, DQT/DHT/SOF0/SOS parsing, canonical
+  * Huffman table reconstruction (mincode/maxcode/valptr), the
+  * stuffed-bit reader, DC-difference EXTEND, AC run-length with
+  * EOB/ZRL, dequantization through the zigzag, and a separable
+  * floating IDCT with level shift and clamping.
+  *
+  * m9 plants constant-per-block images (whose DCT is DC-only and
+  * exactly recomputable by the oracle with no decoder); JpegSpec
+  * round-trips arbitrary images through the full lossy path.
+  */
+object Jpeg {
+
+  /** Zigzag scan order: zigzag(i) = natural index of the i-th
+    * coefficient in scan order (T.81 Figure 5).
+    */
+  val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** T.81 Annex K.1 example luminance quantization table (natural
+    * row-major order). q(0,0) = 16: an even level-shifted constant
+    * block quantizes exactly (8c/16 = c/2), which is what makes the
+    * planted m9 corpus oracle-computable.
+    */
+  val QuantLuma: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+
+  /** Annex K.3.1: luminance DC code counts per length and symbols. */
+  val DcBits: Array[Int] =
+    Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  val DcVals: Array[Int] = (0 to 11).toArray
+
+  /** Annex K.3.2: luminance AC code counts per length and symbols. */
+  val AcBits: Array[Int] =
+    Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125)
+  val AcVals: Array[Int] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+    0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+    0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+    0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+    0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+    0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+
+  // cos((2n+1)·k·π/16) and the C(k) normalization, shared by both
+  // DCT directions
+  private val Cos: Array[Array[Double]] = Array.tabulate(8, 8) { (k, n) =>
+    math.cos((2 * n + 1) * k * math.Pi / 16.0)
+  }
+  private val Cn: Array[Double] =
+    Array.tabulate(8)(k => if (k == 0) 1.0 / math.sqrt(2.0) else 1.0)
+
+  /** Canonical Huffman code assignment (T.81 Annex C): symbols sorted
+    * by code length get sequential codes.
+    */
+  private def canonicalCodes(bits: Array[Int], vals: Array[Int])
+      : Map[Int, (Int, Int)] = {
+    var code = 0
+    var vi = 0
+    val out = Map.newBuilder[Int, (Int, Int)]
+    for (l <- 1 to 16) {
+      var i = 0
+      while (i < bits(l - 1)) {
+        out += vals(vi) -> (code, l)
+        code += 1; vi += 1; i += 1
+      }
+      code <<= 1
+    }
+    out.result()
+  }
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var nbits = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1)
+        nbits += 1
+        if (nbits == 8) {
+          out.write(acc)
+          if (acc == 0xFF) out.write(0x00) // byte stuffing
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    def flushWithOnes(): Unit =
+      if (nbits > 0) { put((1 << (8 - nbits)) - 1, 8 - nbits) }
+  }
+
+  /** Magnitude category (number of bits) of a DC diff / AC value. */
+  private def category(v: Int): Int = {
+    var a = math.abs(v); var s = 0
+    while (a != 0) { a >>= 1; s += 1 }
+    s
+  }
+
+  /** Encode an 8-bit grayscale image as baseline JPEG with the Annex
+    * K tables: full forward DCT + quantization + entropy coding.
+    * Edge blocks replicate border pixels (standard practice).
+    */
+  def encode(width: Int, height: Int, gray: Array[Byte]): Array[Byte] = {
+    require(gray.length == width * height, "gray must be w*h bytes")
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
+    def be2(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+    marker(0xD8) // SOI
+    marker(0xE0); be2(16) // APP0 JFIF
+    out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+    out.write(1); out.write(1); out.write(0); be2(1); be2(1)
+    out.write(0); out.write(0)
+    marker(0xDB); be2(2 + 1 + 64); out.write(0) // DQT, 8-bit, id 0
+    Zigzag.foreach(n => out.write(QuantLuma(n)))
+    marker(0xC0); be2(8 + 3) // SOF0: baseline
+    out.write(8); be2(height); be2(width); out.write(1)
+    out.write(1); out.write(0x11); out.write(0) // comp 1, 1x1, qtable 0
+    def dht(tc: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xC4); be2(2 + 1 + 16 + vals.length)
+      out.write(tc << 4) // table id 0
+      bits.foreach(out.write)
+      vals.foreach(out.write)
+    }
+    dht(0, DcBits, DcVals)
+    dht(1, AcBits, AcVals)
+    marker(0xDA); be2(6 + 2) // SOS
+    out.write(1); out.write(1); out.write(0x00)
+    out.write(0); out.write(63); out.write(0)
+
+    val dcCodes = canonicalCodes(DcBits, DcVals)
+    val acCodes = canonicalCodes(AcBits, AcVals)
+    val bw = new BitWriter(out)
+    def putValue(v: Int, s: Int): Unit =
+      bw.put(if (v < 0) v + (1 << s) - 1 else v, s)
+
+    val bw8 = (width + 7) / 8
+    val bh8 = (height + 7) / 8
+    val block = new Array[Double](64)
+    val coef = new Array[Int](64)
+    var pred = 0
+    var by = 0
+    while (by < bh8) {
+      var bx = 0
+      while (bx < bw8) {
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val sy = math.min(by * 8 + y, height - 1)
+            val sx = math.min(bx * 8 + x, width - 1)
+            block(y * 8 + x) = (gray(sy * width + sx) & 0xFF) - 128.0
+            x += 1
+          }
+          y += 1
+        }
+        // forward DCT + quantization (natural order)
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            var sum = 0.0
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                sum += block(yy * 8 + xx) * Cos(u)(yy) * Cos(v)(xx)
+                xx += 1
+              }
+              yy += 1
+            }
+            val f = 0.25 * Cn(u) * Cn(v) * sum
+            coef(u * 8 + v) = math.round(f / QuantLuma(u * 8 + v)).toInt
+            v += 1
+          }
+          u += 1
+        }
+        // DC
+        val diff = coef(0) - pred
+        pred = coef(0)
+        val s = category(diff)
+        val (dc, dl) = dcCodes(s)
+        bw.put(dc, dl)
+        if (s > 0) putValue(diff, s)
+        // AC: run-length through the zigzag with ZRL and EOB
+        var run = 0
+        var k = 1
+        while (k < 64) {
+          val v = coef(Zigzag(k))
+          if (v == 0) run += 1
+          else {
+            while (run > 15) {
+              val (zc, zl) = acCodes(0xF0); bw.put(zc, zl) // ZRL
+              run -= 16
+            }
+            val sz = category(v)
+            val (ac, al) = acCodes((run << 4) | sz)
+            bw.put(ac, al)
+            putValue(v, sz)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) { val (ec, el) = acCodes(0x00); bw.put(ec, el) } // EOB
+        bx += 1
+      }
+      by += 1
+    }
+    bw.flushWithOnes()
+    marker(0xD9) // EOI
+    out.toByteArray
+  }
+
+  case class Decoded(width: Int, height: Int, gray: Array[Byte])
+
+  private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
+    // T.81 Annex F.2.2.3 canonical decode tables
+    val maxcode = new Array[Int](17)
+    val mincode = new Array[Int](17)
+    val valptr = new Array[Int](17)
+    locally {
+      var code = 0
+      var vi = 0
+      for (l <- 1 to 16) {
+        if (bits(l - 1) > 0) {
+          valptr(l) = vi
+          mincode(l) = code
+          code += bits(l - 1); vi += bits(l - 1)
+          maxcode(l) = code - 1
+        } else maxcode(l) = -1
+        code <<= 1
+      }
+    }
+    def value(l: Int, code: Int): Int = vals(valptr(l) + code - mincode(l))
+  }
+
+  private final class BitReader(p: Array[Byte], var pos: Int, end: Int) {
+    private var acc = 0
+    private var nbits = 0
+    /** -1 when the entropy segment is exhausted (marker reached). */
+    def bit(): Int = {
+      if (nbits == 0) {
+        if (pos >= end) return -1
+        var b = p(pos) & 0xFF
+        pos += 1
+        if (b == 0xFF) {
+          if (pos >= end) return -1
+          val nxt = p(pos) & 0xFF
+          if (nxt == 0x00) pos += 1 // stuffed literal 0xFF
+          else return -1 // a real marker: no more entropy data
+          b = 0xFF
+        }
+        acc = b; nbits = 8
+      }
+      nbits -= 1
+      (acc >> nbits) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) {
+        val b = bit(); if (b < 0) return Int.MinValue
+        v = (v << 1) | b; i += 1
+      }
+      v
+    }
+  }
+
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** Decode a baseline grayscale JPEG. Returns None for anything
+    * malformed or outside the supported subset: progressive SOF,
+    * multi-component scans, restart intervals, 16-bit quant tables,
+    * missing tables, or a corrupt entropy stream.
+    */
+  def decode(p: Array[Byte]): Option[Decoded] =
+    try decodeImpl(p)
+    catch {
+      // truncated segments land on array bounds rather than each read
+      // carrying its own guard; malformed input is None, never a throw
+      case _: IndexOutOfBoundsException => None
+    }
+
+  private def decodeImpl(p: Array[Byte]): Option[Decoded] = {
+    if (p.length < 4 || (p(0) & 0xFF) != 0xFF || (p(1) & 0xFF) != 0xD8)
+      return None
+    def u2(i: Int): Int = ((p(i) & 0xFF) << 8) | (p(i + 1) & 0xFF)
+    var off = 2
+    val quant = new Array[Array[Int]](4)
+    val dcTabs = new Array[HuffTable](4)
+    val acTabs = new Array[HuffTable](4)
+    var width = -1; var height = -1; var qsel = -1
+    var dcSel = -1; var acSel = -1
+    var scanStart = -1
+    while (scanStart < 0) {
+      if (off + 2 > p.length) return None
+      if ((p(off) & 0xFF) != 0xFF) return None
+      var m = p(off + 1) & 0xFF
+      while (m == 0xFF) { off += 1; m = p(off + 1) & 0xFF } // fill bytes
+      off += 2
+      m match {
+        case 0xD9 => return None // EOI before any scan
+        case 0xC0 | 0xC1 => // baseline / extended sequential
+          val len = u2(off)
+          if (p(off + 2) != 8) return None // 8-bit precision only
+          height = u2(off + 3); width = u2(off + 5)
+          if ((p(off + 7) & 0xFF) != 1) return None // grayscale only
+          if ((p(off + 9) & 0xFF) != 0x11) return None // 1x1 sampling
+          qsel = p(off + 10) & 0xFF
+          off += len
+        case 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
+            0xCD | 0xCE | 0xCF =>
+          return None // progressive/hierarchical/arithmetic unsupported
+        case 0xDB =>
+          val len = u2(off)
+          var q = off + 2
+          while (q < off + len) {
+            val pq = (p(q) & 0xFF) >> 4
+            val tq = p(q) & 0x0F
+            if (pq != 0 || tq > 3 || q + 65 > off + len) return None
+            val t = new Array[Int](64)
+            var i = 0
+            while (i < 64) { t(Zigzag(i)) = p(q + 1 + i) & 0xFF; i += 1 }
+            quant(tq) = t
+            q += 65
+          }
+          off += len
+        case 0xC4 =>
+          val len = u2(off)
+          var q = off + 2
+          while (q < off + len) {
+            val tc = (p(q) & 0xFF) >> 4
+            val th = p(q) & 0x0F
+            if (tc > 1 || th > 3 || q + 17 > off + len) return None
+            val bits = Array.tabulate(16)(i => p(q + 1 + i) & 0xFF)
+            val n = bits.sum
+            if (q + 17 + n > off + len) return None
+            val vals = Array.tabulate(n)(i => p(q + 17 + i) & 0xFF)
+            val tab = new HuffTable(bits, vals)
+            if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
+            q += 17 + n
+          }
+          off += len
+        case 0xDD =>
+          if (u2(off + 2) != 0) return None // restart intervals unsupported
+          off += u2(off)
+        case 0xDA =>
+          val len = u2(off)
+          if ((p(off + 2) & 0xFF) != 1) return None // single-component scan
+          dcSel = (p(off + 4) & 0xFF) >> 4
+          acSel = p(off + 4) & 0x0F
+          if ((p(off + 5) & 0xFF) != 0 || (p(off + 6) & 0xFF) != 63)
+            return None // full spectral range only
+          scanStart = off + len
+        case _ => // APPn / COM / other: skip by length
+          if (off + 2 > p.length || u2(off) < 2) return None
+          off += u2(off)
+      }
+    }
+    if (width <= 0 || height <= 0) return None
+    if (qsel < 0 || quant(qsel) == null) return None
+    if (dcTabs(dcSel) == null || acTabs(acSel) == null) return None
+    val qt = quant(qsel)
+    val dcT = dcTabs(dcSel)
+    val acT = acTabs(acSel)
+
+    val br = new BitReader(p, scanStart, p.length)
+    def huff(t: HuffTable): Int = {
+      var code = br.bit()
+      if (code < 0) return -1
+      var l = 1
+      while (code > t.maxcode(l)) {
+        val b = br.bit(); if (b < 0) return -1
+        code = (code << 1) | b
+        l += 1
+        if (l > 16) return -1
+      }
+      t.value(l, code)
+    }
+
+    val gray = new Array[Byte](width * height)
+    val coef = new Array[Int](64)
+    val pix = new Array[Double](64)
+    val bw8 = (width + 7) / 8
+    val bh8 = (height + 7) / 8
+    var pred = 0
+    var by = 0
+    while (by < bh8) {
+      var bx = 0
+      while (bx < bw8) {
+        java.util.Arrays.fill(coef, 0)
+        val s = huff(dcT)
+        if (s < 0 || s > 11) return None
+        val dv = br.receive(s)
+        if (dv == Int.MinValue) return None
+        pred += extend(dv, s)
+        coef(0) = pred * qt(0)
+        var k = 1
+        var done = false
+        while (k < 64 && !done) {
+          val rs = huff(acT)
+          if (rs < 0) return None
+          val r = rs >> 4
+          val sz = rs & 0x0F
+          if (sz == 0) {
+            if (r == 15) k += 16 // ZRL
+            else done = true // EOB
+          } else {
+            k += r
+            if (k > 63) return None
+            val av = br.receive(sz)
+            if (av == Int.MinValue) return None
+            coef(Zigzag(k)) = extend(av, sz) * qt(Zigzag(k))
+            k += 1
+          }
+        }
+        // separable-equivalent naive IDCT, level shift, clamp
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            var sum = 0.0
+            var u = 0
+            while (u < 8) {
+              var v = 0
+              while (v < 8) {
+                val c = coef(u * 8 + v)
+                if (c != 0) sum += Cn(u) * Cn(v) * c * Cos(u)(y) * Cos(v)(x)
+                v += 1
+              }
+              u += 1
+            }
+            pix(y * 8 + x) = 0.25 * sum + 128.0
+            x += 1
+          }
+          y += 1
+        }
+        y = 0
+        while (y < 8) {
+          val iy = by * 8 + y
+          if (iy < height) {
+            var x = 0
+            while (x < 8) {
+              val ix = bx * 8 + x
+              if (ix < width) {
+                val v = math.round(pix(y * 8 + x)).toInt
+                gray(iy * width + ix) =
+                  math.max(0, math.min(255, v)).toByte
+              }
+              x += 1
+            }
+          }
+          y += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    Some(Decoded(width, height, gray))
+  }
+}

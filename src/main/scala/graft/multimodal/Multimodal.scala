@@ -157,6 +157,73 @@ object Multimodal {
     }
   }
 
+  /** Plant REAL baseline JPEGs (encoded by [[Jpeg.encode]]: full
+    * forward DCT + Annex K quantization + canonical Huffman entropy
+    * coding): constant-per-8×8-block grayscale images whose block
+    * values are even and deterministic in doc_id — width 8·(2+id%3),
+    * height 8·(2+(id·5)%3), pixel(y, x) =
+    * 2·((id·29 + ⌊y/8⌋·13 + ⌊x/8⌋·7) % 128) — constant blocks have a
+    * DC-only DCT and q(0,0)=16 divides 8·(v−128) exactly for even v,
+    * so the lossy codec is EXACT on this corpus and the oracle can
+    * recompute every pixel WITHOUT a decoder.
+    */
+  def jpegTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (8 * (2 + id % 3)).toInt
+        val h = (8 * (2 + (id * 5) % 3)).toInt
+        val gray = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            gray(y * w + x) =
+              (2 * ((id * 29 + (y / 8) * 13 + (x / 8) * 7) % 128)).toByte
+            x += 1
+          }
+          y += 1
+        }
+        val payload = Jpeg.encode(w, h, gray)
+        MediaRow(id, "image/jpeg", payload.length.toLong, payload)
+      }
+    }.toDF()
+  }
+
+  case class JpegStats(doc_id: Long, width: Long, height: Long,
+      sum_gray: Long, pixels_md5: String)
+
+  /** REAL decode ([[Jpeg.decode]]: marker walk, Huffman table
+    * reconstruction, stuffed-bit entropy decode, dequant, IDCT)
+    * reduced to oracle-checkable per-image stats; `pixels_md5` (over
+    * the lowercase hex of the decoded gray bytes) binds every pixel
+    * of the reconstruction. Undecodable payloads are dropped.
+    */
+  def decodeJpegStats(spark: SparkSession, media: DataFrame)
+      : Dataset[JpegStats] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        Jpeg.decode(r.payload).map { d =>
+          var sum = 0L
+          val sb = new java.lang.StringBuilder(d.gray.length * 2)
+          var i = 0
+          while (i < d.gray.length) {
+            val b = d.gray(i) & 0xFF
+            sum += b
+            sb.append(Character.forDigit(b >> 4, 16))
+              .append(Character.forDigit(b & 15, 16))
+            i += 1
+          }
+          val dig = java.security.MessageDigest.getInstance("MD5")
+            .digest(sb.toString.getBytes("US-ASCII"))
+          JpegStats(r.doc_id, d.width.toLong, d.height.toLong, sum,
+            dig.map(b => f"${b & 0xFF}%02x").mkString)
+        }
+      }
+    }
+  }
+
   /** Plant REAL WAV clips (encoded by [[Wav.encode]]: RIFF container,
     * odd-length LIST chunk exercising skip-and-pad, interleaved
     * 16-bit PCM): rate/channels/frames and every sample are

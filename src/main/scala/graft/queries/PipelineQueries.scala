@@ -1942,6 +1942,44 @@ object PipelineQueries {
              |FROM px GROUP BY doc_id, w, h
              |ORDER BY doc_id""".stripMargin)),
 
+    // REAL baseline JPEG decode: planted images go through the FULL
+    // lossy codec — forward DCT + Annex K quantization + canonical
+    // Huffman entropy coding at write time; marker walk, huffman
+    // table reconstruction (mincode/maxcode/valptr), stuffed-bit
+    // entropy decode, DC-difference EXTEND, AC run-length/EOB,
+    // dequant through the zigzag, and floating IDCT at read time.
+    // The planted corpus is constant-per-8x8-block with EVEN values:
+    // its DCT is DC-only and q(0,0)=16 divides 8*(v-128) exactly, so
+    // the lossy path is bit-exact on these inputs and the oracle
+    // pins every decoded pixel by md5 WITHOUT a decoder. Scale
+    // shape: map-side decode, no shuffle but the deterministic sort.
+    Q("m9_jpeg_decode",
+      (s, d) => Multimodal.decodeJpegStats(s,
+          Multimodal.jpegTable(s, Tables.documents(s, d)))
+        .toDF().orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id,
+             |    8 * (2 + doc_id % 3) AS w,
+             |    8 * (2 + (doc_id * 5) % 3) AS h
+             |  FROM documents
+             |),
+             |px AS (
+             |  SELECT doc_id, w, h, gy.y AS y, gx.x AS x,
+             |    2 * ((doc_id * 29 + (gy.y // 8) * 13
+             |          + (gx.x // 8) * 7) % 128) AS b
+             |  FROM dims,
+             |    (SELECT unnest(range(0, 32)) AS y) gy,
+             |    (SELECT unnest(range(0, 32)) AS x) gx
+             |  WHERE gy.y < h AND gx.x < w
+             |)
+             |SELECT doc_id, CAST(w AS BIGINT) AS width,
+             |  CAST(h AS BIGINT) AS height,
+             |  CAST(SUM(b) AS BIGINT) AS sum_gray,
+             |  md5(lower(string_agg(lpad(to_hex(b), 2, '0'), ''
+             |    ORDER BY y, x))) AS pixels_md5
+             |FROM px GROUP BY doc_id, w, h
+             |ORDER BY doc_id""".stripMargin)),
+
     // REAL WAV decode: planted clips are full RIFF containers (odd-
     // length LIST chunk exercising the skip-and-pad path, interleaved
     // 16-bit PCM) and Wav.decode walks chunks with CRC-less RIFF
