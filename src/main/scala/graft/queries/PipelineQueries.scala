@@ -6,7 +6,7 @@ import graft.{Q, Tables}
 import graft.functions.{Bpe, TextHash}
 import graft.graph.ConnectedComponents
 import graft.multimodal.Multimodal
-import graft.operators.{Decontaminate, Dedup, KMeans, PiiScrub, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Decontaminate, Dedup, HtmlExtract, KMeans, PiiScrub, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline surface (SURVEY.md §2 block D): dedup
   * family, text analysis, similarity search, multimodal plumbing.
@@ -906,6 +906,33 @@ object PipelineQueries {
               |    AS BIGINT) AS logprob_e6
               |FROM units t JOIN lm USING (token)
               |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)),
+
+    // HTML -> text extraction (the WET step of a web-crawl pipeline,
+    // run before every quality/dedup stage): planted pages wrap each
+    // doc's text in real chrome — script with angle-bracket code,
+    // style, comments, entity-encoded headline/link text, attribute
+    // query strings — and the extractor removes script/style
+    // subtrees, comments, and tags, decodes the core entity set
+    // (AFTER tag strip: "&lt;finest&gt;" is content, not markup;
+    // &amp; last), and collapses whitespace. All codegen'd
+    // regexp_replace/replace — no UDF. Scale shape: pure map-side
+    // narrow projection, zero shuffle beyond the deterministic sort.
+    Q("d31_html_extract",
+      (s, d) => HtmlExtract.htmlTable(Tables.documents(s, d))
+        .select(col("doc_id"),
+          HtmlExtract.extract(col("html")).as("body_text"))
+        .select(col("doc_id"), length(col("body_text")).cast("long")
+          .as("n_chars"), col("body_text"))
+        .orderBy("doc_id"),
+      Some(s"""WITH h AS (
+              |  SELECT doc_id, ${HtmlExtract.oracleHtml} AS html
+              |  FROM documents
+              |)
+              |SELECT doc_id,
+              |  CAST(length(${HtmlExtract.oracleExtract("html")})
+              |    AS BIGINT) AS n_chars,
+              |  ${HtmlExtract.oracleExtract("html")} AS body_text
+              |FROM h ORDER BY doc_id""".stripMargin)),
 
     // Per-stratum RELATIVE quality gate (the CCNet-style bucket cut):
     // d13 filters on an absolute score, but curation pipelines also
