@@ -41,6 +41,19 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("media decode family and HTML extraction stay map-side") {
+    // Real decode (m7 PNG, m8 WAV, m9 JPEG) and the d31 strip chain
+    // are embarrassingly parallel scans: exactly one exchange (the
+    // deterministic ORDER BY), never a decode-side shuffle.
+    for (q <- Seq("m7_png_decode", "m8_wav_decode", "m9_jpeg_decode",
+        "d31_html_extract")) {
+      val p = plan(q)
+      val exchanges = "Exchange (?:range|hash|Single)".r.findAllIn(p).size
+      assert(exchanges == 1,
+        s"$q: expected exactly the ORDER BY exchange, got $exchanges\n$p")
+    }
+  }
+
   test("exact percentiles carry domain-bounded state, not row-linear buffers") {
     // The built-in `percentile` ObjectHashAggregate buffers every
     // group value — a 100x scale-killer on large strata. Both
