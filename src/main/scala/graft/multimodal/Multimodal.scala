@@ -96,10 +96,12 @@ object Multimodal {
     * can recompute the expected pixels WITHOUT a decoder and pin the
     * decoded bytes exactly.
     */
-  def pngTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+  def pngTable(spark: SparkSession, docs: DataFrame,
+      seedOf: Long => Long = identity): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
-      ids.map { id =>
+      ids.map { docId =>
+        val id = seedOf(docId)
         val w = (4 + id % 5).toInt
         val h = (4 + (id * 3) % 5).toInt
         val rgb = new Array[Byte](w * h * 3)
@@ -118,7 +120,7 @@ object Multimodal {
           y += 1
         }
         val payload = Png.encode(w, h, rgb, y => y % 5)
-        MediaRow(id, "image/png", payload.length.toLong, payload)
+        MediaRow(docId, "image/png", payload.length.toLong, payload)
       }
     }.toDF()
   }
@@ -289,6 +291,90 @@ object Multimodal {
           WavStats(r.doc_id, d.sampleRate.toLong, d.channels.toLong,
             d.samples.length.toLong, sum, peak,
             dig.map(b => f"${b & 0xFF}%02x").mkString)
+        }
+      }
+    }
+  }
+
+  case class DHashRow(doc_id: Long, dhash_hex: String)
+
+  /** Difference hash over REAL decoded pixels ([[Png.decode]]): the
+    * perceptual-hash pass of an image dedup pipeline, on actual
+    * reconstructed RGB — not payload bytes. Grayscale by integer
+    * (r+g+b)/3, nearest-neighbor sample to a 9×8 grid (the dHash
+    * resize, exact integer stride arithmetic so the oracle can
+    * mirror it), then 64 bits of left-vs-right comparisons packed as
+    * 16 hex chars (8 row bytes — a string, so no sign-bit overflow
+    * games with BIGINT). Undecodable payloads are dropped.
+    */
+  def pngDHash(spark: SparkSession, media: DataFrame)
+      : Dataset[DHashRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        Png.decode(r.payload).map { d =>
+          val w = d.width; val h = d.height
+          def gray(y: Int, x: Int): Int = {
+            val base = (y * w + x) * 3
+            ((d.rgb(base) & 0xFF) + (d.rgb(base + 1) & 0xFF) +
+              (d.rgb(base + 2) & 0xFF)) / 3
+          }
+          val sb = new java.lang.StringBuilder(16)
+          var y8 = 0
+          while (y8 < 8) {
+            val sy = y8 * h / 8
+            var rowByte = 0
+            var x9 = 0
+            while (x9 < 8) {
+              val sxL = x9 * w / 9
+              val sxR = (x9 + 1) * w / 9
+              if (gray(sy, sxR) > gray(sy, sxL)) rowByte |= (1 << x9)
+              x9 += 1
+            }
+            sb.append(Character.forDigit(rowByte >> 4, 16))
+              .append(Character.forDigit(rowByte & 15, 16))
+            y8 += 1
+          }
+          DHashRow(r.doc_id, sb.toString)
+        }
+      }
+    }
+  }
+
+  case class AudioFeatures(doc_id: Long, n_samples: Long, sum_sq: Long,
+      zero_cross: Long, dc_sum: Long)
+
+  /** DSP features over REAL decoded PCM ([[Wav.decode]]): energy
+    * (exact integer sum of squares), zero crossings counted PER
+    * CHANNEL through the interleaving (a crossing is a sign change
+    * between consecutive frames of the SAME channel — counting
+    * across the interleaved stream would mix channels), and the DC
+    * offset sum. All exact integers, so cross-engine parity is
+    * arithmetic, not floating-point luck.
+    */
+  def audioFeatures(spark: SparkSession, media: DataFrame)
+      : Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        Wav.decode(r.payload).map { d =>
+          val ch = d.channels
+          val n = d.samples.length
+          var sumSq = 0L
+          var dc = 0L
+          var zc = 0L
+          var i = 0
+          while (i < n) {
+            val v = d.samples(i).toLong
+            sumSq += v * v
+            dc += v
+            if (i >= ch) {
+              val prev = d.samples(i - ch).toLong // same channel, prior frame
+              if ((v >= 0) != (prev >= 0)) zc += 1
+            }
+            i += 1
+          }
+          AudioFeatures(r.doc_id, n.toLong, sumSq, zc, dc)
         }
       }
     }

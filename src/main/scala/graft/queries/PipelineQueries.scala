@@ -2045,6 +2045,104 @@ object PipelineQueries {
              |FROM s GROUP BY doc_id, sr, ch
              |ORDER BY doc_id""".stripMargin)),
 
+    // Perceptual hash over REAL decoded pixels: the image-dedup pass
+    // on actual reconstructed RGB, not payload bytes. A seeded PNG
+    // corpus (seed = doc_id % 97, so ~5 docs share each image)
+    // decodes through the full zlib+unfilter path, then dHash:
+    // integer grayscale, nearest-neighbor 9x8 sample grid (exact
+    // stride arithmetic the oracle mirrors), 64 left-vs-right bits
+    // as 16 hex chars. Identical images collapse to identical
+    // hashes; n_same counts the group. Scale shape: map-side decode
+    // + hash, one partial-agg exchange on the hash key, AQE
+    // broadcasts the group-count side back.
+    Q("m10_image_dhash",
+      (s, d) => {
+        val hashes = Multimodal.pngDHash(s,
+          Multimodal.pngTable(s, Tables.documents(s, d), _ % 97)).toDF()
+        val counts = hashes.groupBy("dhash_hex")
+          .agg(count(lit(1)).as("n_same"))
+        hashes.join(broadcast(counts), "dhash_hex")
+          .select(col("doc_id"), col("dhash_hex"), col("n_same"))
+          .orderBy("doc_id")
+      },
+      Some {
+        def g(sx: String): String = {
+          val k = s"(sv*31 + ((y8*h)//8)*7 + ($sx)*3)"
+          s"((($k) % 256 + ($k + 1) % 256 + ($k + 2) % 256) // 3)"
+        }
+        s"""WITH d AS (
+           |  SELECT doc_id, doc_id % 97 AS sv,
+           |    4 + (doc_id % 97) % 5 AS w,
+           |    4 + ((doc_id % 97) * 3) % 5 AS h
+           |  FROM documents
+           |),
+           |bits AS (
+           |  SELECT doc_id, gy.y8 AS y8, gx.x9 AS x9,
+           |    CASE WHEN ${g("((x9+1)*w)//9")} > ${g("(x9*w)//9")}
+           |      THEN 1 ELSE 0 END AS bit
+           |  FROM d,
+           |    (SELECT unnest(range(0, 8)) AS y8) gy,
+           |    (SELECT unnest(range(0, 8)) AS x9) gx
+           |),
+           |rws AS (
+           |  SELECT doc_id, y8,
+           |    CAST(SUM(bit * (1 << x9)) AS BIGINT) AS row_byte
+           |  FROM bits GROUP BY doc_id, y8
+           |),
+           |hashes AS (
+           |  SELECT doc_id, string_agg(lower(lpad(to_hex(row_byte),
+           |    2, '0')), '' ORDER BY y8) AS dhash_hex
+           |  FROM rws GROUP BY doc_id
+           |),
+           |cnt AS (SELECT dhash_hex, count(*) AS c
+           |        FROM hashes GROUP BY 1)
+           |SELECT h.doc_id, h.dhash_hex, CAST(cnt.c AS BIGINT) AS n_same
+           |FROM hashes h JOIN cnt USING (dhash_hex)
+           |ORDER BY h.doc_id""".stripMargin
+      }),
+
+    // Audio features over REAL decoded PCM: the m8 corpus decoded
+    // again, then energy / per-channel zero crossings / DC offset —
+    // the signal stats an audio curation gate (silence, clipping,
+    // mono-vs-stereo sanity) filters on. Zero crossings step through
+    // the interleaving per channel: a crossing is a sign change
+    // between consecutive frames of the SAME channel. All exact
+    // integers. Scale shape: map-side decode+fold, no shuffle but
+    // the deterministic sort.
+    Q("m11_audio_features",
+      (s, d) => Multimodal.audioFeatures(s,
+          Multimodal.wavTable(s, Tables.documents(s, d)))
+        .toDF().orderBy("doc_id"),
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |    1 + doc_id % 2 AS ch,
+             |    32 + (doc_id * 7) % 33 AS nf
+             |  FROM documents
+             |),
+             |s AS (
+             |  SELECT doc_id, ch, nf, gi.i AS i, gc.c AS c,
+             |    ((doc_id * 131 + gi.i * 37 + gc.c * 17 + 13) % 65536)
+             |      - 32768 AS v
+             |  FROM p,
+             |    (SELECT unnest(range(0, 65)) AS i) gi,
+             |    (SELECT unnest(range(0, 2)) AS c) gc
+             |  WHERE gi.i < nf AND gc.c < ch
+             |),
+             |x AS (
+             |  SELECT doc_id, i, c, v,
+             |    lag(v) OVER (PARTITION BY doc_id, c ORDER BY i) AS pv
+             |  FROM s
+             |)
+             |SELECT doc_id,
+             |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+             |  CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+             |  CAST(SUM(CASE WHEN pv IS NOT NULL
+             |    AND (v >= 0) != (pv >= 0) THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS zero_cross,
+             |  CAST(SUM(v) AS BIGINT) AS dc_sum
+             |FROM x GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
     // Image header sniff — real PNG/JPEG STRUCTURE (not stand-in
     // bytes): both engines plant bit-identical valid headers from
     // doc_id (PNG signature + IHDR for even ids; JFIF APP0 +

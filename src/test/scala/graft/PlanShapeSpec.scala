@@ -46,7 +46,7 @@ class PlanShapeSpec extends SparkSpec {
     // are embarrassingly parallel scans: exactly one exchange (the
     // deterministic ORDER BY), never a decode-side shuffle.
     for (q <- Seq("m7_png_decode", "m8_wav_decode", "m9_jpeg_decode",
-        "d31_html_extract")) {
+        "m11_audio_features", "d31_html_extract")) {
       val p = plan(q)
       val exchanges = "Exchange (?:range|hash|Single)".r.findAllIn(p).size
       assert(exchanges == 1,
