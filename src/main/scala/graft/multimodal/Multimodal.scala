@@ -341,6 +341,37 @@ object Multimodal {
     }
   }
 
+  case class ThumbPixel(doc_id: Long, idx: Long, r: Long, g: Long,
+      b: Long)
+
+  /** REAL 2-D thumbnail (upgrades the 1-D stride stand-in of m3 to
+    * actual image geometry): decode, then nearest-neighbor resample
+    * to a fixed side×side RGB thumbnail — source(ty, tx) =
+    * (⌊ty·h/side⌋, ⌊tx·w/side⌋), exact integer strides the oracle
+    * mirrors. One row per thumbnail pixel; fixed output width
+    * regardless of input size (what makes a feature store's row
+    * width predictable). Undecodable payloads are dropped.
+    */
+  def pngThumbnail(spark: SparkSession, media: DataFrame, side: Int)
+      : Dataset[ThumbPixel] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        Png.decode(r.payload).iterator.flatMap { d =>
+          val w = d.width; val h = d.height
+          (0 until side * side).iterator.map { idx =>
+            val ty = idx / side; val tx = idx % side
+            val base = ((ty * h / side) * w + (tx * w / side)) * 3
+            ThumbPixel(r.doc_id, idx.toLong,
+              (d.rgb(base) & 0xFF).toLong,
+              (d.rgb(base + 1) & 0xFF).toLong,
+              (d.rgb(base + 2) & 0xFF).toLong)
+          }
+        }
+      }
+    }
+  }
+
   case class AudioFeatures(doc_id: Long, n_samples: Long, sum_sq: Long,
       zero_cross: Long, dc_sum: Long)
 

@@ -2101,6 +2101,33 @@ object PipelineQueries {
            |ORDER BY h.doc_id""".stripMargin
       }),
 
+    // REAL 2-D thumbnail over decoded pixels: m3's 1-D stride
+    // stand-in upgraded to actual image geometry — decode the PNG
+    // corpus, nearest-neighbor resample to a fixed 4x4 RGB
+    // thumbnail with exact integer strides the oracle mirrors.
+    // Scale shape: map-side decode+resample, fixed 16-row output
+    // per image, no shuffle but the deterministic sort.
+    Q("m12_thumbnail",
+      (s, d) => Multimodal.pngThumbnail(s,
+          Multimodal.pngTable(s, Tables.documents(s, d)), 4)
+        .toDF().orderBy("doc_id", "idx"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 4 + doc_id % 5 AS w,
+             |    4 + (doc_id * 3) % 5 AS h
+             |  FROM documents
+             |),
+             |px AS (
+             |  SELECT doc_id, g.idx AS idx,
+             |    ((g.idx // 4) * h) // 4 AS sy,
+             |    ((g.idx % 4) * w) // 4 AS sx
+             |  FROM dims, (SELECT unnest(range(0, 16)) AS idx) g
+             |)
+             |SELECT doc_id, CAST(idx AS BIGINT) AS idx,
+             |  CAST((doc_id * 31 + sy * 7 + sx * 3) % 256 AS BIGINT) AS r,
+             |  CAST((doc_id * 31 + sy * 7 + sx * 3 + 1) % 256 AS BIGINT) AS g,
+             |  CAST((doc_id * 31 + sy * 7 + sx * 3 + 2) % 256 AS BIGINT) AS b
+             |FROM px ORDER BY doc_id, idx""".stripMargin)),
+
     // Audio features over REAL decoded PCM: the m8 corpus decoded
     // again, then energy / per-channel zero crossings / DC offset —
     // the signal stats an audio curation gate (silence, clipping,

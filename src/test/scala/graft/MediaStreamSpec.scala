@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.multimodal.{Multimodal, Png, Wav}
+
+/** Streaming twins of the REAL decode family: the m7/m10/m11 batch
+  * plans are stateless mapPartitions transforms, so ONE definition
+  * serves both engines — each is driven through MemoryStream here
+  * and parity-checked against its batch result on the same rows
+  * (ingest-time decode for an arriving media firehose).
+  */
+class MediaStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def png(id: Long): Multimodal.MediaRow = {
+    val w = 5 + (id % 3).toInt; val h = 4 + (id % 4).toInt
+    val rgb = Array.tabulate(w * h * 3)(i => (id * 13 + i * 7).toByte)
+    val p = Png.encode(w, h, rgb, y => (y + id.toInt) % 5)
+    Multimodal.MediaRow(id, "image/png", p.length.toLong, p)
+  }
+
+  private def wav(id: Long): Multimodal.MediaRow = {
+    val ch = 1 + (id % 2).toInt
+    val samples = Array.tabulate(24 * ch)(i => (id * 977 + i * 313 - 9000).toShort)
+    val p = Wav.encode(8000, ch, samples)
+    Multimodal.MediaRow(id, "audio/wav", p.length.toLong, p)
+  }
+
+  test("parity: streaming PNG decode equals the batch m7 stats plan") {
+    val rows = (1L to 6L).map(png)
+    val stream = MemoryStream[Multimodal.MediaRow](spark)
+    val q = Multimodal.decodePngStats(spark, stream.toDF())
+      .writeStream.format("memory").queryName("png_t")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("png_t").as[Multimodal.PngStats]
+        .collect().toSet
+      val want = Multimodal.decodePngStats(spark, rows.toDF())
+        .collect().toSet
+      assert(got == want && got.size == 6)
+    } finally q.stop()
+  }
+
+  test("parity: streaming dHash equals the batch hash on decoded pixels") {
+    val rows = Seq(png(1), png(2), png(1).copy(doc_id = 9)) // 9 dups 1
+    val stream = MemoryStream[Multimodal.MediaRow](spark)
+    val q = Multimodal.pngDHash(spark, stream.toDF())
+      .writeStream.format("memory").queryName("dhash_t")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("dhash_t").as[Multimodal.DHashRow]
+        .collect().toSet
+      val want = Multimodal.pngDHash(spark, rows.toDF()).collect().toSet
+      assert(got == want)
+      // identical pixels → identical hash across distinct doc_ids
+      val byId = got.map(r => r.doc_id -> r.dhash_hex).toMap
+      assert(byId(1L) == byId(9L) && byId(1L) != byId(2L))
+    } finally q.stop()
+  }
+
+  test("parity: streaming audio features equal the batch m11 fold") {
+    val rows = (1L to 5L).map(wav)
+    val stream = MemoryStream[Multimodal.MediaRow](spark)
+    val q = Multimodal.audioFeatures(spark, stream.toDF())
+      .writeStream.format("memory").queryName("audio_t")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("audio_t").as[Multimodal.AudioFeatures]
+        .collect().toSet
+      val want = Multimodal.audioFeatures(spark, rows.toDF())
+        .collect().toSet
+      assert(got == want && got.size == 5)
+    } finally q.stop()
+  }
+
+  test("undecodable payloads drop in both engines identically") {
+    val bad = Multimodal.MediaRow(7L, "image/png",
+      3L, Array[Byte](1, 2, 3))
+    val rows = Seq(png(1), bad)
+    val stream = MemoryStream[Multimodal.MediaRow](spark)
+    val q = Multimodal.decodePngStats(spark, stream.toDF())
+      .writeStream.format("memory").queryName("bad_t")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows: _*)
+      q.processAllAvailable()
+      assert(spark.table("bad_t").count() == 1)
+      assert(Multimodal.decodePngStats(spark, rows.toDF()).count() == 1)
+    } finally q.stop()
+  }
+}
