@@ -819,6 +819,80 @@ object PipelineQueries {
               |HAVING count(*) >= (SELECT count(*) // 40 FROM tk)
               |ORDER BY cnt DESC, token""".stripMargin)),
 
+    // Count-Min sketch, Spark-first: the classic d x w frequency
+    // sketch IS a hashed-cell aggregation, so instead of a custom
+    // buffer it's declared as inline-explode over d=4 salted
+    // universal hashes + groupBy(r, j) — partial aggregation gives
+    // the map-side combine, total state is the 4x1024 counter grid
+    // regardless of corpus size, and merging IS the shuffle's sum.
+    // Probes (top-30 exact tokens) read min over the 4 cells;
+    // CMS >= exact always, equality when no cell collides. At 100 TB
+    // the counter grid is the only reduced state — this is the
+    // bounded-sketch alternative when d18's Misra-Gries top-k isn't
+    // enough and per-ANY-token estimates are needed.
+    Q("d32_countmin",
+      (s, d) => {
+        val P = TextHash.P
+        val W = 1024
+        val salts = Seq((0, 131L, 17L), (1, 137L, 29L),
+          (2, 139L, 41L), (3, 149L, 53L))
+        def j(a: Long, b: Long) =
+          ((lit(a) * col("th") + lit(b)) % P) % W
+        val toks = Tables.documents(s, d)
+          .select(explode(expr(TextHash.sparkTokenHashes("text")))
+            .as("th"))
+        val counters = toks
+          .select(inline(array(salts.map { case (r, a, b) =>
+            struct(lit(r).as("r"), j(a, b).as("j"))
+          }: _*)))
+          .groupBy("r", "j").agg(count(lit(1)).as("c"))
+        val probes = toks.groupBy("th").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("th")).limit(30)
+        val probeCells = probes
+          .select(col("th"), col("cnt"), inline(array(salts.map {
+            case (r, a, b) =>
+              struct(lit(r).as("r"), j(a, b).as("j"))
+          }: _*)))
+        probeCells.join(broadcast(counters), Seq("r", "j"))
+          .groupBy("th", "cnt").agg(min(col("c")).as("cms_est"))
+          .select(col("th"), col("cnt").as("exact_cnt"),
+            col("cms_est"))
+          .orderBy(col("exact_cnt").desc, col("th"))
+      },
+      Some {
+        def j(r: Int): String = {
+          val (a, b) = Seq((131, 17), (137, 29), (139, 41),
+            (149, 53))(r)
+          s"(($a * th + $b) % ${TextHash.P}) % 1024"
+        }
+        val cellCase = s"""CASE rr.r WHEN 0 THEN ${j(0)}
+                          | WHEN 1 THEN ${j(1)}
+                          | WHEN 2 THEN ${j(2)}
+                          | ELSE ${j(3)} END""".stripMargin
+        s"""WITH ${TextHash.duckToksCte},
+           |tk AS (SELECT unnest(th) AS th FROM toks),
+           |cells AS (
+           |  SELECT rr.r AS r, $cellCase AS j
+           |  FROM tk, (SELECT unnest(range(0, 4)) AS r) rr
+           |),
+           |counters AS (
+           |  SELECT r, j, count(*) AS c FROM cells GROUP BY 1, 2
+           |),
+           |probes AS (
+           |  SELECT th, count(*) AS cnt FROM tk GROUP BY th
+           |  ORDER BY cnt DESC, th LIMIT 30
+           |),
+           |pc AS (
+           |  SELECT p.th, p.cnt, rr.r AS r, $cellCase AS j
+           |  FROM probes p, (SELECT unnest(range(0, 4)) AS r) rr
+           |)
+           |SELECT pc.th, CAST(pc.cnt AS BIGINT) AS exact_cnt,
+           |  CAST(MIN(c.c) AS BIGINT) AS cms_est
+           |FROM pc JOIN counters c ON c.r = pc.r AND c.j = pc.j
+           |GROUP BY pc.th, pc.cnt
+           |ORDER BY exact_cnt DESC, th""".stripMargin
+      }),
+
     // LM fluency scoring (the CCNet perplexity-filter shape, with a
     // corpus unigram model standing in for KenLM — no external model
     // files in this container): build the LM as one (token, count)
