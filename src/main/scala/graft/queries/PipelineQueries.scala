@@ -819,6 +819,71 @@ object PipelineQueries {
               |HAVING count(*) >= (SELECT count(*) // 40 FROM tk)
               |ORDER BY cnt DESC, token""".stripMargin)),
 
+    // URL/domain filtering (the crawl-frontier curation gate): hosts
+    // planted per doc, host extracted from the URL by regex,
+    // REGISTRABLE domain derived with a public-suffix-style rule
+    // (multi-label suffixes like co.uk take three labels, everything
+    // else two — the real PSL is a data file; the algorithm is this),
+    // then a broadcast ANTI-join against the blocklist of registrable
+    // domains. Subdomain evasion (a.b.tracker.net, img.ads.co.uk)
+    // is caught because the join key is the registrable domain, not
+    // the host. Scale shape: map-side extract + broadcast anti-join,
+    // one exchange for the deterministic sort.
+    Q("d33_url_filter",
+      (s, d) => {
+        import s.implicits._
+        val hosts = Seq("docs.example.com", "a.b.tracker.net",
+          "blog.example.org", "x.spam.biz", "news.site.co.uk",
+          "img.ads.co.uk", "cdn.example.com")
+        val blocklist = Seq("tracker.net", "spam.biz", "ads.co.uk")
+          .toDF("blocked")
+        val urls = Tables.documents(s, d).select(col("doc_id"),
+          concat(lit("https://"),
+            element_at(array(hosts.map(lit): _*),
+              (col("doc_id") % hosts.size).cast("int") + 1),
+            lit("/p/"), col("doc_id").cast("string")).as("url"))
+        val withHost = urls.withColumn("host",
+          regexp_extract(col("url"), "^https?://([^/]+)/", 1))
+        val labels = split(col("host"), "\\.")
+        val n = size(labels)
+        val suffix2 = concat_ws(".",
+          element_at(labels, n - 1), element_at(labels, n))
+        val reg = when(suffix2.isin("co.uk"),
+            concat_ws(".", element_at(labels, n - 2), suffix2))
+          .otherwise(suffix2)
+        withHost.withColumn("reg_domain", reg)
+          .join(broadcast(blocklist),
+            col("reg_domain") === col("blocked"), "left_anti")
+          .select(col("doc_id"), col("host"), col("reg_domain"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id,
+             |    'https://' || (['docs.example.com', 'a.b.tracker.net',
+             |      'blog.example.org', 'x.spam.biz', 'news.site.co.uk',
+             |      'img.ads.co.uk', 'cdn.example.com'])
+             |      [CAST(doc_id % 7 AS INT) + 1]
+             |      || '/p/' || doc_id AS url
+             |  FROM documents
+             |),
+             |h AS (
+             |  SELECT doc_id,
+             |    regexp_extract(url, '^https?://([^/]+)/', 1) AS host
+             |  FROM u
+             |),
+             |r AS (
+             |  SELECT doc_id, host,
+             |    CASE WHEN sp[-2] || '.' || sp[-1] IN ('co.uk')
+             |      THEN sp[-3] || '.' || sp[-2] || '.' || sp[-1]
+             |      ELSE sp[-2] || '.' || sp[-1] END AS reg_domain
+             |  FROM (SELECT doc_id, host, string_split(host, '.') AS sp
+             |        FROM h)
+             |)
+             |SELECT doc_id, host, reg_domain FROM r
+             |WHERE reg_domain NOT IN
+             |  ('tracker.net', 'spam.biz', 'ads.co.uk')
+             |ORDER BY doc_id""".stripMargin)),
+
     // Count-Min sketch, Spark-first: the classic d x w frequency
     // sketch IS a hashed-cell aggregation, so instead of a custom
     // buffer it's declared as inline-explode over d=4 salted
