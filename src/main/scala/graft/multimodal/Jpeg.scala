@@ -138,6 +138,8 @@ object Jpeg {
     * Edge blocks replicate border pixels (standard practice).
     */
   def encode(width: Int, height: Int, gray: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= 0xFFFF && height <= 0xFFFF,
+      "SOF0 carries dimensions as u16")
     require(gray.length == width * height, "gray must be w*h bytes")
     val out = new java.io.ByteArrayOutputStream()
     def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }

@@ -49,6 +49,7 @@ object Png {
     */
   def encode(width: Int, height: Int, rgb: Array[Byte],
       filterOf: Int => Int): Array[Byte] = {
+    require(width > 0 && height > 0, "IHDR dimensions must be positive")
     require(rgb.length == width * height * 3, "rgb must be w*h*3 bytes")
     val bpp = 3
     val stride = width * bpp

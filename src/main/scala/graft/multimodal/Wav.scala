@@ -27,7 +27,9 @@ object Wav {
     */
   def encode(sampleRate: Int, channels: Int,
       samples: Array[Short]): Array[Byte] = {
-    require(channels > 0 && samples.length % channels == 0,
+    require(sampleRate > 0 && channels > 0 && channels <= 0xFFFF,
+      "fmt carries rate as u32 and channels as u16")
+    require(samples.length % channels == 0,
       "samples must be whole interleaved frames")
     val out = new java.io.ByteArrayOutputStream()
     def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
