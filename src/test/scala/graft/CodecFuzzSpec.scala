@@ -1,0 +1,77 @@
+package graft
+
+import graft.multimodal.{Jpeg, Png, Wav}
+
+/** Deterministic fuzz for the pure-JVM codecs: at corpus scale the
+  * decoders face untrusted bytes, so the contract is total — every
+  * input returns Some/None, never a throw — and valid files survive
+  * single-byte corruption as a CLEAN rejection or a well-formed
+  * decode, never an exception. Fixed seeds keep failures
+  * reproducible.
+  */
+class CodecFuzzSpec extends SparkSpec {
+
+  test("decoders are total on arbitrary bytes") {
+    val rnd = new scala.util.Random(0x5EED)
+    val pngMagic = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte)
+    val riffMagic = "RIFF0000WAVE".getBytes("US-ASCII")
+    val jpegMagic = Array(0xFF, 0xD8, 0xFF).map(_.toByte)
+    for (_ <- 1 to 600) {
+      val body = Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)
+      Png.decode(body); Wav.decode(body); Jpeg.decode(body)
+      // past the signature check, into the chunk/marker walkers
+      Png.decode(pngMagic ++ body)
+      Wav.decode(riffMagic ++ body)
+      Jpeg.decode(jpegMagic ++ body)
+    }
+    succeed
+  }
+
+  test("single-byte corruption and truncation of valid files never throw") {
+    val png = Png.encode(6, 5, Array.tabulate(90)(i => (i * 7).toByte),
+      y => y % 5)
+    val wav = Wav.encode(8000, 2,
+      Array.tabulate(24)(i => (i * 1000 - 12000).toShort))
+    val jpg = Jpeg.encode(16, 8, Array.tabulate(128)(i => (i * 3).toByte))
+    val rnd = new scala.util.Random(0xFA22)
+    for ((base, dec) <- Seq[(Array[Byte], Array[Byte] => Option[Any])](
+        (png, Png.decode), (wav, Wav.decode), (jpg, Jpeg.decode))) {
+      // every single-byte flip at every position, 4 flip values each
+      for (pos <- base.indices; _ <- 1 to 4) {
+        val m = base.clone()
+        m(pos) = (m(pos) ^ (1 + rnd.nextInt(255))).toByte
+        dec(m) // Some (benign byte) or None (rejected) — never throw
+      }
+      // truncation at every prefix length is likewise total
+      for (n <- 0 until base.length) dec(base.take(n))
+    }
+    succeed
+  }
+
+  test("random images/clips round-trip the lossless codecs exactly") {
+    val rnd = new scala.util.Random(0xC0DE)
+    for (_ <- 1 to 120) {
+      val w = 1 + rnd.nextInt(12); val h = 1 + rnd.nextInt(12)
+      val rgb = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+      val d = Png.decode(Png.encode(w, h, rgb, _ => rnd.nextInt(5)))
+      assert(d.exists(x => x.width == w && x.height == h &&
+        x.rgb.sameElements(rgb)))
+    }
+    for (_ <- 1 to 120) {
+      val ch = 1 + rnd.nextInt(3); val frames = rnd.nextInt(41)
+      val pcm = Array.fill(frames * ch)(rnd.nextInt(65536).toShort)
+      val d = Wav.decode(Wav.encode(44100, ch, pcm))
+      assert(d.exists(x => x.channels == ch &&
+        x.samples.sameElements(pcm)))
+    }
+    // JPEG is lossy; its exactness class (constant even blocks) is
+    // pinned in JpegSpec — here only totality on random valid input
+    for (_ <- 1 to 40) {
+      val w = 1 + rnd.nextInt(24); val h = 1 + rnd.nextInt(24)
+      val gray = Array.fill(w * h)(rnd.nextInt(256).toByte)
+      assert(Jpeg.decode(Jpeg.encode(w, h, gray))
+        .exists(x => x.width == w && x.height == h))
+    }
+  }
+}
