@@ -819,6 +819,58 @@ object PipelineQueries {
               |HAVING count(*) >= (SELECT count(*) // 40 FROM tk)
               |ORDER BY cnt DESC, token""".stripMargin)),
 
+    // Incremental corpus refresh (the snapshot-diff primitive a
+    // continuously-maintained training corpus runs between crawl
+    // versions): two simulated corpus versions (removals, additions,
+    // in-place edits), compared by doc FINGERPRINT so the full-outer
+    // join ships (id, 8-byte hash) — never text. At 100 TB the diff
+    // is one co-partitioned SMJ on doc_id over two fingerprint scans;
+    // the downstream delta (only 'added'/'changed' docs) is what
+    // feeds d21's incremental dedup.
+    Q("d34_snapshot_diff",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+        val fpOld = base.filter(col("doc_id") % 10 =!= 7)
+          .select(col("doc_id"),
+            expr(TextHash.sparkDocFingerprint("text")).as("fp_old"))
+        val fpNew = base.filter(col("doc_id") % 10 =!= 4)
+          .select(col("doc_id"),
+            when(col("doc_id") % 10 === 3,
+              concat(col("text"), lit(" refreshed")))
+              .otherwise(col("text")).as("text"))
+          .select(col("doc_id"),
+            expr(TextHash.sparkDocFingerprint("text")).as("fp_new"))
+        fpOld.join(fpNew, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            when(col("fp_old").isNull, "added")
+              .when(col("fp_new").isNull, "removed")
+              .when(col("fp_old") =!= col("fp_new"), "changed")
+              .otherwise("unchanged").as("status"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH oldv AS (
+              |  SELECT doc_id, ${TextHash.duckDocFingerprint("text")}
+              |    AS fp
+              |  FROM documents WHERE doc_id % 10 != 7
+              |),
+              |newv AS (
+              |  SELECT doc_id, ${TextHash.duckDocFingerprint("text")}
+              |    AS fp
+              |  FROM (SELECT doc_id,
+              |          CASE WHEN doc_id % 10 = 3
+              |            THEN text || ' refreshed' ELSE text END
+              |            AS text
+              |        FROM documents WHERE doc_id % 10 != 4)
+              |)
+              |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+              |  CASE WHEN o.doc_id IS NULL THEN 'added'
+              |       WHEN n.doc_id IS NULL THEN 'removed'
+              |       WHEN o.fp != n.fp THEN 'changed'
+              |       ELSE 'unchanged' END AS status
+              |FROM oldv o FULL OUTER JOIN newv n
+              |  ON o.doc_id = n.doc_id
+              |ORDER BY doc_id""".stripMargin)),
+
     // URL/domain filtering (the crawl-frontier curation gate): hosts
     // planted per doc, host extracted from the URL by regex,
     // REGISTRABLE domain derived with a public-suffix-style rule
