@@ -317,6 +317,7 @@ object Jpeg {
       // truncated segments land on array bounds rather than each read
       // carrying its own guard; malformed input is None, never a throw
       case _: IndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
     }
 
   private def decodeImpl(p: Array[Byte]): Option[Decoded] = {
@@ -396,6 +397,10 @@ object Jpeg {
       }
     }
     if (width <= 0 || height <= 0) return None
+    // both are u16 so the product bounds at ~2^32: size in Long and
+    // reject what a byte array can't hold rather than Int-overflowing
+    // into a negative allocation
+    if (width.toLong * height.toLong > Int.MaxValue - 8) return None
     if (qsel < 0 || quant(qsel) == null) return None
     if (dcTabs(dcSel) == null || acTabs(acSel) == null) return None
     val qt = quant(qsel)

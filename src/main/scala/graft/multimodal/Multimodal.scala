@@ -24,6 +24,29 @@ object Multimodal {
 
   val HistogramBins = 16
 
+  private def md5Ascii(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("US-ASCII"))
+      .map(b => f"${b & 0xFF}%02x").mkString
+
+  /** (md5 of the lowercase hex of the bytes, unsigned-byte sum) —
+    * the digest contract the m7/m9 oracles mirror; defined ONCE so
+    * the oracle-facing encoding can't drift between decoders.
+    */
+  private def pixelDigest(bytes: Array[Byte]): (String, Long) = {
+    var sum = 0L
+    val sb = new java.lang.StringBuilder(bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xFF
+      sum += b
+      sb.append(Character.forDigit(b >> 4, 16))
+        .append(Character.forDigit(b & 15, 16))
+      i += 1
+    }
+    (md5Ascii(sb.toString), sum)
+  }
+
   case class MediaRow(doc_id: Long, format: String, n_bytes: Long,
       payload: Array[Byte])
   case class MediaFeatures(doc_id: Long, format: String, n_bytes: Long,
@@ -140,20 +163,8 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { rows =>
       rows.flatMap { r =>
         Png.decode(r.payload).map { d =>
-          var sum = 0L
-          val sb = new java.lang.StringBuilder(d.rgb.length * 2)
-          var i = 0
-          while (i < d.rgb.length) {
-            val b = d.rgb(i) & 0xFF
-            sum += b
-            sb.append(Character.forDigit(b >> 4, 16))
-              .append(Character.forDigit(b & 15, 16))
-            i += 1
-          }
-          val dig = java.security.MessageDigest.getInstance("MD5")
-            .digest(sb.toString.getBytes("US-ASCII"))
-          PngStats(r.doc_id, d.width.toLong, d.height.toLong, sum,
-            dig.map(b => f"${b & 0xFF}%02x").mkString)
+          val (hex, sum) = pixelDigest(d.rgb)
+          PngStats(r.doc_id, d.width.toLong, d.height.toLong, sum, hex)
         }
       }
     }
@@ -207,20 +218,8 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { rows =>
       rows.flatMap { r =>
         Jpeg.decode(r.payload).map { d =>
-          var sum = 0L
-          val sb = new java.lang.StringBuilder(d.gray.length * 2)
-          var i = 0
-          while (i < d.gray.length) {
-            val b = d.gray(i) & 0xFF
-            sum += b
-            sb.append(Character.forDigit(b >> 4, 16))
-              .append(Character.forDigit(b & 15, 16))
-            i += 1
-          }
-          val dig = java.security.MessageDigest.getInstance("MD5")
-            .digest(sb.toString.getBytes("US-ASCII"))
-          JpegStats(r.doc_id, d.width.toLong, d.height.toLong, sum,
-            dig.map(b => f"${b & 0xFF}%02x").mkString)
+          val (hex, sum) = pixelDigest(d.gray)
+          JpegStats(r.doc_id, d.width.toLong, d.height.toLong, sum, hex)
         }
       }
     }
@@ -286,11 +285,8 @@ object Multimodal {
             sb.append(v)
             i += 1
           }
-          val dig = java.security.MessageDigest.getInstance("MD5")
-            .digest(sb.toString.getBytes("US-ASCII"))
           WavStats(r.doc_id, d.sampleRate.toLong, d.channels.toLong,
-            d.samples.length.toLong, sum, peak,
-            dig.map(b => f"${b & 0xFF}%02x").mkString)
+            d.samples.length.toLong, sum, peak, md5Ascii(sb.toString))
         }
       }
     }

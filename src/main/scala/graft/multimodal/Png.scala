@@ -115,7 +115,16 @@ object Png {
     * anything malformed: bad signature, CRC mismatch, unsupported
     * IHDR, truncated chunks, or inconsistent pixel data length.
     */
-  def decode(p: Array[Byte]): Option[Decoded] = {
+  def decode(p: Array[Byte]): Option[Decoded] =
+    try decodeImpl(p)
+    catch {
+      // totality is the contract: any residual crafted-input bounds
+      // surprise is a clean rejection, never a task-killing throw
+      case _: IndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+
+  private def decodeImpl(p: Array[Byte]): Option[Decoded] = {
     if (p.length < Signature.length + 12) return None
     var i = 0
     while (i < Signature.length) {
@@ -155,8 +164,13 @@ object Png {
     }
     if (!sawIhdr || width <= 0 || height <= 0) return None
     val bpp = 3
+    // size arithmetic in Long: a crafted IHDR (e.g. 2^30 × 1) must be
+    // rejected, not Int-overflow into a negative allocation; the raw
+    // pixel data also can't exceed what a single byte array holds
+    val expectL = (width.toLong * bpp + 1L) * height.toLong
+    if (expectL > Int.MaxValue - 8) return None
     val stride = width * bpp
-    val expect = (stride + 1) * height
+    val expect = expectL.toInt
     val filtered = new Array[Byte](expect)
     val inflater = new Inflater()
     inflater.setInput(idat.toByteArray)
@@ -165,6 +179,11 @@ object Png {
       while (got < expect && !inflater.finished()) {
         val n = inflater.inflate(filtered, got, expect - got)
         if (n == 0 && inflater.needsInput()) return None // truncated
+        // FDICT streams stall with needsInput()=false: inflate keeps
+        // returning 0 waiting for a preset dictionary we never supply
+        if (n == 0 && inflater.needsDictionary()) return None
+        if (n == 0 && !inflater.needsInput() &&
+          !inflater.finished()) return None // any other zero-progress stall
         got += n
       }
     } catch {

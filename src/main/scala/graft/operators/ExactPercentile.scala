@@ -36,7 +36,10 @@ object ExactPercentile {
 
   /** One row per key group: keys, a double column per requested
     * percentile, and `n` (the non-null value count). Null values are
-    * ignored, matching `percentile` semantics.
+    * ignored, matching `percentile` semantics — including all-NULL
+    * groups, which the built-in KEEPS with a NULL percentile (and
+    * n = 0 here): the group universe comes from the unfiltered
+    * input, so no key group silently disappears.
     *
     * @param pcts (outputColumnName, percentage) pairs, 0 <= p <= 1.
     */
@@ -44,6 +47,7 @@ object ExactPercentile {
       pcts: Seq[(String, Double)]): DataFrame = {
     require(pcts.nonEmpty && pcts.forall { case (_, p) => p >= 0 && p <= 1 })
     val keyCols = keys.map(col)
+    val universe = df.select(keyCols: _*).distinct()
     val counts = df.filter(col(valueCol).isNotNull)
       .groupBy((keyCols :+ col(valueCol)): _*)
       .agg(count(lit(1)).as("__cnt"))
@@ -76,6 +80,7 @@ object ExactPercentile {
         .otherwise((ceil(pos) - pos) * loV + (pos - floor(pos)) * hiV)
         .as(nm)
     } :+ col("n")
-    g.select(out: _*)
+    universe.join(g.select(out: _*), keys, "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
   }
 }

@@ -627,8 +627,9 @@ object PipelineQueries {
         // oracle recomputes the identical ceil from the same sum.
         val docs = Tables.documents(s, d)
         val total = docs
-          .select(sum(expr(s"size(${TextHash.sparkTokens("text")})"))
-            .cast("long")).head.getLong(0)
+          .select(coalesce(
+            sum(expr(s"size(${TextHash.sparkTokens("text")})"))
+              .cast("long"), lit(0L))).head.getLong(0)
         val shards = TextAnalysis.shardsFor(total, seqTokens = 64,
           targetSeqsPerShard = 200)
         TextAnalysis.packSequences(docs, seqTokens = 64, shards = shards)
@@ -1077,9 +1078,12 @@ object PipelineQueries {
     // shared plug point).
     Q("d30_bpe_lm_score",
       (s, d) => {
+        // BPE encoding is the dominant cost and tk feeds THREE
+        // consumers (the count action, the LM build, the score
+        // join) — persist so the merge loop runs once per doc
         val tk = Tables.documents(s, d).select(col("doc_id"),
           explode(Bpe.bpe_units(expr(TextHash.sparkTokens("text"))))
-            .as("token"))
+            .as("token")).persist()
         val n = tk.count() // corpus unit count (driver scalar handoff)
         val lm = tk.groupBy("token")
           .agg(log(count(lit(1)).cast("double") / n).as("logprob"))

@@ -80,6 +80,13 @@ object WarcSource {
             bad += WarcBad(file, start.toLong,
               "missing or non-numeric Content-Length")
             off = resync(start)
+          case Some(len) if len < 0 =>
+            // header-level failure: there is no meaningful payload to
+            // skip, so resync from the record start (like the
+            // missing-length case), not from past the header
+            bad += WarcBad(file, start.toLong,
+              s"negative Content-Length: $len")
+            off = resync(start)
           case Some(len) if hdrEnd + 4 + len > bytes.length =>
             bad += WarcBad(file, start.toLong,
               s"payload truncated: need $len bytes")

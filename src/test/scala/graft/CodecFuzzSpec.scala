@@ -49,6 +49,51 @@ class CodecFuzzSpec extends SparkSpec {
     succeed
   }
 
+  test("crafted adversarial inputs reject cleanly (valid CRCs, hostile fields)") {
+    def patchPngChunk(png: Array[Byte], chunkStart: Int,
+        edit: Array[Byte] => Unit): Array[Byte] = {
+      // chunkStart points at the 4-byte length; recompute the CRC
+      // over type+data after editing so only the FIELD is hostile
+      val p = png.clone()
+      edit(p)
+      val len = ((p(chunkStart) & 0xFF) << 24) |
+        ((p(chunkStart + 1) & 0xFF) << 16) |
+        ((p(chunkStart + 2) & 0xFF) << 8) | (p(chunkStart + 3) & 0xFF)
+      val crc = new java.util.zip.CRC32()
+      crc.update(p, chunkStart + 4, 4 + len)
+      val v = crc.getValue
+      val at = chunkStart + 8 + len
+      p(at) = ((v >> 24) & 0xFF).toByte; p(at + 1) = ((v >> 16) & 0xFF).toByte
+      p(at + 2) = ((v >> 8) & 0xFF).toByte; p(at + 3) = (v & 0xFF).toByte
+      p
+    }
+    val png = Png.encode(6, 5, Array.tabulate(90)(i => (i * 7).toByte),
+      y => y % 5)
+    // 1. IHDR declaring 2^30 x 2^30: must reject, not Int-overflow
+    //    into a negative allocation (IHDR data starts at offset 16)
+    val huge = patchPngChunk(png, 8, p => {
+      p(16) = 0x40; p(17) = 0; p(18) = 0; p(19) = 0
+      p(20) = 0x40; p(21) = 0; p(22) = 0; p(23) = 0
+    })
+    assert(Png.decode(huge).isEmpty)
+    // 2. zlib FDICT flag in IDAT (CMF/FLG = 0x78 0x20, checksum
+    //    valid): inflate stalls waiting for a dictionary — must
+    //    reject, not loop forever (first IDAT follows the 25-byte
+    //    IHDR chunk at offset 33; data begins at 41)
+    val fdict = patchPngChunk(png, 33, p => {
+      p(41) = 0x78; p(42) = 0x20
+    })
+    assert(Png.decode(fdict).isEmpty)
+    // 3. JPEG SOF0 declaring 65535 x 65535 (valid u16 fields): the
+    //    2^32-pixel allocation must reject, not overflow
+    val jpg = Jpeg.encode(16, 8, Array.tabulate(128)(i => (i * 3).toByte))
+    val sofAt = jpg.indices.find(i => (jpg(i) & 0xFF) == 0xFF &&
+      (jpg(i + 1) & 0xFF) == 0xC0).get
+    val hostile = jpg.clone()
+    for (k <- 0 until 4) hostile(sofAt + 5 + k) = 0xFF.toByte
+    assert(Jpeg.decode(hostile).isEmpty)
+  }
+
   test("random images/clips round-trip the lossless codecs exactly") {
     val rnd = new scala.util.Random(0xC0DE)
     for (_ <- 1 to 120) {

@@ -449,6 +449,17 @@ class OperatorsSpec extends SparkSpec {
       .grouped(dl, Seq("g"), "v", Seq("w" -> 0.1))
       .select(col("g"), col("w")).as[(String, Double)].collect().toMap
     assert(gotL == wantL)
+    // All-NULL groups: the built-in KEEPS the group with a NULL
+    // percentile; the scale-safe plan must not silently drop it.
+    val dn = Seq(("p", Some(1.0)), ("p", Some(3.0)),
+      ("q", None), ("q", None)).toDF("g", "v")
+    val gotN = graft.operators.ExactPercentile
+      .grouped(dn, Seq("g"), "v", Seq("m" -> 0.5))
+      .select("g", "m", "n")
+      .as[(String, Option[Double], Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(gotN("p") == ((Some(2.0), 2L)))
+    assert(gotN("q") == ((None, 0L)), "all-NULL group must survive")
   }
 
   test("nearest-centroid kernel: float inputs, ties to lowest cell") {

@@ -47,8 +47,10 @@ class WarcSpec extends SparkSpec {
   test("quarantines corrupt records and resyncs to the next boundary") {
     val badRec = ("WARC/1.0\r\nWARC-Type: response\r\n" +
       "Content-Length: not-a-number\r\n\r\n").getBytes("US-ASCII")
+    val negRec = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: -1\r\n\r\n").getBytes("US-ASCII")
     val bytes = rec("response", "<urn:a>", "https://e.com/1", "first") ++
-      badRec ++
+      badRec ++ negRec ++
       rec("response", "<urn:c>", "https://e.com/3", "after the bad one")
     val dir = Files.createTempDirectory("graft_warc2").toFile
     Files.write(new java.io.File(dir, "s.warc").toPath, bytes)
@@ -59,7 +61,9 @@ class WarcSpec extends SparkSpec {
       "the record after the corrupt one must survive (resync)")
     val bad = WarcSource.quarantine(parsed)
       .select("reason").as[String].collect()
-    assert(bad.length == 1 && bad(0).contains("Content-Length"))
+    assert(bad.length == 2 && bad.forall(_.contains("Content-Length")))
+    assert(bad.exists(_.contains("negative")),
+      "Content-Length: -1 must quarantine, not crash the shard")
   }
 
   test("streaming twin parses arriving shards identically") {
