@@ -820,6 +820,58 @@ object PipelineQueries {
               |HAVING count(*) >= (SELECT count(*) // 40 FROM tk)
               |ORDER BY cnt DESC, token""".stripMargin)),
 
+    // Blocked fuzzy matching (entity-resolution dedup for short
+    // strings — titles, names, product labels): DISTINCT titles plus
+    // deterministic typo variants (5th char deleted — the block key
+    // is the first 4 chars, so the variant stays in its base's
+    // block; an edit INSIDE the key would escape the block, which is
+    // standard blocking's recall caveat), self-joined per block,
+    // verified by levenshtein <= 2. Scale shape: the O(n^2) pair
+    // space collapses to sum-of-block^2 via the equi-join on the
+    // block key — never a cross join; the verify predicate runs only
+    // on block-local candidates.
+    Q("d35_fuzzy_match",
+      (s, d) => {
+        val titles = Tables.documents(s, d)
+          .select(concat_ws(" ", slice(split(col("text"), " "), 1, 4))
+            .as("title")).distinct()
+        val variants = titles
+          .filter(length(col("title")) >= 6)
+          .filter(expr(TextHash.sparkDocFingerprint("title")) % 3 === 0)
+          .select(concat(substring(col("title"), 1, 4),
+            substring(col("title"), 6, 1000000)).as("title"))
+        val all = titles.union(variants).distinct()
+          .withColumn("blk", substring(col("title"), 1, 4))
+        all.as("a").join(all.as("b"), Seq("blk"))
+          .filter(col("a.title") < col("b.title"))
+          .filter(levenshtein(col("a.title"), col("b.title")) <= 2)
+          .select(col("a.title").as("t1"), col("b.title").as("t2"),
+            levenshtein(col("a.title"), col("b.title")).cast("long")
+              .as("dist"))
+          .orderBy("t1", "t2")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT DISTINCT array_to_string(
+              |    (string_split(text, ' '))[1:4], ' ') AS title
+              |  FROM documents
+              |),
+              |v AS (
+              |  SELECT substr(title, 1, 4) || substr(title, 6) AS title
+              |  FROM t
+              |  WHERE length(title) >= 6
+              |    AND ${TextHash.duckDocFingerprint("title")} % 3 = 0
+              |),
+              |al AS (
+              |  SELECT DISTINCT title, substr(title, 1, 4) AS blk
+              |  FROM (SELECT title FROM t UNION ALL SELECT title FROM v)
+              |)
+              |SELECT a.title AS t1, b.title AS t2,
+              |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+              |FROM al a JOIN al b ON a.blk = b.blk
+              |  AND a.title < b.title
+              |  AND levenshtein(a.title, b.title) <= 2
+              |ORDER BY t1, t2""".stripMargin)),
+
     // Incremental corpus refresh (the snapshot-diff primitive a
     // continuously-maintained training corpus runs between crawl
     // versions): two simulated corpus versions (removals, additions,

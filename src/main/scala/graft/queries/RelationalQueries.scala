@@ -781,7 +781,61 @@ object RelationalQueries {
              |  CAST(sum(rev_c) OVER (ORDER BY d
              |    RANGE BETWEEN INTERVAL 90 DAYS PRECEDING
              |    AND CURRENT ROW) AS BIGINT) AS rev_90d_c
-             |FROM dd ORDER BY d""".stripMargin))
+             |FROM dd ORDER BY d""".stripMargin)),
+
+    // Distribution-rank window family (ntile / percent_rank /
+    // cume_dist — the remaining rank functions q7/q23/q27/q35/q39
+    // don't cover): per-priority price deciles with the tie broken
+    // by o_orderkey so every rank function is total-order
+    // deterministic in both engines, then aggregated per decile so
+    // the output is the decile profile (count, cents range, mean
+    // percent_rank) a pricing-distribution report reads. Scale
+    // shape: one hash exchange on the partition key; the decile
+    // aggregation reuses the same partitioning map-side.
+    Q("q42_ntile_deciles",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("price_c"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            floor(col("o_totalprice") * 100 + 0.5).cast("long")
+              .as("price_c"))
+          .withColumn("decile", ntile(10).over(w))
+          .withColumn("pr", percent_rank().over(w))
+          .withColumn("cd", cume_dist().over(w))
+          .groupBy(col("o_orderpriority").as("priority"),
+            col("decile").cast("long").as("decile"))
+          .agg(count(lit(1)).as("n"),
+            min("price_c").as("min_price_c"),
+            max("price_c").as("max_price_c"),
+            floor(avg(col("pr")) * 1000000 + 0.5).cast("long")
+              .as("avg_pr_e6"),
+            floor(max(col("cd")) * 1000000 + 0.5).cast("long")
+              .as("max_cd_e6"))
+          .orderBy("priority", "decile")
+      },
+      Some("""WITH r AS (
+             |  SELECT o_orderpriority AS priority,
+             |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+             |      AS price_c,
+             |    ntile(10) OVER w AS decile,
+             |    percent_rank() OVER w AS pr,
+             |    cume_dist() OVER w AS cd
+             |  FROM orders
+             |  WINDOW w AS (PARTITION BY o_orderpriority
+             |               ORDER BY CAST(floor(o_totalprice * 100
+             |                 + 0.5) AS BIGINT), o_orderkey)
+             |)
+             |SELECT priority, CAST(decile AS BIGINT) AS decile,
+             |  count(*) AS n,
+             |  min(price_c) AS min_price_c,
+             |  max(price_c) AS max_price_c,
+             |  CAST(floor(avg(pr) * 1000000 + 0.5) AS BIGINT)
+             |    AS avg_pr_e6,
+             |  CAST(floor(max(cd) * 1000000 + 0.5) AS BIGINT)
+             |    AS max_cd_e6
+             |FROM r GROUP BY priority, decile
+             |ORDER BY priority, decile""".stripMargin))
   )
 
   private val GroupingSetsSql =
