@@ -54,6 +54,25 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("curation joins keep their scale shapes: broadcast anti, blocked equi, SMJ diff") {
+    // d33: the blocklist is tiny — the anti join must broadcast it,
+    // never shuffle the corpus side against it
+    val d33 = plan("d33_url_filter")
+    assert(d33.contains("BroadcastHashJoin") && d33.contains("LeftAnti"),
+      s"d33 lost the broadcast anti join\n$d33")
+    // d35: fuzzy matching lives or dies on the block equi-join — a
+    // cross join or nested-loop fallback is the O(n^2) failure mode
+    val d35 = plan("d35_fuzzy_match")
+    assert(!d35.contains("CartesianProduct") &&
+      !d35.contains("BroadcastNestedLoopJoin"),
+      s"d35 degenerated to an all-pairs join\n$d35")
+    // d34: the snapshot diff is ONE full-outer sort-merge join over
+    // the two fingerprint scans
+    val d34 = plan("d34_snapshot_diff")
+    assert(d34.contains("SortMergeJoin") && d34.contains("FullOuter"),
+      s"d34 lost the co-partitioned full-outer SMJ\n$d34")
+  }
+
   test("exact percentiles carry domain-bounded state, not row-linear buffers") {
     // The built-in `percentile` ObjectHashAggregate buffers every
     // group value — a 100x scale-killer on large strata. Both
