@@ -108,6 +108,59 @@ object TextAnalysis {
         col("s.token").as("token"), col("s.score_e6").as("score_e6"))
   }
 
+  /** BM25 ranked retrieval (Robertson/Spärck Jones; the Lucene
+    * `(N - df + 0.5)/(df + 0.5) + 1` idf variant, always ≥ 0): top-`k`
+    * corpus documents per probe query — the retrieval primitive a
+    * training pipeline uses for data selection ("find the docs most
+    * like this benchmark/task") and retrieval-based decontamination.
+    *
+    * Parity protocol: each TERM's contribution is e6-scaled to an
+    * integer BEFORE the per-(query, doc) sum — an integer sum is
+    * partition/order-independent, whereas a double sum over terms
+    * could straddle a rounding boundary between engines (the d17
+    * per-term-scaling trick extended to a summed score).
+    *
+    * Scale shape: tf is the one (doc_id, token) exchange; df and
+    * doc-length derive from tf (vocabulary/doc-sized aggregates); the
+    * probe terms BROADCAST into the postings join, so only postings
+    * of query terms flow; per-query ranking is the bounded-heap
+    * `top_k_by_score` partial aggregate — never a corpus-wide window
+    * sort. At 100 TB the postings join is the inverted-index probe.
+    *
+    * @param queryTerms (query_id LONG, token) — distinct probe terms
+    * @param nDocs corpus document count (driver-scalar handoff)
+    * @param avgdl mean document length in tokens (driver scalar)
+    */
+  def bm25TopK(docs: DataFrame, queryTerms: DataFrame, nDocs: Long,
+      avgdl: Double, k: Int, k1: Double = 1.2, b: Double = 0.75)
+      : DataFrame = {
+    import graft.functions.TopKByScore.top_k_by_score
+    val tk = docs.select(col("doc_id"),
+      explode(expr(TextHash.sparkTokens("text"))).as("token"))
+    val tf = tk.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val idf = log(((lit(nDocs) - col("df")).cast("double") + lit(0.5))
+      / (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val tfc = col("tf").cast("double") * lit(k1 + 1.0) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double")
+          / lit(avgdl)))
+    val contrib = tf.join(broadcast(queryTerms), "token")
+      .join(dfq, "token").join(dl, "doc_id")
+      .select(col("query_id"), col("doc_id"),
+        floor(idf * tfc * 1000000 + lit(0.5)).cast("long").as("c"))
+    val scored = contrib.groupBy("query_id", "doc_id")
+      .agg(sum("c").as("score_e6"))
+    scored.groupBy("query_id")
+      .agg(top_k_by_score(col("score_e6").cast("double"), col("doc_id"),
+        lit(0L), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.cand_id").as("doc_id"),
+        col("t.sim").cast("long").as("score_e6"))
+  }
+
   /** LM fluency scoring against a SUPPLIED (token, logprob) model
     * table — the external-LM plug point (SURVEY.md §2 d19): the
     * operator's contract is only the two-column table, so a KenLM

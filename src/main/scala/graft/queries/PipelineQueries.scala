@@ -2499,6 +2499,80 @@ object PipelineQueries {
              |  FROM jsof WHERE substring(h, 2 * o3 + 1, 4) = 'FFC0'
              |)
              |SELECT * FROM png UNION ALL SELECT * FROM jpg
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // BM25 ranked retrieval (the data-selection / retrieval-based
+    // decontamination primitive): every 100th doc's tokens 3-6 form a
+    // probe query; top-5 corpus docs per query by BM25 (k1=1.2,
+    // b=0.75, Lucene idf). Each term's contribution is e6-scaled to
+    // an integer BEFORE the per-(query, doc) sum, so the score is
+    // order-independent (a double sum over terms could straddle a
+    // rounding boundary between engines). Scale shape: probe terms
+    // broadcast into the postings (tf) join — only query-term
+    // postings flow; per-query ranking is the bounded-heap
+    // top_k_by_score aggregate, never a corpus-wide window sort.
+    Q("d36_bm25",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val stats = docs.agg(count(lit(1)).cast("long").as("n"),
+          sum(size(expr(TextHash.sparkTokens("text")))).cast("long")
+            .as("tot")).head()
+        val n = stats.getLong(0)
+        val avgdl = stats.getLong(1).toDouble / n
+        val qterms = docs.filter(col("doc_id") % 100 === 7)
+          .select(col("doc_id").as("query_id"),
+            explode(expr(s"slice(${TextHash.sparkTokens("text")}, 3, 4)"))
+              .as("token"))
+          .distinct()
+        TextAnalysis.bm25TopK(docs, qterms, n, avgdl, k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH tk AS (
+              |  SELECT doc_id, unnest(${TextHash.duckTokens("text")})
+              |    AS token
+              |  FROM documents
+              |),
+              |tf AS (
+              |  SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2
+              |),
+              |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+              |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+              |q AS (
+              |  SELECT DISTINCT doc_id AS query_id,
+              |    unnest((${TextHash.duckTokens("text")})[3:6]) AS token
+              |  FROM documents WHERE doc_id % 100 = 7
+              |),
+              |c AS (
+              |  SELECT q.query_id, tf.doc_id,
+              |    CAST(floor(
+              |      ln((CAST((SELECT count(*) FROM documents) - df
+              |            AS DOUBLE) + 0.5)
+              |         / (CAST(df AS DOUBLE) + 0.5) + 1)
+              |      * (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1)
+              |         / (CAST(tf AS DOUBLE) + 1.2 * (0.25
+              |            + 0.75 * CAST(dl AS DOUBLE)
+              |              / (SELECT CAST(count(*) AS DOUBLE)
+              |                   / (SELECT count(*) FROM documents)
+              |                 FROM tk))))
+              |      * 1000000 + 0.5) AS BIGINT) AS c
+              |  FROM tf
+              |  JOIN q USING (token)
+              |  JOIN df USING (token)
+              |  JOIN dl ON tf.doc_id = dl.doc_id
+              |),
+              |sc AS (
+              |  SELECT query_id, doc_id, CAST(sum(c) AS BIGINT)
+              |    AS score_e6
+              |  FROM c GROUP BY 1, 2
+              |),
+              |r AS (
+              |  SELECT query_id, doc_id, score_e6,
+              |    row_number() OVER (PARTITION BY query_id
+              |      ORDER BY score_e6 DESC, doc_id) AS rank
+              |  FROM sc
+              |)
+              |SELECT query_id, rank, doc_id, score_e6
+              |FROM r WHERE rank <= 5
+              |ORDER BY query_id, rank""".stripMargin))
   )
 }

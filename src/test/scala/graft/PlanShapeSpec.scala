@@ -73,6 +73,20 @@ class PlanShapeSpec extends SparkSpec {
       s"d34 lost the co-partitioned full-outer SMJ\n$d34")
   }
 
+  test("BM25 broadcasts the probe terms and ranks via the bounded heap") {
+    // d36: the probe-term join must broadcast the (tiny) query side
+    // so only query-term postings flow, and per-query ranking must be
+    // the top_k_by_score partial aggregate — a window sort here would
+    // carry every candidate doc of every query through one task.
+    val p = plan("d36_bm25")
+    assert(p.contains("BroadcastHashJoin"),
+      s"d36 lost the broadcast probe-term join\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"d36 lost the top_k_by_score partial aggregate\n$p")
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window"),
+      s"d36 ranks candidates through a window sort\n$p")
+  }
+
   test("exact percentiles carry domain-bounded state, not row-linear buffers") {
     // The built-in `percentile` ObjectHashAggregate buffers every
     // group value — a 100x scale-killer on large strata. Both
