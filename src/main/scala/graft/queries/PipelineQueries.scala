@@ -2573,6 +2573,84 @@ object PipelineQueries {
               |)
               |SELECT query_id, rank, doc_id, score_e6
               |FROM r WHERE rank <= 5
-              |ORDER BY query_id, rank""".stripMargin))
+              |ORDER BY query_id, rank""".stripMargin)),
+
+    // Context-dependent LM scoring: a Jelinek-Mercer interpolated
+    // BIGRAM model (0.5·P(w|prev) + 0.5·P(w), corpus MLE) fed through
+    // the SAME TextAnalysis.lmScore (token, logprob) contract — the
+    // context unit is the "prev w" pair string, so the d19/d30 plug
+    // point again takes a richer model with zero operator changes.
+    // This is the curation scorer shape between unigram stand-ins
+    // and a real KenLM: fluency now penalizes improbable TRANSITIONS
+    // (a shuffled doc scores below its original order under bigrams but
+    // identically under unigrams). Adjacent pairs are built MAP-SIDE
+    // from the token array (transform over sequence — no lag window,
+    // no pre-shuffle); docs with < 2 tokens drop in both engines.
+    // Scale note: a corpus-derived bigram table is O(observed pairs)
+    // — broadcast here via the contract; at real corpus scale the
+    // same plan shuffle-hash-joins on the pair key (AQE decides).
+    Q("d37_bigram_lm",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tk = docs.select(col("doc_id"),
+          explode(expr(TextHash.sparkTokens("text"))).as("token"))
+        val n = tk.count() // corpus token count (driver scalar handoff)
+        val uni = tk.groupBy("token").agg(count(lit(1)).as("cw"))
+        val pairs = docs
+          .withColumn("_t", expr(TextHash.sparkTokens("text")))
+          .filter(size(col("_t")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(_t) - 1), i -> named_struct(" +
+              "'prev', element_at(_t, i), 'w', element_at(_t, i + 1)))"))
+            .as("p"))
+          .select(col("doc_id"), col("p.prev").as("prev"),
+            col("p.w").as("w"))
+        val c2 = pairs.groupBy("prev", "w").agg(count(lit(1)).as("c2"))
+        val c1 = c2.groupBy("prev").agg(sum("c2").as("c1"))
+        val lm = c2.join(c1, "prev")
+          .join(uni.withColumnRenamed("token", "w"), "w")
+          .select(concat(col("prev"), lit(" "), col("w")).as("token"),
+            log(lit(0.5) * (col("c2").cast("double") / col("c1")
+                .cast("double"))
+              + lit(0.5) * (col("cw").cast("double") / lit(n.toDouble)))
+              .as("logprob"))
+        TextAnalysis.lmScore(
+          pairs.select(col("doc_id"),
+            concat(col("prev"), lit(" "), col("w")).as("token")), lm)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tk AS (
+              |  SELECT doc_id, unnest(${TextHash.duckTokens("text")})
+              |    AS token
+              |  FROM documents
+              |),
+              |p AS (
+              |  SELECT doc_id,
+              |    unnest(tks[1:len(tks) - 1]) AS prev,
+              |    unnest(tks[2:len(tks)]) AS w
+              |  FROM (SELECT doc_id, ${TextHash.duckTokens("text")}
+              |          AS tks
+              |        FROM documents)
+              |  WHERE len(tks) >= 2
+              |),
+              |c2 AS (SELECT prev, w, count(*) AS c2 FROM p GROUP BY 1, 2),
+              |c1 AS (SELECT prev, count(*) AS c1 FROM p GROUP BY 1),
+              |uni AS (SELECT token, count(*) AS cw FROM tk GROUP BY 1),
+              |lm AS (
+              |  SELECT c2.prev, c2.w,
+              |    ln(0.5 * (CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))
+              |      + 0.5 * (CAST(cw AS DOUBLE)
+              |          / (SELECT CAST(count(*) AS DOUBLE) FROM tk)))
+              |      AS lp
+              |  FROM c2
+              |  JOIN c1 USING (prev)
+              |  JOIN uni ON uni.token = c2.w
+              |)
+              |SELECT p.doc_id, count(*) AS n_tokens,
+              |  CAST(floor(avg(lp) * 1000000 + 0.5) AS BIGINT)
+              |    AS logprob_e6
+              |FROM p JOIN lm ON p.prev = lm.prev AND p.w = lm.w
+              |GROUP BY p.doc_id
+              |ORDER BY doc_id""".stripMargin))
   )
 }
