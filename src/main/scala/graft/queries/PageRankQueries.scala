@@ -424,6 +424,48 @@ object PageRankQueries {
               |FROM deg d LEFT JOIN tc ON tc.node = d.n
               |ORDER BY node""".stripMargin)),
 
+    // Multi-source BFS hop distance (graph.Bfs) — the DISTANCE
+    // primitive completing the graph family: fewest hops from the
+    // seed set (the 3 lexicographically smallest nodes — a
+    // deterministic stand-in for "these landing pages" / "these hub
+    // entities") to every node within 6 hops, over the directed
+    // word-follow graph. Scale shape: edges partitioned by src once
+    // and persisted; each round joins only the frontier; min-dist is
+    // a partial aggregate. Oracle = 6 unrolled frontier-expansion
+    // CTEs with the same min consolidation.
+    Q("g3_bfs_hops",
+      (s, d) => {
+        val e = LinkGraph.wordFollowEdges(Tables.documents(s, d), "text")
+        val nodes = e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node"))).distinct()
+        val seeds = nodes.orderBy("node").limit(3)
+        graft.graph.Bfs.hopDistance(e, seeds, maxHops = 6)
+          .orderBy("node")
+      },
+      Some {
+        val rounds = (1 to 6).map { h =>
+          s"""b$h AS (
+             |  SELECT node, min(dist) AS dist FROM (
+             |    SELECT node, dist FROM b${h - 1}
+             |    UNION ALL
+             |    SELECT e.dst AS node, f.dist + 1 AS dist
+             |    FROM b${h - 1} f JOIN e ON e.src = f.node
+             |    WHERE f.dist = ${h - 1}
+             |  ) GROUP BY node
+             |)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $edgeCtes,
+           |nd AS (
+           |  SELECT src AS node FROM e UNION SELECT dst FROM e
+           |),
+           |b0 AS (
+           |  SELECT node, CAST(0 AS BIGINT) AS dist
+           |  FROM (SELECT node FROM nd ORDER BY node LIMIT 3)
+           |),
+           |$rounds
+           |SELECT node, dist FROM b6 ORDER BY node""".stripMargin
+      }),
+
     // The complete reference pipeline with its EXACT page semantics
     // (PageRank.runOnPages): fabricated wiki pages whose outlinks
     // point at other titles (plus a deterministic share of dangling

@@ -182,6 +182,23 @@ class GraphSpec extends SparkSpec {
     assert(cck4.forall(r => r._2 == 3L && r._3 == 3L && r._4 == 10000L))
   }
 
+  test("BFS hop distance: multi-source min, hop bound, unreachable absent") {
+    import graft.graph.Bfs
+    // chain a->b->c->d->e plus seed z->c (shortcut): c is 1 from z,
+    // not 2 from a; f is disconnected; e is 4 hops from a but outside
+    // maxHops = 3.
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+      ("z", "c"), ("f", "f")).toDF("src", "dst")
+    val seeds = Seq("a", "z").toDF("node")
+    val got = Bfs.hopDistance(edges, seeds, maxHops = 3)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 0L, "z" -> 0L, "b" -> 1L, "c" -> 1L,
+      "d" -> 2L, "e" -> 3L))
+    val bounded = Bfs.hopDistance(edges, Seq("a").toDF("node"), maxHops = 3)
+      .as[(String, Long)].collect().toMap
+    assert(bounded == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L))
+  }
+
   test("dangling node receives rank but leaks its own (reference semantics)") {
     // a -> b, b has no outlinks: b's rank grows from a only; a gets
     // only the teleport term.
