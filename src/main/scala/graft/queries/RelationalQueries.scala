@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.BloomPrune
 import graft.{Q, Tables}
 
 /** Relational core (SURVEY.md §2 block B): the batch query surface.
@@ -835,7 +836,42 @@ object RelationalQueries {
              |  CAST(floor(max(cd) * 1000000 + 0.5) AS BIGINT)
              |    AS max_cd_e6
              |FROM r GROUP BY priority, decile
-             |ORDER BY priority, decile""".stripMargin))
+             |ORDER BY priority, decile""".stripMargin)),
+
+    // Bloom-prune + exact-verify semi join (operators.BloomPrune):
+    // revenue of lineitems belonging to one month's urgent orders.
+    // The build side (45 keys here; a digest list / one day of
+    // orders at scale) aggregates to a single bloom cell that
+    // reaches the fact scan as a runtime scalar subquery; the
+    // codegen'd might_contain filter drops ~all non-matching rows
+    // BEFORE the semi join's exchange. Result is independent of the
+    // bloom parameters (the semi join removes false positives), so
+    // the oracle is the plain IN-subquery.
+    Q("q43_bloom_semi",
+      (s, d) => {
+        val probe = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+            col("o_orderdate") >= lit("1995-06-01") &&
+            col("o_orderdate") < lit("1995-07-01"))
+          .select(col("o_orderkey").as("l_orderkey"))
+        BloomPrune.semiJoin(Tables.lineitem(s, d), probe, "l_orderkey",
+            expectedItems = 100000L, fpp = 0.01)
+          .groupBy(col("l_returnflag").as("returnflag"))
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+              .as("revenue"))
+          .orderBy("returnflag")
+      },
+      Some("""SELECT l_returnflag AS returnflag, count(*) AS n_items,
+             |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+             |FROM lineitem
+             |WHERE l_orderkey IN (
+             |  SELECT o_orderkey FROM orders
+             |  WHERE o_orderpriority = '1-URGENT'
+             |    AND o_orderdate >= TIMESTAMP '1995-06-01'
+             |    AND o_orderdate < TIMESTAMP '1995-07-01')
+             |GROUP BY returnflag
+             |ORDER BY returnflag""".stripMargin))
   )
 
   private val GroupingSetsSql =

@@ -818,4 +818,19 @@ class OperatorsSpec extends SparkSpec {
     assert(got.filter(_._1 == 2L).map(r => (r._2, r._3)) ==
       Set((1, 1L), (2, 0L)))
   }
+
+  test("bloom semi join: exact semantics regardless of fpp") {
+    import graft.operators.BloomPrune
+    val big = (1L to 200L).map(i => (i, s"row$i")).toDF("k", "v")
+    val small = Seq(7L, 7L, 42L, 99L, 999L).toDF("k") // dup + miss keys
+    // Absurdly high fpp: nearly every row passes the prune, so the
+    // verify join must do all the work — result still exact, and
+    // duplicate build keys must not duplicate output rows.
+    for (fpp <- Seq(0.9, 0.01)) {
+      val got = BloomPrune.semiJoin(big, small, "k",
+        expectedItems = 10L, fpp = fpp)
+        .select("k").as[Long].collect().sorted.toSeq
+      assert(got == Seq(7L, 42L, 99L), s"fpp=$fpp")
+    }
+  }
 }

@@ -239,4 +239,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       s"e7's deterministic seed pick must be a bounded top-k\n$p")
   }
+
+  test("bloom semi join: runtime might_contain prunes the fact scan") {
+    // q43's contract: the bloom reaches the fact side as a scalar
+    // subquery folded at runtime, the prune is a codegen'd filter
+    // BELOW the exact semi join, and the bloom cell itself is never
+    // a joined column (no cross join, no extra exchange carrying it).
+    val p = plan("q43_bloom_semi")
+    assert(p.contains("might_contain"),
+      s"q43 lost the bloom prune filter\n$p")
+    assert(p.contains("LeftSemi"),
+      s"q43 lost the exact-verify semi join\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"q43's bloom must ride a scalar subquery, not a join\n$p")
+    // Prune below the join: the might_contain Filter must appear
+    // AFTER (deeper than) the semi join node in the plan string.
+    assert(p.indexOf("might_contain") > p.indexOf("LeftSemi"),
+      s"q43's bloom prune sits above the semi join — dead filter\n$p")
+  }
 }
