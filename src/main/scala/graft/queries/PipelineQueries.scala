@@ -2651,6 +2651,63 @@ object PipelineQueries {
               |    AS logprob_e6
               |FROM p JOIN lm ON p.prev = lm.prev AND p.w = lm.w
               |GROUP BY p.doc_id
-              |ORDER BY doc_id""".stripMargin))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic hash-sample quantiles — the QUANTILE estimator
+    // completing the sketch family (d27 KMV = cardinality, d18
+    // Misra-Gries = frequency, d32 CMS = point counts, q43 Bloom =
+    // membership): per-stratum p10/p50/p90 of a value column from
+    // the k docs with the SMALLEST mixed hash — a uniform random
+    // sample that is order-independent, mergeable, and bit-identical
+    // in any engine (the property t-digest/GK can't give: their
+    // state depends on merge order). Sampling error ~1/√k on the
+    // rank; the sample is the d27 KMV bottom-k, reused for ranks.
+    // Scale shape: the bottom-k rides the bounded-heap
+    // `top_k_by_score` partial aggregate (score = −hash) — ONE
+    // exchange on the stratum key shipping ≤ partitions×k rows, and
+    // the percentile pick is a positional index into the ≤k-value
+    // sorted sample — O(k) state per group by construction, never
+    // the row-linear percentile buffer d24/q15 banned.
+    Q("d38_sample_quantiles",
+      (s, d) => {
+        import graft.functions.TopKByScore.top_k_by_score
+        val k = 256
+        val h = col("doc_id") * Sampling.Mixer % Sampling.MixMod
+        def pick(q: Double) =
+          element_at(col("v"), ceil(lit(q) * size(col("v"))).cast("int"))
+        Tables.documents(s, d)
+          .select(col("lang"), col("doc_id"), col("n_chars"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            top_k_by_score(-h.cast("double"), col("doc_id"),
+              col("n_chars"), k).as("smp"))
+          .select(col("lang"), col("n_docs"),
+            array_sort(expr("transform(smp, x -> x.tag)")).as("v"))
+          .select(col("lang"), col("n_docs"),
+            size(col("v")).cast("long").as("n_sample"),
+            pick(0.1).as("p10_chars"), pick(0.5).as("p50_chars"),
+            pick(0.9).as("p90_chars"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH r AS (
+              |  SELECT lang, n_chars,
+              |    row_number() OVER (PARTITION BY lang
+              |      ORDER BY doc_id * ${Sampling.Mixer}
+              |        % ${Sampling.MixMod}, doc_id) AS rn
+              |  FROM documents
+              |),
+              |g AS (SELECT lang, count(*) AS n_docs
+              |      FROM documents GROUP BY lang),
+              |o AS (
+              |  SELECT lang, list_sort(list(n_chars)) AS v
+              |  FROM r WHERE rn <= 256 GROUP BY lang
+              |)
+              |SELECT o.lang, g.n_docs,
+              |  CAST(len(v) AS BIGINT) AS n_sample,
+              |  v[CAST(ceil(0.1 * len(v)) AS BIGINT)] AS p10_chars,
+              |  v[CAST(ceil(0.5 * len(v)) AS BIGINT)] AS p50_chars,
+              |  v[CAST(ceil(0.9 * len(v)) AS BIGINT)] AS p90_chars
+              |FROM o JOIN g ON g.lang = o.lang
+              |ORDER BY o.lang""".stripMargin))
   )
 }

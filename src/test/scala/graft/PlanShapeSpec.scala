@@ -240,6 +240,23 @@ class PlanShapeSpec extends SparkSpec {
       s"e7's deterministic seed pick must be a bounded top-k\n$p")
   }
 
+  test("sample quantiles: bounded-heap sample, no row-linear percentile") {
+    // d38's contract: the per-stratum sample rides the top_k_by_score
+    // partial aggregate (O(k) state), the percentile pick is a
+    // positional index — never Spark's exact `percentile` whose
+    // buffer grows with the stratum, and never a corpus-wide window.
+    val p = plan("d38_sample_quantiles")
+    assert(p.contains("ObjectHashAggregate"),
+      s"d38 lost the bounded-heap sample aggregate\n$p")
+    assert(!p.contains("percentile"),
+      s"d38 regressed to a row-linear percentile buffer\n$p")
+    assert(!p.contains("Window"),
+      s"d38 samples through a window sort\n$p")
+    val exchanges = "Exchange (?:range|hash|Single)".r.findAllIn(p).size
+    assert(exchanges == 2,
+      s"d38: expected the stratum exchange + ORDER BY, got $exchanges\n$p")
+  }
+
   test("bloom semi join: runtime might_contain prunes the fact scan") {
     // q43's contract: the bloom reaches the fact side as a scalar
     // subquery folded at runtime, the prune is a codegen'd filter
