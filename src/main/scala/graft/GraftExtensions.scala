@@ -5,11 +5,12 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, HeavyHittersSketch, KmvSketch, TopKByScore}
+import graft.functions.{CosineSimilarity, HeavyHittersSketch, KmvSketch, TextCanonExpr, TopKByScore}
 
 /** Registers graft's native expressions for SQL use:
-  * `SELECT cosine_sim(a, b)` — a codegen'd Catalyst expression, not a
-  * UDF, so it participates in whole-stage codegen — and the bounded
+  * `SELECT cosine_sim(a, b)` / `text_canon(s)` — codegen'd Catalyst
+  * expressions, not UDFs, so they participate in whole-stage
+  * codegen — and the bounded
   * sketch aggregates `top_k_by_score(score, id, tag, k)`,
   * `heavy_hitters(item, capacity)` and `kmv_sketch(hash, k)` (the
   * size argument must be an integer literal in each; it sizes the
@@ -28,6 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))
+    ))
+    ext.injectFunction((
+      new FunctionIdentifier("text_canon"),
+      new ExpressionInfo(classOf[TextCanonExpr].getName, "text_canon"),
+      (exprs: Seq[Expression]) => TextCanonExpr(exprs.head)
     ))
     ext.injectFunction((
       new FunctionIdentifier("heavy_hitters"),

@@ -2708,6 +2708,61 @@ object PipelineQueries {
               |  v[CAST(ceil(0.5 * len(v)) AS BIGINT)] AS p50_chars,
               |  v[CAST(ceil(0.9 * len(v)) AS BIGINT)] AS p90_chars
               |FROM o JOIN g ON g.lang = o.lang
-              |ORDER BY o.lang""".stripMargin))
+              |ORDER BY o.lang""".stripMargin)),
+
+    // Unicode canonicalization (functions.TextCanon): NFC compose +
+    // nbsp-map + zero-width strip + lowercase + whitespace collapse
+    // as ONE codegen'd kernel pass — the normalization boilerplate
+    // at the head of every curation pipeline (Spark has no built-in
+    // NFC at all; the usual 5-deep regexp_replace chain interprets
+    // per call). The corpus is pure ASCII, so the dirt is PLANTED
+    // identically in both engines (the m-family's planted-bytes
+    // pattern): an NBSP prefix, every E carrying a combining acute
+    // (U+0301 — NFC must compose it to É, lowercased é), space runs
+    // with tabs, a zero-width-space + trailing-blank suffix. Oracle
+    // = DuckDB's nfc_normalize + lower + replace/regexp chain; the
+    // md5 pins every byte of the canon output.
+    Q("d39_text_canon",
+      (s, d) => {
+        import graft.functions.TextCanon.text_canon
+        // Dirt chars via escapes: \u00A0 nbsp, \u0301 combining
+        // acute (DECOMPOSED on purpose - NFC must do the composing),
+        // \u200B zero-width space.
+        val dirty = expr("concat('\u00A0', replace(replace(upper(text)," +
+          " 'E', 'E\u0301'), ' ', ' \t '), '\u200B', '  ')")
+        Tables.documents(s, d)
+          .select(col("doc_id"), dirty.as("dirty"))
+          .select(col("doc_id"),
+            length(col("dirty")).cast("long").as("n_dirty"),
+            text_canon(col("dirty")).as("canon"))
+          .select(col("doc_id"), col("n_dirty"),
+            length(col("canon")).cast("long").as("n_canon"),
+            md5(col("canon")).as("canon_md5"),
+            substring(col("canon"), 1, 32).as("canon_head"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH dd AS (
+             |  SELECT doc_id,
+             |    chr(160) ||
+             |    replace(replace(upper(text), 'E', 'E' || chr(769)),
+             |            ' ', ' ' || chr(9) || ' ') ||
+             |    chr(8203) || '  ' AS dirty
+             |  FROM documents
+             |),
+             |c AS (
+             |  SELECT doc_id, dirty,
+             |    trim(regexp_replace(
+             |      replace(replace(lower(nfc_normalize(dirty)),
+             |                      chr(160), ' '),
+             |              chr(8203), ''),
+             |      '\s+', ' ', 'g')) AS canon
+             |  FROM dd
+             |)
+             |SELECT doc_id,
+             |  CAST(len(dirty) AS BIGINT) AS n_dirty,
+             |  CAST(len(canon) AS BIGINT) AS n_canon,
+             |  md5(canon) AS canon_md5,
+             |  substr(canon, 1, 32) AS canon_head
+             |FROM c ORDER BY doc_id""".stripMargin))
   )
 }

@@ -33,7 +33,7 @@ class PlanShapeSpec extends SparkSpec {
   test("map-side pipeline ops shuffle only for their deterministic sort") {
     for (q <- Seq("d11_pii_scrub", "d12_repetition", "d13_quality_filter",
         "d14_stratified_sample", "d6_text_quality", "d7_token_count",
-        "d8_fingerprint")) {
+        "d8_fingerprint", "d39_text_canon")) {
       val p = plan(q)
       val exchanges = "Exchange (?:range|hash|Single)".r.findAllIn(p).size
       assert(exchanges == 1,

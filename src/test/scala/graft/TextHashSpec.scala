@@ -100,4 +100,30 @@ class TextHashKernelSpec extends SparkSpec {
       expr(TextHash.sparkDocFingerprint("text")) =!=
         string_poly_hash(lower(trim(col("text"))))).count() == 0)
   }
+
+  test("text_canon kernel: NFC, nbsp/zw handling, collapse, trim") {
+    import graft.functions.TextCanon.text_canon
+    val cases = Seq(
+      // decomposed E+U+0301 composes to U+00C9, then lowers to U+00E9
+      ("E\u0301clair  au\tCAFE\u0301", "\u00E9clair au caf\u00E9"),
+      // precomposed input is already NFC: lowered only
+      ("D\u00C9J\u00C0 vu", "d\u00E9j\u00E0 vu"),
+      // nbsp family maps to space and collapses with its neighbors
+      ("a\u00A0 b \u00A0c \u202Fd", "a b c d"),
+      // zero-width chars vanish entirely (no space left behind)
+      ("a\u200Bb\u200C\u200Dc\uFEFF", "abc"),
+      ("  \t leading and trailing \r\n ", "leading and trailing"),
+      ("\u200B \u00A0\t", ""), // dirt-only collapses to empty
+      ("", ""))
+    cases.foreach { case (in, want) =>
+      val got = Seq(in).toDF("s")
+        .select(text_canon(col("s"))).as[String].head()
+      assert(got == want,
+        s"canon(${in.map(c => f"\\u${c.toInt}%04x").mkString})")
+    }
+    // SQL registration path (GraftExtensions): same kernel via SQL
+    val sqlIn = "A\u00A0  B\u200B"
+    assert(spark.sql(s"SELECT text_canon('$sqlIn') AS c")
+      .as[String].head() == "a b")
+  }
 }
