@@ -2763,6 +2763,108 @@ object PipelineQueries {
              |  CAST(len(canon) AS BIGINT) AS n_canon,
              |  md5(canon) AS canon_md5,
              |  substr(canon, 1, 32) AS canon_head
-             |FROM c ORDER BY doc_id""".stripMargin))
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // URL canonicalization + URL-keyed dedup — the crawl-dedup
+    // pre-pass that runs BEFORE any text dedup (same page fetched as
+    // HTTPS://Host:443/p/x/?b=2&a=1#frag and https://host/p/x?a=1&b=2
+    // must collapse): lowercase scheme+host, strip default port,
+    // strip trailing path slashes, sort query params, drop the
+    // fragment. Deliberately DECLARATIVE — regexp_extract + lower +
+    // array_sort + concat compose the whole rule and stay inside
+    // whole-stage codegen, so no custom kernel is warranted (the
+    // functions-not-UDFs preference cuts both ways; contrast d39,
+    // where missing built-in NFC earns one). Messy variants are
+    // planted per doc_id arithmetic identically in both engines;
+    // 500 raw URLs collapse to 350 canonical groups. Map-side until
+    // the canonical-key exchange — the d1 exact-dedup shape.
+    Q("d40_url_canon",
+      (s, d) => {
+        val hosts = array(lit("Docs.Example.COM"), lit("blog.example.org"),
+          lit("CDN.Example.com"), lit("news.site.co.uk"),
+          lit("a.b.Tracker.NET"), lit("x.spam.biz"), lit("img.ads.co.uk"))
+        val url = concat(
+          when(col("doc_id") % 2 === 0, lit("HTTPS://"))
+            .otherwise(lit("https://")),
+          element_at(hosts, (col("doc_id") % 7).cast("int") + 1),
+          when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+          lit("/p/"), (col("doc_id") % 50).cast("string"),
+          when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 2 === 0, lit("?b=2&a=1"))
+            .otherwise(lit("?a=1&b=2")),
+          when(col("doc_id") % 4 === 0, lit("#frag")).otherwise(lit("")))
+        val scheme = lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1))
+        val host =
+          lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/:?#]+)", 1))
+        val port =
+          regexp_extract(col("url"), "^[A-Za-z]+://[^/:?#]+(:[0-9]+)", 1)
+        val path =
+          regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+        val query = regexp_extract(col("url"), "\\?([^#]*)", 1)
+        val portKept = when(
+          (scheme === "https" && port === ":443") ||
+            (scheme === "http" && port === ":80"), lit(""))
+          .otherwise(port)
+        val pathStripped = regexp_replace(path, "/+$", "")
+        val pathKept =
+          when(pathStripped === "", lit("/")).otherwise(pathStripped)
+        val queryKept = when(query === "", lit("")).otherwise(
+          concat(lit("?"), array_join(array_sort(split(query, "&")), "&")))
+        Tables.documents(s, d)
+          .select(col("doc_id"), url.as("url"))
+          .select(col("doc_id"),
+            concat(scheme, lit("://"), host, portKept, pathKept, queryKept)
+              .as("url_canon"))
+          .groupBy("url_canon")
+          .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"))
+          .orderBy("url_canon")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id,
+             |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://'
+             |          ELSE 'https://' END) ||
+             |    (['Docs.Example.COM', 'blog.example.org',
+             |      'CDN.Example.com', 'news.site.co.uk',
+             |      'a.b.Tracker.NET', 'x.spam.biz', 'img.ads.co.uk'])
+             |      [CAST(doc_id % 7 AS INT) + 1] ||
+             |    (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END) ||
+             |    '/p/' || (doc_id % 50) ||
+             |    (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+             |    (CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1'
+             |          ELSE '?a=1&b=2' END) ||
+             |    (CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END)
+             |      AS url
+             |  FROM documents
+             |),
+             |c AS (
+             |  SELECT doc_id,
+             |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+             |    lower(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1))
+             |      AS host,
+             |    regexp_extract(url, '^[A-Za-z]+://[^/:?#]+(:[0-9]+)', 1)
+             |      AS port,
+             |    regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1)
+             |      AS path,
+             |    regexp_extract(url, '\?([^#]*)', 1) AS query
+             |  FROM u
+             |),
+             |k AS (
+             |  SELECT doc_id,
+             |    scheme || '://' || host ||
+             |    (CASE WHEN (scheme = 'https' AND port = ':443')
+             |            OR (scheme = 'http' AND port = ':80')
+             |          THEN '' ELSE port END) ||
+             |    (CASE WHEN regexp_replace(path, '/+$', '') = ''
+             |          THEN '/' ELSE regexp_replace(path, '/+$', '') END) ||
+             |    (CASE WHEN query = '' THEN ''
+             |          ELSE '?' || list_aggregate(
+             |            list_sort(string_split(query, '&')),
+             |            'string_agg', '&') END) AS url_canon
+             |  FROM c
+             |)
+             |SELECT url_canon, count(*) AS n_docs,
+             |  min(doc_id) AS min_doc_id
+             |FROM k GROUP BY url_canon
+             |ORDER BY url_canon""".stripMargin))
   )
 }

@@ -257,6 +257,17 @@ class PlanShapeSpec extends SparkSpec {
       s"d38: expected the stratum exchange + ORDER BY, got $exchanges\n$p")
   }
 
+  test("url canonicalization dedups on one canonical-key exchange") {
+    // d40 is the d1 exact-dedup shape: canonicalize map-side (all
+    // regexp/lower/sort work inside the scan's codegen stage),
+    // partial-agg, ONE canonical-key exchange + the ORDER BY.
+    val p = plan("d40_url_canon")
+    val exchanges = "Exchange (?:range|hash|Single)".r.findAllIn(p).size
+    assert(exchanges == 2,
+      s"d40: expected canonical-key + ORDER BY exchanges, got $exchanges\n$p")
+    assert(!p.contains("Window"), s"d40 canonicalizes through a window\n$p")
+  }
+
   test("bloom semi join: runtime might_contain prunes the fact scan") {
     // q43's contract: the bloom reaches the fact side as a scalar
     // subquery folded at runtime, the prune is a codegen'd filter
