@@ -1,0 +1,88 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Community detection by synchronous label propagation (LPA) — the
+  * COMMUNITY primitive completing the graph family: centrality
+  * (PageRank), grouping (components), clustering (triangles),
+  * distance (BFS), communities (this).
+  *
+  * Per round every vertex adopts the label most frequent among its
+  * neighbors, ties to the SMALLEST label — the deterministic
+  * synchronous variant (classic async LPA is order-dependent; the
+  * sync + min-tie rule makes rounds bit-reproducible against an
+  * unrolled SQL oracle, the same determinism trade the d9 components
+  * make). A fixed round count keeps the plan linear and the oracle
+  * unrollable; real deployments run few rounds anyway (LPA's useful
+  * structure appears in 3-5 and oscillation begins after).
+  *
+  * Scale shape (the PageRank skeleton): symmetric deduped edges are
+  * hash-partitioned by `src` ONCE and persisted — only the O(|V|)
+  * label table moves per round. The neighbor vote is two partial
+  * aggregates per round: count per (node, label), then the argmax as
+  * `max(struct(count, −label))` — a declarative struct-max, so both
+  * stay map-side-combining hash aggregates; ties break to the
+  * smallest label because −label inverts the comparison. No window,
+  * no collect.
+  *
+  * Node names map to dense numeric ids first (a one-time sort of the
+  * VOCABULARY — bounded, ≪ corpus — with the id table reused on both
+  * edge endpoints and for the final label→name join); numeric labels
+  * are what make the argmax a single struct-max instead of a
+  * twice-referenced per-round subplan (the 2^iters blowup the d9
+  * scaladoc documents).
+  */
+object LabelPropagation {
+
+  /** @param edges directed (src, dst) name pairs; symmetrized and
+    *   deduped internally (votes count each neighbor once)
+    * @param iters fixed synchronous rounds
+    * @return (node, comm): every vertex with its community's label
+    *   name (the name of the vertex whose id the community carries)
+    */
+  def communities(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val spark = edges.sparkSession
+    val shufflePartitions =
+      spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    // Dense ids by sorted name. Single partition BY CONSTRUCTION:
+    // the distinct vocabulary is bounded (≪ corpus); the non-foldable
+    // constant key declares that deliberately (KMeans.seeds pattern)
+    // so WindowExec's warning only flags genuinely unbounded windows.
+    val ids = sym.select(col("src").as("node")).distinct()
+      .withColumn("id", row_number().over(Window
+        .partitionBy(pmod(length(col("node")), lit(1)))
+        .orderBy("node")).cast("long"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val es = sym
+      .join(ids.withColumnRenamed("node", "src")
+        .withColumnRenamed("id", "sid"), "src")
+      .join(ids.withColumnRenamed("node", "dst")
+        .withColumnRenamed("id", "did"), "dst")
+      .select(col("sid").as("src"), col("did").as("dst"))
+      .repartition(shufflePartitions, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = ids.select(col("id"), col("id").as("label"))
+    for (_ <- 1 to iters) {
+      labels = es.join(labels, es("src") === labels("id"))
+        .groupBy(es("dst").as("id"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("id")
+        .agg(max(struct(col("c"), negate(col("label")).as("nl"))).as("m"))
+        .select(col("id"), negate(col("m.nl")).as("label"))
+    }
+    labels
+      .join(ids.withColumnRenamed("node", "node_name"), "id")
+      .join(ids.select(col("id").as("label"),
+        col("node").as("comm")), "label")
+      .select(col("node_name").as("node"), col("comm"))
+  }
+}

@@ -466,6 +466,58 @@ object PageRankQueries {
            |SELECT node, dist FROM b6 ORDER BY node""".stripMargin
       }),
 
+    // Community detection by synchronous label propagation
+    // (graph.LabelPropagation) — the COMMUNITY primitive completing
+    // the graph family: each vertex adopts its neighbors' most
+    // frequent label, ties to the smallest, 4 deterministic rounds
+    // over the undirected word graph. Scale shape: edges partitioned
+    // once and persisted; per round only the label table moves, and
+    // the vote is two partial aggregates (count, then struct-argmax)
+    // — no window, no collect. Oracle = 4 unrolled count+argmax CTE
+    // rounds over the same dense-id mapping.
+    Q("g4_label_prop",
+      (s, d) => {
+        val e = LinkGraph.wordFollowEdges(Tables.documents(s, d), "text")
+        graft.graph.LabelPropagation.communities(e, iters = 4)
+          .orderBy("node")
+      },
+      Some {
+        val rounds = (1 to 4).map { h =>
+          s"""c$h AS (
+             |  SELECT es.dst AS id, r${h - 1}.label, count(*) AS c
+             |  FROM es JOIN r${h - 1} ON es.src = r${h - 1}.id
+             |  GROUP BY 1, 2
+             |),
+             |r$h AS (
+             |  SELECT id, label FROM (
+             |    SELECT id, label, row_number() OVER (
+             |      PARTITION BY id ORDER BY c DESC, label) AS rn
+             |    FROM c$h) WHERE rn = 1
+             |)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $edgeCtes,
+           |sym AS (
+           |  SELECT DISTINCT src, dst FROM
+           |  (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)
+           |),
+           |ids AS MATERIALIZED (
+           |  SELECT node,
+           |    CAST(row_number() OVER (ORDER BY node) AS BIGINT) AS id
+           |  FROM (SELECT DISTINCT src AS node FROM sym)
+           |),
+           |es AS MATERIALIZED (
+           |  SELECT a.id AS src, b.id AS dst
+           |  FROM sym JOIN ids a ON a.node = sym.src
+           |           JOIN ids b ON b.node = sym.dst
+           |),
+           |r0 AS (SELECT id, id AS label FROM ids),
+           |$rounds
+           |SELECT i.node AS node, j.node AS comm
+           |FROM r4 JOIN ids i ON i.id = r4.id
+           |        JOIN ids j ON j.id = r4.label
+           |ORDER BY node""".stripMargin
+      }),
+
     // The complete reference pipeline with its EXACT page semantics
     // (PageRank.runOnPages): fabricated wiki pages whose outlinks
     // point at other titles (plus a deterministic share of dangling

@@ -199,6 +199,21 @@ class GraphSpec extends SparkSpec {
     assert(bounded == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L))
   }
 
+  test("label propagation: cliques split at the bridge, ties to min") {
+    import graft.graph.LabelPropagation
+    // Two triangles joined by one bridge c-x. Hand-unrolled sync LPA
+    // (ids by sorted name: a=1..z=6) stabilizes in round 3: the left
+    // clique keeps label 1 ("a"), the right converges on label 3
+    // ("c" — LPA labels are identifiers, not members; x,y,z share
+    // c's id because it crossed the bridge in round 1).
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"),
+      ("x", "y"), ("x", "z"), ("y", "z"), ("c", "x")).toDF("src", "dst")
+    val got = LabelPropagation.communities(edges, iters = 4)
+      .as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "c", "y" -> "c", "z" -> "c"))
+  }
+
   test("dangling node receives rank but leaks its own (reference semantics)") {
     // a -> b, b has no outlinks: b's rank grows from a only; a gets
     // only the teleport term.
