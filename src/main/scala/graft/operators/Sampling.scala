@@ -50,6 +50,39 @@ object Sampling {
     df.filter(hashBucket(col(keyCol)) < threshold)
   }
 
+  /** Per-stratum quantile estimates from the k rows with the
+    * smallest mixed id hash — a deterministic uniform sample whose
+    * selection is order-independent and MERGEABLE (the bottom-k of a
+    * union is the bottom-k of the per-side bottom-ks), so one
+    * definition serves batch and streaming unchanged (d38 and
+    * [[graft.streaming.DocStream.sampleQuantiles]]). The sample rides
+    * the bounded-heap `top_k_by_score` partial aggregate (score =
+    * −hash): one stratum-key exchange, O(k) state per group; the
+    * percentile is a POSITIONAL pick (index ⌈q·n⌉ of the sorted
+    * sample) — exact on the sample, never a row-linear buffer.
+    *
+    * @param df (strataCol, idCol, valueCol); idCol long, valueCol long
+    * @return per stratum: n_docs, n_sample, p10/p50/p90 of valueCol
+    */
+  def hashSampleQuantiles(df: DataFrame, strataCol: String, idCol: String,
+      valueCol: String, k: Int = 256,
+      outSuffix: String = "v"): DataFrame = {
+    import graft.functions.TopKByScore.top_k_by_score
+    val h = col(idCol) * Mixer % MixMod
+    def pick(q: Double) =
+      element_at(col("v"), ceil(lit(q) * size(col("v"))).cast("int"))
+    df.groupBy(strataCol)
+      .agg(count(lit(1)).as("n_docs"),
+        top_k_by_score(negate(h.cast("double")), col(idCol),
+          col(valueCol), k).as("smp"))
+      .select(col(strataCol), col("n_docs"),
+        array_sort(expr("transform(smp, x -> x.tag)")).as("v"))
+      .select(col(strataCol), col("n_docs"),
+        size(col("v")).cast("long").as("n_sample"),
+        pick(0.1).as("p10_" + outSuffix), pick(0.5).as("p50_" + outSuffix),
+        pick(0.9).as("p90_" + outSuffix))
+  }
+
   /** Training-mix construction: replicate each row by its stratum's
     * WEIGHT, fractional weights included — weight 2.5 gives every row
     * 2 copies plus a 3rd for the deterministic hash-selected half,

@@ -2669,26 +2669,10 @@ object PipelineQueries {
     // sorted sample — O(k) state per group by construction, never
     // the row-linear percentile buffer d24/q15 banned.
     Q("d38_sample_quantiles",
-      (s, d) => {
-        import graft.functions.TopKByScore.top_k_by_score
-        val k = 256
-        val h = col("doc_id") * Sampling.Mixer % Sampling.MixMod
-        def pick(q: Double) =
-          element_at(col("v"), ceil(lit(q) * size(col("v"))).cast("int"))
-        Tables.documents(s, d)
-          .select(col("lang"), col("doc_id"), col("n_chars"))
-          .groupBy("lang")
-          .agg(count(lit(1)).as("n_docs"),
-            top_k_by_score(-h.cast("double"), col("doc_id"),
-              col("n_chars"), k).as("smp"))
-          .select(col("lang"), col("n_docs"),
-            array_sort(expr("transform(smp, x -> x.tag)")).as("v"))
-          .select(col("lang"), col("n_docs"),
-            size(col("v")).cast("long").as("n_sample"),
-            pick(0.1).as("p10_chars"), pick(0.5).as("p50_chars"),
-            pick(0.9).as("p90_chars"))
-          .orderBy("lang")
-      },
+      (s, d) => Sampling.hashSampleQuantiles(
+          Tables.documents(s, d).select("lang", "doc_id", "n_chars"),
+          "lang", "doc_id", "n_chars", k = 256, outSuffix = "chars")
+        .orderBy("lang"),
       Some(s"""WITH r AS (
               |  SELECT lang, n_chars,
               |    row_number() OVER (PARTITION BY lang

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextHash
 import graft.functions.TextHashExprs.{band_sigs, minhash_sig, shingle_set, token_hashes}
-import graft.operators.{Dedup, PiiScrub, TextAnalysis}
+import graft.operators.{Dedup, PiiScrub, Sampling, TextAnalysis}
 
 /** Structured Streaming twins of the document-pipeline surface
   * (SURVEY.md §2 block D): the curation steps a training corpus runs
@@ -54,6 +54,20 @@ object DocStream {
   def chunked(docs: DataFrame, chunkTokens: Int = 32,
       stride: Int = 24): DataFrame =
     TextAnalysis.chunk(docs, chunkTokens, stride)
+
+  /** Live per-stratum quantile estimates over the arriving corpus —
+    * the batch d38 [[Sampling.hashSampleQuantiles]] plan UNCHANGED in
+    * complete output mode: the bottom-k-by-hash sample is a mergeable
+    * aggregate (the bottom-k of a union is the bottom-k of the
+    * per-side bottom-ks), so each microbatch's partial heaps fold
+    * into the state-store buffer exactly like map-side partials fold
+    * in batch. State is strata × O(k) BY CONSTRUCTION — no watermark
+    * needed, the aggregate itself is the bound.
+    */
+  def sampleQuantiles(docs: DataFrame, k: Int = 256): DataFrame =
+    Sampling.hashSampleQuantiles(
+      docs.select(col("lang"), col("doc_id"), col("n_chars")),
+      "lang", "doc_id", "n_chars", k, outSuffix = "chars")
 
   /** Streaming exact dedup: first arrival of each normalized-text key
     * survives; later copies arriving within `watermark` of event time

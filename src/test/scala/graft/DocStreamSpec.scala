@@ -13,6 +13,7 @@ import graft.streaming.DocStream
   */
 object DocStreamSpec {
   case class Doc(doc_id: Long, ingest_ts: Timestamp, text: String)
+  case class QDoc(doc_id: Long, lang: String, n_chars: Long)
 }
 
 class DocStreamSpec extends SparkSpec {
@@ -163,6 +164,37 @@ class DocStreamSpec extends SparkSpec {
       val groups = Dedup.exactDupGroups(all)
         .as[(Long, Long)].collect().toMap
       assert(groups == Map(2L -> 2L)) // one dup group, kept id 2, size 2
+    } finally q.stop()
+  }
+
+  test("parity: streaming sample quantiles equal batch across microbatches") {
+    import graft.operators.Sampling
+    import DocStreamSpec.QDoc
+    // k = 4 forces real sample EVICTION: the bottom-4-by-hash of the
+    // union must emerge from merging microbatch partial heaps, not
+    // from any single batch fitting under k.
+    val b1 = (1L to 20L).map(i => QDoc(i, if (i % 2 == 0) "en" else "de",
+      i * 10))
+    val b2 = (21L to 40L).map(i => QDoc(i, if (i % 2 == 0) "en" else "de",
+      i * 10))
+    val stream = MemoryStream[QDoc](spark)
+    val q = DocStream.sampleQuantiles(stream.toDF(), k = 4)
+      .writeStream.format("memory").queryName("squant_t")
+      .outputMode("complete").start()
+    try {
+      stream.addData(b1: _*)
+      q.processAllAvailable()
+      stream.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.table("squant_t")
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+      val want = Sampling.hashSampleQuantiles(
+        (b1 ++ b2).toDF(), "lang", "doc_id", "n_chars", k = 4,
+        outSuffix = "chars")
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == want)
+      assert(got.forall(r => r._2 == 20L && r._3 == 4L),
+        "20 docs per stratum, sample capped at k = 4")
     } finally q.stop()
   }
 }
