@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.BloomPrune
+import graft.operators.{BloomPrune, SkewTools}
 import graft.{Q, Tables}
 
 /** Relational core (SURVEY.md §2 block B): the batch query surface.
@@ -871,7 +871,30 @@ object RelationalQueries {
              |    AND o_orderdate >= TIMESTAMP '1995-06-01'
              |    AND o_orderdate < TIMESTAMP '1995-07-01')
              |GROUP BY returnflag
-             |ORDER BY returnflag""".stripMargin))
+             |ORDER BY returnflag""".stripMargin)),
+
+    // Skew-safe aggregation (operators.SkewTools.saltedSumCount):
+    // l_returnflag has THREE values across all of lineitem — the
+    // pathological low-cardinality hot-key shape where partial
+    // aggregation still lands each key's full partial set on one
+    // reducer, and AQE can't help (its skew handling covers joins).
+    // The two-stage salted plan splits every key across 16 reducers
+    // (deterministic content salt — see the SPARK-23207 note on why
+    // never rand/row-position), then combines the 3×16 partials.
+    // Result is identical to the plain GROUP BY, which is the oracle.
+    Q("q44_skew_agg",
+      (s, d) => SkewTools.saltedSumCount(
+          Tables.lineitem(s, d).select("l_returnflag", "l_quantity",
+            "l_orderkey", "l_linenumber"),
+          "l_returnflag", "l_quantity", salts = 16,
+          saltByCols = Seq("l_orderkey", "l_linenumber"))
+        .select(col("l_returnflag"), col("n"),
+          round(col("sum"), 2).as("sum_qty"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin))
   )
 
   private val GroupingSetsSql =

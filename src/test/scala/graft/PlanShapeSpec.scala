@@ -268,6 +268,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), s"d40 canonicalizes through a window\n$p")
   }
 
+  test("skewed aggregation runs the two-stage salted layout") {
+    // q44's contract: first exchange keys on (returnflag, _salt) so
+    // each hot key spreads over `salts` reducers; the second combines
+    // the keys × salts partials. A refactor collapsing this to one
+    // key-only exchange silently reintroduces the hot-reducer
+    // straggler at scale while staying correctness-green.
+    val p = plan("q44_skew_agg")
+    assert("hashpartitioning\\([^)]*_salt".r.findFirstIn(p).isDefined,
+      s"q44 lost the salted first-stage exchange\n$p")
+    val exchanges = "Exchange (?:range|hash|Single)".r.findAllIn(p).size
+    assert(exchanges == 3,
+      s"q44: expected salt + key + ORDER BY exchanges, got $exchanges\n$p")
+  }
+
   test("bloom semi join: runtime might_contain prunes the fact scan") {
     // q43's contract: the bloom reaches the fact side as a scalar
     // subquery folded at runtime, the prune is a codegen'd filter
