@@ -73,6 +73,14 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == 4)
     assert(back.filter(col("dt") === "2026-01-02")
       .select("id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+
+    // The dt filter must become a PartitionFilter (directory-level
+    // prune — the scan never opens the other date's files), NOT a
+    // data filter evaluated per row after reading everything.
+    val p = back.filter(col("dt") === "2026-01-02")
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*dt".r.findFirstIn(p).isDefined,
+      s"dt filter did not prune at the directory level\n$p")
   }
 
   test("orc sink: same layout contract, filters push to the orc scan") {
