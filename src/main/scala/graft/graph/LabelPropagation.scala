@@ -23,10 +23,13 @@ import org.apache.spark.storage.StorageLevel
   * hash-partitioned by `src` ONCE and persisted — only the O(|V|)
   * label table moves per round. The neighbor vote is two partial
   * aggregates per round: count per (node, label), then the argmax as
-  * `max(struct(count, −label))` — a declarative struct-max, so both
-  * stay map-side-combining hash aggregates; ties break to the
-  * smallest label because −label inverts the comparison. No window,
-  * no collect.
+  * a `max` over the PACKED long `count·2³¹ + (2³¹ − label)` — max
+  * picks the highest count, ties the smallest label, and a plain
+  * long max keeps BOTH stages in HashAggregate (a struct-max buffer
+  * falls back to SortAggregate, adding a per-round sort). The
+  * packing is exact because both factors are below 2³¹ by
+  * construction: labels are `row_number` ints and a neighbor count
+  * is bounded by |V|. No window, no collect.
   *
   * Node names map to dense numeric ids first (a one-time sort of the
   * VOCABULARY — bounded, ≪ corpus — with the id table reused on both
@@ -70,14 +73,16 @@ object LabelPropagation {
       .repartition(shufflePartitions, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    val Pack = 2147483648L // 2^31: > any row_number label or count
     var labels = ids.select(col("id"), col("id").as("label"))
     for (_ <- 1 to iters) {
       labels = es.join(labels, es("src") === labels("id"))
         .groupBy(es("dst").as("id"), col("label"))
         .agg(count(lit(1)).as("c"))
         .groupBy("id")
-        .agg(max(struct(col("c"), negate(col("label")).as("nl"))).as("m"))
-        .select(col("id"), negate(col("m.nl")).as("label"))
+        .agg(max(col("c") * Pack + (lit(Pack) - col("label"))).as("m"))
+        .select(col("id"), (lit(Pack) - pmod(col("m"), lit(Pack)))
+          .as("label"))
     }
     labels
       .join(ids.withColumnRenamed("node", "node_name"), "id")
