@@ -91,43 +91,50 @@ object PipelineQueries {
     * (per-dim form). MATERIALIZED is load-bearing: each round reads
     * the previous twice.
     */
+  /** `prefix`/`embExpr`/`dims` generalize the mirror for SUBSPACE
+    * instances (e11 runs four over 16-dim slices); the defaults are
+    * the original full-vector form used by e7/e8/e10.
+    */
   private def kmeansCtes(k: Int, iters: Int,
-      trainPred: String = "TRUE"): String = {
+      trainPred: String = "TRUE",
+      embExpr: String = "CAST(embedding AS DOUBLE[])",
+      prefix: String = "", dims: Int = 64): String = {
+    val p = prefix
     val steps = (1 to iters).map { i =>
-      s"""a$i AS MATERIALIZED (
+      s"""${p}a$i AS MATERIALIZED (
          |  SELECT vec_id, emb, cell FROM (
          |    SELECT v.vec_id, v.emb, c.cell,
          |      row_number() OVER (PARTITION BY v.vec_id
-         |        ORDER BY ${TextHash.duckCosine("v.emb", "c.cvec", 64)} DESC,
+         |        ORDER BY ${TextHash.duckCosine("v.emb", "c.cvec", dims)} DESC,
          |                 c.cell) AS rn
-         |    FROM et v, cent${i - 1} c
+         |    FROM ${p}et v, ${p}cent${i - 1} c
          |  ) WHERE rn = 1
          |),
-         |c${i}d AS MATERIALIZED (
+         |${p}c${i}d AS MATERIALIZED (
          |  SELECT cell, i - 1 AS dim, round(avg(v), 6) AS centroid
          |  FROM (SELECT cell, unnest(emb) AS v,
-         |          generate_subscripts(emb, 1) AS i FROM a$i)
+         |          generate_subscripts(emb, 1) AS i FROM ${p}a$i)
          |  GROUP BY cell, dim
          |),
-         |cent$i AS MATERIALIZED (
+         |${p}cent$i AS MATERIALIZED (
          |  SELECT cell, list(centroid ORDER BY dim) AS cvec
-         |  FROM c${i}d GROUP BY cell
+         |  FROM ${p}c${i}d GROUP BY cell
          |)""".stripMargin
     }.mkString(",\n")
-    s"""e AS MATERIALIZED (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    s"""${p}e AS MATERIALIZED (
+       |  SELECT vec_id, $embExpr AS emb FROM embeddings
        |),
-       |et AS MATERIALIZED (
-       |  SELECT vec_id, emb FROM e WHERE $trainPred
+       |${p}et AS MATERIALIZED (
+       |  SELECT vec_id, emb FROM ${p}e WHERE $trainPred
        |),
-       |s0 AS MATERIALIZED (
-       |  SELECT vec_id, emb, $duckVecBucket AS b FROM et
+       |${p}s0 AS MATERIALIZED (
+       |  SELECT vec_id, emb, $duckVecBucket AS b FROM ${p}et
        |  ORDER BY b, vec_id LIMIT $k
        |),
-       |cent0 AS MATERIALIZED (
+       |${p}cent0 AS MATERIALIZED (
        |  SELECT row_number() OVER (ORDER BY b, vec_id) - 1 AS cell,
        |    emb AS cvec
-       |  FROM s0
+       |  FROM ${p}s0
        |),
        |$steps""".stripMargin
   }
@@ -2849,6 +2856,133 @@ object PipelineQueries {
              |SELECT url_canon, count(*) AS n_docs,
              |  min(doc_id) AS min_doc_id
              |FROM k GROUP BY url_canon
-             |ORDER BY url_canon""".stripMargin))
+             |ORDER BY url_canon""".stripMargin)),
+
+    // Product-quantization ANN (ADC): the memory/compute-compression
+    // axis of the ANN scale story, complementing IVF's partition
+    // pruning — 4 subspace codebooks (16 dims × 8 codes, Lloyd via
+    // the SAME KMeans trainer) encode every vector as 4 small codes;
+    // query scoring is ASYMMETRIC DISTANCE: dot(q_m, codebook_m[c])
+    // precomputed ONCE per (query, subspace, code) into a lookup
+    // table — queries×4×8 scalars, the e7 bounded-handoff class —
+    // so the per-candidate score is 4 MAP LOOKUPS + 3 adds, never a
+    // 64-dim product, and the stored corpus is 4 longs per vector
+    // instead of 64 doubles (the compression that puts a billion
+    // vectors in cluster memory). Encoding is the compiled
+    // nearest-centroid kernel per subspace (map-side, zero shuffle);
+    // ranking rides the bounded heap. Approximate by construction;
+    // the oracle mirrors codebooks, codes, LUT and ranking exactly.
+    Q("e11_pq_topk",
+      (s, d) => {
+        import graft.functions.NearestCentroidCell.nearest_centroid
+        import graft.functions.TopKByScore.top_k_by_score
+        val M = 4
+        val subDims = 16
+        val emb = Tables.embeddings(s, d).select(col("vec_id"),
+          expr("transform(embedding, v -> cast(v as double))").as("e"))
+        def sub(m: Int) = expr(s"slice(e, ${m * subDims + 1}, $subDims)")
+        val books: IndexedSeq[Seq[(Long, Array[Double])]] =
+          (0 until M).map { m =>
+            KMeans.train(emb.select(col("vec_id"),
+                sub(m).as("embedding")), k = 8, iters = 2)
+              .select(col("cell").cast("long"), col("cvec")).collect()
+              .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+          }
+        // ADC lookup table, driver-built over the 10 probe queries
+        // with the engine's left-to-right fold (bounded: queries ×
+        // M × k scalars — the centroid-handoff class, never corpus).
+        val qRows = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id"), col("e")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        def dot(a: Array[Double], off: Int, b: Array[Double]): Double = {
+          var s0 = 0.0
+          var i = 0
+          while (i < b.length) { s0 += a(off + i) * b(i); i += 1 }
+          s0
+        }
+        val lut: Map[Long, Map[Long, Double]] =
+          (for ((qid, qe) <- qRows.toSeq; m <- 0 until M) yield
+            (qid * M + m) -> books(m).map { case (cell, cv) =>
+              cell -> dot(qe, m * subDims, cv)
+            }.toMap).toMap
+        val coded = (0 until M).foldLeft(emb) { (df, m) =>
+          df.withColumn(s"code_$m", nearest_centroid(sub(m), books(m)))
+        }
+        val lutLit = typedlit(lut)
+        val qids = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"))
+        def l(m: Int) = element_at(
+          element_at(lutLit, col("query_id") * M + lit(m.toLong)),
+          col(s"code_$m"))
+        coded.join(broadcast(qids), col("vec_id") =!= col("query_id"))
+          .withColumn("adc", l(0) + l(1) + l(2) + l(3))
+          .groupBy("query_id")
+          .agg(top_k_by_score(col("adc"), col("vec_id"), lit(0L), 5)
+            .as("tk"))
+          .select(col("query_id"),
+            posexplode(col("tk")).as(Seq("pos", "t")))
+          .select(col("query_id"),
+            (col("pos") + 1).cast("long").as("rank"),
+            col("t.cand_id").as("cand_id"),
+            round(col("t.sim"), 6).as("adc"))
+          .orderBy("query_id", "rank")
+      },
+      Some {
+        def slice(m: Int) =
+          s"(CAST(embedding AS DOUBLE[]))[${m * 16 + 1}:${m * 16 + 16}]"
+        def dotFold(a: String, b: String) =
+          s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+            s"list_transform(range(1, 17), i -> $a[i] * $b[i])), " +
+            s"(acc, x) -> acc + x)"
+        val books = (0 until 4)
+          .map(m => kmeansCtes(8, 2, "TRUE", slice(m), s"p$m", 16))
+          .mkString(",\n")
+        val encs = (0 until 4).map { m =>
+          s"""enc$m AS MATERIALIZED (
+             |  SELECT vec_id, cell AS code_$m FROM (
+             |    SELECT v.vec_id, c.cell, row_number() OVER (
+             |      PARTITION BY v.vec_id
+             |      ORDER BY ${TextHash.duckCosine("v.emb", "c.cvec", 16)}
+             |        DESC, c.cell) AS rn
+             |    FROM p${m}e v, p${m}cent2 c) WHERE rn = 1
+             |)""".stripMargin
+        }.mkString(",\n")
+        val luts = (0 until 4).map { m =>
+          s"""lut$m AS MATERIALIZED (
+             |  SELECT q.vec_id AS qid, c.cell,
+             |    ${dotFold("q.emb", "c.cvec")} AS d
+             |  FROM (SELECT vec_id, emb FROM p${m}e WHERE vec_id < 10) q,
+             |       p${m}cent2 c
+             |)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $books,
+           |$encs,
+           |$luts,
+           |enc AS (
+           |  SELECT e0.vec_id, e0.code_0, e1.code_1, e2.code_2,
+           |    e3.code_3
+           |  FROM enc0 e0 JOIN enc1 e1 USING (vec_id)
+           |       JOIN enc2 e2 USING (vec_id)
+           |       JOIN enc3 e3 USING (vec_id)
+           |),
+           |sc AS (
+           |  SELECT l0.qid AS query_id, v.vec_id AS cand_id,
+           |    l0.d + l1.d + l2.d + l3.d AS adc
+           |  FROM enc v
+           |  JOIN lut0 l0 ON l0.cell = v.code_0
+           |  JOIN lut1 l1 ON l1.cell = v.code_1 AND l1.qid = l0.qid
+           |  JOIN lut2 l2 ON l2.cell = v.code_2 AND l2.qid = l0.qid
+           |  JOIN lut3 l3 ON l3.cell = v.code_3 AND l3.qid = l0.qid
+           |  WHERE v.vec_id <> l0.qid
+           |),
+           |r AS (
+           |  SELECT query_id, cand_id, adc, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY adc DESC, cand_id) AS rank
+           |  FROM sc
+           |)
+           |SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id,
+           |  round(adc, 6) AS adc
+           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      })
   )
 }
