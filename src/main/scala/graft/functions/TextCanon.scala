@@ -14,28 +14,48 @@ import org.apache.spark.unsafe.types.UTF8String
   * (Spark has no built-in NFC normalize at all; the alternative is a
   * UDF, which forfeits codegen).
   *
-  * Contract (in order, matching the DuckDB twin
-  * `trim(regexp_replace(strip_zw(map_nbsp(lower(nfc_normalize(s)))),
-  * '\s+', ' ', 'g'))`):
-  *   1. NFC compose (é as e+U+0301 → U+00E9) — java.text.Normalizer,
+  * Contract (in order):
+  *   1. zero-width chars (U+200B..U+200D, U+FEFF BOM) dropped — and
+  *      dropped BEFORE normalization: a zero-width char between a
+  *      base and its combining mark blocks NFC, so stripping after
+  *      would leave a decomposed pair that a SECOND canon pass
+  *      composes — breaking idempotence (caught by the fuzz spec);
+  *   2. NFC compose (é as e+U+0301 → U+00E9) — java.text.Normalizer,
   *      identical to ICU on the composition sequences that occur in
   *      web text;
-  *   2. no-break spaces (U+00A0, U+2007, U+202F) → ' ';
-  *   3. zero-width chars (U+200B..U+200D, U+FEFF BOM) dropped;
+  *   3. no-break spaces (U+00A0, U+2007, U+202F) → ' ';
   *   4. per-codepoint lowercase — matches SQL `lower` on ASCII and
   *      Latin-1; full-casefold locale specials (tr İ, ß→ss) are OUT
   *      of contract (neither engine's `lower` applies them either);
   *   5. whitespace runs ([ \t\n\f\r] — exactly RE2's `\s` set)
   *      collapse to one space, leading/trailing trimmed.
   *
-  * Single pass, one output allocation; stays inside whole-stage
-  * codegen via `doGenCode` → the static kernel.
+  * The DuckDB twin `trim(regexp_replace(replace(replace(lower(
+  * nfc_normalize(s)), nbsp, ' '), zwsp, ''), '\s+', ' ', 'g'))`
+  * strips zero-width AFTER normalizing — the two orders agree
+  * whenever no zero-width char separates a composable pair, which
+  * holds for the d39 planted corpus (zero-width dirt is appended,
+  * never interleaved) and is md5-pinned there.
+  *
+  * One pass after the strip, one output allocation; stays inside
+  * whole-stage codegen via `doGenCode` → the static kernel.
   */
 object TextCanonKernels {
 
+  private def isZeroWidth(cp: Int): Boolean =
+    (cp >= 0x200B && cp <= 0x200D) || cp == 0xFEFF
+
   def canon(s: UTF8String): UTF8String = {
+    val raw = s.toString
+    val kept = new java.lang.StringBuilder(raw.length)
+    var j = 0
+    while (j < raw.length) {
+      val cp = raw.codePointAt(j)
+      j += Character.charCount(cp)
+      if (!isZeroWidth(cp)) kept.appendCodePoint(cp)
+    }
     val nfc = java.text.Normalizer.normalize(
-      s.toString, java.text.Normalizer.Form.NFC)
+      kept.toString, java.text.Normalizer.Form.NFC)
     val sb = new java.lang.StringBuilder(nfc.length)
     var pendingSpace = false
     var started = false
@@ -45,7 +65,7 @@ object TextCanonKernels {
       i += Character.charCount(cp)
       val mapped =
         if (cp == 0x00A0 || cp == 0x2007 || cp == 0x202F) ' '.toInt
-        else if ((cp >= 0x200B && cp <= 0x200D) || cp == 0xFEFF) -1
+        else if (isZeroWidth(cp)) -1 // unreachable post-strip; totality
         else Character.toLowerCase(cp)
       if (mapped >= 0) {
         if (mapped == ' ' || mapped == '\t' || mapped == '\n' ||

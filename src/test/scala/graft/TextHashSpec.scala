@@ -126,4 +126,27 @@ class TextHashKernelSpec extends SparkSpec {
     assert(spark.sql(s"SELECT text_canon('$sqlIn') AS c")
       .as[String].head() == "a b")
   }
+
+  test("text_canon fuzz: total and idempotent on arbitrary mixes") {
+    import graft.functions.TextCanon.text_canon
+    // Unit pool mixes every class the kernel treats specially \u2014
+    // decomposed and precomposed accents, stray combining marks,
+    // nbsp family, zero-width family, whitespace, case, CJK, an
+    // astral emoji (kept as a surrogate PAIR \u2014 lone surrogates are
+    // not valid strings) \u2014 seeded for reproducibility.
+    val pool = Array("a", "E", "\u0301", "\u00A0", "\u200B", " ", "\t",
+      "\n", "\uFEFF", "\u00C9", "\u00DF", "\u4E16", "0", ".", "\u202F",
+      "\r", "\uD83D\uDE00", "x\u0301\u0301")
+    val rnd = new scala.util.Random(0xCA41)
+    val strs = (1 to 300).map(_ => (0 until rnd.nextInt(40))
+      .map(_ => pool(rnd.nextInt(pool.length))).mkString)
+    // Total (no throw through the whole plan) and IDEMPOTENT: a
+    // second canon pass must be the identity \u2014 the property that
+    // makes re-running a normalization stage on partially-processed
+    // data safe.
+    val twice = strs.toDF("s")
+      .select(text_canon(col("s")).as("c1"))
+      .select(col("c1"), text_canon(col("c1")).as("c2"))
+    assert(twice.filter(col("c1") =!= col("c2")).count() == 0)
+  }
 }
