@@ -37,6 +37,27 @@ import graft.functions.TopKByScore.top_k_by_score
   */
 object AnnStream {
 
+  /** Ingest-time product-quantization encode — e11's storage step as
+    * a stream: arriving vectors become M subspace codes via the
+    * compiled nearest-centroid kernel per subspace with the bounded
+    * codebooks baked in. Pure map-side generated code — stateless,
+    * no shuffle, no watermark; the output (4 longs per vector
+    * instead of the raw embedding) is what a streaming pipeline
+    * appends to the compressed index the e11 ADC search reads.
+    *
+    * @param vectors streaming (vec_id, embedding) — double array
+    * @param books per-subspace (cell, centroid) codebooks, subspace
+    *   order; subspace m covers dims [m·subDims, (m+1)·subDims)
+    */
+  def pqEncode(vectors: DataFrame,
+      books: Seq[Seq[(Long, Array[Double])]], subDims: Int): DataFrame =
+    books.zipWithIndex.foldLeft(
+      vectors.select(col("vec_id"), col("embedding"))) {
+      case (df, (book, m)) =>
+        df.withColumn(s"code_$m", nearest_centroid(
+          expr(s"slice(embedding, ${m * subDims + 1}, $subDims)"), book))
+    }.drop("embedding")
+
   def probeTopK(queries: DataFrame, corpusWithCells: DataFrame,
       centroids: DataFrame, k: Int, watermark: String = "1 hour",
       windowLen: String = "1 hour"): DataFrame = {

@@ -65,4 +65,44 @@ class AnnStreamSpec extends SparkSpec {
       assert(byQuery(1001L).forall(_._3 % 3 == 2))
     } finally q.stop()
   }
+
+  test("streaming PQ encode equals batch codes, stateless map-side") {
+    // 4-dim vectors, M = 2 subspaces x 2 dims; codebooks trained by
+    // the same KMeans on the corpus slices (e11's storage step).
+    val rnd = new scala.util.Random(7L)
+    val anchors = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val corpus = (0 until 24).map { i =>
+      (i.toLong, (anchors(i % 2) ++ anchors((i / 2) % 2))
+        .map(_ + rnd.nextGaussian() * 0.05))
+    }
+    val emb = corpus.toDF("vec_id", "embedding")
+    val books = (0 until 2).map { m =>
+      KMeans.train(emb.select(col("vec_id"),
+          expr(s"slice(embedding, ${m * 2 + 1}, 2)").as("embedding")),
+          k = 2, iters = 2)
+        .select(col("cell").cast("long"), col("cvec")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    }
+    val want = AnnStream.pqEncode(emb, books, subDims = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(want.size == 24 && want.forall(r => r._2 < 2 && r._3 < 2))
+
+    val rows = corpus.map { case (id, e) =>
+      Vec(id, new Timestamp(600000L + id * 1000), e) }
+    val stream = MemoryStream[Vec](spark)
+    val q = AnnStream.pqEncode(stream.toDF(), books, subDims = 2)
+      .writeStream.format("memory").queryName("pq_t")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("pq_t")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == want)
+      // Codes separate the planted subspace clusters: vectors
+      // sharing a subspace anchor share that subspace's code.
+      val byCode0 = got.groupBy(_._2).values.map(_.map(_._1 % 2).toSet)
+      assert(byCode0.forall(_.size == 1))
+    } finally q.stop()
+  }
 }
