@@ -48,4 +48,48 @@ object Bfs {
     }
     dist
   }
+
+  /** Open-ended BFS to EXHAUSTION — the convergence twin of
+    * [[hopDistance]] (the d9/PageRank pattern: a fixed-round form
+    * for oracle parity, a converging form for real use where the
+    * diameter is unknown). Each round asks ONE O(1) driver scalar —
+    * "did this round reach any new node?" — and stops when the
+    * frontier empties; `checkpointEvery` cuts the growing lineage on
+    * long chains (the same contract as PageRank.runUntilConverged).
+    *
+    * @return (distances, rounds run — on exhaustion the final round
+    *   is the empty one that proved termination, so the graph
+    *   eccentricity from the seed set is `rounds - 1`)
+    */
+  def hopDistanceUntilDone(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int = 1000,
+      checkpointEvery: Int = 20): (DataFrame, Int) = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = edges.select("src", "dst").distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var dist = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var h = 0
+    var frontierSize = dist.count() // seeds are round 0's frontier
+    while (frontierSize > 0 && h < maxHops) {
+      h += 1
+      val frontier = dist.filter(col("dist") === (h - 1))
+      val reached = frontier.join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node"), lit(h.toLong).as("dist"))
+      val next0 = dist.union(reached)
+        .groupBy("node").agg(min("dist").as("dist"))
+      val next = if (checkpointEvery > 0 && h % checkpointEvery == 0)
+        next0.localCheckpoint(true)
+      else next0.persist(StorageLevel.MEMORY_AND_DISK)
+      // The one scalar that decides termination: nodes first reached
+      // THIS round.
+      frontierSize = next.filter(col("dist") === h).count()
+      dist.unpersist()
+      dist = next
+    }
+    (dist, h)
+  }
 }

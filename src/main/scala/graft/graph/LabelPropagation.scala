@@ -90,4 +90,66 @@ object LabelPropagation {
         col("node").as("comm")), "label")
       .select(col("node_name").as("node"), col("comm"))
   }
+
+  /** Run synchronous LPA until NO label changes (or `maxIters`) —
+    * the convergence twin of [[communities]] (the d9/PageRank
+    * pattern: fixed rounds for oracle parity, convergence for real
+    * use). Termination is decided by one O(1) driver scalar per
+    * round — the count of vertices whose label moved. Note plain LPA
+    * can OSCILLATE on bipartite-ish structure (2-cycles of label
+    * swaps); `maxIters` is the guard, and the returned round count
+    * hitting it tells the caller convergence was not reached.
+    *
+    * @return (communities as in [[communities]], rounds run)
+    */
+  def communitiesUntilStable(edges: DataFrame, maxIters: Int = 50)
+      : (DataFrame, Int) = {
+    val spark = edges.sparkSession
+    val shufflePartitions =
+      spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val ids = sym.select(col("src").as("node")).distinct()
+      .withColumn("id", row_number().over(Window
+        .partitionBy(pmod(length(col("node")), lit(1)))
+        .orderBy("node")).cast("long"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val es = sym
+      .join(ids.withColumnRenamed("node", "src")
+        .withColumnRenamed("id", "sid"), "src")
+      .join(ids.withColumnRenamed("node", "dst")
+        .withColumnRenamed("id", "did"), "dst")
+      .select(col("sid").as("src"), col("did").as("dst"))
+      .repartition(shufflePartitions, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val Pack = 2147483648L
+    var labels = ids.select(col("id"), col("id").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var rounds = 0
+    var changed = 1L
+    while (changed > 0 && rounds < maxIters) {
+      rounds += 1
+      val next = es.join(labels, es("src") === labels("id"))
+        .groupBy(es("dst").as("id"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("id")
+        .agg(max(col("c") * Pack + (lit(Pack) - col("label"))).as("m"))
+        .select(col("id"), (lit(Pack) - pmod(col("m"), lit(Pack)))
+          .as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels
+          .withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+    }
+    val out = labels
+      .join(ids.withColumnRenamed("node", "node_name"), "id")
+      .join(ids.select(col("id").as("label"),
+        col("node").as("comm")), "label")
+      .select(col("node_name").as("node"), col("comm"))
+    (out, rounds)
+  }
 }

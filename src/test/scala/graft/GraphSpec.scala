@@ -214,6 +214,32 @@ class GraphSpec extends SparkSpec {
       "x" -> "c", "y" -> "c", "z" -> "c"))
   }
 
+  test("BFS to exhaustion: stops past the eccentricity, agrees with bounded") {
+    import graft.graph.Bfs
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+      ("z", "c"), ("f", "f")).toDF("src", "dst")
+    val seeds = Seq("a", "z").toDF("node")
+    val (dist, rounds) = Bfs.hopDistanceUntilDone(edges, seeds)
+    assert(dist.as[(String, Long)].collect().toMap ==
+      Bfs.hopDistance(edges, seeds, maxHops = 10)
+        .as[(String, Long)].collect().toMap)
+    // e sits 3 hops out; round 4 proves exhaustion.
+    assert(rounds == 4)
+  }
+
+  test("LPA until stable: converges on the two-clique fixture") {
+    import graft.graph.LabelPropagation
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"),
+      ("x", "y"), ("x", "z"), ("y", "z"), ("c", "x")).toDF("src", "dst")
+    val (comm, rounds) = LabelPropagation.communitiesUntilStable(edges)
+    assert(comm.as[(String, String)].collect().toMap ==
+      Map("a" -> "a", "b" -> "a", "c" -> "a",
+        "x" -> "c", "y" -> "c", "z" -> "c"))
+    // Hand-unrolled: labels stabilize after round 3; round 4 detects
+    // zero movement.
+    assert(rounds == 4)
+  }
+
   test("dangling node receives rank but leaks its own (reference semantics)") {
     // a -> b, b has no outlinks: b's rank grows from a only; a gets
     // only the teleport term.
