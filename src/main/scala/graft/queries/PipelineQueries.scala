@@ -2858,6 +2858,91 @@ object PipelineQueries {
              |FROM k GROUP BY url_canon
              |ORDER BY url_canon""".stripMargin)),
 
+    // KMV sketch ALGEBRA for join planning: estimate the distinct-key
+    // overlap |A ∩ B| between a 100 TB fact table and a filtered dim
+    // WITHOUT running the join — the cardinality a planner needs to
+    // choose broadcast vs shuffle vs bloom-prune (q43). Each side
+    // reduces to its bottom-k mixed-hash sketch; the UNION sketch is
+    // computed FROM THE TWO SKETCHES (bottom-k(bottom-k(A) ∪
+    // bottom-k(B)) = bottom-k(A ∪ B) — the merge property that makes
+    // KMV composable without re-reading either side), and
+    // inclusion-exclusion gives the intersection: est(A) + est(B) −
+    // est(A ∪ B). Deterministic (a set function of the keys), so
+    // both engines produce the IDENTICAL estimate — the composable
+    // planning statistic HLL can't give. The exact overlap rides
+    // along as the verification column. Scale shape: one distinct
+    // exchange + TakeOrderedAndProject per side; the merge touches
+    // 2k rows.
+    Q("d41_kmv_join_est",
+      (s, d) => {
+        val k = 256
+        def sketch(df: org.apache.spark.sql.DataFrame, keyCol: String) =
+          df.select((col(keyCol) * Sampling.Mixer % Sampling.MixMod)
+              .as("h"))
+            .distinct().orderBy("h").limit(k)
+        val a = sketch(Tables.lineitem(s, d), "l_orderkey")
+        val b = sketch(Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT"), "o_orderkey")
+        val u = a.union(b).distinct().orderBy("h").limit(k)
+        def scal(df: org.apache.spark.sql.DataFrame, p: String) =
+          df.agg(count(lit(1)).as("n" + p), max("h").as("kth" + p))
+        def est(p: String) =
+          when(col("n" + p) < k, col("n" + p))
+            .otherwise(floor(lit((k - 1).toDouble) * Sampling.MixMod /
+              col("kth" + p) + 0.5))
+            .cast("long")
+        val exact = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("jk")).distinct()
+          .join(Tables.orders(s, d)
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_orderkey").as("jk")).distinct(), "jk")
+          .agg(count(lit(1)).as("exact_inter"))
+        scal(a, "_a").crossJoin(scal(b, "_b")).crossJoin(scal(u, "_u"))
+          .crossJoin(exact)
+          .select(est("_a").as("est_a"), est("_b").as("est_b"),
+            est("_u").as("est_union"),
+            greatest(lit(0L), est("_a") + est("_b") - est("_u"))
+              .as("est_inter"),
+            col("exact_inter"))
+      },
+      Some(s"""WITH ha AS (
+              |  SELECT DISTINCT l_orderkey * ${Sampling.Mixer}
+              |    % ${Sampling.MixMod} AS h FROM lineitem
+              |),
+              |hb AS (
+              |  SELECT DISTINCT o_orderkey * ${Sampling.Mixer}
+              |    % ${Sampling.MixMod} AS h FROM orders
+              |  WHERE o_orderpriority = '1-URGENT'
+              |),
+              |ka AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+              |kb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+              |ku AS (SELECT DISTINCT h FROM
+              |       (SELECT h FROM ka UNION ALL SELECT h FROM kb)
+              |       ORDER BY h LIMIT 256),
+              |es AS (
+              |  SELECT
+              |    (SELECT CAST(CASE WHEN count(*) < 256 THEN count(*)
+              |      ELSE floor(255.0 * ${Sampling.MixMod} / max(h) + 0.5)
+              |      END AS BIGINT) FROM ka) AS est_a,
+              |    (SELECT CAST(CASE WHEN count(*) < 256 THEN count(*)
+              |      ELSE floor(255.0 * ${Sampling.MixMod} / max(h) + 0.5)
+              |      END AS BIGINT) FROM kb) AS est_b,
+              |    (SELECT CAST(CASE WHEN count(*) < 256 THEN count(*)
+              |      ELSE floor(255.0 * ${Sampling.MixMod} / max(h) + 0.5)
+              |      END AS BIGINT) FROM ku) AS est_union
+              |),
+              |x AS (
+              |  SELECT count(*) AS exact_inter FROM
+              |    (SELECT DISTINCT l_orderkey AS jk FROM lineitem) a
+              |    JOIN (SELECT DISTINCT o_orderkey AS jk FROM orders
+              |          WHERE o_orderpriority = '1-URGENT') b
+              |    USING (jk)
+              |)
+              |SELECT est_a, est_b, est_union,
+              |  greatest(0, est_a + est_b - est_union) AS est_inter,
+              |  exact_inter
+              |FROM es, x""".stripMargin)),
+
     // Product-quantization ANN (ADC): the memory/compute-compression
     // axis of the ANN scale story, complementing IVF's partition
     // pruning — 4 subspace codebooks (16 dims × 8 codes, Lloyd via
