@@ -48,7 +48,15 @@ object BloomPrune {
     * @param fpp target false-positive rate of the PRUNE step (the
     *   verify join removes all false positives from the result)
     */
-  def semiJoin(big: DataFrame, small: DataFrame, key: String,
+  /** The PRUNE stage alone: rows of `big` whose `bigKey` MIGHT be in
+    * `small`'s `smallKey` set (no false negatives; `fpp` false
+    * positives pass). Composable wherever the caller follows with
+    * its own exact step — [[semiJoin]] adds a left-semi verify, the
+    * decontamination path feeds its gram equi-join + substring
+    * verify.
+    */
+  def pruneMightContain(big: DataFrame, bigKey: Column,
+      small: DataFrame, smallKey: Column,
       expectedItems: Long = 1000000L, fpp: Double = 0.03): DataFrame = {
     require(expectedItems > 0, s"expectedItems must be > 0, got $expectedItems")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
@@ -59,16 +67,20 @@ object BloomPrune {
       math.ceil(-expectedItems * math.log(fpp) /
         (math.log(2) * math.log(2))).toLong,
       33554432L)
-    val buildHash = ColumnBridge.expression(xxhash64(col(key)))
+    val buildHash = ColumnBridge.expression(xxhash64(smallKey))
     val bloomAgg = new BloomFilterAggregate(buildHash,
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()
     val bloomPlan = small
       .agg(ColumnBridge.column(bloomAgg).as("bloom")).queryExecution.analyzed
     val mightContain: Column = ColumnBridge.column(
       BloomFilterMightContain(ScalarSubquery(bloomPlan),
-        ColumnBridge.expression(xxhash64(big(key)))))
-    // Semi join dedups the build side itself — no distinct needed.
+        ColumnBridge.expression(xxhash64(bigKey))))
     big.filter(mightContain)
-      .join(small.select(key), Seq(key), "left_semi")
   }
+
+  def semiJoin(big: DataFrame, small: DataFrame, key: String,
+      expectedItems: Long = 1000000L, fpp: Double = 0.03): DataFrame =
+    // Semi join dedups the build side itself — no distinct needed.
+    pruneMightContain(big, big(key), small, col(key), expectedItems, fpp)
+      .join(small.select(key), Seq(key), "left_semi")
 }

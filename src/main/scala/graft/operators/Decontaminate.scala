@@ -61,4 +61,34 @@ object Decontaminate {
         concat(lit(" "), col("probe"), lit(" "))) > 0)
       .select("doc_id", "probe_src")
   }
+
+  /** [[matches]] with a runtime BLOOM PRUNE on the exploded gram
+    * stream (operators.BloomPrune): the probe grams build a bloom
+    * that reaches the corpus-gram side as a scalar subquery, and the
+    * codegen'd might_contain drops ~(1-fpp) of the grams BEFORE the
+    * equi-join's exchange. At 100 TB this is the difference between
+    * shuffling every document's every n-gram and shuffling only the
+    * grams that might match an eval probe — the candidate join,
+    * collision discard and substring verification are unchanged, so
+    * the result is IDENTICAL to [[matches]] for any fpp.
+    */
+  def matchesBloomPruned(corpus: DataFrame, probes: DataFrame,
+      n: Int = 8, fpp: Double = 0.01): DataFrame = {
+    val grams = corpus.select(col("doc_id"),
+      explode(ngram_hashes(token_hashes(split(col("norm"), " ")), n)).as("g"))
+    val p = probes.select(col("probe_src"), col("probe"),
+      get(ngram_hashes(token_hashes(split(col("probe"), " ")), n), lit(0))
+        .as("g"))
+    val pruned = BloomPrune.pruneMightContain(grams, col("g"),
+      p.filter(col("g").isNotNull), col("g"),
+      expectedItems = 100000L, fpp = fpp)
+    val cand = pruned.join(broadcast(p), Seq("g"))
+      .filter(col("doc_id") =!= col("probe_src"))
+      .select("doc_id", "probe_src", "probe")
+      .distinct()
+    cand.join(corpus, Seq("doc_id"))
+      .filter(instr(concat(lit(" "), col("norm"), lit(" ")),
+        concat(lit(" "), col("probe"), lit(" "))) > 0)
+      .select("doc_id", "probe_src")
+  }
 }

@@ -1725,6 +1725,57 @@ object PipelineQueries {
               | AND c.doc_id <> p.probe_src
               |ORDER BY 1, 2""".stripMargin)),
 
+    // d15's decontamination with the q43 runtime bloom composed in
+    // (Decontaminate.matchesBloomPruned): the probe grams build a
+    // bloom reaching the corpus-gram stream as a scalar subquery;
+    // might_contain drops ~(1-fpp) of the exploded grams BEFORE the
+    // candidate join's exchange. At 100 TB: shuffle only grams that
+    // might match an eval probe, not every document's every n-gram.
+    // Result identical to d15 for any fpp (the equi-join + substring
+    // verify are unchanged) — the oracle IS d15's, and the plan pin
+    // asserts the prune sits in the gram stream.
+    Q("d42_decontaminate_bloom",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val rekeyed = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        val corpus = docs.union(rekeyed)
+          .select(col("doc_id"),
+            regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("norm"))
+        val probes = corpus
+          .filter(col("doc_id") % 50 === 0 && col("doc_id") < 1000000L &&
+            size(split(col("norm"), " ")) >= 10)
+          .select(col("doc_id").as("probe_src"),
+            expr("array_join(slice(split(norm, ' '), 3, 8), ' ')")
+              .as("probe"))
+        Decontaminate.matchesBloomPruned(corpus, probes, n = 8)
+          .orderBy("doc_id", "probe_src")
+      },
+      Some(raw"""WITH corpus0 AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 1000000 AS doc_id, text
+              |  FROM documents WHERE doc_id % 10 = 0
+              |),
+              |corpus AS (
+              |  SELECT doc_id,
+              |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+              |  FROM corpus0
+              |),
+              |probes AS (
+              |  SELECT doc_id AS probe_src,
+              |    array_to_string(list_slice(string_split(norm, ' '), 3, 10),
+              |      ' ') AS probe
+              |  FROM corpus
+              |  WHERE doc_id % 50 = 0 AND doc_id < 1000000
+              |    AND len(string_split(norm, ' ')) >= 10
+              |)
+              |SELECT c.doc_id, p.probe_src
+              |FROM corpus c JOIN probes p
+              |  ON strpos(' ' || c.norm || ' ', ' ' || p.probe || ' ') > 0
+              | AND c.doc_id <> p.probe_src
+              |ORDER BY 1, 2""".stripMargin)),
+
     // Deterministic stratified sampling — downsample over-represented
     // languages at per-stratum rates. The keep/drop decision is a
     // pure hash of the doc id (shared poly-hash spec), so the sample

@@ -282,6 +282,19 @@ class PlanShapeSpec extends SparkSpec {
       s"q44: expected salt + key + ORDER BY exchanges, got $exchanges\n$p")
   }
 
+  test("bloom-pruned decontamination filters the gram stream") {
+    // d42's contract: the probe-gram bloom prunes the exploded
+    // corpus grams BEFORE the candidate equi-join, via a scalar
+    // subquery — and the exact path (hash equi-join, no NLJ on the
+    // candidate step) stays intact. The verify step's instr()
+    // rightly joins candidates back by doc_id.
+    val p = plan("d42_decontaminate_bloom")
+    assert(p.contains("might_contain"),
+      s"d42 lost the gram bloom prune\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"d42 regressed to a pair scan\n$p")
+  }
+
   test("bloom semi join: runtime might_contain prunes the fact scan") {
     // q43's contract: the bloom reaches the fact side as a scalar
     // subquery folded at runtime, the prune is a codegen'd filter
