@@ -378,6 +378,45 @@ object EventQueries {
              |  ON e.user_id = s.user_id
              | AND e.ts >= s.session_start AND e.ts <= s.session_end
              |GROUP BY s.user_id, s.session_id, s.session_start, s.session_end
-             |ORDER BY s.user_id, s.session_id""".stripMargin))
+             |ORDER BY s.user_id, s.session_id""".stripMargin)),
+
+    // Cohort retention — the product-analytics staple completing the
+    // event family (sessionize, funnel, windows, as-of): users
+    // grouped by first-active week, then distinct actives per
+    // (cohort, weeks-since) cell. Scale shape: one distinct exchange
+    // on (user, week), the cohort min as a partial aggregate, and
+    // the cell count a partial-agg'd count-distinct — no window, no
+    // self-join over raw events. Week diffs are exact multiples of 7
+    // (both sides week-truncated), so the /7 stays integral in any
+    // engine.
+    Q("q45_retention",
+      (s, d) => {
+        val activity = Tables.events(s, d)
+          .select(col("user_id"),
+            date_trunc("week", col("ts")).cast("date").as("wk"))
+          .distinct()
+        val cohort = activity.groupBy("user_id")
+          .agg(min("wk").as("cohort_wk"))
+        activity.join(cohort, "user_id")
+          .groupBy(col("cohort_wk"),
+            (datediff(col("wk"), col("cohort_wk")) / 7).cast("long")
+              .as("weeks_since"))
+          .agg(countDistinct("user_id").as("n_users"))
+          .orderBy("cohort_wk", "weeks_since")
+      },
+      Some("""WITH a AS (
+             |  SELECT DISTINCT user_id,
+             |    CAST(date_trunc('week', ts) AS DATE) AS wk
+             |  FROM events
+             |),
+             |c AS (
+             |  SELECT user_id, min(wk) AS cohort_wk FROM a GROUP BY user_id
+             |)
+             |SELECT c.cohort_wk,
+             |  CAST(datediff('day', c.cohort_wk, a.wk) // 7 AS BIGINT)
+             |    AS weeks_since,
+             |  count(DISTINCT a.user_id) AS n_users
+             |FROM a JOIN c USING (user_id)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }
