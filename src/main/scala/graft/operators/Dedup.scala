@@ -107,6 +107,42 @@ object Dedup {
     verifyJaccard(candidates, sets, minJaccard)
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs: C(A⊆B) = |A∩B| / |A| on
+    * the shingle sets — catches what symmetric Jaccard structurally
+    * can't: a short document contained in a much longer one (quote
+    * expansion, snippet-vs-article, boilerplate wrapping) has high
+    * containment but Jaccard ≈ |A|/|B| → 0 as B grows. Candidates
+    * come from the SAME df-capped inverted index as
+    * [[ngramJaccardPairs]] (shuffle key = shingle hash, no pair
+    * scan); both directions are verified exactly and a pair survives
+    * if EITHER direction clears `minContainment`.
+    */
+  def containmentPairs(docs: DataFrame, minContainment: Double,
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val sets = shingleSets(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inv = sets.select(col("doc_id"), explode(col("sh")).as("s"))
+    val rare = inv.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf)
+      .select("s")
+    val invRare = inv.join(rare, "s")
+    val candidates = invRare.as("a").join(invRare.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    candidates
+      .join(sets.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
+      .join(sets.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
+      .withColumn("inter",
+        size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("ca", col("inter").cast("double") / size(col("sha")))
+      .withColumn("cb", col("inter").cast("double") / size(col("shb")))
+      .filter(greatest(col("ca"), col("cb")) >= minContainment)
+      .select(col("da"), col("db"),
+        floor(col("ca") * 1000000 + 0.5).cast("long").as("cont_a_in_b_e6"),
+        floor(col("cb") * 1000000 + 0.5).cast("long").as("cont_b_in_a_e6"))
+  }
+
   /** Exact-Jaccard verification of candidate pairs against the full
     * shingle sets; shared by the inverted-index and LSH paths.
     * `setsA`/`setsB` are the da/db sides — the same table for

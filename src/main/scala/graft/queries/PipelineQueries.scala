@@ -1725,6 +1725,67 @@ object PipelineQueries {
               | AND c.doc_id <> p.probe_src
               |ORDER BY 1, 2""".stripMargin)),
 
+    // Asymmetric containment dedup (Dedup.containmentPairs): a short
+    // document contained in a longer one (snippet-vs-article, quote
+    // expansion) has high containment C(A⊆B) = |A∩B|/|A| but Jaccard
+    // ≈ |A|/|B| → 0 — the case the symmetric d2/d3 family misses by
+    // construction. Planted snippets: the first 12 tokens of every
+    // 9th long doc re-keyed (+2e6) as standalone docs; their shingle
+    // sets are subsets of their sources, so cont_b_in_a = 1.0 there.
+    // Candidates ride the same df-capped inverted index as d2.
+    Q("d43_containment",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val toks = split(trim(col("text")), "\\s+")
+        val snippets = docs
+          .filter(col("doc_id") % 9 === 0 && size(toks) >= 24)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            array_join(slice(toks, 1, 12), " ").as("text"))
+        Dedup.containmentPairs(docs.union(snippets),
+            minContainment = 0.9)
+          .orderBy("da", "db")
+      },
+      Some(raw"""WITH ${TextHash.duckToksCte(
+             """(SELECT doc_id, text FROM documents
+               |   UNION ALL
+               |   SELECT doc_id + 2000000 AS doc_id,
+               |     array_to_string(list_slice(
+               |       regexp_split_to_array(trim(text), '\s+'), 1, 12),
+               |       ' ') AS text
+               |   FROM documents
+               |   WHERE doc_id % 9 = 0
+               |     AND len(regexp_split_to_array(trim(text), '\s+'))
+               |         >= 24)""".stripMargin, "")},
+              |${TextHash.duckShinglesCte},
+              |rare AS (
+              |  SELECT s FROM sh GROUP BY s
+              |  HAVING count(*) <= ${Dedup.DefaultMaxShingleDf}
+              |),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+              |  FROM sh a JOIN rare r ON a.s = r.s
+              |  JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id
+              |),
+              |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |iv AS (
+              |  SELECT c.da, c.db, count(*) AS inter
+              |  FROM cand c
+              |  JOIN sh x ON x.doc_id = c.da
+              |  JOIN sh y ON y.doc_id = c.db AND y.s = x.s
+              |  GROUP BY c.da, c.db
+              |)
+              |SELECT iv.da, iv.db,
+              |  CAST(floor((CAST(inter AS DOUBLE) / za.n) * 1000000 + 0.5)
+              |    AS BIGINT) AS cont_a_in_b_e6,
+              |  CAST(floor((CAST(inter AS DOUBLE) / zb.n) * 1000000 + 0.5)
+              |    AS BIGINT) AS cont_b_in_a_e6
+              |FROM iv
+              |JOIN sz za ON za.doc_id = iv.da
+              |JOIN sz zb ON zb.doc_id = iv.db
+              |WHERE greatest(CAST(inter AS DOUBLE) / za.n,
+              |               CAST(inter AS DOUBLE) / zb.n) >= 0.9
+              |ORDER BY da, db""".stripMargin)),
+
     // d15's decontamination with the q43 runtime bloom composed in
     // (Decontaminate.matchesBloomPruned): the probe grams build a
     // bloom reaching the corpus-gram stream as a scalar subquery;
