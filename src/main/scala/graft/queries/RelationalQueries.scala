@@ -894,7 +894,66 @@ object RelationalQueries {
       Some("""SELECT l_returnflag, count(*) AS n,
              |  round(sum(l_quantity), 2) AS sum_qty
              |FROM lineitem GROUP BY l_returnflag
-             |ORDER BY l_returnflag""".stripMargin))
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // EWMA revenue smoothing — the recurrence the window family
+    // can't express (ewma_t = 0.3·x_t + 0.7·ewma_{t-1} depends on
+    // its own previous OUTPUT, not a frame of inputs): computed as a
+    // sequential HOF fold over the collected month series — bounded
+    // BY CONSTRUCTION at ~80 rows (the q27/q35 month-table
+    // contract), one aggregation exchange, never a per-row window.
+    // The base is exact integer cents summed per month (order-
+    // independent), so the 80-step double chain is bit-identical in
+    // both engines; the oracle is the same recurrence as a recursive
+    // CTE.
+    Q("q46_ewma",
+      (s, d) => {
+        val monthly = Tables.orders(s, d)
+          .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+            .as("mon"))
+          .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+            .as("rev_c"))
+        monthly
+          .agg(array_sort(collect_list(struct(col("mon"), col("rev_c"))))
+            .as("s"))
+          .select(
+            expr("transform(s, x -> x.mon)").as("mons"),
+            expr("transform(s, x -> x.rev_c)").as("revs"),
+            expr("""aggregate(transform(s, x -> cast(x.rev_c as double)),
+                 |  cast(array() as array<double>),
+                 |  (acc, x) -> case when size(acc) = 0 then array(x)
+                 |    else array_append(acc,
+                 |      0.3d * x + 0.7d * element_at(acc, -1)) end)
+                 |""".stripMargin.replaceAll("\n", " ")).as("es"))
+          .select(posexplode(arrays_zip(col("mons"), col("revs"),
+            col("es"))).as(Seq("i", "z")))
+          .select(col("z.mons").as("mon"), col("z.revs").as("rev_c"),
+            floor(col("z.es") + 0.5).cast("long").as("ewma_c"))
+          .orderBy("mon")
+      },
+      Some("""WITH RECURSIVE monthly AS (
+             |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
+             |    AS mon,
+             |    sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             |      AS rev_c
+             |  FROM orders GROUP BY 1
+             |),
+             |m AS (
+             |  SELECT row_number() OVER (ORDER BY mon) AS rn, mon, rev_c
+             |  FROM monthly
+             |),
+             |r AS (
+             |  SELECT rn, mon, rev_c, CAST(rev_c AS DOUBLE) AS e
+             |  FROM m WHERE rn = 1
+             |  UNION ALL
+             |  SELECT m.rn, m.mon, m.rev_c,
+             |    CAST(0.3 AS DOUBLE) * m.rev_c + CAST(0.7 AS DOUBLE) * r.e
+             |  FROM m JOIN r ON m.rn = r.rn + 1
+             |)
+             |SELECT CAST(mon AS DATE) AS mon,
+             |  CAST(rev_c AS BIGINT) AS rev_c,
+             |  CAST(floor(e + 0.5) AS BIGINT) AS ewma_c
+             |FROM r ORDER BY mon""".stripMargin))
   )
 
   private val GroupingSetsSql =
