@@ -138,6 +138,30 @@ object TextHashKernels {
     new GenericArrayData(out)
   }
 
+  /** POSITIONAL n-gram hashes: one entry per gram start (no dedup),
+    * index i holding the hash of tokens [i, i+n). Same fold as
+    * [[ngramHashes]]; the positional variant exists for span-level
+    * analysis (duplicated-span dedup needs to know WHERE a gram sits,
+    * not just that it occurs). Fewer than n tokens ⇒ empty array.
+    */
+  def ngramHashesPos(th: ArrayData, n: Int): ArrayData = {
+    val m = th.numElements()
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](m - n + 1)
+    var i = 0
+    while (i <= m - n) {
+      var h = 0L
+      var j = 0
+      while (j < n) {
+        h = (h * 31 + th.getLong(i + j)) % P
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash over token hashes (multiplicity-weighted): bits
     * 0-31 vote on (t·SimMult) mod 2³², bits 32-63 on (t·SimMult2)
     * mod 2³² — both products exact in signed 64-bit.
@@ -262,6 +286,19 @@ case class NGramHashesExpr(child: Expression, n: Int)
     copy(child = c)
 }
 
+case class NGramHashesPosExpr(child: Expression, n: Int)
+    extends KernelArrayExpression {
+  override protected def kernelName: String = "ngramHashesPos"
+  override protected def inputElemType: DataType = LongType
+  override protected def kernel(a: ArrayData): ArrayData =
+    TextHashKernels.ngramHashesPos(a, n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashKernels.ngramHashesPos($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 case class MinHashSigExpr(child: Expression) extends KernelArrayExpression {
   override protected def kernelName: String = "minHashSig"
   override protected def inputElemType: DataType = LongType
@@ -336,6 +373,8 @@ object TextHashExprs {
   def token_hashes(col: Column): Column = c(TokenHashesExpr(e(col)))
   def shingle_set(col: Column): Column = c(ShingleSetExpr(e(col)))
   def ngram_hashes(col: Column, n: Int): Column = c(NGramHashesExpr(e(col), n))
+  def ngram_hashes_pos(col: Column, n: Int): Column =
+    c(NGramHashesPosExpr(e(col), n))
   def minhash_sig(col: Column): Column = c(MinHashSigExpr(e(col)))
   def band_sigs(col: Column): Column = c(BandSigsExpr(e(col)))
   def simhash(col: Column): Column = c(SimHashExpr(e(col)))

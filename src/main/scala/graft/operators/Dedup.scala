@@ -280,6 +280,58 @@ object Dedup {
         md5(col("kept_text")).as("kept_md5"))
   }
 
+  /** Duplicated-SPAN detection (the suffix-array dedup shape of Lee
+    * et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", re-expressed relationally): find the maximal token
+    * spans of each document that are covered by n-grams occurring ≥
+    * `minOccurrences` times corpus-wide. Whole-doc dedup (d1/d3)
+    * misses the dominant real-world case — documents that are mostly
+    * unique but share boilerplate paragraphs, quoted passages, or
+    * templated sections; span dedup localizes the repeated region so
+    * a pipeline can CUT it instead of dropping the document.
+    *
+    * Relational formulation of the suffix-array pass: a duplicated
+    * substring of length ≥ n is exactly a run of duplicated n-grams,
+    * so (1) every document emits its positional n-gram hashes
+    * (compiled kernel, map-side), (2) one partial-aggregated exchange
+    * on the gram hash counts occurrences, (3) duplicated occurrences
+    * join back co-partitioned on the same key, and (4) each doc's hit
+    * positions — collected under ONE doc_id exchange with state
+    * bounded by the doc's own token count — fold into merged maximal
+    * spans (intervals [p, p+n−1], merged while overlapping or
+    * adjacent). No suffix array, no global sort: shuffle keys are the
+    * gram hash and doc_id, both fine-grained at any corpus size.
+    *
+    * @return (doc_id, span_start, span_end, span_tokens), token
+    *   positions 0-based, end inclusive, ordered per doc
+    */
+  def dupSpans(docs: DataFrame, n: Int,
+      minOccurrences: Int = 2): DataFrame = {
+    val grams = tokenHashes(docs)
+      .select(col("doc_id"),
+        posexplode(ngram_hashes_pos(col("th"), n)).as(Seq("pos", "g")))
+    val dup = grams.groupBy("g").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOccurrences)
+      .select("g")
+    val hits = grams.join(dup, "g").select("doc_id", "pos")
+    hits.groupBy("doc_id")
+      .agg(array_sort(collect_list(col("pos"))).as("ps"))
+      .select(col("doc_id"), explode(expr(
+        s"""aggregate(ps, CAST(array() AS ARRAY<STRUCT<s: INT, e: INT>>),
+           |  (acc, p) -> CASE
+           |    WHEN size(acc) > 0 AND p <= element_at(acc, -1).e + 1
+           |    THEN concat(slice(acc, 1, size(acc) - 1),
+           |      array(named_struct('s', element_at(acc, -1).s,
+           |                         'e', p + ${n - 1})))
+           |    ELSE concat(acc, array(named_struct('s', p,
+           |                                        'e', p + ${n - 1})))
+           |  END)""".stripMargin.replaceAll("\n", " "))).as("sp"))
+      .select(col("doc_id"),
+        col("sp.s").cast("long").as("span_start"),
+        col("sp.e").cast("long").as("span_end"),
+        (col("sp.e") - col("sp.s") + 1).cast("long").as("span_tokens"))
+  }
+
   /** (doc_id, f) 64-bit SimHash fingerprints. */
   def simhashFingerprints(docs: DataFrame): DataFrame =
     tokenHashes(docs).select(col("doc_id"), simhash(col("th")).as("f"))

@@ -22,6 +22,12 @@ object PipelineQueries {
 
   private val P = TextHash.P
 
+  /** d44's planted 12-token boilerplate tail (appended to every 5th
+    * doc in BOTH engines — the duplicated span the query localizes).
+    */
+  private val SpanBoilerplate =
+    "subscribe to our newsletter for the latest updates and exclusive offers today"
+
   /** Dedup corpus: documents plus a deterministically re-keyed copy
     * of every 10th doc, so exact dedup has true duplicate groups to
     * find (the raw table is generated duplicate-free).
@@ -1785,6 +1791,65 @@ object PipelineQueries {
               |WHERE greatest(CAST(inter AS DOUBLE) / za.n,
               |               CAST(inter AS DOUBLE) / zb.n) >= 0.9
               |ORDER BY da, db""".stripMargin)),
+
+    // Duplicated-SPAN detection (Dedup.dupSpans — the suffix-array
+    // dedup shape of Lee et al. 2022 re-expressed relationally):
+    // maximal token spans covered by 8-grams occurring ≥ 2 times
+    // corpus-wide. Whole-doc dedup misses documents that are mostly
+    // unique but share boilerplate paragraphs; span dedup localizes
+    // the repeated region so a pipeline can CUT it. Planted signal:
+    // every 5th doc gets a fixed 12-token boilerplate tail — those
+    // docs report a merged span of exactly their last 12 tokens
+    // (plus whatever naturally repeats). Scale shape: positional
+    // grams map-side (compiled kernel), occurrence counts one
+    // partial-agg exchange on the gram hash, hits join back
+    // co-partitioned, span merge under ONE doc_id exchange with
+    // per-group state bounded by the doc's own length — no suffix
+    // array, no global sort.
+    Q("d44_span_dedup",
+      (s, d) => {
+        val corpus = Tables.documents(s, d).select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" " + SpanBoilerplate)))
+            .otherwise(col("text")).as("text"))
+        Dedup.dupSpans(corpus, n = 8, minOccurrences = 2)
+          .orderBy("doc_id", "span_start")
+      },
+      Some {
+        val gramFold = (0 until 8).foldLeft("CAST(0 AS BIGINT)")(
+          (a, j) => s"(($a * 31 + th[i+$j]) % ${TextHash.P})")
+        raw"""WITH corpus AS (
+             |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+             |    THEN text || ' $SpanBoilerplate' ELSE text END AS text
+             |  FROM documents
+             |),
+             |${TextHash.duckToksCte("corpus", "")},
+             |grams AS (
+             |  SELECT doc_id, i - 1 AS pos, $gramFold AS g
+             |  FROM toks, unnest(range(1, len(th) - 6)) AS u(i)
+             |  WHERE len(th) >= 8
+             |),
+             |dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+             |hits AS (SELECT g2.doc_id, g2.pos FROM grams g2
+             |         JOIN dup USING (g)),
+             |brk AS (
+             |  SELECT doc_id, pos,
+             |    CASE WHEN lag(pos) OVER w IS NULL
+             |           OR pos - lag(pos) OVER w > 8 THEN 1 ELSE 0 END AS b
+             |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+             |),
+             |sp AS (
+             |  SELECT doc_id, pos,
+             |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+             |  FROM brk
+             |)
+             |SELECT doc_id,
+             |  CAST(min(pos) AS BIGINT) AS span_start,
+             |  CAST(max(pos) + 7 AS BIGINT) AS span_end,
+             |  CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_tokens
+             |FROM sp GROUP BY doc_id, sid
+             |ORDER BY doc_id, span_start""".stripMargin
+      }),
 
     // d15's decontamination with the q43 runtime bloom composed in
     // (Decontaminate.matchesBloomPruned): the probe grams build a

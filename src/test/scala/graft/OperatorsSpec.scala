@@ -26,6 +26,26 @@ class OperatorsSpec extends SparkSpec {
     assert(sigs(3L) == ~sigs(1L))
   }
 
+  test("dupSpans localizes shared and repeated token spans, merged maximal") {
+    // w1..w20 are unique filler; docs 1 and 2 share a 10-token run
+    // (A..J) at different offsets; doc 3 repeats its own 8-token run
+    // (K..R) twice back-to-back — the within-doc duplication case.
+    val shared = ('A' to 'J').map(c => s"tok$c").mkString(" ") // 10 toks
+    val rep = ('K' to 'R').map(c => s"tok$c").mkString(" ")    // 8 toks
+    val docs = Seq(
+      (1L, (1 to 6).map("u" + _).mkString(" ") + " " + shared),
+      (2L, shared + " " + (7 to 12).map("u" + _).mkString(" ")),
+      (3L, rep + " " + rep),
+      (4L, (13 to 24).map("u" + _).mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.dupSpans(docs, n = 8, minOccurrences = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // doc 1: shared run at tokens [6, 15]; doc 2: at [0, 9];
+    // doc 3: the 8-gram KLMNOPQR occurs at pos 0 and 8 → hits at
+    // 0 and 8 merge (adjacent intervals) into [0, 15]; doc 4: none.
+    assert(got == Set((1L, 6L, 15L, 10L), (2L, 0L, 9L, 10L),
+      (3L, 0L, 15L, 16L)))
+  }
+
   test("salted aggregation equals direct groupBy on skewed keys") {
     // Integer-valued doubles: sums are exact under any grouping order,
     // so the two plans must agree bit-for-bit.
