@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
 import graft.functions.{Bpe, TextHash}
+import graft.functions.TextHashExprs.token_hashes
 import graft.graph.ConnectedComponents
 import graft.multimodal.Multimodal
 import graft.operators.{Decontaminate, Dedup, HtmlExtract, KMeans, PiiScrub, Sampling, Similarity, TextAnalysis}
@@ -1850,6 +1851,75 @@ object PipelineQueries {
              |FROM sp GROUP BY doc_id, sid
              |ORDER BY doc_id, span_start""".stripMargin
       }),
+
+    // Importance-weighted data selection (the DSIR shape, Xie et al.
+    // 2023): score every corpus doc by how target-domain-like its
+    // hashed-unigram distribution is — per-bucket weight =
+    // ln(P_target(b) / P_raw(b)) over 256 hash buckets with add-one
+    // smoothing, doc score = mean weight of its tokens. The target
+    // domain here is the English stratum; a real pipeline plugs any
+    // curated corpus in as `tgt`. Parity: each bucket weight is
+    // e6-floored BEFORE the per-doc sum, so the aggregation is exact
+    // integer arithmetic (the d19 ln-precedent applied once per
+    // BUCKET, never per row). Scale shape: token buckets map-side
+    // (compiled kernel + pmod), the two count tables are 256-row
+    // partial aggregations, the weight table broadcasts back, and the
+    // doc score is one partial-agg exchange on doc_id; totals ride as
+    // broadcast one-row aggregates — no collect, no window.
+    Q("d45_dsir_weights",
+      (s, d) => {
+        val tb = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+            explode(token_hashes(expr(TextHash.sparkTokens("text"))))
+              .as("th"))
+          .select(col("doc_id"), col("lang"), (col("th") % 256).as("b"))
+        val cr = tb.groupBy("b").agg(count(lit(1)).as("cr"))
+        val ct = tb.filter(col("lang") === "en")
+          .groupBy("b").agg(count(lit(1)).as("ct"))
+        val tot = tb.agg(count(lit(1)).as("nr"),
+          count(when(col("lang") === "en", 1)).as("nt"))
+        val w = cr.join(ct, Seq("b"), "left").na.fill(0L, Seq("ct"))
+          .crossJoin(broadcast(tot))
+          .select(col("b"),
+            floor(log(
+              ((col("ct") + 1).cast("double") /
+                (col("nt") + 256).cast("double")) /
+              ((col("cr") + 1).cast("double") /
+                (col("nr") + 256).cast("double"))) * 1000000 + 0.5)
+              .cast("long").as("w_e6"))
+        tb.join(broadcast(w), "b")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum("w_e6").as("sw"))
+          .select(col("doc_id"), col("n_tokens"),
+            floor(col("sw").cast("double") / col("n_tokens") + 0.5)
+              .cast("long").as("imp_w_e6"))
+          .orderBy("doc_id")
+      },
+      Some(raw"""WITH tk AS (
+             |  SELECT doc_id, lang,
+             |    unnest(${TextHash.duckTokenHashes("text")}) AS th
+             |  FROM documents
+             |),
+             |tb AS (SELECT doc_id, lang, th % 256 AS b FROM tk),
+             |cr AS (SELECT b, count(*) AS cr FROM tb GROUP BY 1),
+             |ct AS (SELECT b, count(*) AS ct FROM tb
+             |       WHERE lang = 'en' GROUP BY 1),
+             |tot AS (SELECT count(*) AS nr,
+             |         count(*) FILTER (lang = 'en') AS nt FROM tb),
+             |w AS (
+             |  SELECT cr.b,
+             |    CAST(floor(ln(
+             |      (CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE)
+             |        / CAST(nt + 256 AS DOUBLE))
+             |      / (CAST(cr.cr + 1 AS DOUBLE)
+             |        / CAST(nr + 256 AS DOUBLE))) * 1000000 + 0.5)
+             |      AS BIGINT) AS w_e6
+             |  FROM cr LEFT JOIN ct USING (b), tot
+             |)
+             |SELECT doc_id, count(*) AS n_tokens,
+             |  CAST(floor(CAST(CAST(sum(w_e6) AS BIGINT) AS DOUBLE)
+             |    / count(*) + 0.5) AS BIGINT) AS imp_w_e6
+             |FROM tb JOIN w USING (b)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // d15's decontamination with the q43 runtime bloom composed in
     // (Decontaminate.matchesBloomPruned): the probe grams build a
