@@ -7,7 +7,7 @@ import graft.functions.{Bpe, TextHash}
 import graft.functions.TextHashExprs.token_hashes
 import graft.graph.ConnectedComponents
 import graft.multimodal.Multimodal
-import graft.operators.{Decontaminate, Dedup, HtmlExtract, KMeans, PiiScrub, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Decontaminate, Dedup, HtmlExtract, KMeans, LogReg, PiiScrub, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline surface (SURVEY.md §2 block D): dedup
   * family, text analysis, similarity search, multimodal plumbing.
@@ -1920,6 +1920,103 @@ object PipelineQueries {
              |    / count(*) + 0.5) AS BIGINT) AS imp_w_e6
              |FROM tb JOIN w USING (b)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Trainable quality classifier (operators.LogReg): full-batch
+    // gradient-ascent logistic regression distilling the d13 quality
+    // gate (label = composite quality ≥ 0.63) back out of its raw
+    // features — the fastText-gate shape of a curation pipeline,
+    // with any labeled corpus pluggable. Determinism: weights are
+    // e6 integers between rounds and per-row gradient contributions
+    // e6-floor before the sum (exact long aggregation, partition-
+    // order-free; the only float work is one exp per row·round,
+    // immediately quantized — the d19 ln precedent). Scale: one
+    // partial-agg exchange per round producing ONE row of dims+1
+    // longs; O(dims) driver handoff (the e7 centroid class); scoring
+    // is map-side column math. Oracle: 3 unrolled gradient rounds as
+    // scalar CTEs over the shared d6 feature SQL.
+    Q("d46_lr_quality",
+      (s, d) => {
+        val raw = TextAnalysis.quality(Tables.documents(s, d))
+          .select(col("doc_id"),
+            when(col("quality_score") >= 0.63, 1.0).otherwise(0.0).as("y"),
+            col("ttr").as("x1"), col("len_sat").as("x2"),
+            col("stop_ratio").as("x3"))
+        val f = LogReg.standardizeE6(raw, Seq("x1", "x2", "x3"))
+          .withColumn("x0", lit(1.0))
+        val cols = Seq("x0", "x1_std", "x2_std", "x3_std")
+        val w = LogReg.train(f, cols, "y", rounds = 8, lrNum = 32L)
+        LogReg.score(f, cols, w)
+          .select(col("doc_id"), col("y").cast("int").as("label"),
+            col("p_e6"), col("pred"))
+          .orderBy("doc_id")
+      },
+      Some {
+        def meanSql(j: Int) = s"CAST(s$j AS DOUBLE) / n0"
+        def pSql(w: String) =
+          s"1.0 / (1.0 + exp(-(($w.a0 * x0 + $w.a1 * x1 + $w.a2 * x2" +
+            s" + $w.a3 * x3) / 1000000.0)))"
+        def roundSql(r: Int) =
+          s"""g$r AS (
+             |  SELECT count(*) AS n,
+             |${(0 to 3).map(j => s"    CAST(sum(CAST(floor((y - p) * x$j" +
+               s" * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS g$j")
+               .mkString(",\n")}
+             |  FROM (SELECT f.*, ${pSql("w")} AS p FROM f, w${r - 1} w)
+             |),
+             |w$r AS (
+             |  SELECT ${(0 to 3).map(j => s"w.a$j + CAST(floor(" +
+               s"CAST(32 * g.g$j AS DOUBLE) / g.n + 0.5) AS BIGINT) AS a$j")
+               .mkString(", ")}
+             |  FROM w${r - 1} w, g$r g
+             |)""".stripMargin
+        s"""WITH t AS (
+           |  SELECT doc_id, ${TextHash.duckTokens("text")} AS tk
+           |  FROM documents
+           |),
+           |rawf AS (
+           |  SELECT doc_id,
+           |    CASE WHEN (0.4 * ttr + 0.3 * len_sat
+           |               + 0.3 * (1.0 - stop_ratio)) >= 0.63
+           |         THEN 1.0 ELSE 0.0 END AS y,
+           |    ttr AS x1, len_sat AS x2, stop_ratio AS x3
+           |  FROM (
+           |    SELECT doc_id,
+           |      CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS ttr,
+           |      least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) AS len_sat,
+           |      CAST(len(list_filter(tk, t -> t = 'the' OR t = 'a'))
+           |           AS DOUBLE) / len(tk) AS stop_ratio
+           |    FROM t)
+           |),
+           |q AS (
+           |  SELECT doc_id, y,
+           |${(1 to 3).map(j => s"    CAST(floor(x$j * 1000000 + 0.5)" +
+             s" AS BIGINT) AS q$j").mkString(",\n")}
+           |  FROM rawf
+           |),
+           |st AS (
+           |  SELECT count(*) AS n0,
+           |${(1 to 3).map(j => s"    sum(q$j) AS s$j, sum(q$j * q$j)" +
+             s" AS s2$j").mkString(",\n")}
+           |  FROM q
+           |),
+           |f AS MATERIALIZED (
+           |  SELECT doc_id, y, 1.0 AS x0,
+           |${(1 to 3).map(j => s"    (q$j - ${meanSql(j)}) / sqrt(" +
+             s"CAST(s2$j AS DOUBLE) / n0 - ${meanSql(j)} * ${meanSql(j)})" +
+             s" AS x$j").mkString(",\n")}
+           |  FROM q, st
+           |),
+           |w0 AS (SELECT ${(0 to 3)
+             .map(j => s"CAST(0 AS BIGINT) AS a$j").mkString(", ")}),
+           |${(1 to 8).map(roundSql).mkString(",\n")}
+           |SELECT doc_id, label, p_e6,
+           |  CASE WHEN p_e6 >= 500000 THEN 1 ELSE 0 END AS pred
+           |FROM (
+           |  SELECT doc_id, CAST(y AS INT) AS label,
+           |    CAST(floor(${pSql("w")} * 1000000 + 0.5) AS BIGINT) AS p_e6
+           |  FROM f, w8 w
+           |) ORDER BY doc_id""".stripMargin
+      }),
 
     // d15's decontamination with the q43 runtime bloom composed in
     // (Decontaminate.matchesBloomPruned): the probe grams build a

@@ -46,6 +46,22 @@ class OperatorsSpec extends SparkSpec {
       (3L, 0L, 15L, 16L)))
   }
 
+  test("LogReg learns a linearly separable toy set to 100% accuracy") {
+    import graft.operators.LogReg
+    // y = 1 iff v > 0, margin 2 — separable; 40 points.
+    val pts = ((1 to 20).map(i => (i.toLong, 1.0 + i * 0.1, 1.0)) ++
+      (1 to 20).map(i => (100L + i, -1.0 - i * 0.1, 0.0)))
+      .toDF("id", "v", "y")
+    val f = LogReg.standardizeE6(pts, Seq("v")).withColumn("x0", lit(1.0))
+    val cols = Seq("x0", "v_std")
+    val w = LogReg.train(f, cols, "y", rounds = 8, lrNum = 32L)
+    val scored = LogReg.score(f, cols, w)
+    assert(scored.filter(col("pred") =!= col("y").cast("int")).count() == 0)
+    // Standardization: exact-integer mean of v_std quantizations is ~0
+    // and the learned slope weight is positive (v drives y).
+    assert(w(1) > 0)
+  }
+
   test("salted aggregation equals direct groupBy on skewed keys") {
     // Integer-valued doubles: sums are exact under any grouping order,
     // so the two plans must agree bit-for-bit.
