@@ -417,6 +417,51 @@ object EventQueries {
              |    AS weeks_since,
              |  count(DISTINCT a.user_id) AS n_users
              |FROM a JOIN c USING (user_id)
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Path analysis (the product-analytics "user journeys" staple
+    // completing q18/q19/q45): the 10 most common 3-step event-type
+    // sequences across all users, tie-broken by path string so the
+    // ranking is total-order deterministic. Scale shape: per-user
+    // ordered sequences under ONE user_id exchange (state bounded by
+    // the user's own activity — the q18 sessionize class), trigrams
+    // exploded map-side from the sorted array, counts partial-agg'd
+    // on the path key, top-10 via TakeOrderedAndProject — no window
+    // over raw events, no self-joins. The (ts, event_id) composite
+    // sort key makes the per-user order total even with ts ties.
+    Q("q47_path3",
+      (s, d) => {
+        val seqs = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .groupBy("user_id")
+          .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))).as("seq"))
+          .filter(size(col("seq")) >= 3)
+        seqs
+          .select(explode(expr(
+            """transform(sequence(0, size(seq) - 3),
+              |  i -> concat(seq[i].event_type, '>',
+              |    seq[i+1].event_type, '>',
+              |    seq[i+2].event_type))""".stripMargin
+              .replaceAll("\n", " "))).as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("path"))
+          .limit(10)
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type,
+             |    lead(event_type, 1) OVER w AS t1,
+             |    lead(event_type, 2) OVER w AS t2
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |),
+             |p AS (
+             |  SELECT event_type || '>' || t1 || '>' || t2 AS path
+             |  FROM e WHERE t2 IS NOT NULL
+             |)
+             |SELECT path, CAST(count(*) AS BIGINT) AS n
+             |FROM p GROUP BY path
+             |ORDER BY n DESC, path LIMIT 10""".stripMargin))
   )
 }
