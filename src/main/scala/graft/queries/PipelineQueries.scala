@@ -7,7 +7,7 @@ import graft.functions.{Bpe, TextHash}
 import graft.functions.TextHashExprs.token_hashes
 import graft.graph.ConnectedComponents
 import graft.multimodal.Multimodal
-import graft.operators.{Decontaminate, Dedup, HtmlExtract, KMeans, LogReg, PiiScrub, Sampling, Similarity, TextAnalysis}
+import graft.operators.{BpeTrain, Decontaminate, Dedup, HtmlExtract, KMeans, LogReg, PiiScrub, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline surface (SURVEY.md §2 block D): dedup
   * family, text analysis, similarity search, multimodal plumbing.
@@ -2016,6 +2016,65 @@ object PipelineQueries {
            |    CAST(floor(${pSql("w")} * 1000000 + 0.5) AS BIGINT) AS p_e6
            |  FROM f, w8 w
            |) ORDER BY doc_id""".stripMargin
+      }),
+
+    // BPE merge-table TRAINING (operators.BpeTrain, Sennrich et al.
+    // 2016) — the learning half of the tokenizer story: d29 APPLIES
+    // a fixed merge table; this derives one from the corpus. Six
+    // rounds of "fuse the most frequent adjacent symbol pair"
+    // (ties to the smallest pair string — deterministic), each round
+    // one partial-agg exchange over pair keys + a one-row argmax
+    // driver handoff; the fuse is a map-side leftmost string replace
+    // over the Zipf-bounded distinct-word vocabulary. Oracle: the
+    // same six rounds as unrolled CTEs with scalar-subquery merges.
+    Q("d47_bpe_train",
+      (s, d) => {
+        import s.implicits._
+        val vocab = Tables.documents(s, d)
+          .select(explode(expr(TextHash.sparkTokens("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("n"))
+        BpeTrain.learnMerges(vocab, rounds = 6).toDF()
+          .select(col("mergeRank").as("merge_rank"), col("lhs"),
+            col("rhs"), col("merged"), col("nOcc").as("n_occ"))
+          .orderBy("merge_rank")
+      },
+      Some {
+        def roundSql(r: Int) =
+          s"""p$r AS (
+             |  SELECT s[i] || ' ' || s[i+1] AS pair,
+             |    CAST(sum(n) AS BIGINT) AS c
+             |  FROM (SELECT string_split(w, ' ') AS s, n FROM v${r - 1}),
+             |    unnest(range(1, len(s))) AS u(i)
+             |  GROUP BY 1
+             |),
+             |m$r AS MATERIALIZED (
+             |  SELECT pair, c FROM p$r ORDER BY c DESC, pair LIMIT 1
+             |),
+             |v$r AS MATERIALIZED (
+             |  SELECT trim(replace(' ' || w || ' ',
+             |    (SELECT ' ' || pair || ' ' FROM m$r),
+             |    (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM m$r)))
+             |    AS w, n
+             |  FROM v${r - 1}
+             |)""".stripMargin
+        s"""WITH vocab AS (
+           |  SELECT tok, count(*) AS n
+           |  FROM (SELECT unnest(${TextHash.duckTokens("text")}) AS tok
+           |        FROM documents)
+           |  GROUP BY 1
+           |),
+           |v0 AS MATERIALIZED (
+           |  SELECT array_to_string(string_split(tok, ''), ' ') AS w, n
+           |  FROM vocab
+           |),
+           |${(1 to 6).map(roundSql).mkString(",\n")}
+           |SELECT * FROM (
+           |${(1 to 6).map(r =>
+             s"  SELECT $r AS merge_rank, string_split(pair, ' ')[1]" +
+               s" AS lhs, string_split(pair, ' ')[2] AS rhs," +
+               s" replace(pair, ' ', '') AS merged, c AS n_occ FROM m$r")
+             .mkString("\n  UNION ALL\n")}
+           |) ORDER BY merge_rank""".stripMargin
       }),
 
     // d15's decontamination with the q43 runtime bloom composed in

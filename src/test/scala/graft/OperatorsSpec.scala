@@ -62,6 +62,18 @@ class OperatorsSpec extends SparkSpec {
     assert(w(1) > 0)
   }
 
+  test("BpeTrain learns composed merges from weighted pair counts") {
+    import graft.operators.BpeTrain
+    // "aaab"×3, "ab"×2: round 1 counts (a,a)=6 > (a,b)=5 → aa;
+    // round 2 (a,b)=5 > (aa,a)=3 → ab; round 3 fuses the fused
+    // symbols (aa,ab)=3 → aaab — multi-level composition.
+    val vocab = Seq(("aaab", 3L), ("ab", 2L)).toDF("tok", "n")
+    val got = BpeTrain.learnMerges(vocab, rounds = 3)
+      .map(m => (m.mergeRank, m.lhs, m.rhs, m.merged, m.nOcc))
+    assert(got == Seq((1, "a", "a", "aa", 6L), (2, "a", "b", "ab", 5L),
+      (3, "aa", "ab", "aaab", 3L)))
+  }
+
   test("salted aggregation equals direct groupBy on skewed keys") {
     // Integer-valued doubles: sums are exact under any grouping order,
     // so the two plans must agree bit-for-bit.
