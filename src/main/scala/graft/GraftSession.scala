@@ -23,6 +23,12 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS) — read as nano-epoch
       // longs (Tables.events converts to micros).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The testdata timestamps are written without isAdjustedToUTC;
+      // Spark 4 would infer TIMESTAMP_NTZ, which breaks epoch
+      // arithmetic (`unix_micros`) and diverges from DuckDB's naive
+      // reading. With a UTC session zone, plain TIMESTAMP is
+      // value-identical to the oracle's naive timestamps.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
 

@@ -16,6 +16,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Testdata timestamps lack isAdjustedToUTC — read as TIMESTAMP
+      // (not NTZ) so epoch arithmetic works and values match DuckDB's
+      // naive reading under the UTC session zone (see GraftSession).
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
