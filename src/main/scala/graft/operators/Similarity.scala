@@ -113,6 +113,26 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): within each
+    * cluster, a vector is REMOVED when the cluster holds a
+    * smaller-id vector with cosine ≥ `minSim`; `dup_of` is the
+    * smallest such id (the kept representative it collapses into).
+    * Clustering confines the O(n²) pair scan to cluster-sized blocks
+    * — the same equi-join co-partitioning as `clusterBlockedPairs`,
+    * so at corpus scale no all-pairs work exists and AQE splits any
+    * skewed cell. The min-id survivor rule mirrors the text-side
+    * dedup family (d1/d23): deterministic, order-independent.
+    *
+    * @return (label, vec_id, dup_of) — the removal list; survivors
+    *   are the complement (an anti-join callers compose when they
+    *   want the kept set, exactly like d23 over d3).
+    */
+  def semDedup(emb: DataFrame, labelCol: String,
+      minSim: Double): DataFrame =
+    clusterBlockedPairs(emb, labelCol, minSim)
+      .groupBy(col("label"), col("vb").as("vec_id"))
+      .agg(min("va").as("dup_of"))
+
   /** Per-cluster centroid: mean of each dimension, rounded to 6
     * decimals. (The rounding is also what makes downstream
     * centroid-based scoring bit-reproducible: engines disagree about

@@ -301,4 +301,45 @@ object TextAnalysis {
       .withColumn("rep_ratio_e4",
         floor(col("n_dup_windows").cast("double") / col("n_windows")
           * 10000 + 0.5).cast("long"))
+
+  /** Gopher-style composite heuristic rule filter (Rae et al. 2021,
+    * §A1.1 adapted to the whitespace tokenizer): per document, one
+    * bit per rule plus the conjunction —
+    *   r_wc   : token count in [`minTokens`, `maxTokens`]
+    *   r_mwl  : mean word length in [3, 10] characters
+    *   r_stop : at least `minStopHits` function-word tokens
+    *   r_ttr  : type-token ratio ≥ 0.2 (repetition guard)
+    * Keeping the per-rule bits (not just the conjunction) is what a
+    * curation pipeline audits: which rule fires how often per source.
+    *
+    * All per-row higher-order-function math inside whole-stage
+    * codegen — no shuffle, no join; at 100 TB this is a pure map over
+    * the corpus scan. Ratio comparisons are exact small-int divisions
+    * (chars/n, distinct/n) — both engines produce the identical
+    * double, so the rule boundaries are parity-safe.
+    */
+  def gopherRules(docs: DataFrame, minTokens: Long = 50,
+      maxTokens: Long = 100000, minStopHits: Long = 2): DataFrame = {
+    val inSet = EnStopwords.map(w => s"t = '$w'").mkString(" OR ")
+    docs
+      .withColumn("_toks", expr(TextHash.sparkTokens("text")))
+      .withColumn("n_tokens", size(col("_toks")).cast("long"))
+      .withColumn("_chars", expr(
+        "aggregate(_toks, CAST(0 AS BIGINT), (acc, t) -> acc + length(t))"))
+      .withColumn("mwl", col("_chars").cast("double") / col("n_tokens"))
+      .withColumn("_stop_hits",
+        expr(s"size(filter(_toks, t -> $inSet))").cast("long"))
+      .withColumn("_ttr",
+        size(array_distinct(col("_toks"))).cast("double") / col("n_tokens"))
+      .withColumn("r_wc",
+        col("n_tokens").between(minTokens, maxTokens).cast("long"))
+      .withColumn("r_mwl",
+        (col("mwl") >= 3.0 && col("mwl") <= 10.0).cast("long"))
+      .withColumn("r_stop", (col("_stop_hits") >= minStopHits).cast("long"))
+      .withColumn("r_ttr", (col("_ttr") >= 0.2).cast("long"))
+      .withColumn("pass",
+        (col("r_wc") * col("r_mwl") * col("r_stop") * col("r_ttr"))
+          .cast("long"))
+      .drop("_toks", "_chars", "_stop_hits", "_ttr")
+  }
 }

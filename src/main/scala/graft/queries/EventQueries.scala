@@ -462,6 +462,24 @@ object EventQueries {
              |)
              |SELECT path, CAST(count(*) AS BIGINT) AS n
              |FROM p GROUP BY path
-             |ORDER BY n DESC, path LIMIT 10""".stripMargin))
+             |ORDER BY n DESC, path LIMIT 10""".stripMargin)),
+
+    // Idempotent-ingestion dedup: repeated (user, type) events within
+    // an hourly window collapse to the first (min event_id) row —
+    // `min_by` carries the kept payload, the count audits how many
+    // duplicates each key absorbed. The SAME definition
+    // (EventStream.windowDedup) runs as the streaming dedup with
+    // watermark-bounded state; parity is pinned in EventStreamSpec.
+    Q("q48_event_dedup",
+      (s, d) => graft.streaming.EventStream
+        .windowDedup(Tables.events(s, d))
+        .orderBy("hour_start", "user_id", "event_type"),
+      Some("""SELECT date_trunc('hour', ts) AS hour_start, user_id,
+             |  event_type,
+             |  min(event_id) AS kept_event_id,
+             |  arg_min(value, event_id) AS kept_value,
+             |  count(*) AS n_dups
+             |FROM events GROUP BY 1, 2, 3
+             |ORDER BY hour_start, user_id, event_type""".stripMargin))
   )
 }

@@ -3471,6 +3471,65 @@ object PipelineQueries {
            |SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id,
            |  round(adc, 6) AS adc
            |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-      })
+      }),
+
+    // Gopher-style composite heuristic rule filter: one bit per rule
+    // plus the conjunction — the per-rule audit a curation pipeline
+    // reads per source. Pure map over the corpus scan (no shuffle
+    // beyond the deterministic output sort).
+    Q("d48_gopher_rules",
+      (s, d) => TextAnalysis.gopherRules(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_tokens"),
+          floor(col("mwl") * 10000 + 0.5).cast("long").as("mwl_e4"),
+          col("r_wc"), col("r_mwl"), col("r_stop"), col("r_ttr"),
+          col("pass"))
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, ${TextHash.duckTokens("text")} AS tk
+              |  FROM documents
+              |),
+              |m AS (
+              |  SELECT doc_id,
+              |    CAST(len(tk) AS BIGINT) AS n_tokens,
+              |    CAST(list_sum(list_transform(tk, t -> len(t)))
+              |         AS DOUBLE) / len(tk) AS mwl,
+              |    len(list_filter(tk, t -> t = 'the' OR t = 'a'))
+              |      AS stop_hits,
+              |    CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS ttr
+              |  FROM t
+              |)
+              |SELECT doc_id, n_tokens,
+              |  CAST(floor(mwl * 10000 + 0.5) AS BIGINT) AS mwl_e4,
+              |  CAST(n_tokens BETWEEN 50 AND 100000 AS BIGINT) AS r_wc,
+              |  CAST(mwl >= 3.0 AND mwl <= 10.0 AS BIGINT) AS r_mwl,
+              |  CAST(stop_hits >= 2 AS BIGINT) AS r_stop,
+              |  CAST(ttr >= 0.2 AS BIGINT) AS r_ttr,
+              |  CAST(n_tokens BETWEEN 50 AND 100000
+              |       AND mwl >= 3.0 AND mwl <= 10.0
+              |       AND stop_hits >= 2 AND ttr >= 0.2 AS BIGINT) AS pass
+              |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // SemDeDup: within-cluster semantic near-dup removal — the
+    // embedding-space dedup recipe that scales because clustering
+    // confines the pair scan to cluster blocks (co-partitioned
+    // equi-join, never all-pairs). Output is the removal list with
+    // each vector's kept representative (min-id survivor rule).
+    Q("e12_semdedup",
+      (s, d) => Similarity.semDedup(
+          Tables.embeddings(s, d), "label", minSim = 0.25)
+        .orderBy("label", "vec_id"),
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+              |  FROM embeddings
+              |),
+              |p AS (
+              |  SELECT a.label, a.vec_id AS va, b.vec_id AS vb
+              |  FROM e a JOIN e b
+              |    ON a.label = b.label AND a.vec_id < b.vec_id
+              |  WHERE ${TextHash.duckCosine("a.emb", "b.emb", 64)} >= 0.25
+              |)
+              |SELECT label, vb AS vec_id, min(va) AS dup_of
+              |FROM p GROUP BY label, vb
+              |ORDER BY label, vec_id""".stripMargin))
   )
 }

@@ -66,6 +66,31 @@ object EventStream {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n_events"))
 
+  /** Idempotent-ingestion dedup: collapse repeated (user, type)
+    * events within each hourly window to the FIRST row (min
+    * event_id), carrying its payload via `min_by` and counting how
+    * many duplicates collapsed. ONE definition serves batch and
+    * stream: on a static frame the watermark is a no-op and this is
+    * a plain hash aggregation; on a stream the state is one row per
+    * open (window, user, type) key, emitted in append mode and
+    * reclaimed once the watermark passes the window end — the
+    * at-least-once → exactly-once repair step at the front of an
+    * ingestion pipeline. Map-side partial aggregation absorbs the
+    * duplicate rows before the one exchange.
+    */
+  def windowDedup(events: DataFrame, watermark: String = "2 hours")
+      : DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"),
+        col("event_type"))
+      .agg(min("event_id").as("kept_event_id"),
+        min_by(col("value"), col("event_id")).as("kept_value"),
+        count(lit(1)).as("n_dups"))
+      .select(col("window.start").as("hour_start"), col("user_id"),
+        col("event_type"), col("kept_event_id"), col("kept_value"),
+        col("n_dups"))
+
   /** JSON-property extraction + per-type aggregate (the q17 shape).
     * ONE definition serves batch and stream: applied to a static
     * DataFrame it is the batch aggregate; applied to a streaming

@@ -270,4 +270,46 @@ class EventStreamSpec extends SparkSpec {
       assert(lastState.toMap == batch)
     } finally q.stop()
   }
+
+  test("parity: streaming windowDedup equals the batch q48 aggregate") {
+    // Duplicated (user, type) keys inside one hour — including a
+    // duplicate that ARRIVES in the second micro-batch (id 23 joins
+    // key (1, click, hour1) opened by id 20 in batch one) — plus a
+    // same-key event in a different hour that must NOT collapse.
+    // value = id/10 so the min_by payload pick is observable.
+    def dv(id: Long, min: Long, user: Long, typ: String): Event =
+      Event(id, new Timestamp(min * 60000L), user, typ, id / 10.0)
+    val dups = Seq(
+      dv(20, 100, 1, "click"), dv(21, 110, 1, "click"),
+      dv(22, 105, 2, "view"),
+      dv(23, 115, 1, "click"),                   // late dup, batch 2
+      dv(24, 130, 1, "click"),                   // next hour: kept
+      dv(25, 140, 2, "view"), dv(26, 150, 2, "view"))
+    val stream = MemoryStream[Event](spark)
+    val q = EventStream.windowDedup(stream.toDF())
+      .writeStream.format("memory").queryName("dedup_parity_t")
+      .outputMode("complete").start()
+    try {
+      stream.addData(dups.take(3): _*)
+      q.processAllAvailable()
+      stream.addData(dups.drop(3): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_parity_t")
+        .select(col("hour_start").cast("long"), col("user_id"),
+          col("event_type"), col("kept_event_id"), col("kept_value"),
+          col("n_dups"))
+        .as[(Long, Long, String, Long, Double, Long)].collect().toSet
+      val batch = EventStream.windowDedup(dups.toDF())
+        .select(col("hour_start").cast("long"), col("user_id"),
+          col("event_type"), col("kept_event_id"), col("kept_value"),
+          col("n_dups"))
+        .as[(Long, Long, String, Long, Double, Long)].collect().toSet
+      assert(streamed == batch)
+      // The hour-1 click run (20, 21, 23) keeps 20 with 3 collapsed;
+      // 24 opens hour 2 alone; the view run (22, 25, 26) spans hours.
+      val clicks1 = batch.filter(r => r._2 == 1L && r._3 == "click")
+      assert(clicks1.map(r => (r._4, r._5, r._6)) ==
+        Set((20L, 2.0, 3L), (24L, 2.4, 1L)))
+    } finally q.stop()
+  }
 }
