@@ -518,6 +518,44 @@ object PageRankQueries {
            |ORDER BY node""".stripMargin
       }),
 
+    // Link prediction: top-20 non-adjacent word pairs by Adamic-Adar
+    // score (shared neighbors, rare ones weighted up). Wedge
+    // enumeration + integer-scaled contributions — never an
+    // adjacency-intersection per candidate pair, never a double sum.
+    Q("g5_adamic_adar",
+      (s, d) => {
+        val e = LinkGraph.wordFollowEdges(Tables.documents(s, d), "text")
+        graft.graph.LinkPredict.adamicAdarTopK(e, k = 20)
+      },
+      Some(s"""WITH $edgeCtes,
+              |und AS (
+              |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              |  FROM e WHERE src <> dst
+              |),
+              |adj AS (
+              |  SELECT a AS w, b AS m FROM und
+              |  UNION ALL SELECT b, a FROM und
+              |),
+              |deg AS (SELECT w, count(*) AS d FROM adj GROUP BY w),
+              |wed AS (
+              |  SELECT x.m AS u, y.m AS v,
+              |    CAST(floor(1000000.0 / ln(deg.d) + 0.5) AS BIGINT) AS c
+              |  FROM adj x
+              |  JOIN adj y ON x.w = y.w AND x.m < y.m
+              |  JOIN deg ON deg.w = x.w
+              |),
+              |aa AS (
+              |  SELECT u, v, CAST(sum(c) AS BIGINT) AS aa_e6
+              |  FROM wed GROUP BY u, v
+              |),
+              |pred AS (
+              |  SELECT aa.u, aa.v, aa.aa_e6 FROM aa
+              |  LEFT JOIN und ON und.a = aa.u AND und.b = aa.v
+              |  WHERE und.a IS NULL
+              |)
+              |SELECT u, v, aa_e6 FROM pred
+              |ORDER BY aa_e6 DESC, u, v LIMIT 20""".stripMargin)),
+
     // The complete reference pipeline with its EXACT page semantics
     // (PageRank.runOnPages): fabricated wiki pages whose outlinks
     // point at other titles (plus a deterministic share of dangling

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BloomPrune, SkewTools}
+import graft.operators.{BloomPrune, ExactPercentile, SkewTools}
 import graft.{Q, Tables}
 
 /** Relational core (SURVEY.md §2 block B): the batch query surface.
@@ -953,7 +953,70 @@ object RelationalQueries {
              |SELECT CAST(mon AS DATE) AS mon,
              |  CAST(rev_c AS BIGINT) AS rev_c,
              |  CAST(floor(e + 0.5) AS BIGINT) AS ewma_c
-             |FROM r ORDER BY mon""".stripMargin))
+             |FROM r ORDER BY mon""".stripMargin)),
+
+    // Robust per-brand outlier detection: median / MAD (median
+    // absolute deviation) instead of mean / stddev, so the gate
+    // itself is not dragged by the outliers it hunts. BOTH medians
+    // run through ExactPercentile's bounded-domain plan (state =
+    // distinct cents values, never O(rows) buffers — the q15/d24
+    // fix applied twice), the per-brand scalars broadcast back, and
+    // the outlier rule is pure integer arithmetic in quarter-cent
+    // fixed point (dev2 = 2·|x−med| and mad_c4 = 4·MAD are exact
+    // integers because a median of integers is an integer or a
+    // half): |x−med| > 3·MAD ⇔ 2·dev2 > 3·mad_c4.
+    Q("q49_mad_outliers",
+      (s, d) => {
+        val c = Tables.part(s, d).select(col("p_brand"),
+          floor(col("p_retailprice") * 100 + 0.5).cast("long").as("cents"))
+        val med = ExactPercentile.grouped(c, Seq("p_brand"), "cents",
+            Seq(("med", 0.5)))
+          .select(col("p_brand"), col("med"))
+        val dev = c.join(broadcast(med), "p_brand")
+          .withColumn("dev2",
+            abs(col("cents") * 2 - round(col("med") * 2).cast("long")))
+        val mad = ExactPercentile.grouped(dev, Seq("p_brand"), "dev2",
+            Seq(("mad2", 0.5)))
+          .select(col("p_brand"), col("mad2"))
+        dev.join(broadcast(mad), "p_brand")
+          .groupBy("p_brand")
+          .agg(
+            max(round(col("med") * 4).cast("long")).as("med_c4"),
+            max(round(col("mad2") * 2).cast("long")).as("mad_c4"),
+            count(lit(1)).as("n_parts"),
+            sum(when(col("dev2") * 2 >
+                round(col("mad2") * 2).cast("long") * 3, 1L)
+              .otherwise(0L)).as("n_outliers"))
+          .orderBy("p_brand")
+      },
+      Some("""WITH c AS (
+             |  SELECT p_brand,
+             |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM part
+             |),
+             |med AS (
+             |  SELECT p_brand, quantile_cont(cents, 0.5) AS med
+             |  FROM c GROUP BY p_brand
+             |),
+             |dev AS (
+             |  SELECT c.p_brand, c.cents, med.med,
+             |    abs(2 * c.cents
+             |        - CAST(round(2 * med.med) AS BIGINT)) AS dev2
+             |  FROM c JOIN med USING (p_brand)
+             |),
+             |mad AS (
+             |  SELECT p_brand, quantile_cont(dev2, 0.5) AS mad2
+             |  FROM dev GROUP BY p_brand
+             |)
+             |SELECT dev.p_brand,
+             |  CAST(round(max(dev.med) * 4) AS BIGINT) AS med_c4,
+             |  CAST(round(max(mad.mad2) * 2) AS BIGINT) AS mad_c4,
+             |  count(*) AS n_parts,
+             |  CAST(sum(CASE WHEN 2 * dev.dev2 >
+             |      3 * CAST(round(2 * mad.mad2) AS BIGINT)
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM dev JOIN mad USING (p_brand)
+             |GROUP BY dev.p_brand ORDER BY dev.p_brand""".stripMargin))
   )
 
   private val GroupingSetsSql =

@@ -249,4 +249,30 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(ranks("a") - 0.15) < 1e-12)
     assert(math.abs(ranks("b") - (0.15 + 0.85 * 0.15)) < 1e-12)
   }
+
+  test("Adamic-Adar: wedge scores, adjacency excluded, middle-degree cap") {
+    // Path a-b-c plus hub h adjacent to a, c, d. Non-adjacent pairs
+    // with shared neighbors: (a,c) via b (deg 2) AND via h (deg 3);
+    // (a,d)/(c,d) via h; (b,h) via a and c (deg 2 each).
+    val edges = Seq(("a", "b"), ("b", "c"), ("h", "a"), ("h", "c"),
+      ("h", "d"), ("c", "b")).toDF("src", "dst") // (c,b) dup reversed
+    val e6ln2 = math.floor(1e6 / math.log(2) + 0.5).toLong
+    val e6ln3 = math.floor(1e6 / math.log(3) + 0.5).toLong
+    val got = graft.graph.LinkPredict.adamicAdarTopK(edges, k = 10)
+      .as[(String, String, Long)].collect()
+    val byPair = got.map(r => (r._1, r._2) -> r._3).toMap
+    assert(byPair(("a", "c")) == e6ln2 + e6ln3)
+    assert(byPair(("a", "d")) == e6ln3)
+    assert(byPair(("c", "d")) == e6ln3)
+    assert(byPair(("b", "h")) == 2 * e6ln2)
+    assert(!byPair.contains(("a", "b")), "adjacent pair must be excluded")
+    // Strongest first, total order.
+    assert(got.head._3 == got.map(_._3).max)
+    // Capping the middle degree at 2 removes every wedge through h.
+    val capped = graft.graph.LinkPredict
+      .adamicAdarTopK(edges, k = 10, maxMiddleDegree = Some(2L))
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(capped == Map(("a", "c") -> e6ln2, ("b", "h") -> 2 * e6ln2))
+  }
 }
