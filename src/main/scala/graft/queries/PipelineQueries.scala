@@ -3530,6 +3530,135 @@ object PipelineQueries {
               |)
               |SELECT label, vb AS vec_id, min(va) AS dup_of
               |FROM p GROUP BY label, vb
-              |ORDER BY label, vec_id""".stripMargin))
+              |ORDER BY label, vec_id""".stripMargin)),
+
+    // ANN quality EVALUATION as a first-class query: recall@5 of the
+    // nprobe=1 IVF probe against the brute-force ground truth, per
+    // probe query — the measurement a pipeline runs before trusting
+    // an index (e9's test-side recall claim, promoted to an operator
+    // with an oracle). Cost is bounded by |queries|·k on the
+    // comparison side; the ground-truth scan is the e1 plan.
+    Q("e13_ann_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") < 10)
+        val exact = Similarity.bruteForceTopK(emb, qs, k = 5)
+          .select(col("query_id"), col("cand_id"))
+        val ivf = Similarity.ivfProbeTopK(emb, qs, "label", k = 5)
+          .select(col("query_id"), col("cand_id"))
+        val hits = exact.join(ivf, Seq("query_id", "cand_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("h"))
+        qs.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("h"), lit(0L)).as("n_hits"),
+            (coalesce(col("h"), lit(0L)) * 2000).as("recall_e4"))
+          .orderBy("query_id")
+      },
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+              |  FROM embeddings
+              |),
+              |q AS (SELECT vec_id, emb FROM e WHERE vec_id < 10),
+              |ex0 AS (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              |    row_number() OVER (PARTITION BY q.vec_id
+              |      ORDER BY ${TextHash.duckCosine("q.emb", "c.emb", 64)}
+              |        DESC, c.vec_id) AS rank
+              |  FROM q JOIN e c ON c.vec_id <> q.vec_id
+              |),
+              |exact AS (SELECT query_id, cand_id FROM ex0 WHERE rank <= 5),
+              |c0 AS (
+              |  SELECT label, i - 1 AS dim, round(avg(v), 6) AS c
+              |  FROM (
+              |    SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+              |      generate_subscripts(embedding, 1) AS i
+              |    FROM embeddings
+              |  ) GROUP BY label, dim
+              |),
+              |cent AS (
+              |  SELECT label, list(c ORDER BY dim) AS cvec
+              |  FROM c0 GROUP BY label
+              |),
+              |ass0 AS (
+              |  SELECT q.vec_id AS query_id, q.emb AS qe, cent.label,
+              |    ${TextHash.duckCosine("q.emb", "cent.cvec", 64)} AS cs
+              |  FROM q, cent
+              |),
+              |ass AS (
+              |  SELECT query_id, qe, label FROM (
+              |    SELECT *, row_number() OVER (
+              |      PARTITION BY query_id ORDER BY cs DESC, label) AS rn
+              |    FROM ass0
+              |  ) WHERE rn = 1
+              |),
+              |iv0 AS (
+              |  SELECT a.query_id, e.vec_id AS cand_id,
+              |    row_number() OVER (PARTITION BY a.query_id
+              |      ORDER BY ${TextHash.duckCosine("a.qe", "e.emb", 64)}
+              |        DESC, e.vec_id) AS rank
+              |  FROM ass a JOIN e ON e.label = a.label
+              |    AND e.vec_id <> a.query_id
+              |),
+              |ivf AS (SELECT query_id, cand_id FROM iv0 WHERE rank <= 5),
+              |h AS (
+              |  SELECT exact.query_id, count(*) AS n_hits
+              |  FROM exact JOIN ivf USING (query_id, cand_id)
+              |  GROUP BY 1
+              |)
+              |SELECT q.vec_id AS query_id,
+              |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+              |  CAST(coalesce(h.n_hits, 0) * 2000 AS BIGINT) AS recall_e4
+              |FROM q LEFT JOIN h ON h.query_id = q.vec_id
+              |ORDER BY query_id""".stripMargin)),
+
+    // Temperature-sampled mixture weights (the multilingual /
+    // multi-source rebalancing rule: w_i ∝ p_i^α with α = 0.3 —
+    // upweights tail sources without drowning the head). Two
+    // language-cardinality aggregates with broadcast scalar totals;
+    // the p^α terms are e6-scaled to integers BEFORE the
+    // normalization sum, so the denominator is order-independent.
+    Q("d50_temp_mixture",
+      (s, d) => {
+        val counts = Tables.documents(s, d)
+          .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        val tot = counts.agg(sum("n_docs").as("total"))
+        val t = counts.crossJoin(broadcast(tot))
+          .withColumn("share",
+            col("n_docs").cast("double") / col("total"))
+          .withColumn("tv",
+            floor(pow(col("share"), lit(0.3)) * 1000000 + 0.5)
+              .cast("long"))
+        val tsum = t.agg(sum("tv").as("tsum"))
+        t.crossJoin(broadcast(tsum))
+          .select(col("lang"), col("n_docs"),
+            floor(col("share") * 1000000 + 0.5).cast("long")
+              .as("share_e6"),
+            floor(col("tv").cast("double") / col("tsum") * 1000000
+              + 0.5).cast("long").as("w_e6"),
+            floor(col("tv").cast("double") / col("tsum") / col("share")
+              * 10000 + 0.5).cast("long").as("boost_e4"))
+          .orderBy("lang")
+      },
+      Some("""WITH c AS (
+             |  SELECT lang, count(*) AS n_docs FROM documents
+             |  GROUP BY lang
+             |),
+             |tot AS (SELECT sum(n_docs) AS total FROM c),
+             |t AS (
+             |  SELECT lang, n_docs,
+             |    CAST(n_docs AS DOUBLE) / total AS share,
+             |    CAST(floor(pow(CAST(n_docs AS DOUBLE) / total, 0.3)
+             |      * 1000000 + 0.5) AS BIGINT) AS tv
+             |  FROM c, tot
+             |),
+             |ts AS (SELECT sum(tv) AS tsum FROM t)
+             |SELECT lang, n_docs,
+             |  CAST(floor(share * 1000000 + 0.5) AS BIGINT) AS share_e6,
+             |  CAST(floor(CAST(tv AS DOUBLE) / tsum * 1000000 + 0.5)
+             |    AS BIGINT) AS w_e6,
+             |  CAST(floor(CAST(tv AS DOUBLE) / tsum / share * 10000
+             |    + 0.5) AS BIGINT) AS boost_e4
+             |FROM t, ts ORDER BY lang""".stripMargin))
   )
 }
