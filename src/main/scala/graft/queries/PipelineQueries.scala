@@ -3659,6 +3659,102 @@ object PipelineQueries {
              |    AS BIGINT) AS w_e6,
              |  CAST(floor(CAST(tv AS DOUBLE) / tsum / share * 10000
              |    + 0.5) AS BIGINT) AS boost_e4
-             |FROM t, ts ORDER BY lang""".stripMargin))
+             |FROM t, ts ORDER BY lang""".stripMargin)),
+
+    // Dedup quality EVALUATION (the e13 idea for the text side): how
+    // good are the MinHash-LSH bucket candidates before verification?
+    // precision = verified share of candidates; recall = verified
+    // pairs' coverage of the exact inverted-index truth set (d2).
+    // One summary row — every input is a pair-set aggregate, so the
+    // whole thing is bounded scalar math after the same candidate /
+    // verify plans d2/d3 already run.
+    Q("d51_lsh_eval",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bands = Dedup.bandTable(Dedup.shingleSets(docs))
+        val cand = Dedup.lshCandidates(bands, bands)
+          .filter(col("da") < col("db"))
+        val ver = Dedup.minhashLshPairs(docs, minJaccard = 0.8)
+          .select("da", "db")
+        val tru = Dedup.ngramJaccardPairs(docs, minJaccard = 0.8)
+          .select("da", "db")
+        val nc = cand.agg(count(lit(1)).as("n_candidates"))
+        val nv = ver.agg(count(lit(1)).as("n_verified"))
+        val nt = tru.agg(count(lit(1)).as("n_true"))
+        val nh = ver.join(tru, Seq("da", "db"))
+          .agg(count(lit(1)).as("n_hit"))
+        nc.crossJoin(nv).crossJoin(nt).crossJoin(nh)
+          .select(col("n_candidates"), col("n_verified"), col("n_true"),
+            col("n_hit"),
+            floor(col("n_verified").cast("double") / col("n_candidates")
+              * 10000 + 0.5).cast("long").as("precision_e4"),
+            floor(col("n_hit").cast("double") / col("n_true")
+              * 10000 + 0.5).cast("long").as("recall_e4"))
+      },
+      Some(s"""WITH ${TextHash.duckToksCte},
+              |${TextHash.duckShinglesCte},
+              |${TextHash.duckMinHashCte},
+              |${TextHash.duckBandsCte},
+              |cand AS MATERIALIZED (
+              |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+              |  FROM bands a JOIN bands b
+              |    ON a.band = b.band AND a.sig = b.sig
+              |   AND a.doc_id < b.doc_id
+              |),
+              |sz AS MATERIALIZED (
+              |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+              |),
+              |cj AS (
+              |  SELECT c.da, c.db, count(*) AS inter
+              |  FROM cand c
+              |  JOIN sh x ON x.doc_id = c.da
+              |  JOIN sh y ON y.doc_id = c.db AND y.s = x.s
+              |  GROUP BY c.da, c.db
+              |),
+              |ver AS MATERIALIZED (
+              |  SELECT cj.da, cj.db FROM cj
+              |  JOIN sz x ON x.doc_id = cj.da
+              |  JOIN sz y ON y.doc_id = cj.db
+              |  WHERE CAST(cj.inter AS DOUBLE)
+              |    / (x.n + y.n - cj.inter) >= 0.8
+              |),
+              |rare AS (
+              |  SELECT s FROM sh GROUP BY s
+              |  HAVING count(*) <= ${Dedup.DefaultMaxShingleDf}
+              |),
+              |tcand AS (
+              |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+              |  FROM sh a JOIN rare r ON a.s = r.s
+              |  JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id
+              |),
+              |tj AS (
+              |  SELECT c.da, c.db, count(*) AS inter
+              |  FROM tcand c
+              |  JOIN sh x ON x.doc_id = c.da
+              |  JOIN sh y ON y.doc_id = c.db AND y.s = x.s
+              |  GROUP BY c.da, c.db
+              |),
+              |truth AS MATERIALIZED (
+              |  SELECT tj.da, tj.db FROM tj
+              |  JOIN sz x ON x.doc_id = tj.da
+              |  JOIN sz y ON y.doc_id = tj.db
+              |  WHERE CAST(tj.inter AS DOUBLE)
+              |    / (x.n + y.n - tj.inter) >= 0.8
+              |),
+              |hit AS (
+              |  SELECT * FROM ver INTERSECT SELECT * FROM truth
+              |)
+              |SELECT
+              |  CAST((SELECT count(*) FROM cand) AS BIGINT)
+              |    AS n_candidates,
+              |  CAST((SELECT count(*) FROM ver) AS BIGINT) AS n_verified,
+              |  CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+              |  CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+              |  CAST(floor(CAST((SELECT count(*) FROM ver) AS DOUBLE)
+              |    / (SELECT count(*) FROM cand) * 10000 + 0.5) AS BIGINT)
+              |    AS precision_e4,
+              |  CAST(floor(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+              |    / (SELECT count(*) FROM truth) * 10000 + 0.5) AS BIGINT)
+              |    AS recall_e4""".stripMargin))
   )
 }
