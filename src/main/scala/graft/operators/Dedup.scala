@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextHash
@@ -316,20 +316,83 @@ object Dedup {
     val hits = grams.join(dup, "g").select("doc_id", "pos")
     hits.groupBy("doc_id")
       .agg(array_sort(collect_list(col("pos"))).as("ps"))
-      .select(col("doc_id"), explode(expr(
-        s"""aggregate(ps, CAST(array() AS ARRAY<STRUCT<s: INT, e: INT>>),
-           |  (acc, p) -> CASE
-           |    WHEN size(acc) > 0 AND p <= element_at(acc, -1).e + 1
-           |    THEN concat(slice(acc, 1, size(acc) - 1),
-           |      array(named_struct('s', element_at(acc, -1).s,
-           |                         'e', p + ${n - 1})))
-           |    ELSE concat(acc, array(named_struct('s', p,
-           |                                        'e', p + ${n - 1})))
-           |  END)""".stripMargin.replaceAll("\n", " "))).as("sp"))
+      .select(col("doc_id"), explode(expr(mergeSpansFold(n))).as("sp"))
       .select(col("doc_id"),
         col("sp.s").cast("long").as("span_start"),
         col("sp.e").cast("long").as("span_end"),
         (col("sp.e") - col("sp.s") + 1).cast("long").as("span_tokens"))
+  }
+
+  /** SQL fold merging a SORTED int array `ps` of n-gram start
+    * positions into maximal `[s, e]` token intervals (intervals
+    * `[p, p+n−1]`, merged while overlapping or adjacent). Shared by
+    * [[dupSpans]] and [[exciseSpans]].
+    */
+  private def mergeSpansFold(n: Int): String =
+    s"""aggregate(ps, CAST(array() AS ARRAY<STRUCT<s: INT, e: INT>>),
+       |  (acc, p) -> CASE
+       |    WHEN size(acc) > 0 AND p <= element_at(acc, -1).e + 1
+       |    THEN concat(slice(acc, 1, size(acc) - 1),
+       |      array(named_struct('s', element_at(acc, -1).s,
+       |                         'e', p + ${n - 1})))
+       |    ELSE concat(acc, array(named_struct('s', p,
+       |                                        'e', p + ${n - 1})))
+       |  END)""".stripMargin.replaceAll("\n", " ")
+
+  /** Cross-document exact-substring EXCISION — the destructive half
+    * of the Lee et al. 2022 suffix-array dedup that [[dupSpans]]
+    * only detects: every duplicated n-gram keeps exactly its
+    * globally FIRST occurrence (minimum `(doc_id, pos)`) and every
+    * other occurrence is cut from its document, so shared
+    * boilerplate survives once in the corpus instead of once per
+    * page. The keep-first rule is a pure aggregate — `min` over the
+    * packed key `doc_id·2³² + pos` — so no occurrence ordering is
+    * ever materialized; non-kept hit positions fold into maximal
+    * spans per doc (same merge as [[dupSpans]]) and the kept text is
+    * rebuilt map-side by an indexed filter over the token array.
+    *
+    * Scale shape: two fine-grained exchanges (gram hash; doc_id) +
+    * one equi-join back on the gram hash — identical skeleton to
+    * [[dupSpans]], still no suffix array and no global sort. The
+    * rebuild never shuffles: spans arrive co-keyed with the doc row
+    * and the filter is per-row HOF math bounded by the doc's own
+    * length. A kept occurrence's tokens can still be excised when a
+    * DIFFERENT duplicated gram's non-kept span covers them — the
+    * union-of-spans rule is deterministic and documented, matching
+    * the paper's "remove all but one copy of each duplicated
+    * substring" contract up to overlap resolution.
+    *
+    * @return (doc_id, n_tokens, n_removed, n_spans, kept_md5) for
+    *   docs with ≥ 1 excised span; `kept_md5` is the md5 of the
+    *   space-joined surviving tokens (md5('') when everything went).
+    */
+  def exciseSpans(docs: DataFrame, n: Int): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      expr(TextHash.sparkTokens("text")).as("tk"))
+    def packed(d: Column, p: Column): Column = d * lit(4294967296L) + p
+    val grams = base.select(col("doc_id"),
+      posexplode(ngram_hashes_pos(token_hashes(col("tk")), n))
+        .as(Seq("pos", "g")))
+    val keep = grams.groupBy("g")
+      .agg(count(lit(1)).as("occ"),
+        min(packed(col("doc_id"), col("pos"))).as("keep_k"))
+      .filter(col("occ") >= 2)
+      .select("g", "keep_k")
+    val hits = grams.join(keep, "g")
+      .filter(packed(col("doc_id"), col("pos")) =!= col("keep_k"))
+      .select("doc_id", "pos")
+    val spans = hits.groupBy("doc_id")
+      .agg(array_sort(collect_list(col("pos"))).as("ps"))
+      .select(col("doc_id"), expr(mergeSpansFold(n)).as("sp"))
+    base.join(spans, "doc_id")
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        expr("aggregate(sp, CAST(0 AS BIGINT), " +
+          "(a, x) -> a + x.e - x.s + 1)").as("n_removed"),
+        size(col("sp")).cast("long").as("n_spans"),
+        md5(expr("array_join(filter(tk, (t, i) -> " +
+          "NOT exists(sp, x -> i >= x.s AND i <= x.e)), ' ')"))
+          .as("kept_md5"))
   }
 
   /** (doc_id, f) 64-bit SimHash fingerprints. */

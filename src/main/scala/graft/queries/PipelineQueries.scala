@@ -3755,6 +3755,95 @@ object PipelineQueries {
               |    AS precision_e4,
               |  CAST(floor(CAST((SELECT count(*) FROM hit) AS DOUBLE)
               |    / (SELECT count(*) FROM truth) * 10000 + 0.5) AS BIGINT)
-              |    AS recall_e4""".stripMargin))
+              |    AS recall_e4""".stripMargin)),
+
+    // Cross-document exact-substring EXCISION (the destructive half
+    // of Lee et al. 2022 that d44 only detects): every duplicated
+    // 8-gram keeps its globally FIRST occurrence — min over the
+    // packed key doc_id·2³² + pos, a pure aggregate, no occurrence
+    // ordering materialized — and all other occurrences fold into
+    // maximal spans that are cut from their documents; the surviving
+    // text is rebuilt map-side (indexed HOF filter over the token
+    // array) and shipped as an md5 so the row stays narrow. Same
+    // planted boilerplate corpus as d44: doc 0 keeps the shared
+    // 12-token tail, every other doc_id % 5 = 0 page loses it.
+    // Scale shape: gram-hash partial agg + co-partitioned join back
+    // + one doc_id exchange — identical skeleton to d44, no suffix
+    // array, no global sort, rebuild never shuffles.
+    Q("d49_span_excise",
+      (s, d) => {
+        val corpus = Tables.documents(s, d).select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" " + SpanBoilerplate)))
+            .otherwise(col("text")).as("text"))
+        Dedup.exciseSpans(corpus, n = 8).orderBy("doc_id")
+      },
+      Some {
+        val gramFold = (0 until 8).foldLeft("CAST(0 AS BIGINT)")(
+          (a, j) => s"(($a * 31 + th[i+$j]) % ${TextHash.P})")
+        raw"""WITH corpus AS (
+             |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+             |    THEN text || ' $SpanBoilerplate' ELSE text END AS text
+             |  FROM documents
+             |),
+             |${TextHash.duckToksCte("corpus", "")},
+             |t0 AS (
+             |  SELECT doc_id, ${TextHash.duckTokens("text")} AS tk
+             |  FROM corpus
+             |),
+             |grams AS (
+             |  SELECT doc_id, i - 1 AS pos, $gramFold AS g
+             |  FROM toks, unnest(range(1, len(th) - 6)) AS u(i)
+             |  WHERE len(th) >= 8
+             |),
+             |st AS (
+             |  SELECT g, min(doc_id * 4294967296 + pos) AS keep_k
+             |  FROM grams GROUP BY g HAVING count(*) >= 2
+             |),
+             |hits AS (
+             |  SELECT g2.doc_id, g2.pos FROM grams g2 JOIN st USING (g)
+             |  WHERE g2.doc_id * 4294967296 + g2.pos <> st.keep_k
+             |),
+             |brk AS (
+             |  SELECT doc_id, pos,
+             |    CASE WHEN lag(pos) OVER w IS NULL
+             |           OR pos - lag(pos) OVER w > 8 THEN 1 ELSE 0 END AS b
+             |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+             |),
+             |sp AS (
+             |  SELECT doc_id, pos,
+             |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+             |  FROM brk
+             |),
+             |spans AS (
+             |  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+             |  FROM sp GROUP BY doc_id, sid
+             |),
+             |px AS (
+             |  SELECT doc_id, i - 1 AS idx, tk[i] AS tok
+             |  FROM t0, unnest(range(1, len(tk) + 1)) AS u(i)
+             |),
+             |kept AS (
+             |  SELECT p.doc_id, string_agg(p.tok, ' ' ORDER BY p.idx)
+             |    AS kt
+             |  FROM px p
+             |  WHERE NOT EXISTS (SELECT 1 FROM spans s2
+             |    WHERE s2.doc_id = p.doc_id
+             |      AND p.idx BETWEEN s2.s AND s2.e)
+             |  GROUP BY p.doc_id
+             |),
+             |sm AS (
+             |  SELECT doc_id,
+             |    CAST(sum(e - s + 1) AS BIGINT) AS n_removed,
+             |    CAST(count(*) AS BIGINT) AS n_spans
+             |  FROM spans GROUP BY doc_id
+             |)
+             |SELECT sm.doc_id,
+             |  CAST(len(t0.tk) AS BIGINT) AS n_tokens,
+             |  sm.n_removed, sm.n_spans,
+             |  md5(coalesce(kept.kt, '')) AS kept_md5
+             |FROM sm JOIN t0 USING (doc_id) LEFT JOIN kept USING (doc_id)
+             |ORDER BY sm.doc_id""".stripMargin
+      })
   )
 }

@@ -46,6 +46,31 @@ class OperatorsSpec extends SparkSpec {
       (3L, 0L, 15L, 16L)))
   }
 
+  test("exciseSpans keeps the globally first occurrence, cuts the rest") {
+    // Same corpus as the dupSpans test. Keep-first = min (doc_id,
+    // pos) per duplicated 8-gram: doc 1's copy of the shared A..J
+    // run wins (doc 1 emits NO row — nothing excised from it), doc 2
+    // loses its copy at [0, 9]; doc 3's back-to-back K..R repeat
+    // keeps the first period and cuts the second ([8, 15] — interior
+    // rotated grams occur once and contribute no hits).
+    val shared = ('A' to 'J').map(c => s"tok$c").mkString(" ")
+    val rep = ('K' to 'R').map(c => s"tok$c").mkString(" ")
+    val docs = Seq(
+      (1L, (1 to 6).map("u" + _).mkString(" ") + " " + shared),
+      (2L, shared + " " + (7 to 12).map("u" + _).mkString(" ")),
+      (3L, rep + " " + rep),
+      (4L, (13 to 24).map("u" + _).mkString(" "))).toDF("doc_id", "text")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = Dedup.exciseSpans(docs, n = 8)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (2L, 16L, 10L, 1L, md5hex((7 to 12).map("u" + _).mkString(" "))),
+      (3L, 16L, 8L, 1L,
+        md5hex(('k' to 'r').map(c => s"tok$c").mkString(" ")))))
+  }
+
   test("LogReg learns a linearly separable toy set to 100% accuracy") {
     import graft.operators.LogReg
     // y = 1 iff v > 0, margin 2 — separable; 40 points.
