@@ -3844,6 +3844,141 @@ object PipelineQueries {
              |  md5(coalesce(kept.kt, '')) AS kept_md5
              |FROM sm JOIN t0 USING (doc_id) LEFT JOIN kept USING (doc_id)
              |ORDER BY sm.doc_id""".stripMargin
-      })
+      }),
+
+    // TRIGRAM Stupid Backoff LM scoring (Brants et al. 2007, "Large
+    // Language Models in Machine Translation" — the smoothing DESIGNED
+    // for MapReduce-scale counts: no discounting state, just raw
+    // count ratios with a fixed 0.4 backoff multiplier, so every
+    // model table is a partial-aggregated count). Counts train on the
+    // EVEN-doc half and score the whole corpus, so held-out docs
+    // genuinely exercise all three backoff tiers:
+    //   S(c|a,b) = c3(abc)/c2(ab)            when the trigram was seen
+    //            = 0.4 · c2(bc)/c1(b)        else if the bigram was
+    //            = 0.4 · 0.4 · max(c1(c),1)/N   else (unseen-unigram
+    //              floor keeps ln finite — the OOV convention).
+    // Parity: each position's ln is e6-floored BEFORE the per-doc sum
+    // (integer arithmetic thereafter — the d19 ln-precedent), and
+    // 0.4 enters as a DOUBLE product in the same association order in
+    // both engines. Scale shape: three count tables are map-side
+    // partial aggregations; scoring is five equi-joins on token-tuple
+    // keys (fine-grained at any corpus size, AQE picks broadcast vs
+    // shuffle); N rides as a broadcast one-row aggregate — no collect.
+    Q("d52_stupid_backoff",
+      (s, d) => {
+        val toks = Tables.documents(s, d).select(col("doc_id"),
+          expr(TextHash.sparkTokens("text")).as("tk"))
+        val train = toks.filter(col("doc_id") % 2 === 0)
+        val tuni = train.select(explode(col("tk")).as("w"))
+        val uni = tuni.groupBy("w").agg(count(lit(1)).as("c1"))
+        val nTot = tuni.agg(count(lit(1)).as("n_total"))
+        val bi = train.filter(size(col("tk")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(tk) - 1), i -> named_struct(" +
+              "'p', element_at(tk, i), 'w', element_at(tk, i + 1)))"))
+            .as("bg"))
+          .groupBy(col("bg.p").as("p"), col("bg.w").as("w"))
+          .agg(count(lit(1)).as("c2"))
+        val tri = train.filter(size(col("tk")) >= 3)
+          .select(explode(expr(
+            "transform(sequence(1, size(tk) - 2), i -> named_struct(" +
+              "'a', element_at(tk, i), 'b', element_at(tk, i + 1), " +
+              "'c', element_at(tk, i + 2)))")).as("tg"))
+          .groupBy(col("tg.a").as("a"), col("tg.b").as("b"),
+            col("tg.c").as("c"))
+          .agg(count(lit(1)).as("c3"))
+        val pos = toks.filter(size(col("tk")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(tk) - 2), i -> named_struct(" +
+              "'a', element_at(tk, i), 'b', element_at(tk, i + 1), " +
+              "'c', element_at(tk, i + 2)))")).as("tg"))
+          .select(col("doc_id"), col("tg.a").as("a"),
+            col("tg.b").as("b"), col("tg.c").as("c"))
+        val score = when(col("c3").isNotNull,
+            col("c3").cast("double") / col("c2p").cast("double"))
+          .when(col("c2w").isNotNull,
+            lit(0.4) * col("c2w").cast("double")
+              / col("c1p").cast("double"))
+          .otherwise(lit(0.4) * lit(0.4)
+            * greatest(coalesce(col("c1w"), lit(0L)), lit(1L))
+              .cast("double")
+            / col("n_total").cast("double"))
+        pos
+          .join(tri, Seq("a", "b", "c"), "left")
+          .join(bi.withColumnRenamed("p", "a").withColumnRenamed("w", "b")
+            .withColumnRenamed("c2", "c2p"), Seq("a", "b"), "left")
+          .join(bi.withColumnRenamed("p", "b").withColumnRenamed("w", "c")
+            .withColumnRenamed("c2", "c2w"), Seq("b", "c"), "left")
+          .join(uni.withColumnRenamed("w", "b")
+            .withColumnRenamed("c1", "c1p"), Seq("b"), "left")
+          .join(uni.withColumnRenamed("w", "c")
+            .withColumnRenamed("c1", "c1w"), Seq("c"), "left")
+          .crossJoin(broadcast(nTot))
+          .select(col("doc_id"),
+            floor(log(score) * 1000000 + 0.5).cast("long").as("lp_e6"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_scored"), sum("lp_e6").as("s"))
+          .select(col("doc_id"), col("n_scored"),
+            floor(col("s").cast("double") / col("n_scored") + 0.5)
+              .cast("long").as("logprob_e6"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tk AS (
+              |  SELECT doc_id, ${TextHash.duckTokens("text")} AS tk
+              |  FROM documents
+              |),
+              |tr AS (SELECT doc_id, tk FROM tk WHERE doc_id % 2 = 0),
+              |u0 AS (SELECT unnest(tk) AS w FROM tr),
+              |uni AS MATERIALIZED (
+              |  SELECT w, count(*) AS c1 FROM u0 GROUP BY w
+              |),
+              |nt AS (SELECT count(*) AS n_total FROM u0),
+              |bi AS MATERIALIZED (
+              |  SELECT p, w, count(*) AS c2 FROM (
+              |    SELECT unnest(tk[1:len(tk) - 1]) AS p,
+              |           unnest(tk[2:len(tk)]) AS w
+              |    FROM tr WHERE len(tk) >= 2)
+              |  GROUP BY p, w
+              |),
+              |tri AS (
+              |  SELECT a, b, c, count(*) AS c3 FROM (
+              |    SELECT unnest(tk[1:len(tk) - 2]) AS a,
+              |           unnest(tk[2:len(tk) - 1]) AS b,
+              |           unnest(tk[3:len(tk)]) AS c
+              |    FROM tr WHERE len(tk) >= 3)
+              |  GROUP BY a, b, c
+              |),
+              |pos AS (
+              |  SELECT doc_id, unnest(tk[1:len(tk) - 2]) AS a,
+              |         unnest(tk[2:len(tk) - 1]) AS b,
+              |         unnest(tk[3:len(tk)]) AS c
+              |  FROM tk WHERE len(tk) >= 3
+              |),
+              |sc AS (
+              |  SELECT p.doc_id,
+              |    CAST(floor(ln(CASE
+              |      WHEN t.c3 IS NOT NULL
+              |        THEN CAST(t.c3 AS DOUBLE) / CAST(b2p.c2 AS DOUBLE)
+              |      WHEN b2w.c2 IS NOT NULL
+              |        THEN CAST(0.4 AS DOUBLE) * CAST(b2w.c2 AS DOUBLE)
+              |          / CAST(u1p.c1 AS DOUBLE)
+              |      ELSE CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+              |        * CAST(greatest(coalesce(u1w.c1, 0), 1) AS DOUBLE)
+              |        / CAST(nt.n_total AS DOUBLE)
+              |    END) * 1000000 + 0.5) AS BIGINT) AS lp_e6
+              |  FROM pos p
+              |  LEFT JOIN tri t
+              |    ON t.a = p.a AND t.b = p.b AND t.c = p.c
+              |  LEFT JOIN bi b2p ON b2p.p = p.a AND b2p.w = p.b
+              |  LEFT JOIN bi b2w ON b2w.p = p.b AND b2w.w = p.c
+              |  LEFT JOIN uni u1p ON u1p.w = p.b
+              |  LEFT JOIN uni u1w ON u1w.w = p.c
+              |  CROSS JOIN nt
+              |)
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+              |  CAST(floor(CAST(sum(lp_e6) AS DOUBLE) / count(*) + 0.5)
+              |    AS BIGINT) AS logprob_e6
+              |FROM sc GROUP BY doc_id
+              |ORDER BY doc_id""".stripMargin))
   )
 }
