@@ -3979,6 +3979,62 @@ object PipelineQueries {
               |  CAST(floor(CAST(sum(lp_e6) AS DOUBLE) / count(*) + 0.5)
               |    AS BIGINT) AS logprob_e6
               |FROM sc GROUP BY doc_id
-              |ORDER BY doc_id""".stripMargin))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Tokenizer EVALUATION over the trained-shape BPE (the numbers a
+    // team compares tokenizers by before committing a vocabulary):
+    // per language stratum, fertility (BPE units per whitespace
+    // word — multilingual fairness metric: a tokenizer that's fair
+    // to a language keeps its fertility near the corpus mean),
+    // compression (chars per unit), and the single-unit hit rate
+    // (words the merge hierarchy fully fuses — the vocabulary-
+    // coverage proxy). Scale shape: tokenize + greedy encode are one
+    // map-side compiled-kernel pass over the corpus scan; the only
+    // exchange is the partial-agg on the bounded lang key. The
+    // oracle replays the identical merge table through the d29
+    // vocabulary-cached recursive CTE.
+    Q("d53_tokenizer_stats",
+      (s, d) => {
+        val words = Tables.documents(s, d)
+          .select(col("lang"),
+            explode(expr(TextHash.sparkTokens("text"))).as("tok"))
+        words
+          .select(col("lang"), length(col("tok")).as("chars"),
+            size(Bpe.bpe_units(array(col("tok")))).as("nu"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("nu").cast("long")).as("n_units"),
+            sum(col("chars").cast("long")).as("n_chars"),
+            sum(when(col("nu") === 1, 1L).otherwise(0L))
+              .as("n_one_unit"))
+          .select(col("lang"), col("n_words"), col("n_units"),
+            floor(col("n_units").cast("double") / col("n_words")
+              * 10000 + 0.5).cast("long").as("fertility_e4"),
+            floor(col("n_chars").cast("double") / col("n_units")
+              * 10000 + 0.5).cast("long").as("chars_per_unit_e4"),
+            floor(col("n_one_unit").cast("double") / col("n_words")
+              * 10000 + 0.5).cast("long").as("one_unit_rate_e4"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH RECURSIVE ${Bpe.duckBpeCtes("documents")},
+              |w2 AS (
+              |  SELECT d2.lang, len(w.tok) AS chars,
+              |    len(string_split(u.s, ' ')) AS nu
+              |  FROM wtoks w
+              |  JOIN documents d2 USING (doc_id)
+              |  JOIN wunits u USING (tok)
+              |)
+              |SELECT lang,
+              |  CAST(count(*) AS BIGINT) AS n_words,
+              |  CAST(sum(nu) AS BIGINT) AS n_units,
+              |  CAST(floor(CAST(sum(nu) AS DOUBLE) / count(*)
+              |    * 10000 + 0.5) AS BIGINT) AS fertility_e4,
+              |  CAST(floor(CAST(sum(chars) AS DOUBLE) / sum(nu)
+              |    * 10000 + 0.5) AS BIGINT) AS chars_per_unit_e4,
+              |  CAST(floor(CAST(sum(CASE WHEN nu = 1 THEN 1 ELSE 0 END)
+              |      AS DOUBLE) / count(*)
+              |    * 10000 + 0.5) AS BIGINT) AS one_unit_rate_e4
+              |FROM w2 GROUP BY lang
+              |ORDER BY lang""".stripMargin))
   )
 }
