@@ -312,4 +312,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.indexOf("might_contain") > p.indexOf("LeftSemi"),
       s"q43's bloom prune sits above the semi join — dead filter\n$p")
   }
+
+  test("span excision and backoff LM keep their aggregate-only shapes") {
+    // d49: keep-first is a min AGGREGATE over the packed key and the
+    // interval merge is a per-row fold — a window over the gram
+    // occurrence table (the tempting formulation) would funnel every
+    // duplicated gram's occurrences through rank machinery; and
+    // nothing may degenerate to an all-pairs join.
+    val d49 = plan("d49_span_excise")
+    assert(!d49.contains("Window"),
+      s"d49 ranks occurrences through a window\n$d49")
+    assert(!d49.contains("CartesianProduct") &&
+      !d49.contains("BroadcastNestedLoop"),
+      s"d49 degenerated to an all-pairs join\n$d49")
+    // d52: five model joins must stay equi-joins; the only permitted
+    // non-equi join is the single-row corpus-total broadcast.
+    val d52 = plan("d52_stupid_backoff")
+    assert(!d52.contains("CartesianProduct"),
+      s"d52 has a cartesian product\n$d52")
+    assert("BroadcastNestedLoop".r.findAllIn(d52).size <= 1,
+      s"d52: only the 1-row total may ride a non-equi broadcast\n$d52")
+    assert(!d52.contains("Window"), s"d52 scores through a window\n$d52")
+    // d53: tokenize+encode are map-side; the lang partial agg and the
+    // deterministic ORDER BY are the only exchanges.
+    val d53 = plan("d53_tokenizer_stats")
+    val exchanges = "Exchange (?:range|hash|Single)".r.findAllIn(d53).size
+    assert(exchanges == 2,
+      s"d53: expected lang agg + ORDER BY exchanges, got $exchanges\n$d53")
+  }
 }
