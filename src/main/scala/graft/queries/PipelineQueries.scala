@@ -4035,6 +4035,79 @@ object PipelineQueries {
               |      AS DOUBLE) / count(*)
               |    * 10000 + 0.5) AS BIGINT) AS one_unit_rate_e4
               |FROM w2 GROUP BY lang
-              |ORDER BY lang""".stripMargin))
+              |ORDER BY lang""".stripMargin)),
+
+    // Embedding-space corpus CLUSTERING via connected components of
+    // the MUTUAL-kNN graph — the graph-clustering step semantic-dedup
+    // pipelines run between per-vector similarity (e6) and
+    // group-level curation (keep one per cluster, d23's shape):
+    // an edge exists when BOTH vectors rank each other in their
+    // top-3 (mutuality prunes the hub vectors that would chain
+    // unrelated neighborhoods together), and clusters are the
+    // components, labeled by min vec_id — d9's machinery on the
+    // embedding side. Scale shape: the mutual filter is ONE
+    // self-equi-join on the (a, b)=(b, a) key pair over the bounded
+    // k·|V| edge list; components run the same convergence-checked
+    // min-label loop as d9 (O(|E|) per round) — and unlike d9's
+    // star-shaped dup groups, mutual-kNN clusters are CHAINS (203
+    // vertices at sf0.1), so the bounded rounds genuinely don't
+    // converge and the O(log n) star-contract fallback is exercised,
+    // not just guarded. The oracle therefore computes components
+    // EXACTLY (recursive-CTE reachability closure, diameter-
+    // independent) instead of mirroring a round count. Isolated
+    // vectors (no mutual edge) are not cluster members and emit no
+    // row — in either engine.
+    Q("e14_knn_components",
+      (s, d) => {
+        val knn = Similarity.knnGraph(Tables.embeddings(s, d),
+            "label", k = 3)
+          .select(col("vec_id").as("a"), col("nbr_id").as("b"))
+        val mutual = knn.as("x").join(knn.as("y"),
+            col("x.a") === col("y.b") && col("x.b") === col("y.a"))
+          .filter(col("x.a") < col("x.b"))
+          .select(col("x.a").as("a"), col("x.b").as("b"))
+        ConnectedComponents.dupGroups(mutual, iters = 8)
+          .select(col("doc_id").as("vec_id"), col("group_id"),
+            col("keep"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH RECURSIVE e AS (
+              |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+              |  FROM embeddings
+              |),
+              |p AS (
+              |  SELECT a.vec_id, b.vec_id AS nbr_id,
+              |    ${TextHash.duckCosine("a.emb", "b.emb", 64)} AS sim
+              |  FROM e a JOIN e b
+              |    ON a.label = b.label AND a.vec_id <> b.vec_id
+              |),
+              |r AS (
+              |  SELECT vec_id, nbr_id,
+              |    row_number() OVER (
+              |      PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS rank
+              |  FROM p
+              |),
+              |k3 AS MATERIALIZED (
+              |  SELECT vec_id AS a, nbr_id AS b FROM r WHERE rank <= 3
+              |),
+              |mu AS (
+              |  SELECT x.a, x.b FROM k3 x
+              |  JOIN k3 y ON x.a = y.b AND x.b = y.a
+              |  WHERE x.a < x.b
+              |),
+              |edges AS MATERIALIZED (
+              |  SELECT a AS src, b AS dst FROM mu
+              |  UNION ALL
+              |  SELECT b AS src, a AS dst FROM mu
+              |),
+              |walk AS (
+              |  SELECT src AS id, src AS lab FROM edges
+              |  UNION
+              |  SELECT e2.dst AS id, w.lab
+              |  FROM walk w JOIN edges e2 ON e2.src = w.id
+              |)
+              |SELECT id AS vec_id, min(lab) AS group_id,
+              |  id = min(lab) AS keep
+              |FROM walk GROUP BY id ORDER BY vec_id""".stripMargin))
   )
 }
