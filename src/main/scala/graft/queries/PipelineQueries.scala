@@ -4108,6 +4108,146 @@ object PipelineQueries {
               |)
               |SELECT id AS vec_id, min(lab) AS group_id,
               |  id = min(lab) AS keep
-              |FROM walk GROUP BY id ORDER BY vec_id""".stripMargin))
+              |FROM walk GROUP BY id ORDER BY vec_id""".stripMargin)),
+
+    // HYBRID retrieval — reciprocal-rank fusion (Cormack et al. 2009)
+    // of the lexical and vector rankings the engine already produces:
+    // per probe, BM25 top-5 (d36's plan) and embedding-cosine top-5
+    // (e1's plan over the shared id domain) fuse by
+    // rrf(doc) = Σ 1/(60 + rank), each term e6-floored to an INTEGER
+    // before the sum so fusion is exact arithmetic in both engines.
+    // The text side may retrieve the probe's own source doc (its
+    // terms came from it); the vector side excludes self — RRF sees
+    // both lists as rank evidence, which is the point: docs surfacing
+    // in EITHER modality rank, docs surfacing in BOTH rank first.
+    // Scale shape: both rankings already end in bounded-heap top-k
+    // partial aggregates (no corpus-wide window — pinned for d36/e1);
+    // fusion adds one |probes|·10-row union, a partial-agg sum, and a
+    // second bounded heap. Nothing new touches the corpus.
+    Q("e15_hybrid_rrf",
+      (s, d) => {
+        import graft.functions.TopKByScore.top_k_by_score
+        val docs = Tables.documents(s, d)
+        val stats = docs.agg(count(lit(1)).cast("long").as("n"),
+          sum(size(expr(TextHash.sparkTokens("text")))).cast("long")
+            .as("tot")).head()
+        val n = stats.getLong(0)
+        val avgdl = stats.getLong(1).toDouble / n
+        val qterms = docs.filter(col("doc_id") % 100 === 7)
+          .select(col("doc_id").as("query_id"),
+            explode(expr(s"slice(${TextHash.sparkTokens("text")}, 3, 4)"))
+              .as("token"))
+          .distinct()
+        val text = TextAnalysis.bm25TopK(docs, qterms, n, avgdl, k = 5)
+          .select(col("query_id"), col("doc_id"),
+            col("rank").cast("long").as("rank"))
+        val emb = Tables.embeddings(s, d)
+        val vec = Similarity.bruteForceTopK(emb,
+            emb.filter(col("vec_id") % 100 === 7), k = 5)
+          .select(col("query_id"), col("cand_id").as("doc_id"),
+            col("rank").cast("long").as("rank"))
+        def pts = floor(lit(1000000.0) / (col("rank") + 60) + 0.5)
+          .cast("long").as("pts")
+        val fused = text.select(col("query_id"), col("doc_id"), pts)
+          .unionByName(vec.select(col("query_id"), col("doc_id"), pts))
+          .groupBy("query_id", "doc_id")
+          .agg(sum("pts").as("rrf_e6"))
+        fused.groupBy("query_id")
+          .agg(top_k_by_score(col("rrf_e6").cast("double"),
+            col("doc_id"), lit(0L), 5).as("top"))
+          .select(col("query_id"),
+            posexplode(col("top")).as(Seq("pos", "t")))
+          .select(col("query_id"),
+            (col("pos") + 1).cast("long").as("rank"),
+            col("t.cand_id").as("doc_id"),
+            col("t.sim").cast("long").as("rrf_e6"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH tk AS (
+              |  SELECT doc_id, unnest(${TextHash.duckTokens("text")})
+              |    AS token
+              |  FROM documents
+              |),
+              |tf AS (
+              |  SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2
+              |),
+              |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+              |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+              |q AS (
+              |  SELECT DISTINCT doc_id AS query_id,
+              |    unnest((${TextHash.duckTokens("text")})[3:6]) AS token
+              |  FROM documents WHERE doc_id % 100 = 7
+              |),
+              |c AS (
+              |  SELECT q.query_id, tf.doc_id,
+              |    CAST(floor(
+              |      ln((CAST((SELECT count(*) FROM documents) - df
+              |            AS DOUBLE) + 0.5)
+              |         / (CAST(df AS DOUBLE) + 0.5) + 1)
+              |      * (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1)
+              |         / (CAST(tf AS DOUBLE) + 1.2 * (0.25
+              |            + 0.75 * CAST(dl AS DOUBLE)
+              |              / (SELECT CAST(count(*) AS DOUBLE)
+              |                   / (SELECT count(*) FROM documents)
+              |                 FROM tk))))
+              |      * 1000000 + 0.5) AS BIGINT) AS c
+              |  FROM tf
+              |  JOIN q USING (token)
+              |  JOIN df USING (token)
+              |  JOIN dl ON tf.doc_id = dl.doc_id
+              |),
+              |sc AS (
+              |  SELECT query_id, doc_id, CAST(sum(c) AS BIGINT)
+              |    AS score_e6
+              |  FROM c GROUP BY 1, 2
+              |),
+              |ttop AS (
+              |  SELECT query_id, doc_id,
+              |    row_number() OVER (PARTITION BY query_id
+              |      ORDER BY score_e6 DESC, doc_id) AS rank
+              |  FROM sc
+              |),
+              |e AS (
+              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              |  FROM embeddings
+              |),
+              |vq AS (SELECT * FROM e WHERE vec_id % 100 = 7),
+              |vscored AS (
+              |  SELECT vq.vec_id AS query_id, ce.vec_id AS doc_id,
+              |    ${TextHash.duckCosine("vq.emb", "ce.emb", 64)} AS sim
+              |  FROM vq JOIN e ce ON ce.vec_id <> vq.vec_id
+              |),
+              |vtop AS (
+              |  SELECT query_id, doc_id,
+              |    row_number() OVER (
+              |      PARTITION BY query_id ORDER BY sim DESC, doc_id)
+              |      AS rank
+              |  FROM vscored
+              |),
+              |fuse AS (
+              |  SELECT query_id, doc_id,
+              |    CAST(floor(CAST(1000000 AS DOUBLE) / (60 + rank)
+              |      + 0.5) AS BIGINT) AS pts
+              |  FROM ttop WHERE rank <= 5
+              |  UNION ALL
+              |  SELECT query_id, doc_id,
+              |    CAST(floor(CAST(1000000 AS DOUBLE) / (60 + rank)
+              |      + 0.5) AS BIGINT) AS pts
+              |  FROM vtop WHERE rank <= 5
+              |),
+              |rrf AS (
+              |  SELECT query_id, doc_id, CAST(sum(pts) AS BIGINT)
+              |    AS rrf_e6
+              |  FROM fuse GROUP BY 1, 2
+              |),
+              |ranked AS (
+              |  SELECT query_id, doc_id, rrf_e6,
+              |    row_number() OVER (PARTITION BY query_id
+              |      ORDER BY rrf_e6 DESC, doc_id) AS rank
+              |  FROM rrf
+              |)
+              |SELECT query_id, rank, doc_id, rrf_e6
+              |FROM ranked WHERE rank <= 5
+              |ORDER BY query_id, rank""".stripMargin))
   )
 }
