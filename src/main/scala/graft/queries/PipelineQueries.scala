@@ -4248,6 +4248,97 @@ object PipelineQueries {
               |)
               |SELECT query_id, rank, doc_id, rrf_e6
               |FROM ranked WHERE rank <= 5
-              |ORDER BY query_id, rank""".stripMargin))
+              |ORDER BY query_id, rank""".stripMargin)),
+
+    // Scalar-quantization (SQ8) ANN — the OTHER production
+    // compression axis next to e11's product quantization: each
+    // vector stores 64 int8 codes + one scale (65 bytes vs 512 — the
+    // symmetric-int8 layout vector stores deploy), quantized
+    // per-vector as q_i = round_half_up(v_i · 127 / max|v|).
+    // Candidate scoring is the INTEGER dot product of the codes
+    // normalized by the integer code norms — exact arithmetic up to
+    // two IEEE sqrt/div roundings, so cross-engine parity needs no
+    // epsilon. Same probe set and output shape as e1, so recall loss
+    // of 8-bit codes is a direct diff against the float baseline.
+    // Scale shape: quantization is one map-side HOF pass; scoring is
+    // the e1 skeleton (probes broadcast × corpus scan, bounded-heap
+    // top-k partial aggregate — no corpus window); zero vectors drop
+    // deterministically in both engines (their cosine is undefined).
+    Q("e16_sq8_topk",
+      (s, d) => {
+        import graft.functions.TopKByScore.top_k_by_score
+        val qt = Tables.embeddings(s, d).select(col("vec_id"),
+          expr("""transform(embedding, x -> CAST(floor(
+                 |  CAST(x AS DOUBLE) * CAST(127 AS DOUBLE)
+                 |  / array_max(transform(embedding,
+                 |      y -> abs(CAST(y AS DOUBLE)))) + 0.5)
+                 |  AS BIGINT))""".stripMargin.replaceAll("\n", " "))
+            .as("q"))
+          .select(col("vec_id"), col("q"),
+            expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)")
+              .as("sq"))
+          .filter(col("sq") > 0)
+        val probes = qt.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("q").as("qq"),
+            col("sq").as("qsq"))
+        val scored = qt.join(broadcast(probes),
+            col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("cand_id"),
+            (expr("aggregate(zip_with(q, qq, (x, y) -> x * y), " +
+              "CAST(0 AS BIGINT), (a, x) -> a + x)").cast("double")
+              / (sqrt(col("sq").cast("double"))
+                * sqrt(col("qsq").cast("double")))).as("sim"))
+        scored.groupBy("query_id")
+          .agg(top_k_by_score(col("sim"), col("cand_id"), lit(0L), 5)
+            .as("top"))
+          .select(col("query_id"),
+            posexplode(col("top")).as(Seq("pos", "t")))
+          .select(col("query_id"),
+            (col("pos") + 1).cast("long").as("rank"),
+            col("t.cand_id").as("cand_id"),
+            floor(col("t.sim") * 1000000 + 0.5).cast("long")
+              .as("sim_e6"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+             |  FROM embeddings
+             |),
+             |qt AS (
+             |  SELECT vec_id,
+             |    list_transform(emb, x -> CAST(floor(
+             |      x * CAST(127 AS DOUBLE)
+             |      / list_max(list_transform(emb, y -> abs(y)))
+             |      + 0.5) AS BIGINT)) AS q
+             |  FROM e
+             |),
+             |qn AS (
+             |  SELECT vec_id, q,
+             |    list_sum(list_transform(q, x -> x * x)) AS sq
+             |  FROM qt
+             |),
+             |qz AS (SELECT vec_id, q, CAST(sq AS BIGINT) AS sq
+             |       FROM qn WHERE sq > 0),
+             |pr AS (SELECT vec_id AS query_id, q AS qq, sq AS qsq
+             |       FROM qz WHERE vec_id < 10),
+             |scored AS (
+             |  SELECT pr.query_id, c.vec_id AS cand_id,
+             |    CAST(list_sum(list_transform(range(1, 65),
+             |      i -> c.q[i] * pr.qq[i])) AS DOUBLE)
+             |      / (sqrt(CAST(c.sq AS DOUBLE))
+             |        * sqrt(CAST(pr.qsq AS DOUBLE))) AS sim
+             |  FROM pr JOIN qz c ON c.vec_id <> pr.query_id
+             |),
+             |r AS (
+             |  SELECT query_id, cand_id, sim,
+             |    row_number() OVER (
+             |      PARTITION BY query_id ORDER BY sim DESC, cand_id)
+             |      AS rank
+             |  FROM scored
+             |)
+             |SELECT query_id, rank, cand_id,
+             |  CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS sim_e6
+             |FROM r WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin))
   )
 }
