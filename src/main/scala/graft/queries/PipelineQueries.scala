@@ -4339,6 +4339,173 @@ object PipelineQueries {
              |SELECT query_id, rank, cand_id,
              |  CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS sim_e6
              |FROM r WHERE rank <= 5
-             |ORDER BY query_id, rank""".stripMargin))
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    // The CURATION FUNNEL — the engine's individually-verified
+    // curation stages COMPOSED as one pipeline, reporting the
+    // doc/token survival after each gate (the per-stage audit table
+    // every real curation run publishes): raw → Gopher rule filter
+    // (d48) → exact dedup keep-min (d1's rule) → near-dup drop of
+    // the larger id of every verified Jaccard ≥ 0.8 pair (d2's
+    // inverted-index path, computed ON SURVIVORS — dedup after
+    // filtering, the standard order) → decontamination against the
+    // d15 probe set (probes from the RAW corpus: the benchmark is
+    // external to the pipeline). Each stage consumes the previous
+    // stage's survivor set, so the oracle replays the same chain.
+    // Scale shape: nothing new — every stage keeps its pinned
+    // standalone plan (map-side rules, partial-agg keep-min,
+    // df-capped inverted-index join, broadcast probe join); the
+    // funnel adds only doc_id semi/anti joins between stages and
+    // five one-row aggregates.
+    Q("d54_curation_funnel",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val tkn = docs.select(col("doc_id"),
+          size(expr(TextHash.sparkTokens("text"))).cast("long").as("nt"))
+        val s1 = TextAnalysis.gopherRules(docs)
+          .filter(col("pass") === 1).select("doc_id")
+        val base1 = docs.join(s1, "doc_id")
+        val keepEx = base1
+          .groupBy(lower(trim(col("text"))).as("ntext"))
+          .agg(min("doc_id").as("doc_id"))
+          .select("doc_id")
+        val base2 = base1.join(keepEx, "doc_id")
+        val drop3 = Dedup.ngramJaccardPairs(base2, minJaccard = 0.8)
+          .select(col("db").as("doc_id")).distinct()
+        val base3 = base2.join(drop3, Seq("doc_id"), "left_anti")
+        val normE = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+        val probes = docs
+          .select(col("doc_id"), normE.as("norm"))
+          .filter(col("doc_id") % 50 === 0 &&
+            size(split(col("norm"), " ")) >= 10)
+          .select(col("doc_id").as("probe_src"),
+            expr("array_join(slice(split(norm, ' '), 3, 8), ' ')")
+              .as("probe"))
+        val corpus3 = base3.select(col("doc_id"), normE.as("norm"))
+        val hit4 = Decontaminate.matches(corpus3, probes, n = 8)
+          .select("doc_id").distinct()
+        val base4 = base3.join(hit4, Seq("doc_id"), "left_anti")
+        def stat(df: org.apache.spark.sql.DataFrame, id: Long,
+            name: String): org.apache.spark.sql.DataFrame =
+          df.select("doc_id").join(tkn, "doc_id")
+            .agg(count(lit(1)).as("n_docs"),
+              coalesce(sum("nt"), lit(0L)).as("n_tokens"))
+            .select(lit(id).as("stage_id"), lit(name).as("stage"),
+              col("n_docs"), col("n_tokens"))
+        stat(docs, 0L, "raw")
+          .unionByName(stat(base1, 1L, "rules"))
+          .unionByName(stat(base2, 2L, "exact_dedup"))
+          .unionByName(stat(base3, 3L, "near_dedup"))
+          .unionByName(stat(base4, 4L, "decontam"))
+          .orderBy("stage_id")
+      },
+      Some(raw"""WITH t0 AS (
+             |  SELECT doc_id,
+             |    CAST(len(${TextHash.duckTokens("text")}) AS BIGINT) AS nt
+             |  FROM documents
+             |),
+             |m AS (
+             |  SELECT doc_id,
+             |    CAST(len(tk) AS BIGINT) AS n_tokens,
+             |    CAST(list_sum(list_transform(tk, t -> len(t)))
+             |         AS DOUBLE) / len(tk) AS mwl,
+             |    len(list_filter(tk, t -> t = 'the' OR t = 'a'))
+             |      AS stop_hits,
+             |    CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS ttr
+             |  FROM (SELECT doc_id, ${TextHash.duckTokens("text")} AS tk
+             |        FROM documents)
+             |),
+             |s1 AS (
+             |  SELECT doc_id FROM m
+             |  WHERE n_tokens BETWEEN 50 AND 100000
+             |    AND mwl >= 3.0 AND mwl <= 10.0
+             |    AND stop_hits >= 2 AND ttr >= 0.2
+             |),
+             |n1 AS (
+             |  SELECT d2.doc_id, lower(trim(d2.text)) AS ntext
+             |  FROM documents d2 JOIN s1 USING (doc_id)
+             |),
+             |s2 AS (SELECT min(doc_id) AS doc_id FROM n1 GROUP BY ntext),
+             |sub AS (
+             |  SELECT d3.doc_id, d3.text
+             |  FROM documents d3 JOIN s2 USING (doc_id)
+             |),
+             |${TextHash.duckToksCte("sub", "")},
+             |${TextHash.duckShinglesCte("")},
+             |rare AS (
+             |  SELECT s FROM sh GROUP BY s
+             |  HAVING count(*) <= ${Dedup.DefaultMaxShingleDf}
+             |),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+             |  FROM sh a JOIN rare r2 ON a.s = r2.s
+             |  JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id
+             |),
+             |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |ix AS (
+             |  SELECT c.da, c.db, count(*) AS inter
+             |  FROM cand c
+             |  JOIN sh x ON x.doc_id = c.da
+             |  JOIN sh y ON y.doc_id = c.db AND y.s = x.s
+             |  GROUP BY c.da, c.db
+             |),
+             |drop3 AS (
+             |  SELECT DISTINCT ix.db AS doc_id
+             |  FROM ix JOIN sz x ON x.doc_id = ix.da
+             |  JOIN sz y ON y.doc_id = ix.db
+             |  WHERE CAST(ix.inter AS DOUBLE)
+             |    / (x.n + y.n - ix.inter) >= 0.8
+             |),
+             |s3 AS (
+             |  SELECT doc_id FROM s2
+             |  WHERE NOT EXISTS (SELECT 1 FROM drop3 dd
+             |    WHERE dd.doc_id = s2.doc_id)
+             |),
+             |probes AS (
+             |  SELECT doc_id AS probe_src,
+             |    array_to_string(list_slice(string_split(norm, ' '),
+             |      3, 10), ' ') AS probe
+             |  FROM (SELECT doc_id,
+             |          regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+             |            AS norm
+             |        FROM documents)
+             |  WHERE doc_id % 50 = 0
+             |    AND len(string_split(norm, ' ')) >= 10
+             |),
+             |c3 AS (
+             |  SELECT s3.doc_id,
+             |    regexp_replace(lower(trim(d4.text)), '\s+', ' ', 'g')
+             |      AS norm
+             |  FROM documents d4 JOIN s3 ON d4.doc_id = s3.doc_id
+             |),
+             |hit4 AS (
+             |  SELECT DISTINCT c.doc_id
+             |  FROM c3 c JOIN probes p
+             |    ON strpos(' ' || c.norm || ' ', ' ' || p.probe || ' ') > 0
+             |   AND c.doc_id <> p.probe_src
+             |),
+             |s4 AS (
+             |  SELECT doc_id FROM s3
+             |  WHERE NOT EXISTS (SELECT 1 FROM hit4 h
+             |    WHERE h.doc_id = s3.doc_id)
+             |)
+             |SELECT * FROM (
+             |  SELECT CAST(0 AS BIGINT) AS stage_id, 'raw' AS stage,
+             |    CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(nt) AS BIGINT) AS n_tokens
+             |  FROM t0
+             |  UNION ALL
+             |  SELECT 1, 'rules', count(*), CAST(sum(nt) AS BIGINT)
+             |  FROM t0 JOIN s1 USING (doc_id)
+             |  UNION ALL
+             |  SELECT 2, 'exact_dedup', count(*), CAST(sum(nt) AS BIGINT)
+             |  FROM t0 JOIN s2 USING (doc_id)
+             |  UNION ALL
+             |  SELECT 3, 'near_dedup', count(*), CAST(sum(nt) AS BIGINT)
+             |  FROM t0 JOIN s3 USING (doc_id)
+             |  UNION ALL
+             |  SELECT 4, 'decontam', count(*), CAST(sum(nt) AS BIGINT)
+             |  FROM t0 JOIN s4 USING (doc_id)
+             |) ORDER BY stage_id""".stripMargin))
   )
 }
