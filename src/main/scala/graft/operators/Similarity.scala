@@ -266,4 +266,27 @@ object Similarity {
         (col("pos") + 1).as("rank"), col("s.cand_id").as("cand_id"),
         round(col("s.sim"), 6).as("sim"))
   }
+
+  /** SQ8 scalar quantization — the int8 storage layout of
+    * e16_sq8_topk: appends `q` (per-vector symmetric int8 codes,
+    * q_i = round_half_up(v_i · 127 / max|v|)) and `sq` (the exact
+    * integer code norm Σ q_i²) and drops the raw embedding. One
+    * map-side HOF pass over the row — STATELESS, so this single
+    * definition serves the batch query and append-mode streams
+    * (graft.streaming.AnnStream.sq8Encode) unchanged; any other
+    * columns (e.g. an ingest timestamp) pass through. A zero vector
+    * quantizes to all-zero codes with sq = 0 — consumers filter
+    * `sq > 0` before cosine scoring.
+    */
+  def sq8Quantize(vectors: DataFrame): DataFrame =
+    vectors
+      .withColumn("q",
+        expr("""transform(embedding, x -> CAST(floor(
+               |  CAST(x AS DOUBLE) * CAST(127 AS DOUBLE)
+               |  / array_max(transform(embedding,
+               |      y -> abs(CAST(y AS DOUBLE)))) + 0.5)
+               |  AS BIGINT))""".stripMargin.replaceAll("\n", " ")))
+      .withColumn("sq",
+        expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+      .drop("embedding")
 }

@@ -4267,16 +4267,8 @@ object PipelineQueries {
     Q("e16_sq8_topk",
       (s, d) => {
         import graft.functions.TopKByScore.top_k_by_score
-        val qt = Tables.embeddings(s, d).select(col("vec_id"),
-          expr("""transform(embedding, x -> CAST(floor(
-                 |  CAST(x AS DOUBLE) * CAST(127 AS DOUBLE)
-                 |  / array_max(transform(embedding,
-                 |      y -> abs(CAST(y AS DOUBLE)))) + 0.5)
-                 |  AS BIGINT))""".stripMargin.replaceAll("\n", " "))
-            .as("q"))
-          .select(col("vec_id"), col("q"),
-            expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)")
-              .as("sq"))
+        val qt = Similarity.sq8Quantize(
+            Tables.embeddings(s, d).select("vec_id", "embedding"))
           .filter(col("sq") > 0)
         val probes = qt.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("q").as("qq"),

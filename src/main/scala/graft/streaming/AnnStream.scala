@@ -58,6 +58,18 @@ object AnnStream {
           expr(s"slice(embedding, ${m * subDims + 1}, $subDims)"), book))
     }.drop("embedding")
 
+  /** Ingest-time SQ8 scalar quantization — e16's int8 storage layout
+    * produced as vectors ARRIVE: per-vector codes + exact integer
+    * code norm, the raw embedding dropped at the edge (65 bytes
+    * stored per 64-dim vector instead of 512 — what keeps a
+    * continuously-ingested corpus index in memory). Stateless
+    * map-side pass, so the BATCH definition
+    * (operators.Similarity.sq8Quantize) runs unchanged in
+    * append-mode streams — parity asserted in AnnStreamSpec.
+    */
+  def sq8Encode(vectors: DataFrame): DataFrame =
+    graft.operators.Similarity.sq8Quantize(vectors)
+
   def probeTopK(queries: DataFrame, corpusWithCells: DataFrame,
       centroids: DataFrame, k: Int, watermark: String = "1 hour",
       windowLen: String = "1 hour"): DataFrame = {

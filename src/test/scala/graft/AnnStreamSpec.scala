@@ -105,4 +105,39 @@ class AnnStreamSpec extends SparkSpec {
       assert(byCode0.forall(_.size == 1))
     } finally q.stop()
   }
+
+  test("parity: streaming sq8Encode equals the batch quantization") {
+    // Scale invariance is the SQ8 contract: vec 2 = 2 × vec 1 must
+    // produce identical codes; the max-|v| component must hit ±127.
+    val corpus = Seq(
+      (1L, Array(1.0, -2.0, 4.0, 0.5)),
+      (2L, Array(2.0, -4.0, 8.0, 1.0)),
+      (3L, Array(-3.0, 0.0, 1.5, 3.0)))
+    val emb = corpus.toDF("vec_id", "embedding")
+    val want = graft.operators.Similarity.sq8Quantize(emb)
+      .as[(Long, Seq[Long], Long)].collect().toMap2
+    assert(want(1L)._1 == Seq(32L, -63L, 127L, 16L)) // round-half-up
+    assert(want(1L) == want(2L))
+    assert(want(3L)._1.map(math.abs).max == 127L)
+
+    val rows = corpus.map { case (id, e) =>
+      Vec(id, new Timestamp(600000L + id * 1000), e) }
+    val stream = MemoryStream[Vec](spark)
+    val q = AnnStream.sq8Encode(stream.toDF())
+      .select("vec_id", "q", "sq")
+      .writeStream.format("memory").queryName("sq8_t")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("sq8_t")
+        .as[(Long, Seq[Long], Long)].collect().toMap2
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  private implicit class ToMap2(rows: Array[(Long, Seq[Long], Long)]) {
+    def toMap2: Map[Long, (Seq[Long], Long)] =
+      rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
 }
