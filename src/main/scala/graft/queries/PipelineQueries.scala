@@ -4498,6 +4498,56 @@ object PipelineQueries {
              |  UNION ALL
              |  SELECT 4, 'decontam', count(*), CAST(sum(nt) AS BIGINT)
              |  FROM t0 JOIN s4 USING (doc_id)
-             |) ORDER BY stage_id""".stripMargin))
+             |) ORDER BY stage_id""".stripMargin)),
+
+    // Per-document NOVELTY audit (the memorization-risk signal):
+    // fraction of a doc's 8-grams whose value occurs ≥ 2 times
+    // corpus-wide — d44 localizes duplicated spans, this SCORES every
+    // doc by how much of it is corpus-repeated text, the number a
+    // data card reports and an epoch-weighting policy consumes (low
+    // novelty ⇒ the model sees that text many times anyway). Docs
+    // under 8 tokens carry no gram and emit no row, both engines.
+    // Scale shape: gram kernel map-side, occurrence counts one
+    // partial-agg exchange on the gram hash, join back co-partitioned
+    // on the same key, one doc_id partial agg — the d44 skeleton
+    // minus the interval fold.
+    Q("d55_novelty",
+      (s, d) => {
+        import graft.functions.TextHashExprs.ngram_hashes
+        val grams = Dedup.tokenHashes(Tables.documents(s, d))
+          .select(col("doc_id"), explode(ngram_hashes(col("th"), 8))
+            .as("g"))
+        val occ = grams.groupBy("g").agg(count(lit(1)).as("occ"))
+        grams.join(occ, "g")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("occ") >= 2, 1L).otherwise(0L)).as("n_dup"))
+          .select(col("doc_id"), col("n_grams"), col("n_dup"),
+            floor((lit(1.0) - col("n_dup").cast("double")
+              / col("n_grams")) * 10000 + 0.5).cast("long")
+              .as("novelty_e4"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val gramFold = (0 until 8).foldLeft("CAST(0 AS BIGINT)")(
+          (a, j) => s"(($a * 31 + th[i+$j]) % ${TextHash.P})")
+        s"""WITH ${TextHash.duckToksCte},
+           |grams AS (
+           |  SELECT doc_id, $gramFold AS g
+           |  FROM toks, unnest(range(1, len(th) - 6)) AS u(i)
+           |  WHERE len(th) >= 8
+           |),
+           |occ AS (SELECT g, count(*) AS occ FROM grams GROUP BY g)
+           |SELECT doc_id,
+           |  CAST(count(*) AS BIGINT) AS n_grams,
+           |  CAST(sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_dup,
+           |  CAST(floor((CAST(1 AS DOUBLE)
+           |    - CAST(sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END)
+           |        AS DOUBLE) / count(*)) * 10000 + 0.5) AS BIGINT)
+           |    AS novelty_e4
+           |FROM grams JOIN occ USING (g)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      })
   )
 }
