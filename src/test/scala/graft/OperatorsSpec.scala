@@ -71,6 +71,60 @@ class OperatorsSpec extends SparkSpec {
         md5hex(('k' to 'r').map(c => s"tok$c").mkString(" ")))))
   }
 
+  test("exciseSpans fuzz: matches a brute-force reference on random corpora") {
+    // Property check of the whole keep-first/merge/rebuild chain
+    // against an independent O(n·grams) in-memory reference. A tiny
+    // alphabet forces dense gram collisions (within AND across
+    // docs); n = 3 keeps spans short so merges and overlaps exercise
+    // every branch. Fixed seed — failures reproduce.
+    val rnd = new scala.util.Random(0xD49)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val n = 3
+    for (round <- 1 to 5) {
+      val corpus = (0 until 12).map { id =>
+        val len = 3 + rnd.nextInt(15)
+        (id.toLong, Seq.fill(len)("w" + rnd.nextInt(4)).mkString(" "))
+      }
+      // Reference: hash grams exactly like the kernel spec (token
+      // strings suffice — collisions of the real hash are content
+      // collisions at this alphabet), keep min (doc, pos), merge.
+      val toks = corpus.map { case (id, t) => id -> t.split("\\s+").toSeq }
+      val occ = scala.collection.mutable.Map
+        .empty[Seq[String], List[(Long, Int)]]
+      for ((id, tk) <- toks; p <- 0 to tk.length - n)
+        occ(tk.slice(p, p + n)) =
+          (id, p) :: occ.getOrElse(tk.slice(p, p + n), Nil)
+      val hits = occ.values.filter(_.size >= 2).flatMap { os =>
+        val keep = os.minBy { case (id, p) => (id, p) }
+        os.filterNot(_ == keep)
+      }.toSeq
+      val want = hits.groupBy(_._1).map { case (id, hs) =>
+        val tk = toks.toMap.apply(id)
+        val removed = hs.flatMap { case (_, p) => p until p + n }.toSet
+        val spans = {
+          // count merged runs over sorted hit starts (gap > n splits)
+          val ps = hs.map(_._2).distinct.sorted
+          ps.foldLeft((0, Int.MinValue / 2)) { case ((c, prev), p) =>
+            if (p - prev > n) (c + 1, p) else (c, p)
+          }._1
+        }
+        val kept = tk.zipWithIndex.collect {
+          case (t, i) if !removed.contains(i) => t }
+        (id, tk.length.toLong, removed.size.toLong, spans.toLong,
+          md5hex(kept.mkString(" ")))
+      }.toSet
+      val got = Dedup.exciseSpans(
+          corpus.toDF("doc_id", "text"), n = n)
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+      // ~100 grams over a 64-value space: dups are guaranteed, so
+      // the property is never checked vacuously.
+      assert(want.nonEmpty, s"round $round produced no duplicates")
+      assert(got == want, s"round $round: $got != $want")
+    }
+  }
+
   test("LogReg learns a linearly separable toy set to 100% accuracy") {
     import graft.operators.LogReg
     // y = 1 iff v > 0, margin 2 — separable; 40 points.
