@@ -267,6 +267,58 @@ object Similarity {
         round(col("s.sim"), 6).as("sim"))
   }
 
+  /** IVF + SQ8 search — the two verified halves COMPOSED into the
+    * production index layout (a FAISS `IVF…,SQ8` index): the FLOAT
+    * coarse quantizer routes each query to its nearest cell
+    * (centroid table broadcast — the corpus never shuffles), and the
+    * in-cell scan scores INT8 codes ([[sq8Quantize]]'s 65-byte rows,
+    * the reason the whole corpus index fits in memory) with e16's
+    * integer-exact rule. The cell-assignment window ranks only the
+    * bounded centroid table, and ranking is the bounded-heap
+    * aggregate — never a corpus-wide window.
+    *
+    * @return (query_id, label, rank, cand_id, sim_e6)
+    */
+  def ivfSq8TopK(emb: DataFrame, queries: DataFrame, labelCol: String,
+      k: Int): DataFrame = {
+    val cent = centroidVectors(emb, labelCol)
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding"))
+    val qcodes = sq8Quantize(queries.select(col("vec_id"), col("embedding")))
+      .filter(col("sq") > 0)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("sq").as("qsq"))
+    val wAssign = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("label"))
+    val assigned = q.join(broadcast(cent))
+      .withColumn("csim", cosine_sim(col("embedding"), col("cvec")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("label"))
+      .join(qcodes, "query_id")
+    val cand = sq8Quantize(emb.select(col("vec_id"),
+        col(labelCol).as("label"), col("embedding")))
+      .filter(col("sq") > 0)
+    cand.join(broadcast(assigned),
+        cand("label") === assigned("label") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"),
+        (expr("aggregate(zip_with(q, qq, (x, y) -> x * y), " +
+          "CAST(0 AS BIGINT), (a, x) -> a + x)").cast("double")
+          / (sqrt(col("sq").cast("double"))
+            * sqrt(col("qsq").cast("double")))).as("sim"),
+        col("vec_id").as("cand_id"),
+        cand("label").cast("long").as("tag"))
+      .groupBy("query_id")
+      .agg(top_k_by_score(col("sim"), col("cand_id"), col("tag"), k)
+        .as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("query_id"), col("s.tag").cast("long").as("label"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("s.cand_id").as("cand_id"),
+        floor(col("s.sim") * 1000000 + 0.5).cast("long").as("sim_e6"))
+  }
+
   /** SQ8 scalar quantization — the int8 storage layout of
     * e16_sq8_topk: appends `q` (per-vector symmetric int8 codes,
     * q_i = round_half_up(v_i · 127 / max|v|)) and `sq` (the exact

@@ -4548,6 +4548,93 @@ object PipelineQueries {
            |    AS novelty_e4
            |FROM grams JOIN occ USING (g)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // IVF + SQ8 — the e4 coarse quantizer and the e16 int8 scan
+    // COMPOSED into the production index layout (what a FAISS
+    // "IVF,SQ8" index is): float centroids route the query, int8
+    // codes score the cell. Same probe set as e4/e16, so both the
+    // cell-routing loss (vs e16's exhaustive int8 scan) and the
+    // quantization loss (vs e4's float in-cell scan) are direct
+    // diffs. Scale: centroid table broadcast, corpus scanned once
+    // as 65-byte code rows, bounded-heap ranking — no corpus window,
+    // no corpus shuffle.
+    Q("e17_ivf_sq8",
+      (s, d) => Similarity.ivfSq8TopK(
+          Tables.embeddings(s, d),
+          Tables.embeddings(s, d).filter(col("vec_id") < 10),
+          "label", k = 5)
+        .orderBy("query_id", "rank"),
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+              |  FROM embeddings
+              |),
+              |qz AS (
+              |  SELECT vec_id, label, q,
+              |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT)
+              |      AS sq
+              |  FROM (
+              |    SELECT vec_id, label,
+              |      list_transform(emb, x -> CAST(floor(
+              |        x * CAST(127 AS DOUBLE)
+              |        / list_max(list_transform(emb, y -> abs(y)))
+              |        + 0.5) AS BIGINT)) AS q
+              |    FROM e
+              |  )
+              |  WHERE list_sum(list_transform(q, x -> x * x)) > 0
+              |),
+              |c0 AS (
+              |  SELECT label, i - 1 AS dim, round(avg(v), 6) AS c
+              |  FROM (
+              |    SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+              |      generate_subscripts(embedding, 1) AS i
+              |    FROM embeddings
+              |  ) GROUP BY label, dim
+              |),
+              |cent AS (
+              |  SELECT label, list(c ORDER BY dim) AS cvec
+              |  FROM c0 GROUP BY label
+              |),
+              |q AS (SELECT vec_id AS query_id, emb AS qe FROM e
+              |      WHERE vec_id < 10),
+              |ass0 AS (
+              |  SELECT q.query_id, cent.label,
+              |    ${TextHash.duckCosine("q.qe", "cent.cvec", 64)} AS cs
+              |  FROM q, cent
+              |),
+              |ass AS (
+              |  SELECT query_id, label FROM (
+              |    SELECT *, row_number() OVER (
+              |      PARTITION BY query_id ORDER BY cs DESC, label) AS rn
+              |    FROM ass0
+              |  ) WHERE rn = 1
+              |),
+              |pq AS (
+              |  SELECT vec_id AS query_id, q AS qq, sq AS qsq
+              |  FROM qz WHERE vec_id < 10
+              |),
+              |probe AS (
+              |  SELECT a.query_id, a.label, c.vec_id AS cand_id,
+              |    CAST(list_sum(list_transform(range(1, 65),
+              |      i -> c.q[i] * p2.qq[i])) AS DOUBLE)
+              |      / (sqrt(CAST(c.sq AS DOUBLE))
+              |        * sqrt(CAST(p2.qsq AS DOUBLE))) AS sim
+              |  FROM ass a
+              |  JOIN pq p2 ON p2.query_id = a.query_id
+              |  JOIN qz c ON c.label = a.label
+              |   AND c.vec_id <> a.query_id
+              |),
+              |r AS (
+              |  SELECT query_id, label, cand_id, sim,
+              |    row_number() OVER (
+              |      PARTITION BY query_id ORDER BY sim DESC, cand_id)
+              |      AS rank
+              |  FROM probe
+              |)
+              |SELECT query_id, CAST(label AS BIGINT) AS label,
+              |  rank, cand_id,
+              |  CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS sim_e6
+              |FROM r WHERE rank <= 5
+              |ORDER BY query_id, rank""".stripMargin))
   )
 }
