@@ -15,16 +15,18 @@ class PlanShapeSpec extends SparkSpec {
 
   test("ANN top-k queries use the bounded-heap aggregate, not a window") {
     for (q <- Seq("e1_ann_topk", "e4_ann_ivf_probe", "e6_knn_graph",
-        "e8_ann_learned", "m5_media_sim", "e11_pq_topk")) {
+        "e8_ann_learned", "m5_media_sim", "e11_pq_topk", "e16_sq8_topk",
+        "e17_ivf_sq8")) {
       val p = plan(q)
       assert(p.contains("ObjectHashAggregate"),
         s"$q lost the top_k_by_score partial aggregate")
-      // e4/e5/e8 rank CENTROID assignments with a window (bounded
+      // e4/e5/e8/e17 rank CENTROID assignments with a window (bounded
       // nlist rows) — what must never appear is a window over the
       // scored candidate rows, which carries the full corpus. The
-      // candidate path is the aggregate; brute-force e1 and bulk e6
-      // must have no window at all.
-      if (q != "e4_ann_ivf_probe" && q != "e8_ann_learned")
+      // candidate path is the aggregate; brute-force e1/e16 and bulk
+      // e6 must have no window at all.
+      if (q != "e4_ann_ivf_probe" && q != "e8_ann_learned" &&
+          q != "e17_ivf_sq8")
         assert(!p.contains("RunningWindowFunction") && !p.contains("Window"),
           s"$q ranks candidates through a window sort")
     }
