@@ -144,4 +144,51 @@ object DocStream {
       .select(col("da"), col("db"),
         floor(col("jaccard") * 1000000 + 0.5).cast("long").as("jaccard_e6"))
   }
+
+  /** Ingestion-time NOVELTY scoring — d55's audit in its incremental
+    * form: each arriving document is scored by how much of it the
+    * CORPUS already contains (fraction of its 8-grams present in the
+    * maintained corpus gram table), the gate an ingestion pipeline
+    * applies before paying to keep a document. Stream side is one
+    * map-side kernel pass (gram hashes from the doc's own tokens);
+    * the corpus side is a static distinct-gram table joined
+    * stream-static on the gram hash — at scale a maintained bucketed
+    * parquet table, exactly like [[incrementalDedupAgainstSets]]'s
+    * band table; the per-doc rollup groups on (doc_id, ingest_ts) so
+    * the aggregation is watermark-bounded in append mode. Docs under
+    * 8 tokens carry no gram and emit no row — matching d55.
+    *
+    * @param delta streaming (doc_id, ingest_ts, text)
+    * @param corpusGrams static distinct gram hashes, one column `g`
+    * @return (doc_id, n_grams, n_seen, novelty_e4)
+    */
+  def noveltyAgainst(delta: DataFrame, corpusGrams: DataFrame,
+      watermark: String = "1 hour"): DataFrame = {
+    import graft.functions.TextHashExprs.ngram_hashes
+    val grams = delta.select(col("doc_id"), col("ingest_ts"),
+      explode(ngram_hashes(
+        token_hashes(expr(TextHash.sparkTokens("text"))), 8)).as("g"))
+    grams
+      .withWatermark("ingest_ts", watermark)
+      .join(corpusGrams.select(col("g"), lit(1).as("known")),
+        Seq("g"), "left_outer")
+      .groupBy(col("doc_id"), col("ingest_ts"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("known"), lit(0))).cast("long").as("n_seen"))
+      .select(col("doc_id"), col("n_grams"), col("n_seen"),
+        floor((lit(1.0) - col("n_seen").cast("double")
+          / col("n_grams")) * 10000 + 0.5).cast("long")
+          .as("novelty_e4"))
+  }
+
+  /** The corpus side of [[noveltyAgainst]] derived from raw docs —
+    * the parity/ad-hoc overload; production maintains the distinct
+    * gram table as a bucketed parquet table instead.
+    */
+  def corpusGramTable(corpusDocs: DataFrame): DataFrame = {
+    import graft.functions.TextHashExprs.ngram_hashes
+    Dedup.tokenHashes(corpusDocs)
+      .select(explode(ngram_hashes(col("th"), 8)).as("g"))
+      .distinct()
+  }
 }

@@ -197,4 +197,37 @@ class DocStreamSpec extends SparkSpec {
         "20 docs per stratum, sample capped at k = 4")
     } finally q.stop()
   }
+
+  test("parity: streaming noveltyAgainst equals the batch scoring") {
+    // Corpus: 9 tokens c1..c9 ⇒ distinct 8-grams (c1..c8), (c2..c9).
+    // Delta 10 = the same text (both grams known, novelty 0);
+    // 11 = 8 fresh tokens (one gram, unseen, novelty 10000);
+    // 12 = c2..c9 + x (one known gram, one new ⇒ novelty 5000);
+    // 13 = under 8 tokens ⇒ no gram, no row, matching d55.
+    val corpus = Seq((1L, (1 to 9).map("c" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val cg = DocStream.corpusGramTable(corpus)
+    def t(i: Int) = new Timestamp(600000L + i * 1000)
+    val delta = Seq(
+      Doc(10L, t(0), (1 to 9).map("c" + _).mkString(" ")),
+      Doc(11L, t(1), (1 to 8).map("u" + _).mkString(" ")),
+      Doc(12L, t(2), ((2 to 9).map("c" + _) :+ "x").mkString(" ")),
+      Doc(13L, t(3), "far too short for a gram"))
+    val want = DocStream.noveltyAgainst(delta.toDF(), cg)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(want == Set((10L, 2L, 2L, 0L), (11L, 1L, 0L, 10000L),
+      (12L, 2L, 1L, 5000L)))
+
+    val stream = MemoryStream[Doc](spark)
+    val q = DocStream.noveltyAgainst(stream.toDF(), cg)
+      .writeStream.format("memory").queryName("novelty_t")
+      .outputMode("complete").start()
+    try {
+      stream.addData(delta: _*)
+      q.processAllAvailable()
+      val got = spark.table("novelty_t")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == want)
+    } finally q.stop()
+  }
 }
