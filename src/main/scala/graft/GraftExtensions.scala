@@ -5,16 +5,20 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, HeavyHittersSketch, KmvSketch, TextCanonExpr, TopKByScore}
+import graft.functions.{BandSigsExpr, BpeUnitsExpr, CosineSimilarity, EmbedSimHashExpr, HeavyHittersSketch, KmvSketch, MinHashSigExpr, NGramHashesExpr, NGramHashesPosExpr, ShingleSetExpr, SimHashExpr, StringHashExpr, TextCanonExpr, TokenHashesExpr, TopKByScore}
 
 /** Registers graft's native expressions for SQL use:
   * `SELECT cosine_sim(a, b)` / `text_canon(s)` — codegen'd Catalyst
   * expressions, not UDFs, so they participate in whole-stage
-  * codegen — and the bounded
+  * codegen — the full TextHash kernel family (`token_hashes`,
+  * `shingle_set`, `ngram_hashes[_pos]`, `minhash_sig`, `band_sigs`,
+  * `simhash`, `embed_simhash`, `string_poly_hash`, `bpe_units`), and
+  * the bounded
   * sketch aggregates `top_k_by_score(score, id, tag, k)`,
   * `heavy_hitters(item, capacity)` and `kmv_sketch(hash, k)` (the
   * size argument must be an integer literal in each; it sizes the
-  * per-partition state at plan time).
+  * per-partition state at plan time — and `ngram_hashes[_pos]`'s `n`
+  * likewise).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -47,6 +51,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[KmvSketch].getName, "kmv_sketch"),
       (exprs: Seq[Expression]) => KmvSketch(exprs.head,
         intLit(exprs(1), "kmv_sketch"))
+    ))
+    // The TextHash kernel family: unary array/string transforms.
+    def unary(name: String, cls: Class[_],
+        build: Expression => Expression): Unit =
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name),
+        (exprs: Seq[Expression]) => build(exprs.head)))
+    unary("token_hashes", classOf[TokenHashesExpr], TokenHashesExpr)
+    unary("shingle_set", classOf[ShingleSetExpr], ShingleSetExpr)
+    unary("minhash_sig", classOf[MinHashSigExpr], MinHashSigExpr)
+    unary("band_sigs", classOf[BandSigsExpr], BandSigsExpr)
+    unary("simhash", classOf[SimHashExpr], SimHashExpr)
+    unary("embed_simhash", classOf[EmbedSimHashExpr], EmbedSimHashExpr)
+    unary("string_poly_hash", classOf[StringHashExpr], StringHashExpr)
+    unary("bpe_units", classOf[BpeUnitsExpr], BpeUnitsExpr)
+    ext.injectFunction((
+      new FunctionIdentifier("ngram_hashes"),
+      new ExpressionInfo(classOf[NGramHashesExpr].getName, "ngram_hashes"),
+      (exprs: Seq[Expression]) => NGramHashesExpr(exprs.head,
+        intLit(exprs(1), "ngram_hashes"))
+    ))
+    ext.injectFunction((
+      new FunctionIdentifier("ngram_hashes_pos"),
+      new ExpressionInfo(classOf[NGramHashesPosExpr].getName,
+        "ngram_hashes_pos"),
+      (exprs: Seq[Expression]) => NGramHashesPosExpr(exprs.head,
+        intLit(exprs(1), "ngram_hashes_pos"))
     ))
     ext.injectFunction((
       new FunctionIdentifier("top_k_by_score"),

@@ -149,4 +149,42 @@ class TextHashKernelSpec extends SparkSpec {
       .select(col("c1"), text_canon(col("c1")).as("c2"))
     assert(twice.filter(col("c1") =!= col("c2")).count() == 0)
   }
+
+  test("SQL registration: every kernel is callable from spark.sql") {
+    import graft.functions.TextHashExprs._
+    import graft.functions.Bpe.bpe_units
+    // Each SQL call must equal its Column-API twin on the same input
+    // (same Expression class — this pins the GraftExtensions wiring,
+    // not the kernels themselves).
+    val df = Seq("the quick brown fox jumps over the lazy dog now")
+      .toDF("s").select(expr("split(s, ' ')").as("tk"))
+    df.createOrReplaceTempView("kreg")
+    val sqlRow = spark.sql(
+      """SELECT token_hashes(tk) AS th, shingle_set(token_hashes(tk)) AS sh,
+        |  ngram_hashes(token_hashes(tk), 3) AS ng,
+        |  ngram_hashes_pos(token_hashes(tk), 3) AS np,
+        |  minhash_sig(shingle_set(token_hashes(tk))) AS mh,
+        |  band_sigs(minhash_sig(shingle_set(token_hashes(tk)))) AS bs,
+        |  simhash(token_hashes(tk)) AS f,
+        |  string_poly_hash(array_join(tk, ' ')) AS ph,
+        |  bpe_units(tk) AS bu
+        |FROM kreg""".stripMargin).head()
+    val colRow = df.select(
+      token_hashes(col("tk")).as("th"),
+      shingle_set(token_hashes(col("tk"))).as("sh"),
+      ngram_hashes(token_hashes(col("tk")), 3).as("ng"),
+      ngram_hashes_pos(token_hashes(col("tk")), 3).as("np"),
+      minhash_sig(shingle_set(token_hashes(col("tk")))).as("mh"),
+      band_sigs(minhash_sig(shingle_set(token_hashes(col("tk"))))).as("bs"),
+      simhash(token_hashes(col("tk"))).as("f"),
+      string_poly_hash(expr("array_join(tk, ' ')")).as("ph"),
+      bpe_units(col("tk")).as("bu")).head()
+    assert(sqlRow == colRow)
+    // embed_simhash rides a double array, not tokens.
+    val esql = spark.sql(
+      "SELECT embed_simhash(array(1.0D, -2.0D, 4.0D, 8.0D)) AS e").head()
+    val ecol = Seq(Seq(1.0, -2.0, 4.0, 8.0)).toDF("v")
+      .select(embed_simhash(col("v")).as("e")).head()
+    assert(esql == ecol)
+  }
 }
