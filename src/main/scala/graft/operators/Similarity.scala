@@ -267,6 +267,35 @@ object Similarity {
         round(col("s.sim"), 6).as("sim"))
   }
 
+  /** Exhaustive SQ8 scan top-k — [[bruteForceTopK]] run over the
+    * int8 code rows instead of float embeddings: both sides quantize
+    * with [[sq8Quantize]] and candidates score by the integer code
+    * dot over the integer code norms (exact arithmetic up to two
+    * IEEE roundings). `sim` is the raw approximate cosine — callers
+    * scale/round for output. Zero vectors drop on both sides.
+    */
+  def sq8TopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val cand = sq8Quantize(emb.select(col("vec_id"), col("embedding")))
+      .filter(col("sq") > 0)
+    val probes = sq8Quantize(
+        queries.select(col("vec_id"), col("embedding")))
+      .filter(col("sq") > 0)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("sq").as("qsq"))
+    cand.join(broadcast(probes), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        (expr("aggregate(zip_with(q, qq, (x, y) -> x * y), " +
+          "CAST(0 AS BIGINT), (a, x) -> a + x)").cast("double")
+          / (sqrt(col("sq").cast("double"))
+            * sqrt(col("qsq").cast("double")))).as("sim"))
+      .groupBy("query_id")
+      .agg(top_k_by_score(col("sim"), col("cand_id"), lit(0L), k)
+        .as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("s.cand_id").as("cand_id"), col("s.sim").as("sim"))
+  }
+
   /** IVF + SQ8 search — the two verified halves COMPOSED into the
     * production index layout (a FAISS `IVF…,SQ8` index): the FLOAT
     * coarse quantizer routes each query to its nearest cell

@@ -4265,33 +4265,12 @@ object PipelineQueries {
     // top-k partial aggregate — no corpus window); zero vectors drop
     // deterministically in both engines (their cosine is undefined).
     Q("e16_sq8_topk",
-      (s, d) => {
-        import graft.functions.TopKByScore.top_k_by_score
-        val qt = Similarity.sq8Quantize(
-            Tables.embeddings(s, d).select("vec_id", "embedding"))
-          .filter(col("sq") > 0)
-        val probes = qt.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("q").as("qq"),
-            col("sq").as("qsq"))
-        val scored = qt.join(broadcast(probes),
-            col("vec_id") =!= col("query_id"))
-          .select(col("query_id"), col("vec_id").as("cand_id"),
-            (expr("aggregate(zip_with(q, qq, (x, y) -> x * y), " +
-              "CAST(0 AS BIGINT), (a, x) -> a + x)").cast("double")
-              / (sqrt(col("sq").cast("double"))
-                * sqrt(col("qsq").cast("double")))).as("sim"))
-        scored.groupBy("query_id")
-          .agg(top_k_by_score(col("sim"), col("cand_id"), lit(0L), 5)
-            .as("top"))
-          .select(col("query_id"),
-            posexplode(col("top")).as(Seq("pos", "t")))
-          .select(col("query_id"),
-            (col("pos") + 1).cast("long").as("rank"),
-            col("t.cand_id").as("cand_id"),
-            floor(col("t.sim") * 1000000 + 0.5).cast("long")
-              .as("sim_e6"))
-          .orderBy("query_id", "rank")
-      },
+      (s, d) => Similarity.sq8TopK(
+          Tables.embeddings(s, d),
+          Tables.embeddings(s, d).filter(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("rank"), col("cand_id"),
+          floor(col("sim") * 1000000 + 0.5).cast("long").as("sim_e6"))
+        .orderBy("query_id", "rank"),
       Some("""WITH e AS (
              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
              |  FROM embeddings
@@ -4635,6 +4614,80 @@ object PipelineQueries {
               |  rank, cand_id,
               |  CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS sim_e6
               |FROM r WHERE rank <= 5
-              |ORDER BY query_id, rank""".stripMargin))
+              |ORDER BY query_id, rank""".stripMargin)),
+
+    // Quantization-recall EVALUATION (e13's measurement for the SQ8
+    // axis): per probe, recall@5 of the exhaustive int8 scan (e16)
+    // against the float brute-force ground truth (e1) — the number
+    // that decides whether 8-bit codes are safe for a corpus before
+    // the index is deployed. Probe universe left-joined so a
+    // zero-hit query surfaces as 0, not a missing row.
+    Q("e18_sq8_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") < 10)
+        val exact = Similarity.bruteForceTopK(emb, qs, k = 5)
+          .select(col("query_id"), col("cand_id"))
+        val sq = Similarity.sq8TopK(emb, qs, k = 5)
+          .select(col("query_id"), col("cand_id"))
+        val hits = exact.join(sq, Seq("query_id", "cand_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("h"))
+        qs.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("h"), lit(0L)).as("n_hits"),
+            (coalesce(col("h"), lit(0L)) * 2000).as("recall_e4"))
+          .orderBy("query_id")
+      },
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              |  FROM embeddings
+              |),
+              |q AS (SELECT vec_id, emb FROM e WHERE vec_id < 10),
+              |ex0 AS (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              |    row_number() OVER (PARTITION BY q.vec_id
+              |      ORDER BY ${TextHash.duckCosine("q.emb", "c.emb", 64)}
+              |        DESC, c.vec_id) AS rank
+              |  FROM q JOIN e c ON c.vec_id <> q.vec_id
+              |),
+              |exact AS (SELECT query_id, cand_id FROM ex0 WHERE rank <= 5),
+              |qz AS (
+              |  SELECT vec_id, q,
+              |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT)
+              |      AS sq
+              |  FROM (
+              |    SELECT vec_id,
+              |      list_transform(emb, x -> CAST(floor(
+              |        x * CAST(127 AS DOUBLE)
+              |        / list_max(list_transform(emb, y -> abs(y)))
+              |        + 0.5) AS BIGINT)) AS q
+              |    FROM e
+              |  )
+              |  WHERE list_sum(list_transform(q, x -> x * x)) > 0
+              |),
+              |pr AS (SELECT vec_id AS query_id, q AS qq, sq AS qsq
+              |       FROM qz WHERE vec_id < 10),
+              |sc0 AS (
+              |  SELECT pr.query_id, c.vec_id AS cand_id,
+              |    row_number() OVER (PARTITION BY pr.query_id ORDER BY
+              |      CAST(list_sum(list_transform(range(1, 65),
+              |        i -> c.q[i] * pr.qq[i])) AS DOUBLE)
+              |        / (sqrt(CAST(c.sq AS DOUBLE))
+              |          * sqrt(CAST(pr.qsq AS DOUBLE))) DESC,
+              |      c.vec_id) AS rank
+              |  FROM pr JOIN qz c ON c.vec_id <> pr.query_id
+              |),
+              |sq8 AS (SELECT query_id, cand_id FROM sc0 WHERE rank <= 5),
+              |hits AS (
+              |  SELECT query_id, count(*) AS h
+              |  FROM exact JOIN sq8 USING (query_id, cand_id)
+              |  GROUP BY query_id
+              |)
+              |SELECT q.vec_id AS query_id,
+              |  coalesce(h, 0) AS n_hits,
+              |  coalesce(h, 0) * 2000 AS recall_e4
+              |FROM q LEFT JOIN hits ON hits.query_id = q.vec_id
+              |ORDER BY query_id""".stripMargin))
   )
 }
