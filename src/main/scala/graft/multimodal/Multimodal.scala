@@ -407,6 +407,45 @@ object Multimodal {
     }
   }
 
+  case class AudioAutocorr(doc_id: Long, channel: Long, lag: Long,
+      ac: Long, sum_sq: Long)
+
+  /** Per-channel autocorrelation at fixed lags over REAL decoded PCM
+    * — the pitch/periodicity feature family computed WITHOUT
+    * floating-point: ac(c, L) = Σ v_i·v_{i+L} over frames of channel
+    * c, alongside the channel energy Σ v_i² (normalize downstream if
+    * a ratio is wanted). All exact int64 (|v| ≤ 32768, so each term
+    * ≤ 2³⁰ and clip sums stay far from overflow) — bit-exact parity
+    * with a formula oracle needs no epsilon, unlike DFT features
+    * whose trig terms round differently per libm. Same map-side
+    * decode-and-fold shape as [[audioFeatures]]; undecodable
+    * payloads drop.
+    */
+  def audioAutocorr(spark: SparkSession, media: DataFrame,
+      lags: Seq[Int]): Dataset[AudioAutocorr] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        Wav.decode(r.payload).toSeq.flatMap { d =>
+          val ch = d.channels
+          val nf = d.samples.length / ch
+          (0 until ch).flatMap { c =>
+            val v = Array.tabulate(nf)(i => d.samples(i * ch + c).toLong)
+            var ss = 0L
+            var i = 0
+            while (i < nf) { ss += v(i) * v(i); i += 1 }
+            lags.map { l =>
+              var a = 0L
+              var j = 0
+              while (j + l < nf) { a += v(j) * v(j + l); j += 1 }
+              AudioAutocorr(r.doc_id, c.toLong, l.toLong, a, ss)
+            }
+          }
+        }
+      }
+    }
+  }
+
   case class ImageHeader(doc_id: Long, format: String, width: Long,
       height: Long, bit_depth: Long, n_components: Long)
 

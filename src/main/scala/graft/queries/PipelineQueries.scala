@@ -4688,6 +4688,54 @@ object PipelineQueries {
               |  coalesce(h, 0) AS n_hits,
               |  coalesce(h, 0) * 2000 AS recall_e4
               |FROM q LEFT JOIN hits ON hits.query_id = q.vec_id
-              |ORDER BY query_id""".stripMargin))
+              |ORDER BY query_id""".stripMargin)),
+
+    // Per-channel PCM autocorrelation at lags 1/2/4 over REAL WAV
+    // decode — the pitch/periodicity feature family (m11 gave
+    // energy/DC/zero-cross; this adds the lag structure a real audio
+    // featurizer computes) done WITHOUT floating point: every term is
+    // exact int64, so a formula oracle matches bit-for-bit — the trig
+    // of a DFT would round differently per libm, which is why the
+    // spectral stand-in is autocorrelation and not band energy.
+    // Scale: same map-side decode-and-fold as m11, one ORDER BY
+    // exchange.
+    Q("m13_audio_autocorr",
+      (s, d) => Multimodal.audioAutocorr(s,
+          Multimodal.wavTable(s, Tables.documents(s, d)),
+          lags = Seq(1, 2, 4))
+        .toDF().orderBy("doc_id", "channel", "lag"),
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |    1 + doc_id % 2 AS ch,
+             |    32 + (doc_id * 7) % 33 AS nf
+             |  FROM documents
+             |),
+             |s AS (
+             |  SELECT doc_id, ch, nf, gi.i AS i, gc.c AS c,
+             |    ((doc_id * 131 + gi.i * 37 + gc.c * 17 + 13) % 65536)
+             |      - 32768 AS v
+             |  FROM p,
+             |    (SELECT unnest(range(0, 65)) AS i) gi,
+             |    (SELECT unnest(range(0, 2)) AS c) gc
+             |  WHERE gi.i < nf AND gc.c < ch
+             |),
+             |ss AS (
+             |  SELECT doc_id, c, CAST(sum(v * v) AS BIGINT) AS sum_sq
+             |  FROM s GROUP BY 1, 2
+             |),
+             |lg AS (SELECT unnest([1, 2, 4]) AS lag),
+             |ac AS (
+             |  SELECT a.doc_id, a.c, lg.lag,
+             |    CAST(sum(a.v * b.v) AS BIGINT) AS ac
+             |  FROM s a
+             |  JOIN lg ON true
+             |  JOIN s b ON b.doc_id = a.doc_id AND b.c = a.c
+             |   AND b.i = a.i + lg.lag
+             |  GROUP BY 1, 2, 3
+             |)
+             |SELECT doc_id, CAST(c AS BIGINT) AS channel,
+             |  CAST(lag AS BIGINT) AS lag, ac.ac, ss.sum_sq
+             |FROM ac JOIN ss USING (doc_id, c)
+             |ORDER BY doc_id, channel, lag""".stripMargin))
   )
 }
