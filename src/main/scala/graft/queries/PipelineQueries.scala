@@ -4736,6 +4736,60 @@ object PipelineQueries {
              |SELECT doc_id, CAST(c AS BIGINT) AS channel,
              |  CAST(lag AS BIGINT) AS lag, ac.ac, ss.sum_sq
              |FROM ac JOIN ss USING (doc_id, c)
-             |ORDER BY doc_id, channel, lag""".stripMargin))
+             |ORDER BY doc_id, channel, lag""".stripMargin)),
+
+    // Sequence-length BUCKETING audit — the batching-efficiency
+    // number behind bucketed batching (pad-to-boundary batching
+    // wastes capacity on every short doc): docs bucket to fixed
+    // boundaries {64, 128, 256, 512, 1024} (cap 0 = overflow docs
+    // that get split, no padding), and each bucket reports docs,
+    // real tokens, padding waste, and utilization — what decides
+    // whether the bucket boundaries (or d25's packing) pay for
+    // themselves. Pure CASE arithmetic map-side + one partial agg on
+    // the 6-value bucket key.
+    Q("d56_length_buckets",
+      (s, d) => {
+        val nt = size(expr(TextHash.sparkTokens("text"))).cast("long")
+        val cap = when(nt <= 64, 64L).when(nt <= 128, 128L)
+          .when(nt <= 256, 256L).when(nt <= 512, 512L)
+          .when(nt <= 1024, 1024L).otherwise(0L)
+        Tables.documents(s, d)
+          .select(cap.as("cap"), nt.as("nt"))
+          .withColumn("waste",
+            when(col("cap") === 0L, 0L).otherwise(col("cap") - col("nt")))
+          .groupBy("cap")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("nt").as("sum_tokens"),
+            sum("waste").as("sum_waste"))
+          .select(col("cap"), col("n_docs"), col("sum_tokens"),
+            col("sum_waste"),
+            floor(col("sum_tokens").cast("double")
+              / (col("sum_tokens") + col("sum_waste")) * 10000 + 0.5)
+              .cast("long").as("util_e4"))
+          .orderBy("cap")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT CAST(len(${TextHash.duckTokens("text")}) AS BIGINT)
+              |    AS nt
+              |  FROM documents
+              |),
+              |b AS (
+              |  SELECT nt,
+              |    CASE WHEN nt <= 64 THEN 64 WHEN nt <= 128 THEN 128
+              |         WHEN nt <= 256 THEN 256 WHEN nt <= 512 THEN 512
+              |         WHEN nt <= 1024 THEN 1024 ELSE 0 END AS cap
+              |  FROM t
+              |)
+              |SELECT CAST(cap AS BIGINT) AS cap,
+              |  CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(nt) AS BIGINT) AS sum_tokens,
+              |  CAST(sum(CASE WHEN cap = 0 THEN 0 ELSE cap - nt END)
+              |    AS BIGINT) AS sum_waste,
+              |  CAST(floor(CAST(sum(nt) AS DOUBLE)
+              |    / (sum(nt) + sum(CASE WHEN cap = 0 THEN 0
+              |        ELSE cap - nt END)) * 10000 + 0.5) AS BIGINT)
+              |    AS util_e4
+              |FROM b GROUP BY cap
+              |ORDER BY cap""".stripMargin))
   )
 }
