@@ -33,4 +33,37 @@ object ParquetSink {
       .mode("overwrite")
       .partitionBy(partCols: _*)
       .parquet(path)
+
+  /** Token-budgeted SHARD export — the final step of a training
+    * pipeline: write the curated corpus as ≈`tokensPerShard`-token
+    * shards, one file per shard, each internally ordered by
+    * `idCol`. The shard count derives from ONE total-token aggregate
+    * (a bounded driver scalar) and assignment is the deterministic
+    * content hash `idCol → shard` — no global sort, no
+    * coordination; shard token sums concentrate around the budget by
+    * the law of large numbers (exact budgets would need a global
+    * running total, the one thing that can't scale). Returns the
+    * shard count. Hive layout `shard=K/` so a trainer reading one
+    * shard opens exactly one directory (partition pruning).
+    *
+    * @param tokenCol integer token count column, precomputed by the
+    *   caller (whitespace, BPE — the sink doesn't care)
+    */
+  def writeTokenShards(df: DataFrame, path: String, idCol: String,
+      tokenCol: String, tokensPerShard: Long): Int = {
+    require(tokensPerShard > 0, s"bad budget $tokensPerShard")
+    val total = df.agg(sum(col(tokenCol)).cast("long")).head().getLong(0)
+    val n = math.max(1L, math.ceil(
+      total.toDouble / tokensPerShard).toLong).toInt
+    df
+      .withColumn("shard",
+        graft.operators.Sampling.hashBucket(col(idCol)) % n)
+      .repartition(n, col("shard"))
+      .sortWithinPartitions(col("shard"), col(idCol))
+      .write
+      .mode("overwrite")
+      .partitionBy("shard")
+      .parquet(path)
+    n
+  }
 }

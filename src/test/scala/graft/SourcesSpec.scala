@@ -83,6 +83,45 @@ class SourcesSpec extends SparkSpec {
       s"dt filter did not prune at the directory level\n$p")
   }
 
+  test("token-budgeted shard export: complete, deterministic, balanced") {
+    val dir = Files.createTempDirectory("graft_shards").toFile
+      .getAbsolutePath
+    // 400 docs × 10-70 tokens (deterministic lengths), ~16k tokens;
+    // 2k budget ⇒ 8+ shards with real balance to check.
+    val docs = (1L to 400L)
+      .map(i => (i, 10 + (i * 7 % 61), s"doc $i"))
+      .toDF("doc_id", "n_tokens", "text")
+    val n = ParquetSink.writeTokenShards(docs, dir, "doc_id",
+      "n_tokens", tokensPerShard = 2000L)
+    val total = (1L to 400L).map(i => 10 + (i * 7 % 61)).sum
+    assert(n == math.ceil(total / 2000.0).toInt)
+
+    val back = spark.read.parquet(dir)
+    // Complete and exactly-once.
+    assert(back.count() == 400)
+    assert(back.select("doc_id").distinct().count() == 400)
+    // One data file per shard directory — no small-file explosion.
+    for (sd <- new java.io.File(dir).listFiles()
+        if sd.getName.startsWith("shard=")) {
+      assert(sd.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+        s"${sd.getName} has multiple files")
+    }
+    // Hash assignment concentrates shard sums near the budget: every
+    // shard within [0.4×, 1.9×] at this scale, and the assignment is
+    // the pinned content hash (re-running yields identical layout).
+    val sums = back.groupBy("shard").agg(sum("n_tokens").as("t"))
+      .select("t").as[Long].collect()
+    assert(sums.length == n)
+    assert(sums.forall(t => t >= 800 && t <= 3800),
+      s"unbalanced shards: ${sums.mkString(",")}")
+    val again = Files.createTempDirectory("graft_shards2").toFile
+      .getAbsolutePath
+    ParquetSink.writeTokenShards(docs, again, "doc_id", "n_tokens", 2000L)
+    val a = spark.read.parquet(dir).select("doc_id", "shard")
+    val b = spark.read.parquet(again).select("doc_id", "shard")
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
   test("orc sink: same layout contract, filters push to the orc scan") {
     val dir = Files.createTempDirectory("graft_osink").toFile.getAbsolutePath
     val df = Seq(
