@@ -342,4 +342,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges == 2,
       s"d53: expected lang agg + ORDER BY exchanges, got $exchanges\n$d53")
   }
+
+  test("funnel, fusion and audit queries keep aggregate-only shapes") {
+    // d54: five chained gates — every inter-stage join is an
+    // equi-(semi/anti) join; an all-pairs fallback in any stage
+    // would be the 100 TB failure mode.
+    val d54 = plan("d54_curation_funnel")
+    assert(!d54.contains("CartesianProduct") &&
+      !d54.contains("BroadcastNestedLoop"),
+      s"d54 degenerated to an all-pairs join\n$d54")
+    // e15: both input rankings AND the fusion rank ride the bounded
+    // heap — no window anywhere despite three top-k stages.
+    val e15 = plan("e15_hybrid_rrf")
+    assert(!e15.contains("Window"),
+      s"e15 ranks through a window\n$e15")
+    assert(e15.contains("ObjectHashAggregate"),
+      s"e15 lost the bounded-heap aggregates\n$e15")
+    // d55: occurrence join stays equi, no per-doc window.
+    val d55 = plan("d55_novelty")
+    assert(!d55.contains("Window") && !d55.contains("CartesianProduct"),
+      s"d55 lost its aggregate-only shape\n$d55")
+    // d56: pure map-side bucket math — bucket agg + ORDER BY only.
+    val d56 = plan("d56_length_buckets")
+    val x56 = "Exchange (?:range|hash|Single)".r.findAllIn(d56).size
+    assert(x56 == 2, s"d56: expected 2 exchanges, got $x56\n$d56")
+    // m13: map-side decode-and-fold — only the ORDER BY exchange.
+    val m13 = plan("m13_audio_autocorr")
+    val x13 = "Exchange (?:range|hash|Single)".r.findAllIn(m13).size
+    assert(x13 == 1, s"m13: expected 1 exchange, got $x13\n$m13")
+  }
 }
