@@ -4790,6 +4790,92 @@ object PipelineQueries {
               |        ELSE cap - nt END)) * 10000 + 0.5) AS BIGINT)
               |    AS util_e4
               |FROM b GROUP BY cap
-              |ORDER BY cap""".stripMargin))
+              |ORDER BY cap""".stripMargin)),
+
+    // Pairwise SOURCE-overlap matrix — the data-governance table
+    // ("how much of source B is already in source A?") computed
+    // without ever joining content across sources: one KMV sketch of
+    // the distinct shingle hashes per source (d27's mergeable
+    // aggregate), then every pair's union sketch from the two
+    // bottom-k arrays ALONE (bottom-k(bottom-k(A) ∪ bottom-k(B)) =
+    // bottom-k(A ∪ B)) and inclusion-exclusion for the intersection;
+    // containment = inter / min(est) flags the engulfed side.
+    // Deterministic set functions of the keys — identical numbers in
+    // both engines, the composability HLL can't give. Scale shape:
+    // one distinct + partial-agg sketch exchange; the pair join
+    // touches |sources|² sketch rows (bounded), each pair's math a
+    // map-side HOF over ≤ 2k-element arrays.
+    Q("d57_source_overlap",
+      (s, d) => {
+        import graft.functions.KmvSketch.kmv_sketch
+        val k = 256
+        val docs = Tables.documents(s, d)
+        val h = Dedup.shingleSets(docs.select("doc_id", "text"))
+          .join(docs.select("doc_id", "source"), "doc_id")
+          .select(col("source"), explode(col("sh")).as("s0"))
+          .select(col("source"),
+            (col("s0") * Sampling.Mixer % Sampling.MixMod).as("h"))
+        val sk = h.groupBy("source").agg(kmv_sketch(col("h"), k).as("kmv"))
+        def est(c: String) =
+          when(size(col(c)) < k, size(col(c)).cast("long"))
+            .otherwise(floor(lit((k - 1).toDouble) * Sampling.MixMod /
+              element_at(col(c), -1) + 0.5).cast("long"))
+        sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+          .select(col("a.source").as("source_a"),
+            col("b.source").as("source_b"),
+            col("a.kmv").as("ka"), col("b.kmv").as("kb"))
+          .withColumn("ku", expr(
+            s"slice(array_sort(array_distinct(concat(ka, kb))), 1, $k)"))
+          .select(col("source_a"), col("source_b"),
+            est("ka").as("est_a"), est("kb").as("est_b"),
+            est("ku").as("est_union"))
+          .withColumn("est_inter", greatest(lit(0L),
+            col("est_a") + col("est_b") - col("est_union")))
+          .withColumn("containment_e4",
+            floor(col("est_inter").cast("double")
+              / least(col("est_a"), col("est_b")) * 10000 + 0.5)
+              .cast("long"))
+          .orderBy("source_a", "source_b")
+      },
+      Some {
+        def duckEst(c: String) =
+          s"CAST(CASE WHEN len($c) < 256 THEN len($c) " +
+            s"ELSE floor(255.0 * ${Sampling.MixMod} / $c[-1] + 0.5) " +
+            s"END AS BIGINT)"
+        s"""WITH ${TextHash.duckToksCte},
+           |${TextHash.duckShinglesCte},
+           |hs AS (
+           |  SELECT DISTINCT d2.source,
+           |    s.s * ${Sampling.Mixer} % ${Sampling.MixMod} AS h
+           |  FROM sh s JOIN documents d2 USING (doc_id)
+           |),
+           |sk AS (
+           |  SELECT source, list(h ORDER BY h) AS kl
+           |  FROM (SELECT source, h, row_number() OVER (
+           |          PARTITION BY source ORDER BY h) AS rn
+           |        FROM hs)
+           |  WHERE rn <= 256 GROUP BY source
+           |),
+           |pr AS (
+           |  SELECT a.source AS source_a, b.source AS source_b,
+           |    a.kl AS ka, b.kl AS kb,
+           |    list_slice(list_sort(list_distinct(
+           |      list_concat(a.kl, b.kl))), 1, 256) AS ku
+           |  FROM sk a JOIN sk b ON a.source < b.source
+           |),
+           |es AS (
+           |  SELECT source_a, source_b,
+           |    ${duckEst("ka")} AS est_a,
+           |    ${duckEst("kb")} AS est_b,
+           |    ${duckEst("ku")} AS est_union
+           |  FROM pr
+           |)
+           |SELECT source_a, source_b, est_a, est_b, est_union,
+           |  greatest(0, est_a + est_b - est_union) AS est_inter,
+           |  CAST(floor(CAST(greatest(0, est_a + est_b - est_union)
+           |      AS DOUBLE) / least(est_a, est_b) * 10000 + 0.5)
+           |    AS BIGINT) AS containment_e4
+           |FROM es ORDER BY source_a, source_b""".stripMargin
+      })
   )
 }
