@@ -7,7 +7,7 @@ import graft.functions.{Bpe, TextHash}
 import graft.functions.TextHashExprs.token_hashes
 import graft.graph.ConnectedComponents
 import graft.multimodal.Multimodal
-import graft.operators.{BpeTrain, Decontaminate, Dedup, HtmlExtract, KMeans, LogReg, PiiScrub, Sampling, Similarity, TextAnalysis}
+import graft.operators.{BpeTrain, CurationFunnel, Decontaminate, Dedup, HtmlExtract, KMeans, LogReg, PiiScrub, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline surface (SURVEY.md §2 block D): dedup
   * family, text analysis, similarity search, multimodal plumbing.
@@ -4329,47 +4329,8 @@ object PipelineQueries {
     // funnel adds only doc_id semi/anti joins between stages and
     // five one-row aggregates.
     Q("d54_curation_funnel",
-      (s, d) => {
-        val docs = Tables.documents(s, d).select("doc_id", "text")
-        val tkn = docs.select(col("doc_id"),
-          size(expr(TextHash.sparkTokens("text"))).cast("long").as("nt"))
-        val s1 = TextAnalysis.gopherRules(docs)
-          .filter(col("pass") === 1).select("doc_id")
-        val base1 = docs.join(s1, "doc_id")
-        val keepEx = base1
-          .groupBy(lower(trim(col("text"))).as("ntext"))
-          .agg(min("doc_id").as("doc_id"))
-          .select("doc_id")
-        val base2 = base1.join(keepEx, "doc_id")
-        val drop3 = Dedup.ngramJaccardPairs(base2, minJaccard = 0.8)
-          .select(col("db").as("doc_id")).distinct()
-        val base3 = base2.join(drop3, Seq("doc_id"), "left_anti")
-        val normE = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
-        val probes = docs
-          .select(col("doc_id"), normE.as("norm"))
-          .filter(col("doc_id") % 50 === 0 &&
-            size(split(col("norm"), " ")) >= 10)
-          .select(col("doc_id").as("probe_src"),
-            expr("array_join(slice(split(norm, ' '), 3, 8), ' ')")
-              .as("probe"))
-        val corpus3 = base3.select(col("doc_id"), normE.as("norm"))
-        val hit4 = Decontaminate.matches(corpus3, probes, n = 8)
-          .select("doc_id").distinct()
-        val base4 = base3.join(hit4, Seq("doc_id"), "left_anti")
-        def stat(df: org.apache.spark.sql.DataFrame, id: Long,
-            name: String): org.apache.spark.sql.DataFrame =
-          df.select("doc_id").join(tkn, "doc_id")
-            .agg(count(lit(1)).as("n_docs"),
-              coalesce(sum("nt"), lit(0L)).as("n_tokens"))
-            .select(lit(id).as("stage_id"), lit(name).as("stage"),
-              col("n_docs"), col("n_tokens"))
-        stat(docs, 0L, "raw")
-          .unionByName(stat(base1, 1L, "rules"))
-          .unionByName(stat(base2, 2L, "exact_dedup"))
-          .unionByName(stat(base3, 3L, "near_dedup"))
-          .unionByName(stat(base4, 4L, "decontam"))
-          .orderBy("stage_id")
-      },
+      (s, d) => CurationFunnel.audit(Tables.documents(s, d))
+        .orderBy("stage_id"),
       Some(raw"""WITH t0 AS (
              |  SELECT doc_id,
              |    CAST(len(${TextHash.duckTokens("text")}) AS BIGINT) AS nt

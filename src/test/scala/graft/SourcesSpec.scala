@@ -122,6 +122,30 @@ class SourcesSpec extends SparkSpec {
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
 
+  test("curation pipeline: file in, curated shards + audit out") {
+    import graft.sources.CuratePipeline
+    val out = Files.createTempDirectory("graft_curate").toFile
+      .getAbsolutePath
+    val (kept, audit) = CuratePipeline.run(spark,
+      "/root/testdata/sf0.001", out, tokensPerShard = 2000L)
+    // The written corpus IS the funnel's last survivor stage.
+    val want = graft.operators.CurationFunnel
+      .stages(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+      .last.select("doc_id")
+    val got = spark.read.parquet(s"$out/corpus").select("doc_id")
+    assert(kept > 0 && got.except(want).isEmpty && want.except(got).isEmpty)
+    // Audit monotone: survivors never increase stage over stage, and
+    // the written audit table round-trips.
+    val rows = spark.read.parquet(s"$out/audit")
+      .orderBy("stage_id")
+      .select("stage", "n_docs").as[(String, Long)].collect()
+    assert(rows.map(_._1).toSeq ==
+      graft.operators.CurationFunnel.StageNames)
+    assert(rows.map(_._2).sliding(2).forall(p => p(0) >= p(1)))
+    assert(rows.last._2 == kept)
+    assert(audit.count() == 5)
+  }
+
   test("orc sink: same layout contract, filters push to the orc scan") {
     val dir = Files.createTempDirectory("graft_osink").toFile.getAbsolutePath
     val df = Seq(
