@@ -1,0 +1,99 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.NearestCentroidCell.nearest_centroid
+import graft.functions.TopKByScore.top_k_by_score
+import graft.operators.{KMeans, Similarity}
+
+/** The ANN index as FILES — build and serve the e17 layout
+  * (IVF routing + SQ8 codes) against an on-disk index, the way a
+  * production vector store actually deploys it:
+  *
+  *   `<index>/centroids/` — the k learned float centroids;
+  *   `<index>/codes/cell=K/` — each cell's vectors as SQ8 rows
+  *     (int8 codes + integer norm, 65 bytes per 64-dim vector),
+  *     Hive-partitioned BY CELL.
+  *
+  * The cell partitioning is the point: an inverted list on disk IS
+  * directory layout, so a probe reads only its assigned cells'
+  * directories — [[search]] pins this as partition pruning
+  * (`PartitionFilters` on `cell`), the file-level analog of "the
+  * corpus never shuffles". Build is one training run + one map-side
+  * encode pass; search is centroid routing (bounded driver handoff,
+  * the e7 class) + a pruned scan + the bounded-heap top-k.
+  */
+object IndexPipeline {
+
+  /** Train + encode + write. Returns the learned cell count. */
+  def build(spark: SparkSession, embeddings: DataFrame, indexDir: String,
+      k: Int = 8, iters: Int = 3): Int = {
+    // KMeans' centroid handoff requires double vectors; parquet
+    // embeddings arrive as float (the e7 cast precedent).
+    val embD = embeddings.select(col("vec_id"),
+      expr("transform(embedding, v -> cast(v as double))")
+        .as("embedding"))
+    val cent = KMeans.train(embD, k, iters)
+    cent.write.mode(SaveMode.Overwrite).parquet(s"$indexDir/centroids")
+    val cents = collectCentroids(spark, indexDir)
+    val codes = Similarity.sq8Quantize(
+        embD.select(col("vec_id"), col("embedding"),
+          nearest_centroid(col("embedding"), cents).as("cell")))
+      .filter(col("sq") > 0)
+    codes
+      .repartition(col("cell"))
+      .sortWithinPartitions(col("cell"), col("vec_id"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cell")
+      .parquet(s"$indexDir/codes")
+    cents.length
+  }
+
+  /** k-row centroid handoff (bounded, the e7/KMeans class). */
+  private def collectCentroids(spark: SparkSession,
+      indexDir: String): Seq[(Long, Array[Double])] =
+    spark.read.parquet(s"$indexDir/centroids")
+      .select(col("cell").cast("long"), col("cvec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+
+  /** Serve a query batch against the built index: route each query
+    * to its nearest centroid (map-side kernel), scan ONLY the
+    * assigned cells' code directories (static partition pruning from
+    * the bounded probe-cell set), score int8, rank via the bounded
+    * heap.
+    *
+    * @return (query_id, cell, rank, cand_id, sim_e6)
+    */
+  def search(spark: SparkSession, indexDir: String, queries: DataFrame,
+      topK: Int): DataFrame = {
+    val cents = collectCentroids(spark, indexDir)
+    val probes = Similarity.sq8Quantize(
+        queries.select(col("vec_id").as("query_id"), col("embedding"),
+          nearest_centroid(col("embedding"), cents).as("cell")))
+      .filter(col("sq") > 0)
+      .select(col("query_id"), col("cell"), col("q").as("qq"),
+        col("sq").as("qsq"))
+    val cells = probes.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq // bounded by the probe batch
+    val codes = spark.read.parquet(s"$indexDir/codes")
+      .filter(col("cell").isin(cells: _*))
+    codes.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("cell").cast("long").as("tag"),
+        col("vec_id").as("cand_id"),
+        (expr("aggregate(zip_with(q, qq, (x, y) -> x * y), " +
+          "CAST(0 AS BIGINT), (a, x) -> a + x)").cast("double")
+          / (sqrt(col("sq").cast("double"))
+            * sqrt(col("qsq").cast("double")))).as("sim"))
+      .groupBy("query_id")
+      .agg(top_k_by_score(col("sim"), col("cand_id"), col("tag"), topK)
+        .as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("query_id"), col("s.tag").cast("long").as("cell"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("s.cand_id").as("cand_id"),
+        floor(col("s.sim") * 1000000 + 0.5).cast("long").as("sim_e6"))
+  }
+}

@@ -122,6 +122,71 @@ class SourcesSpec extends SparkSpec {
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
 
+  test("index pipeline: on-disk IVF-SQ8 builds, prunes, and matches " +
+      "an independent reference") {
+    import graft.sources.IndexPipeline
+    val idx = Files.createTempDirectory("graft_index").toFile
+      .getAbsolutePath
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val k = IndexPipeline.build(spark, emb, idx, k = 4, iters = 2)
+    assert(k >= 2, s"degenerate training: $k cells")
+    val dirs = new java.io.File(s"$idx/codes").listFiles()
+      .map(_.getName).filter(_.startsWith("cell=")).sorted.toSeq
+    assert(dirs.size == k, s"one directory per cell: $dirs")
+
+    val queries = emb.filter(col("vec_id") < 5)
+    val res = IndexPipeline.search(spark, idx, queries, topK = 3)
+    // The probe's cell filter must prune at the DIRECTORY level —
+    // the on-disk inverted-list property.
+    val p = res.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      s"cell filter did not prune directories\n$p")
+
+    // Independent reference: quantize + route + score in plain Scala
+    // from the raw arrays (no Spark plans shared with the pipeline).
+    def dbl(r: org.apache.spark.sql.Row, i: Int): Array[Double] =
+      r.getSeq[Any](i).map {
+        case d: Double => d
+        case f: Float => f.toDouble
+      }.toArray
+    val cents = spark.read.parquet(s"$idx/centroids")
+      .select(col("cell").cast("long"), col("cvec")).collect()
+      .map(r => (r.getLong(0), dbl(r, 1))).toSeq
+    val raw = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> dbl(r, 1)).toMap
+    def quant(v: Array[Double]): Array[Long] = {
+      val mx = v.map(math.abs).max
+      v.map(x => math.floor(x * 127.0 / mx + 0.5).toLong)
+    }
+    def cellOf(v: Array[Double]): Long = {
+      val nv = math.sqrt(v.map(x => x * x).sum)
+      cents.map { case (c, cv) =>
+        val d = v.zip(cv).map { case (a, b) => a * b }.sum
+        (c, d / (nv * math.sqrt(cv.map(x => x * x).sum)))
+      }.maxBy { case (c, s) => (s, -c) }._1
+    }
+    val want = (0L until 5L).flatMap { qid =>
+      val qv = quant(raw(qid)); val qc = cellOf(raw(qid))
+      val qn = math.sqrt(qv.map(x => (x * x).toDouble).sum)
+      raw.keys.filter(_ != qid)
+        .filter(id => cellOf(raw(id)) == qc)
+        .map { id =>
+          val cv = quant(raw(id))
+          val d = qv.zip(cv).map { case (a, b) => a * b }.sum.toDouble
+          val s = d / (math.sqrt(cv.map(x => (x * x).toDouble).sum) * qn)
+          (qid, id, s)
+        }
+        .toSeq.sortBy { case (_, id, s) => (-s, id) }.take(3)
+        .zipWithIndex.map { case ((q2, id, s), i) =>
+          (q2, qc, (i + 1).toLong, id,
+            math.floor(s * 1000000 + 0.5).toLong) }
+    }.toSet
+    val got = res.as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("curation pipeline: file in, curated shards + audit out") {
     import graft.sources.CuratePipeline
     val out = Files.createTempDirectory("graft_curate").toFile
