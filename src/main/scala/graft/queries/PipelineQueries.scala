@@ -4837,6 +4837,135 @@ object PipelineQueries {
            |      AS DOUBLE) / least(est_a, est_b) * 10000 + 0.5)
            |    AS BIGINT) AS containment_e4
            |FROM es ORDER BY source_a, source_b""".stripMargin
+      }),
+
+    // DISTRIBUTION-ADAPTIVE quality ensemble (the QuRating/DataComp
+    // combination shape): each signal — length, mean word length,
+    // novelty (d55's metric, gramless short docs = fully novel) —
+    // buckets against the CORPUS'S OWN p10/p50/p90, estimated from
+    // the d38 hash sample, and the ensemble is the bucket-score sum.
+    // Fixed thresholds break when the corpus shifts; a corpus-wide
+    // rank needs a global sort. Sample quantiles give adaptivity
+    // with O(k) state and a 3-number broadcast per signal. Bucket
+    // directionality is caller policy (here ascending per signal);
+    // the contract is the adaptive bucketing, not the weights.
+    Q("d58_quality_ensemble",
+      (s, d) => {
+        import graft.functions.TextHashExprs.ngram_hashes
+        val docs = Tables.documents(s, d)
+        val grams = Dedup.tokenHashes(docs)
+          .select(col("doc_id"), explode(ngram_hashes(col("th"), 8))
+            .as("g"))
+        val occ = grams.groupBy("g").agg(count(lit(1)).as("occ"))
+        val nov = grams.join(occ, "g")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("ng"),
+            sum(when(col("occ") >= 2, 1L).otherwise(0L)).as("nd"))
+          .select(col("doc_id"),
+            floor((lit(1.0) - col("nd").cast("double") / col("ng"))
+              * 10000 + 0.5).cast("long").as("nov"))
+        val base = docs
+          .withColumn("tk", expr(TextHash.sparkTokens("text")))
+          .select(col("doc_id"), size(col("tk")).cast("long").as("len"),
+            floor(expr("aggregate(tk, CAST(0 AS BIGINT), " +
+              "(a, t) -> a + length(t))").cast("double")
+              / size(col("tk")) * 10000 + 0.5).cast("long").as("mwl"))
+        val sig = base.join(nov, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("len"), col("mwl"),
+            coalesce(col("nov"), lit(10000L)).as("nov"))
+          .withColumn("stratum", lit("all"))
+        def th(c: String) = broadcast(Sampling.hashSampleQuantiles(
+          sig.select("stratum", "doc_id", c), "stratum", "doc_id",
+          c, k = 256, outSuffix = c)
+          .select(col("p10_" + c), col("p50_" + c), col("p90_" + c)))
+        def bucket(c: String) =
+          when(col(c) <= col("p10_" + c), 0L)
+            .when(col(c) <= col("p50_" + c), 1L)
+            .when(col(c) <= col("p90_" + c), 2L)
+            .otherwise(3L)
+        sig.crossJoin(th("len")).crossJoin(th("mwl")).crossJoin(th("nov"))
+          .select(col("doc_id"), col("len"), col("mwl"), col("nov"),
+            bucket("len").as("s_len"), bucket("mwl").as("s_mwl"),
+            bucket("nov").as("s_nov"))
+          .withColumn("ensemble",
+            col("s_len") + col("s_mwl") + col("s_nov"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val gramFold = (0 until 8).foldLeft("CAST(0 AS BIGINT)")(
+          (a, j) => s"(($a * 31 + th[i+$j]) % ${TextHash.P})")
+        s"""WITH ${TextHash.duckToksCte},
+           |grams AS (
+           |  SELECT doc_id, $gramFold AS g
+           |  FROM toks, unnest(range(1, len(th) - 6)) AS u(i)
+           |  WHERE len(th) >= 8
+           |),
+           |occ AS (SELECT g, count(*) AS occ FROM grams GROUP BY g),
+           |nv AS (
+           |  SELECT doc_id,
+           |    CAST(floor((CAST(1 AS DOUBLE)
+           |      - CAST(sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END)
+           |          AS DOUBLE) / count(*)) * 10000 + 0.5) AS BIGINT)
+           |      AS nov
+           |  FROM grams JOIN occ USING (g) GROUP BY doc_id
+           |),
+           |t2 AS (
+           |  SELECT doc_id, ${TextHash.duckTokens("text")} AS tk
+           |  FROM documents
+           |),
+           |sig AS (
+           |  SELECT t2.doc_id,
+           |    CAST(len(tk) AS BIGINT) AS len,
+           |    CAST(floor(CAST(list_sum(list_transform(tk,
+           |        x -> len(x))) AS DOUBLE) / len(tk) * 10000 + 0.5)
+           |      AS BIGINT) AS mwl,
+           |    coalesce(nv.nov, 10000) AS nov
+           |  FROM t2 LEFT JOIN nv USING (doc_id)
+           |),
+           |smp AS (
+           |  SELECT *, row_number() OVER (
+           |    ORDER BY doc_id * ${Sampling.Mixer} % ${Sampling.MixMod},
+           |      doc_id) AS rn
+           |  FROM sig
+           |),
+           |thr AS (
+           |  SELECT
+           |    (SELECT list_sort(list(len)) FROM smp WHERE rn <= 256)
+           |      AS vl,
+           |    (SELECT list_sort(list(mwl)) FROM smp WHERE rn <= 256)
+           |      AS vm,
+           |    (SELECT list_sort(list(nov)) FROM smp WHERE rn <= 256)
+           |      AS vn
+           |),
+           |cut AS (
+           |  SELECT
+           |    vl[CAST(ceil(0.1 * len(vl)) AS BIGINT)] AS p10l,
+           |    vl[CAST(ceil(0.5 * len(vl)) AS BIGINT)] AS p50l,
+           |    vl[CAST(ceil(0.9 * len(vl)) AS BIGINT)] AS p90l,
+           |    vm[CAST(ceil(0.1 * len(vm)) AS BIGINT)] AS p10m,
+           |    vm[CAST(ceil(0.5 * len(vm)) AS BIGINT)] AS p50m,
+           |    vm[CAST(ceil(0.9 * len(vm)) AS BIGINT)] AS p90m,
+           |    vn[CAST(ceil(0.1 * len(vn)) AS BIGINT)] AS p10n,
+           |    vn[CAST(ceil(0.5 * len(vn)) AS BIGINT)] AS p50n,
+           |    vn[CAST(ceil(0.9 * len(vn)) AS BIGINT)] AS p90n
+           |  FROM thr
+           |),
+           |b AS (
+           |  SELECT sig.doc_id, sig.len, sig.mwl, sig.nov,
+           |    CASE WHEN len <= p10l THEN 0 WHEN len <= p50l THEN 1
+           |         WHEN len <= p90l THEN 2 ELSE 3 END AS s_len,
+           |    CASE WHEN mwl <= p10m THEN 0 WHEN mwl <= p50m THEN 1
+           |         WHEN mwl <= p90m THEN 2 ELSE 3 END AS s_mwl,
+           |    CASE WHEN nov <= p10n THEN 0 WHEN nov <= p50n THEN 1
+           |         WHEN nov <= p90n THEN 2 ELSE 3 END AS s_nov
+           |  FROM sig, cut
+           |)
+           |SELECT doc_id, len, mwl, nov,
+           |  CAST(s_len AS BIGINT) AS s_len,
+           |  CAST(s_mwl AS BIGINT) AS s_mwl,
+           |  CAST(s_nov AS BIGINT) AS s_nov,
+           |  CAST(s_len + s_mwl + s_nov AS BIGINT) AS ensemble
+           |FROM b ORDER BY doc_id""".stripMargin
       })
   )
 }
