@@ -370,5 +370,21 @@ class PlanShapeSpec extends SparkSpec {
     val m13 = plan("m13_audio_autocorr")
     val x13 = "Exchange (?:range|hash|Single)".r.findAllIn(m13).size
     assert(x13 == 1, s"m13: expected 1 exchange, got $x13\n$m13")
+    // d57: the ONE permitted cartesian is the |sources|² sketch-pair
+    // join — it must sit ABOVE the KMV partial aggregation (its
+    // inputs are k-row sketch tables, never corpus rows), and there
+    // must be exactly one.
+    val d57 = plan("d57_source_overlap")
+    assert("CartesianProduct".r.findAllIn(d57).size == 1,
+      s"d57: expected exactly the bounded sketch-pair cartesian\n$d57")
+    assert(d57.indexOf("ObjectHashAggregate") >
+      d57.indexOf("CartesianProduct"),
+      s"d57: cartesian must consume the sketch aggregate, not rows\n$d57")
+    // d58: three 1-row threshold broadcasts, no window, no cartesian
+    // (the broadcasts ride BroadcastNestedLoopJoin, which is fine for
+    // 1-row sides — what must never appear is a window rank).
+    val d58 = plan("d58_quality_ensemble")
+    assert(!d58.contains("Window") && !d58.contains("CartesianProduct"),
+      s"d58 lost its aggregate-only shape\n$d58")
   }
 }
