@@ -348,6 +348,59 @@ object Similarity {
         floor(col("s.sim") * 1000000 + 0.5).cast("long").as("sim_e6"))
   }
 
+  /** Brute-force MAXIMUM-INNER-PRODUCT top-k — the recommender
+    * serving score (user·item, where item norms CARRY signal, unlike
+    * cosine which normalizes it away). The dot is an index-order
+    * fold over exact per-element double products, so both engines
+    * produce bit-identical scores. Same skeleton as
+    * [[bruteForceTopK]]: broadcast probes × corpus scan, bounded
+    * heap, no window.
+    */
+  def dotTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = emb.select(col("vec_id").as("cand_id"),
+      col("embedding").as("cand_emb"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("query_emb"))
+    c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        expr("aggregate(zip_with(cand_emb, query_emb, (x, y) -> " +
+          "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE)," +
+          " (a, v) -> a + v)").as("ip"))
+      .groupBy("query_id")
+      .agg(top_k_by_score(col("ip"), col("cand_id"), lit(0L), k)
+        .as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("s.cand_id").as("cand_id"), col("s.sim").as("ip"))
+  }
+
+  /** MIPS by the norm-augmentation reduction (Bachrach et al. 2014,
+    * "Speeding up the Xbox recommender…"): append
+    * sqrt(M² − |x|²) to every candidate (M = the corpus max norm)
+    * and 0 to every query — then augmented COSINE order equals
+    * inner-product order, so any cosine index (IVF, SQ8, LSH) serves
+    * MIPS unchanged. This is the operator a 100 TB serving stack
+    * indexes with; [[dotTopK]] is its brute-force ground truth, and
+    * OperatorsSpec pins ranking equality. M rides a broadcast
+    * one-row aggregate — no collect.
+    */
+  def mipsViaAugmentation(emb: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val norms = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+      .withColumn("n2",
+        expr("aggregate(e, CAST(0.0 AS DOUBLE), (a, v) -> a + v * v)"))
+    val m2 = norms.agg(max("n2").as("m2"))
+    val cand = norms.crossJoin(broadcast(m2))
+      .select(col("vec_id"),
+        expr("concat(e, array(sqrt(greatest(m2 - n2, 0.0))))")
+          .as("embedding"))
+    val probes = queries.select(col("vec_id"),
+      expr("concat(CAST(embedding AS ARRAY<DOUBLE>), array(0.0D))")
+        .as("embedding"))
+    bruteForceTopK(cand, probes, k)
+  }
+
   /** SQ8 scalar quantization — the int8 storage layout of
     * e16_sq8_topk: appends `q` (per-vector symmetric int8 codes,
     * q_i = round_half_up(v_i · 127 / max|v|)) and `sq` (the exact

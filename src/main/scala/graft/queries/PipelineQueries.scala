@@ -4966,6 +4966,46 @@ object PipelineQueries {
            |  CAST(s_nov AS BIGINT) AS s_nov,
            |  CAST(s_len + s_mwl + s_nov AS BIGINT) AS ensemble
            |FROM b ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // MAXIMUM-inner-product top-k (the recommender serving score:
+    // user·item, where item norms carry popularity signal that
+    // cosine normalizes away). The headline result is the exact
+    // brute-force ranking — the dot is an index-order fold of exact
+    // per-element double products, bit-identical across engines; the
+    // SCALE path is Similarity.mipsViaAugmentation (append
+    // sqrt(M²−|x|²) to candidates, 0 to queries, then any cosine
+    // index serves MIPS unchanged — Bachrach et al. 2014), with
+    // ranking equality pinned in OperatorsSpec rather than risking
+    // near-tie float swaps against the oracle hash.
+    Q("e19_mips_topk",
+      (s, d) => Similarity.dotTopK(
+          Tables.embeddings(s, d),
+          Tables.embeddings(s, d).filter(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("rank"), col("cand_id"),
+          floor(col("ip") * 1000000 + 0.5).cast("long").as("ip_e6"))
+        .orderBy("query_id", "rank"),
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+             |  FROM embeddings
+             |),
+             |q AS (SELECT vec_id, emb FROM e WHERE vec_id < 10),
+             |scored AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             |    list_sum(list_transform(range(1, 65),
+             |      i -> c.emb[i] * q.emb[i])) AS ip
+             |  FROM q JOIN e c ON c.vec_id <> q.vec_id
+             |),
+             |r AS (
+             |  SELECT query_id, cand_id, ip,
+             |    row_number() OVER (
+             |      PARTITION BY query_id ORDER BY ip DESC, cand_id)
+             |      AS rank
+             |  FROM scored
+             |)
+             |SELECT query_id, rank, cand_id,
+             |  CAST(floor(ip * 1000000 + 0.5) AS BIGINT) AS ip_e6
+             |FROM r WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin))
   )
 }

@@ -125,6 +125,33 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("MIPS: norm-augmented cosine ranking equals the exact dot ranking") {
+    import graft.operators.Similarity
+    // Vectors with deliberately VARIED norms (0.5×–3×): cosine and
+    // inner-product orders genuinely disagree here, so agreement
+    // between the augmented path and dotTopK is the reduction
+    // working, not cosine accidentally sufficing.
+    val rnd = new scala.util.Random(0x3195)
+    val emb = (0L until 30L).map { i =>
+      val scale = 0.5 + (i % 6) * 0.5
+      (i, Array.fill(8)(rnd.nextGaussian() * scale))
+    }.toDF("vec_id", "embedding")
+    val qs = emb.filter(col("vec_id") < 4)
+    val want = Similarity.dotTopK(emb, qs, k = 5)
+      .select("query_id", "rank", "cand_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val got = Similarity.mipsViaAugmentation(emb, qs, k = 5)
+      .select(col("query_id"), col("rank").cast("long"), col("cand_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want)
+    // And the orders really differ from plain cosine for ≥ 1 query —
+    // the test would be vacuous on norm-free data.
+    val cos = Similarity.bruteForceTopK(emb, qs, k = 5)
+      .select(col("query_id"), col("rank").cast("long"), col("cand_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(cos != want, "cosine and MIPS orders coincide — weak data")
+  }
+
   test("LogReg learns a linearly separable toy set to 100% accuracy") {
     import graft.operators.LogReg
     // y = 1 iff v > 0, margin 2 — separable; 40 points.
