@@ -1,8 +1,10 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.CosineSimilarity.cosine_sim
 import graft.functions.NearestCentroidCell.nearest_centroid
 import graft.functions.TopKByScore.top_k_by_score
 import graft.operators.{KMeans, Similarity}
@@ -59,19 +61,36 @@ object IndexPipeline {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
 
   /** Serve a query batch against the built index: route each query
-    * to its nearest centroid (map-side kernel), scan ONLY the
-    * assigned cells' code directories (static partition pruning from
-    * the bounded probe-cell set), score int8, rank via the bounded
-    * heap.
+    * to its `nprobe` nearest centroids (per-query ranking over the
+    * BOUNDED k-row centroid table — the e4/e5 window class, never
+    * corpus rows), scan ONLY the assigned cells' code directories
+    * (static partition pruning from the bounded probe-cell set),
+    * score int8, rank via the bounded heap. nprobe > 1 closes the
+    * cell-boundary recall loss exactly as e5/e9 do in memory — same
+    * knob, now against files.
     *
-    * @return (query_id, cell, rank, cand_id, sim_e6)
+    * @return (query_id, cell, rank, cand_id, sim_e6); `cell` is the
+    *   probed cell the winning candidate lives in
     */
   def search(spark: SparkSession, indexDir: String, queries: DataFrame,
-      topK: Int): DataFrame = {
+      topK: Int, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val cents = collectCentroids(spark, indexDir)
-    val probes = Similarity.sq8Quantize(
-        queries.select(col("vec_id").as("query_id"), col("embedding"),
-          nearest_centroid(col("embedding"), cents).as("cell")))
+    val centDf = spark.createDataFrame(
+      cents.map { case (c, v) => (c, v.toSeq) })
+      .toDF("cell", "cvec")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("cell"))
+    val assigned = queries
+      .select(col("vec_id").as("query_id"), col("embedding"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("csim", cosine_sim(
+        expr("transform(embedding, v -> cast(v as double))"),
+        col("cvec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("embedding"), col("cell"))
+    val probes = Similarity.sq8Quantize(assigned)
       .filter(col("sq") > 0)
       .select(col("query_id"), col("cell"), col("q").as("qq"),
         col("sq").as("qsq"))

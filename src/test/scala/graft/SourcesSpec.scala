@@ -185,6 +185,21 @@ class SourcesSpec extends SparkSpec {
     }.toSet
     val got = res.as[(Long, Long, Long, Long, Long)].collect().toSet
     assert(got == want)
+
+    // nprobe=2 widens the scanned cells: per query the best score can
+    // only improve or hold (the multi-probe recall property, now
+    // against files), and the deeper scan is still directory-pruned.
+    val res2 = IndexPipeline.search(spark, idx, queries, topK = 3,
+      nprobe = 2)
+    val best1 = res.filter(col("rank") === 1)
+      .select("query_id", "sim_e6").as[(Long, Long)].collect().toMap
+    val best2 = res2.filter(col("rank") === 1)
+      .select("query_id", "sim_e6").as[(Long, Long)].collect().toMap
+    assert(best1.keySet == best2.keySet)
+    assert(best1.forall { case (q, s) => best2(q) >= s })
+    val p2 = res2.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p2).isDefined,
+      s"nprobe=2 scan lost directory pruning\n$p2")
   }
 
   test("curation pipeline: file in, curated shards + audit out") {
