@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.PiiScrub
+import graft.streaming.DocStream
+
+/** CONTINUOUS curation as a deployable job: a parquet directory is
+  * the ingestion surface (new files appear as upstream drops them),
+  * and each run drains everything new through the stateless curation
+  * gates — quality/language/length (DocStream.qualityGatedFull, the
+  * d13 plan) then PII scrub (the d11 plan) — into an append-only
+  * curated parquet sink.
+  *
+  * `Trigger.AvailableNow` + the checkpoint make the job
+  * BATCH-INCREMENTAL: it processes exactly the files not yet seen by
+  * this checkpoint and exits, so a scheduler can run it like a batch
+  * job while keeping streaming's exactly-once file-sink semantics —
+  * re-running after new files arrive appends ONLY their curated rows
+  * (restart-and-resume is spec-checked in DocStreamSpec). The same
+  * code with a processing-time trigger is the always-on form.
+  *
+  * Stateless end to end — no watermark, no state store growth; the
+  * stateful twins (windowed dedup, incremental near-dup) layer on
+  * the same scaffold with their documented state bounds.
+  */
+object StreamCuratePipeline {
+
+  /** Drain everything new under `inDir` through the gates into
+    * `outDir`; blocks until this increment is fully processed.
+    */
+  def run(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String, minScore: Double = 0.63,
+      minTokens: Long = 20L, maxTokens: Long = 10000L): Unit = {
+    val schema = spark.read.parquet(inDir).schema // one listing read
+    val in = spark.readStream.schema(schema).parquet(inDir)
+    val gated = DocStream.qualityGatedFull(in, minScore, minTokens,
+      maxTokens)
+    val curated = PiiScrub.scrub(gated)
+      .select(col("doc_id"),
+        floor(col("quality_score") * 10000 + 0.5).cast("long")
+          .as("quality_score_e4"),
+        col("n_emails"), col("n_phones"),
+        col("scrubbed").as("text"))
+    val q = curated.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: StreamCuratePipeline <inDir> <outDir> <checkpointDir>")
+    val spark = graft.GraftSession.local()
+    try run(spark, args(0), args(1), args(2))
+    finally spark.stop()
+  }
+}

@@ -37,13 +37,21 @@ object DocStream {
     */
   def qualityGated(docs: DataFrame, minScore: Double = 0.63,
       minTokens: Long = 20L, maxTokens: Long = 10000L): DataFrame =
+    qualityGatedFull(docs, minScore, minTokens, maxTokens)
+      .select(col("doc_id"),
+        floor(col("quality_score") * 10000 + 0.5).cast("long")
+          .as("quality_score_e4"))
+
+  /** [[qualityGated]] keeping the FULL document row — the
+    * composition form downstream stages (PII scrub, chunking, the
+    * file job) consume; `qualityGated` is its narrow projection.
+    */
+  def qualityGatedFull(docs: DataFrame, minScore: Double = 0.63,
+      minTokens: Long = 20L, maxTokens: Long = 10000L): DataFrame =
     TextAnalysis.quality(docs)
       .filter(col("predicted") === "en" &&
         col("quality_score") >= minScore &&
         col("n_tokens").between(minTokens, maxTokens))
-      .select(col("doc_id"),
-        floor(col("quality_score") * 10000 + 0.5).cast("long")
-          .as("quality_score_e4"))
 
   /** Context-window chunking over an arriving stream — the batch
     * [[TextAnalysis.chunk]] plan applied unchanged (a stateless

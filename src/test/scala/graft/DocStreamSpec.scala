@@ -198,6 +198,44 @@ class DocStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file job: batch-incremental curation drains only unseen files") {
+    import graft.sources.StreamCuratePipeline
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_scurate").toFile
+      .getAbsolutePath
+    val (in, out, chk) = (s"$root/in", s"$root/out", s"$root/chk")
+    def doc(i: Long, en: Boolean) = (i,
+      if (en) s"the quick brown fox number $i jumps over the lazy dog " +
+        s"and then runs far away with all the other good animals " +
+        s"mail me at user$i@example.com"
+      else "der die das und nicht aber doch eins zwei drei vier fünf " +
+        "sechs sieben acht neun zehn elf zwölf dreizehn vierzehn")
+    // Batch 1: 8 English (gated IN, emails scrubbed) + 4 German (cut).
+    ((1L to 8L).map(doc(_, true)) ++ (101L to 104L).map(doc(_, false)))
+      .toDF("doc_id", "text").write.mode("append").parquet(in)
+    StreamCuratePipeline.run(spark, in, out, chk,
+      minScore = 0.0, minTokens = 1L)
+    val r1 = spark.read.parquet(out)
+    assert(r1.select("doc_id").as[Long].collect().sorted.toSeq ==
+      (1L to 8L))
+    assert(r1.filter(col("n_emails") =!= 1).isEmpty,
+      "every English doc planted exactly one email")
+    assert(r1.filter(col("text").contains("@")).isEmpty,
+      "scrub left a raw email in the curated text")
+
+    // Batch 2 arrives; a SECOND run on the same checkpoint must
+    // append exactly the new survivors — nothing reprocessed.
+    ((9L to 12L).map(doc(_, true)) ++ Seq(doc(105L, false)))
+      .toDF("doc_id", "text").write.mode("append").parquet(in)
+    StreamCuratePipeline.run(spark, in, out, chk,
+      minScore = 0.0, minTokens = 1L)
+    val r2 = spark.read.parquet(out)
+    assert(r2.count() == 12,
+      s"expected 8 + 4 curated rows, got ${r2.count()}")
+    assert(r2.select("doc_id").distinct().count() == 12,
+      "a restart reprocessed already-seen files")
+  }
+
   test("parity: streaming noveltyAgainst equals the batch scoring") {
     // Corpus: 9 tokens c1..c9 ⇒ distinct 8-grams (c1..c8), (c2..c9).
     // Delta 10 = the same text (both grams known, novelty 0);
