@@ -52,6 +52,34 @@ object IndexPipeline {
     cents.length
   }
 
+  /** Incremental MAINTENANCE: encode new vectors against the
+    * EXISTING centroids (no retrain — the standard IVF maintenance
+    * story: cells drift only when the corpus distribution does, at
+    * which point [[build]] re-trains) and append them to their cell
+    * directories. Dynamic partition overwrite is NOT used — appends
+    * accumulate; readers see whole cells either way. Returns the
+    * appended row count.
+    */
+  def append(spark: SparkSession, indexDir: String,
+      vectors: DataFrame): Long = {
+    val cents = collectCentroids(spark, indexDir)
+    val embD = vectors.select(col("vec_id"),
+      expr("transform(embedding, v -> cast(v as double))")
+        .as("embedding"))
+    val codes = Similarity.sq8Quantize(
+        embD.select(col("vec_id"), col("embedding"),
+          nearest_centroid(col("embedding"), cents).as("cell")))
+      .filter(col("sq") > 0)
+    val n = codes.count()
+    codes
+      .repartition(col("cell"))
+      .sortWithinPartitions(col("cell"), col("vec_id"))
+      .write.mode(SaveMode.Append)
+      .partitionBy("cell")
+      .parquet(s"$indexDir/codes")
+    n
+  }
+
   /** k-row centroid handoff (bounded, the e7/KMeans class). */
   private def collectCentroids(spark: SparkSession,
       indexDir: String): Seq[(Long, Array[Double])] =

@@ -200,6 +200,20 @@ class SourcesSpec extends SparkSpec {
     val p2 = res2.queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p2).isDefined,
       s"nprobe=2 scan lost directory pruning\n$p2")
+
+    // Incremental maintenance: clones of the query vectors appended
+    // under fresh ids route to the SAME cells (assignment against
+    // the existing centroids) and must dominate their twin's search:
+    // an identical vector scores cosine 1 and ranks first.
+    val clones = queries.select((col("vec_id") + 1000L).as("vec_id"),
+      col("embedding"))
+    val added = IndexPipeline.append(spark, idx, clones)
+    assert(added == 5)
+    val res3 = IndexPipeline.search(spark, idx, queries, topK = 1)
+    val top = res3.select("query_id", "cand_id")
+      .as[(Long, Long)].collect().toMap
+    assert((0L until 5L).forall(q => top(q) == q + 1000L),
+      s"appended twin should rank first: $top")
   }
 
   test("curation pipeline: file in, curated shards + audit out") {
