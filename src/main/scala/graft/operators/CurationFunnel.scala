@@ -29,20 +29,34 @@ object CurationFunnel {
   /** The survivor set after each gate, each stage carrying (doc_id,
     * text). Head is the raw input; each subsequent frame consumes
     * the previous stage's survivors.
+    *
+    * Each gate's survivor ID SET is eagerly localCheckpointed (an
+    * O(survivors) id list — bounded narrow state, the KMeans
+    * precedent): every gate runs ONCE no matter how many downstream
+    * consumers read its stage — without this, the audit's five
+    * aggregates and the writer would each re-run the whole gate
+    * chain prefix, a 5× recomputation that compounds at corpus
+    * scale. Lineage also stays one gate deep instead of
+    * funnel-deep.
     */
   def stages(docs0: DataFrame): Seq[DataFrame] = {
     val docs = docs0.select("doc_id", "text")
     val s1 = TextAnalysis.gopherRules(docs)
       .filter(col("pass") === 1).select("doc_id")
+      .localCheckpoint(true)
     val base1 = docs.join(s1, "doc_id")
     val keepEx = base1
       .groupBy(lower(trim(col("text"))).as("ntext"))
       .agg(min("doc_id").as("doc_id"))
       .select("doc_id")
-    val base2 = base1.join(keepEx, "doc_id")
+      .localCheckpoint(true)
+    val base2 = docs.join(keepEx, "doc_id")
     val drop3 = Dedup.ngramJaccardPairs(base2, minJaccard = 0.8)
       .select(col("db").as("doc_id")).distinct()
-    val base3 = base2.join(drop3, Seq("doc_id"), "left_anti")
+    val s3 = base2.select("doc_id")
+      .join(drop3, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val base3 = docs.join(s3, "doc_id")
     val normE = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
     val probes = docs
       .select(col("doc_id"), normE.as("norm"))
@@ -54,7 +68,10 @@ object CurationFunnel {
     val corpus3 = base3.select(col("doc_id"), normE.as("norm"))
     val hit4 = Decontaminate.matches(corpus3, probes, n = 8)
       .select("doc_id").distinct()
-    val base4 = base3.join(hit4, Seq("doc_id"), "left_anti")
+    val s4 = base3.select("doc_id")
+      .join(hit4, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val base4 = docs.join(s4, "doc_id")
     Seq(docs, base1, base2, base3, base4)
   }
 
