@@ -4059,9 +4059,13 @@ object PipelineQueries {
     // row — in either engine.
     Q("e14_knn_components",
       (s, d) => {
+        // Eager checkpoint: the k·|V| edge list is narrow bounded
+        // state, and the mutuality self-join would otherwise run the
+        // whole kNN pipeline twice (once per side).
         val knn = Similarity.knnGraph(Tables.embeddings(s, d),
             "label", k = 3)
           .select(col("vec_id").as("a"), col("nbr_id").as("b"))
+          .localCheckpoint(true)
         val mutual = knn.as("x").join(knn.as("y"),
             col("x.a") === col("y.b") && col("x.b") === col("y.a"))
           .filter(col("x.a") < col("x.b"))
