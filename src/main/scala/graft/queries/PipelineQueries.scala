@@ -4780,7 +4780,10 @@ object PipelineQueries {
           .select(col("source"), explode(col("sh")).as("s0"))
           .select(col("source"),
             (col("s0") * Sampling.Mixer % Sampling.MixMod).as("h"))
+        // Eager checkpoint: |sources| sketch rows, and the pair
+        // self-join would otherwise run the shingle pipeline twice.
         val sk = h.groupBy("source").agg(kmv_sketch(col("h"), k).as("kmv"))
+          .localCheckpoint(true)
         def est(c: String) =
           when(size(col(c)) < k, size(col(c)).cast("long"))
             .otherwise(floor(lit((k - 1).toDouble) * Sampling.MixMod /
@@ -4874,10 +4877,15 @@ object PipelineQueries {
             floor(expr("aggregate(tk, CAST(0 AS BIGINT), " +
               "(a, t) -> a + length(t))").cast("double")
               / size(col("tk")) * 10000 + 0.5).cast("long").as("mwl"))
+        // Eager checkpoint: the signal table is consumed four times
+        // (three threshold samples + the bucketize); at ~32 bytes a
+        // row it is a small fraction of corpus bytes, far cheaper
+        // than re-running tokenization + the gram join per consumer.
         val sig = base.join(nov, Seq("doc_id"), "left")
           .select(col("doc_id"), col("len"), col("mwl"),
             coalesce(col("nov"), lit(10000L)).as("nov"))
           .withColumn("stratum", lit("all"))
+          .localCheckpoint(true)
         def th(c: String) = broadcast(Sampling.hashSampleQuantiles(
           sig.select("stratum", "doc_id", c), "stratum", "doc_id",
           c, k = 256, outSuffix = c)

@@ -371,15 +371,14 @@ class PlanShapeSpec extends SparkSpec {
     val x13 = "Exchange (?:range|hash|Single)".r.findAllIn(m13).size
     assert(x13 == 1, s"m13: expected 1 exchange, got $x13\n$m13")
     // d57: the ONE permitted cartesian is the |sources|² sketch-pair
-    // join — it must sit ABOVE the KMV partial aggregation (its
-    // inputs are k-row sketch tables, never corpus rows), and there
-    // must be exactly one.
+    // join, and its inputs must be the CHECKPOINTED sketch rows —
+    // the corpus-reading sketch build runs once at checkpoint time,
+    // so the pair plan must contain no parquet scan at all.
     val d57 = plan("d57_source_overlap")
     assert("CartesianProduct".r.findAllIn(d57).size == 1,
       s"d57: expected exactly the bounded sketch-pair cartesian\n$d57")
-    assert(d57.indexOf("ObjectHashAggregate") >
-      d57.indexOf("CartesianProduct"),
-      s"d57: cartesian must consume the sketch aggregate, not rows\n$d57")
+    assert(!d57.contains("Scan parquet"),
+      s"d57: pair join re-reads the corpus instead of the sketches\n$d57")
     // d58: three 1-row threshold broadcasts, no window, no cartesian
     // (the broadcasts ride BroadcastNestedLoopJoin, which is fine for
     // 1-row sides — what must never appear is a window rank).
