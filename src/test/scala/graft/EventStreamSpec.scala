@@ -18,6 +18,37 @@ class EventStreamSpec extends SparkSpec {
   private def ev(id: Long, min: Long, user: Long, typ: String): Event =
     Event(id, new Timestamp(min * 60000L), user, typ, 1.0)
 
+  test("file job: session state survives across incremental runs") {
+    import graft.sources.StreamSessionPipeline
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_ssess").toFile
+      .getAbsolutePath
+    val (in, out, chk) = (s"$root/in", s"$root/out", s"$root/chk")
+    // Run 1: user 1 has an open 2-event session, user 2 a lone
+    // event. Nothing can close yet — the job must emit NOTHING and
+    // carry the open state in its checkpoint.
+    Seq(ev(1, 10, 1, "click"), ev(2, 20, 1, "view"),
+      ev(3, 5, 2, "click")).toDF()
+      .write.mode("append").parquet(in)
+    StreamSessionPipeline.run(spark, in, out, chk,
+      watermark = "10 minutes")
+    val schema = Seq.empty[EventStream.SessionOut].toDS().schema
+    assert(spark.read.schema(schema).parquet(out).isEmpty,
+      "no session can close before later data arrives")
+    // Run 2: one new event 3 h later. The gap closes user 1's
+    // carried session (emitted ONCE, by this run), and the advanced
+    // watermark times out user 2's — both from state restored off
+    // the checkpoint.
+    Seq(ev(4, 200, 1, "click")).toDF()
+      .write.mode("append").parquet(in)
+    StreamSessionPipeline.run(spark, in, out, chk,
+      watermark = "10 minutes")
+    val got = spark.read.schema(schema).parquet(out)
+      .select(col("user_id"), col("n_events"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (2L, 1L)))
+  }
+
   test("tumbling hourly counts match the batch aggregation") {
     val stream = MemoryStream[Event](spark)
     val q = EventStream.tumblingCounts(stream.toDF())
