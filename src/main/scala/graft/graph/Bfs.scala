@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
+import graft.operators.Checkpointing.CutOps
+
 /** Multi-source BFS hop distance — the graph-DISTANCE primitive that
   * completes the family (PageRank = centrality, connected components
   * = grouping, triangles = clustering): dist(u) = fewest hops from
@@ -82,7 +84,7 @@ object Bfs {
       val next0 = dist.union(reached)
         .groupBy("node").agg(min("dist").as("dist"))
       val next = if (checkpointEvery > 0 && h % checkpointEvery == 0)
-        next0.localCheckpoint(true)
+        next0.lineageCut
       else next0.persist(StorageLevel.MEMORY_AND_DISK)
       // The one scalar that decides termination: nodes first reached
       // THIS round.

@@ -3,6 +3,8 @@ package graft.graph
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.operators.Checkpointing.CutOps
+
 /** Connected components over an undirected pair list by iterative
   * min-label propagation — the dedup-pipeline consolidation step that
   * collapses near-dup PAIRS ((a,b),(b,c)) into GROUPS ({a,b,c}) with
@@ -68,7 +70,7 @@ object ConnectedComponents {
     // the edge cache be released here instead of leaking into the
     // caller's session (cached blocks otherwise pile up across a
     // many-query verify run and lean on LRU eviction).
-    val out = labels.localCheckpoint(true)
+    val out = labels.lineageCut
     edges.unpersist()
     out
   }
@@ -156,7 +158,7 @@ object ConnectedComponents {
       .select(col("a").cast("long").as("u"), col("b").cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+      .lineageCut
     var prev = (-1L, 0L)
     var cur = checksum(edges)
     var rounds = 0
@@ -183,7 +185,7 @@ object ConnectedComponents {
         .filter(col("n") =!= col("m"))
         .select(col("n").as("u"), col("m").as("v"))
         .distinct()
-        .localCheckpoint(true)
+        .lineageCut
       edges = small
       prev = cur
       cur = checksum(small)

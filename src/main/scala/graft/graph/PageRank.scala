@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
+import graft.operators.Checkpointing.CutOps
+
 /** Iterative damped PageRank over an arbitrary `edges(src, dst)`
   * DataFrame — the Spark-first re-expression of the reference's
   * pageRankComputeJob loop (/root/reference/PageRank.java:190-244,
@@ -138,7 +140,7 @@ object PageRank {
               (lit(1.0 - damping) / n + lit(damping) *
                 (coalesce(col("incoming"), lit(0.0)) + col("_dm") / n))
                 .as("rank"))
-            .localCheckpoint(true)
+            .lineageCut
         } else {
           nodes.join(contribs, Seq("node"), "left")
             .select(col("node"),
@@ -146,7 +148,7 @@ object PageRank {
                 lit(damping) * coalesce(col("incoming"), lit(0.0))).as("rank"))
         }
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iterations) {
-        ranks = ranks.localCheckpoint(true)
+        ranks = ranks.lineageCut
       }
     }
     ranks
@@ -287,7 +289,7 @@ object PageRank {
         .head().getDouble(0)
       ranks.unpersist()
       ranks = if (checkpointEvery > 0 && (iters + 1) % checkpointEvery == 0)
-        next.localCheckpoint(true)
+        next.lineageCut
       else next
       iters += 1
     }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextHash
+import graft.operators.Checkpointing.CutOps
 
 /** The curation funnel as a reusable operator (SURVEY.md §2
   * `d54_curation_funnel`): the engine's individually-verified gates
@@ -43,19 +44,22 @@ object CurationFunnel {
     val docs = docs0.select("doc_id", "text")
     val s1 = TextAnalysis.gopherRules(docs)
       .filter(col("pass") === 1).select("doc_id")
-      .localCheckpoint(true)
+      .lineageCut
     val base1 = docs.join(s1, "doc_id")
+    // Digest key, not the text itself: the exchange carries 16-byte
+    // md5 digests instead of the corpus's distinct text (the
+    // Dedup.exactDupGroups / lineDedup idiom).
     val keepEx = base1
-      .groupBy(lower(trim(col("text"))).as("ntext"))
+      .groupBy(md5(lower(trim(col("text")))).as("ndigest"))
       .agg(min("doc_id").as("doc_id"))
       .select("doc_id")
-      .localCheckpoint(true)
+      .lineageCut
     val base2 = docs.join(keepEx, "doc_id")
     val drop3 = Dedup.ngramJaccardPairs(base2, minJaccard = 0.8)
       .select(col("db").as("doc_id")).distinct()
     val s3 = base2.select("doc_id")
       .join(drop3, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+      .lineageCut
     val base3 = docs.join(s3, "doc_id")
     val normE = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
     val probes = docs
@@ -70,7 +74,7 @@ object CurationFunnel {
       .select("doc_id").distinct()
     val s4 = base3.select("doc_id")
       .join(hit4, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+      .lineageCut
     val base4 = docs.join(s4, "doc_id")
     Seq(docs, base1, base2, base3, base4)
   }
@@ -78,7 +82,15 @@ object CurationFunnel {
   /** The per-stage audit table: (stage_id, stage, n_docs, n_tokens),
     * token counts under the shared whitespace tokenizer.
     */
-  def audit(docs0: DataFrame): DataFrame = {
+  def audit(docs0: DataFrame): DataFrame =
+    auditOf(docs0, stages(docs0))
+
+  /** Audit from PRECOMPUTED stages: callers that also consume the
+    * survivors (e.g. the CuratePipeline writer) must build
+    * [[stages]] once and pass it here — calling [[audit]] as well
+    * would run every localCheckpointed gate a second time.
+    */
+  def auditOf(docs0: DataFrame, st: Seq[DataFrame]): DataFrame = {
     val tkn = docs0.select(col("doc_id"),
       size(expr(TextHash.sparkTokens("text"))).cast("long").as("nt"))
     def stat(df: DataFrame, id: Long, name: String): DataFrame =
@@ -87,7 +99,7 @@ object CurationFunnel {
           coalesce(sum("nt"), lit(0L)).as("n_tokens"))
         .select(lit(id).as("stage_id"), lit(name).as("stage"),
           col("n_docs"), col("n_tokens"))
-    stages(docs0).zip(StageNames).zipWithIndex
+    st.zip(StageNames).zipWithIndex
       .map { case ((df, name), i) => stat(df, i.toLong, name) }
       .reduce(_ unionByName _)
   }

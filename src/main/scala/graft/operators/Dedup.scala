@@ -42,10 +42,18 @@ object Dedup {
 
   /** Exact dedup on normalized text. Returns one row per duplicate
     * group: the kept (minimum) doc id and the copy count.
+    *
+    * The groupBy key is the 128-bit md5 of the normalized text, not
+    * the text itself: the exchange then carries 16-byte digests
+    * instead of the corpus's full distinct text (the [[lineDedup]]
+    * idiom). At 128 bits, collisions are cryptographically
+    * negligible even at trillions of distinct documents, so the
+    * digest groups are exactly the normalized-text groups and the
+    * output is unchanged.
     */
   def exactDupGroups(docs: DataFrame): DataFrame =
     docs
-      .groupBy(lower(trim(col("text"))).as("norm_text"))
+      .groupBy(md5(lower(trim(col("text")))).as("norm_digest"))
       .agg(min("doc_id").as("kept_doc_id"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
       .select("kept_doc_id", "n_copies")

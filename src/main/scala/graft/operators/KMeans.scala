@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 import graft.functions.NearestCentroidCell.nearest_centroid
+import graft.operators.Checkpointing.CutOps
 
 /** Spherical k-means (Lloyd's algorithm, cosine assignment) over a
   * (vec_id, embedding array<double>) DataFrame — the IVF TRAINER: the
@@ -165,7 +166,7 @@ object KMeans {
     // once (every later action reads k stored rows instead of
     // re-running `iters` Lloyd rounds) and lets the corpus cache be
     // released now instead of leaking into the caller's session.
-    val out = cent.localCheckpoint(true)
+    val out = cent.lineageCut
     corpus.unpersist()
     out
   }

@@ -7,6 +7,7 @@ import graft.functions.{Bpe, TextHash}
 import graft.functions.TextHashExprs.token_hashes
 import graft.graph.ConnectedComponents
 import graft.multimodal.Multimodal
+import graft.operators.Checkpointing.CutOps
 import graft.operators.{BpeTrain, CurationFunnel, Decontaminate, Dedup, HtmlExtract, KMeans, LogReg, PiiScrub, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline surface (SURVEY.md §2 block D): dedup
@@ -4065,7 +4066,7 @@ object PipelineQueries {
         val knn = Similarity.knnGraph(Tables.embeddings(s, d),
             "label", k = 3)
           .select(col("vec_id").as("a"), col("nbr_id").as("b"))
-          .localCheckpoint(true)
+          .lineageCut
         val mutual = knn.as("x").join(knn.as("y"),
             col("x.a") === col("y.b") && col("x.b") === col("y.a"))
           .filter(col("x.a") < col("x.b"))
@@ -4783,7 +4784,7 @@ object PipelineQueries {
         // Eager checkpoint: |sources| sketch rows, and the pair
         // self-join would otherwise run the shingle pipeline twice.
         val sk = h.groupBy("source").agg(kmv_sketch(col("h"), k).as("kmv"))
-          .localCheckpoint(true)
+          .lineageCut
         def est(c: String) =
           when(size(col(c)) < k, size(col(c)).cast("long"))
             .otherwise(floor(lit((k - 1).toDouble) * Sampling.MixMod /
@@ -4885,7 +4886,7 @@ object PipelineQueries {
           .select(col("doc_id"), col("len"), col("mwl"),
             coalesce(col("nov"), lit(10000L)).as("nov"))
           .withColumn("stratum", lit("all"))
-          .localCheckpoint(true)
+          .lineageCut
         def th(c: String) = broadcast(Sampling.hashSampleQuantiles(
           sig.select("stratum", "doc_id", c), "stratum", "doc_id",
           c, k = 256, outSuffix = c)

@@ -29,12 +29,17 @@ object CuratePipeline {
   def run(spark: SparkSession, inDir: String, outDir: String,
       tokensPerShard: Long = 1000000L): (Long, DataFrame) = {
     val docs = spark.read.parquet(s"$inDir/documents.parquet")
-    val kept = CurationFunnel.stages(docs).last
+    // Build the funnel ONCE and derive both the corpus write and the
+    // audit from the same stage frames: each gate's survivor set is
+    // localCheckpointed on first evaluation, so a second
+    // CurationFunnel.stages/audit call would re-run every gate.
+    val st = CurationFunnel.stages(docs)
+    val kept = st.last
       .withColumn("n_tokens",
         size(expr(TextHash.sparkTokens("text"))).cast("long"))
     ParquetSink.writeTokenShards(kept, s"$outDir/corpus", "doc_id",
       "n_tokens", tokensPerShard)
-    val audit = CurationFunnel.audit(docs).orderBy("stage_id")
+    val audit = CurationFunnel.auditOf(docs, st).orderBy("stage_id")
     audit.write.mode(SaveMode.Overwrite).parquet(s"$outDir/audit")
     (spark.read.parquet(s"$outDir/corpus").count(), audit)
   }

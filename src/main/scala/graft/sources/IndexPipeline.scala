@@ -1,7 +1,6 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.CosineSimilarity.cosine_sim
@@ -89,35 +88,51 @@ object IndexPipeline {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
 
   /** Serve a query batch against the built index: route each query
-    * to its `nprobe` nearest centroids (per-query ranking over the
-    * BOUNDED k-row centroid table — the e4/e5 window class, never
-    * corpus rows), scan ONLY the assigned cells' code directories
-    * (static partition pruning from the bounded probe-cell set),
-    * score int8, rank via the bounded heap. nprobe > 1 closes the
-    * cell-boundary recall loss exactly as e5/e9 do in memory — same
-    * knob, now against files.
+    * to its `nprobe` nearest centroids MAP-SIDE — one broadcast row
+    * holding the sorted k-centroid array, an `array_sort` over the
+    * nlist scored cells per query (the e9/knnGraphProbed routing
+    * operator; bounded by k, never corpus rows, no window exchange) —
+    * scan ONLY the assigned cells' code directories (static partition
+    * pruning from the bounded probe-cell set), score int8, rank via
+    * the bounded heap. nprobe > 1 closes the cell-boundary recall
+    * loss exactly as e5/e9 do in memory — same knob, now against
+    * files.
+    *
+    * EVERY input query gets at least one output row: results are
+    * left-joined back onto the query set, so a query with no
+    * surviving candidates (all-zero quantization, or all probed
+    * cells empty) surfaces as an explicit (query_id, null, null,
+    * null, null) row — the e13/e18 evaluation contract — instead of
+    * silently vanishing.
     *
     * @return (query_id, cell, rank, cand_id, sim_e6); `cell` is the
-    *   probed cell the winning candidate lives in
+    *   probed cell the winning candidate lives in; all four
+    *   result columns are null for a query with no neighbors
     */
   def search(spark: SparkSession, indexDir: String, queries: DataFrame,
       topK: Int, nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val cents = collectCentroids(spark, indexDir)
-    val centDf = spark.createDataFrame(
-      cents.map { case (c, v) => (c, v.toSeq) })
+    val centArr = spark.createDataFrame(
+        cents.map { case (c, v) => (c, v.toSeq) })
       .toDF("cell", "cvec")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("csim").desc, col("cell"))
-    val assigned = queries
-      .select(col("vec_id").as("query_id"), col("embedding"))
-      .crossJoin(broadcast(centDf))
-      .withColumn("csim", cosine_sim(
-        expr("transform(embedding, v -> cast(v as double))"),
-        col("cvec")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("embedding"), col("cell"))
+      .agg(array_sort(collect_list(struct(col("cell"), col("cvec"))))
+        .as("cents"))
+    val qIn = queries.select(col("vec_id").as("query_id"),
+      col("embedding"))
+    // (-cos, cell) sorts as (cos DESC, cell ASC) — the probe order
+    // the previous window routing stated; negation is exact in IEEE
+    // doubles, so tie behavior cannot diverge.
+    val assigned = qIn
+      .select(col("query_id"),
+        expr("transform(embedding, v -> cast(v as double))").as("emb"))
+      .crossJoin(broadcast(centArr))
+      .select(col("query_id"), col("emb"),
+        explode(slice(array_sort(transform(col("cents"), c =>
+          struct((-cosine_sim(col("emb"), c.getField("cvec"))).as("neg"),
+            c.getField("cell").as("cell")))), 1, nprobe)).as("p"))
+      .select(col("query_id"), col("emb").as("embedding"),
+        col("p.cell").as("cell"))
     val probes = Similarity.sq8Quantize(assigned)
       .filter(col("sq") > 0)
       .select(col("query_id"), col("cell"), col("q").as("qq"),
@@ -126,7 +141,7 @@ object IndexPipeline {
       .collect().map(_.getLong(0)).toSeq // bounded by the probe batch
     val codes = spark.read.parquet(s"$indexDir/codes")
       .filter(col("cell").isin(cells: _*))
-    codes.join(broadcast(probes), Seq("cell"))
+    val ranked = codes.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("cell").cast("long").as("tag"),
         col("vec_id").as("cand_id"),
@@ -142,5 +157,6 @@ object IndexPipeline {
         (col("pos") + 1).cast("long").as("rank"),
         col("s.cand_id").as("cand_id"),
         floor(col("s.sim") * 1000000 + 0.5).cast("long").as("sim_e6"))
+    qIn.select("query_id").join(ranked, Seq("query_id"), "left")
   }
 }

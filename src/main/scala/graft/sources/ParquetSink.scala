@@ -52,12 +52,22 @@ object ParquetSink {
   def writeTokenShards(df: DataFrame, path: String, idCol: String,
       tokenCol: String, tokensPerShard: Long): Int = {
     require(tokensPerShard > 0, s"bad budget $tokensPerShard")
-    val total = df.agg(sum(col(tokenCol)).cast("long")).head().getLong(0)
+    // coalesce: sum() of zero rows is NULL — an empty input writes a
+    // single empty shard instead of NPE-ing on the driver scalar.
+    val total = df.agg(coalesce(sum(col(tokenCol)), lit(0L)).cast("long"))
+      .head().getLong(0)
     val n = math.max(1L, math.ceil(
       total.toDouble / tokensPerShard).toLong).toInt
+    // Shard off the FULL 32-bit mixed hash, not Sampling.hashBucket:
+    // hashBucket reduces mod 10 000 for sampling, so `bucket % n`
+    // could never produce more than 10 000 distinct shards (a 100 TB
+    // corpus at the 1M-token default needs ~10⁸) and the double
+    // modulo skews shard sizes whenever n ∤ 10 000.
+    import graft.functions.TextHashExprs.string_poly_hash
+    import graft.operators.Sampling.{Mixer, MixMod}
     df
       .withColumn("shard",
-        graft.operators.Sampling.hashBucket(col(idCol)) % n)
+        string_poly_hash(col(idCol).cast("string")) * Mixer % MixMod % n)
       .repartition(n, col("shard"))
       .sortWithinPartitions(col("shard"), col(idCol))
       .write

@@ -30,12 +30,24 @@ object StreamCuratePipeline {
 
   /** Drain everything new under `inDir` through the gates into
     * `outDir`; blocks until this increment is fully processed.
+    *
+    * `schema`: pass the corpus schema explicitly for a scheduled
+    * deployment — the default probes `inDir` for it, which cannot
+    * work when the upstream has not dropped its first files yet. With
+    * an explicit (or probe-able) schema, an empty or missing `inDir`
+    * is a NO-OP increment (the file source lists zero new files), not
+    * a failure — first runs of a batch-incremental schedule are
+    * expected to race the producer.
     */
   def run(spark: SparkSession, inDir: String, outDir: String,
       checkpointDir: String, minScore: Double = 0.63,
-      minTokens: Long = 20L, maxTokens: Long = 10000L): Unit = {
-    val schema = spark.read.parquet(inDir).schema // one listing read
-    val in = spark.readStream.schema(schema).parquet(inDir)
+      minTokens: Long = 20L, maxTokens: Long = 10000L,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+    val sch = schema.orElse(SourceSchemas.probe(spark, inDir)) match {
+      case Some(s) => s
+      case None => return // nothing upstream yet: no-op increment
+    }
+    val in = spark.readStream.schema(sch).parquet(inDir)
     val gated = DocStream.qualityGatedFull(in, minScore, minTokens,
       maxTokens)
     val curated = PiiScrub.scrub(gated)

@@ -25,13 +25,22 @@ object StreamSessionPipeline {
 
   /** Drain new event files through sessionization; blocks until this
     * increment is processed.
+    *
+    * `schema`: pass explicitly for scheduled deployments; the default
+    * probes `inDir`, and an empty/missing input directory is treated
+    * as a no-op increment rather than a failure (see
+    * [[StreamCuratePipeline.run]]).
     */
   def run(spark: SparkSession, inDir: String, outDir: String,
       checkpointDir: String, gapMicros: Long = 1800L * 1000000L,
-      watermark: String = "1 hour"): Unit = {
+      watermark: String = "1 hour",
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
     import spark.implicits._
-    val schema = spark.read.parquet(inDir).schema
-    val events = spark.readStream.schema(schema).parquet(inDir)
+    val sch = schema.orElse(SourceSchemas.probe(spark, inDir)) match {
+      case Some(s) => s
+      case None => return // nothing upstream yet: no-op increment
+    }
+    val events = spark.readStream.schema(sch).parquet(inDir)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
       .as[EventStream.Event]

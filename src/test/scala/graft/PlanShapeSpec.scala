@@ -113,6 +113,18 @@ class PlanShapeSpec extends SparkSpec {
       s"d25: expected 1 hash + 1 range exchange, got $hashEx/$rangeEx\n$p")
   }
 
+  test("exact dedup keys its group exchange on the 128-bit digest") {
+    // The d1 groupBy key must be the 16-byte md5 digest of the
+    // normalized text, never the normalized text itself — at corpus
+    // scale the full-text key ships the corpus's distinct text
+    // through the exchange.
+    val p = plan("d1_dedup_exact")
+    assert(p.contains("md5("),
+      "d1 lost the digest key on its dedup-group exchange\n" + p)
+    assert(!"hashpartitioning\\(lower\\(trim\\(".r.findFirstIn(p).isDefined,
+      "d1 partitions its exchange on the raw normalized text\n" + p)
+  }
+
   test("line dedup keys its frequency exchange on the 128-bit digest") {
     // At billions of distinct lines the frequency shuffle must carry
     // a 16-byte digest, not the raw line string (and never a
