@@ -567,4 +567,76 @@ object Multimodal {
       }
     }
   }
+
+  /** Plant REAL baseline COLOR JPEGs ([[Jpeg.encodeColor]]): YCbCr
+    * planes constant per 16×16 MCU region, even doc_ids 4:2:0
+    * subsampled, odd 4:4:4, every third image with restart markers
+    * (DRI interval 2). Dimensions are multiples of 16 so every MCU
+    * (either layout) sits inside one constant region and the 2×2
+    * chroma box average is exact. The luma constants are EVEN
+    * (q_luma(0,0)=16 divides 8·(v−128)) and the chroma constants are
+    * 128 + 17k (q_chroma(0,0)=17 divides 8·17k), so the lossy codec
+    * is bit-exact on this corpus and the oracle recomputes every
+    * decoded YCbCr sample — and from them, the JFIF RGB conversion —
+    * WITHOUT a decoder: width 16·(1+id%3), height 16·(1+(id·5)%3),
+    * per MCU (my, mx):
+    *   Y  = 2·((id·29 + my·13 + mx·7) % 128)
+    *   Cb = 128 + 17·(((id·11 + my·5 + mx·3) % 15) − 7)
+    *   Cr = 128 + 17·(((id·19 + my·7 + mx·5) % 15) − 7)
+    */
+  def jpegColorTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (16 * (1 + id % 3)).toInt
+        val h = (16 * (1 + (id * 5) % 3)).toInt
+        val yP = new Array[Byte](w * h)
+        val cbP = new Array[Byte](w * h)
+        val crP = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          val my = y / 16
+          var x = 0
+          while (x < w) {
+            val mx = x / 16
+            yP(y * w + x) = (2 * ((id * 29 + my * 13 + mx * 7) % 128)).toByte
+            cbP(y * w + x) =
+              (128 + 17 * (((id * 11 + my * 5 + mx * 3) % 15) - 7)).toByte
+            crP(y * w + x) =
+              (128 + 17 * (((id * 19 + my * 7 + mx * 5) % 15) - 7)).toByte
+            x += 1
+          }
+          y += 1
+        }
+        val payload = Jpeg.encodeColor(w, h, yP, cbP, crP,
+          subsample = id % 2 == 0,
+          restartInterval = if (id % 3 == 0) 2 else 0)
+        MediaRow(id, "image/jpeg", payload.length.toLong, payload)
+      }
+    }.toDF()
+  }
+
+  case class JpegRgbStats(doc_id: Long, width: Long, height: Long,
+      sum_rgb: Long, pixels_md5: String)
+
+  /** REAL color decode ([[Jpeg.decodeRgb]]: multi-component marker
+    * walk, interleaved MCU entropy decode with RSTn resync, per-
+    * component dequant + IDCT, nearest-neighbor chroma upsampling,
+    * JFIF YCbCr→RGB) reduced to oracle-checkable per-image stats;
+    * `pixels_md5` (over the lowercase hex of the decoded RGB bytes)
+    * binds every byte of the reconstruction. Undecodable payloads
+    * are dropped.
+    */
+  def decodeJpegRgbStats(spark: SparkSession, media: DataFrame)
+      : Dataset[JpegRgbStats] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        Jpeg.decodeRgb(r.payload).map { d =>
+          val (hex, sum) = pixelDigest(d.rgb)
+          JpegRgbStats(r.doc_id, d.width.toLong, d.height.toLong, sum, hex)
+        }
+      }
+    }
+  }
 }

@@ -2665,6 +2665,59 @@ object PipelineQueries {
              |FROM px GROUP BY doc_id, w, h
              |ORDER BY doc_id""".stripMargin)),
 
+    // REAL baseline COLOR JPEG decode: 3-component YCbCr through the
+    // FULL path — interleaved MCU entropy decode (4:2:0 on even ids,
+    // 4:4:4 on odd; RSTn restart-marker resync on every third),
+    // per-component Annex K dequant + IDCT, nearest-neighbor chroma
+    // upsampling, JFIF YCbCr→RGB with round+clamp. The planted
+    // corpus is constant per 16×16 MCU region with even luma
+    // (q_luma(0,0)=16 divides 8·(v−128)) and chroma ≡ 128 (mod 17)
+    // (q_chroma(0,0)=17 divides 8·17k), so the lossy codec is
+    // bit-exact and the oracle recomputes every decoded RGB byte
+    // WITHOUT a decoder — same double-precision conversion formula,
+    // same floor(x+0.5) rounding, same clamp. Scale shape: map-side
+    // decode, no shuffle but the deterministic sort.
+    Q("m14_jpeg_color",
+      (s, d) => Multimodal.decodeJpegRgbStats(s,
+          Multimodal.jpegColorTable(s, Tables.documents(s, d)))
+        .toDF().orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id,
+             |    16 * (1 + doc_id % 3) AS w,
+             |    16 * (1 + (doc_id * 5) % 3) AS h
+             |  FROM documents
+             |),
+             |px AS (
+             |  SELECT doc_id, w, h, gy.y AS y, gx.x AS x,
+             |    2 * ((doc_id * 29 + (gy.y // 16) * 13
+             |          + (gx.x // 16) * 7) % 128) AS yv,
+             |    17 * (((doc_id * 11 + (gy.y // 16) * 5
+             |          + (gx.x // 16) * 3) % 15) - 7) AS cb,
+             |    17 * (((doc_id * 19 + (gy.y // 16) * 7
+             |          + (gx.x // 16) * 5) % 15) - 7) AS cr
+             |  FROM dims,
+             |    (SELECT unnest(range(0, 48)) AS y) gy,
+             |    (SELECT unnest(range(0, 48)) AS x) gx
+             |  WHERE gy.y < h AND gx.x < w
+             |),
+             |rgb AS (
+             |  SELECT doc_id, w, h, y, x, gc.c AS c,
+             |    GREATEST(0, LEAST(255, CAST(floor(
+             |      CASE gc.c
+             |        WHEN 0 THEN yv + 1.402 * cr
+             |        WHEN 1 THEN yv - 0.344136 * cb - 0.714136 * cr
+             |        ELSE yv + 1.772 * cb
+             |      END + 0.5) AS BIGINT))) AS b
+             |  FROM px, (SELECT unnest(range(0, 3)) AS c) gc
+             |)
+             |SELECT doc_id, CAST(w AS BIGINT) AS width,
+             |  CAST(h AS BIGINT) AS height,
+             |  CAST(SUM(b) AS BIGINT) AS sum_rgb,
+             |  md5(lower(string_agg(lpad(to_hex(b), 2, '0'), ''
+             |    ORDER BY y, x, c))) AS pixels_md5
+             |FROM rgb GROUP BY doc_id, w, h
+             |ORDER BY doc_id""".stripMargin)),
+
     // REAL WAV decode: planted clips are full RIFF containers (odd-
     // length LIST chunk exercising the skip-and-pad path, interleaved
     // 16-bit PCM) and Wav.decode walks chunks with CRC-less RIFF

@@ -20,10 +20,12 @@ class CodecFuzzSpec extends SparkSpec {
     for (_ <- 1 to 600) {
       val body = Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)
       Png.decode(body); Wav.decode(body); Jpeg.decode(body)
+      Jpeg.decodeRgb(body)
       // past the signature check, into the chunk/marker walkers
       Png.decode(pngMagic ++ body)
       Wav.decode(riffMagic ++ body)
       Jpeg.decode(jpegMagic ++ body)
+      Jpeg.decodeRgb(jpegMagic ++ body)
     }
     succeed
   }
@@ -34,9 +36,15 @@ class CodecFuzzSpec extends SparkSpec {
     val wav = Wav.encode(8000, 2,
       Array.tabulate(24)(i => (i * 1000 - 12000).toShort))
     val jpg = Jpeg.encode(16, 8, Array.tabulate(128)(i => (i * 3).toByte))
+    val colorJpg = Jpeg.encodeColor(16, 16,
+      Array.tabulate(256)(i => (i * 2).toByte),
+      Array.tabulate(256)(i => (128 + i % 16).toByte),
+      Array.tabulate(256)(i => (128 - i % 16).toByte),
+      subsample = true, restartInterval = 1)
     val rnd = new scala.util.Random(0xFA22)
     for ((base, dec) <- Seq[(Array[Byte], Array[Byte] => Option[Any])](
-        (png, Png.decode), (wav, Wav.decode), (jpg, Jpeg.decode))) {
+        (png, Png.decode), (wav, Wav.decode), (jpg, Jpeg.decode),
+        (colorJpg, Jpeg.decodeRgb))) {
       // every single-byte flip at every position, 4 flip values each
       for (pos <- base.indices; _ <- 1 to 4) {
         val m = base.clone()
