@@ -148,6 +148,38 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Plant REAL PALETTE PNGs ([[Png.encodePalette]]): bit depth
+    * rotates 8/4/2/1 by doc_id, odd ids Adam7-INTERLACED, scanline
+    * filters rotating all five types per pass — the decoder walks
+    * PLTE lookup, sub-byte unpacking, and the seven-pass scatter.
+    * Interlacing reorders the stream but NOT the final pixels, so
+    * the oracle recomputes them from the planting formulas without a
+    * decoder: width 4 + id%5, height 4 + (id·3)%5, palette size
+    * min(16, 2^depth), palette[j][c] = (id·41 + j·37 + c·11) % 256,
+    * index(y, x) = (id·13 + y·5 + x·3) % size.
+    */
+  def pngPalTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (4 + id % 5).toInt
+        val h = (4 + (id * 3) % 5).toInt
+        val depth = Array(8, 4, 2, 1)((id % 4).toInt)
+        val psize = math.min(16, 1 << depth)
+        val palette = new Array[Byte](psize * 3)
+        for (j <- 0 until psize; c <- 0 until 3)
+          palette(j * 3 + c) = ((id * 41 + j * 37 + c * 11) % 256).toByte
+        val indices = Array.tabulate(w * h) { i =>
+          val y = i / w; val x = i % w
+          ((id * 13 + y * 5 + x * 3) % psize).toInt
+        }
+        val payload = Png.encodePalette(w, h, depth, palette, indices,
+          interlaced = id % 2 == 1, y => y % 5)
+        MediaRow(id, "image/png", payload.length.toLong, payload)
+      }
+    }.toDF()
+  }
+
   case class PngStats(doc_id: Long, width: Long, height: Long,
       sum_rgb: Long, pixels_md5: String)
 

@@ -2665,6 +2665,46 @@ object PipelineQueries {
              |FROM px GROUP BY doc_id, w, h
              |ORDER BY doc_id""".stripMargin)),
 
+    // REAL PALETTE + Adam7-INTERLACED PNG decode: bit depths 8/4/2/1
+    // (sub-byte MSB-first unpacking), PLTE expansion, and the
+    // seven-pass interlace scatter on odd doc_ids — the remaining
+    // color-type spread of a real crawl beyond m7's truecolor.
+    // Interlacing permutes the coded stream but not the final image,
+    // so the oracle pins the decoded bytes md5-exactly from the
+    // planting formulas WITHOUT a decoder: if any pass geometry,
+    // unfilter, or palette lookup is wrong, the hash diverges.
+    // Scale shape: map-side decode, no shuffle but the sort.
+    Q("m15_png_palette",
+      (s, d) => Multimodal.decodePngStats(s,
+          Multimodal.pngPalTable(s, Tables.documents(s, d)))
+        .toDF().orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id,
+             |    4 + doc_id % 5 AS w,
+             |    4 + (doc_id * 3) % 5 AS h,
+             |    CASE doc_id % 4 WHEN 0 THEN 16 WHEN 1 THEN 16
+             |         WHEN 2 THEN 4 ELSE 2 END AS psize
+             |  FROM documents
+             |),
+             |px AS (
+             |  SELECT doc_id, w, h, gy.y AS y, gx.x AS x, gc.c AS c,
+             |    (doc_id * 41
+             |     + ((doc_id * 13 + gy.y * 5 + gx.x * 3) % psize) * 37
+             |     + gc.c * 11) % 256 AS b
+             |  FROM dims,
+             |    (SELECT unnest(range(0, 8)) AS y) gy,
+             |    (SELECT unnest(range(0, 8)) AS x) gx,
+             |    (SELECT unnest(range(0, 3)) AS c) gc
+             |  WHERE gy.y < h AND gx.x < w
+             |)
+             |SELECT doc_id, CAST(w AS BIGINT) AS width,
+             |  CAST(h AS BIGINT) AS height,
+             |  CAST(SUM(b) AS BIGINT) AS sum_rgb,
+             |  md5(lower(string_agg(lpad(to_hex(b), 2, '0'), ''
+             |    ORDER BY y, x, c))) AS pixels_md5
+             |FROM px GROUP BY doc_id, w, h
+             |ORDER BY doc_id""".stripMargin)),
+
     // REAL baseline COLOR JPEG decode: 3-component YCbCr through the
     // FULL path — interleaved MCU entropy decode (4:2:0 on even ids,
     // 4:4:4 on odd; RSTn restart-marker resync on every third),

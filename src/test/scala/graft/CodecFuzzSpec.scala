@@ -33,6 +33,9 @@ class CodecFuzzSpec extends SparkSpec {
   test("single-byte corruption and truncation of valid files never throw") {
     val png = Png.encode(6, 5, Array.tabulate(90)(i => (i * 7).toByte),
       y => y % 5)
+    val palPng = Png.encodePalette(9, 7, 4,
+      Array.tabulate(48)(i => (i * 19).toByte),
+      Array.tabulate(63)(i => (i * 5) % 16), interlaced = true, _ % 5)
     val wav = Wav.encode(8000, 2,
       Array.tabulate(24)(i => (i * 1000 - 12000).toShort))
     val jpg = Jpeg.encode(16, 8, Array.tabulate(128)(i => (i * 3).toByte))
@@ -43,8 +46,8 @@ class CodecFuzzSpec extends SparkSpec {
       subsample = true, restartInterval = 1)
     val rnd = new scala.util.Random(0xFA22)
     for ((base, dec) <- Seq[(Array[Byte], Array[Byte] => Option[Any])](
-        (png, Png.decode), (wav, Wav.decode), (jpg, Jpeg.decode),
-        (colorJpg, Jpeg.decodeRgb))) {
+        (png, Png.decode), (palPng, Png.decode), (wav, Wav.decode),
+        (jpg, Jpeg.decode), (colorJpg, Jpeg.decodeRgb))) {
       // every single-byte flip at every position, 4 flip values each
       for (pos <- base.indices; _ <- 1 to 4) {
         val m = base.clone()

@@ -49,6 +49,59 @@ class PngSpec extends SparkSpec {
     assert(Png.decode(Array.emptyByteArray).isEmpty)
   }
 
+  test("Adam7 interlaced truecolor decodes to the identical image") {
+    // every size class: smaller than one 8x8 tile, exact tiles, ragged
+    for ((w, h) <- Seq((1, 1), (3, 2), (5, 7), (8, 8), (13, 9), (16, 17))) {
+      val rgb = img(w, h)((y, x, c) => (y * 31 + x * 17 + c * 7) % 256)
+      val plain = Png.decode(Png.encode(w, h, rgb, y => y % 5)).get
+      val inter = Png.decode(Png.encodeInterlaced(w, h, rgb, y => y % 5)).get
+      assert(inter.width == w && inter.height == h, s"$w x $h")
+      assert(inter.rgb.sameElements(rgb), s"$w x $h interlaced pixels")
+      assert(plain.rgb.sameElements(inter.rgb), s"$w x $h parity")
+    }
+  }
+
+  test("palette decode expands PLTE at depths 8/4/2/1, plain and interlaced") {
+    for (depth <- Seq(8, 4, 2, 1); inter <- Seq(false, true)) {
+      val w = 11; val h = 6
+      val psize = math.min(16, 1 << depth)
+      val palette = Array.tabulate(psize * 3)(i => (i * 29 + 5).toByte)
+      val indices = Array.tabulate(w * h)(i => (i * 7 + 3) % psize)
+      val p = Png.encodePalette(w, h, depth, palette, indices, inter, _ % 5)
+      val d = Png.decode(p).getOrElse(fail(s"depth=$depth inter=$inter"))
+      for (i <- 0 until w * h; c <- 0 until 3)
+        assert(d.rgb(i * 3 + c) == palette(indices(i) * 3 + c),
+          s"depth=$depth inter=$inter pixel $i ch $c")
+    }
+  }
+
+  test("grayscale, gray+alpha and RGBA decode to RGB (alpha dropped)") {
+    val w = 7; val h = 5
+    val gray = Array.tabulate(w * h)(i => (i * 11).toByte)
+    val dg = Png.decode(Png.encodeRaw8(w, h, 0, gray, _ % 5)).get
+    for (i <- 0 until w * h; c <- 0 until 3)
+      assert(dg.rgb(i * 3 + c) == gray(i))
+    val ga = Array.tabulate(w * h * 2)(i => (i * 13).toByte)
+    val dga = Png.decode(Png.encodeRaw8(w, h, 4, ga, _ % 5)).get
+    for (i <- 0 until w * h; c <- 0 until 3)
+      assert(dga.rgb(i * 3 + c) == ga(i * 2))
+    val rgba = Array.tabulate(w * h * 4)(i => (i * 7).toByte)
+    val drgba = Png.decode(Png.encodeRaw8(w, h, 6, rgba, _ % 5)).get
+    for (i <- 0 until w * h; c <- 0 until 3)
+      assert(drgba.rgb(i * 3 + c) == rgba(i * 4 + c))
+  }
+
+  test("palette images missing PLTE or with short PLTE reject cleanly") {
+    val p = Png.encodePalette(4, 4, 4,
+      Array.tabulate(16 * 3)(i => i.toByte),
+      Array.tabulate(16)(i => i % 16), interlaced = false, _ => 0)
+    assert(Png.decode(p).isDefined)
+    // excise the PLTE chunk: IHDR is 25 bytes at offset 8; PLTE next
+    val plteLen = 12 + 48
+    val cut = p.take(33) ++ p.drop(33 + plteLen)
+    assert(Png.decode(cut).isEmpty, "missing PLTE must reject")
+  }
+
   test("paeth predictor matches RFC 2083 exactly") {
     assert(Png.paeth(1, 1, 1) == 1)
     assert(Png.paeth(10, 20, 15) == 15) // pc=0 beats pa=pb=5
