@@ -54,6 +54,47 @@ object PageRankQueries {
        |$steps""".stripMargin
   }
 
+  /** DuckDB CTEs for the iteration chain over the word graph plus a
+    * planted pathological hub (every src word also links to '#hub',
+    * so the hub's incoming contribution list is the whole src set —
+    * the skewed-aggregation-key shape). Semantics identical to
+    * [[rankCtes]] on the widened edge set; the SPARK side differs
+    * only in layout (two-stage salted sum), which must not change
+    * results.
+    */
+  private def hubRankCtes(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |         CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) *
+         |           coalesce(sum(p.rank / ed.outdeg), CAST(0 AS DOUBLE)) AS rank
+         |  FROM nodes n
+         |  LEFT JOIN ed ON ed.dst = n.node
+         |  LEFT JOIN r${i - 1} p ON p.node = ed.src
+         |  GROUP BY n.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""$edgeCtes,
+       |e2 AS MATERIALIZED (
+       |  SELECT src, dst FROM e
+       |  UNION ALL
+       |  SELECT DISTINCT src, '#hub' AS dst FROM e
+       |),
+       |deg AS (SELECT src, count(*) AS outdeg FROM e2 GROUP BY src),
+       |ed AS MATERIALIZED (
+       |  SELECT e2.src, e2.dst, deg.outdeg FROM e2 JOIN deg USING (src)
+       |),
+       |nodes AS MATERIALIZED (
+       |  SELECT src AS node FROM e2 UNION SELECT dst FROM e2
+       |),
+       |r0 AS (
+       |  SELECT node,
+       |         CAST(1.0 AS DOUBLE) / (SELECT count(*) FROM nodes) AS rank
+       |  FROM nodes
+       |),
+       |$steps""".stripMargin
+  }
+
   /** DuckDB CTEs for the WEIGHTED iteration chain (mirrors
     * graft.graph.PageRank.runWeighted: contribution =
     * rank / out-weight · edge-weight, same operation order).
@@ -247,6 +288,33 @@ object PageRankQueries {
       },
       Some(s"""WITH ${rankCtes(10)}
               |SELECT node, round(rank, 6) AS rank FROM r10 ORDER BY node""".stripMargin)),
+
+    // Phase 3 under a PLANTED POWER-LAW HUB, aggregated through the
+    // two-stage salted sum: every src word also links to '#hub', so
+    // one node receives a contribution from the entire src set each
+    // iteration — the skewed-aggregation-key shape AQE cannot split
+    // (it splits skewed JOIN partitions, not agg keys). saltHotKeys=8
+    // routes the per-iteration groupBy(dst) through SkewTools'
+    // salted sum: the hub's incoming mass spreads over 8 reducers in
+    // stage one, stage two combines 8 partials. Results must be
+    // identical to the plain formula — the oracle computes the
+    // UNSALTED chain on the same widened edge set, so the layout
+    // change is verified to be semantics-free (the q44 contract, at
+    // PageRank scale). Plan pinned in PlanShapeSpec: the iteration's
+    // contribution exchange keys on (node, _salt).
+    Q("pr_ranks_salted",
+      (s, d) => {
+        val base = LinkGraph.wordFollowEdges(Tables.documents(s, d), "text")
+        val hub = base.select(col("src")).distinct()
+          .select(col("src"), lit("#hub").as("dst"))
+        PageRank.run(base.union(hub), iterations = 10, damping = 0.85,
+            saltHotKeys = 8)
+          .select(col("node"), round(col("rank"), 6).as("rank"))
+          .orderBy("node")
+      },
+      Some(s"""WITH ${hubRankCtes(10)}
+              |SELECT node, round(rank, 6) AS rank FROM r10
+              |ORDER BY node""".stripMargin)),
 
     // Weighted generalization of phase 3: rank flows in proportion to
     // word-follow co-occurrence counts (the multiplicity the distinct

@@ -296,6 +296,19 @@ class PlanShapeSpec extends SparkSpec {
       s"q44: expected salt + key + ORDER BY exchanges, got $exchanges\n$p")
   }
 
+  test("salted PageRank keys its contribution exchange on (node, _salt)") {
+    // pr_ranks_salted's contract: with saltHotKeys on, every
+    // iteration's contribution aggregation goes through the
+    // two-stage layout — first exchange keyed on (node, _salt) so
+    // the planted '#hub' spreads over the salt space, second
+    // combines the per-salt partials. If the salt exchange vanishes
+    // the query stays green (results are layout-independent) while
+    // the hub quietly re-becomes a one-reducer straggler at scale.
+    val p = plan("pr_ranks_salted")
+    assert("hashpartitioning\\([^)]*_salt".r.findFirstIn(p).isDefined,
+      s"pr_ranks_salted lost the salted first-stage exchange\n$p")
+  }
+
   test("bloom-pruned decontamination filters the gram stream") {
     // d42's contract: the probe-gram bloom prunes the exploded
     // corpus grams BEFORE the candidate equi-join, via a scalar
