@@ -35,7 +35,13 @@ object Bench {
     // compiled nearest-centroid assignment, and the learned-cell
     // probe, none of which the other nine queries exercise.
     "e6_knn_graph", "d10_embed_dedup", "q21_asof_join", "pr_wiki_ranks",
-    "e8_ann_learned")
+    "e8_ann_learned",
+    // Round 8: the two newest families get gate representation —
+    // the full curation funnel (gated stages, digest-keyed dedup,
+    // decontamination, token budget) and the real-codec image path
+    // (zlib+unfilter decode → dHash → group) — so a regression
+    // there is no longer invisible to the bench.
+    "d54_curation_funnel", "m10_image_dhash")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -97,4 +97,70 @@ class WarcSpec extends SparkSpec {
       .as[String].head()
     assert(text == "Tom & Jerry")
   }
+
+  /** One gzip member per record — the Common Crawl `.warc.gz` layout
+    * (each record independently compressed so readers can resync).
+    */
+  private def gzMember(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(data); gz.close()
+    out.toByteArray
+  }
+
+  test("per-member gzip shards parse identically to plain shards") {
+    val r1 = rec("response", "<urn:g1>", "https://e.com/g1", "alpha payload")
+    val r2 = rec("metadata", "<urn:g2>", "https://e.com/g2", "beta")
+    val gz = gzMember(r1) ++ gzMember(r2)
+    val dir = Files.createTempDirectory("graft_warc5").toFile
+    Files.write(new java.io.File(dir, "s.warc.gz").toPath, gz)
+    Files.write(new java.io.File(dir, "p.warc").toPath, r1 ++ r2)
+    val parsed = WarcSource.read(spark, dir.getAbsolutePath).cache()
+    val recs = WarcSource.records(parsed)
+      .select("file", "record_id")
+      .as[(String, String)].collect()
+    // both shards yield both records; the .gz and plain contents agree
+    assert(recs.count(_._1.endsWith("s.warc.gz")) == 2)
+    assert(recs.count(_._1.endsWith("p.warc")) == 2)
+    assert(WarcSource.quarantine(parsed).count() == 0)
+  }
+
+  test("a corrupt gzip member costs one record, not the shard") {
+    val r1 = rec("response", "<urn:c1>", "https://e.com/c1", "first")
+    val r2 = rec("response", "<urn:c2>", "https://e.com/c2", "second")
+    val r3 = rec("response", "<urn:c3>", "https://e.com/c3", "third")
+    val m2 = gzMember(r2)
+    m2(12) = (m2(12) ^ 0x55).toByte // corrupt the deflate body
+    val (inflated, bad) = WarcSource.gunzipMembers("f",
+      gzMember(r1) ++ m2 ++ gzMember(r3))
+    assert(bad.nonEmpty && bad.forall(_.reason.startsWith("gzip:")))
+    val (recs, bad2) = WarcSource.parseFile("f", inflated)
+    assert(recs.map(_.record_id) == Seq("<urn:c1>", "<urn:c3>"),
+      "surviving members must still parse")
+    assert(bad2.isEmpty)
+  }
+
+  test("gzip member walk verifies CRC and ISIZE, survives FNAME/FEXTRA") {
+    val r = rec("response", "<urn:x>", "https://e.com/x", "data")
+    val base = gzMember(r)
+    // flip a trailer CRC byte: member must quarantine
+    val crcFlip = base.clone()
+    crcFlip(base.length - 6) = (crcFlip(base.length - 6) ^ 1).toByte
+    val (out1, bad1) = WarcSource.gunzipMembers("f", crcFlip)
+    assert(out1.isEmpty && bad1.exists(_.reason.contains("CRC")))
+    // an FNAME header survives the walk (flag bit 3 + name bytes)
+    val named = base.clone()
+    val withName = named.take(10) ++
+      "shard.warc\u0000".getBytes("ISO-8859-1") ++ named.drop(10)
+    withName(3) = (withName(3) | 0x08).toByte
+    val (out2, bad2) = WarcSource.gunzipMembers("f", withName)
+    assert(bad2.isEmpty && out2.sameElements(r), "FNAME member must decode")
+    // totality on arbitrary bytes
+    val rnd = new scala.util.Random(0x6A2B)
+    for (_ <- 1 to 200) {
+      val junk = Array.fill(rnd.nextInt(150))(rnd.nextInt(256).toByte)
+      WarcSource.gunzipMembers("f", junk)
+      WarcSource.parseAny("f", Array[Byte](0x1F.toByte, 0x8B.toByte) ++ junk)
+    }
+  }
 }
