@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
-import graft.multimodal.{Multimodal, Png, Wav}
+import graft.multimodal.{Jpeg, Multimodal, Png, Wav}
 
 /** Streaming twins of the REAL decode family: the m7/m10/m11 batch
   * plans are stateless mapPartitions transforms, so ONE definition
@@ -77,6 +77,59 @@ class MediaStreamSpec extends SparkSpec {
       val want = Multimodal.audioFeatures(spark, rows.toDF())
         .collect().toSet
       assert(got == want && got.size == 5)
+    } finally q.stop()
+  }
+
+  test("parity: streaming COLOR JPEG decode equals the batch m14 plan") {
+    // one definition serves batch and stream: decodeJpegRgbStats is
+    // the m14 operator verbatim, here fed by a MemoryStream
+    val rows = (0L to 5L).map { id =>
+      val w = 16 * (1 + (id % 2)).toInt; val h = 16
+      def plane(a: Int, b: Int) = Array.tabulate(w * h) { i =>
+        (128 + 17 * (((id * a + (i / w / 16) * b) % 15) - 7)).toByte
+      }
+      val yP = Array.tabulate(w * h)(i => (2 * ((id * 29 + i / w / 16) % 128)).toByte)
+      val p = Jpeg.encodeColor(w, h, yP, plane(11, 5), plane(19, 7),
+        subsample = id % 2 == 0, restartInterval = if (id % 3 == 0) 2 else 0)
+      Multimodal.MediaRow(id, "image/jpeg", p.length.toLong, p)
+    }
+    val stream = MemoryStream[Multimodal.MediaRow](spark)
+    val q = Multimodal.decodeJpegRgbStats(spark, stream.toDF())
+      .writeStream.format("memory").queryName("jpegc_t")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("jpegc_t").as[Multimodal.JpegRgbStats]
+        .collect().toSet
+      val want = Multimodal.decodeJpegRgbStats(spark, rows.toDF())
+        .collect().toSet
+      assert(got == want && got.size == 6)
+    } finally q.stop()
+  }
+
+  test("parity: streaming palette/interlaced PNG decode equals batch") {
+    val rows = (0L to 5L).map { id =>
+      val w = 6; val h = 5
+      val psize = 16
+      val palette = Array.tabulate(psize * 3)(i => (id * 41 + i * 7).toByte)
+      val indices = Array.tabulate(w * h)(i => ((id * 13 + i * 3) % psize).toInt)
+      val p = Png.encodePalette(w, h, 4, palette, indices,
+        interlaced = id % 2 == 1, _ % 5)
+      Multimodal.MediaRow(id, "image/png", p.length.toLong, p)
+    }
+    val stream = MemoryStream[Multimodal.MediaRow](spark)
+    val q = Multimodal.decodePngStats(spark, stream.toDF())
+      .writeStream.format("memory").queryName("pngpal_t")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("pngpal_t").as[Multimodal.PngStats]
+        .collect().toSet
+      val want = Multimodal.decodePngStats(spark, rows.toDF())
+        .collect().toSet
+      assert(got == want && got.size == 6)
     } finally q.stop()
   }
 

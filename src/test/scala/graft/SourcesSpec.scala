@@ -240,6 +240,69 @@ class SourcesSpec extends SparkSpec {
     assert(audit.count() == 5)
   }
 
+  test("warc curation pipeline: crawl shards in, curated corpus out") {
+    import graft.sources.{WarcCuratePipeline, WarcSource}
+    // Build a tiny crawl: per-member gzip shard with HTML responses
+    // (vocab-overlapping but shingle-distinct docs that pass the
+    // Gopher gates), one EXACT duplicate pair, one metadata record
+    // (filtered), one corrupt gzip member (quarantined).
+    val pool = ("the and for with from that this have been more time " +
+      "people world great energy river mountain forest signal " +
+      "harvest window stone garden winter summer journey").split(" ")
+    def text(seed: Int): String =
+      // bracketed by "the" so every doc clears the stopword gate
+      ("the" +: (0 until 58).map(j =>
+        pool((seed * 7 + j * (seed + 3)) % pool.length)) :+ "the")
+        .mkString(" ")
+    def rec(id: String, uri: String, html: String): Array[Byte] = {
+      val p = html.getBytes("UTF-8")
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: $id\r\n" +
+        s"WARC-Target-URI: $uri\r\nContent-Length: ${p.length}\r\n\r\n")
+        .getBytes("US-ASCII") ++ p ++ "\r\n\r\n".getBytes("US-ASCII")
+    }
+    def gz(data: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(o)
+      g.write(data); g.close()
+      o.toByteArray
+    }
+    val docs = (1 to 6).map(i =>
+      rec(s"<urn:w$i>", s"https://e.com/$i", s"<html><p>${text(i)}</p></html>"))
+    val dup = rec("<urn:wdup>", "https://e.com/dup",
+      s"<html><p>${text(3)}</p></html>") // exact text dup of doc 3
+    val meta = ("WARC/1.0\r\nWARC-Type: metadata\r\n" +
+      "WARC-Record-ID: <urn:m>\r\nContent-Length: 2\r\n\r\nok\r\n\r\n")
+      .getBytes("US-ASCII")
+    val broken = gz(rec("<urn:bad>", "https://e.com/bad", "<p>x</p>"))
+    broken(12) = (broken(12) ^ 0x55).toByte
+    val shard = (docs :+ dup).map(gz).reduce(_ ++ _) ++ broken ++ gz(meta)
+    val dir = Files.createTempDirectory("graft_wcp_in").toFile
+    Files.write(new java.io.File(dir, "crawl.warc.gz").toPath, shard)
+    val out = Files.createTempDirectory("graft_wcp_out").toFile
+      .getAbsolutePath
+    val (kept, audit) = WarcCuratePipeline.run(spark,
+      dir.getAbsolutePath, out, tokensPerShard = 500L)
+    val rows = audit.select("stage", "n_docs")
+      .as[(String, Long)].collect().toMap
+    assert(rows("raw") == 7, "6 distinct + 1 dup response docs in")
+    assert(rows("exact_dedup") == rows("rules") - 1,
+      "the exact duplicate must collapse")
+    assert(kept == rows("decontam"))
+    // corpus rows carry url + token counts and match the final stage
+    val corpus = spark.read.parquet(s"$out/corpus")
+    assert(corpus.count() == kept)
+    assert(corpus.columns.toSet ==
+      Set("doc_id", "url", "text", "n_tokens", "shard"))
+    // the corrupt gzip member is quarantined, the shard survives
+    val q = spark.read.parquet(s"$out/quarantine")
+      .select("reason").as[String].collect()
+    assert(q.length == 1 && q.head.startsWith("gzip:"))
+    // parity: the same shard parsed directly yields the same docs
+    val direct = WarcCuratePipeline.documentsFrom(
+      WarcSource.read(spark, dir.getAbsolutePath))
+    assert(direct.count() == 7)
+  }
+
   test("orc sink: same layout contract, filters push to the orc scan") {
     val dir = Files.createTempDirectory("graft_osink").toFile.getAbsolutePath
     val df = Seq(
