@@ -1,8 +1,8 @@
 package graft.multimodal
 
 /** A real (minimal) baseline JPEG codec — pure JVM, no image
-  * libraries. Grayscale AND 3-component YCbCr color (4:4:4 and
-  * 4:2:0 subsampled), the ITU T.81 baseline sequential DCT subset
+  * libraries. Grayscale AND 3-component YCbCr color (4:4:4, 4:2:2
+  * and 4:2:0 layouts), the ITU T.81 baseline sequential DCT subset
   * plus restart intervals — the shape of virtually every JPEG in a
   * web crawl.
   *
@@ -28,6 +28,11 @@ package graft.multimodal
   * full lossy path.
   */
 object Jpeg {
+
+  /** Chroma layouts for [[encodeColor]]. */
+  val Sub444 = 0 // no subsampling (Y 1x1)
+  val Sub422 = 1 // horizontal-only (Y 2x1)
+  val Sub420 = 2 // horizontal + vertical (Y 2x2)
 
   /** Zigzag scan order: zigzag(i) = natural index of the i-th
     * coefficient in scan order (T.81 Figure 5).
@@ -265,7 +270,7 @@ object Jpeg {
   }
 
   private def writeHeaders(out: java.io.ByteArrayOutputStream,
-      width: Int, height: Int, color: Boolean, subsample: Boolean,
+      width: Int, height: Int, color: Boolean, subsample: Int,
       restartInterval: Int): Unit = {
     def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
     def be2(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
@@ -284,7 +289,11 @@ object Jpeg {
     marker(0xC0); be2(8 + 3 * ncomp) // SOF0: baseline
     out.write(8); be2(height); be2(width); out.write(ncomp)
     out.write(1) // component id 1 (Y)
-    out.write(if (color && subsample) 0x22 else 0x11)
+    out.write(if (color) subsample match {
+      case Sub420 => 0x22
+      case Sub422 => 0x21
+      case _ => 0x11
+    } else 0x11)
     out.write(0)
     if (color) {
       out.write(2); out.write(0x11); out.write(1) // Cb
@@ -322,7 +331,7 @@ object Jpeg {
       "SOF0 carries dimensions as u16")
     require(gray.length == width * height, "gray must be w*h bytes")
     val out = new java.io.ByteArrayOutputStream()
-    writeHeaders(out, width, height, color = false, subsample = false,
+    writeHeaders(out, width, height, color = false, subsample = Sub444,
       restartInterval)
     val dcCodes = canonicalCodes(DcBits, DcVals)
     val acCodes = canonicalCodes(AcBits, AcVals)
@@ -359,30 +368,35 @@ object Jpeg {
   /** Encode a 3-component YCbCr image as baseline JPEG. The caller
     * supplies FULL-RESOLUTION Y/Cb/Cr planes (a real ingest pipeline
     * converts RGB→YCbCr upstream; planting directly in YCbCr is what
-    * makes the m14 corpus lossless-recomputable). `subsample = true`
-    * writes 4:2:0 (Y at 2×2 per MCU, chroma box-averaged to half
-    * resolution); `false` writes 4:4:4. Optional restart markers
+    * makes the m14 corpus lossless-recomputable). `subsample` picks
+    * the chroma layout: [[Sub420]] (Y 2×2 per MCU, chroma
+    * box-averaged to half resolution both axes), [[Sub422]]
+    * (horizontal-only), or [[Sub444]]. Optional restart markers
     * every `restartInterval` MCUs (DRI + RSTn).
     */
   def encodeColor(width: Int, height: Int, yP: Array[Byte],
-      cbP: Array[Byte], crP: Array[Byte], subsample: Boolean,
+      cbP: Array[Byte], crP: Array[Byte], subsample: Int,
       restartInterval: Int = 0): Array[Byte] = {
     require(width > 0 && height > 0 && width <= 0xFFFF && height <= 0xFFFF,
       "SOF0 carries dimensions as u16")
     require(yP.length == width * height && cbP.length == width * height &&
       crP.length == width * height, "planes must be w*h bytes")
+    require(subsample == Sub444 || subsample == Sub422 ||
+      subsample == Sub420, s"unknown layout $subsample")
     val out = new java.io.ByteArrayOutputStream()
     writeHeaders(out, width, height, color = true, subsample, restartInterval)
     val dcY = canonicalCodes(DcBits, DcVals)
     val acY = canonicalCodes(AcBits, AcVals)
     val dcC = canonicalCodes(DcChromaBits, DcChromaVals)
     val acC = canonicalCodes(AcChromaBits, AcChromaVals)
-    // chroma planes at component resolution: identity for 4:4:4,
-    // rounded 2×2 box average for 4:2:0
-    val (cw, ch) =
-      if (subsample) ((width + 1) / 2, (height + 1) / 2) else (width, height)
+    val hvH = if (subsample == Sub444) 1 else 2
+    val hvV = if (subsample == Sub420) 2 else 1
+    // chroma planes at component resolution: rounded box average of
+    // the hvH × hvV neighborhood (identity for 4:4:4)
+    val cw = (width + hvH - 1) / hvH
+    val ch = (height + hvV - 1) / hvV
     def subsampled(p: Array[Byte]): Array[Byte] =
-      if (!subsample) p
+      if (hvH == 1 && hvV == 1) p
       else {
         val o = new Array[Byte](cw * ch)
         var y = 0
@@ -391,10 +405,10 @@ object Jpeg {
           while (x < cw) {
             var sum = 0; var n = 0
             var dy = 0
-            while (dy < 2) {
+            while (dy < hvV) {
               var dx = 0
-              while (dx < 2) {
-                val sy = y * 2 + dy; val sx = x * 2 + dx
+              while (dx < hvH) {
+                val sy = y * hvV + dy; val sx = x * hvH + dx
                 if (sy < height && sx < width) {
                   sum += p(sy * width + sx) & 0xFF; n += 1
                 }
@@ -413,9 +427,8 @@ object Jpeg {
     val crS = subsampled(crP)
     var bw = new BitWriter(out)
     val block = new Array[Double](64)
-    val hv = if (subsample) 2 else 1
-    val mcusX = (width + 8 * hv - 1) / (8 * hv)
-    val mcusY = (height + 8 * hv - 1) / (8 * hv)
+    val mcusX = (width + 8 * hvH - 1) / (8 * hvH)
+    val mcusY = (height + 8 * hvV - 1) / (8 * hvV)
     var predY = 0; var predCb = 0; var predCr = 0
     var mcu = 0
     var rst = 0
@@ -430,13 +443,13 @@ object Jpeg {
           predY = 0; predCb = 0; predCr = 0
           bw = new BitWriter(out)
         }
-        // Y blocks: hv × hv per MCU, raster order within the MCU
+        // Y blocks: hvH × hvV per MCU, raster order within the MCU
         var byi = 0
-        while (byi < hv) {
+        while (byi < hvV) {
           var bxi = 0
-          while (bxi < hv) {
+          while (bxi < hvH) {
             fillBlock(block, yP, width, height,
-              (mx * hv + bxi) * 8, (my * hv + byi) * 8)
+              (mx * hvH + bxi) * 8, (my * hvV + byi) * 8)
             predY = encodeBlock(bw, block, QuantLuma, dcY, acY, predY)
             bxi += 1
           }

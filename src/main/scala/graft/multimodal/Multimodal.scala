@@ -180,6 +180,33 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Plant REAL 16-BIT truecolor PNGs ([[Png.encodeRaw16]]): each
+    * sample is a big-endian 16-bit value whose HIGH byte is the
+    * oracle-recomputable formula and whose LOW byte is deterministic
+    * noise the 8-bit downsample must discard — decode is only
+    * correct if the scanline filtering ran at the 6-byte-per-pixel
+    * stride AND the downsample took exactly the high byte:
+    * hi(y, x, c) = (id·23 + y·9 + x·5 + c·3) % 256,
+    * lo(y, x, c) = (id·7 + y·11 + x·13 + c) % 256.
+    */
+  def png16Table(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (4 + id % 5).toInt
+        val h = (4 + (id * 3) % 5).toInt
+        val data = Array.tabulate(w * h * 3) { i =>
+          val c = i % 3; val x = (i / 3) % w; val y = i / 3 / w
+          val hi = ((id * 23 + y * 9 + x * 5 + c * 3) % 256).toInt
+          val lo = ((id * 7 + y * 11 + x * 13 + c) % 256).toInt
+          (hi << 8) | lo
+        }
+        val payload = Png.encodeRaw16(w, h, 2, data, y => y % 5)
+        MediaRow(id, "image/png", payload.length.toLong, payload)
+      }
+    }.toDF()
+  }
+
   case class PngStats(doc_id: Long, width: Long, height: Long,
       sum_rgb: Long, pixels_md5: String)
 
@@ -601,9 +628,9 @@ object Multimodal {
   }
 
   /** Plant REAL baseline COLOR JPEGs ([[Jpeg.encodeColor]]): YCbCr
-    * planes constant per 16×16 MCU region, even doc_ids 4:2:0
-    * subsampled, odd 4:4:4, every third image with restart markers
-    * (DRI interval 2). Dimensions are multiples of 16 so every MCU
+    * planes constant per 16×16 MCU region, the chroma layout rotating
+    * 4:2:0 / 4:4:4 / 4:2:2 by doc_id, every third image with restart
+    * markers (DRI interval 2). Dimensions are multiples of 16 so every MCU
     * (either layout) sits inside one constant region and the 2×2
     * chroma box average is exact. The luma constants are EVEN
     * (q_luma(0,0)=16 divides 8·(v−128)) and the chroma constants are
@@ -641,7 +668,8 @@ object Multimodal {
           y += 1
         }
         val payload = Jpeg.encodeColor(w, h, yP, cbP, crP,
-          subsample = id % 2 == 0,
+          subsample = Array(Jpeg.Sub420, Jpeg.Sub444,
+            Jpeg.Sub422)((id % 3).toInt),
           restartInterval = if (id % 3 == 0) 2 else 0)
         MediaRow(id, "image/jpeg", payload.length.toLong, payload)
       }

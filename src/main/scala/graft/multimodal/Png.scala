@@ -6,9 +6,10 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   *
   * The ENCODER exists to plant test images; the DECODER is the
   * capability, covering the color-type spread of a real web crawl:
-  * 8-bit truecolor (2), truecolor+alpha (6), grayscale (0),
-  * gray+alpha (4), and palette (3) at bit depths 1/2/4/8, each
-  * non-interlaced or Adam7-interlaced — chunk walk with CRC32
+  * truecolor (2), truecolor+alpha (6), grayscale (0), and
+  * gray+alpha (4) at bit depths 8 and 16 (16-bit big-endian samples
+  * downsample to their high byte), and palette (3) at bit depths
+  * 1/2/4/8, each non-interlaced or Adam7-interlaced — chunk walk with CRC32
   * verification, multi-chunk IDAT reassembly, real zlib inflation
   * (`java.util.zip.Inflater`), per-pass scanline reconstruction for
   * all five PNG filter types (None/Sub/Up/Average/Paeth, RFC 2083
@@ -260,6 +261,36 @@ object Png {
       deflate(out.toByteArray))
   }
 
+  /** Encode a 16-BIT image (big-endian samples) of color type 0 gray,
+    * 2 RGB, 4 gray+alpha, or 6 RGBA, non-interlaced — spec coverage
+    * for the 16-bit decode path. `data` holds channels·w·h samples
+    * as Ints in [0, 65535].
+    */
+  def encodeRaw16(width: Int, height: Int, colorType: Int,
+      data: Array[Int], filterOf: Int => Int): Array[Byte] = {
+    val channels = colorType match {
+      case 0 => 1
+      case 2 => 3
+      case 4 => 2
+      case 6 => 4
+      case other => throw new IllegalArgumentException(s"color type $other")
+    }
+    require(width > 0 && height > 0, "IHDR dimensions must be positive")
+    require(data.length == width * height * channels,
+      "data must be w*h*channels samples")
+    val raw = new Array[Byte](data.length * 2)
+    var i = 0
+    while (i < data.length) {
+      raw(i * 2) = ((data(i) >> 8) & 0xFF).toByte
+      raw(i * 2 + 1) = (data(i) & 0xFF).toByte
+      i += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    filterPass(raw, width * channels * 2, height, channels * 2, filterOf, out)
+    assemble(width, height, 16, colorType, interlaced = false, null,
+      deflate(out.toByteArray))
+  }
+
   case class Decoded(width: Int, height: Int, rgb: Array[Byte])
 
   /** Decode a PNG in the supported subset (see object doc) to 8-bit
@@ -310,7 +341,7 @@ object Png {
           if (u(off + 18) != 0 || u(off + 19) != 0) return None
           if (interlace > 1) return None
           val ok = colorType match {
-            case 0 | 2 | 4 | 6 => depth == 8
+            case 0 | 2 | 4 | 6 => depth == 8 || depth == 16
             case 3 => depth == 1 || depth == 2 || depth == 4 || depth == 8
             case _ => false
           }
@@ -415,7 +446,19 @@ object Png {
           var x = 0
           while (x < pw) {
             val o = ((ys + y * ystep) * width + (xs + x * xstep)) * 3
-            if (depth == 8) {
+            if (depth == 16) {
+              // 16-bit samples are big-endian; output is 8-bit RGB, so
+              // take the high byte (the PNG-recommended downsample)
+              val at = y * rowBytes + x * channels * 2
+              colorType match {
+                case 0 | 4 => // gray (alpha dropped for 4)
+                  val g = raw(at)
+                  rgb(o) = g; rgb(o + 1) = g; rgb(o + 2) = g
+                case _ => // RGB / RGBA (alpha dropped)
+                  rgb(o) = raw(at); rgb(o + 1) = raw(at + 2)
+                  rgb(o + 2) = raw(at + 4)
+              }
+            } else if (depth == 8) {
               val at = y * rowBytes + x * channels
               colorType match {
                 case 0 =>

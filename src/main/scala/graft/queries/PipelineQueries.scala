@@ -2705,9 +2705,44 @@ object PipelineQueries {
              |FROM px GROUP BY doc_id, w, h
              |ORDER BY doc_id""".stripMargin)),
 
+    // REAL 16-BIT PNG decode: big-endian 16-bit samples filtered at
+    // the 6-byte-per-pixel stride, downsampled to 8-bit RGB by the
+    // high byte. The planted low bytes are deterministic NOISE the
+    // downsample must discard — a decoder that filtered at the wrong
+    // stride or took the wrong byte diverges from the oracle, which
+    // recomputes only the high-byte formula. Scale shape: map-side
+    // decode, no shuffle but the deterministic sort.
+    Q("m16_png16",
+      (s, d) => Multimodal.decodePngStats(s,
+          Multimodal.png16Table(s, Tables.documents(s, d)))
+        .toDF().orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id,
+             |    4 + doc_id % 5 AS w,
+             |    4 + (doc_id * 3) % 5 AS h
+             |  FROM documents
+             |),
+             |px AS (
+             |  SELECT doc_id, w, h, gy.y AS y, gx.x AS x, gc.c AS c,
+             |    (doc_id * 23 + gy.y * 9 + gx.x * 5 + gc.c * 3) % 256 AS b
+             |  FROM dims,
+             |    (SELECT unnest(range(0, 8)) AS y) gy,
+             |    (SELECT unnest(range(0, 8)) AS x) gx,
+             |    (SELECT unnest(range(0, 3)) AS c) gc
+             |  WHERE gy.y < h AND gx.x < w
+             |)
+             |SELECT doc_id, CAST(w AS BIGINT) AS width,
+             |  CAST(h AS BIGINT) AS height,
+             |  CAST(SUM(b) AS BIGINT) AS sum_rgb,
+             |  md5(lower(string_agg(lpad(to_hex(b), 2, '0'), ''
+             |    ORDER BY y, x, c))) AS pixels_md5
+             |FROM px GROUP BY doc_id, w, h
+             |ORDER BY doc_id""".stripMargin)),
+
     // REAL baseline COLOR JPEG decode: 3-component YCbCr through the
-    // FULL path — interleaved MCU entropy decode (4:2:0 on even ids,
-    // 4:4:4 on odd; RSTn restart-marker resync on every third),
+    // FULL path — interleaved MCU entropy decode (chroma layout
+    // rotating 4:2:0/4:4:4/4:2:2 by id; RSTn restart-marker resync
+    // on every third),
     // per-component Annex K dequant + IDCT, nearest-neighbor chroma
     // upsampling, JFIF YCbCr→RGB with round+clamp. The planted
     // corpus is constant per 16×16 MCU region with even luma

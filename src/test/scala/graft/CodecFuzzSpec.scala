@@ -43,7 +43,7 @@ class CodecFuzzSpec extends SparkSpec {
       Array.tabulate(256)(i => (i * 2).toByte),
       Array.tabulate(256)(i => (128 + i % 16).toByte),
       Array.tabulate(256)(i => (128 - i % 16).toByte),
-      subsample = true, restartInterval = 1)
+      subsample = Jpeg.Sub420, restartInterval = 1)
     val rnd = new scala.util.Random(0xFA22)
     for ((base, dec) <- Seq[(Array[Byte], Array[Byte] => Option[Any])](
         (png, Png.decode), (palPng, Png.decode), (wav, Wav.decode),

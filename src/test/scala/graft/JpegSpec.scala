@@ -115,8 +115,9 @@ class JpegSpec extends SparkSpec {
     rgb
   }
 
-  test("constant-per-MCU color images are bit-exact: 4:4:4 and 4:2:0") {
-    for (id <- 0 until 6; sub <- Seq(false, true)) {
+  test("constant-per-MCU color images are bit-exact: 4:4:4, 4:2:2, 4:2:0") {
+    for (id <- 0 until 6;
+        sub <- Seq(Jpeg.Sub444, Jpeg.Sub422, Jpeg.Sub420)) {
       val w = 16 * (1 + id % 3); val h = 16 * (1 + (id * 5) % 3)
       val (yP, cbP, crP) = mcuPlanes(w, h, id)
       val enc = Jpeg.encodeColor(w, h, yP, cbP, crP, subsample = sub)
@@ -131,7 +132,8 @@ class JpegSpec extends SparkSpec {
     val id = 5
     val w = 32; val h = 48
     val (yP, cbP, crP) = mcuPlanes(w, h, id)
-    for (sub <- Seq(false, true); ri <- Seq(1, 2, 5)) {
+    for (sub <- Seq(Jpeg.Sub444, Jpeg.Sub422, Jpeg.Sub420);
+        ri <- Seq(1, 2, 5)) {
       val enc = Jpeg.encodeColor(w, h, yP, cbP, crP, sub, restartInterval = ri)
       val d = Jpeg.decodeRgb(enc).getOrElse(fail(s"sub=$sub ri=$ri"))
       assert(d.rgb.sameElements(expectedRgb(w, h, yP, cbP, crP)),
@@ -144,7 +146,7 @@ class JpegSpec extends SparkSpec {
     def plane(seed: Int) =
       Array.tabulate(w * h)(i => ((i / w) * 5 + (i % w) * 3 + seed * 31).toByte)
     val (yP, cbP, crP) = (plane(1), plane(2), plane(3))
-    for (sub <- Seq(false, true)) {
+    for (sub <- Seq(Jpeg.Sub444, Jpeg.Sub422, Jpeg.Sub420)) {
       val d = Jpeg.decodeRgb(Jpeg.encodeColor(w, h, yP, cbP, crP, sub)).get
       assert(d.width == w && d.height == h && d.rgb.length == w * h * 3)
     }
@@ -159,7 +161,7 @@ class JpegSpec extends SparkSpec {
     for (i <- 0 until w * h; c <- 0 until 3)
       assert(d.rgb(i * 3 + c) == dg.gray(i), "RGB must replicate decoded gray")
     val (yP, cbP, crP) = mcuPlanes(16, 16, 1)
-    val color = Jpeg.encodeColor(16, 16, yP, cbP, crP, subsample = false)
+    val color = Jpeg.encodeColor(16, 16, yP, cbP, crP, Jpeg.Sub444)
     assert(Jpeg.decode(color).isEmpty, "gray decode must reject 3-component")
     assert(Jpeg.decodeRgb(color).isDefined)
   }

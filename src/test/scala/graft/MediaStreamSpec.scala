@@ -90,7 +90,9 @@ class MediaStreamSpec extends SparkSpec {
       }
       val yP = Array.tabulate(w * h)(i => (2 * ((id * 29 + i / w / 16) % 128)).toByte)
       val p = Jpeg.encodeColor(w, h, yP, plane(11, 5), plane(19, 7),
-        subsample = id % 2 == 0, restartInterval = if (id % 3 == 0) 2 else 0)
+        subsample = Array(Jpeg.Sub420, Jpeg.Sub444,
+          Jpeg.Sub422)((id % 3).toInt),
+        restartInterval = if (id % 3 == 0) 2 else 0)
       Multimodal.MediaRow(id, "image/jpeg", p.length.toLong, p)
     }
     val stream = MemoryStream[Multimodal.MediaRow](spark)

@@ -91,6 +91,24 @@ class PngSpec extends SparkSpec {
       assert(drgba.rgb(i * 3 + c) == rgba(i * 4 + c))
   }
 
+  test("16-bit samples decode via the high-byte downsample") {
+    val w = 6; val h = 4
+    // big-endian 16-bit: high byte = i pattern, low byte = noise the
+    // downsample must ignore
+    val rgb16 = Array.tabulate(w * h * 3)(i => ((i * 11 % 256) << 8) | 0xA7)
+    val d = Png.decode(Png.encodeRaw16(w, h, 2, rgb16, _ % 5)).get
+    for (i <- 0 until w * h * 3)
+      assert((d.rgb(i) & 0xFF) == i * 11 % 256, s"byte $i")
+    val g16 = Array.tabulate(w * h)(i => ((i * 19 % 256) << 8) | 0x33)
+    val dg = Png.decode(Png.encodeRaw16(w, h, 0, g16, _ % 5)).get
+    for (i <- 0 until w * h; c <- 0 until 3)
+      assert((dg.rgb(i * 3 + c) & 0xFF) == i * 19 % 256)
+    val rgba16 = Array.tabulate(w * h * 4)(i => ((i * 7 % 256) << 8) | 0xFF)
+    val da = Png.decode(Png.encodeRaw16(w, h, 6, rgba16, _ % 5)).get
+    for (i <- 0 until w * h; c <- 0 until 3)
+      assert((da.rgb(i * 3 + c) & 0xFF) == (i * 4 + c) * 7 % 256)
+  }
+
   test("palette images missing PLTE or with short PLTE reject cleanly") {
     val p = Png.encodePalette(4, 4, 4,
       Array.tabulate(16 * 3)(i => i.toByte),
