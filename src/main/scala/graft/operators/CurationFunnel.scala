@@ -91,16 +91,27 @@ object CurationFunnel {
     * would run every localCheckpointed gate a second time.
     */
   def auditOf(docs0: DataFrame, st: Seq[DataFrame]): DataFrame = {
+    val spark = docs0.sparkSession
+    import spark.implicits._
+    // ONE tokenization pass: tag every stage's (checkpointed) id list
+    // with its stage id, join the token counts once, aggregate once —
+    // the per-stage-aggregate form re-tokenized the corpus five
+    // times (once per stat job), which is the expensive step at
+    // 100 TB. A stage spine left-join keeps the contract that empty
+    // stages still emit a (0, 0) row.
     val tkn = docs0.select(col("doc_id"),
       size(expr(TextHash.sparkTokens("text"))).cast("long").as("nt"))
-    def stat(df: DataFrame, id: Long, name: String): DataFrame =
-      df.select("doc_id").join(tkn, "doc_id")
-        .agg(count(lit(1)).as("n_docs"),
-          coalesce(sum("nt"), lit(0L)).as("n_tokens"))
-        .select(lit(id).as("stage_id"), lit(name).as("stage"),
-          col("n_docs"), col("n_tokens"))
-    st.zip(StageNames).zipWithIndex
-      .map { case ((df, name), i) => stat(df, i.toLong, name) }
-      .reduce(_ unionByName _)
+    val members = st.zipWithIndex.map { case (df, i) =>
+      df.select(col("doc_id"), lit(i.toLong).as("stage_id"))
+    }.reduce(_ unionByName _)
+    val agged = members.join(tkn, "doc_id")
+      .groupBy("stage_id")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+    StageNames.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("stage_id", "stage")
+      .join(agged, Seq("stage_id"), "left")
+      .select(col("stage_id"), col("stage"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
   }
 }
