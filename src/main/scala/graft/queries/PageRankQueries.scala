@@ -590,6 +590,40 @@ object PageRankQueries {
     // score (shared neighbors, rare ones weighted up). Wedge
     // enumeration + integer-scaled contributions — never an
     // adjacency-intersection per candidate pair, never a double sum.
+    // STRONGLY connected components over the DIRECTED word graph —
+    // the directed twin of the dedup family's weakly-connected
+    // consolidation (d9/e14): mutual-reachability groups are the
+    // link-farm / citation-ring / redirect-cycle primitive. Spark
+    // side is the FW-BW min-reach peeling loop (trim tendrils,
+    // forward/backward min-label fixpoints, F=B finalizes whole
+    // SCCs) — convergence-CHECKED at every level, throws rather than
+    // returning split components. The oracle is diameter-independent
+    // exact: a recursive reachability closure, scc(u) = min of the
+    // mutually-reachable set.
+    Q("g6_scc",
+      (s, d) => {
+        val e = LinkGraph.wordFollowEdges(Tables.documents(s, d), "text")
+        graft.graph.Scc.run(e)
+          .select(col("node"), col("scc"))
+          .orderBy("node")
+      },
+      Some(s"""WITH RECURSIVE $edgeCtes,
+              |reach(a, b) AS (
+              |  SELECT src, dst FROM e
+              |  UNION
+              |  SELECT r.a, e2.dst FROM reach r JOIN e e2 ON e2.src = r.b
+              |),
+              |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+              |mutual AS (
+              |  SELECT r1.a AS u, r1.b AS v
+              |  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+              |)
+              |SELECT n.node,
+              |  least(n.node, coalesce(min(m.v), n.node)) AS scc
+              |FROM nodes n LEFT JOIN mutual m ON m.u = n.node
+              |GROUP BY n.node
+              |ORDER BY node""".stripMargin)),
+
     Q("g5_adamic_adar",
       (s, d) => {
         val e = LinkGraph.wordFollowEdges(Tables.documents(s, d), "text")

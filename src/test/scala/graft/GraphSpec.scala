@@ -275,4 +275,66 @@ class GraphSpec extends SparkSpec {
       .map(r => (r._1, r._2) -> r._3).toMap
     assert(capped == Map(("a", "c") -> e6ln2, ("b", "h") -> 2 * e6ln2))
   }
+
+  /** Brute-force SCC reference: transitive closure over a small edge
+    * list, scc(u) = min over the mutually-reachable set (incl. u).
+    */
+  private def sccRef(edges: Seq[(String, String)])
+      : Map[String, String] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    var reach = edges.toSet
+    var grew = true
+    while (grew) {
+      val next = reach ++ (for ((a, b) <- reach; (c, d) <- reach
+        if b == c) yield (a, d))
+      grew = next.size > reach.size
+      reach = next
+    }
+    nodes.map { u =>
+      val mutual = nodes.filter(v =>
+        v == u || (reach((u, v)) && reach((v, u))))
+      u -> mutual.min
+    }.toMap
+  }
+
+  private def sccOf(edges: Seq[(String, String)]): Map[String, String] =
+    graft.graph.Scc.run(edges.toDF("src", "dst"))
+      .as[(String, String)].collect().toMap
+
+  test("SCC: cycles, bridges, tendrils, nested structure — exact") {
+    // two 3-cycles joined by a ONE-WAY bridge (must not merge), a
+    // tendril chain hanging off, an isolated 2-cycle, a self-loop
+    // node, and a DAG diamond (all singletons)
+    val edges = Seq(
+      "a" -> "b", "b" -> "c", "c" -> "a", // cycle 1
+      "c" -> "p", // one-way bridge
+      "p" -> "q", "q" -> "r", "r" -> "p", // cycle 2
+      "r" -> "t1", "t1" -> "t2", "t2" -> "t3", // tendril chain
+      "x" -> "y", "y" -> "x", // isolated 2-cycle
+      "z" -> "z", // self-loop only
+      "d1" -> "d2", "d1" -> "d3", "d2" -> "d4", "d3" -> "d4") // diamond
+    assert(sccOf(edges) == sccRef(edges))
+  }
+
+  test("SCC: adversarial id order and descending chains converge") {
+    // descending-id chain (worst case for min-reach peeling: F spreads
+    // the global min everywhere) feeding a cycle whose min is NOT the
+    // graph min, plus a cycle that reaches a smaller external id —
+    // F < B on every member until the smaller SCC peels first
+    val edges = Seq(
+      "9" -> "8", "8" -> "7", "7" -> "6", "6" -> "5", // chain
+      "5" -> "m1", "m1" -> "m2", "m2" -> "m0", "m0" -> "m1", // cycle A
+      "m2" -> "0") // cycle A reaches the global min singleton
+    assert(sccOf(edges) == sccRef(edges))
+    // random graphs: parity against the brute-force closure
+    val rnd = new scala.util.Random(0x5CC)
+    for (trial <- 1 to 5) {
+      val n = 8 + rnd.nextInt(6)
+      val es = (1 to n * 2).map(_ =>
+        s"n${rnd.nextInt(n)}" -> s"n${rnd.nextInt(n)}")
+        .filter(e => e._1 != e._2).distinct
+      if (es.nonEmpty)
+        assert(sccOf(es) == sccRef(es), s"trial $trial: $es")
+    }
+  }
 }
