@@ -221,6 +221,35 @@ object PageRankQueries {
        |$steps""".stripMargin
   }
 
+  /** DuckDB CTEs for the unrolled k-core peeling waves: `sym` is the
+    * symmetric distinct-neighbor list; a1..a{waves} the alive sets
+    * (a1 = degree ≥ k over all; each next wave re-counts among the
+    * previous survivors). Mirrors graft.graph.KCore.survivors.
+    */
+  private def kcoreCtes(k: Int, waves: Int): String = {
+    val steps = (2 to waves).map { i =>
+      s"""a$i AS MATERIALIZED (
+         |  SELECT s.u AS node FROM sym s
+         |  JOIN a${i - 1} x ON s.u = x.node
+         |  JOIN a${i - 1} y ON s.v = y.node
+         |  GROUP BY s.u HAVING count(*) >= $k
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM e WHERE src <> dst
+       |),
+       |sym AS MATERIALIZED (
+       |  SELECT a AS u, b AS v FROM und
+       |  UNION ALL
+       |  SELECT b AS u, a AS v FROM und
+       |),
+       |a1 AS MATERIALIZED (
+       |  SELECT u AS node FROM sym GROUP BY u HAVING count(*) >= $k
+       |),
+       |$steps""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
 
     // Phase 1 of the reference: count non-empty pages.
@@ -623,6 +652,28 @@ object PageRankQueries {
               |FROM nodes n LEFT JOIN mutual m ON m.u = n.node
               |GROUP BY n.node
               |ORDER BY node""".stripMargin)),
+
+    // k-CORE survivors (k=3, 6 synchronous peeling waves) over the
+    // undirected word graph — the dense-subgraph primitive: nodes
+    // keeping ≥3 surviving neighbors through every wave, with their
+    // final within-core degree. Bounded waves are the DEFINED
+    // semantics (the g4 pattern: an unrolled SQL mirror needs a
+    // static count); the convergence twin KCore.untilStable is
+    // spec-checked to agree once bounded peeling has stabilized.
+    Q("g7_kcore",
+      (s, d) => {
+        val e = LinkGraph.wordFollowEdges(Tables.documents(s, d), "text")
+        graft.graph.KCore.survivors(e, k = 3, waves = 6)
+          .select(col("node"), col("core_degree").cast("long")
+            .as("core_degree"))
+          .orderBy("node")
+      },
+      Some(s"""WITH $edgeCtes,
+              |${kcoreCtes(3, 6)}
+              |SELECT s.u AS node, CAST(count(*) AS BIGINT) AS core_degree
+              |FROM sym s
+              |JOIN a6 x ON s.u = x.node JOIN a6 y ON s.v = y.node
+              |GROUP BY s.u ORDER BY node""".stripMargin)),
 
     Q("g5_adamic_adar",
       (s, d) => {

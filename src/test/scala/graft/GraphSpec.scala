@@ -316,6 +316,33 @@ class GraphSpec extends SparkSpec {
     assert(sccOf(edges) == sccRef(edges))
   }
 
+  test("k-core: clique survives, tendrils peel, twin agrees") {
+    import graft.graph.KCore
+    // K4 clique (3-core) + a chain hanging off one corner (peels
+    // wave by wave) + a triangle (2-core, dies at k=3)
+    val edges = Seq(
+      "a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c", "b" -> "d",
+      "c" -> "d", // K4
+      "d" -> "e", "e" -> "f", "f" -> "g", // chain off d
+      "t1" -> "t2", "t2" -> "t3", "t3" -> "t1") // triangle
+      .toDF("src", "dst")
+    val got = KCore.survivors(edges, k = 3, waves = 6)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L),
+      "only the K4 survives at k=3, each with 3 in-core neighbors")
+    val stable = KCore.untilStable(edges, k = 3)
+      .as[(String, Long)].collect().toMap
+    assert(stable == got, "bounded waves converged -> twin agrees")
+    // k=2: K4 + triangle survive, chain still peels
+    val k2 = KCore.untilStable(edges, k = 2)
+      .as[(String, Long)].collect().toMap
+    assert(k2.keySet == Set("a", "b", "c", "d", "t1", "t2", "t3"))
+    assert(k2("t1") == 2L && k2("a") == 3L)
+    // degenerate: k larger than any degree -> empty, twin agrees
+    assert(KCore.survivors(edges, k = 9, waves = 3).isEmpty)
+    assert(KCore.untilStable(edges, k = 9).isEmpty)
+  }
+
   test("SCC: adversarial id order and descending chains converge") {
     // descending-id chain (worst case for min-reach peeling: F spreads
     // the global min everywhere) feeding a cycle whose min is NOT the
