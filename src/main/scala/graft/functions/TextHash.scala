@@ -151,6 +151,11 @@ object TextHash {
   def duckTokens(c: String): String =
     raw"regexp_split_to_array(lower(trim($c)), '\s+')"
 
+  /** Public mirror of the char-fold string hash (`string_poly_hash`)
+    * for oracle SQL over arbitrary expressions (g8's node hashing).
+    */
+  def duckStringHash(expr: String): String = duckCharHash(expr)
+
   private def duckCharHash(tok: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(string_split($tok, ''), " +

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
 import graft.graph.{LinkGraph, PageRank}
+import graft.operators.Sampling
 import graft.sources.WikiPageRankPipeline
 
 /** The reference surface (SURVEY.md §2 block A): page count, link
@@ -674,6 +675,63 @@ object PageRankQueries {
               |FROM sym s
               |JOIN a6 x ON s.u = x.node JOIN a6 y ON s.v = y.node
               |GROUP BY s.u ORDER BY node""".stripMargin)),
+
+    // Neighborhood function via KMV-sketch propagation (the HyperANF
+    // idea with KMV in place of HLL): deterministic |ball(u, t)|
+    // estimates for every node at hops 0-3 over the directed word
+    // graph, k=16. The k smallest distinct hashes of a set are a
+    // function of the SET — merge-order- and partitioning-
+    // independent — so the estimate oracle-checks exactly against a
+    // closure-computed mirror: exact bounded-hop reachability, k-th
+    // smallest of the SAME hash, the SAME d27 estimator. At scale
+    // only O(V·k) sketch state moves per round; the exact closure
+    // exists only on the oracle side.
+    Q("g8_neighborhood",
+      (s, d) => {
+        val e = LinkGraph.wordFollowEdges(Tables.documents(s, d), "text")
+        graft.graph.Neighborhood.kmvBalls(e, hops = 3, k = 16)
+          .orderBy("node", "hop")
+      },
+      Some(s"""WITH RECURSIVE $edgeCtes,
+              |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+              |ball(a, b, hop) AS (
+              |  SELECT node, node, 0 FROM nodes
+              |  UNION
+              |  SELECT ball.a, e2.dst, ball.hop + 1
+              |  FROM ball JOIN e e2 ON e2.src = ball.b
+              |  WHERE ball.hop < 3
+              |),
+              |r AS (SELECT a, b, min(hop) AS mh FROM ball GROUP BY a, b),
+              |hv AS (
+              |  SELECT a, mh,
+              |    ${graft.functions.TextHash.duckStringHash("b")}
+              |      * ${Sampling.Mixer} % ${Sampling.MixMod} AS hv
+              |  FROM r
+              |),
+              |grid AS (
+              |  SELECT n.node, t.t FROM nodes n,
+              |    (SELECT unnest(range(0, 4)) AS t) t
+              |),
+              |cand AS (
+              |  SELECT g.node, g.t, v.hv
+              |  FROM grid g JOIN hv v ON v.a = g.node AND v.mh <= g.t
+              |  GROUP BY g.node, g.t, v.hv
+              |),
+              |ranked AS (
+              |  SELECT node, t, hv,
+              |    row_number() OVER (PARTITION BY node, t ORDER BY hv)
+              |      AS rn
+              |  FROM cand
+              |),
+              |sk AS (
+              |  SELECT node, t, count(*) AS nk, max(hv) AS kth
+              |  FROM ranked WHERE rn <= 16 GROUP BY node, t
+              |)
+              |SELECT node, CAST(t AS BIGINT) AS hop,
+              |  CAST(CASE WHEN nk < 16 THEN nk
+              |       ELSE floor(15.0 * ${Sampling.MixMod} / kth + 0.5)
+              |       END AS BIGINT) AS est_ball
+              |FROM sk ORDER BY node, hop""".stripMargin)),
 
     Q("g5_adamic_adar",
       (s, d) => {

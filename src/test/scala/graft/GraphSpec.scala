@@ -343,6 +343,34 @@ class GraphSpec extends SparkSpec {
     assert(KCore.untilStable(edges, k = 9).isEmpty)
   }
 
+  test("neighborhood function: exact when k exceeds every ball") {
+    import graft.graph.Neighborhood
+    // directed: a→b→c→d chain plus d→b back-edge (cycle b,c,d) and an
+    // isolated edge x→y; with k=32 > any ball, est = EXACT |ball|
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "b",
+      "x" -> "y").toDF("src", "dst")
+    val got = Neighborhood.kmvBalls(edges, hops = 3, k = 32)
+      .as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    def ball(u: String, t: Long): Long = {
+      val adj = Map("a" -> Set("b"), "b" -> Set("c"), "c" -> Set("d"),
+        "d" -> Set("b"), "x" -> Set("y"), "y" -> Set.empty[String])
+      var s = Set(u)
+      for (_ <- 1L to t) s = s ++ s.flatMap(adj)
+      s.size.toLong
+    }
+    for (u <- Seq("a", "b", "c", "d", "x", "y"); t <- 0L to 3L)
+      assert(got((u, t)) == ball(u, t), s"ball($u, $t)")
+    // small k engages the estimator: still deterministic (the k
+    // smallest distinct hashes are a function of the set), so two
+    // runs agree bit-for-bit
+    val e2 = Neighborhood.kmvBalls(edges, hops = 2, k = 2)
+      .as[(String, Long, Long)].collect().toSet
+    val e2b = Neighborhood.kmvBalls(edges, hops = 2, k = 2)
+      .as[(String, Long, Long)].collect().toSet
+    assert(e2 == e2b && e2.nonEmpty)
+  }
+
   test("SCC: adversarial id order and descending chains converge") {
     // descending-id chain (worst case for min-reach peeling: F spreads
     // the global min everywhere) feeding a cycle whose min is NOT the
