@@ -296,6 +296,37 @@ class PlanShapeSpec extends SparkSpec {
       s"q44: expected salt + key + ORDER BY exchanges, got $exchanges\n$p")
   }
 
+  test("decode queries stay map-side: only the ORDER BY exchange") {
+    // m14/m15/m16: the codec work rides the scan; the single range
+    // exchange is the deterministic output sort. A second exchange
+    // would mean decode results started shuffling.
+    for (q <- Seq("m14_jpeg_color", "m15_png_palette", "m16_png16")) {
+      val p = plan(q)
+      val x = "Exchange (?:range|hash|Single)".r.findAllIn(p).size
+      assert(x == 1, s"$q: expected only the ORDER BY exchange, got $x\n$p")
+    }
+  }
+
+  test("k-core and neighborhood keep aggregate/equi-join shapes") {
+    // g7: peeling waves are equi joins + partial-agg counts — no
+    // window over vertices, no all-pairs fallback.
+    val g7 = plan("g7_kcore")
+    assert(!g7.contains("Window") && !g7.contains("CartesianProduct") &&
+      !g7.contains("BroadcastNestedLoop"),
+      s"g7 lost its aggregate-only shape\n$g7")
+    // g8: per-hop sketches are checkpointed, so the FINAL plan is a
+    // union of stored sketch tables — the kmv_sketch aggregate runs
+    // at materialization time and is invisible here. What must hold
+    // in the visible plan: no window, no pair join, and the per-hop
+    // pieces read checkpointed blocks (ExistingRDD), not a re-run of
+    // the propagation chain.
+    val g8 = plan("g8_neighborhood")
+    assert(g8.contains("ExistingRDD"),
+      s"g8 re-runs propagation instead of reading checkpoints\n$g8")
+    assert(!g8.contains("Window") && !g8.contains("CartesianProduct"),
+      s"g8 shape regressed\n$g8")
+  }
+
   test("salted PageRank keys its contribution exchange on (node, _salt)") {
     // pr_ranks_salted's contract: with saltHotKeys on, every
     // iteration's contribution aggregation goes through the
