@@ -251,6 +251,50 @@ object PageRankQueries {
        |$steps""".stripMargin
   }
 
+  /** DuckDB CTEs for the HITS iteration chain — mirrors
+    * graft.graph.Hits.run's half-step order and operation association
+    * exactly: raw auth pull (sum of hubs over in-edges), L1-normalize
+    * against the raw sum, hub pull-back of the NORMALIZED auths,
+    * L1-normalize. Missing contributions coalesce to 0 BEFORE the
+    * division on both sides.
+    */
+  private def hitsCtes(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""ar$i AS MATERIALIZED (
+         |  SELECT e.dst AS node, sum(s.hub) AS a_raw
+         |  FROM e JOIN s${i - 1} s ON s.node = e.src GROUP BY e.dst
+         |),
+         |a$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |    coalesce(ar.a_raw, CAST(0 AS DOUBLE)) /
+         |      (SELECT sum(a_raw) FROM ar$i) AS auth
+         |  FROM nodes n LEFT JOIN ar$i ar ON ar.node = n.node
+         |),
+         |hr$i AS MATERIALIZED (
+         |  SELECT e.src AS node, sum(a.auth) AS h_raw
+         |  FROM e JOIN a$i a ON a.node = e.dst GROUP BY e.src
+         |),
+         |s$i AS MATERIALIZED (
+         |  SELECT n.node, a.auth,
+         |    coalesce(hr.h_raw, CAST(0 AS DOUBLE)) /
+         |      (SELECT sum(h_raw) FROM hr$i) AS hub
+         |  FROM nodes n
+         |  JOIN a$i a ON a.node = n.node
+         |  LEFT JOIN hr$i hr ON hr.node = n.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""$edgeCtes,
+       |nodes AS MATERIALIZED (
+       |  SELECT src AS node FROM e UNION SELECT dst FROM e
+       |),
+       |s0 AS (
+       |  SELECT node, CAST(1.0 AS DOUBLE) AS auth,
+       |         CAST(1.0 AS DOUBLE) AS hub
+       |  FROM nodes
+       |),
+       |$steps""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
 
     // Phase 1 of the reference: count non-empty pages.
@@ -732,6 +776,32 @@ object PageRankQueries {
               |       ELSE floor(15.0 * ${Sampling.MixMod} / kth + 0.5)
               |       END AS BIGINT) AS est_ball
               |FROM sk ORDER BY node, hop""".stripMargin)),
+
+    // HITS hubs & authorities (graph.Hits): Kleinberg's two-score
+    // mutual recursion over the directed word graph — the
+    // query-dependent ranking sibling of pr_ranks (authorities =
+    // landing words many well-connected words precede; on link
+    // corpora, the link-spam / topic-distillation primitive). 8
+    // L1-normalized iterations, edges persisted once per join key,
+    // each half-step shuffling only the O(|V|) score table; scores
+    // reported on the e9 integer grid (the pr_weighted_ranks
+    // convention) so both engines round the same doubles.
+    Q("g9_hits",
+      (s, d) => {
+        val e = LinkGraph.wordFollowEdges(Tables.documents(s, d), "text")
+        graft.graph.Hits.run(e, iterations = 8)
+          .select(col("node"),
+            floor(col("auth") * 1000000000L + 0.5).cast("long")
+              .as("auth_e9"),
+            floor(col("hub") * 1000000000L + 0.5).cast("long")
+              .as("hub_e9"))
+          .orderBy("node")
+      },
+      Some(s"""WITH ${hitsCtes(8)}
+              |SELECT node,
+              |  CAST(floor(auth * 1000000000 + 0.5) AS BIGINT) AS auth_e9,
+              |  CAST(floor(hub * 1000000000 + 0.5) AS BIGINT) AS hub_e9
+              |FROM s8 ORDER BY node""".stripMargin)),
 
     Q("g5_adamic_adar",
       (s, d) => {

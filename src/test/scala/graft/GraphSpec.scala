@@ -343,6 +343,41 @@ class GraphSpec extends SparkSpec {
     assert(KCore.untilStable(edges, k = 9).isEmpty)
   }
 
+  test("HITS: star center dominates authority, agrees with plain-Scala ref") {
+    import graft.graph.Hits
+    // three hubs into one authority `a`, which passes on to `z`; h1
+    // also points at a second target so hub roles are not all equal
+    val adj = Seq("h1" -> "a", "h2" -> "a", "h3" -> "a", "a" -> "z",
+      "h1" -> "b")
+    val got = Hits.run(adj.toDF("src", "dst"), iterations = 8)
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    // in-test reference: the same half-step order in plain Scala
+    val nodes = (adj.map(_._1) ++ adj.map(_._2)).distinct
+    var auth = nodes.map(_ -> 1.0).toMap
+    var hub = nodes.map(_ -> 1.0).toMap
+    for (_ <- 1 to 8) {
+      val ar = adj.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(e => hub(e._1)).sum }
+      val na = ar.values.sum
+      auth = nodes.map(n => n -> ar.getOrElse(n, 0.0) / na).toMap
+      val hr = adj.groupBy(_._1).map { case (u, es) =>
+        u -> es.map(e => auth(e._2)).sum }
+      val nh = hr.values.sum
+      hub = nodes.map(n => n -> hr.getOrElse(n, 0.0) / nh).toMap
+    }
+    nodes.foreach { n =>
+      assert(math.abs(got(n)._1 - auth(n)) < 1e-12, s"auth($n)")
+      assert(math.abs(got(n)._2 - hub(n)) < 1e-12, s"hub($n)")
+    }
+    assert(got("h2") == got("h3"), "identical-role hubs score identically")
+    assert(nodes.filter(_ != "a").forall(n => got("a")._1 > got(n)._1),
+      "the star center out-scores every other node on authority")
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-12, "L1 norm")
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-12, "L1 norm")
+  }
+
   test("neighborhood function: exact when k exceeds every ball") {
     import graft.graph.Neighborhood
     // directed: a→b→c→d chain plus d→b back-edge (cycle b,c,d) and an
