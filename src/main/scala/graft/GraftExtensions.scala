@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{BandSigsExpr, BpeUnitsExpr, CosineSimilarity, EmbedSimHashExpr, HeavyHittersSketch, KmvSketch, MinHashSigExpr, NGramHashesExpr, NGramHashesPosExpr, ShingleSetExpr, SimHashExpr, StringHashExpr, TextCanonExpr, TokenHashesExpr, TopKByScore}
+import graft.functions.{BandSigsExpr, BpeUnitsExpr, CosineSimilarity, EmbedSimHashExpr, HeavyHittersSketch, HllSketch, KmvSketch, MinHashSigExpr, NGramHashesExpr, NGramHashesPosExpr, ShingleSetExpr, SimHashExpr, StringHashExpr, TextCanonExpr, TokenHashesExpr, TopKByScore}
 
 /** Registers graft's native expressions for SQL use:
   * `SELECT cosine_sim(a, b)` / `text_canon(s)` — codegen'd Catalyst
@@ -15,7 +15,8 @@ import graft.functions.{BandSigsExpr, BpeUnitsExpr, CosineSimilarity, EmbedSimHa
   * `simhash`, `embed_simhash`, `string_poly_hash`, `bpe_units`), and
   * the bounded
   * sketch aggregates `top_k_by_score(score, id, tag, k)`,
-  * `heavy_hitters(item, capacity)` and `kmv_sketch(hash, k)` (the
+  * `heavy_hitters(item, capacity)`, `kmv_sketch(hash, k)` and
+  * `hll_sketch(hash, p)` (the
   * size argument must be an integer literal in each; it sizes the
   * per-partition state at plan time — and `ngram_hashes[_pos]`'s `n`
   * likewise).
@@ -51,6 +52,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[KmvSketch].getName, "kmv_sketch"),
       (exprs: Seq[Expression]) => KmvSketch(exprs.head,
         intLit(exprs(1), "kmv_sketch"))
+    ))
+    ext.injectFunction((
+      new FunctionIdentifier("hll_sketch"),
+      new ExpressionInfo(classOf[HllSketch].getName, "hll_sketch"),
+      (exprs: Seq[Expression]) => HllSketch(exprs.head,
+        intLit(exprs(1), "hll_sketch"))
     ))
     // The TextHash kernel family: unary array/string transforms.
     def unary(name: String, cls: Class[_],

@@ -795,6 +795,174 @@ object PipelineQueries {
               |FROM kmv JOIN x USING (lang)
               |ORDER BY lang""".stripMargin)),
 
+    // HyperLogLog distinct count (Flajolet et al. 2007), column-level
+    // form: 64 max-rho registers over the mixed 32-bit shingle hash.
+    // Where d27's KMV pays a corpus-wide DISTINCT exchange before its
+    // bottom-k, the HLL registers come straight off the raw
+    // (duplicate-laden) stream — max() is duplicate-insensitive — so
+    // the only exchange is a 64-group partial-aggregated max: the
+    // cheapest possible cardinality pass at 100 TB. Registers are a
+    // pure function of the input SET, so the whole estimate chain
+    // (scaled-integer harmonic sum, linear-counting correction)
+    // mirrors exactly in SQL; the exact count rides along as the
+    // verification column (oracle side only pays it at test SF).
+    // std err ≈ 1.04/√64 ≈ 13% at m=64.
+    Q("d59_hll_distinct",
+      (s, d) => {
+        // register math contract: see functions.HllSketch scaladoc
+        val h = Dedup.shingleSets(
+            Tables.documents(s, d).select("doc_id", "text"))
+          .select(explode(col("sh")).as("s0"))
+          .select((col("s0") * Sampling.Mixer % Sampling.MixMod).as("h"))
+        val mx = h.select(
+            shiftright(col("h"), 26).as("reg"),
+            col("h").bitwiseAND(lit(67108863L)).as("w"))
+          .select(col("reg"),
+            when(col("w") === 0, lit(27))
+              .otherwise(lit(27) - length(bin(col("w")))).as("rho"))
+          .groupBy("reg").agg(max("rho").as("m"))
+        val regs = s.range(64).select(col("id").as("reg"))
+          .join(mx, Seq("reg"), "left")
+          .select(coalesce(col("m"), lit(0)).as("m"))
+        val sk = regs.agg(
+          sum(expr("shiftleft(1L, CAST(27 - m AS INT))")).as("s_scaled"),
+          sum(when(col("m") === 0, 1L).otherwise(0L)).as("n_zero"))
+        val exact = h.distinct().agg(count(lit(1)).as("exact_distinct"))
+        sk.crossJoin(exact)
+          .withColumn("raw",
+            lit(0.709) * lit(4096.0) * lit(134217728.0) / col("s_scaled"))
+          .select(col("s_scaled"), col("n_zero"),
+            when(col("raw") <= lit(160.0) && col("n_zero") > 0,
+              floor(lit(64.0) * log(lit(64.0) / col("n_zero")) + 0.5))
+              .otherwise(floor(col("raw") + 0.5))
+              .cast("long").as("est_distinct"),
+            col("exact_distinct"))
+      },
+      Some(s"""WITH ${TextHash.duckToksCte},
+              |${TextHash.duckShinglesCte},
+              |h AS (
+              |  SELECT s * ${Sampling.Mixer} % ${Sampling.MixMod} AS h
+              |  FROM sh
+              |),
+              |rr AS (
+              |  SELECT h >> 26 AS reg,
+              |    CASE WHEN (h & 67108863) = 0 THEN 27
+              |         ELSE 27 - length(bin(h & 67108863)) END AS rho
+              |  FROM h
+              |),
+              |mx AS (SELECT reg, max(rho) AS m FROM rr GROUP BY reg),
+              |grid AS (SELECT unnest(range(0, 64)) AS reg),
+              |regs AS (
+              |  SELECT coalesce(mx.m, 0) AS m
+              |  FROM grid LEFT JOIN mx ON mx.reg = grid.reg
+              |),
+              |sk AS (
+              |  SELECT CAST(sum(1::BIGINT << (27 - m)) AS BIGINT)
+              |           AS s_scaled,
+              |         CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END)
+              |           AS BIGINT) AS n_zero
+              |  FROM regs
+              |),
+              |x AS (SELECT count(DISTINCT h) AS exact_distinct FROM h),
+              |est AS (
+              |  SELECT s_scaled, n_zero,
+              |    CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) *
+              |      CAST(134217728 AS DOUBLE) / s_scaled AS raw
+              |  FROM sk
+              |)
+              |SELECT s_scaled, n_zero,
+              |  CAST(CASE WHEN raw <= CAST(160 AS DOUBLE) AND n_zero > 0
+              |       THEN floor(CAST(64 AS DOUBLE) *
+              |              ln(CAST(64 AS DOUBLE) / n_zero) + 0.5)
+              |       ELSE floor(raw + 0.5) END AS BIGINT) AS est_distinct,
+              |  CAST(exact_distinct AS BIGINT) AS exact_distinct
+              |FROM est, x""".stripMargin)),
+
+    // Per-GROUP HLL via the mergeable register aggregate — the d28
+    // pattern (bounded sketch state under ObjectHashAggregate) with
+    // HLL's O(2^p)-bytes-per-group state instead of KMV's k values:
+    // ONE aggregation pass over the raw stream gives every group's
+    // registers (merge = element-wise max, order-independent), and
+    // the estimate chain is derived with codegen'd array functions —
+    // no per-group distinct exchange anywhere. Registers being a
+    // function of the set, the estimates oracle-check exactly
+    // (same register math, same scaled-integer harmonic sum).
+    Q("d60_hll_per_lang",
+      (s, d) => {
+        import graft.functions.HllSketch.hll_sketch
+        val docs = Tables.documents(s, d)
+        val h = Dedup.shingleSets(docs.select("doc_id", "text"))
+          .join(docs.select("doc_id", "lang"), "doc_id")
+          .select(col("lang"), explode(col("sh")).as("s0"))
+          .select(col("lang"),
+            (col("s0") * Sampling.Mixer % Sampling.MixMod).as("h"))
+        h.groupBy("lang")
+          .agg(hll_sketch(col("h"), 6).as("regs"),
+            countDistinct(col("h")).as("exact_distinct"))
+          .withColumn("s_scaled", expr(
+            "aggregate(regs, 0L, (acc, r) -> acc + shiftleft(1L, 27 - r))"))
+          .withColumn("n_zero",
+            expr("CAST(size(filter(regs, r -> r = 0)) AS BIGINT)"))
+          .withColumn("raw",
+            lit(0.709) * lit(4096.0) * lit(134217728.0) / col("s_scaled"))
+          .select(col("lang"), col("s_scaled"), col("n_zero"),
+            when(col("raw") <= lit(160.0) && col("n_zero") > 0,
+              floor(lit(64.0) * log(lit(64.0) / col("n_zero")) + 0.5))
+              .otherwise(floor(col("raw") + 0.5))
+              .cast("long").as("est_distinct"),
+            col("exact_distinct"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH ${TextHash.duckToksCte},
+              |${TextHash.duckShinglesCte},
+              |hl AS (
+              |  SELECT d.lang, s.s * ${Sampling.Mixer} % ${Sampling.MixMod}
+              |    AS h
+              |  FROM sh s JOIN documents d USING (doc_id)
+              |),
+              |rr AS (
+              |  SELECT lang, h >> 26 AS reg,
+              |    CASE WHEN (h & 67108863) = 0 THEN 27
+              |         ELSE 27 - length(bin(h & 67108863)) END AS rho
+              |  FROM hl
+              |),
+              |mx AS (SELECT lang, reg, max(rho) AS m
+              |       FROM rr GROUP BY lang, reg),
+              |grid AS (
+              |  SELECT l.lang, g.reg
+              |  FROM (SELECT DISTINCT lang FROM hl) l,
+              |       (SELECT unnest(range(0, 64)) AS reg) g
+              |),
+              |regs AS (
+              |  SELECT grid.lang, coalesce(mx.m, 0) AS m
+              |  FROM grid LEFT JOIN mx
+              |    ON mx.lang = grid.lang AND mx.reg = grid.reg
+              |),
+              |sk AS (
+              |  SELECT lang,
+              |    CAST(sum(1::BIGINT << (27 - m)) AS BIGINT) AS s_scaled,
+              |    CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS n_zero
+              |  FROM regs GROUP BY lang
+              |),
+              |x AS (SELECT lang, CAST(count(DISTINCT h) AS BIGINT)
+              |        AS exact_distinct
+              |      FROM hl GROUP BY lang),
+              |est AS (
+              |  SELECT lang, s_scaled, n_zero,
+              |    CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) *
+              |      CAST(134217728 AS DOUBLE) / s_scaled AS raw
+              |  FROM sk
+              |)
+              |SELECT e.lang, s_scaled, n_zero,
+              |  CAST(CASE WHEN raw <= CAST(160 AS DOUBLE) AND n_zero > 0
+              |       THEN floor(CAST(64 AS DOUBLE) *
+              |              ln(CAST(64 AS DOUBLE) / n_zero) + 0.5)
+              |       ELSE floor(raw + 0.5) END AS BIGINT) AS est_distinct,
+              |  exact_distinct
+              |FROM est e JOIN x USING (lang)
+              |ORDER BY lang""".stripMargin)),
+
     // Corpus heavy hitters (frequent-token mining): one pass builds a
     // Misra-Gries sketch (capacity 64 ⇒ every token with true count
     // > N/65 is guaranteed in it, whatever the partitioning), then an

@@ -543,6 +543,36 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("hll sketch: registers match plain-Scala ref, any partitioning/dups") {
+    import graft.functions.HllSketch.hll_sketch
+    val values = (1L to 500L).map(_ * 2654435761L % 4294967296L)
+    // plain-Scala register reference (the HllSketch scaladoc contract)
+    val want = {
+      val regs = new Array[Int](64)
+      for (h <- values) {
+        val j = (h >>> 26).toInt
+        val w = h & ((1L << 26) - 1)
+        val rho = if (w == 0L) 27
+          else 27 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        if (rho > regs(j)) regs(j) = rho
+      }
+      regs.toSeq
+    }
+    // duplicates must not move any register; nor may partitioning
+    for (parts <- Seq(1, 7)) {
+      val got = (values ++ values.take(200)).toDF("h").repartition(parts)
+        .agg(hll_sketch(col("h"), 6).as("regs"))
+        .select(explode(col("regs")).as("r"))
+        .as[Int].collect().toSeq
+      assert(got == want, s"parts=$parts")
+    }
+    // SQL registration path agrees
+    values.toDF("h").createOrReplaceTempView("hll_sql_t")
+    val viaSql = spark.sql("SELECT hll_sketch(h, 6) AS s FROM hll_sql_t")
+      .select(explode(col("s"))).as[Int].collect().toSeq
+    assert(viaSql == want)
+  }
+
   test("sequence packing: gapless shard-local placement, straddles kept") {
     val docs = (1L to 40L).map(i =>
       (i, (1 to (i % 7 + 1).toInt).map(j => s"w$j").mkString(" ")))
