@@ -113,6 +113,38 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** ε-neighborhood (range) search: per-query COUNT of candidates
+    * within cosine `minSim`, plus the best match — the radius twin
+    * of [[bruteForceTopK]] (top-k fixes the result size and lets the
+    * radius float; range search fixes the radius and lets the size
+    * float — the primitive behind density estimation and
+    * duplicate-rate audits). Queries with an EMPTY neighborhood
+    * surface as explicit zero rows via the left join back onto the
+    * query set — the e13/e18 evaluation contract, so callers can
+    * distinguish "no neighbors" from "query dropped".
+    *
+    * Scale shape: broadcast query batch against the corpus scan with
+    * the codegen'd cosine in the join condition's filter — candidates
+    * never shuffle; the per-query (count, max) partial-aggregates
+    * map-side, so the exchange carries Q rows per partition at most.
+    */
+  def rangeSearch(emb: DataFrame, queries: DataFrame,
+      minSim: Double): DataFrame = {
+    val c = emb.select(col("vec_id").as("cand_id"),
+      col("embedding").as("cand_emb"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("query_emb"))
+    val hits = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .withColumn("sim", cosine_sim(col("query_emb"), col("cand_emb")))
+      .filter(col("sim") >= minSim)
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n"), max("sim").as("ms"))
+    q.select("query_id").join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n"), lit(0L)).as("n_in_range"),
+        round(col("ms"), 6).as("max_sim"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): within each
     * cluster, a vector is REMOVED when the cluster holds a
     * smaller-id vector with cosine ≥ `minSim`; `dup_of` is the

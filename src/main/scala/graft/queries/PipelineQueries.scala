@@ -1704,6 +1704,39 @@ object PipelineQueries {
               |FROM r WHERE rank <= 5
               |ORDER BY query_id, rank""".stripMargin)),
 
+    // ε-neighborhood (range) search: fixed radius, floating result
+    // size — the density-audit twin of e1's top-k. Empty
+    // neighborhoods surface as explicit zero rows (left join back
+    // onto the query set); broadcast queries ride the corpus scan,
+    // per-query (count, max) partial-aggregates map-side.
+    Q("e20_range_search",
+      (s, d) => Similarity.rangeSearch(
+          Tables.embeddings(s, d),
+          Tables.embeddings(s, d).filter(col("vec_id") < 25),
+          minSim = 0.3)
+        .orderBy("query_id"),
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              |  FROM embeddings
+              |),
+              |q AS (SELECT * FROM e WHERE vec_id < 25),
+              |sc AS (
+              |  SELECT q.vec_id AS query_id,
+              |    ${TextHash.duckCosine("q.emb", "c.emb", 64)} AS sim
+              |  FROM q JOIN e c ON c.vec_id <> q.vec_id
+              |),
+              |h AS (
+              |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_in_range,
+              |    max(sim) AS ms
+              |  FROM sc WHERE sim >= CAST(0.3 AS DOUBLE)
+              |  GROUP BY query_id
+              |)
+              |SELECT q.vec_id AS query_id,
+              |  coalesce(h.n_in_range, 0) AS n_in_range,
+              |  round(h.ms, 6) AS max_sim
+              |FROM q LEFT JOIN h ON h.query_id = q.vec_id
+              |ORDER BY query_id""".stripMargin)),
+
     // IVF-style blocked search: only same-cluster (label) pairs are
     // scored — the co-partitioned equi-join that makes ANN tractable
     // at corpus scale.

@@ -32,6 +32,21 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("range search broadcasts the query batch; sketch aggs stay bounded") {
+    // e20: queries ride the corpus scan via a broadcast join and the
+    // per-query (count, max) partial-aggregates map-side — no window,
+    // no shuffled candidate set.
+    val e20 = plan("e20_range_search")
+    assert(e20.contains("BroadcastNestedLoopJoin"),
+      "e20 lost the broadcast query batch")
+    assert(!e20.contains("Window"), "e20 ranks through a window sort")
+    // d60: per-group HLL registers via the bounded-state
+    // ObjectHashAggregate — the group's distinct value space must
+    // never be the aggregation state.
+    assert(plan("d60_hll_per_lang").contains("ObjectHashAggregate"),
+      "d60 lost the mergeable hll_sketch aggregate")
+  }
+
   test("map-side pipeline ops shuffle only for their deterministic sort") {
     for (q <- Seq("d11_pii_scrub", "d12_repetition", "d13_quality_filter",
         "d14_stratified_sample", "d6_text_quality", "d7_token_count",
