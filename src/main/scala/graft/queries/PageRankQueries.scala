@@ -803,6 +803,56 @@ object PageRankQueries {
               |  CAST(floor(hub * 1000000000 + 0.5) AS BIGINT) AS hub_e9
               |FROM s8 ORDER BY node""".stripMargin)),
 
+    // Landmark harmonic centrality (Eppstein-Wang): Σ_L floor(1e6 /
+    // d(L,v)) over the 5 lexicographically-smallest words as
+    // landmarks, distances within 6 hops of the undirected word
+    // graph. Exact all-pairs closeness is O(V·E); the landmark
+    // estimate is one |L|-source keyed BFS. Per-term integer scaling
+    // (the g5 convention) makes the sum an exact BIGINT — no float
+    // summation order anywhere.
+    Q("g10_harmonic",
+      (s, d) => {
+        val e = LinkGraph.wordFollowEdges(Tables.documents(s, d), "text")
+        // landmark universe = the symmetrized loop-free node set (a
+        // self-loop-only node has no BFS reach and its selection
+        // would diverge from the oracle's sym-derived set)
+        val nd = e.filter(col("src") =!= col("dst"))
+        val nodes = nd.select(col("src").as("node"))
+          .union(nd.select(col("dst").as("node"))).distinct()
+        val landmarks = nodes.orderBy("node").limit(5)
+        graft.graph.Harmonic.fromLandmarks(e, landmarks, maxHops = 6)
+          .orderBy("node")
+      },
+      Some(s"""WITH RECURSIVE $edgeCtes,
+              |und AS (
+              |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              |  FROM e WHERE src <> dst
+              |),
+              |sym AS (
+              |  SELECT a AS u, b AS v FROM und
+              |  UNION ALL
+              |  SELECT b AS u, a AS v FROM und
+              |),
+              |lms AS (
+              |  SELECT u AS lm FROM sym GROUP BY u ORDER BY u LIMIT 5
+              |),
+              |walk(lm, node, dist) AS (
+              |  SELECT lm, lm, 0 FROM lms
+              |  UNION
+              |  SELECT w.lm, s.v, w.dist + 1
+              |  FROM walk w JOIN sym s ON s.u = w.node
+              |  WHERE w.dist < 6
+              |),
+              |md AS (
+              |  SELECT lm, node, min(dist) AS dist
+              |  FROM walk GROUP BY lm, node
+              |)
+              |SELECT node,
+              |  CAST(sum(CAST(floor(CAST(1000000 AS DOUBLE) / dist)
+              |    AS BIGINT)) AS BIGINT) AS harm_e6
+              |FROM md WHERE dist > 0
+              |GROUP BY node ORDER BY node""".stripMargin)),
+
     Q("g5_adamic_adar",
       (s, d) => {
         val e = LinkGraph.wordFollowEdges(Tables.documents(s, d), "text")

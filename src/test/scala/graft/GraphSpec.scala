@@ -378,6 +378,26 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-12, "L1 norm")
   }
 
+  test("harmonic centrality: hand-computed landmark distances, hop bound") {
+    import graft.graph.Harmonic
+    // path a-b-c-d-e (undirected by the operator) + isolated pair x-y
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e",
+      "x" -> "y").toDF("src", "dst")
+    val got = Harmonic.fromLandmarks(edges,
+        Seq("a", "x").toDF("node"), maxHops = 3)
+      .as[(String, Long)].collect().toMap
+    // from a: b=1, c=2, d=3, e=4 (beyond the bound); from x: y=1;
+    // a and x are each other's unreachable, own dist-0 terms drop
+    assert(got == Map(
+      "b" -> 1000000L, "c" -> 500000L, "d" -> 333333L, "y" -> 1000000L))
+    // second landmark adds its term: harm(c) from {a, e} = 1/2 + 1/2
+    val two = Harmonic.fromLandmarks(edges,
+        Seq("a", "e").toDF("node"), maxHops = 3)
+      .as[(String, Long)].collect().toMap
+    assert(two("c") == 1000000L)
+    assert(two("b") == 1000000L + 333333L)
+  }
+
   test("neighborhood function: exact when k exceeds every ball") {
     import graft.graph.Neighborhood
     // directed: a→b→c→d chain plus d→b back-edge (cycle b,c,d) and an
