@@ -1,0 +1,356 @@
+package graft.multimodal
+
+/** A real (minimal) GIF89a codec — pure JVM, no image libraries.
+  *
+  * The ENCODER exists to plant test images; the DECODER is the
+  * capability, covering what a web crawl's GIFs need: header +
+  * logical screen descriptor, global AND local color tables at bit
+  * depths 1-8, extension-block skipping (GCE/comment/application),
+  * data sub-block reassembly, FULL variable-width LZW decompression
+  * (3-12 bit codes, clear-code dictionary resets, the K-K-K case,
+  * the GIF encoder/decoder width-change offset), and 4-pass
+  * interlace scatter. Output is 8-bit RGB via palette expansion.
+  *
+  * Totality is the contract (the Png/Jpeg convention): any malformed
+  * or truncated input returns None, never a task-killing throw —
+  * fuzz-pinned in CodecFuzzSpec.
+  */
+object Gif {
+
+  private val MaxCodeWidth = 12
+  private val MaxCodes = 1 << MaxCodeWidth // 4096
+
+  // interlace pass row grids (GIF89a spec, appendix E)
+  private val PassStart = Array(0, 4, 2, 1)
+  private val PassStep = Array(8, 8, 4, 2)
+
+  /** Row emission order: top-to-bottom, or the 4-pass interlace. */
+  private def rowOrder(height: Int, interlaced: Boolean): Array[Int] =
+    if (!interlaced) Array.range(0, height)
+    else (0 until 4).toArray.flatMap(p =>
+      Iterator.range(PassStart(p), height, PassStep(p)))
+
+  private def le16(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xFF)
+    out.write((v >> 8) & 0xFF)
+  }
+
+  /** LSB-first bit writer (GIF packs code bits low-bit-first). */
+  private final class BitWriter {
+    private val bytes = new java.io.ByteArrayOutputStream()
+    private var acc = 0
+    private var nBits = 0
+    def put(code: Int, width: Int): Unit = {
+      acc |= code << nBits
+      nBits += width
+      while (nBits >= 8) {
+        bytes.write(acc & 0xFF)
+        acc >>>= 8
+        nBits -= 8
+      }
+    }
+    def finish(): Array[Byte] = {
+      if (nBits > 0) bytes.write(acc & 0xFF)
+      bytes.toByteArray
+    }
+  }
+
+  /** GIF-variant LZW compression of an index stream.
+    *
+    * Width-change timing: the decoder materializes each encoder
+    * dictionary entry ONE CODE READ behind the emission that created
+    * it, and bumps its code width after the entry lands (next ==
+    * 1<<width). Mirrored here as a DEFERRED bump: the condition is
+    * detected at assignment time but takes effect only after the
+    * next emitted code — a flat "+1" threshold gets the tail wrong
+    * when the bump lands on the final flush emit, which assigns no
+    * entry (the depth-1/2 checkerboard images hit exactly that).
+    */
+  private def lzwEncode(data: Array[Byte], minCodeSize: Int)
+      : Array[Byte] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val w = new BitWriter
+    var width = minCodeSize + 1
+    var next = eoi + 1
+    var pendingBump = false
+    def emit(code: Int): Unit = {
+      w.put(code, width)
+      if (pendingBump) { width += 1; pendingBump = false }
+    }
+    // (prefix code << 8 | byte) -> code
+    var dict = new java.util.HashMap[Integer, Integer]()
+    emit(clear)
+    if (data.nonEmpty) {
+      var cur = data(0) & 0xFF
+      var i = 1
+      while (i < data.length) {
+        val b = data(i) & 0xFF
+        val key = (cur << 8) | b
+        val hit = dict.get(key)
+        if (hit != null) cur = hit
+        else {
+          emit(cur)
+          if (next < MaxCodes) {
+            dict.put(key, next)
+            next += 1
+            if (next == (1 << width) && width < MaxCodeWidth)
+              pendingBump = true
+          } else {
+            // table full: reset (keeps the stream spec-clean even
+            // though planted test images never get here)
+            emit(clear)
+            dict = new java.util.HashMap[Integer, Integer]()
+            width = minCodeSize + 1
+            next = eoi + 1
+            pendingBump = false
+          }
+          cur = b
+        }
+        i += 1
+      }
+      emit(cur)
+    }
+    emit(eoi)
+    w.finish()
+  }
+
+  /** Encode `width`×`height` palette indices as a GIF89a with a
+    * global color table of 2^depth entries (each index must be
+    * < 2^depth), optionally interlaced.
+    */
+  def encode(width: Int, height: Int, depth: Int, palette: Array[Byte],
+      indices: Array[Byte], interlaced: Boolean = false): Array[Byte] = {
+    require(depth >= 1 && depth <= 8, s"depth $depth out of range")
+    require(palette.length == 3 * (1 << depth),
+      s"palette must have 2^$depth entries")
+    require(indices.length == width * height, "indices size mismatch")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"), 0, 6)
+    le16(out, width)
+    le16(out, height)
+    // GCT present, color resolution = depth, GCT size field = depth-1
+    out.write(0x80 | ((depth - 1) << 4) | (depth - 1))
+    out.write(0) // background color index
+    out.write(0) // pixel aspect ratio
+    out.write(palette, 0, palette.length)
+    out.write(0x2C) // image descriptor
+    le16(out, 0)
+    le16(out, 0)
+    le16(out, width)
+    le16(out, height)
+    out.write(if (interlaced) 0x40 else 0)
+    val minCodeSize = math.max(2, depth)
+    out.write(minCodeSize)
+    val stream = new Array[Byte](indices.length)
+    var p = 0
+    for (y <- rowOrder(height, interlaced)) {
+      System.arraycopy(indices, y * width, stream, p, width)
+      p += width
+    }
+    val lzw = lzwEncode(stream, minCodeSize)
+    var i = 0
+    while (i < lzw.length) {
+      val n = math.min(255, lzw.length - i)
+      out.write(n)
+      out.write(lzw, i, n)
+      i += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  case class Decoded(width: Int, height: Int, rgb: Array[Byte])
+
+  /** Decode the first image of a GIF87a/89a to 8-bit RGB. Returns
+    * None for anything malformed: bad signature, truncated
+    * descriptors or sub-blocks, missing color table, LZW code
+    * underflow/overflow, out-of-palette indices, or a pixel count
+    * that doesn't fill the frame.
+    */
+  def decode(p: Array[Byte]): Option[Decoded] =
+    try decodeImpl(p)
+    catch {
+      // totality is the contract: crafted-input bounds surprises
+      // reject cleanly, never throw
+      case _: IndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+
+  private def decodeImpl(p: Array[Byte]): Option[Decoded] = {
+    def u(j: Int): Int = p(j) & 0xFF
+    def le(j: Int): Int = u(j) | (u(j + 1) << 8)
+    if (p.length < 13) return None
+    val sig = new String(p, 0, 6, "US-ASCII")
+    if (sig != "GIF89a" && sig != "GIF87a") return None
+    val packed = u(10)
+    var off = 13
+    var gct: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 3 * (1 << ((packed & 0x07) + 1))
+      if (off + n > p.length) return None
+      gct = java.util.Arrays.copyOfRange(p, off, off + n)
+      off += n
+    }
+    // walk blocks to the first image descriptor
+    while (off < p.length && u(off) != 0x2C) {
+      u(off) match {
+        case 0x21 => // extension: label byte + data sub-blocks
+          off += 2
+          while ({
+            if (off >= p.length) return None
+            val n = u(off); off += 1 + n; n != 0
+          }) ()
+        case 0x3B => return None // trailer before any image
+        case _ => return None
+      }
+    }
+    if (off + 10 > p.length) return None
+    val width = le(off + 5)
+    val height = le(off + 7)
+    val ipacked = u(off + 9)
+    off += 10
+    if (width <= 0 || height <= 0 ||
+        width.toLong * height > 64L * 1024 * 1024) return None
+    val interlaced = (ipacked & 0x40) != 0
+    var table = gct
+    if ((ipacked & 0x80) != 0) { // local color table overrides
+      val n = 3 * (1 << ((ipacked & 0x07) + 1))
+      if (off + n > p.length) return None
+      table = java.util.Arrays.copyOfRange(p, off, off + n)
+      off += n
+    }
+    if (table == null) return None
+    if (off >= p.length) return None
+    val minCodeSize = u(off)
+    off += 1
+    if (minCodeSize < 2 || minCodeSize > 8) return None
+    // reassemble the LZW stream from data sub-blocks
+    val lzw = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done) {
+      if (off >= p.length) return None
+      val n = u(off)
+      off += 1
+      if (n == 0) done = true
+      else {
+        if (off + n > p.length) return None
+        lzw.write(p, off, n)
+        off += n
+      }
+    }
+    val indices = lzwDecode(lzw.toByteArray, minCodeSize,
+      width * height) match {
+      case Some(ix) => ix
+      case None => return None
+    }
+    // palette expansion (+ optional interlace scatter)
+    val nColors = table.length / 3
+    val rgb = new Array[Byte](width * height * 3)
+    val rows = rowOrder(height, interlaced)
+    var r = 0
+    while (r < height) {
+      val y = rows(r)
+      var x = 0
+      while (x < width) {
+        val ix = indices(r * width + x) & 0xFF
+        if (ix >= nColors) return None
+        System.arraycopy(table, ix * 3, rgb, (y * width + x) * 3, 3)
+        x += 1
+      }
+      r += 1
+    }
+    Some(Decoded(width, height, rgb))
+  }
+
+  /** GIF-variant LZW decompression to exactly `expected` indices. */
+  private def lzwDecode(data: Array[Byte], minCodeSize: Int,
+      expected: Int): Option[Array[Byte]] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val prefix = new Array[Int](MaxCodes)
+    val suffix = new Array[Byte](MaxCodes)
+    val out = new Array[Byte](expected)
+    var outN = 0
+    var width = minCodeSize + 1
+    var next = eoi + 1
+    var prev = -1
+    var acc = 0
+    var nBits = 0
+    var i = 0
+
+    // emit the expansion of `code` (walk the prefix chain, reversed)
+    val stack = new Array[Byte](MaxCodes + 1)
+    def emit(code: Int, kkkByte: Int): Boolean = {
+      var top = 0
+      var c = code
+      if (kkkByte >= 0) { stack(top) = kkkByte.toByte; top += 1 }
+      while (c >= clear + 2) {
+        if (top > MaxCodes) return false // cycle guard
+        stack(top) = suffix(c)
+        top += 1
+        c = prefix(c)
+      }
+      if (c >= clear) return false // dangling code below the roots
+      stack(top) = c.toByte
+      top += 1
+      if (outN + top > expected) return false
+      while (top > 0) {
+        top -= 1
+        out(outN) = stack(top)
+        outN += 1
+      }
+      true
+    }
+    def firstByte(code: Int): Int = {
+      var c = code
+      while (c >= clear + 2) c = prefix(c)
+      if (c >= clear) -1 else c
+    }
+
+    while (i < data.length || nBits >= width) {
+      while (nBits < width && i < data.length) {
+        acc |= (data(i) & 0xFF) << nBits
+        nBits += 8
+        i += 1
+      }
+      if (nBits < width) return None // truncated stream
+      val code = acc & ((1 << width) - 1)
+      acc >>>= width
+      nBits -= width
+      if (code == clear) {
+        width = minCodeSize + 1
+        next = eoi + 1
+        prev = -1
+      } else if (code == eoi) {
+        return if (outN == expected) Some(out) else None
+      } else if (prev == -1) {
+        if (code >= clear) return None
+        if (outN >= expected) return None
+        out(outN) = code.toByte
+        outN += 1
+        prev = code
+      } else {
+        if (code > next || (code == next && next >= MaxCodes)) return None
+        if (code == next) {
+          // K-K-K: the just-about-to-be-defined code — expansion is
+          // str(prev) + first(str(prev))
+          val k = firstByte(prev)
+          if (k < 0 || !emit(prev, k)) return None
+        } else if (!emit(code, -1)) return None
+        if (next < MaxCodes) {
+          val k = if (code == next) firstByte(prev)
+            else firstByte(code)
+          if (k < 0) return None
+          prefix(next) = prev
+          suffix(next) = k.toByte
+          next += 1
+          if (next == (1 << width) && width < MaxCodeWidth) width += 1
+        }
+        prev = code
+      }
+    }
+    None // ran out of codes before EOI / frame fill
+  }
+}

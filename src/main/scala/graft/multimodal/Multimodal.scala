@@ -229,6 +229,61 @@ object Multimodal {
     }
   }
 
+  /** Plant REAL GIF89a images ([[Gif.encode]]): global color table
+    * depth rotates 8/4/2/1 by doc_id, odd ids INTERLACED — the
+    * decoder walks sub-block reassembly, variable-width LZW (with
+    * the encoder/decoder width-change offset), palette lookup, and
+    * the 4-pass scatter. Interlacing permutes the CODED stream, not
+    * the pixels, so the oracle recomputes them from the planting
+    * formulas without a decoder: width 4 + id%5, height 4 + (id·3)%5,
+    * palette size min(16, 2^depth),
+    * palette[j][c] = (id·43 + j·31 + c·17) % 256,
+    * index(y, x) = (id·19 + y·11 + x·7) % size.
+    */
+  def gifTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (4 + id % 5).toInt
+        val h = (4 + (id * 3) % 5).toInt
+        val depth = Array(8, 4, 2, 1)((id % 4).toInt)
+        val psize = math.min(16, 1 << depth)
+        val palette = Array.tabulate(3 << depth) { i =>
+          val j = i / 3; val c = i % 3
+          ((id * 43 + j * 31 + c * 17) % 256).toByte
+        }
+        val indices = Array.tabulate(w * h) { i =>
+          val y = i / w; val x = i % w
+          ((id * 19 + y * 11 + x * 7) % psize).toByte
+        }
+        val payload = Gif.encode(w, h, depth, palette, indices,
+          interlaced = id % 2 == 1)
+        MediaRow(id, "image/gif", payload.length.toLong, payload)
+      }
+    }.toDF()
+  }
+
+  case class GifStats(doc_id: Long, width: Long, height: Long,
+      sum_rgb: Long, pixels_md5: String)
+
+  /** REAL decode ([[Gif.decode]]: sub-block reassembly, LZW,
+    * palette expansion, de-interlace) reduced to oracle-checkable
+    * per-image stats; `pixels_md5` (lowercase hex of the decoded RGB
+    * bytes) binds every pixel. Undecodable payloads are dropped.
+    */
+  def decodeGifStats(spark: SparkSession, media: DataFrame)
+      : Dataset[GifStats] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        Gif.decode(r.payload).map { d =>
+          val (hex, sum) = pixelDigest(d.rgb)
+          GifStats(r.doc_id, d.width.toLong, d.height.toLong, sum, hex)
+        }
+      }
+    }
+  }
+
   /** Plant REAL baseline JPEGs (encoded by [[Jpeg.encode]]: full
     * forward DCT + Annex K quantization + canonical Huffman entropy
     * coding): constant-per-8×8-block grayscale images whose block

@@ -2906,6 +2906,45 @@ object PipelineQueries {
              |FROM px GROUP BY doc_id, w, h
              |ORDER BY doc_id""".stripMargin)),
 
+    // REAL GIF decode: planted images go through the full GIF89a
+    // codec — variable-width LZW compression at write time; header
+    // walk, color table read, sub-block reassembly, LZW decode
+    // (clear/EOI, K-K-K, the width-change offset), palette
+    // expansion, and 4-pass de-interlace (odd ids) at read time.
+    // Interlacing permutes the CODED stream, not the pixels, so the
+    // oracle pins the decoded bytes md5-exactly WITHOUT a decoder.
+    // Scale shape: map-side decode, no shuffle but the sort.
+    Q("m17_gif_decode",
+      (s, d) => Multimodal.decodeGifStats(s,
+          Multimodal.gifTable(s, Tables.documents(s, d)))
+        .toDF().orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id,
+             |    4 + doc_id % 5 AS w,
+             |    4 + (doc_id * 3) % 5 AS h,
+             |    CASE doc_id % 4 WHEN 0 THEN 16 WHEN 1 THEN 16
+             |         WHEN 2 THEN 4 ELSE 2 END AS psize
+             |  FROM documents
+             |),
+             |px AS (
+             |  SELECT doc_id, w, h, gy.y AS y, gx.x AS x, gc.c AS c,
+             |    (doc_id * 43
+             |     + ((doc_id * 19 + gy.y * 11 + gx.x * 7) % psize) * 31
+             |     + gc.c * 17) % 256 AS b
+             |  FROM dims,
+             |    (SELECT unnest(range(0, 8)) AS y) gy,
+             |    (SELECT unnest(range(0, 8)) AS x) gx,
+             |    (SELECT unnest(range(0, 3)) AS c) gc
+             |  WHERE gy.y < h AND gx.x < w
+             |)
+             |SELECT doc_id, CAST(w AS BIGINT) AS width,
+             |  CAST(h AS BIGINT) AS height,
+             |  CAST(SUM(b) AS BIGINT) AS sum_rgb,
+             |  md5(lower(string_agg(lpad(to_hex(b), 2, '0'), ''
+             |    ORDER BY y, x, c))) AS pixels_md5
+             |FROM px GROUP BY doc_id, w, h
+             |ORDER BY doc_id""".stripMargin)),
+
     // REAL 16-BIT PNG decode: big-endian 16-bit samples filtered at
     // the 6-byte-per-pixel stride, downsampled to 8-bit RGB by the
     // high byte. The planted low bytes are deterministic NOISE the

@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.{Jpeg, Png, Wav}
+import graft.multimodal.{Gif, Jpeg, Png, Wav}
 
 /** Deterministic fuzz for the pure-JVM codecs: at corpus scale the
   * decoders face untrusted bytes, so the contract is total — every
@@ -20,12 +20,13 @@ class CodecFuzzSpec extends SparkSpec {
     for (_ <- 1 to 600) {
       val body = Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)
       Png.decode(body); Wav.decode(body); Jpeg.decode(body)
-      Jpeg.decodeRgb(body)
+      Jpeg.decodeRgb(body); Gif.decode(body)
       // past the signature check, into the chunk/marker walkers
       Png.decode(pngMagic ++ body)
       Wav.decode(riffMagic ++ body)
       Jpeg.decode(jpegMagic ++ body)
       Jpeg.decodeRgb(jpegMagic ++ body)
+      Gif.decode("GIF89a".getBytes("US-ASCII") ++ body)
     }
     succeed
   }
@@ -44,10 +45,13 @@ class CodecFuzzSpec extends SparkSpec {
       Array.tabulate(256)(i => (128 + i % 16).toByte),
       Array.tabulate(256)(i => (128 - i % 16).toByte),
       subsample = Jpeg.Sub420, restartInterval = 1)
+    val gif = Gif.encode(9, 7, 4, Array.tabulate(48)(i => (i * 19).toByte),
+      Array.tabulate(63)(i => ((i * 5) % 16).toByte), interlaced = true)
     val rnd = new scala.util.Random(0xFA22)
     for ((base, dec) <- Seq[(Array[Byte], Array[Byte] => Option[Any])](
         (png, Png.decode), (palPng, Png.decode), (wav, Wav.decode),
-        (jpg, Jpeg.decode), (colorJpg, Jpeg.decodeRgb))) {
+        (jpg, Jpeg.decode), (colorJpg, Jpeg.decodeRgb),
+        (gif, Gif.decode))) {
       // every single-byte flip at every position, 4 flip values each
       for (pos <- base.indices; _ <- 1 to 4) {
         val m = base.clone()
