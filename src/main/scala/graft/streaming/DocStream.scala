@@ -77,6 +77,28 @@ object DocStream {
       docs.select(col("lang"), col("doc_id"), col("n_chars")),
       "lang", "doc_id", "n_chars", k, outSuffix = "chars")
 
+  /** Per-language HLL registers over an arriving stream — the d60
+    * aggregate applied unchanged: `hll_sketch`'s 2^p register-byte
+    * buffer IS the streaming state (merged micro-batch by
+    * micro-batch under complete/update mode), so a continuously
+    * ingesting corpus keeps LIVE per-language distinct-shingle
+    * cardinalities in O(2^p) state per group — no growing key set
+    * anywhere. Registers are a pure function of the arrived SET, so
+    * after any prefix the stream's answer equals the batch answer on
+    * that prefix exactly (spec-pinned). One definition, two engines.
+    */
+  def hllPerLang(docs: DataFrame, p: Int = 6): DataFrame = {
+    import graft.functions.HllSketch.hll_sketch
+    docs.select(col("lang"),
+        token_hashes(expr(TextHash.sparkTokens("text"))).as("th"))
+      .filter(size(col("th")) >= 3)
+      .select(col("lang"), explode(shingle_set(col("th"))).as("s0"))
+      .select(col("lang"),
+        (col("s0") * Sampling.Mixer % Sampling.MixMod).as("h"))
+      .groupBy("lang")
+      .agg(hll_sketch(col("h"), p).as("regs"))
+  }
+
   /** Streaming exact dedup: first arrival of each normalized-text key
     * survives; later copies arriving within `watermark` of event time
     * are dropped, and the key's state is reclaimed once the watermark

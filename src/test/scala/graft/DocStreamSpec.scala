@@ -14,6 +14,7 @@ import graft.streaming.DocStream
 object DocStreamSpec {
   case class Doc(doc_id: Long, ingest_ts: Timestamp, text: String)
   case class QDoc(doc_id: Long, lang: String, n_chars: Long)
+  case class LDoc(doc_id: Long, lang: String, text: String)
 }
 
 class DocStreamSpec extends SparkSpec {
@@ -164,6 +165,38 @@ class DocStreamSpec extends SparkSpec {
       val groups = Dedup.exactDupGroups(all)
         .as[(Long, Long)].collect().toMap
       assert(groups == Map(2L -> 2L)) // one dup group, kept id 2, size 2
+    } finally q.stop()
+  }
+
+  test("parity: streaming per-lang HLL registers equal the batch aggregate") {
+    import DocStreamSpec.LDoc
+    // varied vocab so registers are non-trivial; two batches so the
+    // state-store merge path (element-wise max across micro-batches)
+    // is what produces the final registers
+    def txt(i: Long): String =
+      (1 to 12).map(j => s"w${(i * 7 + j * 3) % 40}").mkString(" ")
+    val b1 = (1L to 30L).map(i =>
+      LDoc(i, if (i % 3 == 0) "en" else "de", txt(i)))
+    val b2 = (31L to 60L).map(i =>
+      LDoc(i, if (i % 3 == 0) "en" else "de", txt(i)))
+    val stream = MemoryStream[LDoc](spark)
+    val q = DocStream.hllPerLang(stream.toDF())
+      .writeStream.format("memory").queryName("hll_t")
+      .outputMode("complete").start()
+    try {
+      stream.addData(b1: _*)
+      q.processAllAvailable()
+      stream.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.table("hll_t")
+        .as[(String, Seq[Int])].collect().toMap
+      // ONE definition serves both engines: the same plan on the
+      // union as a batch frame must give identical registers
+      val want = DocStream.hllPerLang((b1 ++ b2).toDF())
+        .as[(String, Seq[Int])].collect().toMap
+      assert(got.keySet == Set("en", "de"))
+      assert(got == want)
+      assert(got("en").length == 64 && got("en").exists(_ > 0))
     } finally q.stop()
   }
 
