@@ -83,6 +83,38 @@ object Sampling {
         pick(0.9).as("p90_" + outSuffix))
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement
+    * (Efraimidis-Spirakis A-ES, log form): each row's selection key
+    * is ln(u)/w with u = (mixed hash + 1)/2³² ∈ (0, 1] derived from
+    * the row id — no RNG state anywhere, so the sample is a pure
+    * function of the (id, weight) set: identical across runs,
+    * partitionings and engines, and the inclusion law is the A-ES
+    * one (P ∝ w in the exponential-race sense). The quality-weighted
+    * corpus downsampling step of a training-data recipe — where
+    * [[stratifiedSample]] takes a RATE per stratum, this takes the
+    * k best draws of a weighted race.
+    *
+    * Scale shape: key computation is map-side column math; the
+    * k-largest selection is a TakeOrdered (per-partition top-k +
+    * k-row merge), never a global sort.
+    *
+    * @param df rows with a numeric id column and a positive weight
+    *   column (non-positive-weight rows are excluded — they can't
+    *   race)
+    * @return the k selected rows (original columns), highest key
+    *   first tie-broken by id
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    val u = ((col(idCol) * Mixer % MixMod) + 1).cast("double") /
+      lit(MixMod.toDouble)
+    df.filter(col(weightCol) > 0)
+      .withColumn("_key", log(u) / col(weightCol))
+      .orderBy(col("_key").desc, col(idCol))
+      .limit(k)
+      .drop("_key")
+  }
+
   /** Training-mix construction: replicate each row by its stratum's
     * WEIGHT, fractional weights included — weight 2.5 gives every row
     * 2 copies plus a 3rd for the deterministic hash-selected half,

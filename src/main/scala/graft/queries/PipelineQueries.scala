@@ -963,6 +963,33 @@ object PipelineQueries {
               |FROM est e JOIN x USING (lang)
               |ORDER BY lang""".stripMargin)),
 
+    // Deterministic weighted sampling without replacement (A-ES,
+    // Efraimidis-Spirakis): the k=100 best draws of a hash-seeded
+    // exponential race with weight = n_chars — the quality-weighted
+    // corpus downsampling step of a training recipe, reproducible
+    // across runs/partitionings/engines because the race key is a
+    // pure function of (doc_id, weight). Selection is a TakeOrdered,
+    // never a global sort; both engines compute the identical
+    // ln(u)/w key and the output carries only integer columns.
+    Q("d61_weighted_sample",
+      (s, d) => Sampling.weightedSample(
+          Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+          "doc_id", "n_chars", k = 100)
+        .orderBy("doc_id"),
+      Some(s"""WITH pr AS (
+              |  SELECT doc_id, lang, n_chars,
+              |    ln(CAST(doc_id * ${Sampling.Mixer} % ${Sampling.MixMod}
+              |          + 1 AS DOUBLE)
+              |       / CAST(${Sampling.MixMod} AS DOUBLE)) / n_chars AS k
+              |  FROM documents WHERE n_chars > 0
+              |),
+              |sel AS (
+              |  SELECT doc_id, lang, n_chars FROM pr
+              |  ORDER BY k DESC, doc_id LIMIT 100
+              |)
+              |SELECT doc_id, lang, n_chars FROM sel
+              |ORDER BY doc_id""".stripMargin)),
+
     // Corpus heavy hitters (frequent-token mining): one pass builds a
     // Misra-Gries sketch (capacity 64 ⇒ every token with true count
     // > N/65 is guaranteed in it, whatever the partitioning), then an

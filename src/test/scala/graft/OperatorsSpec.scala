@@ -543,6 +543,27 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("weighted sample: deterministic A-ES race, weights steer selection") {
+    import graft.operators.Sampling
+    val rows = (1L to 200L).map(i =>
+      (i, if (i == 5L) 1000000000L else 10L)) // one giant weight
+    def run(parts: Int): Seq[Long] =
+      Sampling.weightedSample(
+          rows.toDF("doc_id", "w").repartition(parts), "doc_id", "w", 20)
+        .select("doc_id").as[Long].collect().toSeq.sorted
+    val a = run(1)
+    assert(a == run(7), "selection is partitioning-independent")
+    assert(a.contains(5L), "the dominant weight wins a slot")
+    assert(a.length == 20)
+    // non-positive weights are excluded from the race entirely
+    val withZero = (rows :+ ((201L, 0L)) :+ ((202L, -3L)))
+      .toDF("doc_id", "w")
+    val sel = Sampling.weightedSample(withZero, "doc_id", "w", 300)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!sel.contains(201L) && !sel.contains(202L))
+    assert(sel.size == 200)
+  }
+
   test("hll sketch: registers match plain-Scala ref, any partitioning/dups") {
     import graft.functions.HllSketch.hll_sketch
     val values = (1L to 500L).map(_ * 2654435761L % 4294967296L)
