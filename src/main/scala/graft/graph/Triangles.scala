@@ -74,6 +74,47 @@ object Triangles {
   def globalCount(edges: DataFrame): DataFrame =
     closedWedges(edges)._1.agg(count(lit(1)).as("n_triangles"))
 
+  /** Directed 3-node MOTIF census over the distinct loop-free edge
+    * set: counts CYCLIC triangles (a→b→c→a; each counted once at its
+    * smallest corner) and TRANSITIVE instances (a→b, b→c, a→c; each
+    * edge-labeled pattern has a unique source/sink so instances are
+    * counted directly) — the feed-forward-vs-feedback signature that
+    * separates hierarchy from circularity (link farms and citation
+    * rings are cycle-heavy; clean topical link structure is
+    * feed-forward). Reciprocal edge pairs simply contribute to every
+    * pattern they close, as in the standard triad census.
+    *
+    * Scale shape: one wedge equi-join (bounded by Σ din·dout — the
+    * inherent motif cost) and ONE closing equi-join against a
+    * union of both closing orientations tagged by motif type, so
+    * wedges are enumerated once, not once per motif; counts are
+    * partial-aggregated conditional sums.
+    *
+    * @return one row: (n_cyclic, n_transitive)
+    */
+  def directedMotifs(edges: DataFrame): DataFrame = {
+    val e = edges.select("src", "dst")
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val ab = e.select(col("src").as("a"), col("dst").as("b"))
+    val bc = e.select(col("src").as("b"), col("dst").as("c"))
+    val wedges = ab.join(bc, Seq("b"))
+      .filter(col("a") =!= col("c"))
+    // closing edge c→a completes the cycle; a→c completes the
+    // transitive triangle — one union-tagged join covers both
+    val closing = e.select(col("dst").as("a"), col("src").as("c"),
+        lit(true).as("is_cyc"))
+      .union(e.select(col("src").as("a"), col("dst").as("c"),
+        lit(false).as("is_cyc")))
+    wedges.join(closing, Seq("a", "c"))
+      .agg(
+        coalesce(sum(when(col("is_cyc") && col("a") < col("b") &&
+          col("a") < col("c"), 1L).otherwise(0L)), lit(0L))
+          .as("n_cyclic"),
+        coalesce(sum(when(!col("is_cyc"), 1L).otherwise(0L)), lit(0L))
+          .as("n_transitive"))
+  }
+
   /** Per-node triangle counts and local clustering coefficient
     * (2·t / (d·(d−1)), e4-scaled; 0 for degree < 2): each found
     * triangle fans out to its three corners — one extra exchange on

@@ -853,6 +853,38 @@ object PageRankQueries {
               |FROM md WHERE dist > 0
               |GROUP BY node ORDER BY node""".stripMargin)),
 
+    // Directed 3-node motif census: cyclic (a→b→c→a, counted once at
+    // the smallest corner) vs transitive (a→b, b→c, a→c — unique
+    // source/sink, counted directly) triangles over the word graph —
+    // the feed-forward-vs-feedback signature (link farms and
+    // citation rings are cycle-heavy). Wedges are enumerated ONCE
+    // and closed against a union of both closing orientations tagged
+    // by motif type; counts are partial-aggregated conditional sums.
+    Q("g11_motifs",
+      (s, d) => {
+        val e = LinkGraph.wordFollowEdges(Tables.documents(s, d), "text")
+        graft.graph.Triangles.directedMotifs(e)
+      },
+      Some(s"""WITH $edgeCtes,
+              |ee AS (SELECT src, dst FROM e WHERE src <> dst),
+              |p2 AS (
+              |  SELECT x.src AS a, x.dst AS b, y.dst AS c
+              |  FROM ee x JOIN ee y ON y.src = x.dst
+              |  WHERE x.src <> y.dst
+              |),
+              |cyc AS (
+              |  SELECT count(*) AS n_cyclic
+              |  FROM p2 JOIN ee z ON z.src = p2.c AND z.dst = p2.a
+              |  WHERE p2.a < p2.b AND p2.a < p2.c
+              |),
+              |tr AS (
+              |  SELECT count(*) AS n_transitive
+              |  FROM p2 JOIN ee z ON z.src = p2.a AND z.dst = p2.c
+              |)
+              |SELECT CAST(n_cyclic AS BIGINT) AS n_cyclic,
+              |  CAST(n_transitive AS BIGINT) AS n_transitive
+              |FROM cyc, tr""".stripMargin)),
+
     Q("g5_adamic_adar",
       (s, d) => {
         val e = LinkGraph.wordFollowEdges(Tables.documents(s, d), "text")

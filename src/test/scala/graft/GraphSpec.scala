@@ -378,6 +378,30 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-12, "L1 norm")
   }
 
+  test("directed motifs: cyclic vs transitive triangles, hand-counted") {
+    import graft.graph.Triangles
+    // one 3-cycle (a,b,c), one transitive triangle (p→q, q→r, p→r),
+    // a reciprocal pair (x<->y, closes nothing), and a self-loop
+    val edges = Seq(
+      "a" -> "b", "b" -> "c", "c" -> "a",
+      "p" -> "q", "q" -> "r", "p" -> "r",
+      "x" -> "y", "y" -> "x", "z" -> "z").toDF("src", "dst")
+    val got = Triangles.directedMotifs(edges)
+      .as[(Long, Long)].collect().head
+    assert(got == ((1L, 1L)))
+    // a fully-reciprocal triangle holds 2 cyclic orientations and 6
+    // transitive instances (each of the 6 wedge orderings closes)
+    val full = Seq("a" -> "b", "b" -> "a", "b" -> "c", "c" -> "b",
+      "a" -> "c", "c" -> "a").toDF("src", "dst")
+    val g2 = Triangles.directedMotifs(full)
+      .as[(Long, Long)].collect().head
+    assert(g2 == ((2L, 6L)))
+    // no triangles at all -> explicit zeros, not nulls
+    val none = Seq("a" -> "b", "b" -> "c").toDF("src", "dst")
+    assert(Triangles.directedMotifs(none)
+      .as[(Long, Long)].collect().head == ((0L, 0L)))
+  }
+
   test("harmonic centrality: hand-computed landmark distances, hop bound") {
     import graft.graph.Harmonic
     // path a-b-c-d-e (undirected by the operator) + isolated pair x-y
