@@ -965,6 +965,40 @@ object RelationalQueries {
     // fixed point (dev2 = 2·|x−med| and mad_c4 = 4·MAD are exact
     // integers because a median of integers is an integer or a
     // half): |x−med| > 3·MAD ⇔ 2·dev2 > 3·mad_c4.
+    // Top-k per group WITHOUT a window: q7 ranks inside partitions
+    // with row_number (fine when every group's rows are wanted);
+    // when only the top k survive, the window shape shuffles and
+    // sorts EVERY row into its group partition first — the bounded-
+    // heap aggregate ships ≤ partitions·k candidates per group and
+    // merges k-sized heaps (the e1 ANN shape on relational data).
+    // Same (score DESC, id ASC) order as the oracle's row_number.
+    Q("q50_topk_pergroup",
+      (s, d) => {
+        import graft.functions.TopKByScore.top_k_by_score
+        Tables.orders(s, d)
+          .groupBy("o_orderpriority")
+          .agg(top_k_by_score(col("o_totalprice"), col("o_orderkey"),
+            lit(0L), 3).as("tk"))
+          .select(col("o_orderpriority"),
+            posexplode(col("tk")).as(Seq("pos", "s")))
+          .select(col("o_orderpriority"),
+            (col("pos") + 1).cast("long").as("rank"),
+            col("s.cand_id").as("o_orderkey"),
+            floor(col("s.sim") * 100 + 0.5).cast("long").as("price_c"))
+          .orderBy("o_orderpriority", "rank")
+      },
+      Some("""WITH r AS (
+             |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
+             |  FROM orders
+             |)
+             |SELECT o_orderpriority, CAST(rank AS BIGINT) AS rank,
+             |  o_orderkey,
+             |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+             |FROM r WHERE rank <= 3
+             |ORDER BY o_orderpriority, rank""".stripMargin)),
+
     Q("q49_mad_outliers",
       (s, d) => {
         val c = Tables.part(s, d).select(col("p_brand"),
