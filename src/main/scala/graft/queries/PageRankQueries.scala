@@ -339,6 +339,53 @@ object PageRankQueries {
               |)
               |SELECT title, outlink FROM x ORDER BY title, outlink""".stripMargin)),
 
+    // Anchor/in-link aggregation over the extracted link graph — the
+    // web-corpus companion of phase 2 (per TARGET page: how many
+    // links point at it, from how many distinct sources). The
+    // in-link count is PageRank's raw material and the classic
+    // anchor-text signal for retrieval corpora; the whole query is
+    // one partial-aggregated groupBy on the target key.
+    Q("pr_anchor_stats",
+      (s, d) => {
+        val w = Tables.documents(s, d)
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+          .filter(size(col("w")) >= 2)
+        val pages = w.select(concat(
+          lit("<title>doc_"), col("doc_id"), lit("</title> "),
+          lit("<text xml:space=\"preserve\"> see [["), expr("w[0]"),
+          lit("]] and [["), expr("w[1]"), lit("]]</text>")).as("page"))
+        LinkGraph.parseWikiPages(pages, "page")
+          .groupBy(col("outlink").as("target"))
+          .agg(count(lit(1)).as("n_links"),
+            countDistinct("title").as("n_sources"))
+          .orderBy("target")
+      },
+      Some(raw"""WITH $edgeCtes,
+              |p AS (
+              |  SELECT '<title>doc_' || doc_id || '</title> ' ||
+              |         '<text xml:space="preserve"> see [[' || w[1] ||
+              |         ']] and [[' || w[2] || ']]</text>' AS page
+              |  FROM w WHERE len(w) >= 2
+              |),
+              |t AS (
+              |  SELECT regexp_extract(page, '<title>(.*?)</title>', 1)
+              |    AS title,
+              |         regexp_extract(page, '<text(.*?)</text>', 1) AS body
+              |  FROM p
+              |),
+              |x AS (
+              |  SELECT title,
+              |    unnest(regexp_extract_all(body, '\[\[(.*?)\]\]', 1))
+              |      AS outlink
+              |  FROM t WHERE title <> ''
+              |)
+              |SELECT outlink AS target,
+              |  CAST(count(*) AS BIGINT) AS n_links,
+              |  CAST(count(DISTINCT title) AS BIGINT) AS n_sources
+              |FROM x GROUP BY outlink
+              |ORDER BY target""".stripMargin)),
+
     // Phase 2, engine-general form: word-follow edge list + out-degree.
     Q("pr_link_graph",
       (s, d) => {

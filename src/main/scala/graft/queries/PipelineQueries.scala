@@ -267,6 +267,65 @@ object PipelineQueries {
                    |   JOIN sh y ON y.doc_id = c.db AND y.s = x.s
                    |   GROUP BY c.da, c.db""".stripMargin)}""".stripMargin)),
 
+    // Cross-source duplication matrix: d3's verified near-dup pairs
+    // rolled up by (source, source) — the contamination audit run
+    // before mixing crawl dumps (how much of dump A is already in
+    // dump B decides dedup order and mixture weights; d57 estimates
+    // SHINGLE overlap from sketches, this counts verified DOCUMENT
+    // pairs). Two broadcast-able dimension joins on the pair ids,
+    // then one partial-aggregated rollup on the unordered source
+    // pair — nothing beyond d3's bucketed machinery touches the
+    // corpus.
+    Q("d62_cross_source_dups",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val src = docs.select(col("doc_id"), col("source"))
+        Dedup.minhashLshPairs(docs, minJaccard = 0.8)
+          .join(src.select(col("doc_id").as("da"),
+            col("source").as("sa")), "da")
+          .join(src.select(col("doc_id").as("db"),
+            col("source").as("sb")), "db")
+          .select(least(col("sa"), col("sb")).as("source_a"),
+            greatest(col("sa"), col("sb")).as("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_dup_pairs"))
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"""WITH ${TextHash.duckToksCte},
+              |${TextHash.duckShinglesCte},
+              |${TextHash.duckMinHashCte},
+              |${TextHash.duckBandsCte},
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+              |  FROM bands a JOIN bands b
+              |    ON a.band = b.band AND a.sig = b.sig
+              |   AND a.doc_id < b.doc_id
+              |),
+              |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |jac AS (
+              |  SELECT ix.da, ix.db,
+              |    CAST(ix.inter AS DOUBLE) / (x.n + y.n - ix.inter) AS j
+              |  FROM (SELECT c.da, c.db, count(*) AS inter
+              |        FROM cand c
+              |        JOIN sh x ON x.doc_id = c.da
+              |        JOIN sh y ON y.doc_id = c.db AND y.s = x.s
+              |        GROUP BY c.da, c.db) ix
+              |  JOIN sz x ON x.doc_id = ix.da
+              |  JOIN sz y ON y.doc_id = ix.db
+              |),
+              |pairs AS (SELECT da, db FROM jac WHERE j >= 0.8),
+              |lab AS (
+              |  SELECT least(a.source, b.source) AS source_a,
+              |         greatest(a.source, b.source) AS source_b
+              |  FROM pairs p
+              |  JOIN documents a ON a.doc_id = p.da
+              |  JOIN documents b ON b.doc_id = p.db
+              |)
+              |SELECT source_a, source_b,
+              |  CAST(count(*) AS BIGINT) AS n_dup_pairs
+              |FROM lab GROUP BY source_a, source_b
+              |ORDER BY source_a, source_b""".stripMargin)),
+
     // Incremental dedup: a DELTA batch (every 10th doc, re-keyed —
     // the day's ingest, full of docs the corpus already has) checked
     // against the existing corpus. The band join is delta × corpus,
