@@ -107,4 +107,67 @@ object Hits {
       nodes.unpersist(blocking = false)
     }
   }
+
+  /** Convergence twin of [[run]] (the PageRank.runUntilConverged /
+    * KCore.untilStable house pattern): iterate until the L1 delta of
+    * the auth vector between consecutive iterations drops under
+    * `tol` — ONE O(1) driver scalar per round — then return the
+    * stabilized scores with the iteration count. Throws rather than
+    * returning an unconverged ranking.
+    */
+  def runUntilConverged(edges: DataFrame, tol: Double = 1e-9,
+      maxIterations: Int = 200): (DataFrame, Int) = {
+    require(tol > 0, s"tol must be > 0, got $tol")
+    var prev = run(edges, iterations = 1)
+    var it = 1
+    var done = false
+    while (!done && it < maxIterations) {
+      val next = run2(edges, prev)
+      val delta = next.select(col("node"), col("auth"))
+        .join(prev.select(col("node"), col("auth").as("pa")), "node")
+        .agg(coalesce(sum(abs(col("auth") - col("pa"))), lit(0.0)))
+        .head().getDouble(0)
+      prev = next
+      it += 1
+      done = delta < tol
+    }
+    require(done, s"HITS did not converge in $maxIterations iterations")
+    (prev, it)
+  }
+
+  /** One HITS iteration continuing from an existing (node, auth,
+    * hub) frame — the [[runUntilConverged]] step. Re-derives the
+    * per-call edge partitioning (the bounded [[run]] keeps its
+    * persisted copies across all its iterations; here each step is
+    * one small job against an O(|V|) carry, so the exchange cost is
+    * the same either way at convergence-loop granularity).
+    */
+  private def run2(edges: DataFrame, scores: DataFrame): DataFrame = {
+    val e = edges.select("src", "dst").distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+    val aRaw = e
+      .join(scores.select(col("node"), col("hub")),
+        e("src") === col("node"))
+      .groupBy(e("dst").as("node"))
+      .agg(sum("hub").as("a_raw"))
+    val aNorm = aRaw.agg(sum("a_raw").as("_na"))
+    val auths = nodes.join(aRaw, Seq("node"), "left")
+      .crossJoin(broadcast(aNorm))
+      .select(col("node"),
+        (coalesce(col("a_raw"), lit(0.0)) / col("_na")).as("auth"))
+      .lineageCut
+    val hRaw = e
+      .join(auths.select(col("node"), col("auth")),
+        e("dst") === col("node"))
+      .groupBy(e("src").as("node"))
+      .agg(sum("auth").as("h_raw"))
+    val hNorm = hRaw.agg(sum("h_raw").as("_nh"))
+    val hubs = nodes.join(hRaw, Seq("node"), "left")
+      .crossJoin(broadcast(hNorm))
+      .select(col("node"),
+        (coalesce(col("h_raw"), lit(0.0)) / col("_nh")).as("hub"))
+    auths.join(hubs, "node").lineageCut
+  }
 }

@@ -378,6 +378,27 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-12, "L1 norm")
   }
 
+  test("HITS convergence twin: stabilized scores satisfy the fixpoint") {
+    import graft.graph.Hits
+    val adj = Seq("h1" -> "a", "h2" -> "a", "h3" -> "a", "a" -> "z",
+      "h1" -> "b")
+    val (scores, iters) = Hits.runUntilConverged(
+      adj.toDF("src", "dst"), tol = 1e-10)
+    assert(iters >= 2)
+    val got = scores.as[(String, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // fixpoint check: one more half-step pair in plain Scala must
+    // move auth by less than the tolerance the twin promised
+    val nodes = (adj.map(_._1) ++ adj.map(_._2)).distinct
+    val hub = got.view.mapValues(_._2).toMap
+    val ar = adj.groupBy(_._2).map { case (v, es) =>
+      v -> es.map(e => hub(e._1)).sum }
+    val na = ar.values.sum
+    val nextAuth = nodes.map(n => n -> ar.getOrElse(n, 0.0) / na).toMap
+    val drift = nodes.map(n => math.abs(nextAuth(n) - got(n)._1)).sum
+    assert(drift < 1e-9, s"auth drifted $drift after an extra step")
+  }
+
   test("directed motifs: cyclic vs transitive triangles, hand-counted") {
     import graft.graph.Triangles
     // one 3-cycle (a,b,c), one transitive triangle (p→q, q→r, p→r),
