@@ -3928,6 +3928,170 @@ object PipelineQueries {
            |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
       }),
 
+    // IVF + PQ — THE production ANN combination (the composition the
+    // e-family builds toward: e4 routes, e11 codes; this does both):
+    // a coarse quantizer routes each query to its nearest cell
+    // (nprobe=1, bounded row_number over the broadcast label-centroid
+    // table — the e17 routing), then candidates are scored by PQ
+    // asymmetric distance (4×16-dim subspace codebooks, per-query
+    // driver-built LUT — the e11 machinery) WITHIN the routed cell
+    // only. The corpus is PQ-coded once map-side by the compiled
+    // nearest-centroid kernel and never shuffled; memory per vector
+    // is M bytes of codes, and scan cost is cell-local.
+    Q("e21_ivf_pq",
+      (s, d) => {
+        import graft.functions.CosineSimilarity.cosine_sim
+        import graft.functions.NearestCentroidCell.nearest_centroid
+        import graft.functions.TopKByScore.top_k_by_score
+        import org.apache.spark.sql.expressions.Window
+        val M = 4
+        val subDims = 16
+        val emb = Tables.embeddings(s, d).select(col("vec_id"),
+          col("label"),
+          expr("transform(embedding, v -> cast(v as double))").as("e"))
+        def sub(m: Int) = expr(s"slice(e, ${m * subDims + 1}, $subDims)")
+        val books: IndexedSeq[Seq[(Long, Array[Double])]] =
+          (0 until M).map { m =>
+            KMeans.train(emb.select(col("vec_id"),
+                sub(m).as("embedding")), k = 8, iters = 2)
+              .select(col("cell").cast("long"), col("cvec")).collect()
+              .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+          }
+        val qRows = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id"), col("e")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        def dot(a: Array[Double], off: Int, b: Array[Double]): Double = {
+          var s0 = 0.0
+          var i = 0
+          while (i < b.length) { s0 += a(off + i) * b(i); i += 1 }
+          s0
+        }
+        val lut: Map[Long, Map[Long, Double]] =
+          (for ((qid, qe) <- qRows.toSeq; m <- 0 until M) yield
+            (qid * M + m) -> books(m).map { case (cell, cv) =>
+              cell -> dot(qe, m * subDims, cv)
+            }.toMap).toMap
+        val coded = (0 until M).foldLeft(emb) { (df, m) =>
+          df.withColumn(s"code_$m", nearest_centroid(sub(m), books(m)))
+        }
+        // coarse routing: nearest label centroid, nprobe = 1
+        val cent = Similarity.centroidVectors(
+          Tables.embeddings(s, d), "label")
+        val wAssign = Window.partitionBy("query_id")
+          .orderBy(col("csim").desc, col("label"))
+        val assigned = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("e").as("qe"))
+          .join(broadcast(cent))
+          .withColumn("csim", cosine_sim(col("qe"), col("cvec")))
+          .withColumn("rn", row_number().over(wAssign))
+          .filter(col("rn") === 1)
+          .select(col("query_id"), col("label"))
+        val lutLit = typedlit(lut)
+        def l(m: Int) = element_at(
+          element_at(lutLit, col("query_id") * M + lit(m.toLong)),
+          col(s"code_$m"))
+        coded.as("c").join(broadcast(assigned).as("a"),
+            col("c.label") === col("a.label") &&
+              col("vec_id") =!= col("query_id"))
+          .withColumn("adc", l(0) + l(1) + l(2) + l(3))
+          .groupBy("query_id")
+          .agg(top_k_by_score(col("adc"), col("vec_id"),
+            col("c.label").cast("long"), 5).as("tk"))
+          .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "t")))
+          .select(col("query_id"), col("t.tag").cast("long").as("label"),
+            (col("pos") + 1).cast("long").as("rank"),
+            col("t.cand_id").as("cand_id"),
+            round(col("t.sim"), 6).as("adc"))
+          .orderBy("query_id", "rank")
+      },
+      Some {
+        def slice(m: Int) =
+          s"(CAST(embedding AS DOUBLE[]))[${m * 16 + 1}:${m * 16 + 16}]"
+        def dotFold(a: String, b: String) =
+          s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+            s"list_transform(range(1, 17), i -> $a[i] * $b[i])), " +
+            s"(acc, x) -> acc + x)"
+        val books = (0 until 4)
+          .map(m => kmeansCtes(8, 2, "TRUE", slice(m), s"p$m", 16))
+          .mkString(",\n")
+        val encs = (0 until 4).map { m =>
+          s"""enc$m AS MATERIALIZED (
+             |  SELECT vec_id, cell AS code_$m FROM (
+             |    SELECT v.vec_id, c.cell, row_number() OVER (
+             |      PARTITION BY v.vec_id
+             |      ORDER BY ${TextHash.duckCosine("v.emb", "c.cvec", 16)}
+             |        DESC, c.cell) AS rn
+             |    FROM p${m}e v, p${m}cent2 c) WHERE rn = 1
+             |)""".stripMargin
+        }.mkString(",\n")
+        val luts = (0 until 4).map { m =>
+          s"""lut$m AS MATERIALIZED (
+             |  SELECT q.vec_id AS qid, c.cell,
+             |    ${dotFold("q.emb", "c.cvec")} AS d
+             |  FROM (SELECT vec_id, emb FROM p${m}e WHERE vec_id < 10) q,
+             |       p${m}cent2 c
+             |)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $books,
+           |$encs,
+           |$luts,
+           |ed AS (
+           |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+           |  FROM embeddings
+           |),
+           |c0 AS (
+           |  SELECT label, i - 1 AS dim, round(avg(v), 6) AS c
+           |  FROM (
+           |    SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+           |      generate_subscripts(embedding, 1) AS i
+           |    FROM embeddings
+           |  ) GROUP BY label, dim
+           |),
+           |cent AS (
+           |  SELECT label, list(c ORDER BY dim) AS cvec
+           |  FROM c0 GROUP BY label
+           |),
+           |ass0 AS (
+           |  SELECT q.vec_id AS query_id, cent.label,
+           |    ${TextHash.duckCosine("q.emb", "cent.cvec", 64)} AS cs
+           |  FROM (SELECT vec_id, emb FROM ed WHERE vec_id < 10) q, cent
+           |),
+           |ass AS (
+           |  SELECT query_id, label FROM (
+           |    SELECT *, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY cs DESC, label) AS rn
+           |    FROM ass0
+           |  ) WHERE rn = 1
+           |),
+           |enc AS (
+           |  SELECT e0.vec_id, e0.code_0, e1.code_1, e2.code_2,
+           |    e3.code_3
+           |  FROM enc0 e0 JOIN enc1 e1 USING (vec_id)
+           |       JOIN enc2 e2 USING (vec_id)
+           |       JOIN enc3 e3 USING (vec_id)
+           |),
+           |sc AS (
+           |  SELECT a.query_id, a.label, v.vec_id AS cand_id,
+           |    l0.d + l1.d + l2.d + l3.d AS adc
+           |  FROM ass a
+           |  JOIN ed c2 ON c2.label = a.label AND c2.vec_id <> a.query_id
+           |  JOIN enc v ON v.vec_id = c2.vec_id
+           |  JOIN lut0 l0 ON l0.cell = v.code_0 AND l0.qid = a.query_id
+           |  JOIN lut1 l1 ON l1.cell = v.code_1 AND l1.qid = a.query_id
+           |  JOIN lut2 l2 ON l2.cell = v.code_2 AND l2.qid = a.query_id
+           |  JOIN lut3 l3 ON l3.cell = v.code_3 AND l3.qid = a.query_id
+           |),
+           |r AS (
+           |  SELECT query_id, label, cand_id, adc, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY adc DESC, cand_id) AS rank
+           |  FROM sc
+           |)
+           |SELECT query_id, CAST(label AS BIGINT) AS label,
+           |  CAST(rank AS BIGINT) AS rank, cand_id,
+           |  round(adc, 6) AS adc
+           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      }),
+
     // Gopher-style composite heuristic rule filter: one bit per rule
     // plus the conjunction — the per-rule audit a curation pipeline
     // reads per source. Pure map over the corpus scan (no shuffle

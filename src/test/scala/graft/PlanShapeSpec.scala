@@ -16,7 +16,8 @@ class PlanShapeSpec extends SparkSpec {
   test("ANN top-k queries use the bounded-heap aggregate, not a window") {
     for (q <- Seq("e1_ann_topk", "e4_ann_ivf_probe", "e6_knn_graph",
         "e8_ann_learned", "m5_media_sim", "e11_pq_topk", "e16_sq8_topk",
-        "e17_ivf_sq8", "e19_mips_topk", "q50_topk_pergroup")) {
+        "e17_ivf_sq8", "e19_mips_topk", "q50_topk_pergroup",
+        "e21_ivf_pq")) {
       val p = plan(q)
       assert(p.contains("ObjectHashAggregate"),
         s"$q lost the top_k_by_score partial aggregate")
@@ -26,7 +27,7 @@ class PlanShapeSpec extends SparkSpec {
       // candidate path is the aggregate; brute-force e1/e16 and bulk
       // e6 must have no window at all.
       if (q != "e4_ann_ivf_probe" && q != "e8_ann_learned" &&
-          q != "e17_ivf_sq8")
+          q != "e17_ivf_sq8" && q != "e21_ivf_pq")
         assert(!p.contains("RunningWindowFunction") && !p.contains("Window"),
           s"$q ranks candidates through a window sort")
     }
