@@ -19,6 +19,8 @@ import graft.operators.{CurationFunnel, HtmlExtract}
   *   `<out>/corpus/shard=K/…` — surviving (doc_id, url, text,
   *     n_tokens) rows as ≈budget-token shards;
   *   `<out>/audit/` — the per-stage (stage, n_docs, n_tokens) table;
+  *   `<out>/media/format=png|jpeg|gif/` — image responses routed by
+  *     payload signature (bytes + typed metadata; decode downstream);
   *   `<out>/quarantine/` — malformed records / gzip members with
   *     file, offset, reason.
   *
@@ -46,8 +48,30 @@ object WarcCuratePipeline {
         HtmlExtract.extract(col("payload").cast("string")).as("text"))
       .filter(length(trim(col("text"))) > 0)
 
+  /** Media fork of the crawl: one (doc_id, url, format, n_bytes,
+    * payload) row per response whose payload carries a known image
+    * signature — PNG, JPEG or GIF, the codec family's formats. Pure
+    * map-side routing on the first payload bytes (the m6 sniff
+    * discipline); DECODE stays in the downstream m7/m9/m17
+    * operators, so a corrupt image can't fail the routing job.
+    */
+  def mediaFrom(parsed: DataFrame): DataFrame = {
+    val sig = hex(substring(col("payload"), 1, 6))
+    WarcSource.records(parsed)
+      .filter(col("warc_type") === "response")
+      .withColumn("format",
+        when(sig.startsWith("89504E47"), "png")
+          .when(sig.startsWith("FFD8FF"), "jpeg")
+          .when(sig === "474946383761" || sig === "474946383961", "gif"))
+      .filter(col("format").isNotNull)
+      .select(xxhash64(col("record_id")).as("doc_id"),
+        col("target_uri").as("url"), col("format"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        col("payload"))
+  }
+
   /** Runs crawl→corpus; returns (kept docs, audit rows) after
-    * writing corpus, audit, and quarantine.
+    * writing corpus, audit, media, and quarantine.
     */
   def run(spark: SparkSession, warcDir: String, outDir: String,
       tokensPerShard: Long = 1000000L): (Long, DataFrame) = {
@@ -55,6 +79,8 @@ object WarcCuratePipeline {
     try {
       WarcSource.quarantine(parsed).write.mode(SaveMode.Overwrite)
         .parquet(s"$outDir/quarantine")
+      mediaFrom(parsed).write.mode(SaveMode.Overwrite)
+        .partitionBy("format").parquet(s"$outDir/media")
       val docs = documentsFrom(parsed)
       val st = CurationFunnel.stages(docs)
       val kept = st.last

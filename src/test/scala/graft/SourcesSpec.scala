@@ -303,6 +303,42 @@ class SourcesSpec extends SparkSpec {
     assert(direct.count() == 7)
   }
 
+  test("warc media fork: image responses route by payload signature") {
+    import graft.sources.{WarcCuratePipeline, WarcSource}
+    import graft.multimodal.{Gif, Png}
+    def recB(id: String, uri: String, p: Array[Byte]): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: $id\r\n" +
+        s"WARC-Target-URI: $uri\r\nContent-Length: ${p.length}\r\n\r\n")
+        .getBytes("US-ASCII") ++ p ++ "\r\n\r\n".getBytes("US-ASCII")
+    val gif = Gif.encode(4, 4, 2,
+      Array.tabulate(12)(i => (i * 19).toByte),
+      Array.tabulate(16)(i => (i % 4).toByte))
+    val png = Png.encode(4, 3,
+      Array.tabulate(36)(i => (i * 7).toByte), _ => 0)
+    val jpegish = Array(0xFF, 0xD8, 0xFF, 0xE0, 1, 2, 3).map(_.toByte)
+    val html = "<html><p>hello the world the</p></html>".getBytes("UTF-8")
+    val bytes = recB("<urn:g>", "https://e.com/g.gif", gif) ++
+      recB("<urn:p>", "https://e.com/p.png", png) ++
+      recB("<urn:j>", "https://e.com/j.jpg", jpegish) ++
+      recB("<urn:h>", "https://e.com/h", html)
+    val dir = Files.createTempDirectory("graft_wmedia").toFile
+    Files.write(new java.io.File(dir, "m.warc").toPath, bytes)
+    val media = WarcCuratePipeline.mediaFrom(
+        WarcSource.read(spark, dir.getAbsolutePath))
+      .select("url", "format", "n_bytes", "payload")
+      .as[(String, String, Long, Array[Byte])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(media.keySet == Set("https://e.com/g.gif",
+      "https://e.com/p.png", "https://e.com/j.jpg"),
+      "HTML response stays out of the media fork")
+    assert(media("https://e.com/g.gif")._1 == "gif")
+    assert(media("https://e.com/p.png")._1 == "png")
+    assert(media("https://e.com/j.jpg")._1 == "jpeg")
+    assert(media("https://e.com/g.gif")._2 == gif.length.toLong)
+    // the routed bytes are intact: the GIF round-trips the codec
+    assert(Gif.decode(media("https://e.com/g.gif")._3).isDefined)
+  }
+
   test("orc sink: same layout contract, filters push to the orc scan") {
     val dir = Files.createTempDirectory("graft_osink").toFile.getAbsolutePath
     val df = Seq(
