@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
@@ -198,6 +199,114 @@ object PipelineQueries {
        |SELECT query_id, cell, rank, cand_id, round(sim, 6) AS sim
        |FROM r WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
+
+  /** Shared PQ-ADC machinery (e11 search, e22 recall gate): 4×16-dim
+    * subspace codebooks (Lloyd via the SAME KMeans trainer), map-side
+    * nearest-centroid coding, per-query driver-built ADC lookup table
+    * (queries × M × k scalars — the e7 bounded-handoff class).
+    * Returns the scored candidate frame (query_id, vec_id, adc)
+    * BEFORE ranking, so searchers rank it with the bounded heap and
+    * evaluators take rank ≤ k slices.
+    */
+  private def pqAdcScores(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.NearestCentroidCell.nearest_centroid
+    val M = 4
+    val subDims = 16
+    val emb = Tables.embeddings(s, d).select(col("vec_id"),
+      expr("transform(embedding, v -> cast(v as double))").as("e"))
+    def sub(m: Int) = expr(s"slice(e, ${m * subDims + 1}, $subDims)")
+    val books: IndexedSeq[Seq[(Long, Array[Double])]] =
+      (0 until M).map { m =>
+        KMeans.train(emb.select(col("vec_id"),
+            sub(m).as("embedding")), k = 8, iters = 2)
+          .select(col("cell").cast("long"), col("cvec")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      }
+    // ADC lookup table, driver-built over the 10 probe queries with
+    // the engine's left-to-right fold (bounded: queries × M × k
+    // scalars — the centroid-handoff class, never corpus).
+    val qRows = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("e")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def dot(a: Array[Double], off: Int, b: Array[Double]): Double = {
+      var s0 = 0.0
+      var i = 0
+      while (i < b.length) { s0 += a(off + i) * b(i); i += 1 }
+      s0
+    }
+    val lut: Map[Long, Map[Long, Double]] =
+      (for ((qid, qe) <- qRows.toSeq; m <- 0 until M) yield
+        (qid * M + m) -> books(m).map { case (cell, cv) =>
+          cell -> dot(qe, m * subDims, cv)
+        }.toMap).toMap
+    val coded = (0 until M).foldLeft(emb) { (df, m) =>
+      df.withColumn(s"code_$m", nearest_centroid(sub(m), books(m)))
+    }
+    val lutLit = typedlit(lut)
+    val qids = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"))
+    def l(m: Int) = element_at(
+      element_at(lutLit, col("query_id") * M + lit(m.toLong)),
+      col(s"code_$m"))
+    coded.join(broadcast(qids), col("vec_id") =!= col("query_id"))
+      .withColumn("adc", l(0) + l(1) + l(2) + l(3))
+  }
+
+
+  /** Shared PQ-ADC oracle CTEs (mirrors [[pqAdcScores]] exactly):
+    * per-subspace k-means books, codes, per-query LUTs, and `sc`
+    * (query_id, cand_id, adc) — the scored candidates both the e11
+    * ranking and the e22 recall gate consume.
+    */
+  private lazy val pqScoreCtes: String = {
+    def slice(m: Int) =
+      s"(CAST(embedding AS DOUBLE[]))[${m * 16 + 1}:${m * 16 + 16}]"
+    def dotFold(a: String, b: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(1, 17), i -> $a[i] * $b[i])), " +
+        s"(acc, x) -> acc + x)"
+    val books = (0 until 4)
+      .map(m => kmeansCtes(8, 2, "TRUE", slice(m), s"p$m", 16))
+      .mkString(",\n")
+    val encs = (0 until 4).map { m =>
+      s"""enc$m AS MATERIALIZED (
+         |  SELECT vec_id, cell AS code_$m FROM (
+         |    SELECT v.vec_id, c.cell, row_number() OVER (
+         |      PARTITION BY v.vec_id
+         |      ORDER BY ${TextHash.duckCosine("v.emb", "c.cvec", 16)}
+         |        DESC, c.cell) AS rn
+         |    FROM p${m}e v, p${m}cent2 c) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    val luts = (0 until 4).map { m =>
+      s"""lut$m AS MATERIALIZED (
+         |  SELECT q.vec_id AS qid, c.cell,
+         |    ${dotFold("q.emb", "c.cvec")} AS d
+         |  FROM (SELECT vec_id, emb FROM p${m}e WHERE vec_id < 10) q,
+         |       p${m}cent2 c
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""$books,
+       |$encs,
+       |$luts,
+       |enc AS (
+       |  SELECT e0.vec_id, e0.code_0, e1.code_1, e2.code_2,
+       |    e3.code_3
+       |  FROM enc0 e0 JOIN enc1 e1 USING (vec_id)
+       |       JOIN enc2 e2 USING (vec_id)
+       |       JOIN enc3 e3 USING (vec_id)
+       |),
+       |sc AS (
+       |  SELECT l0.qid AS query_id, v.vec_id AS cand_id,
+       |    l0.d + l1.d + l2.d + l3.d AS adc
+       |  FROM enc v
+       |  JOIN lut0 l0 ON l0.cell = v.code_0
+       |  JOIN lut1 l1 ON l1.cell = v.code_1 AND l1.qid = l0.qid
+       |  JOIN lut2 l2 ON l2.cell = v.code_2 AND l2.qid = l0.qid
+       |  JOIN lut3 l3 ON l3.cell = v.code_3 AND l3.qid = l0.qid
+       |  WHERE v.vec_id <> l0.qid
+       |)""".stripMargin
+  }
 
   def all: Seq[Q] = Seq(
 
@@ -3817,48 +3926,8 @@ object PipelineQueries {
     // the oracle mirrors codebooks, codes, LUT and ranking exactly.
     Q("e11_pq_topk",
       (s, d) => {
-        import graft.functions.NearestCentroidCell.nearest_centroid
         import graft.functions.TopKByScore.top_k_by_score
-        val M = 4
-        val subDims = 16
-        val emb = Tables.embeddings(s, d).select(col("vec_id"),
-          expr("transform(embedding, v -> cast(v as double))").as("e"))
-        def sub(m: Int) = expr(s"slice(e, ${m * subDims + 1}, $subDims)")
-        val books: IndexedSeq[Seq[(Long, Array[Double])]] =
-          (0 until M).map { m =>
-            KMeans.train(emb.select(col("vec_id"),
-                sub(m).as("embedding")), k = 8, iters = 2)
-              .select(col("cell").cast("long"), col("cvec")).collect()
-              .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
-          }
-        // ADC lookup table, driver-built over the 10 probe queries
-        // with the engine's left-to-right fold (bounded: queries ×
-        // M × k scalars — the centroid-handoff class, never corpus).
-        val qRows = emb.filter(col("vec_id") < 10)
-          .select(col("vec_id"), col("e")).collect()
-          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-        def dot(a: Array[Double], off: Int, b: Array[Double]): Double = {
-          var s0 = 0.0
-          var i = 0
-          while (i < b.length) { s0 += a(off + i) * b(i); i += 1 }
-          s0
-        }
-        val lut: Map[Long, Map[Long, Double]] =
-          (for ((qid, qe) <- qRows.toSeq; m <- 0 until M) yield
-            (qid * M + m) -> books(m).map { case (cell, cv) =>
-              cell -> dot(qe, m * subDims, cv)
-            }.toMap).toMap
-        val coded = (0 until M).foldLeft(emb) { (df, m) =>
-          df.withColumn(s"code_$m", nearest_centroid(sub(m), books(m)))
-        }
-        val lutLit = typedlit(lut)
-        val qids = emb.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"))
-        def l(m: Int) = element_at(
-          element_at(lutLit, col("query_id") * M + lit(m.toLong)),
-          col(s"code_$m"))
-        coded.join(broadcast(qids), col("vec_id") =!= col("query_id"))
-          .withColumn("adc", l(0) + l(1) + l(2) + l(3))
+        pqAdcScores(s, d)
           .groupBy("query_id")
           .agg(top_k_by_score(col("adc"), col("vec_id"), lit(0L), 5)
             .as("tk"))
@@ -3870,63 +3939,77 @@ object PipelineQueries {
             round(col("t.sim"), 6).as("adc"))
           .orderBy("query_id", "rank")
       },
-      Some {
-        def slice(m: Int) =
-          s"(CAST(embedding AS DOUBLE[]))[${m * 16 + 1}:${m * 16 + 16}]"
-        def dotFold(a: String, b: String) =
-          s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-            s"list_transform(range(1, 17), i -> $a[i] * $b[i])), " +
-            s"(acc, x) -> acc + x)"
-        val books = (0 until 4)
-          .map(m => kmeansCtes(8, 2, "TRUE", slice(m), s"p$m", 16))
-          .mkString(",\n")
-        val encs = (0 until 4).map { m =>
-          s"""enc$m AS MATERIALIZED (
-             |  SELECT vec_id, cell AS code_$m FROM (
-             |    SELECT v.vec_id, c.cell, row_number() OVER (
-             |      PARTITION BY v.vec_id
-             |      ORDER BY ${TextHash.duckCosine("v.emb", "c.cvec", 16)}
-             |        DESC, c.cell) AS rn
-             |    FROM p${m}e v, p${m}cent2 c) WHERE rn = 1
-             |)""".stripMargin
-        }.mkString(",\n")
-        val luts = (0 until 4).map { m =>
-          s"""lut$m AS MATERIALIZED (
-             |  SELECT q.vec_id AS qid, c.cell,
-             |    ${dotFold("q.emb", "c.cvec")} AS d
-             |  FROM (SELECT vec_id, emb FROM p${m}e WHERE vec_id < 10) q,
-             |       p${m}cent2 c
-             |)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH $books,
-           |$encs,
-           |$luts,
-           |enc AS (
-           |  SELECT e0.vec_id, e0.code_0, e1.code_1, e2.code_2,
-           |    e3.code_3
-           |  FROM enc0 e0 JOIN enc1 e1 USING (vec_id)
-           |       JOIN enc2 e2 USING (vec_id)
-           |       JOIN enc3 e3 USING (vec_id)
-           |),
-           |sc AS (
-           |  SELECT l0.qid AS query_id, v.vec_id AS cand_id,
-           |    l0.d + l1.d + l2.d + l3.d AS adc
-           |  FROM enc v
-           |  JOIN lut0 l0 ON l0.cell = v.code_0
-           |  JOIN lut1 l1 ON l1.cell = v.code_1 AND l1.qid = l0.qid
-           |  JOIN lut2 l2 ON l2.cell = v.code_2 AND l2.qid = l0.qid
-           |  JOIN lut3 l3 ON l3.cell = v.code_3 AND l3.qid = l0.qid
-           |  WHERE v.vec_id <> l0.qid
-           |),
-           |r AS (
-           |  SELECT query_id, cand_id, adc, row_number() OVER (
-           |    PARTITION BY query_id ORDER BY adc DESC, cand_id) AS rank
-           |  FROM sc
-           |)
-           |SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id,
-           |  round(adc, 6) AS adc
-           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-      }),
+      Some(s"""WITH $pqScoreCtes,
+              |r AS (
+              |  SELECT query_id, cand_id, adc, row_number() OVER (
+              |    PARTITION BY query_id ORDER BY adc DESC, cand_id)
+              |    AS rank
+              |  FROM sc
+              |)
+              |SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id,
+              |  round(adc, 6) AS adc
+              |FROM r WHERE rank <= 5
+              |ORDER BY query_id, rank""".stripMargin)),
+
+    // PQ-recall EVALUATION (e13/e18's measurement for the PQ axis):
+    // per probe, recall@5 of ADC-ranked product-quantization search
+    // (e11) against the float brute-force ground truth (e1) — the
+    // number that decides whether 4-code compression is safe for a
+    // corpus. Probe universe left-joined so a zero-hit query
+    // surfaces as 0, not a missing row.
+    Q("e22_pq_recall",
+      (s, d) => {
+        import graft.functions.TopKByScore.top_k_by_score
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") < 10)
+        val exact = Similarity.bruteForceTopK(emb, qs, k = 5)
+          .select(col("query_id"), col("cand_id"))
+        val pq = pqAdcScores(s, d)
+          .groupBy("query_id")
+          .agg(top_k_by_score(col("adc"), col("vec_id"), lit(0L), 5)
+            .as("tk"))
+          .select(col("query_id"), explode(col("tk")).as("t"))
+          .select(col("query_id"), col("t.cand_id").as("cand_id"))
+        val hits = exact.join(pq, Seq("query_id", "cand_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("h"))
+        qs.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("h"), lit(0L)).as("n_hits"),
+            (coalesce(col("h"), lit(0L)) * 2000).as("recall_e4"))
+          .orderBy("query_id")
+      },
+      Some(s"""WITH $pqScoreCtes,
+              |ed AS (
+              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              |  FROM embeddings
+              |),
+              |qx AS (SELECT vec_id, emb FROM ed WHERE vec_id < 10),
+              |ex0 AS (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              |    row_number() OVER (PARTITION BY q.vec_id
+              |      ORDER BY ${TextHash.duckCosine("q.emb", "c.emb", 64)}
+              |        DESC, c.vec_id) AS rank
+              |  FROM qx q JOIN ed c ON c.vec_id <> q.vec_id
+              |),
+              |exact AS (SELECT query_id, cand_id FROM ex0 WHERE rank <= 5),
+              |pq0 AS (
+              |  SELECT query_id, cand_id, row_number() OVER (
+              |    PARTITION BY query_id ORDER BY adc DESC, cand_id)
+              |    AS rank
+              |  FROM sc
+              |),
+              |pq5 AS (SELECT query_id, cand_id FROM pq0 WHERE rank <= 5),
+              |hits AS (
+              |  SELECT query_id, count(*) AS h
+              |  FROM exact JOIN pq5 USING (query_id, cand_id)
+              |  GROUP BY query_id
+              |)
+              |SELECT q.vec_id AS query_id,
+              |  coalesce(h, 0) AS n_hits,
+              |  coalesce(h, 0) * 2000 AS recall_e4
+              |FROM qx q LEFT JOIN hits ON hits.query_id = q.vec_id
+              |ORDER BY query_id""".stripMargin)),
 
     // IVF + PQ — THE production ANN combination (the composition the
     // e-family builds toward: e4 routes, e11 codes; this does both):
