@@ -18,6 +18,59 @@ object EventQueries {
 
   def all: Seq[Q] = Seq(
 
+    // First-order Markov transition matrix over per-user event
+    // sequences: count each (event_type → next_event_type) step and
+    // its probability within the from-type's row — the
+    // behavioral-model primitive under next-event prediction and
+    // anomaly scoring. One user-key exchange feeds the lead()
+    // window (co-partitioned with the per-user ordering), then the
+    // pair counts partial-aggregate; probabilities are integer
+    // division on exact counts (e6 grid), so no float leaves either
+    // engine. Ties in ts break by event_id on both sides.
+    Q("q51_markov_transitions",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val steps = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("next_type", lead("event_type", 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"),
+            col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n_steps"))
+        val totals = steps.groupBy("from_type")
+          .agg(sum("n_steps").as("n_from"))
+        steps.join(totals, "from_type")
+          .select(col("from_type"), col("to_type"), col("n_steps"),
+            expr("CAST(n_steps * 1000000 DIV n_from AS BIGINT)")
+              .as("p_e6"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH seq AS (
+             |  SELECT user_id, event_type,
+             |    lead(event_type) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id)
+             |      AS next_type
+             |  FROM events
+             |),
+             |st AS (
+             |  SELECT event_type AS from_type, next_type AS to_type,
+             |    count(*) AS n_steps
+             |  FROM seq WHERE next_type IS NOT NULL
+             |  GROUP BY 1, 2
+             |),
+             |tot AS (
+             |  SELECT from_type, sum(n_steps) AS n_from
+             |  FROM st GROUP BY from_type
+             |)
+             |SELECT st.from_type, st.to_type,
+             |  CAST(st.n_steps AS BIGINT) AS n_steps,
+             |  CAST(st.n_steps * 1000000 // tot.n_from AS BIGINT) AS p_e6
+             |FROM st JOIN tot USING (from_type)
+             |ORDER BY from_type, to_type""".stripMargin)),
+
     // JSON property extraction + aggregate by event type. The JSON
     // path read is a native codegen'd expression (get_json_object),
     // not a UDF; the scan prunes to (event_type, props).
