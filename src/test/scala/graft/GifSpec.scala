@@ -59,6 +59,40 @@ class GifSpec extends AnyFunSuite {
     assert(d.get.rgb.toSeq == want.toSeq)
   }
 
+  test("local color table and extension blocks: hand-built stream decodes") {
+    // The planting encoder only writes GLOBAL tables; real crawls
+    // carry local tables and GCE/comment extensions. Build a stream
+    // by hand: take an encoded GIF, strip its GCT, and re-home the
+    // palette as a LOCAL table behind a graphic-control extension.
+    val (w, h, depth) = (5, 4, 2)
+    val palette = Array.tabulate(3 << depth)(i => (i * 23).toByte)
+    val indices = Array.tabulate[Byte](w * h)(i => (i % (1 << depth)).toByte)
+    val full = Gif.encode(w, h, depth, palette, indices)
+    val gctLen = 3 << depth
+    // layout: 6 header + 7 LSD + gct + rest(image descriptor...)
+    val lsd = full.slice(6, 13)
+    lsd(4) = (lsd(4) & 0x7F).toByte // clear the GCT flag
+    val rest = full.drop(13 + gctLen)
+    // graphic control extension: introducer, label, size 4, flags,
+    // delay(2), transparent idx, terminator
+    val gce = Array(0x21, 0xF9, 4, 0, 0, 0, 0, 0).map(_.toByte)
+    // image descriptor with the LOCAL color table flag + size bits
+    val desc = rest.take(10).clone()
+    desc(9) = (0x80 | (depth - 1)).toByte
+    val bytes = full.take(6) ++ lsd ++ gce ++ desc ++ palette ++
+      rest.drop(10)
+    val d = Gif.decode(bytes)
+    assert(d.isDefined, "LCT + GCE stream must decode")
+    val want = indices.flatMap { ix =>
+      val j = (ix & 0xFF) * 3
+      Array(palette(j), palette(j + 1), palette(j + 2))
+    }
+    assert(d.get.rgb.toSeq == want.toSeq)
+    // no table anywhere -> clean reject
+    val noTables = full.take(6) ++ lsd ++ rest
+    assert(Gif.decode(noTables).isEmpty)
+  }
+
   test("malformed inputs reject cleanly") {
     val (w, h, depth, palette, indices) = plant(3L)
     val good = Gif.encode(w, h, depth, palette, indices)
