@@ -376,6 +376,96 @@ object PipelineQueries {
                    |   JOIN sh y ON y.doc_id = c.db AND y.s = x.s
                    |   GROUP BY c.da, c.db""".stripMargin)}""".stripMargin)),
 
+    // Content-defined chunking + chunk-level dedup (the CDC recipe
+    // of storage dedup, applied to text): a position is a chunk
+    // boundary iff the hash of the 8-char window ENDING there ≡ 0
+    // (mod 64) — boundaries move with content, not offsets, so an
+    // insertion reshuffles only the chunks it touches (fixed-size
+    // d22 windows would shift EVERY downstream chunk). The boundary
+    // predicate is position-INDEPENDENT (a pure function of the
+    // window), so both engines compute it without sequential state;
+    // expected chunk ≈ 64 chars. Per doc: chunk count and how many
+    // of its chunks also appear in another doc — the sub-document
+    // duplication signal d44's planted-span query measures from the
+    // other direction. Spark side is fully map-side to the digest
+    // (boundaries, slicing and hashing in one codegen'd projection);
+    // the only exchanges are the digest-sharing rollup and the
+    // per-doc aggregate.
+    Q("d63_cdc_chunk_dedup",
+      (s, d) => {
+        // window hash inlined with builtins (the duckCharHash fold),
+        // so the plan needs no SQL-registered kernel — Verify's bare
+        // session must resolve it too
+        val winHash = "aggregate(split(substring(text, i - 7, 8), ''), " +
+          s"CAST(0 AS BIGINT), (h, c2) -> (h * 31 + ascii(c2)) % $P)"
+        val boundaryExpr =
+          "filter(transform(" +
+            "IF(char_length(text) >= 8, " +
+            "   sequence(8, char_length(text)), array()), " +
+            s"i -> CASE WHEN $winHash" +
+            s" * ${Sampling.Mixer} % ${Sampling.MixMod} % 64 = 0" +
+            " THEN i END), x -> x IS NOT NULL)"
+        val dg = Tables.documents(s, d)
+          .filter(char_length(col("text")) > 0)
+          .withColumn("b", expr(boundaryExpr))
+          .withColumn("starts",
+            expr("concat(array(1), transform(b, x -> x + 1))"))
+          .withColumn("ends",
+            expr("concat(b, array(char_length(text)))"))
+          .select(col("doc_id"), explode(expr(
+            "filter(transform(arrays_zip(starts, ends), " +
+              "p -> IF(p.starts <= p.ends, " +
+              "substring(text, p.starts, p.ends - p.starts + 1), NULL))," +
+              " x -> x IS NOT NULL)")).as("chunk"))
+          .select(col("doc_id"), md5(col("chunk")).as("g"))
+        val sharing = dg.groupBy("g")
+          .agg(countDistinct("doc_id").as("nd"))
+        dg.join(sharing, "g")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH pos AS (
+              |  SELECT doc_id, text,
+              |    unnest(range(8, length(text) + 1)) AS i
+              |  FROM documents WHERE length(text) > 0
+              |),
+              |bnd AS (
+              |  SELECT doc_id, i FROM pos
+              |  WHERE ${TextHash.duckStringHash("substr(text, i - 7, 8)")}
+              |    * ${Sampling.Mixer} % ${Sampling.MixMod} % 64 = 0
+              |),
+              |ch AS (
+              |  SELECT doc_id,
+              |    coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i),
+              |             0) + 1 AS s,
+              |    i AS e
+              |  FROM bnd
+              |  UNION ALL
+              |  SELECT d.doc_id, coalesce(mx.mi, 0) + 1, length(d.text)
+              |  FROM documents d
+              |  LEFT JOIN (SELECT doc_id, max(i) AS mi FROM bnd
+              |             GROUP BY doc_id) mx USING (doc_id)
+              |  WHERE length(d.text) > coalesce(mx.mi, 0)
+              |),
+              |dg AS (
+              |  SELECT c.doc_id,
+              |    md5(substr(d.text, CAST(c.s AS INT),
+              |        CAST(c.e - c.s + 1 AS INT))) AS g
+              |  FROM ch c JOIN documents d USING (doc_id)
+              |),
+              |sh AS (
+              |  SELECT g, count(DISTINCT doc_id) AS nd FROM dg GROUP BY g
+              |)
+              |SELECT dg.doc_id,
+              |  CAST(count(*) AS BIGINT) AS n_chunks,
+              |  CAST(sum(CASE WHEN sh.nd > 1 THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_shared
+              |FROM dg JOIN sh USING (g)
+              |GROUP BY dg.doc_id
+              |ORDER BY doc_id""".stripMargin)),
+
     // Cross-source duplication matrix: d3's verified near-dup pairs
     // rolled up by (source, source) — the contamination audit run
     // before mixing crawl dumps (how much of dump A is already in
