@@ -171,6 +171,54 @@ object EventStream {
       }
   }
 
+  /** Last-event-per-user state for [[transitions]] (epoch micros +
+    * the tiebreak id, so cross-batch chaining orders exactly like
+    * the batch q51 window).
+    */
+  case class TransState(last_ts: Long, last_event_id: Long,
+      last_type: String)
+
+  /** One emitted Markov step. */
+  case class TransitionOut(user_id: Long, from_type: String,
+      to_type: String)
+
+  /** Streaming first-order transition extraction — the q51 twin's
+    * stateful half: per-user state is ONE row (the last event seen),
+    * and each arriving event emits its (from → to) step exactly
+    * once, chaining across micro-batches. Within a batch rows order
+    * by (ts, event_id) — the batch window's exact sort; across
+    * batches the stream is assumed per-user in-order (the log-ingest
+    * contract; a violation inverts only the affected step). Counting
+    * and probabilities stay downstream — q51's batch rollup applies
+    * unchanged to the emitted step stream. State is O(users),
+    * unbounded-stream safe.
+    */
+  def transitions(spark: SparkSession, events: Dataset[Event])
+      : Dataset[TransitionOut] = {
+    import spark.implicits._
+
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransitionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event],
+            state: GroupState[TransState]) =>
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var last = state.getOption
+          val out = Seq.newBuilder[TransitionOut]
+          for (e <- sorted) {
+            last.foreach(l =>
+              out += TransitionOut(userId, l.last_type, e.event_type))
+            last = Some(TransState(micros(e.ts), e.event_id, e.event_type))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Streaming 30-min-gap sessionization via flatMapGroupsWithState:
     * per-user state holds the open session; an event past the gap (or
     * the event-time timeout firing once the watermark passes

@@ -138,6 +138,44 @@ class EventStreamSpec extends SparkSpec {
     q.processAllAvailable()
   }
 
+  test("parity: streamed Markov steps equal the batch q51 transition counts") {
+    val b1 = Seq(ev(1, 10, 1, "view"), ev(2, 20, 1, "click"),
+      ev(3, 15, 2, "view"), ev(4, 30, 2, "view"),
+      ev(5, 12, 3, "signup"))
+    val b2 = Seq(ev(6, 40, 1, "purchase"), ev(7, 45, 2, "click"),
+      ev(8, 50, 3, "view"), ev(9, 55, 3, "click"))
+    val stream = MemoryStream[Event](spark)
+    val q = EventStream.transitions(spark, stream.toDS())
+      .writeStream.format("memory").queryName("trans_t")
+      .outputMode("append").start()
+    try {
+      stream.addData(b1: _*)
+      q.processAllAvailable()
+      stream.addData(b2: _*)
+      q.processAllAvailable()
+      // q51's rollup applied unchanged to the emitted step stream
+      val streamed = spark.table("trans_t")
+        .groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n_steps"))
+        .as[(String, String, Long)].collect().toSet
+      // batch reference: the q51 window over the union
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val batch = (b1 ++ b2).toDF()
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n_steps"))
+        .as[(String, String, Long)].collect().toSet
+      assert(streamed == batch)
+      // the cross-batch chain exists: user 1 click->purchase spans
+      // the two micro-batches
+      assert(streamed.exists(t => t._1 == "click" && t._2 == "purchase"))
+    } finally q.stop()
+  }
+
   test("parity: streaming sessionize equals batch operators.Sessionize") {
     val stream = MemoryStream[Event](spark)
     val q = EventStream.sessionize(spark, stream.toDS())
