@@ -932,6 +932,74 @@ object PageRankQueries {
               |  CAST(n_transitive AS BIGINT) AS n_transitive
               |FROM cyc, tr""".stripMargin)),
 
+    // Graph data card (the d26 corpus-stats discipline for graphs):
+    // one row of the numbers a 100 TB graph job is sized by — node /
+    // edge counts, max and mean degree, and the power-law tail
+    // exponent (Hill/MLE at dmin=2, Clauset-Shalizi-Newman) that
+    // decides whether hub salting and skew handling are needed.
+    // Each ln term is e6-floored BEFORE the sum (the g5 convention)
+    // so the estimate is integer-exact; degrees come from ONE
+    // partial-aggregated exchange over the symmetric neighbor list.
+    Q("g12_graph_card",
+      (s, d) => {
+        val e = LinkGraph.wordFollowEdges(Tables.documents(s, d), "text")
+        val und = e.filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+        val deg = und.select(col("a").as("n"))
+          .union(und.select(col("b").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("deg"))
+        val edges = und.agg(count(lit(1)).as("n_edges"))
+        deg.agg(
+            count(lit(1)).as("n_nodes"),
+            max("deg").as("max_degree"),
+            sum(when(col("deg") >= 2, 1L).otherwise(0L)).as("n_tail"),
+            sum(when(col("deg") >= 2,
+              floor(log(col("deg").cast("double") / lit(2.0))
+                * 1000000 + 0.5).cast("long"))
+              .otherwise(0L)).as("s_ln"))
+          .crossJoin(edges)
+          .select(col("n_nodes"), col("n_edges"), col("max_degree"),
+            expr("CAST(2 * n_edges * 1000000 DIV n_nodes AS BIGINT)")
+              .as("mean_degree_e6"),
+            when(col("s_ln") > 0,
+              floor(lit(1000000.0) + lit(1000000000000.0)
+                * col("n_tail") / col("s_ln") + 0.5).cast("long"))
+              .otherwise(lit(null).cast("long")).as("alpha_e6"))
+      },
+      Some(s"""WITH $edgeCtes,
+              |und AS (
+              |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              |  FROM e WHERE src <> dst
+              |),
+              |deg AS (
+              |  SELECT n, count(*) AS deg FROM (
+              |    SELECT a AS n FROM und UNION ALL SELECT b FROM und
+              |  ) GROUP BY n
+              |),
+              |agg AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+              |    CAST(max(deg) AS BIGINT) AS max_degree,
+              |    CAST(sum(CASE WHEN deg >= 2 THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n_tail,
+              |    CAST(sum(CASE WHEN deg >= 2 THEN
+              |      CAST(floor(ln(CAST(deg AS DOUBLE) / CAST(2 AS DOUBLE))
+              |        * 1000000 + 0.5) AS BIGINT) ELSE 0 END)
+              |      AS BIGINT) AS s_ln
+              |  FROM deg
+              |),
+              |ec AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und)
+              |SELECT n_nodes, n_edges, max_degree,
+              |  CAST(2 * n_edges * 1000000 // n_nodes AS BIGINT)
+              |    AS mean_degree_e6,
+              |  CASE WHEN s_ln > 0 THEN
+              |    CAST(floor(CAST(1000000 AS DOUBLE)
+              |      + CAST(1000000000000 AS DOUBLE) * n_tail / s_ln + 0.5)
+              |      AS BIGINT)
+              |  ELSE NULL END AS alpha_e6
+              |FROM agg, ec""".stripMargin)),
+
     Q("g5_adamic_adar",
       (s, d) => {
         val e = LinkGraph.wordFollowEdges(Tables.documents(s, d), "text")
