@@ -240,10 +240,12 @@ object Multimodal {
     * palette[j][c] = (id·43 + j·31 + c·17) % 256,
     * index(y, x) = (id·19 + y·11 + x·7) % size.
     */
-  def gifTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+  def gifTable(spark: SparkSession, docs: DataFrame,
+      seedOf: Long => Long = identity): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
-      ids.map { id =>
+      ids.map { docId =>
+        val id = seedOf(docId)
         val w = (4 + id % 5).toInt
         val h = (4 + (id * 3) % 5).toInt
         val depth = Array(8, 4, 2, 1)((id % 4).toInt)
@@ -258,7 +260,7 @@ object Multimodal {
         }
         val payload = Gif.encode(w, h, depth, palette, indices,
           interlaced = id % 2 == 1)
-        MediaRow(id, "image/gif", payload.length.toLong, payload)
+        MediaRow(docId, "image/gif", payload.length.toLong, payload)
       }
     }.toDF()
   }
@@ -417,36 +419,58 @@ object Multimodal {
     * 16 hex chars (8 row bytes — a string, so no sign-bit overflow
     * games with BIGINT). Undecodable payloads are dropped.
     */
+  /** 8x8 horizontal-gradient dHash over a decoded RGB buffer —
+    * shared by the PNG (m10) and GIF (m18) perceptual-dedup paths:
+    * 9 nearest-neighbor column samples per row band, one bit per
+    * adjacent-sample gradient, 16 hex chars out.
+    */
+  private def dhashHex(w: Int, h: Int, rgb: Array[Byte]): String = {
+    def gray(y: Int, x: Int): Int = {
+      val base = (y * w + x) * 3
+      ((rgb(base) & 0xFF) + (rgb(base + 1) & 0xFF) +
+        (rgb(base + 2) & 0xFF)) / 3
+    }
+    val sb = new java.lang.StringBuilder(16)
+    var y8 = 0
+    while (y8 < 8) {
+      val sy = y8 * h / 8
+      var rowByte = 0
+      var x9 = 0
+      while (x9 < 8) {
+        val sxL = x9 * w / 9
+        val sxR = (x9 + 1) * w / 9
+        if (gray(sy, sxR) > gray(sy, sxL)) rowByte |= (1 << x9)
+        x9 += 1
+      }
+      sb.append(Character.forDigit(rowByte >> 4, 16))
+        .append(Character.forDigit(rowByte & 15, 16))
+      y8 += 1
+    }
+    sb.toString
+  }
+
   def pngDHash(spark: SparkSession, media: DataFrame)
       : Dataset[DHashRow] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       rows.flatMap { r =>
-        Png.decode(r.payload).map { d =>
-          val w = d.width; val h = d.height
-          def gray(y: Int, x: Int): Int = {
-            val base = (y * w + x) * 3
-            ((d.rgb(base) & 0xFF) + (d.rgb(base + 1) & 0xFF) +
-              (d.rgb(base + 2) & 0xFF)) / 3
-          }
-          val sb = new java.lang.StringBuilder(16)
-          var y8 = 0
-          while (y8 < 8) {
-            val sy = y8 * h / 8
-            var rowByte = 0
-            var x9 = 0
-            while (x9 < 8) {
-              val sxL = x9 * w / 9
-              val sxR = (x9 + 1) * w / 9
-              if (gray(sy, sxR) > gray(sy, sxL)) rowByte |= (1 << x9)
-              x9 += 1
-            }
-            sb.append(Character.forDigit(rowByte >> 4, 16))
-              .append(Character.forDigit(rowByte & 15, 16))
-            y8 += 1
-          }
-          DHashRow(r.doc_id, sb.toString)
-        }
+        Png.decode(r.payload).map(d =>
+          DHashRow(r.doc_id, dhashHex(d.width, d.height, d.rgb)))
+      }
+    }
+  }
+
+  /** dHash over REAL GIF decode — the m10 perceptual dedup with the
+    * m17 codec in front (palette expansion + de-interlace feed the
+    * same gradient hash). Undecodable payloads drop.
+    */
+  def gifDHash(spark: SparkSession, media: DataFrame)
+      : Dataset[DHashRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        Gif.decode(r.payload).map(d =>
+          DHashRow(r.doc_id, dhashHex(d.width, d.height, d.rgb)))
       }
     }
   }

@@ -3412,6 +3412,61 @@ object PipelineQueries {
            |ORDER BY h.doc_id""".stripMargin
       }),
 
+    // dHash perceptual dedup over REAL GIF decode — m10's gradient
+    // hash with the m17 codec in front (LZW, palette expansion and
+    // de-interlace feed the shared dhashHex core), seeds collapsed
+    // mod 97 so planted duplicates exist to group. Decode + hash are
+    // map-side; the only exchanges are the hash-count rollup (then
+    // broadcast back) and the sort.
+    Q("m18_gif_dhash",
+      (s, d) => {
+        val hashes = Multimodal.gifDHash(s,
+          Multimodal.gifTable(s, Tables.documents(s, d), _ % 97)).toDF()
+        val counts = hashes.groupBy("dhash_hex")
+          .agg(count(lit(1)).as("n_same"))
+        hashes.join(broadcast(counts), "dhash_hex")
+          .select(col("doc_id"), col("dhash_hex"), col("n_same"))
+          .orderBy("doc_id")
+      },
+      Some {
+        def g(sx: String): String = {
+          val idx = s"((sv*19 + ((y8*h)//8)*11 + ($sx)*7) % ps)"
+          val k = s"(sv*43 + $idx*31)"
+          s"((($k) % 256 + ($k + 17) % 256 + ($k + 34) % 256) // 3)"
+        }
+        s"""WITH d AS (
+           |  SELECT doc_id, doc_id % 97 AS sv,
+           |    4 + (doc_id % 97) % 5 AS w,
+           |    4 + ((doc_id % 97) * 3) % 5 AS h,
+           |    CASE (doc_id % 97) % 4 WHEN 0 THEN 16 WHEN 1 THEN 16
+           |         WHEN 2 THEN 4 ELSE 2 END AS ps
+           |  FROM documents
+           |),
+           |bits AS (
+           |  SELECT doc_id, gy.y8 AS y8, gx.x9 AS x9,
+           |    CASE WHEN ${g("((x9+1)*w)//9")} > ${g("(x9*w)//9")}
+           |      THEN 1 ELSE 0 END AS bit
+           |  FROM d,
+           |    (SELECT unnest(range(0, 8)) AS y8) gy,
+           |    (SELECT unnest(range(0, 8)) AS x9) gx
+           |),
+           |rws AS (
+           |  SELECT doc_id, y8,
+           |    CAST(SUM(bit * (1 << x9)) AS BIGINT) AS row_byte
+           |  FROM bits GROUP BY doc_id, y8
+           |),
+           |hashes AS (
+           |  SELECT doc_id, string_agg(lower(lpad(to_hex(row_byte),
+           |    2, '0')), '' ORDER BY y8) AS dhash_hex
+           |  FROM rws GROUP BY doc_id
+           |),
+           |cnt AS (SELECT dhash_hex, count(*) AS c
+           |        FROM hashes GROUP BY 1)
+           |SELECT h.doc_id, h.dhash_hex, CAST(cnt.c AS BIGINT) AS n_same
+           |FROM hashes h JOIN cnt USING (dhash_hex)
+           |ORDER BY h.doc_id""".stripMargin
+      }),
+
     // REAL 2-D thumbnail over decoded pixels: m3's 1-D stride
     // stand-in upgraded to actual image geometry — decode the PNG
     // corpus, nearest-neighbor resample to a fixed 4x4 RGB
