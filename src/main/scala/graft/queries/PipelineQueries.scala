@@ -1708,6 +1708,62 @@ object PipelineQueries {
     // boundary; an integer sum divided once is bit-stable on both
     // engines. Keys coalesce to 'ALL' post-grouping (q10 convention)
     // so the stated order is engine-consistent.
+    // Vocabulary data card (g12's graph card for TEXT): vocab size,
+    // token mass, hapax count (singleton tokens — the noise /
+    // misspelling / OCR-damage signal), and the Zipf tail exponent
+    // (Hill/MLE at fmin=2 over the frequency spectrum) — the one
+    // row that decides tokenizer vocab sizing and frequency-floor
+    // cuts. One token-keyed partial-agg exchange, then a one-row
+    // aggregate; every ln term e6-floored before the integer sum.
+    Q("d64_zipf_card",
+      (s, d) => {
+        val tf = Tables.documents(s, d)
+          .select(explode(expr(TextHash.sparkTokens("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("f"))
+        tf.agg(
+            count(lit(1)).as("vocab_size"),
+            sum("f").as("total_tokens"),
+            max("f").as("top_count"),
+            sum(when(col("f") === 1, 1L).otherwise(0L)).as("n_hapax"),
+            sum(when(col("f") >= 2, 1L).otherwise(0L)).as("n_tail"),
+            sum(when(col("f") >= 2,
+              floor(log(col("f").cast("double") / lit(2.0))
+                * 1000000 + 0.5).cast("long"))
+              .otherwise(0L)).as("s_ln"))
+          .select(col("vocab_size"), col("total_tokens"),
+            col("top_count"), col("n_hapax"),
+            when(col("s_ln") > 0,
+              floor(lit(1000000.0) + lit(1000000000000.0)
+                * col("n_tail") / col("s_ln") + 0.5).cast("long"))
+              .otherwise(lit(null).cast("long")).as("zipf_alpha_e6"))
+      },
+      Some(s"""WITH tk AS (
+              |  SELECT unnest(${TextHash.duckTokens("text")}) AS token
+              |  FROM documents
+              |),
+              |tf AS (SELECT token, count(*) AS f FROM tk GROUP BY token),
+              |a AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+              |    CAST(sum(f) AS BIGINT) AS total_tokens,
+              |    CAST(max(f) AS BIGINT) AS top_count,
+              |    CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS n_hapax,
+              |    CAST(sum(CASE WHEN f >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS n_tail,
+              |    CAST(sum(CASE WHEN f >= 2 THEN
+              |      CAST(floor(ln(CAST(f AS DOUBLE) / CAST(2 AS DOUBLE))
+              |        * 1000000 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
+              |      AS s_ln
+              |  FROM tf
+              |)
+              |SELECT vocab_size, total_tokens, top_count, n_hapax,
+              |  CASE WHEN s_ln > 0 THEN
+              |    CAST(floor(CAST(1000000 AS DOUBLE)
+              |      + CAST(1000000000000 AS DOUBLE) * n_tail / s_ln + 0.5)
+              |      AS BIGINT)
+              |  ELSE NULL END AS zipf_alpha_e6
+              |FROM a""".stripMargin)),
+
     Q("d26_corpus_stats",
       (s, d) => {
         TextAnalysis.quality(Tables.documents(s, d))
