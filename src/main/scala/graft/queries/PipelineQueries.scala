@@ -4152,6 +4152,46 @@ object PipelineQueries {
               |FROM r WHERE rank <= 5
               |ORDER BY query_id, rank""".stripMargin)),
 
+    // FILTERED vector search — the production retrieval shape
+    // (metadata predicate + ANN in one query): top-5 neighbors among
+    // candidates with an EVEN label only. The predicate applies
+    // BEFORE scoring — pre-filtering keeps the result exactly k
+    // (post-filtering an unfiltered top-k silently returns fewer —
+    // the classic filtered-ANN recall bug); on the scan side the
+    // filter pushes into the parquet read, so excluded rows never
+    // reach the cosine kernel.
+    Q("e23_filtered_ann",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.bruteForceTopK(
+            emb.filter(col("label") % 2 === 0),
+            emb.filter(col("vec_id") < 10), k = 5)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("cand_id"), col("sim"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+              |  FROM embeddings
+              |),
+              |q AS (SELECT * FROM e WHERE vec_id < 10),
+              |scored AS (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              |    ${TextHash.duckCosine("q.emb", "c.emb", 64)} AS sim
+              |  FROM q JOIN e c ON c.vec_id <> q.vec_id
+              |  WHERE c.label % 2 = 0
+              |),
+              |r AS (
+              |  SELECT query_id, cand_id, sim,
+              |    row_number() OVER (
+              |      PARTITION BY query_id ORDER BY sim DESC, cand_id)
+              |      AS rank
+              |  FROM scored
+              |)
+              |SELECT query_id, rank, cand_id, round(sim, 6) AS sim
+              |FROM r WHERE rank <= 5
+              |ORDER BY query_id, rank""".stripMargin)),
+
     // PQ-recall EVALUATION (e13/e18's measurement for the PQ axis):
     // per probe, recall@5 of ADC-ranked product-quantization search
     // (e11) against the float brute-force ground truth (e1) — the
