@@ -20,7 +20,9 @@ import org.apache.spark.sql.types._
   *
   * Register math (shared contract with the d59 column-level mirror
   * and the DuckDB oracles — all three MUST agree bit-for-bit):
-  * for a hash h uniform on [0, 2^32) with W = 32 − p payload bits,
+  * the input is masked to its low 32 bits (64-bit hashes fold in
+  * rather than erroring), then for h on [0, 2^32) with
+  * W = 32 − p payload bits,
   *   register j = h >> W          (top p bits)
   *   w          = h & (2^W − 1)
   *   rho        = W + 1 − bitLength(w)   (w = 0 ⇒ W + 1)
@@ -61,9 +63,13 @@ case class HllSketch(
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = hash.eval(input)
     if (v != null) {
-      val h = v.asInstanceOf[Long]
+      // mask to the declared 32-bit domain: a 64-bit or negative
+      // hash (e.g. xxhash64 fed straight in) must contribute its low
+      // 32 bits, not kill the job — the totality discipline; the
+      // d59/d60 oracles feed pre-mixed 32-bit values so the mask is
+      // the identity there
+      val h = v.asInstanceOf[Long] & 0xFFFFFFFFL
       val reg = (h >>> payloadBits).toInt
-      require(reg < m, s"hll_sketch: hash $h exceeds 32 bits")
       val w = h & payloadMask
       val rho =
         if (w == 0L) payloadBits + 1

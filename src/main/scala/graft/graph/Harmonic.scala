@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
+import graft.operators.Checkpointing.CutOps
+
 /** Landmark-based harmonic centrality over the undirected view of an
   * edge list — the distance-centrality member of the graph family
   * (PageRank = flow centrality, BFS = distance, harmonic = the
@@ -59,8 +61,13 @@ object Harmonic {
         val reached = frontier.join(e, frontier("node") === e("src"))
           .select(col("lm"), col("dst").as("node"),
             lit(h.toLong).as("dist"))
+        // `dist` is consumed twice per round (frontier + union), so
+        // the lazy plan would DOUBLE per hop — cut the O(|L|·V)
+        // carry eagerly each round (the Hits/PageRank-conserving
+        // pattern; the cut honors the reliable-checkpoint switch)
         dist = dist.union(reached)
           .groupBy("lm", "node").agg(min("dist").as("dist"))
+          .lineageCut
       }
       dist.filter(col("dist") > 0)
         .select(col("node"),

@@ -118,39 +118,51 @@ object Hits {
   def runUntilConverged(edges: DataFrame, tol: Double = 1e-9,
       maxIterations: Int = 200): (DataFrame, Int) = {
     require(tol > 0, s"tol must be > 0, got $tol")
-    var prev = run(edges, iterations = 1)
-    var it = 1
-    var done = false
-    while (!done && it < maxIterations) {
-      val next = run2(edges, prev)
-      val delta = next.select(col("node"), col("auth"))
-        .join(prev.select(col("node"), col("auth").as("pa")), "node")
-        .agg(coalesce(sum(abs(col("auth") - col("pa"))), lit(0.0)))
-        .head().getDouble(0)
-      prev = next
-      it += 1
-      done = delta < tol
-    }
-    require(done, s"HITS did not converge in $maxIterations iterations")
-    (prev, it)
-  }
-
-  /** One HITS iteration continuing from an existing (node, auth,
-    * hub) frame — the [[runUntilConverged]] step. Re-derives the
-    * per-call edge partitioning (the bounded [[run]] keeps its
-    * persisted copies across all its iterations; here each step is
-    * one small job against an O(|V|) carry, so the exchange cost is
-    * the same either way at convergence-loop granularity).
-    */
-  private def run2(edges: DataFrame, scores: DataFrame): DataFrame = {
+    // The loop's static sides persist ONCE — the run() shape; without
+    // this every step would re-shuffle the full edge set four ways.
     val e = edges.select("src", "dst").distinct()
+    val bySrc = e.repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val byDst = e.repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-    val aRaw = e
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var prev = run(edges, iterations = 1)
+      var it = 1
+      var done = false
+      while (!done && it < maxIterations) {
+        val next = step(bySrc, byDst, nodes, prev)
+        val delta = next.select(col("node"), col("auth"))
+          .join(prev.select(col("node"), col("auth").as("pa")), "node")
+          .agg(coalesce(sum(abs(col("auth") - col("pa"))), lit(0.0)))
+          .head().getDouble(0)
+        prev = next
+        it += 1
+        done = delta < tol
+      }
+      require(done, s"HITS did not converge in $maxIterations iterations")
+      (prev, it)
+    } finally {
+      bySrc.unpersist(blocking = false)
+      byDst.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+    }
+  }
+
+  /** One HITS iteration continuing from an existing (node, auth,
+    * hub) frame — the [[runUntilConverged]] step, against the
+    * loop's persisted per-join-key edge copies and node set so each
+    * round shuffles only the O(|V|) carry.
+    */
+  private def step(bySrc: DataFrame, byDst: DataFrame, nodes: DataFrame,
+      scores: DataFrame): DataFrame = {
+    val aRaw = bySrc
       .join(scores.select(col("node"), col("hub")),
-        e("src") === col("node"))
-      .groupBy(e("dst").as("node"))
+        bySrc("src") === col("node"))
+      .groupBy(bySrc("dst").as("node"))
       .agg(sum("hub").as("a_raw"))
     val aNorm = aRaw.agg(sum("a_raw").as("_na"))
     val auths = nodes.join(aRaw, Seq("node"), "left")
@@ -158,10 +170,10 @@ object Hits {
       .select(col("node"),
         (coalesce(col("a_raw"), lit(0.0)) / col("_na")).as("auth"))
       .lineageCut
-    val hRaw = e
+    val hRaw = byDst
       .join(auths.select(col("node"), col("auth")),
-        e("dst") === col("node"))
-      .groupBy(e("src").as("node"))
+        byDst("dst") === col("node"))
+      .groupBy(byDst("src").as("node"))
       .agg(sum("auth").as("h_raw"))
     val hNorm = hRaw.agg(sum("h_raw").as("_nh"))
     val hubs = nodes.join(hRaw, Seq("node"), "left")

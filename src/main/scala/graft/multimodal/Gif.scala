@@ -122,9 +122,14 @@ object Gif {
   def encode(width: Int, height: Int, depth: Int, palette: Array[Byte],
       indices: Array[Byte], interlaced: Boolean = false): Array[Byte] = {
     require(depth >= 1 && depth <= 8, s"depth $depth out of range")
+    require(width >= 1 && width <= 0xFFFF && height >= 1 &&
+      height <= 0xFFFF,
+      s"dimensions ${width}x$height exceed GIF's 16-bit descriptors")
     require(palette.length == 3 * (1 << depth),
       s"palette must have 2^$depth entries")
     require(indices.length == width * height, "indices size mismatch")
+    require(indices.forall(i => (i & 0xFF) < (1 << depth)),
+      s"index out of the 2^$depth palette range")
     val out = new java.io.ByteArrayOutputStream()
     out.write("GIF89a".getBytes("US-ASCII"), 0, 6)
     le16(out, width)

@@ -86,7 +86,11 @@ object Sampling {
   /** Deterministic weighted sampling WITHOUT replacement
     * (Efraimidis-Spirakis A-ES, log form): each row's selection key
     * is ln(u)/w with u = (mixed hash + 1)/2³² ∈ (0, 1] derived from
-    * the row id — no RNG state anywhere, so the sample is a pure
+    * the row id through the overflow-safe poly hash ([[hashBucket]]'s
+    * exact recipe: the hash is bounded by P < 2³⁰, so id·Mixer can
+    * never wrap Long and silently drop 64-bit ids — e.g. xxhash64
+    * doc ids — out of the race) — no RNG state anywhere, so the
+    * sample is a pure
     * function of the (id, weight) set: identical across runs,
     * partitionings and engines, and the inclusion law is the A-ES
     * one (P ∝ w in the exponential-race sense). The quality-weighted
@@ -106,8 +110,8 @@ object Sampling {
     */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       k: Int): DataFrame = {
-    val u = ((col(idCol) * Mixer % MixMod) + 1).cast("double") /
-      lit(MixMod.toDouble)
+    val u = ((string_poly_hash(col(idCol).cast("string"))
+      * Mixer % MixMod) + 1).cast("double") / lit(MixMod.toDouble)
     df.filter(col(weightCol) > 0)
       .withColumn("_key", log(u) / col(weightCol))
       .orderBy(col("_key").desc, col(idCol))

@@ -1236,7 +1236,9 @@ object PipelineQueries {
         .orderBy("doc_id"),
       Some(s"""WITH pr AS (
               |  SELECT doc_id, lang, n_chars,
-              |    ln(CAST(doc_id * ${Sampling.Mixer} % ${Sampling.MixMod}
+              |    ln(CAST(${TextHash.duckDocFingerprint(
+                     "CAST(doc_id AS VARCHAR)")}
+              |          * ${Sampling.Mixer} % ${Sampling.MixMod}
               |          + 1 AS DOUBLE)
               |       / CAST(${Sampling.MixMod} AS DOUBLE)) / n_chars AS k
               |  FROM documents WHERE n_chars > 0

@@ -190,32 +190,50 @@ object EventStream {
     * batches the stream is assumed per-user in-order (the log-ingest
     * contract; a violation inverts only the affected step). Counting
     * and probabilities stay downstream — q51's batch rollup applies
-    * unchanged to the emitted step stream. State is O(users),
-    * unbounded-stream safe.
+    * unchanged to the emitted step stream.
+    *
+    * State is O(ACTIVE users), not all-users-ever: a user idle past
+    * `idleGapMicros` (by event time, watermark-driven — the sessionize
+    * expiry discipline) has their last-event row reclaimed; a later
+    * event from them starts a fresh chain, dropping only the one
+    * step that would have spanned the gap — the same bounded-state
+    * trade every watermark operator here makes.
     */
-  def transitions(spark: SparkSession, events: Dataset[Event])
-      : Dataset[TransitionOut] = {
+  def transitions(spark: SparkSession, events: Dataset[Event],
+      idleGapMicros: Long = 24L * 3600 * 1000000,
+      watermark: String = "1 hour"): Dataset[TransitionOut] = {
     import spark.implicits._
 
     def micros(t: java.sql.Timestamp): Long =
       t.getTime * 1000L + (t.getNanos / 1000) % 1000
 
     events
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[TransState, TransitionOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, rows: Iterator[Event],
             state: GroupState[TransState]) =>
-          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-          var last = state.getOption
-          val out = Seq.newBuilder[TransitionOut]
-          for (e <- sorted) {
-            last.foreach(l =>
-              out += TransitionOut(userId, l.last_type, e.event_type))
-            last = Some(TransState(micros(e.ts), e.event_id, e.event_type))
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            var last = state.getOption
+            val out = Seq.newBuilder[TransitionOut]
+            for (e <- sorted) {
+              last.foreach(l =>
+                out += TransitionOut(userId, l.last_type, e.event_type))
+              last = Some(TransState(micros(e.ts), e.event_id,
+                e.event_type))
+            }
+            last.foreach { l =>
+              state.update(l)
+              state.setTimeoutTimestamp((l.last_ts + idleGapMicros)
+                / 1000L + 1)
+            }
+            out.result().iterator
           }
-          last.foreach(state.update)
-          out.result().iterator
       }
   }
 
