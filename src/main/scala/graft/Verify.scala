@@ -31,6 +31,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Iterative operators with LAZY results (PageRank.run & co)
+      // keep their partitioned edge caches alive by contract until
+      // the caller materializes; the parquet write above IS that
+      // materialization, so release everything before the next
+      // query — a 180-query session would otherwise accumulate
+      // every query's persisted frames.
+      finally spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -130,7 +130,14 @@ object Hits {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      var prev = run(edges, iterations = 1)
+      // Seed from the loop's OWN persisted copies — run(edges, 1)
+      // would independently re-derive, re-shuffle and re-persist the
+      // same distinct edge/node sets, paying the full edge shuffle
+      // twice for the first iteration.
+      val init = nodes
+        .withColumn("auth", lit(1.0))
+        .withColumn("hub", lit(1.0))
+      var prev = step(bySrc, byDst, nodes, init)
       var it = 1
       var done = false
       while (!done && it < maxIterations) {

@@ -34,6 +34,15 @@ import graft.operators.Checkpointing.CutOps
   *     the plan (and failure-recovery cost) stays O(1) per iteration
   *     instead of growing with the iteration count.
   *   - AQE splits skewed hub nodes' aggregation partitions at runtime.
+  *
+  * Cache lifecycle — CALLER RELEASES: the fixed-iteration entry
+  * points return a LAZY frame (so `.explain` audits and plan pins see
+  * the whole iteration chain), which means the partitioned edge/node
+  * caches must outlive this call until the caller materializes the
+  * result. After materializing, release them —
+  * `spark.catalog.clearCache()` (what `graft.Verify` does per query),
+  * or keep the session short. The convergence twins, which cut their
+  * results eagerly, unpersist their own caches before returning.
   */
 object PageRank {
 
@@ -270,30 +279,42 @@ object PageRank {
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     var iters = 0
     var residual = Double.MaxValue
-    while (residual > tol && iters < maxIterations) {
-      val contribs = linked
-        .join(ranks, linked("src") === ranks("node"))
-        .select(linked("dst").as("node"),
-          (col("rank") / col("outdeg")).as("contrib"))
-        .groupBy("node")
-        .agg(sum("contrib").as("incoming"))
-      val next = nodes
-        .join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (lit(1.0 - damping) +
-            lit(damping) * coalesce(col("incoming"), lit(0.0))).as("rank"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // One aggregated scalar: the residual that decides termination.
-      residual = next.join(ranks.withColumnRenamed("rank", "prev"), "node")
-        .agg(max(abs(col("rank") - col("prev"))))
-        .head().getDouble(0)
-      ranks.unpersist()
-      ranks = if (checkpointEvery > 0 && (iters + 1) % checkpointEvery == 0)
-        next.lineageCut
-      else next
-      iters += 1
+    try {
+      while (residual > tol && iters < maxIterations) {
+        val contribs = linked
+          .join(ranks, linked("src") === ranks("node"))
+          .select(linked("dst").as("node"),
+            (col("rank") / col("outdeg")).as("contrib"))
+          .groupBy("node")
+          .agg(sum("contrib").as("incoming"))
+        val next = nodes
+          .join(contribs, Seq("node"), "left")
+          .select(col("node"),
+            (lit(1.0 - damping) +
+              lit(damping) * coalesce(col("incoming"), lit(0.0))).as("rank"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // One aggregated scalar: the residual that decides termination.
+        residual = next.join(ranks.withColumnRenamed("rank", "prev"), "node")
+          .agg(max(abs(col("rank") - col("prev"))))
+          .head().getDouble(0)
+        ranks.unpersist()
+        ranks = if (checkpointEvery > 0 && (iters + 1) % checkpointEvery == 0)
+          next.lineageCut
+        else next
+        iters += 1
+      }
+      // Eager cut: the result stops referencing the loop caches, so
+      // they can be released here rather than by the caller (the
+      // fixed-iteration entry points stay lazy by contract — see the
+      // object Scaladoc — but a convergence loop's iteration count is
+      // run-dependent, so nothing pins its plan shape).
+      val out = ranks.lineageCut
+      (out, iters)
+    } finally {
+      ranks.unpersist(blocking = false)
+      linked.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
     }
-    (ranks, iters)
   }
 
   /** PageRank with the reference's EXACT page semantics

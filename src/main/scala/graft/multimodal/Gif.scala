@@ -168,6 +168,269 @@ object Gif {
 
   case class Decoded(width: Int, height: Int, rgb: Array[Byte])
 
+  /** One frame of an animated GIF to encode: a sub-rect of the
+    * canvas with GIF89a graphic-control semantics.
+    *
+    * @param disposal 0/1 leave, 2 restore-to-background,
+    *   3 restore-to-previous (what the canvas was before this frame)
+    * @param transparent palette index treated as see-through
+    *   (-1 = none)
+    * @param delayCs frame delay in centiseconds (animation timing —
+    *   carried in the GCE, irrelevant to pixel decoding)
+    */
+  case class FrameSpec(left: Int, top: Int, width: Int, height: Int,
+      indices: Array[Byte], disposal: Int = 1, transparent: Int = -1,
+      delayCs: Int = 4, interlaced: Boolean = false)
+
+  /** Encode an animated GIF89a: global color table of 2^depth
+    * entries, a NETSCAPE2.0 loop extension, then per frame a
+    * graphic-control extension (disposal, transparency, delay) and
+    * an image descriptor at the frame's canvas offset.
+    */
+  def encodeAnimated(width: Int, height: Int, depth: Int,
+      palette: Array[Byte], frames: Seq[FrameSpec]): Array[Byte] = {
+    require(depth >= 1 && depth <= 8, s"depth $depth out of range")
+    require(width >= 1 && width <= 0xFFFF && height >= 1 &&
+      height <= 0xFFFF,
+      s"dimensions ${width}x$height exceed GIF's 16-bit descriptors")
+    require(palette.length == 3 * (1 << depth),
+      s"palette must have 2^$depth entries")
+    require(frames.nonEmpty, "at least one frame")
+    frames.foreach { f =>
+      require(f.left >= 0 && f.top >= 0 &&
+        f.left + f.width <= width && f.top + f.height <= height,
+        s"frame rect ${f.left},${f.top} ${f.width}x${f.height} " +
+          s"escapes the ${width}x$height canvas")
+      require(f.indices.length == f.width * f.height,
+        "frame indices size mismatch")
+      require(f.indices.forall(i => (i & 0xFF) < (1 << depth)),
+        s"frame index out of the 2^$depth palette range")
+      require(f.disposal >= 0 && f.disposal <= 3,
+        s"disposal ${f.disposal} out of range")
+      require(f.transparent >= -1 && f.transparent < (1 << depth),
+        s"transparent index ${f.transparent} out of range")
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"), 0, 6)
+    le16(out, width)
+    le16(out, height)
+    out.write(0x80 | ((depth - 1) << 4) | (depth - 1))
+    out.write(0) // background color index
+    out.write(0) // pixel aspect ratio
+    out.write(palette, 0, palette.length)
+    // NETSCAPE2.0 application extension: loop forever
+    out.write(0x21); out.write(0xFF); out.write(0x0B)
+    out.write("NETSCAPE2.0".getBytes("US-ASCII"), 0, 11)
+    out.write(0x03); out.write(0x01); le16(out, 0); out.write(0)
+    for (f <- frames) {
+      // graphic-control extension
+      out.write(0x21); out.write(0xF9); out.write(0x04)
+      out.write((f.disposal << 2) | (if (f.transparent >= 0) 1 else 0))
+      le16(out, f.delayCs)
+      out.write(math.max(0, f.transparent))
+      out.write(0)
+      // image descriptor at the frame offset
+      out.write(0x2C)
+      le16(out, f.left)
+      le16(out, f.top)
+      le16(out, f.width)
+      le16(out, f.height)
+      out.write(if (f.interlaced) 0x40 else 0)
+      val minCodeSize = math.max(2, depth)
+      out.write(minCodeSize)
+      val stream = new Array[Byte](f.indices.length)
+      var p = 0
+      for (y <- rowOrder(f.height, f.interlaced)) {
+        System.arraycopy(f.indices, y * f.width, stream, p, f.width)
+        p += f.width
+      }
+      val lzw = lzwEncode(stream, minCodeSize)
+      var i = 0
+      while (i < lzw.length) {
+        val n = math.min(255, lzw.length - i)
+        out.write(n)
+        out.write(lzw, i, n)
+        i += n
+      }
+      out.write(0) // block terminator
+    }
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** Decode EVERY frame of an animated (or single-frame) GIF as
+    * composited full-canvas snapshots — the real frame walk a video
+    * sampler needs: each output is what a viewer shows after that
+    * frame, honoring per-frame offsets, transparency, and GCE
+    * disposal (1 leave, 2 restore-to-background, 3
+    * restore-to-previous). The canvas starts as the global
+    * background color (black when only local tables exist); a
+    * trailer or clean end-of-stream after ≥1 frame ends the walk.
+    * Returns None for anything malformed (totality, the [[decode]]
+    * contract) or more than `maxFrames` frames.
+    */
+  def decodeFrames(p: Array[Byte], maxFrames: Int = 1024)
+      : Option[Vector[Decoded]] =
+    try decodeFramesImpl(p, maxFrames)
+    catch {
+      case _: IndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+
+  private def decodeFramesImpl(p: Array[Byte], maxFrames: Int)
+      : Option[Vector[Decoded]] = {
+    def u(j: Int): Int = p(j) & 0xFF
+    def le(j: Int): Int = u(j) | (u(j + 1) << 8)
+    if (p.length < 13) return None
+    val sig = new String(p, 0, 6, "US-ASCII")
+    if (sig != "GIF89a" && sig != "GIF87a") return None
+    val canvasW = le(6)
+    val canvasH = le(8)
+    if (canvasW <= 0 || canvasH <= 0 ||
+        canvasW.toLong * canvasH > 64L * 1024 * 1024) return None
+    val packed = u(10)
+    val bgIndex = u(11)
+    var off = 13
+    var gct: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 3 * (1 << ((packed & 0x07) + 1))
+      if (off + n > p.length) return None
+      gct = java.util.Arrays.copyOfRange(p, off, off + n)
+      off += n
+    }
+    val canvas = new Array[Byte](canvasW * canvasH * 3)
+    if (gct != null && bgIndex < gct.length / 3) {
+      var i = 0
+      while (i < canvasW * canvasH) {
+        System.arraycopy(gct, bgIndex * 3, canvas, i * 3, 3)
+        i += 1
+      }
+    }
+    val frames = Vector.newBuilder[Decoded]
+    var nFrames = 0
+    // GCE state: applies to the next image only, then resets.
+    var disposal = 0
+    var transparent = -1
+    while (off < p.length) {
+      u(off) match {
+        case 0x3B =>
+          return if (nFrames > 0) Some(frames.result()) else None
+        case 0x21 =>
+          if (off + 1 >= p.length) return None
+          val label = u(off + 1)
+          off += 2
+          if (label == 0xF9) {
+            // graphic control: fixed 4-byte block + terminator
+            if (off >= p.length || u(off) != 4 ||
+                off + 6 > p.length) return None
+            val gpacked = u(off + 1)
+            disposal = (gpacked >> 2) & 0x07
+            transparent = if ((gpacked & 1) != 0) u(off + 4) else -1
+            off += 5
+            if (u(off) != 0) return None
+            off += 1
+          } else {
+            // other extensions: skip data sub-blocks
+            while ({
+              if (off >= p.length) return None
+              val n = u(off); off += 1 + n; n != 0
+            }) ()
+          }
+        case 0x2C =>
+          if (off + 10 > p.length) return None
+          val left = le(off + 1)
+          val top = le(off + 3)
+          val fw = le(off + 5)
+          val fh = le(off + 7)
+          val ipacked = u(off + 9)
+          off += 10
+          if (fw <= 0 || fh <= 0 ||
+              left + fw > canvasW || top + fh > canvasH) return None
+          val interlaced = (ipacked & 0x40) != 0
+          var table = gct
+          if ((ipacked & 0x80) != 0) {
+            val n = 3 * (1 << ((ipacked & 0x07) + 1))
+            if (off + n > p.length) return None
+            table = java.util.Arrays.copyOfRange(p, off, off + n)
+            off += n
+          }
+          if (table == null) return None
+          if (off >= p.length) return None
+          val minCodeSize = u(off)
+          off += 1
+          if (minCodeSize < 2 || minCodeSize > 8) return None
+          val lzw = new java.io.ByteArrayOutputStream()
+          var done = false
+          while (!done) {
+            if (off >= p.length) return None
+            val n = u(off)
+            off += 1
+            if (n == 0) done = true
+            else {
+              if (off + n > p.length) return None
+              lzw.write(p, off, n)
+              off += n
+            }
+          }
+          val indices = lzwDecode(lzw.toByteArray, minCodeSize,
+            fw * fh) match {
+            case Some(ix) => ix
+            case None => return None
+          }
+          val nColors = table.length / 3
+          // disposal 3 needs the pre-frame canvas to restore
+          val before =
+            if (disposal == 3) canvas.clone() else null
+          val rows = rowOrder(fh, interlaced)
+          var r = 0
+          while (r < fh) {
+            val fy = rows(r)
+            var fx = 0
+            while (fx < fw) {
+              val ix = indices(r * fw + fx) & 0xFF
+              if (ix >= nColors) return None
+              if (ix != transparent) {
+                System.arraycopy(table, ix * 3, canvas,
+                  ((top + fy) * canvasW + (left + fx)) * 3, 3)
+              }
+              fx += 1
+            }
+            r += 1
+          }
+          frames += Decoded(canvasW, canvasH, canvas.clone())
+          nFrames += 1
+          if (nFrames > maxFrames) return None
+          // apply disposal AFTER the snapshot
+          disposal match {
+            case 2 =>
+              var fy = 0
+              while (fy < fh) {
+                var fx = 0
+                while (fx < fw) {
+                  val o = ((top + fy) * canvasW + (left + fx)) * 3
+                  if (gct != null && bgIndex < gct.length / 3)
+                    System.arraycopy(gct, bgIndex * 3, canvas, o, 3)
+                  else {
+                    canvas(o) = 0; canvas(o + 1) = 0; canvas(o + 2) = 0
+                  }
+                  fx += 1
+                }
+                fy += 1
+              }
+            case 3 =>
+              System.arraycopy(before, 0, canvas, 0, canvas.length)
+            case _ => ()
+          }
+          disposal = 0
+          transparent = -1
+        case _ => return None
+      }
+    }
+    // clean end of stream without a trailer: accept like the
+    // missing-EOI leniency iff at least one frame decoded
+    if (nFrames > 0) Some(frames.result()) else None
+  }
+
   /** Decode the first image of a GIF87a/89a to 8-bit RGB. Returns
     * None for anything malformed: bad signature, truncated
     * descriptors or sub-blocks, missing color table, LZW code
@@ -356,6 +619,10 @@ object Gif {
         prev = code
       }
     }
-    None // ran out of codes before EOI / frame fill
+    // Ran out of codes without an explicit EOI. Sloppy real-world
+    // encoders commonly just end the data stream; accept iff the
+    // frame filled exactly (same invariant the EOI path checks) —
+    // truncation mid-frame still rejects.
+    if (outN == expected) Some(out) else None
   }
 }

@@ -162,19 +162,22 @@ object Multimodal {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
       ids.map { id =>
-        val w = (4 + id % 5).toInt
-        val h = (4 + (id * 3) % 5).toInt
-        val depth = Array(8, 4, 2, 1)((id % 4).toInt)
+        // floorMod: % preserves sign, which would index Array(8,4,2,1)
+        // negatively if an id source ever goes negative (xxhash64 seeds).
+        val w = (4 + Math.floorMod(id, 5)).toInt
+        val h = (4 + Math.floorMod(id * 3, 5)).toInt
+        val depth = Array(8, 4, 2, 1)(Math.floorMod(id, 4).toInt)
         val psize = math.min(16, 1 << depth)
         val palette = new Array[Byte](psize * 3)
         for (j <- 0 until psize; c <- 0 until 3)
-          palette(j * 3 + c) = ((id * 41 + j * 37 + c * 11) % 256).toByte
+          palette(j * 3 + c) =
+            Math.floorMod(id * 41 + j * 37 + c * 11, 256).toByte
         val indices = Array.tabulate(w * h) { i =>
           val y = i / w; val x = i % w
-          ((id * 13 + y * 5 + x * 3) % psize).toInt
+          Math.floorMod(id * 13 + y * 5 + x * 3, psize).toInt
         }
         val payload = Png.encodePalette(w, h, depth, palette, indices,
-          interlaced = id % 2 == 1, y => y % 5)
+          interlaced = Math.floorMod(id, 2) == 1, y => y % 5)
         MediaRow(id, "image/png", payload.length.toLong, payload)
       }
     }.toDF()
@@ -246,20 +249,23 @@ object Multimodal {
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
       ids.map { docId =>
         val id = seedOf(docId)
-        val w = (4 + id % 5).toInt
-        val h = (4 + (id * 3) % 5).toInt
-        val depth = Array(8, 4, 2, 1)((id % 4).toInt)
+        // floorMod throughout: seedOf may map through a 64-bit hash,
+        // and Scala % preserves sign — a negative seed would index the
+        // depth array out of bounds and feed Gif.encode bad indices.
+        val w = (4 + Math.floorMod(id, 5)).toInt
+        val h = (4 + Math.floorMod(id * 3, 5)).toInt
+        val depth = Array(8, 4, 2, 1)(Math.floorMod(id, 4).toInt)
         val psize = math.min(16, 1 << depth)
         val palette = Array.tabulate(3 << depth) { i =>
           val j = i / 3; val c = i % 3
-          ((id * 43 + j * 31 + c * 17) % 256).toByte
+          Math.floorMod(id * 43 + j * 31 + c * 17, 256).toByte
         }
         val indices = Array.tabulate(w * h) { i =>
           val y = i / w; val x = i % w
-          ((id * 19 + y * 11 + x * 7) % psize).toByte
+          Math.floorMod(id * 19 + y * 11 + x * 7, psize).toByte
         }
         val payload = Gif.encode(w, h, depth, palette, indices,
-          interlaced = id % 2 == 1)
+          interlaced = Math.floorMod(id, 2) == 1)
         MediaRow(docId, "image/gif", payload.length.toLong, payload)
       }
     }.toDF()
@@ -281,6 +287,115 @@ object Multimodal {
         Gif.decode(r.payload).map { d =>
           val (hex, sum) = pixelDigest(d.rgb)
           GifStats(r.doc_id, d.width.toLong, d.height.toLong, sum, hex)
+        }
+      }
+    }
+  }
+
+  /** Plant REAL ANIMATED GIF89a images ([[Gif.encodeAnimated]]):
+    * per doc a 2-4 frame animation whose decode exercises the full
+    * frame walk — canvas-offset sub-rect frames, a transparent
+    * index showing the prior canvas through, and rotating GCE
+    * disposal (leave / restore-to-background). Everything is
+    * deterministic in doc_id so the oracle can recompute the
+    * COMPOSITED canvas after each frame without a decoder:
+    *   canvas w = 8 + id%5, h = 8 + (id·3)%5, depth 4 (16 colors),
+    *   palette[j][c] = (id·47 + j·29 + c·13) % 256, background 0,
+    *   nf = 2 + id%3 frames;
+    *   frame 0: full canvas, disposal 1, no transparency,
+    *     idx0(y, x) = (id·19 + y·11 + x·7) % 16, interlaced for odd
+    *     ids (permutes the coded stream, not the pixels);
+    *   frame k ≥ 1: 4×4 rect at left = (id + 3k) % (w-3),
+    *     top = (id·5 + 7k) % (h-3),
+    *     idx_k(v, u) = (id·3 + k·23 + v·5 + u·9) % 16,
+    *     transparent T_k = (id + 5k) % 16,
+    *     disposal 2 (restore bg) for odd k, 1 (leave) for even k.
+    */
+  def gifAnimTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (8 + Math.floorMod(id, 5)).toInt
+        val h = (8 + Math.floorMod(id * 3, 5)).toInt
+        val depth = 4
+        val psize = 1 << depth
+        val palette = Array.tabulate(3 * psize) { i =>
+          val j = i / 3; val c = i % 3
+          Math.floorMod(id * 47 + j * 29 + c * 13, 256).toByte
+        }
+        val nf = (2 + Math.floorMod(id, 3)).toInt
+        val base = Gif.FrameSpec(0, 0, w, h,
+          Array.tabulate(w * h) { i =>
+            val y = i / w; val x = i % w
+            Math.floorMod(id * 19 + y * 11 + x * 7, psize).toByte
+          },
+          disposal = 1, transparent = -1,
+          interlaced = Math.floorMod(id, 2) == 1)
+        val rest = (1 until nf).map { k =>
+          val left = Math.floorMod(id + 3 * k, w - 3).toInt
+          val top = Math.floorMod(id * 5 + 7 * k, h - 3).toInt
+          Gif.FrameSpec(left, top, 4, 4,
+            Array.tabulate(16) { i =>
+              val v = i / 4; val u = i % 4
+              Math.floorMod(id * 3 + k * 23 + v * 5 + u * 9, psize).toByte
+            },
+            disposal = if (k % 2 == 1) 2 else 1,
+            transparent = Math.floorMod(id + 5 * k, psize).toInt)
+        }
+        val payload = Gif.encodeAnimated(w, h, depth, palette,
+          base +: rest)
+        MediaRow(id, "image/gif", payload.length.toLong, payload)
+      }
+    }.toDF()
+  }
+
+  case class GifFrameStats(doc_id: Long, frame_idx: Long, width: Long,
+      height: Long, sum_rgb: Long, pixels_md5: String)
+
+  /** REAL animated decode ([[Gif.decodeFrames]]: the composited
+    * frame walk — offsets, transparency, disposal) reduced to
+    * oracle-checkable per-frame stats; `pixels_md5` binds every
+    * canvas byte after each frame. Undecodable payloads are dropped.
+    */
+  def decodeGifFrameStats(spark: SparkSession, media: DataFrame)
+      : Dataset[GifFrameStats] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        Gif.decodeFrames(r.payload).iterator.flatMap { fs =>
+          fs.iterator.zipWithIndex.map { case (d, i) =>
+            val (hex, sum) = pixelDigest(d.rgb)
+            GifFrameStats(r.doc_id, i.toLong, d.width.toLong,
+              d.height.toLong, sum, hex)
+          }
+        }
+      }
+    }
+  }
+
+  case class FrameSampleStats(doc_id: Long, sample_idx: Long,
+      frame_idx: Long, sum_rgb: Long, pixels_md5: String)
+
+  /** REAL frame sampling: decode the animation's composited frames
+    * and take `nSamples` evenly spaced ones (sample i → frame
+    * ⌊i·nf/nSamples⌋ — the video sampler's time grid; short
+    * animations repeat frames, as a wall-clock-spaced sampler
+    * would). Replaces the byte-window stand-in ([[sampleFrames]])
+    * for payloads with a real decoder. Same scale shape as every
+    * decode step: map-side only, one row per (payload, sample).
+    */
+  def sampleGifFrames(spark: SparkSession, media: DataFrame,
+      nSamples: Int): Dataset[FrameSampleStats] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        Gif.decodeFrames(r.payload).iterator.flatMap { fs =>
+          val nf = fs.length
+          (0 until nSamples).iterator.map { i =>
+            val f = i * nf / nSamples
+            val (hex, sum) = pixelDigest(fs(f).rgb)
+            FrameSampleStats(r.doc_id, i.toLong, f.toLong, sum, hex)
+          }
         }
       }
     }

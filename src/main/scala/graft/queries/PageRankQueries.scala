@@ -950,16 +950,20 @@ object PageRankQueries {
         val deg = und.select(col("a").as("n"))
           .union(und.select(col("b").as("n")))
           .groupBy("n").agg(count(lit(1)).as("deg"))
-        val edges = und.agg(count(lit(1)).as("n_edges"))
+        // n_edges = sum(deg)/2 — each undirected edge contributes to
+        // exactly two degree rows, so the edge count falls out of the
+        // degree table itself: ONE exchange over the edge list instead
+        // of a second distinct + crossJoin pass (at 100 TB that second
+        // pass is a full extra scan+shuffle of the edge set).
         deg.agg(
             count(lit(1)).as("n_nodes"),
+            expr("sum(deg) DIV 2").as("n_edges"),
             max("deg").as("max_degree"),
             sum(when(col("deg") >= 2, 1L).otherwise(0L)).as("n_tail"),
             sum(when(col("deg") >= 2,
               floor(log(col("deg").cast("double") / lit(2.0))
                 * 1000000 + 0.5).cast("long"))
               .otherwise(0L)).as("s_ln"))
-          .crossJoin(edges)
           .select(col("n_nodes"), col("n_edges"), col("max_degree"),
             expr("CAST(2 * n_edges * 1000000 DIV n_nodes AS BIGINT)")
               .as("mean_degree_e6"),

@@ -81,6 +81,93 @@ object PipelineQueries {
          |  ) GROUP BY id)""".stripMargin
     }.mkString(",\n")
 
+  /** DuckDB CTEs recomputing the COMPOSITED canvas of the planted
+    * animated GIFs (Multimodal.gifAnimTable's formulas) after every
+    * frame, without a decoder — the m2/m19 oracle. Works in palette
+    * INDEX space per (doc_id, y, x) until the final expansion
+    * (indices are channel-independent): o0 is frame 0's full-canvas
+    * paint; o_k composites frame k's 4×4 rect over the carried
+    * canvas where the index isn't the frame's transparent one; odd
+    * frames then restore their rect to background index 0
+    * (disposal 2) for the next frame's base, even frames leave the
+    * canvas (disposal 1). `fstats` holds one digest row per
+    * (doc_id, frame_idx < nf), matching GifFrameStats.
+    */
+  private val gifAnimFrameCtes: String =
+    """dims AS (
+      |  SELECT doc_id,
+      |    8 + doc_id % 5 AS w,
+      |    8 + (doc_id * 3) % 5 AS h,
+      |    2 + doc_id % 3 AS nf
+      |  FROM documents
+      |),
+      |pix AS (
+      |  SELECT d.doc_id, d.w, d.h, d.nf, gy.y, gx.x,
+      |    (d.doc_id * 19 + gy.y * 11 + gx.x * 7) % 16 AS j0,
+      |    (d.doc_id + 3) % (d.w - 3) AS l1,
+      |    (d.doc_id * 5 + 7) % (d.h - 3) AS t1,
+      |    (d.doc_id + 5) % 16 AS tr1,
+      |    (d.doc_id + 6) % (d.w - 3) AS l2,
+      |    (d.doc_id * 5 + 14) % (d.h - 3) AS t2,
+      |    (d.doc_id + 10) % 16 AS tr2,
+      |    (d.doc_id + 9) % (d.w - 3) AS l3,
+      |    (d.doc_id * 5 + 21) % (d.h - 3) AS t3,
+      |    (d.doc_id + 15) % 16 AS tr3
+      |  FROM dims d,
+      |    (SELECT unnest(range(0, 12)) AS y) gy,
+      |    (SELECT unnest(range(0, 12)) AS x) gx
+      |  WHERE gy.y < d.h AND gx.x < d.w
+      |),
+      |lay AS (
+      |  SELECT *,
+      |    CASE WHEN y >= t1 AND y < t1 + 4 AND x >= l1 AND x < l1 + 4
+      |         THEN (doc_id * 3 + 23 + (y - t1) * 5 + (x - l1) * 9) % 16
+      |         ELSE -1 END AS i1,
+      |    CASE WHEN y >= t2 AND y < t2 + 4 AND x >= l2 AND x < l2 + 4
+      |         THEN (doc_id * 3 + 46 + (y - t2) * 5 + (x - l2) * 9) % 16
+      |         ELSE -1 END AS i2,
+      |    CASE WHEN y >= t3 AND y < t3 + 4 AND x >= l3 AND x < l3 + 4
+      |         THEN (doc_id * 3 + 69 + (y - t3) * 5 + (x - l3) * 9) % 16
+      |         ELSE -1 END AS i3
+      |  FROM pix
+      |),
+      |st AS (
+      |  SELECT *,
+      |    CASE WHEN i1 >= 0 AND i1 <> tr1 THEN i1 ELSE j0 END AS o1,
+      |    CASE WHEN i1 >= 0 THEN 0 ELSE j0 END AS c1
+      |  FROM lay
+      |),
+      |st2 AS (
+      |  SELECT *,
+      |    CASE WHEN i2 >= 0 AND i2 <> tr2 THEN i2 ELSE c1 END AS o2
+      |  FROM st
+      |),
+      |st3 AS (
+      |  SELECT *,
+      |    CASE WHEN i3 >= 0 AND i3 <> tr3 THEN i3 ELSE o2 END AS o3
+      |  FROM st2
+      |),
+      |fr AS (
+      |  SELECT doc_id, w, h, nf, y, x, gf.f AS frame_idx,
+      |    CASE gf.f WHEN 0 THEN j0 WHEN 1 THEN o1
+      |         WHEN 2 THEN o2 ELSE o3 END AS j
+      |  FROM st3, (SELECT unnest(range(0, 4)) AS f) gf
+      |  WHERE gf.f < nf
+      |),
+      |apx AS (
+      |  SELECT doc_id, w, h, frame_idx, y, x, gc.c AS c,
+      |    (doc_id * 47 + j * 29 + gc.c * 13) % 256 AS b
+      |  FROM fr, (SELECT unnest(range(0, 3)) AS c) gc
+      |),
+      |fstats AS (
+      |  SELECT doc_id, frame_idx, CAST(w AS BIGINT) AS width,
+      |    CAST(h AS BIGINT) AS height,
+      |    CAST(SUM(b) AS BIGINT) AS sum_rgb,
+      |    md5(lower(string_agg(lpad(to_hex(b), 2, '0'), ''
+      |      ORDER BY y, x, c))) AS pixels_md5
+      |  FROM apx GROUP BY doc_id, frame_idx, w, h
+      |)""".stripMargin
+
   /** The shared Sampling hash-bucket expression in DuckDB form —
     * used for k-means seeding AND for e10's training-subset
     * predicate, so both mirror graft.operators.Sampling bit-for-bit.
@@ -3063,47 +3150,45 @@ object PipelineQueries {
               |FROM r WHERE rank <= 5
               |ORDER BY query_id, rank""".stripMargin)),
 
-    // Frame sampling through the same multimodal plumbing: 4 evenly
-    // spaced byte windows per payload (a video decoder's frame grid),
-    // one-row-to-many via the mapPartitions iterator. Output is
-    // scalar per frame: length + the first byte's high nibble —
-    // which DuckDB reads off hex(payload) directly, so the byte
-    // windowing arithmetic (w = max(1, n/4), clamped ends) is
-    // oracle-checked exactly.
+    // REAL frame sampling: a planted ANIMATED GIF per doc (2-4
+    // frames, canvas-offset sub-rects, transparency, rotating GCE
+    // disposal), decoded through the composited frame walk
+    // (Gif.decodeFrames) and sampled on the video sampler's even
+    // time grid (sample i → frame ⌊i·nf/4⌋; short animations repeat
+    // frames). The oracle recomputes the composited canvas after
+    // every frame WITHOUT a decoder — frame 0 paints the full
+    // canvas, frame k overlays its rect where the index isn't the
+    // transparent one, odd frames then restore their rect to
+    // background (disposal 2) for the NEXT frame's base — and joins
+    // the sample grid onto those per-frame digests. Scale shape:
+    // map-side decode, no shuffle but the deterministic sort.
     Q("m2_frame_sample",
       (s, d) => {
-        val media = Multimodal.mediaTable(Tables.documents(s, d))
-        Multimodal.sampleFrames(s, media, nFrames = 4).toDF()
-          .select(col("doc_id"),
-            col("frame_idx").cast("long").as("frame_idx"),
-            length(col("frame")).cast("long").as("frame_len"),
-            when(length(col("frame")) > 0,
-              conv(substring(hex(col("frame")), 1, 1), 16, 10).cast("long"))
-              .otherwise(-1L).as("head_nibble"))
-          .orderBy("doc_id", "frame_idx")
+        val media = Multimodal.gifAnimTable(s, Tables.documents(s, d))
+        Multimodal.sampleGifFrames(s, media, nSamples = 4).toDF()
+          .orderBy("doc_id", "sample_idx")
       },
-      Some("""WITH h AS (
-             |  SELECT doc_id,
-             |    CAST(octet_length(encode(text)) AS BIGINT) AS n,
-             |    hex(encode(text)) AS hx
-             |  FROM documents
-             |),
-             |f AS (
-             |  SELECT doc_id, n, hx, i.frame_idx,
-             |    least(i.frame_idx * greatest(1, n // 4), n) AS f_from,
-             |    CASE WHEN i.frame_idx = 3 THEN n
-             |         ELSE least(least(i.frame_idx * greatest(1, n // 4), n)
-             |                    + greatest(1, n // 4), n)
-             |    END AS f_until
-             |  FROM h, (SELECT unnest(range(0, 4)) AS frame_idx) i
-             |)
-             |SELECT doc_id, frame_idx,
-             |  f_until - f_from AS frame_len,
-             |  CASE WHEN f_until > f_from
-             |       THEN CAST(strpos('123456789ABCDEF',
-             |              substr(hx, 2 * f_from + 1, 1)) AS BIGINT)
-             |       ELSE CAST(-1 AS BIGINT) END AS head_nibble
-             |FROM f ORDER BY doc_id, frame_idx""".stripMargin)),
+      Some(s"""WITH $gifAnimFrameCtes
+              |SELECT d.doc_id, s.s AS sample_idx,
+              |  (s.s * d.nf) // 4 AS frame_idx, f.sum_rgb, f.pixels_md5
+              |FROM dims d, (SELECT unnest(range(0, 4)) AS s) s
+              |JOIN fstats f ON f.doc_id = d.doc_id
+              |  AND f.frame_idx = (s.s * d.nf) // 4
+              |ORDER BY d.doc_id, sample_idx""".stripMargin)),
+
+    // The composited frame walk itself: EVERY frame of the planted
+    // animations as a full-canvas snapshot — offsets, transparency
+    // show-through, and disposal-2 background restore are each
+    // visible in the digests (a decoder that skips compositing or
+    // disposal diverges on frames ≥ 1). Same map-side scale shape.
+    Q("m19_gif_frames",
+      (s, d) => Multimodal.decodeGifFrameStats(s,
+          Multimodal.gifAnimTable(s, Tables.documents(s, d)))
+        .toDF().orderBy("doc_id", "frame_idx"),
+      Some(s"""WITH $gifAnimFrameCtes
+              |SELECT doc_id, frame_idx, width, height, sum_rgb,
+              |  pixels_md5
+              |FROM fstats ORDER BY doc_id, frame_idx""".stripMargin)),
 
     // Resize through the same plumbing: nearest-neighbor downsample
     // of every payload to a fixed 8-byte thumbnail

@@ -229,8 +229,13 @@ object EventStream {
             }
             last.foreach { l =>
               state.update(l)
-              state.setTimeoutTimestamp((l.last_ts + idleGapMicros)
-                / 1000L + 1)
+              // Spark rejects timeouts at or below the current
+              // watermark (query-killing IllegalArgumentException), so
+              // clamp: an event older than watermark+gap still gets a
+              // valid just-past-the-watermark expiry.
+              state.setTimeoutTimestamp(
+                math.max((l.last_ts + idleGapMicros) / 1000L + 1,
+                  state.getCurrentWatermarkMs() + 1))
             }
             out.result().iterator
           }
@@ -286,8 +291,12 @@ object EventStream {
             cur.foreach { s =>
               state.update(s)
               // Expire once the watermark passes the gap after the
-              // session's last event.
-              state.setTimeoutTimestamp((s.end + gapMicros) / 1000 + 1)
+              // session's last event; clamped above the current
+              // watermark because Spark rejects timeouts at or below
+              // it (would kill the query, not just drop a step).
+              state.setTimeoutTimestamp(
+                math.max((s.end + gapMicros) / 1000 + 1,
+                  state.getCurrentWatermarkMs() + 1))
             }
             closed.reverseIterator
           }

@@ -20,13 +20,14 @@ class CodecFuzzSpec extends SparkSpec {
     for (_ <- 1 to 600) {
       val body = Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)
       Png.decode(body); Wav.decode(body); Jpeg.decode(body)
-      Jpeg.decodeRgb(body); Gif.decode(body)
+      Jpeg.decodeRgb(body); Gif.decode(body); Gif.decodeFrames(body)
       // past the signature check, into the chunk/marker walkers
       Png.decode(pngMagic ++ body)
       Wav.decode(riffMagic ++ body)
       Jpeg.decode(jpegMagic ++ body)
       Jpeg.decodeRgb(jpegMagic ++ body)
       Gif.decode("GIF89a".getBytes("US-ASCII") ++ body)
+      Gif.decodeFrames("GIF89a".getBytes("US-ASCII") ++ body)
     }
     succeed
   }
@@ -47,11 +48,22 @@ class CodecFuzzSpec extends SparkSpec {
       subsample = Jpeg.Sub420, restartInterval = 1)
     val gif = Gif.encode(9, 7, 4, Array.tabulate(48)(i => (i * 19).toByte),
       Array.tabulate(63)(i => ((i * 5) % 16).toByte), interlaced = true)
+    val animGif = Gif.encodeAnimated(9, 7, 4,
+      Array.tabulate(48)(i => (i * 19).toByte),
+      Seq(
+        Gif.FrameSpec(0, 0, 9, 7,
+          Array.tabulate(63)(i => ((i * 5) % 16).toByte)),
+        Gif.FrameSpec(2, 1, 4, 4,
+          Array.tabulate(16)(i => ((i * 3) % 16).toByte),
+          disposal = 2, transparent = 5),
+        Gif.FrameSpec(4, 2, 3, 3,
+          Array.tabulate(9)(i => ((i * 7) % 16).toByte),
+          disposal = 3, transparent = 1, interlaced = true)))
     val rnd = new scala.util.Random(0xFA22)
     for ((base, dec) <- Seq[(Array[Byte], Array[Byte] => Option[Any])](
         (png, Png.decode), (palPng, Png.decode), (wav, Wav.decode),
         (jpg, Jpeg.decode), (colorJpg, Jpeg.decodeRgb),
-        (gif, Gif.decode))) {
+        (gif, Gif.decode), (animGif, Gif.decodeFrames(_)))) {
       // every single-byte flip at every position, 4 flip values each
       for (pos <- base.indices; _ <- 1 to 4) {
         val m = base.clone()

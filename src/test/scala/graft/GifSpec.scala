@@ -93,6 +93,123 @@ class GifSpec extends AnyFunSuite {
     assert(Gif.decode(noTables).isEmpty)
   }
 
+  /** Independent reference compositor for the animated frame walk:
+    * plain nested loops over the spec'd semantics (paint non-
+    * transparent indices at the frame offset; disposal 1 leaves,
+    * 2 restores the rect to background, 3 restores the pre-frame
+    * canvas), so the decoder's walk is checked against a second
+    * implementation, not itself.
+    */
+  private def composite(w: Int, h: Int, palette: Array[Byte], bg: Int,
+      frames: Seq[Gif.FrameSpec]): Seq[Array[Byte]] = {
+    val canvas = new Array[Byte](w * h * 3)
+    for (i <- 0 until w * h)
+      System.arraycopy(palette, bg * 3, canvas, i * 3, 3)
+    val out = Seq.newBuilder[Array[Byte]]
+    for (f <- frames) {
+      val before = canvas.clone()
+      for (v <- 0 until f.height; u <- 0 until f.width) {
+        val ix = f.indices(v * f.width + u) & 0xFF
+        if (ix != f.transparent)
+          System.arraycopy(palette, ix * 3, canvas,
+            ((f.top + v) * w + (f.left + u)) * 3, 3)
+      }
+      out += canvas.clone()
+      f.disposal match {
+        case 2 =>
+          for (v <- 0 until f.height; u <- 0 until f.width)
+            System.arraycopy(palette, bg * 3, canvas,
+              ((f.top + v) * w + (f.left + u)) * 3, 3)
+        case 3 =>
+          System.arraycopy(before, 0, canvas, 0, canvas.length)
+        case _ => ()
+      }
+    }
+    out.result()
+  }
+
+  test("animated: frame walk composites offsets, transparency, and every disposal mode") {
+    for (id <- 0L until 24L) {
+      val w = (8 + id % 5).toInt
+      val h = (8 + (id * 3) % 5).toInt
+      val psize = 16
+      val palette = Array.tabulate(3 * psize) { i =>
+        ((id * 47 + (i / 3) * 29 + (i % 3) * 13) % 256).toByte
+      }
+      val base = Gif.FrameSpec(0, 0, w, h,
+        Array.tabulate(w * h)(i =>
+          ((id * 19 + (i / w) * 11 + (i % w) * 7) % psize).toByte),
+        disposal = 1, interlaced = id % 2 == 1)
+      // three sub-rect frames cycling disposal 2 → 3 → 1, each with
+      // a live transparent index
+      val rest = (1 to 3).map { k =>
+        Gif.FrameSpec(
+          ((id + 3 * k) % (w - 3)).toInt, ((id * 5 + 7 * k) % (h - 3)).toInt,
+          4, 4,
+          Array.tabulate(16)(i =>
+            ((id * 3 + k * 23 + (i / 4) * 5 + (i % 4) * 9) % psize).toByte),
+          disposal = Seq(2, 3, 1)(k - 1),
+          transparent = ((id + 5 * k) % psize).toInt,
+          interlaced = (id + k) % 2 == 0)
+      }
+      val frames = base +: rest
+      val bytes = Gif.encodeAnimated(w, h, 4, palette, frames)
+      val got = Gif.decodeFrames(bytes)
+      assert(got.isDefined, s"id=$id failed to decode")
+      assert(got.get.length == 4, s"id=$id frame count")
+      val want = composite(w, h, palette, bg = 0, frames)
+      for (f <- 0 until 4) {
+        assert(got.get(f).width == w && got.get(f).height == h,
+          s"id=$id frame $f dims")
+        assert(got.get(f).rgb.toSeq == want(f).toSeq,
+          s"id=$id frame $f pixels")
+      }
+    }
+  }
+
+  test("animated: single full-canvas frame matches the single-frame decoder") {
+    val (w, h, depth, palette, indices) = plant(7L)
+    val single = Gif.decode(Gif.encode(w, h, depth, palette, indices)).get
+    val anim = Gif.decodeFrames(Gif.encodeAnimated(w, h, depth, palette,
+      Seq(Gif.FrameSpec(0, 0, w, h, indices)))).get
+    assert(anim.length == 1)
+    assert(anim.head.rgb.toSeq == single.rgb.toSeq)
+    // decodeFrames also walks plain single-image GIFs (no GCE)
+    val plain = Gif.decodeFrames(Gif.encode(w, h, depth, palette, indices)).get
+    assert(plain.length == 1 && plain.head.rgb.toSeq == single.rgb.toSeq)
+  }
+
+  test("end-of-stream leniency: missing trailer/EOI accepted iff the frame filled") {
+    val (w, h, depth, palette, indices) = plant(5L)
+    val anim = Gif.encodeAnimated(w, h, depth, palette,
+      Seq(Gif.FrameSpec(0, 0, w, h, indices)))
+    // dropping the 0x3B trailer: clean end of stream after a full frame
+    assert(anim.last == 0x3B.toByte)
+    assert(Gif.decodeFrames(anim.dropRight(1)).exists(_.length == 1))
+    // hand-built 1x1 whose LZW stream ends WITHOUT an EOI code:
+    // codes (width 3) are clear=4 then index 0 — one byte 0x04
+    val noEoi = (Seq[Int]('G', 'I', 'F', '8', '9', 'a',
+      1, 0, 1, 0,            // 1x1 canvas
+      0x80 | (1 << 4) | 1,   // GCT flag, 4 entries
+      0, 0) ++               // bg index, aspect
+      Seq.fill(12)(0x42) ++  // 4-entry palette
+      Seq(0x2C, 0, 0, 0, 0, 1, 0, 1, 0, 0, // descriptor, 1x1
+        2,                   // min code size
+        1, 0x04,             // one sub-block: [clear, 0]
+        0, 0x3B)).map(_.toByte).toArray
+    assert(Gif.decode(noEoi).exists(_.rgb.toSeq ==
+      Seq[Byte](0x42, 0x42, 0x42)))
+    // same stream but one pixel SHORT (2x1 frame, one emitted
+    // index): under-filled frames still reject
+    val short = (Seq[Int]('G', 'I', 'F', '8', '9', 'a',
+      2, 0, 1, 0, 0x80 | (1 << 4) | 1, 0, 0) ++
+      Seq.fill(12)(0x42) ++
+      Seq(0x2C, 0, 0, 0, 0, 2, 0, 1, 0, 0, 2, 1, 0x04, 0, 0x3B))
+      .map(_.toByte).toArray
+    assert(Gif.decode(short).isEmpty,
+      "under-filled frame must still reject")
+  }
+
   test("malformed inputs reject cleanly") {
     val (w, h, depth, palette, indices) = plant(3L)
     val good = Gif.encode(w, h, depth, palette, indices)
