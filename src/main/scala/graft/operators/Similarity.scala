@@ -270,9 +270,22 @@ object Similarity {
     * partial aggregate, not a corpus-wide window sort. Each corpus
     * vector lives in exactly one cell, so probed candidate sets are
     * disjoint and rank spans cells without dedup.
+    *
+    * `candidatePred` is the FILTERED-search composition (predicate +
+    * ANN in one query, the production retrieval shape): the metadata
+    * predicate applies to candidates INSIDE the routed cell scan —
+    * below the cell join, before the scoring kernel — so excluded
+    * rows never reach the cosine and the heap still returns exactly
+    * k eligible results per query. Routing stays on the FULL
+    * corpus's centroids (the index is built once; filters vary per
+    * query). Post-filtering an unfiltered top-k would silently
+    * under-return — the classic filtered-ANN bug e23 pins on the
+    * brute-force path.
     */
   def ivfProbeTopK(emb: DataFrame, queries: DataFrame, labelCol: String,
-      k: Int, nprobe: Int = 1): DataFrame = {
+      k: Int, nprobe: Int = 1,
+      candidatePred: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
     val cent = centroidVectors(emb, labelCol)
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("query_emb"))
@@ -283,8 +296,9 @@ object Similarity {
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("query_emb"), col("label"))
-    val cand = emb.select(col(labelCol).as("label"),
-      col("vec_id").as("cand_id"), col("embedding").as("cand_emb"))
+    val cand = candidatePred.foldLeft(emb)(_ filter _)
+      .select(col(labelCol).as("label"),
+        col("vec_id").as("cand_id"), col("embedding").as("cand_emb"))
     cand.join(broadcast(assigned),
         cand("label") === assigned("label") &&
           col("cand_id") =!= col("query_id"))

@@ -321,22 +321,24 @@ object PipelineQueries {
       while (i < b.length) { s0 += a(off + i) * b(i); i += 1 }
       s0
     }
-    val lut: Map[Long, Map[Long, Double]] =
-      (for ((qid, qe) <- qRows.toSeq; m <- 0 until M) yield
-        (qid * M + m) -> books(m).map { case (cell, cv) =>
-          cell -> dot(qe, m * subDims, cv)
-        }.toMap).toMap
+    // The LUT ships as DATA on the broadcast side (one row per
+    // query, a 32-entry map keyed m·k+code), not as a plan literal:
+    // a typedlit Map embeds queries×M×k doubles in every plan copy,
+    // so plan/codegen size would grow linearly with the probe batch —
+    // as a broadcast column it is O(1) plan, any batch size.
+    import s.implicits._
+    val qlut = qRows.toSeq.map { case (qid, qe) =>
+      (qid, (for (m <- 0 until M; (cell, cv) <- books(m)) yield
+        (m * 8L + cell) -> dot(qe, m * subDims, cv)).toMap)
+    }.toDF("query_id", "lut")
     val coded = (0 until M).foldLeft(emb) { (df, m) =>
       df.withColumn(s"code_$m", nearest_centroid(sub(m), books(m)))
     }
-    val lutLit = typedlit(lut)
-    val qids = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"))
-    def l(m: Int) = element_at(
-      element_at(lutLit, col("query_id") * M + lit(m.toLong)),
-      col(s"code_$m"))
-    coded.join(broadcast(qids), col("vec_id") =!= col("query_id"))
+    def l(m: Int) = element_at(col("lut"),
+      lit(m * 8L) + col(s"code_$m"))
+    coded.join(broadcast(qlut), col("vec_id") =!= col("query_id"))
       .withColumn("adc", l(0) + l(1) + l(2) + l(3))
+      .drop("lut")
   }
 
 
@@ -4279,6 +4281,70 @@ object PipelineQueries {
               |FROM r WHERE rank <= 5
               |ORDER BY query_id, rank""".stripMargin)),
 
+    // FILTERED search composed with the IVF probe path — production
+    // filtered retrieval (e23 proves the semantics on the brute-force
+    // scan; this is the shape a real index serves): routing uses the
+    // FULL corpus's centroids (the index is built once, filters vary
+    // per query), the metadata predicate (vec_id % 3 = 0 — "only
+    // shard-0 sources") applies INSIDE the routed cell scan — below
+    // the cell join, before the cosine kernel — and the bounded heap
+    // still returns exactly k eligible candidates per query. Scale
+    // shape: centroid + query broadcasts, corpus never shuffles,
+    // excluded rows never reach the scoring kernel (plan-pinned:
+    // filter below the join, no window over candidates).
+    Q("e24_filtered_ivf",
+      (s, d) => Similarity.ivfProbeTopK(
+          Tables.embeddings(s, d),
+          Tables.embeddings(s, d).filter(col("vec_id") < 10),
+          "label", k = 5, nprobe = 2,
+          candidatePred = Some(col("vec_id") % 3 === 0))
+        .select(col("query_id"), col("label"),
+          col("rank").cast("long").as("rank"), col("cand_id"), col("sim"))
+        .orderBy("query_id", "rank"),
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+              |  FROM embeddings
+              |),
+              |c0 AS (
+              |  SELECT label, i - 1 AS dim, round(avg(v), 6) AS c
+              |  FROM (
+              |    SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+              |      generate_subscripts(embedding, 1) AS i
+              |    FROM embeddings
+              |  ) GROUP BY label, dim
+              |),
+              |cent AS (
+              |  SELECT label, list(c ORDER BY dim) AS cvec FROM c0 GROUP BY label
+              |),
+              |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 10),
+              |ass0 AS (
+              |  SELECT q.query_id, q.qe, cent.label,
+              |    ${TextHash.duckCosine("q.qe", "cent.cvec", 64)} AS cs
+              |  FROM q, cent
+              |),
+              |ass AS (
+              |  SELECT query_id, qe, label FROM (
+              |    SELECT *, row_number() OVER (
+              |      PARTITION BY query_id ORDER BY cs DESC, label) AS rn
+              |    FROM ass0
+              |  ) WHERE rn <= 2
+              |),
+              |probe AS (
+              |  SELECT a.query_id, a.label, e.vec_id AS cand_id,
+              |    ${TextHash.duckCosine("a.qe", "e.emb", 64)} AS sim
+              |  FROM ass a JOIN e ON e.label = a.label AND e.vec_id <> a.query_id
+              |  WHERE e.vec_id % 3 = 0
+              |),
+              |r AS (
+              |  SELECT query_id, label, cand_id, sim,
+              |    row_number() OVER (
+              |      PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+              |  FROM probe
+              |)
+              |SELECT query_id, label, rank, cand_id, round(sim, 6) AS sim
+              |FROM r WHERE rank <= 5
+              |ORDER BY query_id, rank""".stripMargin)),
+
     // PQ-recall EVALUATION (e13/e18's measurement for the PQ axis):
     // per probe, recall@5 of ADC-ranked product-quantization search
     // (e11) against the float brute-force ground truth (e1) — the
@@ -4377,11 +4443,15 @@ object PipelineQueries {
           while (i < b.length) { s0 += a(off + i) * b(i); i += 1 }
           s0
         }
-        val lut: Map[Long, Map[Long, Double]] =
-          (for ((qid, qe) <- qRows.toSeq; m <- 0 until M) yield
-            (qid * M + m) -> books(m).map { case (cell, cv) =>
-              cell -> dot(qe, m * subDims, cv)
-            }.toMap).toMap
+        // LUT as broadcast-side DATA, not a plan literal (the
+        // pqAdcScores rationale: plan size must not grow with the
+        // probe batch) — one row per query, a 32-entry map keyed
+        // m·k+code, joined onto the routed query rows below.
+        import s.implicits._
+        val qlut = qRows.toSeq.map { case (qid, qe) =>
+          (qid, (for (m <- 0 until M; (cell, cv) <- books(m)) yield
+            (m * 8L + cell) -> dot(qe, m * subDims, cv)).toMap)
+        }.toDF("query_id", "lut")
         val coded = (0 until M).foldLeft(emb) { (df, m) =>
           df.withColumn(s"code_$m", nearest_centroid(sub(m), books(m)))
         }
@@ -4397,10 +4467,9 @@ object PipelineQueries {
           .withColumn("rn", row_number().over(wAssign))
           .filter(col("rn") === 1)
           .select(col("query_id"), col("label"))
-        val lutLit = typedlit(lut)
-        def l(m: Int) = element_at(
-          element_at(lutLit, col("query_id") * M + lit(m.toLong)),
-          col(s"code_$m"))
+          .join(qlut, "query_id")
+        def l(m: Int) = element_at(col("lut"),
+          lit(m * 8L) + col(s"code_$m"))
         coded.as("c").join(broadcast(assigned).as("a"),
             col("c.label") === col("a.label") &&
               col("vec_id") =!= col("query_id"))

@@ -33,6 +33,43 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("filtered IVF applies the predicate inside the routed cell scan") {
+    // e24's contract: the metadata predicate filters the CANDIDATE
+    // side below the cell join — excluded rows never reach the join
+    // or the cosine kernel — and ranking is the bounded heap, not a
+    // window over scored candidates (the only window ranks the
+    // bounded query×nlist centroid assignment). Textually: the tree
+    // prints parents first, so the join must appear BEFORE the
+    // candidate filter it sits above.
+    val p = plan("e24_filtered_ivf")
+    assert(p.contains("ObjectHashAggregate"),
+      s"e24 lost the top_k_by_score partial aggregate\n$p")
+    val join = p.indexOf("BroadcastHashJoin")
+    val flt = p.indexOf("% 3)")
+    assert(flt >= 0, s"e24 lost the candidate predicate\n$p")
+    assert(join >= 0 && join < flt,
+      s"e24's predicate is not below the cell join\n$p")
+    val agg = p.indexOf("ObjectHashAggregate")
+    assert(agg < flt,
+      s"e24 filters ABOVE the heap (post-filtering under-returns)\n$p")
+  }
+
+  test("PQ ADC lookup table rides the broadcast side, not the plan") {
+    // e11/e21/e22's contract: the per-query ADC table is a DATA
+    // column on the broadcast query side. A typedlit Map would embed
+    // queries×M×k doubles in the plan text (rendered as a
+    // `keys: [...]` literal), and plan/codegen size would then grow
+    // with the probe batch.
+    for (q <- Seq("e11_pq_topk", "e21_ivf_pq", "e22_pq_recall")) {
+      val p = plan(q)
+      assert(!p.contains("keys: ["),
+        s"$q carries a literal map in the plan\n${p.take(4000)}")
+      assert(p.contains("BroadcastExchange") ||
+          p.contains("BroadcastNestedLoopJoin"),
+        s"$q lost the broadcast query/LUT side")
+    }
+  }
+
   test("range search broadcasts the query batch; sketch aggs stay bounded") {
     // e20: queries ride the corpus scan via a broadcast join and the
     // per-query (count, max) partial-aggregates map-side — no window,
