@@ -91,6 +91,37 @@ class GraphSpec extends SparkSpec {
       (1.0 - 0.5 * math.pow(0.85, iters))) < 1e-9)
   }
 
+  test("incremental warm start: same fixpoint, fewer iterations on a delta") {
+    // A ring with a chord gives slow-ish uniform-seed convergence;
+    // yesterday's ranks seed today's delta-edged graph.
+    // tol/checkpointEvery sized for a unit test: ~40 iterations cold
+    // with 5-deep lazy plans between cuts (a 1e-9 run here built
+    // 20-iteration plan strings × 3 runs and OOM'd the driver).
+    val base = (0 until 12).map(i => (s"n$i", s"n${(i + 1) % 12}")) :+
+      (("n0", "n6"))
+    val (prev, _) = PageRank.runUntilConverged(base.toDF("src", "dst"),
+      tol = 1e-5, maxIterations = 100, checkpointEvery = 5)
+    // delta: one new edge, one new node hanging off the ring
+    val delta = base ++ Seq(("n3", "n9"), ("n5", "nNEW"))
+    val edges = delta.toDF("src", "dst")
+    val (cold, itCold) = PageRank.runUntilConverged(edges,
+      tol = 1e-5, maxIterations = 100, checkpointEvery = 5)
+    val (warm, itWarm) = PageRank.runUntilConverged(edges,
+      tol = 1e-5, maxIterations = 100, checkpointEvery = 5,
+      seedRanks = Some(prev))
+    assert(itWarm < itCold,
+      s"warm start should converge faster: warm=$itWarm cold=$itCold")
+    val c = cold.as[(String, Double)].collect().toMap
+    val w = warm.as[(String, Double)].collect().toMap
+    assert(c.keySet == w.keySet)
+    // both stopped at max|Δ| < tol of the SAME damping-contraction,
+    // so each is within tol/(1-d) ≈ 6.7e-5 of the true fixpoint
+    for ((k, v) <- c)
+      assert(math.abs(v - w(k)) < 2e-4, s"node $k: cold=$v warm=${w(k)}")
+    // the new node exists in the warm result despite missing from the seed
+    assert(w.contains("nNEW"))
+  }
+
   test("saltHotKeys: salted contribution aggregation matches unsalted") {
     // 50:1 in-degree hub — the aggregation-skew shape saltHotKeys
     // exists for. Salting only changes float summation order, so the
