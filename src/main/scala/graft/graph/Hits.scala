@@ -151,7 +151,10 @@ object Hits {
         done = delta < tol
       }
       require(done, s"HITS did not converge in $maxIterations iterations")
-      (prev, it)
+      // Eager cut before the finally releases the loop caches — the
+      // returned frame must not lazily re-derive the unpersisted
+      // edge copies (the PageRank.runUntilConverged contract).
+      (prev.lineageCut, it)
     } finally {
       bySrc.unpersist(blocking = false)
       byDst.unpersist(blocking = false)

@@ -300,6 +300,11 @@ object PageRank {
     }
     var iters = 0
     var residual = Double.MaxValue
+    // The one live persisted rank frame. Tracked SEPARATELY from
+    // `ranks`: on checkpoint rounds `ranks` becomes the lineage-cut
+    // frame, and unpersisting THAT would silently miss the persisted
+    // `next` underneath it (the leak the cache-lifecycle spec pins).
+    var cached: DataFrame = null
     try {
       while (residual > tol && iters < maxIterations) {
         val contribs = linked
@@ -318,7 +323,8 @@ object PageRank {
         residual = next.join(ranks.withColumnRenamed("rank", "prev"), "node")
           .agg(max(abs(col("rank") - col("prev"))))
           .head().getDouble(0)
-        ranks.unpersist()
+        if (cached != null) cached.unpersist()
+        cached = next
         ranks = if (checkpointEvery > 0 && (iters + 1) % checkpointEvery == 0)
           next.lineageCut
         else next
@@ -332,7 +338,7 @@ object PageRank {
       val out = ranks.lineageCut
       (out, iters)
     } finally {
-      ranks.unpersist(blocking = false)
+      if (cached != null) cached.unpersist(blocking = false)
       linked.unpersist(blocking = false)
       nodes.unpersist(blocking = false)
     }

@@ -72,4 +72,44 @@ class CheckpointingSpec extends SparkSpec {
     assert(local._2 == reliable._2, "components diverged across modes")
     assert(local._3 == reliable._3, "funnel audit diverged across modes")
   }
+
+  test("cache lifecycle: self-releasing loops leave the registry empty; lazy results release after clearCache") {
+    val sess = spark.newSession()
+    val cm = sess.sharedState.cacheManager
+    // cacheManager is SHARED across sessions of one SparkContext —
+    // other suites may have left entries; measure deltas instead.
+    def assertReleasesOwnCaches[A](label: String)(body: => A): A = {
+      sess.catalog.clearCache()
+      val r = body
+      assert(cm.isEmpty,
+        s"$label left persisted frames in the cache registry")
+      r
+    }
+    import sess.implicits._
+    val edges = (0 until 30).map(i => (s"w$i", s"w${(i * 7) % 30}"))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    // Convergence twins cut their results eagerly, so they must
+    // release their own loop caches before returning (the Scaladoc
+    // contract); results must survive the release.
+    val pr = assertReleasesOwnCaches("PageRank.runUntilConverged") {
+      PageRank.runUntilConverged(edges, tol = 1e-3, maxIterations = 50,
+        checkpointEvery = 5)._1.collect()
+    }
+    assert(pr.nonEmpty)
+    val hits = assertReleasesOwnCaches("Hits.runUntilConverged") {
+      graft.graph.Hits.runUntilConverged(edges, tol = 1e-6,
+        maxIterations = 100)._1.collect()
+    }
+    assert(hits.nonEmpty)
+    // Fixed-iteration entry points return LAZY plans by contract
+    // (plan pins/explain audits read the iteration chain), so their
+    // caches live until the caller materializes and clears — the
+    // graft.Verify per-query cadence.
+    sess.catalog.clearCache()
+    val lazyRanks = PageRank.run(edges, iterations = 4)
+    assert(lazyRanks.collect().nonEmpty)
+    assert(!cm.isEmpty, "run() should have live caches pre-release")
+    sess.catalog.clearCache()
+    assert(cm.isEmpty, "clearCache left registry entries")
+  }
 }
