@@ -95,7 +95,8 @@ object PageRank {
     */
   def run(edges: DataFrame, iterations: Int = 10, damping: Double = 0.85,
       checkpointEvery: Int = 0, saltHotKeys: Int = 0,
-      redistributeDangling: Boolean = false): DataFrame = {
+      redistributeDangling: Boolean = false,
+      seedRanks: Option[DataFrame] = None): DataFrame = {
     val e = edges.select("src", "dst").distinct()
 
     // Static across iterations: (src, dst, outdeg), co-partitioned and
@@ -126,7 +127,17 @@ object PageRank {
         .persist(StorageLevel.MEMORY_AND_DISK)
     } else nodes // unused
 
-    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    // Warm start (the runUntilConverged seed, in the bounded-
+    // iteration form the SQL oracle can unroll): previous ranks where
+    // present, 1/N for nodes new since the seed.
+    var ranks = seedRanks match {
+      case Some(prev) =>
+        nodes.join(prev.select(col("node"), col("rank").as("_seed")),
+            Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("_seed"), lit(1.0 / n)).as("rank"))
+      case None => nodes.withColumn("rank", lit(1.0 / n))
+    }
     for (i <- 1 to iterations) {
       val contribs = aggContribs(linked
         .join(ranks, linked("src") === ranks("node"))

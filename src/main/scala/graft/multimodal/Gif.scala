@@ -258,6 +258,92 @@ object Gif {
     out.toByteArray
   }
 
+  case class AnimMeta(width: Int, height: Int, nFrames: Int,
+      totalDelayCs: Int, looped: Boolean)
+
+  /** Animation METADATA without pixel decode (the ffprobe-style
+    * header walk): canvas dims, frame count, total GCE delay, and
+    * whether a NETSCAPE2.0 loop extension is present. LZW data is
+    * SKIPPED sub-block by sub-block, never inflated — at corpus
+    * scale, metadata extraction must not pay the decode. Returns
+    * None for anything malformed (the [[decode]] totality contract).
+    */
+  def animMeta(p: Array[Byte]): Option[AnimMeta] =
+    try animMetaImpl(p)
+    catch {
+      case _: IndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+
+  private def animMetaImpl(p: Array[Byte]): Option[AnimMeta] = {
+    def u(j: Int): Int = p(j) & 0xFF
+    def le(j: Int): Int = u(j) | (u(j + 1) << 8)
+    if (p.length < 13) return None
+    val sig = new String(p, 0, 6, "US-ASCII")
+    if (sig != "GIF89a" && sig != "GIF87a") return None
+    val width = le(6)
+    val height = le(8)
+    if (width <= 0 || height <= 0) return None
+    val packed = u(10)
+    var off = 13
+    if ((packed & 0x80) != 0) off += 3 * (1 << ((packed & 0x07) + 1))
+    var nFrames = 0
+    var totalDelay = 0
+    var looped = false
+    var pendingDelay = 0
+    def skipSubBlocks(): Boolean = {
+      while ({
+        if (off >= p.length) return false
+        val n = u(off); off += 1 + n; n != 0
+      }) ()
+      off <= p.length
+    }
+    while (off < p.length) {
+      u(off) match {
+        case 0x3B =>
+          return if (nFrames > 0)
+            Some(AnimMeta(width, height, nFrames, totalDelay, looped))
+          else None
+        case 0x21 =>
+          if (off + 1 >= p.length) return None
+          val label = u(off + 1)
+          off += 2
+          if (label == 0xF9) {
+            if (off + 6 > p.length || u(off) != 4) return None
+            pendingDelay = le(off + 2)
+            off += 5
+            if (u(off) != 0) return None
+            off += 1
+          } else if (label == 0xFF) {
+            // application extension: 11-byte identifier block
+            if (off >= p.length) return None
+            val n = u(off)
+            if (n == 11 && off + 12 <= p.length &&
+                new String(p, off + 1, 11, "US-ASCII") == "NETSCAPE2.0")
+              looped = true
+            if (!skipSubBlocks()) return None
+          } else {
+            if (!skipSubBlocks()) return None
+          }
+        case 0x2C =>
+          if (off + 10 > p.length) return None
+          val ipacked = u(off + 9)
+          off += 10
+          if ((ipacked & 0x80) != 0)
+            off += 3 * (1 << ((ipacked & 0x07) + 1))
+          if (off >= p.length) return None
+          off += 1 // min code size — data itself is never inflated
+          if (!skipSubBlocks()) return None
+          nFrames += 1
+          totalDelay += pendingDelay
+          pendingDelay = 0
+        case _ => return None
+      }
+    }
+    if (nFrames > 0) Some(AnimMeta(width, height, nFrames, totalDelay, looped))
+    else None
+  }
+
   /** Decode EVERY frame of an animated (or single-frame) GIF as
     * composited full-canvas snapshots — the real frame walk a video
     * sampler needs: each output is what a viewer shows after that

@@ -324,12 +324,15 @@ object Multimodal {
           Math.floorMod(id * 47 + j * 29 + c * 13, 256).toByte
         }
         val nf = (2 + Math.floorMod(id, 3)).toInt
+        // per-frame GCE delay (centiseconds): 2 + (id + 3k) % 7 — the
+        // m20 metadata oracle reads these without decoding pixels
         val base = Gif.FrameSpec(0, 0, w, h,
           Array.tabulate(w * h) { i =>
             val y = i / w; val x = i % w
             Math.floorMod(id * 19 + y * 11 + x * 7, psize).toByte
           },
           disposal = 1, transparent = -1,
+          delayCs = (2 + Math.floorMod(id, 7)).toInt,
           interlaced = Math.floorMod(id, 2) == 1)
         val rest = (1 until nf).map { k =>
           val left = Math.floorMod(id + 3 * k, w - 3).toInt
@@ -340,7 +343,8 @@ object Multimodal {
               Math.floorMod(id * 3 + k * 23 + v * 5 + u * 9, psize).toByte
             },
             disposal = if (k % 2 == 1) 2 else 1,
-            transparent = Math.floorMod(id + 5 * k, psize).toInt)
+            transparent = Math.floorMod(id + 5 * k, psize).toInt,
+            delayCs = (2 + Math.floorMod(id + 3 * k, 7)).toInt)
         }
         val payload = Gif.encodeAnimated(w, h, depth, palette,
           base +: rest)
@@ -368,6 +372,27 @@ object Multimodal {
             GifFrameStats(r.doc_id, i.toLong, d.width.toLong,
               d.height.toLong, sum, hex)
           }
+        }
+      }
+    }
+  }
+
+  case class AnimMetaRow(doc_id: Long, width: Long, height: Long,
+      n_frames: Long, total_delay_cs: Long, looped: Boolean)
+
+  /** Animation metadata WITHOUT pixel decode ([[Gif.animMeta]]'s
+    * ffprobe-style header walk — LZW sub-blocks skipped, never
+    * inflated): the 100 TB cataloguing pass that must not pay the
+    * decode. Unparseable payloads are dropped.
+    */
+  def gifAnimMeta(spark: SparkSession, media: DataFrame)
+      : Dataset[AnimMetaRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        Gif.animMeta(r.payload).map { m =>
+          AnimMetaRow(r.doc_id, m.width.toLong, m.height.toLong,
+            m.nFrames.toLong, m.totalDelayCs.toLong, m.looped)
         }
       }
     }

@@ -55,6 +55,62 @@ object PageRankQueries {
        |$steps""".stripMargin
   }
 
+  /** DuckDB CTEs for the INCREMENTAL warm-start chain (pr_warm_start):
+    * a `baseIters`-round chain over YESTERDAY's graph (the word graph
+    * of even-doc_id documents only — b-suffixed CTEs), then
+    * `warmIters` rounds over TODAY's full graph seeded from the base
+    * fixpoint approximation, with 1/N for nodes new since the seed —
+    * mirroring PageRank.run(seedRanks = …) exactly (same left-join
+    * coalesce init, same per-round formula as [[rankCtes]]).
+    */
+  private def warmRankCtes(baseIters: Int, warmIters: Int): String = {
+    def steps(prefix: String, edTable: String, nodeTable: String,
+        iters: Int): String =
+      (1 to iters).map { i =>
+        s"""$prefix$i AS (
+           |  SELECT n.node,
+           |         CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) *
+           |           coalesce(sum(p.rank / ed.outdeg), CAST(0 AS DOUBLE)) AS rank
+           |  FROM $nodeTable n
+           |  LEFT JOIN $edTable ed ON ed.dst = n.node
+           |  LEFT JOIN $prefix${i - 1} p ON p.node = ed.src
+           |  GROUP BY n.node
+           |)""".stripMargin
+      }.mkString(",\n")
+    s"""wb AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+       |  FROM documents
+       |  WHERE length(trim(text)) > 0 AND doc_id % 2 = 0
+       |),
+       |eb AS (
+       |  SELECT DISTINCT p.s AS src, p.d AS dst
+       |  FROM (SELECT unnest(list_transform(range(1, len(w)),
+       |                      i -> {'s': w[i], 'd': w[i+1]})) AS p
+       |        FROM wb WHERE len(w) >= 2)
+       |),
+       |degb AS (SELECT src, count(*) AS outdeg FROM eb GROUP BY src),
+       |edb AS (SELECT eb.src, eb.dst, degb.outdeg
+       |        FROM eb JOIN degb USING (src)),
+       |nodesb AS (SELECT src AS node FROM eb UNION SELECT dst FROM eb),
+       |b0 AS (
+       |  SELECT node,
+       |         CAST(1.0 AS DOUBLE) / (SELECT count(*) FROM nodesb) AS rank
+       |  FROM nodesb
+       |),
+       |${steps("b", "edb", "nodesb", baseIters)},
+       |$edgeCtes,
+       |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |ed AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |s0 AS (
+       |  SELECT n.node,
+       |         coalesce(b.rank,
+       |           CAST(1.0 AS DOUBLE) / (SELECT count(*) FROM nodes)) AS rank
+       |  FROM nodes n LEFT JOIN b$baseIters b ON b.node = n.node
+       |),
+       |${steps("s", "ed", "nodes", warmIters)}""".stripMargin
+  }
+
   /** DuckDB CTEs for the iteration chain over the word graph plus a
     * planted pathological hub (every src word also links to '#hub',
     * so the hub's incoming contribution list is the whole src set —
@@ -473,6 +529,31 @@ object PageRankQueries {
               |SELECT node,
               |  CAST(floor(rank * 1000000 + 0.5) AS BIGINT) AS rank_e6
               |FROM r10 ORDER BY node""".stripMargin)),
+
+    // INCREMENTAL rank recomputation, oracle-checked in the bounded
+    // form (the runUntilConverged warm start is the open-ended twin,
+    // unit-tested): yesterday's graph (even doc_ids) ranks 5 rounds,
+    // today's full graph then runs only 3 rounds seeded from those
+    // ranks — new nodes start at 1/N via the left-join coalesce. At
+    // 100 TB this is the daily-crawl shape: the delta re-rank touches
+    // the same partitioned-once edge layout but pays 3 iterations,
+    // not 10. Scale shape identical to pr_ranks (seed join is one
+    // O(|V|) hash join before the loop).
+    Q("pr_warm_start",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val baseE = LinkGraph.wordFollowEdges(
+          docs.filter(col("doc_id") % 2 === 0), "text")
+        val seed = PageRank.run(baseE, iterations = 5, damping = 0.85)
+        val fullE = LinkGraph.wordFollowEdges(docs, "text")
+        PageRank.run(fullE, iterations = 3, damping = 0.85,
+            seedRanks = Some(seed))
+          .select(col("node"), round(col("rank"), 6).as("rank"))
+          .orderBy("node")
+      },
+      Some(s"""WITH ${warmRankCtes(5, 3)}
+              |SELECT node, round(rank, 6) AS rank
+              |FROM s3 ORDER BY node""".stripMargin)),
 
     // Personalized generalization of phase 3: teleport mass lands on
     // a two-word source set, ranking every word by proximity to it —

@@ -3178,6 +3178,37 @@ object PipelineQueries {
               |  AND f.frame_idx = (s.s * d.nf) // 4
               |ORDER BY d.doc_id, sample_idx""".stripMargin)),
 
+    // Animation metadata WITHOUT pixel decode — the ffprobe-style
+    // header walk (LZW sub-blocks skipped, never inflated): at
+    // corpus scale, cataloguing frame counts/durations must not pay
+    // the decode. The oracle recomputes dims, frame count, the
+    // planted per-frame GCE delays (2 + (id+3k) % 7 centiseconds),
+    // and the NETSCAPE loop flag from the planting formulas.
+    Q("m20_anim_meta",
+      (s, d) => Multimodal.gifAnimMeta(s,
+          Multimodal.gifAnimTable(s, Tables.documents(s, d)))
+        .toDF().orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id,
+             |    8 + doc_id % 5 AS w,
+             |    8 + (doc_id * 3) % 5 AS h,
+             |    2 + doc_id % 3 AS nf
+             |  FROM documents
+             |),
+             |fd AS (
+             |  SELECT d.doc_id, d.w, d.h, d.nf,
+             |    2 + (d.doc_id + 3 * gk.k) % 7 AS delay_cs
+             |  FROM dims d, (SELECT unnest(range(0, 4)) AS k) gk
+             |  WHERE gk.k < d.nf
+             |)
+             |SELECT doc_id, CAST(w AS BIGINT) AS width,
+             |  CAST(h AS BIGINT) AS height,
+             |  CAST(nf AS BIGINT) AS n_frames,
+             |  CAST(SUM(delay_cs) AS BIGINT) AS total_delay_cs,
+             |  TRUE AS looped
+             |FROM fd GROUP BY doc_id, w, h, nf
+             |ORDER BY doc_id""".stripMargin)),
+
     // The composited frame walk itself: EVERY frame of the planted
     // animations as a full-canvas snapshot — offsets, transparency
     // show-through, and disposal-2 background restore are each

@@ -28,6 +28,8 @@ class CodecFuzzSpec extends SparkSpec {
       Jpeg.decodeRgb(jpegMagic ++ body)
       Gif.decode("GIF89a".getBytes("US-ASCII") ++ body)
       Gif.decodeFrames("GIF89a".getBytes("US-ASCII") ++ body)
+      Gif.animMeta(body)
+      Gif.animMeta("GIF89a".getBytes("US-ASCII") ++ body)
     }
     succeed
   }
@@ -63,7 +65,8 @@ class CodecFuzzSpec extends SparkSpec {
     for ((base, dec) <- Seq[(Array[Byte], Array[Byte] => Option[Any])](
         (png, Png.decode), (palPng, Png.decode), (wav, Wav.decode),
         (jpg, Jpeg.decode), (colorJpg, Jpeg.decodeRgb),
-        (gif, Gif.decode), (animGif, Gif.decodeFrames(_)))) {
+        (gif, Gif.decode), (animGif, Gif.decodeFrames(_)),
+        (animGif, Gif.animMeta(_)))) {
       // every single-byte flip at every position, 4 flip values each
       for (pos <- base.indices; _ <- 1 to 4) {
         val m = base.clone()

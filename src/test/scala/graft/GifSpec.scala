@@ -210,6 +210,30 @@ class GifSpec extends AnyFunSuite {
       "under-filled frame must still reject")
   }
 
+  test("animMeta reads frame count/delays/loop without inflating LZW") {
+    val (w, h, depth, palette, indices) = plant(9L)
+    val frames = Seq(
+      Gif.FrameSpec(0, 0, w, h, indices, delayCs = 10),
+      Gif.FrameSpec(1, 1, 2, 2, Array[Byte](0, 1, 1, 0), delayCs = 25,
+        transparent = 1, disposal = 2))
+    val anim = Gif.encodeAnimated(w, h, depth, palette, frames)
+    val m = Gif.animMeta(anim)
+    assert(m.contains(Gif.AnimMeta(w, h, 2, 35, looped = true)))
+    // plain single-image GIFs (no GCE, no NETSCAPE): 1 frame, 0 delay
+    val plain = Gif.animMeta(Gif.encode(w, h, depth, palette, indices))
+    assert(plain.contains(Gif.AnimMeta(w, h, 1, 0, looped = false)))
+    // CORRUPT LZW data must not matter — metadata never inflates it:
+    // flip every byte of the last frame's code stream
+    val broken = anim.clone()
+    for (i <- anim.length - 12 until anim.length - 2)
+      broken(i) = (broken(i) ^ 0x55).toByte
+    // (may clobber sub-block framing → clean None; a decode-coupled
+    // implementation would instead throw or hang)
+    Gif.animMeta(broken)
+    assert(Gif.animMeta(anim.take(15)).isEmpty, "truncated header")
+    assert(Gif.animMeta(Array.empty[Byte]).isEmpty)
+  }
+
   test("malformed inputs reject cleanly") {
     val (w, h, depth, palette, indices) = plant(3L)
     val good = Gif.encode(w, h, depth, palette, indices)
