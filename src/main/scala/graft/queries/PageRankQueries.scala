@@ -55,28 +55,28 @@ object PageRankQueries {
        |$steps""".stripMargin
   }
 
-  /** DuckDB CTEs for the INCREMENTAL warm-start chain (pr_warm_start):
-    * a `baseIters`-round chain over YESTERDAY's graph (the word graph
-    * of even-doc_id documents only — b-suffixed CTEs), then
-    * `warmIters` rounds over TODAY's full graph seeded from the base
-    * fixpoint approximation, with 1/N for nodes new since the seed —
-    * mirroring PageRank.run(seedRanks = …) exactly (same left-join
-    * coalesce init, same per-round formula as [[rankCtes]]).
+  /** One unrolled reference-formula iteration block, parameterized on
+    * CTE names — shared by [[warmRankCtes]] and [[deltaRankCtes]].
     */
-  private def warmRankCtes(baseIters: Int, warmIters: Int): String = {
-    def steps(prefix: String, edTable: String, nodeTable: String,
-        iters: Int): String =
-      (1 to iters).map { i =>
-        s"""$prefix$i AS (
-           |  SELECT n.node,
-           |         CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) *
-           |           coalesce(sum(p.rank / ed.outdeg), CAST(0 AS DOUBLE)) AS rank
-           |  FROM $nodeTable n
-           |  LEFT JOIN $edTable ed ON ed.dst = n.node
-           |  LEFT JOIN $prefix${i - 1} p ON p.node = ed.src
-           |  GROUP BY n.node
-           |)""".stripMargin
-      }.mkString(",\n")
+  private def rankSteps(prefix: String, edTable: String,
+      nodeTable: String, iters: Int): String =
+    (1 to iters).map { i =>
+      s"""$prefix$i AS (
+         |  SELECT n.node,
+         |         CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) *
+         |           coalesce(sum(p.rank / ed.outdeg), CAST(0 AS DOUBLE)) AS rank
+         |  FROM $nodeTable n
+         |  LEFT JOIN $edTable ed ON ed.dst = n.node
+         |  LEFT JOIN $prefix${i - 1} p ON p.node = ed.src
+         |  GROUP BY n.node
+         |)""".stripMargin
+    }.mkString(",\n")
+
+  /** The b-suffixed word-graph CTEs of YESTERDAY's corpus (even
+    * doc_ids only) with its uniform-init r0 — the base-snapshot half
+    * shared by [[warmRankCtes]] and [[deltaRankCtes]].
+    */
+  private val baseGraphCtes: String =
     s"""wb AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
        |  FROM documents
@@ -96,8 +96,18 @@ object PageRankQueries {
        |  SELECT node,
        |         CAST(1.0 AS DOUBLE) / (SELECT count(*) FROM nodesb) AS rank
        |  FROM nodesb
-       |),
-       |${steps("b", "edb", "nodesb", baseIters)},
+       |)""".stripMargin
+
+  /** DuckDB CTEs for the INCREMENTAL warm-start chain (pr_warm_start):
+    * `baseIters` rounds over YESTERDAY's graph ([[baseGraphCtes]]),
+    * then `warmIters` rounds over TODAY's full graph seeded from the
+    * base result, with 1/N for nodes new since the seed — mirroring
+    * PageRank.run(seedRanks = …) exactly (same left-join coalesce
+    * init, same per-round formula as [[rankCtes]]).
+    */
+  private def warmRankCtes(baseIters: Int, warmIters: Int): String =
+    s"""$baseGraphCtes,
+       |${rankSteps("b", "edb", "nodesb", baseIters)},
        |$edgeCtes,
        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
        |ed AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
@@ -108,8 +118,26 @@ object PageRankQueries {
        |           CAST(1.0 AS DOUBLE) / (SELECT count(*) FROM nodes)) AS rank
        |  FROM nodes n LEFT JOIN b$baseIters b ON b.node = n.node
        |),
-       |${steps("s", "ed", "nodes", warmIters)}""".stripMargin
-  }
+       |${rankSteps("s", "ed", "nodes", warmIters)}""".stripMargin
+
+  /** DuckDB CTEs for the snapshot rank DELTA (g13_rank_delta): two
+    * INDEPENDENT `iters`-round chains — yesterday's graph (b-chain)
+    * and today's full graph (r-chain) — both from uniform init, for
+    * the movers join to compare.
+    */
+  private def deltaRankCtes(iters: Int): String =
+    s"""$baseGraphCtes,
+       |${rankSteps("b", "edb", "nodesb", iters)},
+       |$edgeCtes,
+       |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |ed AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |r0 AS (
+       |  SELECT node,
+       |         CAST(1.0 AS DOUBLE) / (SELECT count(*) FROM nodes) AS rank
+       |  FROM nodes
+       |),
+       |${rankSteps("r", "ed", "nodes", iters)}""".stripMargin
 
   /** DuckDB CTEs for the iteration chain over the word graph plus a
     * planted pathological hub (every src word also links to '#hub',
@@ -529,6 +557,48 @@ object PageRankQueries {
               |SELECT node,
               |  CAST(floor(rank * 1000000 + 0.5) AS BIGINT) AS rank_e6
               |FROM r10 ORDER BY node""".stripMargin)),
+
+    // Snapshot rank DELTA — the d34-for-ranks audit completing the
+    // incremental family (pr_warm_start recomputes cheaply; this
+    // reports WHAT moved): rank both snapshots (yesterday = even
+    // doc_ids, today = full corpus), full-outer join on node, top-20
+    // movers by |Δrank| with new/gone/moved status. Selection is
+    // TakeOrderedAndProject on the e6-floored delta (deterministic
+    // integer tie-break by node) — no corpus-wide window. At 100 TB
+    // the two rank tables are O(|V|) and the join is one exchange.
+    Q("g13_rank_delta",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val rb = PageRank.run(LinkGraph.wordFollowEdges(
+            docs.filter(col("doc_id") % 2 === 0), "text"), iterations = 10)
+          .select(col("node"), col("rank").as("rb"))
+        val rf = PageRank.run(LinkGraph.wordFollowEdges(docs, "text"),
+            iterations = 10)
+          .select(col("node"), col("rank").as("rf"))
+        rf.join(rb, Seq("node"), "full_outer")
+          .select(col("node"),
+            when(col("rf").isNull, lit("gone"))
+              .when(col("rb").isNull, lit("new"))
+              .otherwise(lit("moved")).as("status"),
+            floor((coalesce(col("rf"), lit(0.0))
+                - coalesce(col("rb"), lit(0.0))) * 1000000 + 0.5)
+              .cast("long").as("delta_e6"))
+          .orderBy(abs(col("delta_e6")).desc, col("node"))
+          .limit(20)
+      },
+      Some(s"""WITH ${deltaRankCtes(10)},
+              |j AS (
+              |  SELECT coalesce(f.node, b.node) AS node,
+              |    CASE WHEN f.node IS NULL THEN 'gone'
+              |         WHEN b.node IS NULL THEN 'new'
+              |         ELSE 'moved' END AS status,
+              |    CAST(floor((coalesce(f.rank, CAST(0 AS DOUBLE)) -
+              |                coalesce(b.rank, CAST(0 AS DOUBLE)))
+              |        * 1000000 + 0.5) AS BIGINT) AS delta_e6
+              |  FROM r10 f FULL OUTER JOIN b10 b ON b.node = f.node
+              |)
+              |SELECT node, status, delta_e6 FROM j
+              |ORDER BY abs(delta_e6) DESC, node LIMIT 20""".stripMargin)),
 
     // INCREMENTAL rank recomputation, oracle-checked in the bounded
     // form (the runUntilConverged warm start is the open-ended twin,
