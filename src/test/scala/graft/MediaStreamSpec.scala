@@ -135,6 +135,39 @@ class MediaStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("parity: streaming animated-GIF frame walk equals the batch m19 plan") {
+    // one-row-to-many (frames per payload) through the same
+    // stateless mapPartitions — compositing/disposal state lives
+    // WITHIN a payload, so the stream stays stateless.
+    import graft.multimodal.Gif
+    def anim(id: Long): Multimodal.MediaRow = {
+      val w = 8; val h = 8
+      val pal = Array.tabulate(48)(i => (id * 31 + i * 7).toByte)
+      val frames = Seq(
+        Gif.FrameSpec(0, 0, w, h,
+          Array.tabulate(64)(i => ((id + i) % 16).toByte)),
+        Gif.FrameSpec(2, 3, 3, 3,
+          Array.tabulate(9)(i => ((id * 5 + i) % 16).toByte),
+          disposal = 2, transparent = (id % 16).toInt))
+      val p = Gif.encodeAnimated(w, h, 4, pal, frames)
+      Multimodal.MediaRow(id, "image/gif", p.length.toLong, p)
+    }
+    val rows = (1L to 5L).map(anim)
+    val stream = MemoryStream[Multimodal.MediaRow](spark)
+    val q = Multimodal.decodeGifFrameStats(spark, stream.toDF())
+      .writeStream.format("memory").queryName("gif_frames_t")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("gif_frames_t")
+        .as[Multimodal.GifFrameStats].collect().toSet
+      val want = Multimodal.decodeGifFrameStats(spark, rows.toDF())
+        .collect().toSet
+      assert(got == want && got.size == 10) // 5 payloads × 2 frames
+    } finally q.stop()
+  }
+
   test("undecodable payloads drop in both engines identically") {
     val bad = Multimodal.MediaRow(7L, "image/png",
       3L, Array[Byte](1, 2, 3))
