@@ -209,6 +209,8 @@ object Gif {
         s"disposal ${f.disposal} out of range")
       require(f.transparent >= -1 && f.transparent < (1 << depth),
         s"transparent index ${f.transparent} out of range")
+      require(f.delayCs >= 0 && f.delayCs <= 0xFFFF,
+        s"delay ${f.delayCs}cs exceeds the GCE's 16-bit field")
     }
     val out = new java.io.ByteArrayOutputStream()
     out.write("GIF89a".getBytes("US-ASCII"), 0, 6)
@@ -374,6 +376,14 @@ object Gif {
     val canvasH = le(8)
     if (canvasW <= 0 || canvasH <= 0 ||
         canvasW.toLong * canvasH > 64L * 1024 * 1024) return None
+    // Output is one full-canvas RGB clone PER FRAME: bound the total
+    // bytes (not just the frame count) so a crafted max-canvas
+    // many-frame GIF rejects as None instead of OOMing the task —
+    // the totality catch below cannot catch an OutOfMemoryError.
+    val canvasBytes = canvasW.toLong * canvasH * 3
+    val effMaxFrames =
+      math.min(maxFrames.toLong, (256L << 20) / canvasBytes).toInt
+    if (effMaxFrames < 1) return None
     val packed = u(10)
     val bgIndex = u(11)
     var off = 13
@@ -474,8 +484,11 @@ object Gif {
             var fx = 0
             while (fx < fw) {
               val ix = indices(r * fw + fx) & 0xFF
-              if (ix >= nColors) return None
+              // transparency first: transparent pixels are never
+              // rendered, and real-world GIFs legally carry a
+              // transparent index past a truncated local table
               if (ix != transparent) {
+                if (ix >= nColors) return None
                 System.arraycopy(table, ix * 3, canvas,
                   ((top + fy) * canvasW + (left + fx)) * 3, 3)
               }
@@ -483,9 +496,9 @@ object Gif {
             }
             r += 1
           }
-          frames += Decoded(canvasW, canvasH, canvas.clone())
           nFrames += 1
-          if (nFrames > maxFrames) return None
+          if (nFrames > effMaxFrames) return None
+          frames += Decoded(canvasW, canvasH, canvas.clone())
           // apply disposal AFTER the snapshot
           disposal match {
             case 2 =>

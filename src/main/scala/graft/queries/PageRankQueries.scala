@@ -72,30 +72,35 @@ object PageRankQueries {
          |)""".stripMargin
     }.mkString(",\n")
 
-  /** The b-suffixed word-graph CTEs of YESTERDAY's corpus (even
-    * doc_ids only) with its uniform-init r0 — the base-snapshot half
-    * shared by [[warmRankCtes]] and [[deltaRankCtes]].
+  /** Word-graph CTEs over a doc_id-predicated SNAPSHOT of the corpus,
+    * suffix-parameterized so several snapshots coexist in one oracle
+    * (w/e/deg/ed/nodes + the uniform-init `{sfx}0` rank table) —
+    * shared by [[warmRankCtes]] (yesterday ⊂ today) and
+    * [[deltaRankCtes]] (overlapping snapshots, so departed nodes
+    * exist and 'gone' is exercised).
     */
-  private val baseGraphCtes: String =
-    s"""wb AS (
+  private def snapshotGraphCtes(sfx: String, pred: String): String =
+    s"""w$sfx AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
        |  FROM documents
-       |  WHERE length(trim(text)) > 0 AND doc_id % 2 = 0
+       |  WHERE length(trim(text)) > 0 AND ($pred)
        |),
-       |eb AS (
+       |e$sfx AS (
        |  SELECT DISTINCT p.s AS src, p.d AS dst
        |  FROM (SELECT unnest(list_transform(range(1, len(w)),
        |                      i -> {'s': w[i], 'd': w[i+1]})) AS p
-       |        FROM wb WHERE len(w) >= 2)
+       |        FROM w$sfx WHERE len(w) >= 2)
        |),
-       |degb AS (SELECT src, count(*) AS outdeg FROM eb GROUP BY src),
-       |edb AS (SELECT eb.src, eb.dst, degb.outdeg
-       |        FROM eb JOIN degb USING (src)),
-       |nodesb AS (SELECT src AS node FROM eb UNION SELECT dst FROM eb),
-       |b0 AS (
+       |deg$sfx AS (SELECT src, count(*) AS outdeg FROM e$sfx GROUP BY src),
+       |ed$sfx AS (SELECT e$sfx.src, e$sfx.dst, deg$sfx.outdeg
+       |        FROM e$sfx JOIN deg$sfx USING (src)),
+       |nodes$sfx AS (
+       |  SELECT src AS node FROM e$sfx UNION SELECT dst FROM e$sfx),
+       |${sfx}0 AS (
        |  SELECT node,
-       |         CAST(1.0 AS DOUBLE) / (SELECT count(*) FROM nodesb) AS rank
-       |  FROM nodesb
+       |         CAST(1.0 AS DOUBLE) / (SELECT count(*) FROM nodes$sfx)
+       |           AS rank
+       |  FROM nodes$sfx
        |)""".stripMargin
 
   /** DuckDB CTEs for the INCREMENTAL warm-start chain (pr_warm_start):
@@ -106,7 +111,7 @@ object PageRankQueries {
     * init, same per-round formula as [[rankCtes]]).
     */
   private def warmRankCtes(baseIters: Int, warmIters: Int): String =
-    s"""$baseGraphCtes,
+    s"""${snapshotGraphCtes("b", "doc_id % 2 = 0")},
        |${rankSteps("b", "edb", "nodesb", baseIters)},
        |$edgeCtes,
        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
@@ -121,23 +126,18 @@ object PageRankQueries {
        |${rankSteps("s", "ed", "nodes", warmIters)}""".stripMargin
 
   /** DuckDB CTEs for the snapshot rank DELTA (g13_rank_delta): two
-    * INDEPENDENT `iters`-round chains — yesterday's graph (b-chain)
-    * and today's full graph (r-chain) — both from uniform init, for
-    * the movers join to compare.
+    * INDEPENDENT `iters`-round chains over OVERLAPPING snapshots —
+    * yesterday = doc_id%3 ∈ {0,1} (b-chain), today = doc_id%3 ∈
+    * {1,2} (f-chain) — both from uniform init, for the movers join.
+    * Overlap (not nesting) is load-bearing: words exclusive to the
+    * departed doc_id%3=0 docs exist only in yesterday's graph, so
+    * the 'gone' status is live data, not a dead branch.
     */
   private def deltaRankCtes(iters: Int): String =
-    s"""$baseGraphCtes,
+    s"""${snapshotGraphCtes("b", "doc_id % 3 < 2")},
        |${rankSteps("b", "edb", "nodesb", iters)},
-       |$edgeCtes,
-       |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
-       |ed AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
-       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-       |r0 AS (
-       |  SELECT node,
-       |         CAST(1.0 AS DOUBLE) / (SELECT count(*) FROM nodes) AS rank
-       |  FROM nodes
-       |),
-       |${rankSteps("r", "ed", "nodes", iters)}""".stripMargin
+       |${snapshotGraphCtes("f", "doc_id % 3 > 0")},
+       |${rankSteps("f", "edf", "nodesf", iters)}""".stripMargin
 
   /** DuckDB CTEs for the iteration chain over the word graph plus a
     * planted pathological hub (every src word also links to '#hub',
@@ -560,31 +560,24 @@ object PageRankQueries {
 
     // Snapshot rank DELTA — the d34-for-ranks audit completing the
     // incremental family (pr_warm_start recomputes cheaply; this
-    // reports WHAT moved): rank both snapshots (yesterday = even
-    // doc_ids, today = full corpus), full-outer join on node, top-20
-    // movers by |Δrank| with new/gone/moved status. Selection is
-    // TakeOrderedAndProject on the e6-floored delta (deterministic
-    // integer tie-break by node) — no corpus-wide window. At 100 TB
-    // the two rank tables are O(|V|) and the join is one exchange.
+    // reports WHAT moved): rank both snapshots, full-outer join on
+    // node, top-20 movers by |Δrank| with new/gone/moved status — the
+    // snapshots OVERLAP (docs leave and arrive) so all three statuses
+    // are live data. Selection is TakeOrderedAndProject on the
+    // e6-floored delta (deterministic integer tie-break by node) — no
+    // corpus-wide window. At 100 TB the two rank tables are O(|V|)
+    // and the join is one exchange.
     Q("g13_rank_delta",
       (s, d) => {
+        // OVERLAPPING snapshots (docs leave AND arrive) so every
+        // status is live: yesterday = doc_id%3 ∈ {0,1}, today ∈ {1,2}
         val docs = Tables.documents(s, d)
-        val rb = PageRank.run(LinkGraph.wordFollowEdges(
-            docs.filter(col("doc_id") % 2 === 0), "text"), iterations = 10)
-          .select(col("node"), col("rank").as("rb"))
-        val rf = PageRank.run(LinkGraph.wordFollowEdges(docs, "text"),
-            iterations = 10)
-          .select(col("node"), col("rank").as("rf"))
-        rf.join(rb, Seq("node"), "full_outer")
-          .select(col("node"),
-            when(col("rf").isNull, lit("gone"))
-              .when(col("rb").isNull, lit("new"))
-              .otherwise(lit("moved")).as("status"),
-            floor((coalesce(col("rf"), lit(0.0))
-                - coalesce(col("rb"), lit(0.0))) * 1000000 + 0.5)
-              .cast("long").as("delta_e6"))
-          .orderBy(abs(col("delta_e6")).desc, col("node"))
-          .limit(20)
+        graft.graph.RankDelta.movers(
+          PageRank.run(LinkGraph.wordFollowEdges(
+            docs.filter(col("doc_id") % 3 < 2), "text"), iterations = 10),
+          PageRank.run(LinkGraph.wordFollowEdges(
+            docs.filter(col("doc_id") % 3 > 0), "text"), iterations = 10),
+          k = 20)
       },
       Some(s"""WITH ${deltaRankCtes(10)},
               |j AS (
@@ -595,7 +588,7 @@ object PageRankQueries {
               |    CAST(floor((coalesce(f.rank, CAST(0 AS DOUBLE)) -
               |                coalesce(b.rank, CAST(0 AS DOUBLE)))
               |        * 1000000 + 0.5) AS BIGINT) AS delta_e6
-              |  FROM r10 f FULL OUTER JOIN b10 b ON b.node = f.node
+              |  FROM f10 f FULL OUTER JOIN b10 b ON b.node = f.node
               |)
               |SELECT node, status, delta_e6 FROM j
               |ORDER BY abs(delta_e6) DESC, node LIMIT 20""".stripMargin)),

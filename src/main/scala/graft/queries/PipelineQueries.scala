@@ -287,6 +287,34 @@ object PipelineQueries {
        |FROM r WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Broadcast-side ADC lookup table shared by [[pqAdcScores]] and
+    * e21: one row per probe query, a map of per-(subspace, code)
+    * partial dot products keyed `m·stride + code`. The stride is
+    * DERIVED from the largest codebook (not hardcoded to k) so a
+    * retrained k can never silently collide keys across subspaces.
+    * Returns the frame and the stride for the matching lookup
+    * expression. Data, never a plan literal — plan size must not
+    * grow with the probe batch.
+    */
+  private def adcQueryLut(s: SparkSession,
+      qRows: Array[(Long, Array[Double])],
+      books: IndexedSeq[Seq[(Long, Array[Double])]],
+      subDims: Int): (DataFrame, Long) = {
+    import s.implicits._
+    val stride = books.map(b => b.map(_._1).max + 1).max
+    def dot(a: Array[Double], off: Int, b: Array[Double]): Double = {
+      var s0 = 0.0
+      var i = 0
+      while (i < b.length) { s0 += a(off + i) * b(i); i += 1 }
+      s0
+    }
+    val df = qRows.toSeq.map { case (qid, qe) =>
+      (qid, (for (m <- books.indices; (cell, cv) <- books(m)) yield
+        (m * stride + cell) -> dot(qe, m * subDims, cv)).toMap)
+    }.toDF("query_id", "lut")
+    (df, stride)
+  }
+
   /** Shared PQ-ADC machinery (e11 search, e22 recall gate): 4×16-dim
     * subspace codebooks (Lloyd via the SAME KMeans trainer), map-side
     * nearest-centroid coding, per-query driver-built ADC lookup table
@@ -315,27 +343,12 @@ object PipelineQueries {
     val qRows = emb.filter(col("vec_id") < 10)
       .select(col("vec_id"), col("e")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    def dot(a: Array[Double], off: Int, b: Array[Double]): Double = {
-      var s0 = 0.0
-      var i = 0
-      while (i < b.length) { s0 += a(off + i) * b(i); i += 1 }
-      s0
-    }
-    // The LUT ships as DATA on the broadcast side (one row per
-    // query, a 32-entry map keyed m·k+code), not as a plan literal:
-    // a typedlit Map embeds queries×M×k doubles in every plan copy,
-    // so plan/codegen size would grow linearly with the probe batch —
-    // as a broadcast column it is O(1) plan, any batch size.
-    import s.implicits._
-    val qlut = qRows.toSeq.map { case (qid, qe) =>
-      (qid, (for (m <- 0 until M; (cell, cv) <- books(m)) yield
-        (m * 8L + cell) -> dot(qe, m * subDims, cv)).toMap)
-    }.toDF("query_id", "lut")
+    val (qlut, stride) = adcQueryLut(s, qRows, books, subDims)
     val coded = (0 until M).foldLeft(emb) { (df, m) =>
       df.withColumn(s"code_$m", nearest_centroid(sub(m), books(m)))
     }
     def l(m: Int) = element_at(col("lut"),
-      lit(m * 8L) + col(s"code_$m"))
+      lit(m * stride) + col(s"code_$m"))
     coded.join(broadcast(qlut), col("vec_id") =!= col("query_id"))
       .withColumn("adc", l(0) + l(1) + l(2) + l(3))
       .drop("lut")
@@ -4468,21 +4481,9 @@ object PipelineQueries {
         val qRows = emb.filter(col("vec_id") < 10)
           .select(col("vec_id"), col("e")).collect()
           .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-        def dot(a: Array[Double], off: Int, b: Array[Double]): Double = {
-          var s0 = 0.0
-          var i = 0
-          while (i < b.length) { s0 += a(off + i) * b(i); i += 1 }
-          s0
-        }
         // LUT as broadcast-side DATA, not a plan literal (the
-        // pqAdcScores rationale: plan size must not grow with the
-        // probe batch) — one row per query, a 32-entry map keyed
-        // m·k+code, joined onto the routed query rows below.
-        import s.implicits._
-        val qlut = qRows.toSeq.map { case (qid, qe) =>
-          (qid, (for (m <- 0 until M; (cell, cv) <- books(m)) yield
-            (m * 8L + cell) -> dot(qe, m * subDims, cv)).toMap)
-        }.toDF("query_id", "lut")
+        // adcQueryLut rationale), joined onto the routed query rows.
+        val (qlut, stride) = adcQueryLut(s, qRows, books, subDims)
         val coded = (0 until M).foldLeft(emb) { (df, m) =>
           df.withColumn(s"code_$m", nearest_centroid(sub(m), books(m)))
         }
@@ -4500,7 +4501,7 @@ object PipelineQueries {
           .select(col("query_id"), col("label"))
           .join(qlut, "query_id")
         def l(m: Int) = element_at(col("lut"),
-          lit(m * 8L) + col(s"code_$m"))
+          lit(m * stride) + col(s"code_$m"))
         coded.as("c").join(broadcast(assigned).as("a"),
             col("c.label") === col("a.label") &&
               col("vec_id") =!= col("query_id"))

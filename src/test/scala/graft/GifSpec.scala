@@ -210,6 +210,39 @@ class GifSpec extends AnyFunSuite {
       "under-filled frame must still reject")
   }
 
+  test("transparent pixels past a truncated color table still decode") {
+    // Real-crawl GIFs (sloppy encoders) legally carry TRANSPARENT
+    // pixels whose index exceeds a small color table — transparent
+    // pixels are never rendered, so the palette bound must not apply
+    // to them. Craft one: encode depth 3 (8-entry table) with
+    // index-7 pixels transparent, then SHRINK the global table to 4
+    // entries (LSD size field + 12 dropped bytes). Index 7 now
+    // exceeds the table but only ever appears transparent.
+    val (w, h) = (4, 3)
+    val palette8 = Array.tabulate(24)(i => (i * 23).toByte)
+    val indices = Array.tabulate[Byte](w * h)(i =>
+      if (i % 3 == 0) 7 else (i % 4).toByte)
+    val anim = Gif.encodeAnimated(w, h, 3, palette8,
+      Seq(Gif.FrameSpec(0, 0, w, h, indices, transparent = 7)))
+    assert(Gif.decodeFrames(anim).exists(_.length == 1)) // sanity
+    // LSD packed: GCT flag + color-res + size field 2 (8 entries) →
+    // size field 1 (4 entries); drop the table's last 12 bytes
+    assert((anim(10) & 0xFF) == (0x80 | (2 << 4) | 2))
+    val patched = (anim.take(10) :+ (0x80 | (1 << 4) | 1).toByte) ++
+      anim.slice(11, 13) ++ anim.slice(13, 25) ++ anim.drop(37)
+    val got = Gif.decodeFrames(patched)
+    assert(got.exists(_.length == 1),
+      "out-of-table transparent pixels must not reject the GIF")
+    // the rendered (non-transparent) pixels still match the palette;
+    // transparent spots show the background (palette entry 0)
+    val rgb = got.get.head.rgb
+    for (i <- 0 until w * h; c <- 0 until 3) {
+      val want = if (i % 3 == 0) palette8(c)
+        else palette8((i % 4) * 3 + c)
+      assert(rgb(i * 3 + c) == want, s"pixel $i channel $c")
+    }
+  }
+
   test("animMeta reads frame count/delays/loop without inflating LZW") {
     val (w, h, depth, palette, indices) = plant(9L)
     val frames = Seq(

@@ -122,6 +122,26 @@ class GraphSpec extends SparkSpec {
     assert(w.contains("nNEW"))
   }
 
+  test("rank delta movers: new/gone/moved statuses and deterministic ties") {
+    // constructed snapshots so every status is exercised (the corpus
+    // query's shared vocabulary rarely produces 'gone' organically)
+    val prev = Seq(("a", 0.5), ("b", 0.3), ("c", 0.2)).toDF("node", "rank")
+    val cur = Seq(("a", 0.8), ("b", 0.3), ("d", 0.4)).toDF("node", "rank")
+    val got = graft.graph.RankDelta.movers(prev, cur, k = 10)
+      .as[(String, String, Long)].collect().toList
+    assert(got == List(
+      ("d", "new", 400000L),   // |0.4|
+      ("a", "moved", 300000L), // |0.3|
+      ("c", "gone", -200000L), // |−0.2|
+      ("b", "moved", 0L)))
+    // tie on |delta| breaks by node ascending, and k truncates
+    val p2 = Seq(("x", 0.1), ("y", 0.3)).toDF("node", "rank")
+    val c2 = Seq(("x", 0.3), ("y", 0.1)).toDF("node", "rank")
+    val top1 = graft.graph.RankDelta.movers(p2, c2, k = 1)
+      .as[(String, String, Long)].collect().toList
+    assert(top1 == List(("x", "moved", 200000L)))
+  }
+
   test("saltHotKeys: salted contribution aggregation matches unsalted") {
     // 50:1 in-degree hub — the aggregation-skew shape saltHotKeys
     // exists for. Salting only changes float summation order, so the
