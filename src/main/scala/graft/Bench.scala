@@ -41,7 +41,12 @@ object Bench {
     // decontamination, token budget) and the real-codec image path
     // (zlib+unfilter decode → dHash → group) — so a regression
     // there is no longer invisible to the bench.
-    "d54_curation_funnel", "m10_image_dhash")
+    "d54_curation_funnel", "m10_image_dhash",
+    // Round 9: filtered retrieval through the IVF probe path (the
+    // production filtered-ANN shape: predicate inside the routed
+    // cell scan) and the animated-GIF composited frame walk (the
+    // heaviest codec path — LZW + per-frame compositing/disposal).
+    "e24_filtered_ivf", "m19_gif_frames")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
