@@ -313,6 +313,96 @@ object Similarity {
         round(col("s.sim"), 6).as("sim"))
   }
 
+  /** Graph-walk ANN — beam search over a precomputed kNN graph (the
+    * HNSW/DiskANN family's search step, batch-shaped): start every
+    * query at fixed entry points, then for `rounds` rounds expand
+    * the beam's out-neighbors, score them against the query, and
+    * keep the best `beamWidth` — candidates wander toward the
+    * query's neighborhood along graph edges instead of scanning
+    * cells. Complements the IVF path: IVF prunes by partition,
+    * graph search prunes by connectivity (better recall at equal
+    * probes on clustered data; needs the graph built once up front).
+    *
+    * Scale shape (100 TB corpus / bounded beams):
+    *   - The graph is hash-partitioned by `vec_id` once and
+    *     persisted; each round's expansion joins the O(queries ×
+    *     beam) BROADCAST beam against it — the graph never shuffles.
+    *   - Scoring gathers candidate vectors by id: the tiny candidate
+    *     list broadcasts against the corpus, the cosine runs in the
+    *     codegen'd kernel, and the per-query top-beam windows rank
+    *     only O(beam × (1 + degree)) rows per query — bounded, never
+    *     corpus-wide.
+    *   - Beam state across rounds is O(queries × beam) — the walk
+    *     frontier, not the corpus.
+    * Determinism: every selection orders by (sim DESC, cand_id), so
+    * results are exactly reproducible and SQL-oracle-checkable.
+    *
+    * @param graph (vec_id, nbr_id) out-edges of the navigable graph
+    *   (e.g. [[knnGraphProbed]])
+    * @param entries (cand_id) walk entry points — [[cellMedoids]] is
+    *   the production choice (one well-connected representative per
+    *   cell puts a foothold in every region; fixed global entries
+    *   strand the walk far from most queries). Must be small — it
+    *   broadcasts.
+    * @return (query_id, rank, cand_id, sim) — final beam, ranked
+    */
+  /** One representative per cell: the vector most cosine-similar to
+    * its own cell centroid (ties to the smallest vec_id) — the
+    * [[graphBeamSearch]] entry list. The per-cell argmax is a window
+    * over each cell's rows against the one broadcast centroid table;
+    * output is O(nlist).
+    */
+  def cellMedoids(emb: DataFrame, labelCol: String): DataFrame = {
+    val cent = centroidVectors(emb, labelCol)
+      .select(col("label").as("_clabel"), col("cvec"))
+    val w = Window.partitionBy(col("_clabel"))
+      .orderBy(col("_msim").desc, col("vec_id"))
+    emb.select(col(labelCol).as("_elabel"), col("vec_id"),
+        col("embedding"))
+      .join(broadcast(cent), col("_elabel") === col("_clabel"))
+      .withColumn("_msim", cosine_sim(col("embedding"), col("cvec")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("vec_id").as("cand_id"))
+  }
+
+  def graphBeamSearch(emb: DataFrame, queries: DataFrame,
+      graph: DataFrame, entries: DataFrame, beamWidth: Int,
+      rounds: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val g = graph.select(col("vec_id"), col("nbr_id"))
+      .repartition(col("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("cand_id"))
+    // gather-by-id + score + keep best `beamWidth` per query
+    def score(cands: DataFrame): DataFrame =
+      broadcast(cands)
+        .join(e.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+        .join(broadcast(q), "query_id")
+        .withColumn("sim", cosine_sim(col("qe"), col("embedding")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= beamWidth)
+        .select(col("query_id"), col("cand_id"), col("sim"))
+    val ent = entries.select(col("cand_id"))
+    var beam = score(q.select(col("query_id")).crossJoin(ent)
+      .filter(col("cand_id") =!= col("query_id")))
+    for (_ <- 1 to rounds) {
+      val expanded = beam.select("query_id", "cand_id")
+        .union(broadcast(beam).join(g, beam("cand_id") === g("vec_id"))
+          .select(col("query_id"), col("nbr_id").as("cand_id")))
+        .filter(col("cand_id") =!= col("query_id"))
+        .distinct()
+      beam = score(expanded)
+    }
+    beam
+      .withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("cand_id"), round(col("sim"), 6).as("sim"))
+  }
+
   /** Exhaustive SQ8 scan top-k — [[bruteForceTopK]] run over the
     * int8 code rows instead of float embeddings: both sides quantize
     * with [[sq8Quantize]] and candidates score by the integer code

@@ -287,6 +287,110 @@ object PipelineQueries {
        |FROM r WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** DuckDB CTEs for the nprobe=2 kNN graph (mirrors
+    * Similarity.knnGraphProbed): label centroids, 2-nearest-cell
+    * assignment, in-probed-cell pair scoring, ranked edges `r` —
+    * shared by the e9 oracle and e25's beam walk over the same graph.
+    */
+  private lazy val probedKnnCtes: String =
+    s"""e AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings
+       |),
+       |c0 AS (
+       |  SELECT label, i - 1 AS dim, round(avg(v), 6) AS c
+       |  FROM (
+       |    SELECT label, unnest(emb) AS v,
+       |      generate_subscripts(emb, 1) AS i
+       |    FROM e
+       |  ) GROUP BY label, dim
+       |),
+       |cent AS (
+       |  SELECT label, list(c ORDER BY dim) AS cvec FROM c0
+       |  GROUP BY label
+       |),
+       |ass AS MATERIALIZED (
+       |  SELECT vec_id, emb, label FROM (
+       |    SELECT v.vec_id, v.emb, c.label,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${TextHash.duckCosine("v.emb", "c.cvec", 64)}
+       |          DESC, c.label) AS rn
+       |    FROM e v, cent c
+       |  ) WHERE rn <= 2
+       |),
+       |p AS (
+       |  SELECT a.vec_id, b.vec_id AS nbr_id,
+       |    ${TextHash.duckCosine("a.emb", "b.emb", 64)} AS sim
+       |  FROM ass a JOIN e b
+       |    ON b.label = a.label AND b.vec_id <> a.vec_id
+       |),
+       |r AS (
+       |  SELECT vec_id, nbr_id, sim,
+       |    row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS rank
+       |  FROM p
+       |)""".stripMargin
+
+  /** DuckDB CTEs for the beam walk over the probed kNN graph
+    * (mirrors Similarity.graphBeamSearch with cellMedoids entries):
+    * `g` (graph edges), `q` (probe queries), `ent` (per-cell
+    * medoids), `b0` (entry beam) and `b1..bR` (one expand-score-trim
+    * round each). Requires [[probedKnnCtes]] upstream. Shared by the
+    * e25 search and the e26 recall gate.
+    */
+  private def beamWalkCtes(graphK: Int, rounds: Int,
+      beamWidth: Int): String = {
+    val walk = (1 to rounds).map { i =>
+      s"""c$i AS (
+         |  SELECT DISTINCT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id FROM b${i - 1}
+         |    UNION ALL
+         |    SELECT b.query_id, g.nbr_id AS cand_id
+         |    FROM b${i - 1} b JOIN g ON g.vec_id = b.cand_id
+         |  ) WHERE cand_id <> query_id
+         |),
+         |b$i AS MATERIALIZED (
+         |  SELECT query_id, cand_id, sim FROM (
+         |    SELECT s.*, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, cand_id) AS rn
+         |    FROM (
+         |      SELECT c.query_id, c.cand_id,
+         |        ${TextHash.duckCosine("q.qe", "v.emb", 64)} AS sim
+         |      FROM c$i c JOIN q ON q.query_id = c.query_id
+         |      JOIN e v ON v.vec_id = c.cand_id
+         |    ) s
+         |  ) WHERE rn <= $beamWidth
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""g AS MATERIALIZED (
+       |  SELECT vec_id, nbr_id FROM r WHERE rank <= $graphK
+       |),
+       |q AS (SELECT vec_id AS query_id, emb AS qe FROM e
+       |      WHERE vec_id < 10),
+       |ent AS (
+       |  SELECT vec_id AS cand_id FROM (
+       |    SELECT v.vec_id,
+       |      row_number() OVER (PARTITION BY v.label
+       |        ORDER BY ${TextHash.duckCosine("v.emb", "c.cvec", 64)}
+       |          DESC, v.vec_id) AS rn
+       |    FROM e v JOIN cent c ON c.label = v.label
+       |  ) WHERE rn = 1
+       |),
+       |b0 AS MATERIALIZED (
+       |  SELECT query_id, cand_id, sim FROM (
+       |    SELECT s.*, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, cand_id) AS rn
+       |    FROM (
+       |      SELECT q.query_id, en.cand_id,
+       |        ${TextHash.duckCosine("q.qe", "v.emb", 64)} AS sim
+       |      FROM q, ent en JOIN e v ON v.vec_id = en.cand_id
+       |      WHERE en.cand_id <> q.query_id
+       |    ) s
+       |  ) WHERE rn <= $beamWidth
+       |),
+       |$walk""".stripMargin
+  }
+
   /** Broadcast-side ADC lookup table shared by [[pqAdcScores]] and
     * e21: one row per probe query, a map of per-(subspace, code)
     * partial dot products keyed `m·stride + code`. The stride is
@@ -2872,46 +2976,43 @@ object PipelineQueries {
         .select(col("vec_id"), col("rank").cast("long").as("rank"),
           col("nbr_id"), col("sim"))
         .orderBy("vec_id", "rank"),
-      Some(s"""WITH e AS (
-              |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
-              |  FROM embeddings
-              |),
-              |c0 AS (
-              |  SELECT label, i - 1 AS dim, round(avg(v), 6) AS c
-              |  FROM (
-              |    SELECT label, unnest(emb) AS v,
-              |      generate_subscripts(emb, 1) AS i
-              |    FROM e
-              |  ) GROUP BY label, dim
-              |),
-              |cent AS (
-              |  SELECT label, list(c ORDER BY dim) AS cvec FROM c0
-              |  GROUP BY label
-              |),
-              |ass AS MATERIALIZED (
-              |  SELECT vec_id, emb, label FROM (
-              |    SELECT v.vec_id, v.emb, c.label,
-              |      row_number() OVER (PARTITION BY v.vec_id
-              |        ORDER BY ${TextHash.duckCosine("v.emb", "c.cvec", 64)}
-              |          DESC, c.label) AS rn
-              |    FROM e v, cent c
-              |  ) WHERE rn <= 2
-              |),
-              |p AS (
-              |  SELECT a.vec_id, b.vec_id AS nbr_id,
-              |    ${TextHash.duckCosine("a.emb", "b.emb", 64)} AS sim
-              |  FROM ass a JOIN e b
-              |    ON b.label = a.label AND b.vec_id <> a.vec_id
-              |),
-              |r AS (
-              |  SELECT vec_id, nbr_id, sim,
-              |    row_number() OVER (
-              |      PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS rank
-              |  FROM p
-              |)
+      Some(s"""WITH $probedKnnCtes
               |SELECT vec_id, rank, nbr_id, round(sim, 6) AS sim
               |FROM r WHERE rank <= 3
               |ORDER BY vec_id, rank""".stripMargin)),
+
+    // Graph-walk ANN — beam search over the e9 probed kNN graph (the
+    // HNSW/DiskANN family's search step, batch-shaped): every query
+    // starts at two fixed entry points, then 3 rounds of expand-
+    // neighbors → score → keep best 4 walk the beam toward the
+    // query's neighborhood along graph edges. Complements IVF: that
+    // prunes by partition, this by connectivity. Scale shape: graph
+    // partitioned once and never shuffled (the O(queries×beam) beam
+    // BROADCASTS against it per round); scoring gathers candidates
+    // by id against the corpus; every window ranks only the bounded
+    // beam-expansion rows per query. Fully deterministic
+    // ((sim DESC, cand_id) everywhere) — hence SQL-oracle-checkable.
+    Q("e25_graph_ann",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.graphBeamSearch(emb,
+          emb.filter(col("vec_id") < 10),
+          Similarity.knnGraphProbed(emb, "label", k = 16, nprobe = 2)
+            .select(col("vec_id"), col("nbr_id")),
+          Similarity.cellMedoids(emb, "label"),
+          beamWidth = 16, rounds = 4)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH $probedKnnCtes,
+              |${beamWalkCtes(graphK = 16, rounds = 4, beamWidth = 16)}
+              |SELECT query_id, rn AS rank, cand_id,
+              |  round(sim, 6) AS sim
+              |FROM (
+              |  SELECT b4.*, row_number() OVER (PARTITION BY query_id
+              |    ORDER BY sim DESC, cand_id) AS rn
+              |  FROM b4
+              |)
+              |ORDER BY query_id, rank""".stripMargin)),
 
     // The IVF TRAINER: spherical k-means over the raw vectors —
     // deterministic hash seeds, 3 Lloyd rounds (assignment =
@@ -4395,6 +4496,64 @@ object PipelineQueries {
     // number that decides whether 4-code compression is safe for a
     // corpus. Probe universe left-joined so a zero-hit query
     // surfaces as 0, not a missing row.
+    // Recall gate for the GRAPH-WALK axis (the e13/e18/e22 pattern:
+    // every approximate search path gets an oracle-checked recall
+    // measurement): recall@4 of e25's final beam against the float
+    // brute-force ground truth, per probe query. Probe universe
+    // left-joined so a zero-hit query surfaces as 0, not a missing
+    // row.
+    Q("e26_graph_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") < 10)
+        val exact = Similarity.bruteForceTopK(emb, qs, k = 4)
+          .select(col("query_id"), col("cand_id"))
+        val walk = Similarity.graphBeamSearch(emb, qs,
+            Similarity.knnGraphProbed(emb, "label", k = 16, nprobe = 2)
+              .select(col("vec_id"), col("nbr_id")),
+            Similarity.cellMedoids(emb, "label"),
+            beamWidth = 16, rounds = 4)
+          .filter(col("rank") <= 4)
+          .select(col("query_id"), col("cand_id"))
+        val hits = exact.join(walk, Seq("query_id", "cand_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("h"))
+        qs.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("h"), lit(0L)).as("n_hits"),
+            (coalesce(col("h"), lit(0L)) * 2500).as("recall_e4"))
+          .orderBy("query_id")
+      },
+      Some {
+        s"""WITH $probedKnnCtes,
+           |${beamWalkCtes(graphK = 16, rounds = 4, beamWidth = 16)},
+           |w4 AS (
+           |  SELECT query_id, cand_id FROM (
+           |    SELECT query_id, cand_id, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rn
+           |    FROM b4
+           |  ) WHERE rn <= 4
+           |),
+           |ex0 AS (
+           |  SELECT q.query_id, c.vec_id AS cand_id,
+           |    row_number() OVER (PARTITION BY q.query_id
+           |      ORDER BY ${TextHash.duckCosine("q.qe", "c.emb", 64)}
+           |        DESC, c.vec_id) AS rank
+           |  FROM q JOIN e c ON c.vec_id <> q.query_id
+           |),
+           |exact AS (SELECT query_id, cand_id FROM ex0 WHERE rank <= 4),
+           |hits AS (
+           |  SELECT query_id, count(*) AS h
+           |  FROM exact JOIN w4 USING (query_id, cand_id)
+           |  GROUP BY query_id
+           |)
+           |SELECT q.query_id,
+           |  coalesce(h, 0) AS n_hits,
+           |  coalesce(h, 0) * 2500 AS recall_e4
+           |FROM q LEFT JOIN hits ON hits.query_id = q.query_id
+           |ORDER BY q.query_id""".stripMargin
+      }),
+
     Q("e22_pq_recall",
       (s, d) => {
         import graft.functions.TopKByScore.top_k_by_score

@@ -17,17 +17,20 @@ class PlanShapeSpec extends SparkSpec {
     for (q <- Seq("e1_ann_topk", "e4_ann_ivf_probe", "e6_knn_graph",
         "e8_ann_learned", "m5_media_sim", "e11_pq_topk", "e16_sq8_topk",
         "e17_ivf_sq8", "e19_mips_topk", "q50_topk_pergroup",
-        "e21_ivf_pq", "e23_filtered_ann")) {
+        "e21_ivf_pq", "e23_filtered_ann", "e24_filtered_ivf",
+        "e25_graph_ann")) {
       val p = plan(q)
       assert(p.contains("ObjectHashAggregate"),
         s"$q lost the top_k_by_score partial aggregate")
       // e4/e5/e8/e17 rank CENTROID assignments with a window (bounded
-      // nlist rows) — what must never appear is a window over the
-      // scored candidate rows, which carries the full corpus. The
-      // candidate path is the aggregate; brute-force e1/e16 and bulk
-      // e6 must have no window at all.
+      // nlist rows), e24 likewise, and e25's beam windows rank only
+      // the O(beam×degree) per-query expansion — what must never
+      // appear is a window over the scored candidate rows, which
+      // carries the full corpus. The candidate path is the aggregate;
+      // brute-force e1/e16 and bulk e6 must have no window at all.
       if (q != "e4_ann_ivf_probe" && q != "e8_ann_learned" &&
-          q != "e17_ivf_sq8" && q != "e21_ivf_pq")
+          q != "e17_ivf_sq8" && q != "e21_ivf_pq" &&
+          q != "e24_filtered_ivf" && q != "e25_graph_ann")
         assert(!p.contains("RunningWindowFunction") && !p.contains("Window"),
           s"$q ranks candidates through a window sort")
     }
