@@ -426,6 +426,58 @@ object Multimodal {
     }
   }
 
+  case class ResampleStats(doc_id: Long, sr_in: Long, n_in: Long,
+      n_out: Long, sum_scaled: Long, vals_md5: String)
+
+  /** Audio RESAMPLING to a uniform target rate — the normalization
+    * step every speech pipeline runs between decode and features
+    * (mixed-rate crawl audio → one model rate): REAL decode
+    * ([[Wav.decode]]), channel mix-down to mono (truncating integer
+    * mean — SQL division semantics, mirrored by the oracle),
+    * then linear interpolation on the exact rational time grid
+    * out[j] ← position j·srIn/target. Values stay INTEGER-EXACT by
+    * carrying the ×target scale: y = mono[p]·(target−rem) +
+    * mono[p+1]·rem where p = (j·srIn) div target, rem the remainder
+    * — no float rounding for the oracle to chase. `vals_md5` (comma-
+    * joined signed decimals in order) binds every output sample.
+    * Map-side only; undecodable payloads drop.
+    */
+  def resampleWav(spark: SparkSession, media: DataFrame,
+      targetRate: Int = 16000): Dataset[ResampleStats] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        Wav.decode(r.payload).map { d =>
+          val ch = d.channels
+          val nf = d.samples.length / ch
+          val mono = Array.tabulate(nf) { i =>
+            var s = 0L
+            var c = 0
+            while (c < ch) { s += d.samples(i * ch + c); c += 1 }
+            s / ch // truncating mean (SQL integer-division semantics)
+          }
+          val nOut = (nf.toLong * targetRate / d.sampleRate).toInt
+          val sb = new java.lang.StringBuilder
+          var sum = 0L
+          var j = 0
+          while (j < nOut) {
+            val pn = j.toLong * d.sampleRate
+            val p = (pn / targetRate).toInt
+            val rem = pn % targetRate
+            val p1 = math.min(p + 1, nf - 1)
+            val y = mono(p) * (targetRate - rem) + mono(p1) * rem
+            sum += y
+            if (j > 0) sb.append(',')
+            sb.append(y)
+            j += 1
+          }
+          ResampleStats(r.doc_id, d.sampleRate.toLong, nf.toLong,
+            nOut.toLong, sum, md5Ascii(sb.toString))
+        }
+      }
+    }
+  }
+
   /** Plant REAL baseline JPEGs (encoded by [[Jpeg.encode]]: full
     * forward DCT + Annex K quantization + canonical Huffman entropy
     * coding): constant-per-8×8-block grayscale images whose block

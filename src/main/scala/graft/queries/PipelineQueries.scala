@@ -3646,6 +3646,61 @@ object PipelineQueries {
              |FROM s GROUP BY doc_id, sr, ch
              |ORDER BY doc_id""".stripMargin)),
 
+    // Audio RESAMPLING to one model rate (the normalization step
+    // between decode and features — mixed 8/12/16/20 kHz clips all
+    // land on 16 kHz): real decode, floor-div mono mix, linear
+    // interpolation on the exact rational time grid, values carried
+    // at the ×16000 integer scale so every output sample is
+    // integer-exact and md5-bound. The oracle recomputes the mix and
+    // interpolation joins from the planting formulas without a
+    // decoder. Map-side only; no shuffle but the deterministic sort.
+    Q("m21_audio_resample",
+      (s, d) => Multimodal.resampleWav(s,
+          Multimodal.wavTable(s, Tables.documents(s, d)))
+        .toDF().orderBy("doc_id"),
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |    8000 + (doc_id % 4) * 4000 AS sr,
+             |    1 + doc_id % 2 AS ch,
+             |    32 + (doc_id * 7) % 33 AS nf
+             |  FROM documents
+             |),
+             |mono AS (
+             |  SELECT doc_id, sr, nf, gi.i AS i,
+             |    CASE WHEN ch = 1 THEN
+             |      ((doc_id * 131 + gi.i * 37 + 13) % 65536) - 32768
+             |    ELSE (
+             |      (((doc_id * 131 + gi.i * 37 + 13) % 65536) - 32768)
+             |      + (((doc_id * 131 + gi.i * 37 + 17 + 13) % 65536)
+             |         - 32768)
+             |    ) // 2 END AS v
+             |  FROM p, (SELECT unnest(range(0, 65)) AS i) gi
+             |  WHERE gi.i < nf
+             |),
+             |grid AS (
+             |  SELECT p.doc_id, p.sr, p.nf, gj.j,
+             |    (gj.j * p.sr) // 16000 AS pos,
+             |    (gj.j * p.sr) % 16000 AS rem
+             |  FROM p, (SELECT unnest(range(0, 130)) AS j) gj
+             |  WHERE gj.j < (p.nf * 16000) // p.sr
+             |),
+             |o AS (
+             |  SELECT g.doc_id, g.sr, g.nf, g.j,
+             |    a.v * (16000 - g.rem) + b.v * g.rem AS y
+             |  FROM grid g
+             |  JOIN mono a ON a.doc_id = g.doc_id AND a.i = g.pos
+             |  JOIN mono b ON b.doc_id = g.doc_id
+             |    AND b.i = least(g.pos + 1, g.nf - 1)
+             |)
+             |SELECT doc_id, CAST(sr AS BIGINT) AS sr_in,
+             |  CAST(nf AS BIGINT) AS n_in,
+             |  CAST(COUNT(*) AS BIGINT) AS n_out,
+             |  CAST(SUM(y) AS BIGINT) AS sum_scaled,
+             |  md5(string_agg(CAST(y AS VARCHAR), ',' ORDER BY j))
+             |    AS vals_md5
+             |FROM o GROUP BY doc_id, sr, nf
+             |ORDER BY doc_id""".stripMargin)),
+
     // Perceptual hash over REAL decoded pixels: the image-dedup pass
     // on actual reconstructed RGB, not payload bytes. A seeded PNG
     // corpus (seed = doc_id % 97, so ~5 docs share each image)

@@ -168,6 +168,23 @@ class MediaStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("parity: streaming audio resample equals the batch m21 plan") {
+    val rows = (1L to 6L).map(wav)
+    val stream = MemoryStream[Multimodal.MediaRow](spark)
+    val q = Multimodal.resampleWav(spark, stream.toDF())
+      .writeStream.format("memory").queryName("resample_t")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("resample_t")
+        .as[Multimodal.ResampleStats].collect().toSet
+      val want = Multimodal.resampleWav(spark, rows.toDF())
+        .collect().toSet
+      assert(got == want && got.size == 6)
+    } finally q.stop()
+  }
+
   test("undecodable payloads drop in both engines identically") {
     val bad = Multimodal.MediaRow(7L, "image/png",
       3L, Array[Byte](1, 2, 3))
