@@ -313,9 +313,32 @@ object Similarity {
         round(col("s.sim"), 6).as("sim"))
   }
 
+  /** One representative per cell: the vector most cosine-similar to
+    * its own cell centroid (ties to the smallest vec_id) — the
+    * [[graphBeamSearch]] entry list. The per-cell argmax is a window
+    * over each cell's rows against the one broadcast centroid table;
+    * output is O(nlist).
+    */
+  def cellMedoids(emb: DataFrame, labelCol: String): DataFrame = {
+    val cent = centroidVectors(emb, labelCol)
+      .select(col("label").as("_clabel"), col("cvec"))
+    // Per-cell argmax via the bounded-heap aggregate (k=1), NOT a
+    // row_number window: a window would sort the full corpus per
+    // cell; the heap partial-aggregates map-side with O(1) state and
+    // the same (sim DESC, vec_id ASC) tie-break.
+    emb.select(col(labelCol).as("_elabel"), col("vec_id"),
+        col("embedding"))
+      .join(broadcast(cent), col("_elabel") === col("_clabel"))
+      .withColumn("_msim", cosine_sim(col("embedding"), col("cvec")))
+      .groupBy("_clabel")
+      .agg(top_k_by_score(col("_msim"), col("vec_id"), lit(0L), 1)
+        .as("_tk"))
+      .select(element_at(col("_tk"), 1)("cand_id").as("cand_id"))
+  }
+
   /** Graph-walk ANN — beam search over a precomputed kNN graph (the
     * HNSW/DiskANN family's search step, batch-shaped): start every
-    * query at fixed entry points, then for `rounds` rounds expand
+    * query at the caller's entry points, then for `rounds` rounds expand
     * the beam's out-neighbors, score them against the query, and
     * keep the best `beamWidth` — candidates wander toward the
     * query's neighborhood along graph edges instead of scanning
@@ -345,27 +368,13 @@ object Similarity {
     *   strand the walk far from most queries). Must be small — it
     *   broadcasts.
     * @return (query_id, rank, cand_id, sim) — final beam, ranked
+    *
+    * Cache note: the partitioned graph is persisted (every round's
+    * expansion joins it) and the CALLER OWNS the cache lifetime
+    * after materializing — the [[embedNearDupPairs]]/[[Dedup]]
+    * convention; `graft.Verify` releases per query, Bench's steady
+    * runs legitimately reuse it.
     */
-  /** One representative per cell: the vector most cosine-similar to
-    * its own cell centroid (ties to the smallest vec_id) — the
-    * [[graphBeamSearch]] entry list. The per-cell argmax is a window
-    * over each cell's rows against the one broadcast centroid table;
-    * output is O(nlist).
-    */
-  def cellMedoids(emb: DataFrame, labelCol: String): DataFrame = {
-    val cent = centroidVectors(emb, labelCol)
-      .select(col("label").as("_clabel"), col("cvec"))
-    val w = Window.partitionBy(col("_clabel"))
-      .orderBy(col("_msim").desc, col("vec_id"))
-    emb.select(col(labelCol).as("_elabel"), col("vec_id"),
-        col("embedding"))
-      .join(broadcast(cent), col("_elabel") === col("_clabel"))
-      .withColumn("_msim", cosine_sim(col("embedding"), col("cvec")))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .select(col("vec_id").as("cand_id"))
-  }
-
   def graphBeamSearch(emb: DataFrame, queries: DataFrame,
       graph: DataFrame, entries: DataFrame, beamWidth: Int,
       rounds: Int): DataFrame = {

@@ -339,7 +339,7 @@ object PipelineQueries {
     * e25 search and the e26 recall gate.
     */
   private def beamWalkCtes(graphK: Int, rounds: Int,
-      beamWidth: Int): String = {
+      beamWidth: Int, probePred: String = "vec_id < 10"): String = {
     val walk = (1 to rounds).map { i =>
       s"""c$i AS (
          |  SELECT DISTINCT query_id, cand_id FROM (
@@ -366,7 +366,7 @@ object PipelineQueries {
        |  SELECT vec_id, nbr_id FROM r WHERE rank <= $graphK
        |),
        |q AS (SELECT vec_id AS query_id, emb AS qe FROM e
-       |      WHERE vec_id < 10),
+       |      WHERE $probePred),
        |ent AS (
        |  SELECT vec_id AS cand_id FROM (
        |    SELECT v.vec_id,
@@ -388,7 +388,8 @@ object PipelineQueries {
        |    ) s
        |  ) WHERE rn <= $beamWidth
        |),
-       |$walk""".stripMargin
+       |$walk,
+       |bfinal AS (SELECT * FROM b$rounds)""".stripMargin
   }
 
   /** Broadcast-side ADC lookup table shared by [[pqAdcScores]] and
@@ -2981,17 +2982,20 @@ object PipelineQueries {
               |FROM r WHERE rank <= 3
               |ORDER BY vec_id, rank""".stripMargin)),
 
-    // Graph-walk ANN — beam search over the e9 probed kNN graph (the
-    // HNSW/DiskANN family's search step, batch-shaped): every query
-    // starts at two fixed entry points, then 3 rounds of expand-
-    // neighbors → score → keep best 4 walk the beam toward the
-    // query's neighborhood along graph edges. Complements IVF: that
-    // prunes by partition, this by connectivity. Scale shape: graph
-    // partitioned once and never shuffled (the O(queries×beam) beam
-    // BROADCASTS against it per round); scoring gathers candidates
-    // by id against the corpus; every window ranks only the bounded
-    // beam-expansion rows per query. Fully deterministic
-    // ((sim DESC, cand_id) everywhere) — hence SQL-oracle-checkable.
+    // Graph-walk ANN — beam search over the degree-16 probed kNN
+    // graph (the HNSW/DiskANN family's search step, batch-shaped):
+    // every query starts at the per-cell MEDOIDS (fixed global
+    // entries strand the walk at 12.5% recall; medoids reach 90% —
+    // e26 records it), then 4 rounds of expand-neighbors → score →
+    // keep best 16 walk the beam toward the query's neighborhood
+    // along graph edges. Complements IVF: that prunes by partition,
+    // this by connectivity. Scale shape: graph partitioned once and
+    // never shuffled (the O(queries×beam) beam BROADCASTS against it
+    // per round); scoring gathers candidates by id against the
+    // corpus; every window ranks only the bounded beam-expansion
+    // rows per query (plan-pinned: all windows key on query_id).
+    // Fully deterministic ((sim DESC, cand_id) everywhere) — hence
+    // SQL-oracle-checkable.
     Q("e25_graph_ann",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
@@ -3008,9 +3012,10 @@ object PipelineQueries {
               |SELECT query_id, rn AS rank, cand_id,
               |  round(sim, 6) AS sim
               |FROM (
-              |  SELECT b4.*, row_number() OVER (PARTITION BY query_id
+              |  SELECT bfinal.*, row_number() OVER (
+              |    PARTITION BY query_id
               |    ORDER BY sim DESC, cand_id) AS rn
-              |  FROM b4
+              |  FROM bfinal
               |)
               |ORDER BY query_id, rank""".stripMargin)),
 
@@ -4586,7 +4591,7 @@ object PipelineQueries {
            |  SELECT query_id, cand_id FROM (
            |    SELECT query_id, cand_id, row_number() OVER (
            |      PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rn
-           |    FROM b4
+           |    FROM bfinal
            |  ) WHERE rn <= 4
            |),
            |ex0 AS (

@@ -17,23 +17,40 @@ class PlanShapeSpec extends SparkSpec {
     for (q <- Seq("e1_ann_topk", "e4_ann_ivf_probe", "e6_knn_graph",
         "e8_ann_learned", "m5_media_sim", "e11_pq_topk", "e16_sq8_topk",
         "e17_ivf_sq8", "e19_mips_topk", "q50_topk_pergroup",
-        "e21_ivf_pq", "e23_filtered_ann", "e24_filtered_ivf",
-        "e25_graph_ann")) {
+        "e21_ivf_pq", "e23_filtered_ann", "e24_filtered_ivf")) {
       val p = plan(q)
       assert(p.contains("ObjectHashAggregate"),
         s"$q lost the top_k_by_score partial aggregate")
       // e4/e5/e8/e17 rank CENTROID assignments with a window (bounded
-      // nlist rows), e24 likewise, and e25's beam windows rank only
-      // the O(beam×degree) per-query expansion — what must never
-      // appear is a window over the scored candidate rows, which
-      // carries the full corpus. The candidate path is the aggregate;
+      // nlist rows), e24 likewise — what must never appear is a
+      // window over the scored candidate rows, which carries the
+      // full corpus. The candidate path is the aggregate;
       // brute-force e1/e16 and bulk e6 must have no window at all.
       if (q != "e4_ann_ivf_probe" && q != "e8_ann_learned" &&
           q != "e17_ivf_sq8" && q != "e21_ivf_pq" &&
-          q != "e24_filtered_ivf" && q != "e25_graph_ann")
+          q != "e24_filtered_ivf")
         assert(!p.contains("RunningWindowFunction") && !p.contains("Window"),
           s"$q ranks candidates through a window sort")
     }
+  }
+
+  test("graph-walk ANN: every window keys on query_id; medoids via the heap") {
+    // e25's contract: its row_number rankings are legitimate ONLY
+    // because each one partitions by query_id over the bounded
+    // per-query beam expansion — a window keyed on anything else
+    // (a cell, the whole corpus) would be the corpus-sort failure
+    // mode. And the per-cell medoid argmax must be the bounded-heap
+    // aggregate keyed on the cell, not a window (a cellMedoids
+    // regression to row_number once passed a blanket-exempt version
+    // of this suite).
+    val p = plan("e25_graph_ann")
+    val parts = "windowspecdefinition\\((\\w+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(parts.nonEmpty, s"e25 lost its beam-ranking windows\n$p")
+    assert(parts == Set("query_id"),
+      s"e25 has a window keyed off query_id: $parts\n${p.take(4000)}")
+    assert("ObjectHashAggregate\\(keys=\\[_clabel".r.findFirstIn(p).isDefined,
+      s"e25's medoid argmax is no longer the per-cell heap aggregate\n$p")
   }
 
   test("filtered IVF applies the predicate inside the routed cell scan") {
