@@ -4446,6 +4446,78 @@ object PipelineQueries {
               |FROM r WHERE rank <= 5
               |ORDER BY query_id, rank""".stripMargin)),
 
+    // TWO-STAGE retrieve-then-rerank — the most common production
+    // retrieval composition and the reason PQ compression is safe to
+    // deploy: stage 1 retrieves a WIDE candidate set (top-20) by
+    // cheap ADC score over the compressed codes, stage 2 gathers
+    // ONLY those candidates' float vectors by id and reranks with
+    // exact cosine to the final top-5 — full precision paid on 20
+    // rows per query, never the corpus. Scale shape: both stages
+    // rank through the bounded heap; the rerank gather joins a
+    // broadcast O(queries×20) id list against the corpus; the exact
+    // kernel runs on gathered rows only.
+    Q("e27_pq_rerank",
+      (s, d) => {
+        import graft.functions.CosineSimilarity.cosine_sim
+        import graft.functions.TopKByScore.top_k_by_score
+        val cands = pqAdcScores(s, d)
+          .groupBy("query_id")
+          .agg(top_k_by_score(col("adc"), col("vec_id"), lit(0L), 20)
+            .as("tk"))
+          .select(col("query_id"), explode(col("tk")).as("t"))
+          .select(col("query_id"), col("t.cand_id").as("cand_id"))
+        val emb = Tables.embeddings(s, d).select(col("vec_id"),
+          expr("transform(embedding, v -> cast(v as double))").as("e"))
+        val q = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("e").as("qe"))
+        broadcast(cands)
+          .join(emb.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+          .join(broadcast(q), "query_id")
+          .withColumn("sim", cosine_sim(col("qe"), col("e")))
+          .groupBy("query_id")
+          .agg(top_k_by_score(col("sim"), col("cand_id"), lit(0L), 5)
+            .as("tk"))
+          .select(col("query_id"),
+            posexplode(col("tk")).as(Seq("pos", "t")))
+          .select(col("query_id"),
+            (col("pos") + 1).cast("long").as("rank"),
+            col("t.cand_id").as("cand_id"),
+            round(col("t.sim"), 6).as("sim"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH $pqScoreCtes,
+              |cand AS (
+              |  SELECT query_id, cand_id FROM (
+              |    SELECT query_id, cand_id, row_number() OVER (
+              |      PARTITION BY query_id ORDER BY adc DESC, cand_id)
+              |      AS rank
+              |    FROM sc
+              |  ) WHERE rank <= 20
+              |),
+              |ed AS (
+              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              |  FROM embeddings
+              |),
+              |qx AS (SELECT vec_id AS query_id, emb AS qe FROM ed
+              |       WHERE vec_id < 10),
+              |rr AS (
+              |  SELECT c.query_id, c.cand_id,
+              |    ${TextHash.duckCosine("q.qe", "v.emb", 64)} AS sim
+              |  FROM cand c
+              |  JOIN qx q ON q.query_id = c.query_id
+              |  JOIN ed v ON v.vec_id = c.cand_id
+              |),
+              |r AS (
+              |  SELECT query_id, cand_id, sim, row_number() OVER (
+              |    PARTITION BY query_id ORDER BY sim DESC, cand_id)
+              |    AS rank
+              |  FROM rr
+              |)
+              |SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id,
+              |  round(sim, 6) AS sim
+              |FROM r WHERE rank <= 5
+              |ORDER BY query_id, rank""".stripMargin)),
+
     // FILTERED vector search — the production retrieval shape
     // (metadata predicate + ANN in one query): top-5 neighbors among
     // candidates with an EVEN label only. The predicate applies

@@ -17,7 +17,8 @@ class PlanShapeSpec extends SparkSpec {
     for (q <- Seq("e1_ann_topk", "e4_ann_ivf_probe", "e6_knn_graph",
         "e8_ann_learned", "m5_media_sim", "e11_pq_topk", "e16_sq8_topk",
         "e17_ivf_sq8", "e19_mips_topk", "q50_topk_pergroup",
-        "e21_ivf_pq", "e23_filtered_ann", "e24_filtered_ivf")) {
+        "e21_ivf_pq", "e23_filtered_ann", "e24_filtered_ivf",
+        "e27_pq_rerank")) {
       val p = plan(q)
       assert(p.contains("ObjectHashAggregate"),
         s"$q lost the top_k_by_score partial aggregate")
