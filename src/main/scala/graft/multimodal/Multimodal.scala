@@ -311,10 +311,12 @@ object Multimodal {
     *     transparent T_k = (id + 5k) % 16,
     *     disposal 2 (restore bg) for odd k, 1 (leave) for even k.
     */
-  def gifAnimTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+  def gifAnimTable(spark: SparkSession, docs: DataFrame,
+      seedOf: Long => Long = identity): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
-      ids.map { id =>
+      ids.map { docId =>
+        val id = seedOf(docId)
         val w = (8 + Math.floorMod(id, 5)).toInt
         val h = (8 + Math.floorMod(id * 3, 5)).toInt
         val depth = 4
@@ -348,7 +350,7 @@ object Multimodal {
         }
         val payload = Gif.encodeAnimated(w, h, depth, palette,
           base +: rest)
-        MediaRow(id, "image/gif", payload.length.toLong, payload)
+        MediaRow(docId, "image/gif", payload.length.toLong, payload)
       }
     }.toDF()
   }
@@ -421,6 +423,30 @@ object Multimodal {
             val (hex, sum) = pixelDigest(fs(f).rgb)
             FrameSampleStats(r.doc_id, i.toLong, f.toLong, sum, hex)
           }
+        }
+      }
+    }
+  }
+
+  case class AnimSigRow(doc_id: Long, n_frames: Long, anim_sig: String)
+
+  /** Perceptual ANIMATION dedup signature — the video twin of the
+    * m10/m18 image dHash: decode the composited frame walk
+    * ([[Gif.decodeFrames]]), dHash every frame, and md5 the
+    * concatenated per-frame hashes in frame order. Two animations
+    * collide iff every frame is perceptually identical in sequence —
+    * near-identical re-encodes collapse, reordered or re-timed cuts
+    * do not. Map-side only; undecodable payloads drop.
+    */
+  def animDHash(spark: SparkSession, media: DataFrame)
+      : Dataset[AnimSigRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        Gif.decodeFrames(r.payload).map { fs =>
+          val joined = fs.iterator
+            .map(f => dhashHex(f.width, f.height, f.rgb)).mkString
+          AnimSigRow(r.doc_id, fs.length.toLong, md5Ascii(joined))
         }
       }
     }

@@ -93,26 +93,26 @@ object PipelineQueries {
     * canvas (disposal 1). `fstats` holds one digest row per
     * (doc_id, frame_idx < nf), matching GifFrameStats.
     */
-  private val gifAnimFrameCtes: String =
-    """dims AS (
-      |  SELECT doc_id,
-      |    8 + doc_id % 5 AS w,
-      |    8 + (doc_id * 3) % 5 AS h,
-      |    2 + doc_id % 3 AS nf
+  private def gifAnimFrameCtes(idExpr: String = "doc_id"): String =
+    s"""dims AS (
+      |  SELECT doc_id, ($idExpr) AS sv,
+      |    8 + ($idExpr) % 5 AS w,
+      |    8 + (($idExpr) * 3) % 5 AS h,
+      |    2 + ($idExpr) % 3 AS nf
       |  FROM documents
       |),
       |pix AS (
-      |  SELECT d.doc_id, d.w, d.h, d.nf, gy.y, gx.x,
-      |    (d.doc_id * 19 + gy.y * 11 + gx.x * 7) % 16 AS j0,
-      |    (d.doc_id + 3) % (d.w - 3) AS l1,
-      |    (d.doc_id * 5 + 7) % (d.h - 3) AS t1,
-      |    (d.doc_id + 5) % 16 AS tr1,
-      |    (d.doc_id + 6) % (d.w - 3) AS l2,
-      |    (d.doc_id * 5 + 14) % (d.h - 3) AS t2,
-      |    (d.doc_id + 10) % 16 AS tr2,
-      |    (d.doc_id + 9) % (d.w - 3) AS l3,
-      |    (d.doc_id * 5 + 21) % (d.h - 3) AS t3,
-      |    (d.doc_id + 15) % 16 AS tr3
+      |  SELECT d.doc_id, d.sv, d.w, d.h, d.nf, gy.y, gx.x,
+      |    (d.sv * 19 + gy.y * 11 + gx.x * 7) % 16 AS j0,
+      |    (d.sv + 3) % (d.w - 3) AS l1,
+      |    (d.sv * 5 + 7) % (d.h - 3) AS t1,
+      |    (d.sv + 5) % 16 AS tr1,
+      |    (d.sv + 6) % (d.w - 3) AS l2,
+      |    (d.sv * 5 + 14) % (d.h - 3) AS t2,
+      |    (d.sv + 10) % 16 AS tr2,
+      |    (d.sv + 9) % (d.w - 3) AS l3,
+      |    (d.sv * 5 + 21) % (d.h - 3) AS t3,
+      |    (d.sv + 15) % 16 AS tr3
       |  FROM dims d,
       |    (SELECT unnest(range(0, 12)) AS y) gy,
       |    (SELECT unnest(range(0, 12)) AS x) gx
@@ -121,13 +121,13 @@ object PipelineQueries {
       |lay AS (
       |  SELECT *,
       |    CASE WHEN y >= t1 AND y < t1 + 4 AND x >= l1 AND x < l1 + 4
-      |         THEN (doc_id * 3 + 23 + (y - t1) * 5 + (x - l1) * 9) % 16
+      |         THEN (sv * 3 + 23 + (y - t1) * 5 + (x - l1) * 9) % 16
       |         ELSE -1 END AS i1,
       |    CASE WHEN y >= t2 AND y < t2 + 4 AND x >= l2 AND x < l2 + 4
-      |         THEN (doc_id * 3 + 46 + (y - t2) * 5 + (x - l2) * 9) % 16
+      |         THEN (sv * 3 + 46 + (y - t2) * 5 + (x - l2) * 9) % 16
       |         ELSE -1 END AS i2,
       |    CASE WHEN y >= t3 AND y < t3 + 4 AND x >= l3 AND x < l3 + 4
-      |         THEN (doc_id * 3 + 69 + (y - t3) * 5 + (x - l3) * 9) % 16
+      |         THEN (sv * 3 + 69 + (y - t3) * 5 + (x - l3) * 9) % 16
       |         ELSE -1 END AS i3
       |  FROM pix
       |),
@@ -148,7 +148,7 @@ object PipelineQueries {
       |  FROM st2
       |),
       |fr AS (
-      |  SELECT doc_id, w, h, nf, y, x, gf.f AS frame_idx,
+      |  SELECT doc_id, sv, w, h, nf, y, x, gf.f AS frame_idx,
       |    CASE gf.f WHEN 0 THEN j0 WHEN 1 THEN o1
       |         WHEN 2 THEN o2 ELSE o3 END AS j
       |  FROM st3, (SELECT unnest(range(0, 4)) AS f) gf
@@ -156,7 +156,7 @@ object PipelineQueries {
       |),
       |apx AS (
       |  SELECT doc_id, w, h, frame_idx, y, x, gc.c AS c,
-      |    (doc_id * 47 + j * 29 + gc.c * 13) % 256 AS b
+      |    (sv * 47 + j * 29 + gc.c * 13) % 256 AS b
       |  FROM fr, (SELECT unnest(range(0, 3)) AS c) gc
       |),
       |fstats AS (
@@ -3289,7 +3289,7 @@ object PipelineQueries {
         Multimodal.sampleGifFrames(s, media, nSamples = 4).toDF()
           .orderBy("doc_id", "sample_idx")
       },
-      Some(s"""WITH $gifAnimFrameCtes
+      Some(s"""WITH ${gifAnimFrameCtes()}
               |SELECT d.doc_id, s.s AS sample_idx,
               |  (s.s * d.nf) // 4 AS frame_idx, f.sum_rgb, f.pixels_md5
               |FROM dims d, (SELECT unnest(range(0, 4)) AS s) s
@@ -3328,6 +3328,80 @@ object PipelineQueries {
              |FROM fd GROUP BY doc_id, w, h, nf
              |ORDER BY doc_id""".stripMargin)),
 
+    // Perceptual ANIMATION dedup — the video twin of m10/m18's image
+    // dHash: a seeded animated corpus (seed = doc_id % 53, so ~9 docs
+    // share each animation) decodes through the composited frame
+    // walk, every frame is dHashed, and the signature is the md5 of
+    // the concatenated per-frame hashes IN ORDER — re-encodes of the
+    // same animation collapse, reordered or re-timed cuts do not.
+    // The oracle recomputes composited palette indices per frame,
+    // grayscale + 9×8 resample + gradient bits per the m18 mirror,
+    // then the ordered per-frame concatenation. Scale shape:
+    // map-side decode+hash, one partial-agg exchange on the
+    // signature, broadcast count-back (the m10 shape).
+    Q("m22_anim_dedup",
+      (s, d) => {
+        val sigs = Multimodal.animDHash(s,
+          Multimodal.gifAnimTable(s, Tables.documents(s, d), _ % 53))
+          .toDF()
+        val counts = sigs.groupBy("anim_sig")
+          .agg(count(lit(1)).as("n_same"))
+        sigs.join(broadcast(counts), "anim_sig")
+          .select(col("doc_id"), col("n_frames"), col("anim_sig"),
+            col("n_same"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${gifAnimFrameCtes("doc_id % 53")},
+              |agr AS (
+              |  SELECT doc_id, frame_idx, w, h, y, x,
+              |    ((sv * 47 + j * 29) % 256
+              |     + (sv * 47 + j * 29 + 13) % 256
+              |     + (sv * 47 + j * 29 + 26) % 256) // 3 AS gray
+              |  FROM fr
+              |),
+              |pos AS (
+              |  SELECT a.doc_id, a.frame_idx, gy.y8, gx.x9,
+              |    (gy.y8 * a.h) // 8 AS yy,
+              |    (gx.x9 * a.w) // 9 AS xl,
+              |    ((gx.x9 + 1) * a.w) // 9 AS xr
+              |  FROM (SELECT DISTINCT doc_id, frame_idx, w, h FROM fr) a,
+              |    (SELECT unnest(range(0, 8)) AS y8) gy,
+              |    (SELECT unnest(range(0, 8)) AS x9) gx
+              |),
+              |bits AS (
+              |  SELECT p.doc_id, p.frame_idx, p.y8, p.x9,
+              |    CASE WHEN gr.gray > gl.gray THEN 1 ELSE 0 END AS bit
+              |  FROM pos p
+              |  JOIN agr gl ON gl.doc_id = p.doc_id
+              |    AND gl.frame_idx = p.frame_idx
+              |    AND gl.y = p.yy AND gl.x = p.xl
+              |  JOIN agr gr ON gr.doc_id = p.doc_id
+              |    AND gr.frame_idx = p.frame_idx
+              |    AND gr.y = p.yy AND gr.x = p.xr
+              |),
+              |rws AS (
+              |  SELECT doc_id, frame_idx, y8,
+              |    CAST(SUM(bit * (1 << x9)) AS BIGINT) AS row_byte
+              |  FROM bits GROUP BY doc_id, frame_idx, y8
+              |),
+              |fhash AS (
+              |  SELECT doc_id, frame_idx,
+              |    string_agg(lower(lpad(to_hex(row_byte), 2, '0')), ''
+              |      ORDER BY y8) AS dhash_hex
+              |  FROM rws GROUP BY doc_id, frame_idx
+              |),
+              |sig AS (
+              |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+              |    md5(string_agg(dhash_hex, '' ORDER BY frame_idx))
+              |      AS anim_sig
+              |  FROM fhash GROUP BY doc_id
+              |),
+              |cnt AS (SELECT anim_sig, count(*) AS c FROM sig GROUP BY 1)
+              |SELECT s.doc_id, s.n_frames, s.anim_sig,
+              |  CAST(cnt.c AS BIGINT) AS n_same
+              |FROM sig s JOIN cnt USING (anim_sig)
+              |ORDER BY s.doc_id""".stripMargin)),
+
     // The composited frame walk itself: EVERY frame of the planted
     // animations as a full-canvas snapshot — offsets, transparency
     // show-through, and disposal-2 background restore are each
@@ -3337,7 +3411,7 @@ object PipelineQueries {
       (s, d) => Multimodal.decodeGifFrameStats(s,
           Multimodal.gifAnimTable(s, Tables.documents(s, d)))
         .toDF().orderBy("doc_id", "frame_idx"),
-      Some(s"""WITH $gifAnimFrameCtes
+      Some(s"""WITH ${gifAnimFrameCtes()}
               |SELECT doc_id, frame_idx, width, height, sum_rgb,
               |  pixels_md5
               |FROM fstats ORDER BY doc_id, frame_idx""".stripMargin)),
