@@ -504,6 +504,75 @@ object Multimodal {
     }
   }
 
+  case class VadSegment(doc_id: Long, seg: Long, start_j: Long,
+      end_j: Long, n_samples: Long, sum_abs: Long)
+
+  /** VAD-style silence segmentation (m23) — the speech-curation gate
+    * between decode and transcription: over [[resampleWav]]'s
+    * resampled mono stream (values on the ×targetRate integer grid),
+    * an output sample is ACTIVE when |y| ≥ threshold·targetRate
+    * (threshold is a raw 16-bit amplitude), consecutive active
+    * samples form a run, and runs shorter than `minRun` are dropped
+    * as clicks. Per kept run: 0-based sample span [start_j, end_j],
+    * length and the exact integer |y| mass. All-integer arithmetic —
+    * the oracle states the run-length rule directly on the planting
+    * formulas (gaps-and-islands) without a decoder. Map-side decode +
+    * scan per doc (state = one open run), no shuffle but the
+    * deterministic sort; docs that never cross the threshold simply
+    * have no rows, exactly like the oracle.
+    */
+  def vadSegments(spark: SparkSession, media: DataFrame,
+      targetRate: Int = 16000, threshold: Long = 8192,
+      minRun: Int = 4): Dataset[VadSegment] = {
+    import spark.implicits._
+    val thr = threshold * targetRate
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        Wav.decode(r.payload).toSeq.flatMap { d =>
+          val ch = d.channels
+          val nf = d.samples.length / ch
+          val mono = Array.tabulate(nf) { i =>
+            var s = 0L
+            var c = 0
+            while (c < ch) { s += d.samples(i * ch + c); c += 1 }
+            s / ch // truncating mean (SQL integer-division semantics)
+          }
+          val nOut = (nf.toLong * targetRate / d.sampleRate).toInt
+          val segs = scala.collection.mutable.ArrayBuffer[VadSegment]()
+          var seg = 0L
+          var runStart = -1
+          var runSum = 0L
+          var j = 0
+          def close(endExclusive: Int): Unit = {
+            if (runStart >= 0 && endExclusive - runStart >= minRun) {
+              seg += 1
+              segs += VadSegment(r.doc_id, seg, runStart.toLong,
+                (endExclusive - 1).toLong,
+                (endExclusive - runStart).toLong, runSum)
+            }
+            runStart = -1
+            runSum = 0L
+          }
+          while (j < nOut) {
+            val pn = j.toLong * d.sampleRate
+            val p = (pn / targetRate).toInt
+            val rem = pn % targetRate
+            val p1 = math.min(p + 1, nf - 1)
+            val y = mono(p) * (targetRate - rem) + mono(p1) * rem
+            val a = math.abs(y)
+            if (a >= thr) {
+              if (runStart < 0) runStart = j
+              runSum += a
+            } else close(j)
+            j += 1
+          }
+          close(nOut)
+          segs
+        }
+      }
+    }
+  }
+
   /** Plant REAL baseline JPEGs (encoded by [[Jpeg.encode]]: full
     * forward DCT + Annex K quantization + canonical Huffman entropy
     * coding): constant-per-8×8-block grayscale images whose block

@@ -36,6 +36,26 @@ object Sampling {
   def hashBucket(key: Column): Column =
     string_poly_hash(key.cast("string")) * Mixer % MixMod % Buckets
 
+  /** Deterministic global training-order shuffle (d65) — the last
+    * step before shard export: a trainer must not see the corpus in
+    * crawl/source order (adjacent documents correlate — same site,
+    * same day, same template), and `rand()`/`shuffle()` orders are
+    * partition-, retry- and engine-unstable. The order key is the
+    * full 32-bit Knuth-mixed id hash ([[hashBucket]]'s exact recipe
+    * WITHOUT the bucket reduction — 10 000 buckets would give only
+    * 10 000 distinct sort keys and leave id order inside each), tied
+    * by id — a pure function of the row SET, identical across runs,
+    * partitionings and engines, so the "random" order is
+    * reproducible and oracle-checkable. The sort is Spark's
+    * range-partitioned exchange (sampled split points, each task
+    * sorts its range — the pr_rank_sort class, never a single-task
+    * global sort).
+    */
+  def shuffleOrder(df: DataFrame, idCol: String): DataFrame =
+    df.withColumn("shuffle_key",
+        string_poly_hash(col(idCol).cast("string")) * Mixer % MixMod)
+      .orderBy(col("shuffle_key"), col(idCol))
+
   /** Keep each row with its stratum's rate (fraction in [0,1]);
     * strata not in `rates` keep `defaultRate`.
     */

@@ -369,47 +369,200 @@ object Similarity {
     *   broadcasts.
     * @return (query_id, rank, cand_id, sim) — final beam, ranked
     *
-    * Cache note: the partitioned graph is persisted (every round's
-    * expansion joins it) and the CALLER OWNS the cache lifetime
-    * after materializing — the [[embedNearDupPairs]]/[[Dedup]]
-    * convention; `graft.Verify` releases per query, Bench's steady
-    * runs legitimately reuse it.
+    * Plan depth: the beam is referenced TWICE per round (carried into
+    * the union AND joined against the graph), so a lazy plan would
+    * double every round (~2^rounds copies of the entry subplan — the
+    * exact failure mode PageRank's dangling branch documents). Each
+    * round's beam is therefore eagerly `lineageCut` — the per-round
+    * materialization is O(queries × beamWidth), the walk frontier,
+    * never the corpus — so plan depth stays ONE round regardless of
+    * `rounds` (PlanShapeSpec pins this).
+    *
+    * Cache note: the partitioned graph is persisted for the walk and
+    * RELEASED before returning (the final beam is already cut, so the
+    * returned ranking never re-reads the cache) — the
+    * `runUntilConverged` self-release convention; repeated calls
+    * cannot accumulate persisted graphs.
     */
   def graphBeamSearch(emb: DataFrame, queries: DataFrame,
       graph: DataFrame, entries: DataFrame, beamWidth: Int,
       rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    beamWalk(emb, queries, graph, entries, beamWidth,
+      maxRounds = rounds, untilStable = false)
+  }
+
+  /** Convergence twin of [[graphBeamSearch]] — the open-ended form
+    * every other iterative operator has (PageRank/HITS/k-means/BFS/
+    * LPA/k-core): walk until the kept beam SET stops changing instead
+    * of a hardwired round count. Each new beam is the top-`beamWidth`
+    * of a candidate pool that includes the previous beam, so the
+    * per-query kept set improves monotonically in the (sim DESC,
+    * cand_id) order and a fixed point always exists; stability is ONE
+    * O(queries × beamWidth) anti-join scalar per round (new \ old
+    * empty ⇒ new = old, since the new set can never shrink). Throws
+    * if `maxRounds` passes without stabilizing — callers never get a
+    * silently-truncated walk.
+    */
+  def graphBeamSearchUntilStable(emb: DataFrame, queries: DataFrame,
+      graph: DataFrame, entries: DataFrame, beamWidth: Int,
+      maxRounds: Int = 64): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    beamWalk(emb, queries, graph, entries, beamWidth,
+      maxRounds = maxRounds, untilStable = true)
+  }
+
+  private def beamWalk(emb: DataFrame, queries: DataFrame,
+      graph: DataFrame, entries: DataFrame, beamWidth: Int,
+      maxRounds: Int, untilStable: Boolean): DataFrame = {
+    import graft.operators.Checkpointing.CutOps
     val e = emb.select(col("vec_id"), col("embedding"))
     val g = graph.select(col("vec_id"), col("nbr_id"))
       .repartition(col("vec_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val q = queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("qe"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("cand_id"))
-    // gather-by-id + score + keep best `beamWidth` per query
-    def score(cands: DataFrame): DataFrame =
-      broadcast(cands)
-        .join(e.withColumnRenamed("vec_id", "cand_id"), "cand_id")
-        .join(broadcast(q), "query_id")
-        .withColumn("sim", cosine_sim(col("qe"), col("embedding")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= beamWidth)
-        .select(col("query_id"), col("cand_id"), col("sim"))
-    val ent = entries.select(col("cand_id"))
-    var beam = score(q.select(col("query_id")).crossJoin(ent)
-      .filter(col("cand_id") =!= col("query_id")))
-    for (_ <- 1 to rounds) {
-      val expanded = beam.select("query_id", "cand_id")
-        .union(broadcast(beam).join(g, beam("cand_id") === g("vec_id"))
-          .select(col("query_id"), col("nbr_id").as("cand_id")))
-        .filter(col("cand_id") =!= col("query_id"))
-        .distinct()
-      beam = score(expanded)
-    }
-    beam
-      .withColumn("rank", row_number().over(w))
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("cand_id"), round(col("sim"), 6).as("sim"))
+    try {
+      val q = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("cand_id"))
+      // gather-by-id + score + keep best `beamWidth` per query
+      def score(cands: DataFrame): DataFrame =
+        broadcast(cands)
+          .join(e.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+          .join(broadcast(q), "query_id")
+          .withColumn("sim", cosine_sim(col("qe"), col("embedding")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= beamWidth)
+          .select(col("query_id"), col("cand_id"), col("sim"))
+      val ent = entries.select(col("cand_id"))
+      var beam = score(q.select(col("query_id")).crossJoin(ent)
+        .filter(col("cand_id") =!= col("query_id"))).lineageCut
+      var stable = false
+      var r = 0
+      while (r < maxRounds && !stable) {
+        r += 1
+        val expanded = beam.select("query_id", "cand_id")
+          .union(broadcast(beam).join(g, beam("cand_id") === g("vec_id"))
+            .select(col("query_id"), col("nbr_id").as("cand_id")))
+          .filter(col("cand_id") =!= col("query_id"))
+          .distinct()
+        val next = score(expanded).lineageCut
+        if (untilStable)
+          stable = next
+            .join(beam, Seq("query_id", "cand_id"), "left_anti").isEmpty
+        beam = next
+      }
+      require(!untilStable || stable,
+        s"beam walk did not stabilize in $maxRounds rounds")
+      // The final ranking stays lazy OVER THE CUT BEAM: its plan is
+      // one window on a checkpoint scan (bounded depth however many
+      // rounds ran — PlanShapeSpec pins this), and it never re-reads
+      // the graph, so releasing the graph cache here is safe.
+      beam
+        .withColumn("rank", row_number().over(w))
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("cand_id"), round(col("sim"), 6).as("sim"))
+    } finally g.unpersist()
+  }
+
+  /** Navigable-graph BUILD — the construction half of the graph-ANN
+    * story ([[graphBeamSearch]] is the search half; until now it
+    * walked the raw kNN graph). The Vamana/NSW recipe, batch-shaped:
+    *
+    *   1. SYMMETRIZE: add every kNN edge's reverse (the insertion
+    *      backlink of the HNSW/DiskANN builds). A kNN graph only
+    *      points AT popular vectors; the reverse edges are what let
+    *      the walk leave them again — this is where the measured
+    *      recall gain comes from (e30: 0.95/0.875/0.775 vs the raw
+    *      graph's 0.90/0.85/0.60 recall@4 across the three test SFs,
+    *      at EQUAL max out-degree).
+    *   2. α-PRUNE greedily in similarity order (Vamana's
+    *      RobustPrune): candidate c is dropped when an already-KEPT
+    *      neighbor b is α-times closer to c than the node a itself
+    *      is — distance form on the e6 integer grid,
+    *      `alpha100·(1e6 − cos_e6(b,c)) ≤ 100·(1e6 − cos_e6(a,c))` —
+    *      a kept direction "covers" c, so the edge is redundant. On
+    *      clustered corpora this drops same-direction duplicates; on
+    *      diffuse corpora it rarely fires and the cap binds instead.
+    *   3. CAP out-degree at `maxDegree` (greedy order means this
+    *      equals keeping the first `maxDegree` α-survivors).
+    *
+    * Scale shape: symmetrization is one distinct exchange over
+    * O(n·k) edges; edge scoring is two co-partitioned id joins with
+    * the codegen'd cosine; the per-node candidate list is truncated
+    * to `maxCandidates` by the bounded-heap [[top_k_by_score]]
+    * partial aggregate FIRST (map-side O(maxCandidates) state — a
+    * hub's unbounded reverse in-degree never becomes aggregation
+    * state), and only then do the ≤ maxCandidates embedding rows
+    * regroup for the prune, which is ONE higher-order `aggregate`
+    * per node (state ≤ maxDegree × dims). Fully deterministic:
+    * candidate order is (sim_e6 DESC, nbr_id), every prune
+    * comparison is exact integer arithmetic — hence
+    * SQL-oracle-checkable (e28).
+    *
+    * @param knn (vec_id, nbr_id) directed kNN edges (e.g.
+    *   [[knnGraphProbed]])
+    * @return (vec_id, rank, nbr_id, sim_e6) kept directed edges,
+    *   ranked per node in (sim_e6 DESC, nbr_id) order
+    */
+  def navigableGraph(emb: DataFrame, knn: DataFrame,
+      alpha100: Long = 120, maxDegree: Int = 16,
+      maxCandidates: Int = 32): DataFrame = {
+    require(alpha100 >= 100,
+      s"alpha100 is a ×100 fixed-point α ≥ 1, got $alpha100")
+    require(maxDegree >= 1 && maxCandidates >= maxDegree,
+      s"need 1 <= maxDegree <= maxCandidates, " +
+        s"got $maxDegree/$maxCandidates")
+    val edges = knn.select(col("vec_id"), col("nbr_id"))
+    val sym = edges
+      .union(edges.select(col("nbr_id").as("vec_id"),
+        col("vec_id").as("nbr_id")))
+      .distinct()
+    // Double vectors + precomputed norms: the in-lambda prune cosine
+    // is dot/(nrm_b·nrm_c) with the same left-to-right folds as the
+    // codegen'd kernel, so both engines see identical doubles.
+    val en = emb.select(col("vec_id"),
+        expr("transform(embedding, v -> cast(v as double))").as("e"))
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(zip_with(e, e, (x, y) -> x * y), " +
+          "cast(0 as double), (s, v) -> s + v))"))
+    val sel = sym
+      .join(en.select(col("vec_id"), col("e").as("ea")), "vec_id")
+      .join(en.select(col("vec_id").as("nbr_id"), col("e").as("eb")),
+        "nbr_id")
+      .withColumn("se",
+        floor(cosine_sim(col("ea"), col("eb")) * 1000000 + 0.5)
+          .cast("long"))
+      .groupBy("vec_id")
+      .agg(top_k_by_score(col("se").cast("double"), col("nbr_id"),
+        lit(0L), maxCandidates).as("tk"))
+      .select(col("vec_id"), explode(col("tk")).as("t"))
+      .select(col("vec_id"), col("t.cand_id").as("nbr_id"),
+        col("t.sim").cast("long").as("se"))
+    val cand = sel.join(
+      en.select(col("vec_id").as("nbr_id"), col("e"), col("nrm")),
+      "nbr_id")
+    val kept = cand
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct((-col("se")).as("ns"),
+        col("nbr_id").as("nbr"), col("se"), col("nrm"), col("e"))))
+        .as("cands"))
+      .select(col("vec_id"), expr(
+        s"""aggregate(cands,
+           |  cast(array() as array<struct<ns:bigint,nbr:bigint,
+           |    se:bigint,nrm:double,e:array<double>>>),
+           |  (acc, c) -> if(size(acc) < $maxDegree and not exists(acc,
+           |      b -> $alpha100 * (1000000 - floor(
+           |        aggregate(zip_with(b.e, c.e, (x, y) -> x * y),
+           |          cast(0 as double), (s, v) -> s + v)
+           |        / (b.nrm * c.nrm) * 1000000.0d + 0.5d))
+           |      <= 100 * (1000000 - c.se)),
+           |    array_append(acc, c), acc))""".stripMargin
+          .replaceAll("\n\\s*", " ")).as("kept"))
+    kept
+      .select(col("vec_id"), posexplode(col("kept")).as(Seq("pos", "s")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("s.nbr").as("nbr_id"), col("s.se").as("sim_e6"))
   }
 
   /** Exhaustive SQ8 scan top-k — [[bruteForceTopK]] run over the
@@ -544,6 +697,61 @@ object Similarity {
       expr("concat(CAST(embedding AS ARRAY<DOUBLE>), array(0.0D))")
         .as("embedding"))
     bruteForceTopK(cand, probes, k)
+  }
+
+  /** IVF index-health card — the one table that decides WHEN to
+    * retrain (e29; [[graft.sources.IndexPipeline.append]] encodes
+    * against stale centroids by design, so health must be measured,
+    * not assumed). Per trained cell:
+    *
+    *   - `n_vecs` — inverted-list length;
+    *   - `fill_e6` — n·nlist/total ×1e6 (1e6 = perfectly balanced;
+    *     the max/min spread is the probe-cost imbalance a skewed
+    *     index pays on every query);
+    *   - `drift_e6` — (1 − cos(assigned-mass mean, stored
+    *     centroid)) ×1e6: how far the cell's actual population has
+    *     moved off the centroid that routes queries to it. Appends
+    *     from a shifted distribution push this up monotonically
+    *     (IndexPipelineSpec); a retrain resets it to ~0.
+    *
+    * Cells with no assigned vectors surface explicitly (n_vecs 0,
+    * fill 0, drift null) — the e13 evaluation contract. One
+    * partial-aggregated pass over the assignment (count + per-dim
+    * mean share the cell-key exchange); totals ride as broadcast
+    * one-row aggregates; integer arithmetic end-to-end (the mean is
+    * e6-rounded per [[centroids]], so the cosine is
+    * oracle-bit-identical).
+    *
+    * @param assigned (cell, embedding, …) the corpus with its cell
+    *   column ([[graft.operators.KMeans.withCells]], or decoded index
+    *   rows)
+    * @param centroids (cell, cvec) the stored routing centroids
+    * @return (cell, n_vecs, fill_e6, drift_e6) ordered by cell
+    */
+  def ivfHealthCard(assigned: DataFrame, centroids: DataFrame): DataFrame = {
+    val a = assigned.select(col("cell"), col("embedding"))
+    val counts = a.groupBy("cell").agg(count(lit(1)).as("n"))
+    val means = centroidVectors(
+        a.select(col("cell").as("label"), col("embedding")), "label")
+      .select(col("label").as("cell"), col("cvec").as("mvec"))
+    val tot = counts.agg(coalesce(sum("n"), lit(0L)).as("t"))
+    val nlist = centroids.agg(count(lit(1)).as("nl"))
+    centroids.select(col("cell"), col("cvec"))
+      .join(counts, Seq("cell"), "left")
+      .join(means, Seq("cell"), "left")
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(nlist))
+      .select(col("cell").cast("long").as("cell"),
+        coalesce(col("n"), lit(0L)).as("n_vecs"),
+        // greatest(t, 1): an empty assignment reads fill 0 for every
+        // cell instead of a divide-by-zero (DuckDB errors, Spark
+        // nulls — neither is the honest answer).
+        expr("CAST(coalesce(n, 0) * nl * 1000000 div greatest(t, 1)" +
+          " AS BIGINT)").as("fill_e6"),
+        (lit(1000000L) -
+          floor(cosine_sim(col("mvec"), col("cvec")) * 1000000 + 0.5)
+            .cast("long")).as("drift_e6"))
+      .orderBy("cell")
   }
 
   /** SQ8 scalar quantization — the int8 storage layout of

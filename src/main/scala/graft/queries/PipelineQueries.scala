@@ -339,7 +339,8 @@ object PipelineQueries {
     * e25 search and the e26 recall gate.
     */
   private def beamWalkCtes(graphK: Int, rounds: Int,
-      beamWidth: Int, probePred: String = "vec_id < 10"): String = {
+      beamWidth: Int, probePred: String = "vec_id < 10",
+      graphSql: Option[String] = None): String = {
     val walk = (1 to rounds).map { i =>
       s"""c$i AS (
          |  SELECT DISTINCT query_id, cand_id FROM (
@@ -363,7 +364,8 @@ object PipelineQueries {
          |)""".stripMargin
     }.mkString(",\n")
     s"""g AS MATERIALIZED (
-       |  SELECT vec_id, nbr_id FROM r WHERE rank <= $graphK
+       |  ${graphSql.getOrElse(
+              s"SELECT vec_id, nbr_id FROM r WHERE rank <= $graphK")}
        |),
        |q AS (SELECT vec_id AS query_id, emb AS qe FROM e
        |      WHERE $probePred),
@@ -392,6 +394,71 @@ object PipelineQueries {
        |bfinal AS (SELECT * FROM b$rounds)""".stripMargin
   }
 
+  /** DuckDB CTEs for the e28 navigable-graph build (mirrors
+    * Similarity.navigableGraph over the k=`graphK` probed kNN
+    * graph): symmetrize (`symg`), score + rank candidates on the e6
+    * grid truncated at `maxCand` (`nc`), then the greedy α-prune
+    * UNROLLED one candidate-rank per step (`k1..k$maxCand` — greedy
+    * is sequential through the kept set, so each step admits rank-i
+    * candidates checked against the survivors so far; MATERIALIZED,
+    * or DuckDB would inline the triple self-reference
+    * exponentially). Requires [[probedKnnCtes]] upstream (`e`, `r`).
+    * Produces `nav` (vec_id, rank, nbr_id, se) — shared by the e28
+    * build output and e30's walk-over-the-built-graph recall gate.
+    */
+  private def navGraphCtes(graphK: Int, alpha100: Int, maxDeg: Int,
+      maxCand: Int): String = {
+    val cosBC = TextHash.duckCosine("be.emb", "ce.emb", 64)
+    val steps = (1 to maxCand).map { i =>
+      s"""k$i AS MATERIALIZED (
+         |  SELECT * FROM k${i - 1}
+         |  UNION ALL
+         |  SELECT c.vec_id, c.nbr_id, c.se
+         |  FROM nc c
+         |  WHERE c.crank = $i
+         |    AND (SELECT count(*) FROM k${i - 1} p
+         |         WHERE p.vec_id = c.vec_id) < $maxDeg
+         |    AND NOT EXISTS (
+         |      SELECT 1 FROM k${i - 1} p
+         |      JOIN e be ON be.vec_id = p.nbr_id
+         |      JOIN e ce ON ce.vec_id = c.nbr_id
+         |      WHERE p.vec_id = c.vec_id
+         |        AND $alpha100 * (1000000 -
+         |              CAST(floor($cosBC * 1000000 + 0.5) AS BIGINT))
+         |            <= 100 * (1000000 - c.se))
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""gk AS (SELECT vec_id, nbr_id FROM r WHERE rank <= $graphK),
+       |symg AS (
+       |  SELECT DISTINCT vec_id, nbr_id FROM (
+       |    SELECT vec_id, nbr_id FROM gk
+       |    UNION ALL
+       |    SELECT nbr_id AS vec_id, vec_id AS nbr_id FROM gk
+       |  )
+       |),
+       |nc AS MATERIALIZED (
+       |  SELECT vec_id, nbr_id, se, crank FROM (
+       |    SELECT vec_id, nbr_id, se, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY se DESC, nbr_id) AS crank
+       |    FROM (
+       |      SELECT s.vec_id, s.nbr_id,
+       |        CAST(floor(${TextHash.duckCosine("a.emb", "b.emb", 64)}
+       |          * 1000000 + 0.5) AS BIGINT) AS se
+       |      FROM symg s
+       |      JOIN e a ON a.vec_id = s.vec_id
+       |      JOIN e b ON b.vec_id = s.nbr_id
+       |    )
+       |  ) WHERE crank <= $maxCand
+       |),
+       |k0 AS (SELECT vec_id, nbr_id, se FROM nc WHERE 1 = 0),
+       |$steps,
+       |nav AS MATERIALIZED (
+       |  SELECT vec_id, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY se DESC, nbr_id) AS rank, nbr_id, se
+       |  FROM k$maxCand
+       |)""".stripMargin
+  }
+
   /** Broadcast-side ADC lookup table shared by [[pqAdcScores]] and
     * e21: one row per probe query, a map of per-(subspace, code)
     * partial dot products keyed `m·stride + code`. The stride is
@@ -406,6 +473,10 @@ object PipelineQueries {
       books: IndexedSeq[Seq[(Long, Array[Double])]],
       subDims: Int): (DataFrame, Long) = {
     import s.implicits._
+    require(books.nonEmpty && books.forall(_.nonEmpty),
+      "adcQueryLut: every PQ subspace needs a non-empty codebook " +
+        "(a degenerate/tiny training set produced an empty k-means " +
+        "cell set for some subspace)")
     val stride = books.map(b => b.map(_._1).max + 1).max
     def dot(a: Array[Double], off: Int, b: Array[Double]): Double = {
       var s0 = 0.0
@@ -1456,6 +1527,27 @@ object PipelineQueries {
               |)
               |SELECT doc_id, lang, n_chars FROM sel
               |ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic global training-order shuffle — the last step
+    // before shard export: a trainer must not read the corpus in
+    // crawl order (adjacent docs correlate: same site, same day,
+    // same template), and rand() orders are partition-, retry- and
+    // engine-unstable. Order = the full 32-bit Knuth-mixed id hash,
+    // tie-broken by id — a pure function of the row set, so the
+    // "random" permutation is reproducible anywhere and the oracle
+    // simply ORDER BYs the same expression. Range-partitioned
+    // distributed sort (the pr_rank_sort class — no single-task
+    // sort); composes into ParquetSink.writeTokenShards(shuffled =
+    // true) for within-shard order (SourcesSpec pins file order).
+    Q("d65_train_shuffle",
+      (s, d) => Sampling.shuffleOrder(
+        Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+        "doc_id"),
+      Some(s"""SELECT doc_id, lang, n_chars,
+              |  ${TextHash.duckDocFingerprint("CAST(doc_id AS VARCHAR)")}
+              |    * ${Sampling.Mixer} % ${Sampling.MixMod} AS shuffle_key
+              |FROM documents
+              |ORDER BY shuffle_key, doc_id""".stripMargin)),
 
     // Corpus heavy hitters (frequent-token mining): one pass builds a
     // Misra-Gries sketch (capacity 64 ⇒ every token with true count
@@ -3019,6 +3111,97 @@ object PipelineQueries {
               |)
               |ORDER BY query_id, rank""".stripMargin)),
 
+    // Navigable-graph BUILD (Vamana/NSW construction — the missing
+    // twin of e25's search): symmetrize the degree-16 probed kNN
+    // graph (reverse edges are the HNSW/DiskANN insertion backlinks
+    // — what lets a walk LEAVE a popular vector, and where the
+    // measured recall gain lives), then greedily α-prune each node's
+    // candidate list on the e6 integer grid (drop c when a kept b is
+    // α-times closer to c than the node is) and cap out-degree at 16.
+    // e30 measures the payoff: the same walk over this graph beats
+    // the raw-kNN walk at every test SF at EQUAL max degree. Greedy
+    // is sequential through the kept set, so the oracle unrolls one
+    // candidate rank per CTE step.
+    Q("e28_nav_graph",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.navigableGraph(emb,
+          Similarity.knnGraphProbed(emb, "label", k = 16, nprobe = 2)
+            .select(col("vec_id"), col("nbr_id")))
+          .orderBy("vec_id", "rank")
+      },
+      Some(s"""WITH $probedKnnCtes,
+              |${navGraphCtes(graphK = 16, alpha100 = 120,
+                              maxDeg = 16, maxCand = 32)}
+              |SELECT vec_id, rank, nbr_id, se AS sim_e6
+              |FROM nav ORDER BY vec_id, rank""".stripMargin)),
+
+    // Recall gate for the BUILT graph (the e13/e18/e22/e26 pattern —
+    // every approximate-search axis carries an oracle-checked recall
+    // measurement): recall@4 of the e25 beam walk run over e28's
+    // navigable graph, against float brute-force ground truth.
+    // Measured across the three test SFs this reads
+    // 0.95/0.875/0.775 vs the raw-kNN walk's 0.90/0.85/0.60 — the
+    // reverse-edge + α-prune build is strictly better at equal
+    // degree (OperatorsSpec asserts the ≥ at sf0.001).
+    Q("e30_nav_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") < 10)
+        val exact = Similarity.bruteForceTopK(emb, qs, k = 4)
+          .select(col("query_id"), col("cand_id"))
+        val nav = Similarity.navigableGraph(emb,
+            Similarity.knnGraphProbed(emb, "label", k = 16, nprobe = 2)
+              .select(col("vec_id"), col("nbr_id")))
+          .select(col("vec_id"), col("nbr_id"))
+        val walk = Similarity.graphBeamSearch(emb, qs, nav,
+            Similarity.cellMedoids(emb, "label"),
+            beamWidth = 16, rounds = 4)
+          .filter(col("rank") <= 4)
+          .select(col("query_id"), col("cand_id"))
+        val hits = exact.join(walk, Seq("query_id", "cand_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("h"))
+        qs.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("h"), lit(0L)).as("n_hits"),
+            (coalesce(col("h"), lit(0L)) * 2500).as("recall_e4"))
+          .orderBy("query_id")
+      },
+      Some {
+        s"""WITH $probedKnnCtes,
+           |${navGraphCtes(graphK = 16, alpha100 = 120,
+                           maxDeg = 16, maxCand = 32)},
+           |${beamWalkCtes(graphK = 16, rounds = 4, beamWidth = 16,
+                           graphSql =
+                             Some("SELECT vec_id, nbr_id FROM nav"))},
+           |w4 AS (
+           |  SELECT query_id, cand_id FROM (
+           |    SELECT query_id, cand_id, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rn
+           |    FROM bfinal
+           |  ) WHERE rn <= 4
+           |),
+           |ex0 AS (
+           |  SELECT q.query_id, c.vec_id AS cand_id,
+           |    row_number() OVER (PARTITION BY q.query_id
+           |      ORDER BY ${TextHash.duckCosine("q.qe", "c.emb", 64)}
+           |        DESC, c.vec_id) AS rank
+           |  FROM q JOIN e c ON c.vec_id <> q.query_id
+           |),
+           |exact AS (SELECT query_id, cand_id FROM ex0 WHERE rank <= 4),
+           |hits AS (
+           |  SELECT query_id, count(*) AS h
+           |  FROM exact JOIN w4 USING (query_id, cand_id)
+           |  GROUP BY query_id
+           |)
+           |SELECT q.query_id,
+           |  coalesce(h, 0) AS n_hits,
+           |  coalesce(h, 0) * 2500 AS recall_e4
+           |FROM q LEFT JOIN hits ON hits.query_id = q.query_id
+           |ORDER BY q.query_id""".stripMargin
+      }),
+
     // The IVF TRAINER: spherical k-means over the raw vectors —
     // deterministic hash seeds, 3 Lloyd rounds (assignment =
     // broadcast-centroid argmax, zero corpus shuffle; update =
@@ -3088,6 +3271,55 @@ object PipelineQueries {
       },
       Some(s"WITH ${kmeansCtes(8, 3, s"$duckVecBucket < 2500")}," +
         s"\n$learnedIvfTailSql")),
+
+    // IVF index-health card — the retrain trigger (IndexPipeline's
+    // append encodes against STALE centroids by design, so health is
+    // measured, not assumed): train cells on the even-id half of the
+    // corpus (the "index as built"), assign EVERYTHING to those
+    // stale centroids (odd ids are the no-retrain appends), then per
+    // cell report list length, fill factor ×1e6 (1e6 = balanced) and
+    // centroid drift ×1e6 (1 − cos(assigned-mass mean, stored
+    // centroid)). One cell-key aggregation pass; totals ride as
+    // broadcast one-row aggregates; empty cells surface explicitly.
+    Q("e29_ivf_health",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d).select(col("vec_id"),
+          expr("transform(embedding, v -> cast(v as double))")
+            .as("embedding"))
+        val base = emb.filter(col("vec_id") % 2 === 0)
+        val cent = KMeans.train(base, k = 8, iters = 3)
+        Similarity.ivfHealthCard(KMeans.withCells(emb, cent), cent)
+      },
+      Some(s"""WITH ${kmeansCtes(8, 3, "vec_id % 2 = 0")},
+              |ha AS MATERIALIZED (
+              |  SELECT vec_id, emb, cell FROM (
+              |    SELECT v.vec_id, v.emb, c.cell,
+              |      row_number() OVER (PARTITION BY v.vec_id
+              |        ORDER BY ${TextHash.duckCosine("v.emb", "c.cvec", 64)}
+              |          DESC, c.cell) AS rn
+              |    FROM e v, cent3 c
+              |  ) WHERE rn = 1
+              |),
+              |hm AS (
+              |  SELECT cell, list(m ORDER BY dim) AS mvec FROM (
+              |    SELECT cell, i - 1 AS dim, round(avg(v), 6) AS m
+              |    FROM (SELECT cell, unnest(emb) AS v,
+              |            generate_subscripts(emb, 1) AS i FROM ha)
+              |    GROUP BY cell, dim
+              |  ) GROUP BY cell
+              |),
+              |hc AS (SELECT cell, count(*) AS n FROM ha GROUP BY cell),
+              |tot AS (SELECT count(*) AS t,
+              |        (SELECT count(*) FROM cent3) AS nl FROM ha)
+              |SELECT c.cell, coalesce(n, 0) AS n_vecs,
+              |  coalesce(n, 0) * nl * 1000000 // greatest(t, 1) AS fill_e6,
+              |  1000000 - CAST(floor(
+              |    ${TextHash.duckCosine("m.mvec", "c.cvec", 64)}
+              |    * 1000000 + 0.5) AS BIGINT) AS drift_e6
+              |FROM cent3 c
+              |LEFT JOIN hc ON hc.cell = c.cell
+              |LEFT JOIN hm m ON m.cell = c.cell, tot
+              |ORDER BY c.cell""".stripMargin)),
 
     // Multimodal plumbing: binary payload + typed metadata through
     // per-partition batch feature extraction (decode deterministically
@@ -3779,6 +4011,78 @@ object PipelineQueries {
              |    AS vals_md5
              |FROM o GROUP BY doc_id, sr, nf
              |ORDER BY doc_id""".stripMargin)),
+
+    // VAD-style silence segmentation (the speech-curation gate
+    // between decode and transcription — which clips carry signal,
+    // and where): over m21's resampled mono stream (×16000 integer
+    // grid), a sample is ACTIVE when |y| ≥ 8192·16000 (8192 of
+    // 16-bit full scale), consecutive active samples form runs, runs
+    // shorter than 4 samples drop as clicks; per kept run the sample
+    // span, length and exact integer |y| mass. All-integer, so the
+    // oracle states the rule directly on the planting formulas via
+    // gaps-and-islands — no decoder. Map-side decode + linear scan
+    // (state = one open run per doc); no shuffle but the sort.
+    Q("m23_vad_segments",
+      (s, d) => Multimodal.vadSegments(s,
+          Multimodal.wavTable(s, Tables.documents(s, d)))
+        .toDF().orderBy("doc_id", "seg"),
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |    8000 + (doc_id % 4) * 4000 AS sr,
+             |    1 + doc_id % 2 AS ch,
+             |    32 + (doc_id * 7) % 33 AS nf
+             |  FROM documents
+             |),
+             |mono AS (
+             |  SELECT doc_id, sr, nf, gi.i AS i,
+             |    CASE WHEN ch = 1 THEN
+             |      ((doc_id * 131 + gi.i * 37 + 13) % 65536) - 32768
+             |    ELSE (
+             |      (((doc_id * 131 + gi.i * 37 + 13) % 65536) - 32768)
+             |      + (((doc_id * 131 + gi.i * 37 + 17 + 13) % 65536)
+             |         - 32768)
+             |    ) // 2 END AS v
+             |  FROM p, (SELECT unnest(range(0, 65)) AS i) gi
+             |  WHERE gi.i < nf
+             |),
+             |grid AS (
+             |  SELECT p.doc_id, p.sr, p.nf, gj.j,
+             |    (gj.j * p.sr) // 16000 AS pos,
+             |    (gj.j * p.sr) % 16000 AS rem
+             |  FROM p, (SELECT unnest(range(0, 130)) AS j) gj
+             |  WHERE gj.j < (p.nf * 16000) // p.sr
+             |),
+             |o AS (
+             |  SELECT g.doc_id, g.j,
+             |    a.v * (16000 - g.rem) + b.v * g.rem AS y
+             |  FROM grid g
+             |  JOIN mono a ON a.doc_id = g.doc_id AND a.i = g.pos
+             |  JOIN mono b ON b.doc_id = g.doc_id
+             |    AND b.i = least(g.pos + 1, g.nf - 1)
+             |),
+             |active AS (
+             |  SELECT doc_id, j, abs(y) AS a FROM o
+             |  WHERE abs(y) >= 8192 * 16000
+             |),
+             |isl AS (
+             |  SELECT doc_id, j, a,
+             |    j - row_number() OVER (PARTITION BY doc_id ORDER BY j)
+             |      AS grp
+             |  FROM active
+             |),
+             |runs AS (
+             |  SELECT doc_id, min(j) AS start_j, max(j) AS end_j,
+             |    CAST(count(*) AS BIGINT) AS n_samples,
+             |    CAST(sum(a) AS BIGINT) AS sum_abs
+             |  FROM isl GROUP BY doc_id, grp
+             |  HAVING count(*) >= 4
+             |)
+             |SELECT doc_id,
+             |  row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY start_j) AS seg,
+             |  CAST(start_j AS BIGINT) AS start_j,
+             |  CAST(end_j AS BIGINT) AS end_j, n_samples, sum_abs
+             |FROM runs ORDER BY doc_id, seg""".stripMargin)),
 
     // Perceptual hash over REAL decoded pixels: the image-dedup pass
     // on actual reconstructed RGB, not payload bytes. A seeded PNG

@@ -79,6 +79,26 @@ object IndexPipeline {
     n
   }
 
+  /** Health card of the ON-DISK index ([[Similarity.ivfHealthCard]]
+    * over the stored layout): per-cell list length, fill factor and
+    * centroid drift — the retrain trigger [[append]]'s no-retrain
+    * contract requires monitoring. The stored rows are int8 codes
+    * (the raw floats are gone by design); cosine is scale-invariant
+    * per vector, so the q-code direction stands in for the embedding
+    * and the drift of the code-mean off the stored centroid tracks
+    * the true drift (IndexPipelineSpec pins that appends from a
+    * shifted distribution push it up monotonically). One pruned scan
+    * of `codes/` + one cell-key aggregation.
+    */
+  def healthCard(spark: SparkSession, indexDir: String): DataFrame = {
+    val cent = spark.read.parquet(s"$indexDir/centroids")
+      .select(col("cell").cast("long").as("cell"), col("cvec"))
+    val rows = spark.read.parquet(s"$indexDir/codes")
+      .select(col("cell").cast("long").as("cell"),
+        expr("transform(q, x -> cast(x as double))").as("embedding"))
+    Similarity.ivfHealthCard(rows, cent)
+  }
+
   /** k-row centroid handoff (bounded, the e7/KMeans class). */
   private def collectCentroids(spark: SparkSession,
       indexDir: String): Seq[(Long, Array[Double])] =

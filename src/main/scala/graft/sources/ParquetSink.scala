@@ -49,8 +49,19 @@ object ParquetSink {
     * @param tokenCol integer token count column, precomputed by the
     *   caller (whitespace, BPE — the sink doesn't care)
     */
+  /** @param shuffled when true, rows inside each shard are written
+    *   in [[graft.operators.Sampling.shuffleOrder]]'s deterministic
+    *   training order (the mixed id hash, tie-broken by id) instead
+    *   of id order — the d65 composition: shard assignment already
+    *   scatters ids ACROSS shards off the same mixed hash, this
+    *   scrambles the order WITHIN each file too, so a trainer
+    *   streaming shards in sequence never sees crawl-correlated
+    *   neighbors. Same cost: the within-partition sort just changes
+    *   key.
+    */
   def writeTokenShards(df: DataFrame, path: String, idCol: String,
-      tokenCol: String, tokensPerShard: Long): Int = {
+      tokenCol: String, tokensPerShard: Long,
+      shuffled: Boolean = false): Int = {
     require(tokensPerShard > 0, s"bad budget $tokensPerShard")
     // coalesce: sum() of zero rows is NULL — an empty input writes a
     // single empty shard instead of NPE-ing on the driver scalar.
@@ -65,11 +76,14 @@ object ParquetSink {
     // modulo skews shard sizes whenever n ∤ 10 000.
     import graft.functions.TextHashExprs.string_poly_hash
     import graft.operators.Sampling.{Mixer, MixMod}
+    val mixed = string_poly_hash(col(idCol).cast("string")) * Mixer % MixMod
+    val sortCols =
+      if (shuffled) Seq(col("shard"), mixed, col(idCol))
+      else Seq(col("shard"), col(idCol))
     df
-      .withColumn("shard",
-        string_poly_hash(col(idCol).cast("string")) * Mixer % MixMod % n)
+      .withColumn("shard", mixed % n)
       .repartition(n, col("shard"))
-      .sortWithinPartitions(col("shard"), col(idCol))
+      .sortWithinPartitions(sortCols: _*)
       .write
       .mode("overwrite")
       .partitionBy("shard")

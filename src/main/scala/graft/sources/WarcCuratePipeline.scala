@@ -49,20 +49,27 @@ object WarcCuratePipeline {
       .filter(length(trim(col("text"))) > 0)
 
   /** Media fork of the crawl: one (doc_id, url, format, n_bytes,
-    * payload) row per response whose payload carries a known image
-    * signature — PNG, JPEG or GIF, the codec family's formats. Pure
-    * map-side routing on the first payload bytes (the m6 sniff
-    * discipline); DECODE stays in the downstream m7/m9/m17
-    * operators, so a corrupt image can't fail the routing job.
+    * payload) row per response whose payload carries a known media
+    * signature — PNG, JPEG, GIF (the image codec family) or WAV
+    * (the audio family: RIFF container with a WAVE form type, the
+    * m8/m21 decode path). Pure map-side routing on the payload's
+    * magic bytes (the m6 sniff discipline); DECODE stays in the
+    * downstream m7/m9/m17/m8 operators, so a corrupt file can't
+    * fail the routing job.
     */
   def mediaFrom(parsed: DataFrame): DataFrame = {
     val sig = hex(substring(col("payload"), 1, 6))
+    // RIFF sniff needs two non-contiguous spans: bytes 1-4 "RIFF"
+    // and bytes 9-12 "WAVE" (5-8 are the chunk size — any value).
+    val riff = hex(substring(col("payload"), 1, 4))
+    val wave = hex(substring(col("payload"), 9, 4))
     WarcSource.records(parsed)
       .filter(col("warc_type") === "response")
       .withColumn("format",
         when(sig.startsWith("89504E47"), "png")
           .when(sig.startsWith("FFD8FF"), "jpeg")
-          .when(sig === "474946383761" || sig === "474946383961", "gif"))
+          .when(sig === "474946383761" || sig === "474946383961", "gif")
+          .when(riff === "52494646" && wave === "57415645", "wav"))
       .filter(col("format").isNotNull)
       .select(xxhash64(col("record_id")).as("doc_id"),
         col("target_uri").as("url"), col("format"),

@@ -731,6 +731,83 @@ class OperatorsSpec extends SparkSpec {
     assert(conv == fixed)
   }
 
+  test("beam walk until stable matches a generous fixed-round walk") {
+    // The kept beam improves monotonically (each round's pool
+    // includes the previous beam), so the stability-driven walk must
+    // land on exactly the fixed-round result once rounds are
+    // generous — the KMeans.trainUntilConverged contract for the
+    // graph-ANN walk. Deterministic synthetic corpus: two loose
+    // clusters, so the walk has real hops to make.
+    val emb = (0 until 24).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.1f * (i % 5), 0.0f, 0.2f)
+                 else Array(0.0f, 0.2f, 1.0f, 0.1f * (i % 7))
+      (i.toLong, i % 2, base)
+    }.toDF("vec_id", "label", "embedding")
+    val g = Similarity.knnGraphProbed(emb, "label", k = 3, nprobe = 2)
+      .select(col("vec_id"), col("nbr_id"))
+    val med = Similarity.cellMedoids(emb, "label")
+    val qs = emb.filter(col("vec_id") < 2)
+    val stable = Similarity
+      .graphBeamSearchUntilStable(emb, qs, g, med, beamWidth = 4)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val fixed = Similarity
+      .graphBeamSearch(emb, qs, g, med, beamWidth = 4, rounds = 12)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(stable == fixed)
+    assert(stable.nonEmpty)
+  }
+
+  test("navigable graph: reverse edges, degree cap, alpha prune") {
+    // Hand-checkable line corpus: vectors along two directions where
+    // the α rule provably fires. a=(1,0), b=(0.99,0.14)-ish (near a),
+    // c=(0,1): from a's view, b covers nothing about c (cos(b,c)
+    // small), but two near-duplicates of b cover EACH OTHER, so the
+    // second is pruned.
+    val emb = Seq(
+      (0L, 0, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, 0, Array(0.99f, 0.141f, 0.0f, 0.0f)),
+      (2L, 0, Array(0.99f, 0.140f, 0.0f, 0.0f)),
+      (3L, 0, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "label", "embedding")
+    // directed kNN: node 0 points at 1, 2, 3 (its sim order); others
+    // point only at 0 — reverse edges must give them each other back.
+    val knn = Seq((0L, 1L), (0L, 2L), (0L, 3L),
+      (1L, 0L), (2L, 0L), (3L, 0L)).toDF("vec_id", "nbr_id")
+    val nav = Similarity.navigableGraph(emb, knn, alpha100 = 120,
+        maxDegree = 2, maxCandidates = 32)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // node 0's candidates in sim order: 2 (cos≈.99015 — the smaller
+    // second component is CLOSER to (1,0)), 1 (cos≈.99001), 3
+    // (cos 0). 2 is kept; 1 is pruned (cos(1,2)≈1 ⇒ kept 2 covers
+    // 1: 120·(1e6−1e6) ≤ 100·(1e6−990001)); 3 is kept — the α-prune
+    // keeps the DIVERSE direction, where a blind top-2 cap would
+    // have kept near-duplicate 1 and dropped 3.
+    assert(nav(0L) == Seq(2L, 3L))
+    assert(nav.values.forall(_.size <= 2))
+    // symmetrization: node 3's only candidate is its backlink to 0
+    // (the reverse of 0→3), which must survive.
+    assert(nav(3L) == Seq(0L))
+  }
+
+  test("built navigable graph beats the raw kNN walk at equal degree") {
+    // The e30-vs-e26 claim pinned at sf0.001: recall@4 of the beam
+    // walk over the e28 build ≥ the same walk over the raw k=16 kNN
+    // graph (measured 0.95 vs 0.90 here; also holds at sf0.01 and
+    // sf0.1 — the build's reverse edges add navigability the raw
+    // graph lacks, at the same max out-degree).
+    val d = "/root/testdata/sf0.001"
+    def avgRecall(key: String): Double = {
+      val rows = SparkEntry.queries(key)(spark, d)
+        .select(col("recall_e4")).as[Long].collect()
+      rows.sum.toDouble / rows.length
+    }
+    val raw = avgRecall("e26_graph_recall")
+    val built = avgRecall("e30_nav_recall")
+    assert(built >= raw,
+      s"built-graph walk recall $built fell below raw-kNN walk $raw")
+  }
+
   test("centroids average each dimension per cluster") {
     val emb = Seq(
       (0L, 0, Array(1.0f, 3.0f)), (1L, 0, Array(3.0f, 5.0f)),

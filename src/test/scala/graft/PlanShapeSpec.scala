@@ -35,23 +35,42 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("graph-walk ANN: every window keys on query_id; medoids via the heap") {
-    // e25's contract: its row_number rankings are legitimate ONLY
-    // because each one partitions by query_id over the bounded
-    // per-query beam expansion — a window keyed on anything else
-    // (a cell, the whole corpus) would be the corpus-sort failure
-    // mode. And the per-cell medoid argmax must be the bounded-heap
-    // aggregate keyed on the cell, not a window (a cellMedoids
-    // regression to row_number once passed a blanket-exempt version
-    // of this suite).
+  test("graph-walk ANN: bounded plan depth, query_id windows, heap medoids") {
+    // e25's contract since the round-10 lineage cut: every walk round
+    // eagerly cuts the beam (it is referenced twice per round — union
+    // + graph join — so a lazy plan would double each round,
+    // ~2^rounds), leaving the RETURNED plan one query_id window over
+    // a checkpoint scan REGARDLESS of round count. Pin both halves:
+    // the final window keys on query_id only, and the executed plan's
+    // node count does not grow between a 1-round and a 6-round walk.
     val p = plan("e25_graph_ann")
     val parts = "windowspecdefinition\\((\\w+)#".r
       .findAllMatchIn(p).map(_.group(1)).toSet
-    assert(parts.nonEmpty, s"e25 lost its beam-ranking windows\n$p")
     assert(parts == Set("query_id"),
-      s"e25 has a window keyed off query_id: $parts\n${p.take(4000)}")
-    assert("ObjectHashAggregate\\(keys=\\[_clabel".r.findFirstIn(p).isDefined,
-      s"e25's medoid argmax is no longer the per-cell heap aggregate\n$p")
+      s"e25's final ranking window must key on query_id: $parts\n${p.take(4000)}")
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf)
+    val g = graft.operators.Similarity
+      .knnGraphProbed(emb, "label", k = 4, nprobe = 2)
+      .select(col("vec_id"), col("nbr_id"))
+    val med = graft.operators.Similarity.cellMedoids(emb, "label")
+    def depth(rounds: Int): Int =
+      graft.operators.Similarity
+        .graphBeamSearch(emb, emb.filter(col("vec_id") < 3), g, med,
+          beamWidth = 4, rounds = rounds)
+        .queryExecution.executedPlan.collect { case n => n }.size
+    val (d1, d6) = (depth(1), depth(6))
+    assert(d1 == d6,
+      s"beam-walk plan depth grows with rounds ($d1 nodes at 1 round, " +
+        s"$d6 at 6) — the per-round lineage cut regressed")
+    // The per-cell medoid argmax must be the bounded-heap aggregate
+    // keyed on the cell, not a window (a cellMedoids regression to
+    // row_number once passed a blanket-exempt version of this suite).
+    // The walk consumes medoids inside its cut rounds, so pin the
+    // operator's own plan directly.
+    val mp = med.queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate\\(keys=\\[_clabel".r.findFirstIn(mp).isDefined,
+      s"cellMedoids' argmax is no longer the per-cell heap aggregate\n$mp")
   }
 
   test("filtered IVF applies the predicate inside the routed cell scan") {
@@ -62,17 +81,41 @@ class PlanShapeSpec extends SparkSpec {
     // bounded query×nlist centroid assignment). Textually: the tree
     // prints parents first, so the join must appear BEFORE the
     // candidate filter it sits above.
-    val p = plan("e24_filtered_ivf")
-    assert(p.contains("ObjectHashAggregate"),
-      s"e24 lost the top_k_by_score partial aggregate\n$p")
-    val join = p.indexOf("BroadcastHashJoin")
-    val flt = p.indexOf("% 3)")
-    assert(flt >= 0, s"e24 lost the candidate predicate\n$p")
-    assert(join >= 0 && join < flt,
-      s"e24's predicate is not below the cell join\n$p")
-    val agg = p.indexOf("ObjectHashAggregate")
-    assert(agg < flt,
-      s"e24 filters ABOVE the heap (post-filtering under-returns)\n$p")
+    // Structural, not string offsets: traverse the executed tree so
+    // a Spark formatting change (or a second `% 3` appearing
+    // elsewhere) can't flip the assertion without a real regression.
+    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // AQE wraps the tree in a leaf-like AdaptiveSparkPlanExec whose
+    // inputPlan `collect` does not descend into — recurse manually.
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+        case other                    => other.children
+      }
+      p +: kids.flatMap(nodes)
+    }
+    def hasCandFilter(p: SparkPlan): Boolean = nodes(p).exists {
+      case f: FilterExec => f.condition.toString.contains("% 3)")
+      case _             => false
+    }
+    val root = SparkEntry.queries("e24_filtered_ivf")(spark, sf)
+      .queryExecution.executedPlan
+    assert(hasCandFilter(root), "e24 lost the candidate predicate")
+    // The predicate must sit INSIDE a cell join's child subtree —
+    // excluded rows never reach the join or the cosine kernel.
+    assert(nodes(root).exists {
+      case j: BroadcastHashJoinExec => j.children.exists(hasCandFilter)
+      case _                        => false
+    }, s"e24's predicate is not below the cell join\n$root")
+    // And the heap aggregate must sit ABOVE the filtered join —
+    // post-filtering an unfiltered top-k would under-return.
+    assert(nodes(root).exists {
+      case a: ObjectHashAggregateExec => hasCandFilter(a)
+      case _                          => false
+    }, s"e24 filters ABOVE the heap (post-filtering under-returns)\n$root")
   }
 
   test("PQ ADC lookup table rides the broadcast side, not the plan") {

@@ -122,6 +122,78 @@ class SourcesSpec extends SparkSpec {
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
 
+  test("shuffled shard export: files hold the deterministic training order") {
+    import graft.functions.TextHashExprs.string_poly_hash
+    import graft.operators.Sampling.{Mixer, MixMod}
+    val dir = Files.createTempDirectory("graft_shufshards").toFile
+      .getAbsolutePath
+    val docs = (1L to 400L)
+      .map(i => (i, 10 + (i * 7 % 61), s"doc $i"))
+      .toDF("doc_id", "n_tokens", "text")
+    val n = ParquetSink.writeTokenShards(docs, dir, "doc_id",
+      "n_tokens", tokensPerShard = 2000L, shuffled = true)
+    // Same shard ASSIGNMENT as the unshuffled writer (d65 only
+    // changes within-file order), rows complete.
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 400 &&
+      back.select("doc_id").distinct().count() == 400)
+    // Each shard file's PHYSICAL row order is Sampling.shuffleOrder's
+    // (mixed hash, id) — and not id order (the point of d65: a
+    // trainer streaming the file must not see crawl-ordered docs).
+    var anyIdOrderBroken = false
+    for (sd <- new java.io.File(dir).listFiles()
+        if sd.getName.startsWith("shard=")) {
+      val f = sd.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val rows = spark.read.parquet(f.getAbsolutePath)
+        .select(col("doc_id"),
+          (string_poly_hash(col("doc_id").cast("string"))
+            * Mixer % MixMod).as("k"))
+        .as[(Long, Long)].collect().toSeq
+      assert(rows == rows.sortBy { case (id, k) => (k, id) },
+        s"${sd.getName} not in shuffled training order")
+      if (rows.map(_._1) != rows.map(_._1).sorted) anyIdOrderBroken = true
+    }
+    assert(n > 1 && anyIdOrderBroken,
+      "shuffle left every shard in id order — the mixer is not mixing")
+  }
+
+  test("index health card: appends off-distribution degrade it monotonically") {
+    import graft.sources.IndexPipeline
+    val idx = Files.createTempDirectory("graft_healthidx").toFile
+      .getAbsolutePath
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    IndexPipeline.build(spark, emb, idx, k = 4, iters = 2)
+    def health(): Map[Long, (Long, Long, Long)] =
+      IndexPipeline.healthCard(spark, idx)
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def driftMass(h: Map[Long, (Long, Long, Long)]): Long =
+      h.values.map { case (n, _, d) => n * d }.sum
+    val h0 = health()
+    assert(h0.values.map(_._2).sum >= 1000000L * (h0.size - 1),
+      "fill factors must sum to ~nlist×1e6")
+    // Append NEGATED vectors under fresh ids — they land in whatever
+    // cell argmax-routes them, far from its centroid, dragging that
+    // cell's population mean off the stored routing vector. Appending
+    // the same off-distribution batch AGAIN shifts the mean further:
+    // drift mass and max fill must rise monotonically — the retrain
+    // trigger the card exists to fire.
+    def negBatch(off: Long) = emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + off).as("vec_id"),
+        expr("transform(embedding, v -> -v)").as("embedding"))
+    IndexPipeline.append(spark, idx, negBatch(10000L))
+    val h1 = health()
+    IndexPipeline.append(spark, idx, negBatch(20000L))
+    val h2 = health()
+    assert(driftMass(h1) > driftMass(h0) && driftMass(h2) > driftMass(h1),
+      s"drift mass not monotone: ${driftMass(h0)} -> " +
+        s"${driftMass(h1)} -> ${driftMass(h2)}")
+    assert(h1.values.map(_._2).max >= h0.values.map(_._2).max &&
+      h2.values.map(_._2).max >= h1.values.map(_._2).max,
+      "fill imbalance must not shrink as skewed appends accumulate")
+  }
+
   test("index pipeline: on-disk IVF-SQ8 builds, prunes, and matches " +
       "an independent reference") {
     import graft.sources.IndexPipeline
@@ -303,9 +375,9 @@ class SourcesSpec extends SparkSpec {
     assert(direct.count() == 7)
   }
 
-  test("warc media fork: image responses route by payload signature") {
+  test("warc media fork: image and audio responses route by signature") {
     import graft.sources.{WarcCuratePipeline, WarcSource}
-    import graft.multimodal.{Gif, Png}
+    import graft.multimodal.{Gif, Png, Wav}
     def recB(id: String, uri: String, p: Array[Byte]): Array[Byte] =
       (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: $id\r\n" +
         s"WARC-Target-URI: $uri\r\nContent-Length: ${p.length}\r\n\r\n")
@@ -316,10 +388,18 @@ class SourcesSpec extends SparkSpec {
     val png = Png.encode(4, 3,
       Array.tabulate(36)(i => (i * 7).toByte), _ => 0)
     val jpegish = Array(0xFF, 0xD8, 0xFF, 0xE0, 1, 2, 3).map(_.toByte)
+    val wav = Wav.encode(8000, 1,
+      Array.tabulate(16)(i => (i * 1000 - 8000).toShort))
+    // A non-WAVE RIFF container (e.g. AVI) must NOT route as wav —
+    // the sniff needs BOTH the RIFF magic and the WAVE form type.
+    val avi = "RIFF".getBytes("US-ASCII") ++ Array[Byte](1, 0, 0, 0) ++
+      "AVI LIST".getBytes("US-ASCII")
     val html = "<html><p>hello the world the</p></html>".getBytes("UTF-8")
     val bytes = recB("<urn:g>", "https://e.com/g.gif", gif) ++
       recB("<urn:p>", "https://e.com/p.png", png) ++
       recB("<urn:j>", "https://e.com/j.jpg", jpegish) ++
+      recB("<urn:w>", "https://e.com/w.wav", wav) ++
+      recB("<urn:a>", "https://e.com/a.avi", avi) ++
       recB("<urn:h>", "https://e.com/h", html)
     val dir = Files.createTempDirectory("graft_wmedia").toFile
     Files.write(new java.io.File(dir, "m.warc").toPath, bytes)
@@ -329,14 +409,19 @@ class SourcesSpec extends SparkSpec {
       .as[(String, String, Long, Array[Byte])].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(media.keySet == Set("https://e.com/g.gif",
-      "https://e.com/p.png", "https://e.com/j.jpg"),
-      "HTML response stays out of the media fork")
+      "https://e.com/p.png", "https://e.com/j.jpg",
+      "https://e.com/w.wav"),
+      "HTML and non-WAVE RIFF responses stay out of the media fork")
     assert(media("https://e.com/g.gif")._1 == "gif")
     assert(media("https://e.com/p.png")._1 == "png")
     assert(media("https://e.com/j.jpg")._1 == "jpeg")
+    assert(media("https://e.com/w.wav")._1 == "wav")
     assert(media("https://e.com/g.gif")._2 == gif.length.toLong)
-    // the routed bytes are intact: the GIF round-trips the codec
+    // the routed bytes are intact: both codecs round-trip
     assert(Gif.decode(media("https://e.com/g.gif")._3).isDefined)
+    val dec = Wav.decode(media("https://e.com/w.wav")._3)
+    assert(dec.exists(d => d.sampleRate == 8000 &&
+      d.samples.length == 16))
   }
 
   test("orc sink: same layout contract, filters push to the orc scan") {
