@@ -32,9 +32,20 @@ object Sampling {
   val Mixer = 2654435761L
   val MixMod = 4294967296L // 2^32
 
+  /** The full 32-bit Knuth-mixed key hash — the shared scrambling
+    * primitive: [[hashBucket]] reduces it mod [[Buckets]] for
+    * sampling, [[shuffleOrder]] sorts by it, and
+    * `ParquetSink.writeTokenShards` assigns shards off it. ONE
+    * definition so shard assignment and training order can never
+    * silently desynchronize (the DuckDB oracles mirror this exact
+    * expression).
+    */
+  def mixedKey(key: Column): Column =
+    string_poly_hash(key.cast("string")) * Mixer % MixMod
+
   /** Hash bucket in [0, Buckets) for a key column. */
   def hashBucket(key: Column): Column =
-    string_poly_hash(key.cast("string")) * Mixer % MixMod % Buckets
+    mixedKey(key) % Buckets
 
   /** Deterministic global training-order shuffle (d65) — the last
     * step before shard export: a trainer must not see the corpus in
@@ -52,8 +63,7 @@ object Sampling {
     * global sort).
     */
   def shuffleOrder(df: DataFrame, idCol: String): DataFrame =
-    df.withColumn("shuffle_key",
-        string_poly_hash(col(idCol).cast("string")) * Mixer % MixMod)
+    df.withColumn("shuffle_key", mixedKey(col(idCol)))
       .orderBy(col("shuffle_key"), col(idCol))
 
   /** Keep each row with its stratum's rate (fraction in [0,1]);

@@ -712,7 +712,7 @@ object Similarity {
     *     centroid)) ×1e6: how far the cell's actual population has
     *     moved off the centroid that routes queries to it. Appends
     *     from a shifted distribution push this up monotonically
-    *     (IndexPipelineSpec); a retrain resets it to ~0.
+    *     (SourcesSpec); a retrain resets it to ~0.
     *
     * Cells with no assigned vectors surface explicitly (n_vecs 0,
     * fill 0, drift null) — the e13 evaluation contract. One

@@ -86,7 +86,7 @@ object IndexPipeline {
     * (the raw floats are gone by design); cosine is scale-invariant
     * per vector, so the q-code direction stands in for the embedding
     * and the drift of the code-mean off the stored centroid tracks
-    * the true drift (IndexPipelineSpec pins that appends from a
+    * the true drift (SourcesSpec pins that appends from a
     * shifted distribution push it up monotonically). One pruned scan
     * of `codes/` + one cell-key aggregation.
     */

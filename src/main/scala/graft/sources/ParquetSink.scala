@@ -48,8 +48,7 @@ object ParquetSink {
     *
     * @param tokenCol integer token count column, precomputed by the
     *   caller (whitespace, BPE — the sink doesn't care)
-    */
-  /** @param shuffled when true, rows inside each shard are written
+    * @param shuffled when true, rows inside each shard are written
     *   in [[graft.operators.Sampling.shuffleOrder]]'s deterministic
     *   training order (the mixed id hash, tie-broken by id) instead
     *   of id order — the d65 composition: shard assignment already
@@ -69,14 +68,13 @@ object ParquetSink {
       .head().getLong(0)
     val n = math.max(1L, math.ceil(
       total.toDouble / tokensPerShard).toLong).toInt
-    // Shard off the FULL 32-bit mixed hash, not Sampling.hashBucket:
-    // hashBucket reduces mod 10 000 for sampling, so `bucket % n`
-    // could never produce more than 10 000 distinct shards (a 100 TB
-    // corpus at the 1M-token default needs ~10⁸) and the double
-    // modulo skews shard sizes whenever n ∤ 10 000.
-    import graft.functions.TextHashExprs.string_poly_hash
-    import graft.operators.Sampling.{Mixer, MixMod}
-    val mixed = string_poly_hash(col(idCol).cast("string")) * Mixer % MixMod
+    // Shard off the FULL 32-bit mixed hash (Sampling.mixedKey), not
+    // Sampling.hashBucket: hashBucket reduces mod 10 000 for
+    // sampling, so `bucket % n` could never produce more than 10 000
+    // distinct shards (a 100 TB corpus at the 1M-token default needs
+    // ~10⁸) and the double modulo skews shard sizes whenever
+    // n ∤ 10 000.
+    val mixed = graft.operators.Sampling.mixedKey(col(idCol))
     val sortCols =
       if (shuffled) Seq(col("shard"), mixed, col(idCol))
       else Seq(col("shard"), col(idCol))

@@ -19,8 +19,9 @@ import graft.operators.{CurationFunnel, HtmlExtract}
   *   `<out>/corpus/shard=K/…` — surviving (doc_id, url, text,
   *     n_tokens) rows as ≈budget-token shards;
   *   `<out>/audit/` — the per-stage (stage, n_docs, n_tokens) table;
-  *   `<out>/media/format=png|jpeg|gif/` — image responses routed by
-  *     payload signature (bytes + typed metadata; decode downstream);
+  *   `<out>/media/format=png|jpeg|gif|wav/` — image and audio
+  *     responses routed by payload signature (bytes + typed
+  *     metadata; decode downstream);
   *   `<out>/quarantine/` — malformed records / gzip members with
   *     file, offset, reason.
   *

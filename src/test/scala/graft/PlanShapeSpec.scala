@@ -54,11 +54,17 @@ class PlanShapeSpec extends SparkSpec {
       .knnGraphProbed(emb, "label", k = 4, nprobe = 2)
       .select(col("vec_id"), col("nbr_id"))
     val med = graft.operators.Similarity.cellMedoids(emb, "label")
+    // Count LOGICAL plan nodes: the physical root under AQE is a
+    // leaf-like AdaptiveSparkPlanExec that collect never descends
+    // into, so a physical count would read equal with or without the
+    // per-round cut (vacuous). The logical tree is what the cut
+    // truncates: without it the 6-round plan holds ~2^6 copies of
+    // the entry subplan and this count explodes.
     def depth(rounds: Int): Int =
       graft.operators.Similarity
         .graphBeamSearch(emb, emb.filter(col("vec_id") < 3), g, med,
           beamWidth = 4, rounds = rounds)
-        .queryExecution.executedPlan.collect { case n => n }.size
+        .queryExecution.analyzed.collect { case n => n }.size
     val (d1, d6) = (depth(1), depth(6))
     assert(d1 == d6,
       s"beam-walk plan depth grows with rounds ($d1 nodes at 1 round, " +
