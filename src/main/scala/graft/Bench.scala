@@ -46,7 +46,13 @@ object Bench {
     // production filtered-ANN shape: predicate inside the routed
     // cell scan) and the animated-GIF composited frame walk (the
     // heaviest codec path — LZW + per-frame compositing/disposal).
-    "e24_filtered_ivf", "m19_gif_frames")
+    "e24_filtered_ivf", "m19_gif_frames",
+    // Round 10: the navigable-graph BUILD (symmetrize + heap
+    // truncation + the greedy alpha-prune higher-order aggregate —
+    // the heaviest new plan shape) and the audio VAD segmentation
+    // (decode + resample + run-length scan — the audio family's
+    // gate representative).
+    "e28_nav_graph", "m23_vad_segments")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3202,6 +3202,61 @@ object PipelineQueries {
            |ORDER BY q.query_id""".stripMargin
       }),
 
+    // Navigable-graph structure card — the card family's member for
+    // the built ANN graph (g12 graph / d26 corpus / d64 vocab / e29
+    // index): node/edge counts, max + mean out-degree, and
+    // RECIPROCITY (fraction of kept edges whose reverse is also
+    // kept — the symmetrization survival rate after the α-prune; a
+    // low value means the walk can enter regions it cannot leave,
+    // the one structural failure mode of a pruned graph). Degrees
+    // from one partial-agg exchange; reciprocity from one
+    // co-partitioned self-join over the O(n·k) edge list; scalars
+    // combine as broadcast one-row aggregates.
+    Q("e31_nav_card",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val nav = Similarity.navigableGraph(emb,
+            Similarity.knnGraphProbed(emb, "label", k = 16, nprobe = 2)
+              .select(col("vec_id"), col("nbr_id")))
+          .select(col("vec_id"), col("nbr_id"))
+        val degs = nav.groupBy("vec_id").agg(count(lit(1)).as("deg"))
+        val ag = degs.agg(count(lit(1)).as("n_nodes"),
+          sum("deg").as("n_edges"), max("deg").as("max_out_degree"))
+        val mu = nav.as("x").join(nav.as("y"),
+            col("x.vec_id") === col("y.nbr_id") &&
+              col("x.nbr_id") === col("y.vec_id"))
+          .agg(count(lit(1)).as("m"))
+        ag.crossJoin(broadcast(mu))
+          .select(col("n_nodes"), col("n_edges"), col("max_out_degree"),
+            expr("CAST(n_edges * 1000000 div n_nodes AS BIGINT)")
+              .as("mean_out_e6"),
+            expr("CAST(m * 1000000 div n_edges AS BIGINT)")
+              .as("reciprocity_e6"))
+      },
+      Some(s"""WITH $probedKnnCtes,
+              |${navGraphCtes(graphK = 16, alpha100 = 120,
+                              maxDeg = 16, maxCand = 32)},
+              |degs AS (
+              |  SELECT vec_id, count(*) AS deg FROM nav GROUP BY vec_id
+              |),
+              |ag AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+              |    CAST(sum(deg) AS BIGINT) AS n_edges,
+              |    CAST(max(deg) AS BIGINT) AS max_out_degree
+              |  FROM degs
+              |),
+              |mu AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS m
+              |  FROM nav x JOIN nav y
+              |    ON y.vec_id = x.nbr_id AND y.nbr_id = x.vec_id
+              |)
+              |SELECT n_nodes, n_edges, max_out_degree,
+              |  CAST(n_edges * 1000000 // n_nodes AS BIGINT)
+              |    AS mean_out_e6,
+              |  CAST(m * 1000000 // n_edges AS BIGINT)
+              |    AS reciprocity_e6
+              |FROM ag, mu""".stripMargin)),
+
     // The IVF TRAINER: spherical k-means over the raw vectors —
     // deterministic hash seeds, 3 Lloyd rounds (assignment =
     // broadcast-centroid argmax, zero corpus shuffle; update =

@@ -185,6 +185,26 @@ class MediaStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("parity: streaming VAD segmentation equals the batch m23 plan") {
+    // one-row-to-many (segments per clip) through the same stateless
+    // mapPartitions — run-length state lives inside the row's own
+    // scan, so append-mode streaming needs no state store.
+    val rows = (1L to 6L).map(wav)
+    val stream = MemoryStream[Multimodal.MediaRow](spark)
+    val q = Multimodal.vadSegments(spark, stream.toDF())
+      .writeStream.format("memory").queryName("vad_t")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("vad_t")
+        .as[Multimodal.VadSegment].collect().toSet
+      val want = Multimodal.vadSegments(spark, rows.toDF())
+        .collect().toSet
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("undecodable payloads drop in both engines identically") {
     val bad = Multimodal.MediaRow(7L, "image/png",
       3L, Array[Byte](1, 2, 3))
