@@ -518,14 +518,7 @@ object Similarity {
       .union(edges.select(col("nbr_id").as("vec_id"),
         col("vec_id").as("nbr_id")))
       .distinct()
-    // Double vectors + precomputed norms: the in-lambda prune cosine
-    // is dot/(nrm_b·nrm_c) with the same left-to-right folds as the
-    // codegen'd kernel, so both engines see identical doubles.
-    val en = emb.select(col("vec_id"),
-        expr("transform(embedding, v -> cast(v as double))").as("e"))
-      .withColumn("nrm", expr(
-        "sqrt(aggregate(zip_with(e, e, (x, y) -> x * y), " +
-          "cast(0 as double), (s, v) -> s + v))"))
+    val en = withNorms(emb)
     val sel = sym
       .join(en.select(col("vec_id"), col("e").as("ea")), "vec_id")
       .join(en.select(col("vec_id").as("nbr_id"), col("e").as("eb")),
@@ -539,10 +532,35 @@ object Similarity {
       .select(col("vec_id"), explode(col("tk")).as("t"))
       .select(col("vec_id"), col("t.cand_id").as("nbr_id"),
         col("t.sim").cast("long").as("se"))
-    val cand = sel.join(
-      en.select(col("vec_id").as("nbr_id"), col("e"), col("nrm")),
-      "nbr_id")
+    alphaPrune(sel, en, alpha100, maxDegree)
+  }
+
+  /** Double vectors + precomputed norms — the in-lambda prune cosine
+    * is dot/(nrm_b·nrm_c) with the same left-to-right folds as the
+    * codegen'd kernel, so both engines see identical doubles. Shared
+    * by [[navigableGraph]] and [[navigableAttach]].
+    */
+  private def withNorms(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        expr("transform(embedding, v -> cast(v as double))").as("e"))
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(zip_with(e, e, (x, y) -> x * y), " +
+          "cast(0 as double), (s, v) -> s + v))"))
+
+  /** The greedy RobustPrune core shared by the build and attach
+    * paths: per node, walk its scored candidates in (sim_e6 DESC,
+    * nbr_id) order, keeping c unless an already-kept b is α-times
+    * closer to c, capped at `maxDegree`. `cand` (vec_id, nbr_id, se)
+    * MUST already be bounded per node (heap-truncated) — the collect
+    * here is what turns it into the per-node prune array, so its
+    * size is the caller's state bound. `en` supplies candidate
+    * embeddings+norms ([[withNorms]] of the candidate corpus).
+    */
+  private def alphaPrune(cand: DataFrame, en: DataFrame,
+      alpha100: Long, maxDegree: Int): DataFrame = {
     val kept = cand
+      .join(en.select(col("vec_id").as("nbr_id"), col("e"), col("nrm")),
+        "nbr_id")
       .groupBy("vec_id")
       .agg(array_sort(collect_list(struct((-col("se")).as("ns"),
         col("nbr_id").as("nbr"), col("se"), col("nrm"), col("e"))))
@@ -563,6 +581,64 @@ object Similarity {
       .select(col("vec_id"), posexplode(col("kept")).as(Seq("pos", "s")))
       .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
         col("s.nbr").as("nbr_id"), col("s.se").as("sim_e6"))
+  }
+
+  /** Incremental navigable-graph MAINTENANCE (the FreshDiskANN
+    * insert shape; d21/IndexPipeline.append's discipline for the
+    * graph index): attach a DELTA batch of new vectors to an
+    * existing built graph WITHOUT rebuilding it. Per new vector:
+    * route to its `nprobe` nearest base cells map-side (the e9
+    * broadcast-centroid-array trick — zero corpus shuffle), gather
+    * its in-cell base candidates, heap-truncate to `maxCandidates`
+    * on the e6 grid, α-prune with the SAME RobustPrune core as
+    * [[navigableGraph]] → the new node's out-edges ('fwd' rows).
+    * Every kept edge also emits its REVERSE ('back' rows, rank null)
+    * — the backlink that keeps the new node reachable. Backlinks
+    * APPEND to the base lists without re-pruning them (deferred
+    * compaction: the periodic [[navigableGraph]] rebuild is the
+    * compaction step, exactly as IndexPipeline.append defers
+    * retraining) — so attach cost scales with the DELTA, never the
+    * corpus: the base graph is never read, only base embeddings in
+    * the probed cells.
+    *
+    * @return (vec_id, kind, rank, nbr_id, sim_e6) — kind 'fwd':
+    *   new-node adjacency, ranked; kind 'back': base-node backlink
+    *   appends, rank null
+    */
+  def navigableAttach(embBase: DataFrame, embDelta: DataFrame,
+      labelCol: String, alpha100: Long = 120, maxDegree: Int = 16,
+      maxCandidates: Int = 32, nprobe: Int = 2): DataFrame = {
+    val centArr = centroidVectors(embBase, labelCol)
+      .agg(array_sort(collect_list(struct(col("label"), col("cvec"))))
+        .as("cents"))
+    // (-cos, label) sorts as (cos DESC, label ASC) — knnGraphProbed's
+    // exact routing; negation is IEEE-exact so ties can't diverge.
+    val probes = embDelta
+      .select(col("vec_id"), col("embedding").as("ea"))
+      .crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("ea"),
+        explode(slice(array_sort(transform(col("cents"), c =>
+          struct((-cosine_sim(col("ea"), c.getField("cvec"))).as("neg"),
+            c.getField("label").as("label")))), 1, nprobe)).as("p"))
+      .select(col("vec_id"), col("ea"), col("p.label").as("label"))
+    val cand = embBase.select(col(labelCol).as("label"),
+      col("vec_id").as("nbr_id"), col("embedding").as("eb"))
+    val sel = probes.join(cand, Seq("label"))
+      .withColumn("se",
+        floor(cosine_sim(col("ea"), col("eb")) * 1000000 + 0.5)
+          .cast("long"))
+      .groupBy("vec_id")
+      .agg(top_k_by_score(col("se").cast("double"), col("nbr_id"),
+        lit(0L), maxCandidates).as("tk"))
+      .select(col("vec_id"), explode(col("tk")).as("t"))
+      .select(col("vec_id"), col("t.cand_id").as("nbr_id"),
+        col("t.sim").cast("long").as("se"))
+    val fwd = alphaPrune(sel, withNorms(embBase), alpha100, maxDegree)
+    fwd.select(col("vec_id"), lit("fwd").as("kind"), col("rank"),
+        col("nbr_id"), col("sim_e6"))
+      .union(fwd.select(col("nbr_id").as("vec_id"),
+        lit("back").as("kind"), lit(null).cast("long").as("rank"),
+        col("vec_id").as("nbr_id"), col("sim_e6")))
   }
 
   /** Exhaustive SQ8 scan top-k — [[bruteForceTopK]] run over the

@@ -406,28 +406,48 @@ object PipelineQueries {
     * Produces `nav` (vec_id, rank, nbr_id, se) — shared by the e28
     * build output and e30's walk-over-the-built-graph recall gate.
     */
-  private def navGraphCtes(graphK: Int, alpha100: Int, maxDeg: Int,
-      maxCand: Int): String = {
+  /** The greedy-α-prune CTE steps alone (`k0..k$maxCand` + `nav`),
+    * parameterized over the candidate CTE (`ncCte`: vec_id, nbr_id,
+    * se, crank) and the embedding CTE supplying candidate vectors
+    * (`embCte`: vec_id, emb) — shared by [[navGraphCtes]] (build,
+    * candidates from the symmetrized graph over `e`) and the e32
+    * attach oracle (candidates from the delta probe over the base
+    * subset).
+    */
+  private def alphaPruneStepsSql(alpha100: Int, maxDeg: Int,
+      maxCand: Int, embCte: String = "e",
+      ncCte: String = "nc"): String = {
     val cosBC = TextHash.duckCosine("be.emb", "ce.emb", 64)
     val steps = (1 to maxCand).map { i =>
       s"""k$i AS MATERIALIZED (
          |  SELECT * FROM k${i - 1}
          |  UNION ALL
          |  SELECT c.vec_id, c.nbr_id, c.se
-         |  FROM nc c
+         |  FROM $ncCte c
          |  WHERE c.crank = $i
          |    AND (SELECT count(*) FROM k${i - 1} p
          |         WHERE p.vec_id = c.vec_id) < $maxDeg
          |    AND NOT EXISTS (
          |      SELECT 1 FROM k${i - 1} p
-         |      JOIN e be ON be.vec_id = p.nbr_id
-         |      JOIN e ce ON ce.vec_id = c.nbr_id
+         |      JOIN $embCte be ON be.vec_id = p.nbr_id
+         |      JOIN $embCte ce ON ce.vec_id = c.nbr_id
          |      WHERE p.vec_id = c.vec_id
          |        AND $alpha100 * (1000000 -
          |              CAST(floor($cosBC * 1000000 + 0.5) AS BIGINT))
          |            <= 100 * (1000000 - c.se))
          |)""".stripMargin
     }.mkString(",\n")
+    s"""k0 AS (SELECT vec_id, nbr_id, se FROM $ncCte WHERE 1 = 0),
+       |$steps,
+       |nav AS MATERIALIZED (
+       |  SELECT vec_id, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY se DESC, nbr_id) AS rank, nbr_id, se
+       |  FROM k$maxCand
+       |)""".stripMargin
+  }
+
+  private def navGraphCtes(graphK: Int, alpha100: Int, maxDeg: Int,
+      maxCand: Int): String = {
     s"""gk AS (SELECT vec_id, nbr_id FROM r WHERE rank <= $graphK),
        |symg AS (
        |  SELECT DISTINCT vec_id, nbr_id FROM (
@@ -450,13 +470,7 @@ object PipelineQueries {
        |    )
        |  ) WHERE crank <= $maxCand
        |),
-       |k0 AS (SELECT vec_id, nbr_id, se FROM nc WHERE 1 = 0),
-       |$steps,
-       |nav AS MATERIALIZED (
-       |  SELECT vec_id, row_number() OVER (PARTITION BY vec_id
-       |    ORDER BY se DESC, nbr_id) AS rank, nbr_id, se
-       |  FROM k$maxCand
-       |)""".stripMargin
+       |${alphaPruneStepsSql(alpha100, maxDeg, maxCand)}""".stripMargin
   }
 
   /** Broadcast-side ADC lookup table shared by [[pqAdcScores]] and
@@ -3256,6 +3270,77 @@ object PipelineQueries {
               |  CAST(m * 1000000 // n_edges AS BIGINT)
               |    AS reciprocity_e6
               |FROM ag, mu""".stripMargin)),
+
+    // Incremental navigable-graph MAINTENANCE (the FreshDiskANN
+    // insert shape — d21/IndexPipeline.append's discipline applied
+    // to the graph index): attach the odd-id DELTA batch to the
+    // graph built over the even-id base WITHOUT rebuilding. Per new
+    // vector: route to its 2 nearest base cells map-side (broadcast
+    // centroid array — zero corpus shuffle), heap-truncate the
+    // in-cell base candidates to 32 on the e6 grid, α-prune with
+    // the e28 RobustPrune core → 'fwd' out-edges; every kept edge
+    // emits its reverse as a 'back' backlink append (rank null) —
+    // base lists are NOT re-pruned (deferred compaction: the
+    // periodic e28 rebuild is the compaction, exactly as
+    // IndexPipeline.append defers retraining), so attach cost
+    // scales with the delta, never the corpus.
+    Q("e32_nav_attach",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.navigableAttach(
+            emb.filter(col("vec_id") % 2 === 0),
+            emb.filter(col("vec_id") % 2 === 1), "label")
+          .orderBy("vec_id", "kind", "nbr_id")
+      },
+      Some(s"""WITH eb AS MATERIALIZED (
+              |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+              |  FROM embeddings WHERE vec_id % 2 = 0
+              |),
+              |edel AS (
+              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              |  FROM embeddings WHERE vec_id % 2 = 1
+              |),
+              |cb0 AS (
+              |  SELECT label, i - 1 AS dim, round(avg(v), 6) AS c
+              |  FROM (SELECT label, unnest(emb) AS v,
+              |          generate_subscripts(emb, 1) AS i FROM eb)
+              |  GROUP BY label, dim
+              |),
+              |centb AS (
+              |  SELECT label, list(c ORDER BY dim) AS cvec FROM cb0
+              |  GROUP BY label
+              |),
+              |assd AS MATERIALIZED (
+              |  SELECT vec_id, emb, label FROM (
+              |    SELECT d.vec_id, d.emb, c.label,
+              |      row_number() OVER (PARTITION BY d.vec_id
+              |        ORDER BY ${TextHash.duckCosine("d.emb", "c.cvec", 64)}
+              |          DESC, c.label) AS rn
+              |    FROM edel d, centb c
+              |  ) WHERE rn <= 2
+              |),
+              |nc AS MATERIALIZED (
+              |  SELECT vec_id, nbr_id, se, crank FROM (
+              |    SELECT vec_id, nbr_id, se, row_number() OVER (
+              |      PARTITION BY vec_id ORDER BY se DESC, nbr_id) AS crank
+              |    FROM (
+              |      SELECT a.vec_id, b.vec_id AS nbr_id,
+              |        CAST(floor(${TextHash.duckCosine("a.emb", "b.emb", 64)}
+              |          * 1000000 + 0.5) AS BIGINT) AS se
+              |      FROM assd a JOIN eb b ON b.label = a.label
+              |    )
+              |  ) WHERE crank <= 32
+              |),
+              |${alphaPruneStepsSql(alpha100 = 120, maxDeg = 16,
+                                    maxCand = 32, embCte = "eb")}
+              |SELECT * FROM (
+              |  SELECT vec_id, 'fwd' AS kind, rank, nbr_id,
+              |    se AS sim_e6 FROM nav
+              |  UNION ALL
+              |  SELECT nbr_id AS vec_id, 'back' AS kind,
+              |    NULL AS rank, vec_id AS nbr_id, se AS sim_e6 FROM nav
+              |)
+              |ORDER BY vec_id, kind, nbr_id""".stripMargin)),
 
     // The IVF TRAINER: spherical k-means over the raw vectors —
     // deterministic hash seeds, 3 Lloyd rounds (assignment =

@@ -808,6 +808,51 @@ class OperatorsSpec extends SparkSpec {
       s"built-graph walk recall $built fell below raw-kNN walk $raw")
   }
 
+  test("navigable attach: backlinks make new vectors walk-reachable") {
+    // The FreshDiskANN insert contract: attach the delta WITHOUT
+    // rebuilding the base graph; 'fwd' rows are the new nodes'
+    // pruned adjacency, every fwd edge carries its 'back' twin, and
+    // walking base-graph ∪ attach-edges reaches the new node — the
+    // backlink is what makes that possible (the base graph alone
+    // cannot point at a node it has never seen).
+    val mk = (i: Int) =>
+      if (i % 2 == 0) Array(1.0f, 0.1f * (i % 5), 0.0f, 0.2f)
+      else Array(0.0f, 0.2f, 1.0f, 0.1f * (i % 7))
+    val base = (0 until 20).map(i => (i.toLong, i % 2, mk(i)))
+      .toDF("vec_id", "label", "embedding")
+    val delta = (20 until 26).map(i => (i.toLong, i % 2, mk(i)))
+      .toDF("vec_id", "label", "embedding")
+    val att = Similarity.navigableAttach(base, delta, "label",
+      maxDegree = 4, maxCandidates = 8)
+    val rows = att.as[(Long, String, Option[Long], Long, Long)]
+      .collect()
+    val fwd = rows.filter(_._2 == "fwd")
+    val back = rows.filter(_._2 == "back").map(r => (r._4, r._1)).toSet
+    assert(fwd.nonEmpty)
+    assert(fwd.groupBy(_._1).values.forall(_.length <= 4))
+    assert(fwd.forall(r => back.contains((r._1, r._4))),
+      "every fwd edge must carry its backlink twin")
+    assert(fwd.forall(r => r._1 >= 20 && r._4 < 20),
+      "fwd edges go new -> base only")
+    // Union graph: base build + attach edges (both directions).
+    val baseNav = Similarity.navigableGraph(base,
+        Similarity.knnGraphProbed(base, "label", k = 4, nprobe = 2)
+          .select(col("vec_id"), col("nbr_id")),
+        maxDegree = 4, maxCandidates = 8)
+      .select(col("vec_id"), col("nbr_id"))
+    val union = baseNav.union(att.select(col("vec_id"), col("nbr_id")))
+    // Probe AT an attached vector's position (fresh id so the walk
+    // does not self-exclude it): it must land in the beam.
+    val probe = Seq((99L, mk(21))).toDF("vec_id", "embedding")
+    val all = base.union(delta)
+    val found = Similarity.graphBeamSearch(all, probe, union,
+        Similarity.cellMedoids(base, "label"), beamWidth = 6,
+        rounds = 4)
+      .select("cand_id").as[Long].collect().toSet
+    assert(found.contains(21L),
+      s"attached vector unreachable through the union graph: $found")
+  }
+
   test("centroids average each dimension per cluster") {
     val emb = Seq(
       (0L, 0, Array(1.0f, 3.0f)), (1L, 0, Array(3.0f, 5.0f)),
