@@ -8,10 +8,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Dbg {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions","4")
-      .config("spark.ui.enabled","false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
+    // GraftSession carries the parquet timestamp configs (nanosAsLong,
+    // inferTimestampNTZ=false, UTC zone) — an ad-hoc builder here once
+    // diverged and made Dbg reject queries Verify runs fine.
+    val spark = GraftSession.builder("4").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sfDir = args.lift(2).getOrElse("/root/testdata/sf0.001")
     try {

@@ -210,6 +210,67 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Plant REAL BMPs ([[Bmp]]): even doc_ids 24-bit BI_RGB (ids
+    * divisible by 4 stored TOP-DOWN via negative biHeight, the rest
+    * bottom-up — the decoder must normalize), odd doc_ids BI_RLE8
+    * palette images whose 3-pixel index runs exercise encoded-run
+    * and absolute RLE modes on alternating rows. Oracle formulas
+    * (top-down pixel space, independent of storage order):
+    * 24-bit rgb(y,x,c) = (id·37 + y·5 + x·11 + c·7) % 256;
+    * RLE8 palette[j][c] = (id·29 + j·23 + c·13) % 256 with
+    * index(y,x) = (id·17 + y·13 + (x div 3)·9) % 16.
+    */
+  def bmpTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (4 + id % 5).toInt
+        val h = (4 + (id * 3) % 5).toInt
+        val payload =
+          if (id % 2 == 0) {
+            val rgb = Array.tabulate(w * h * 3) { i =>
+              val c = i % 3; val x = (i / 3) % w; val y = i / 3 / w
+              ((id * 37 + y * 5 + x * 11 + c * 7) % 256).toByte
+            }
+            Bmp.encode24(w, h, rgb, topDown = id % 4 == 0)
+          } else {
+            val palette = Array.tabulate(16 * 3) { i =>
+              val j = i / 3; val c = i % 3
+              ((id * 29 + j * 23 + c * 13) % 256).toByte
+            }
+            val indices = Array.tabulate(w * h) { i =>
+              val y = i / w; val x = i % w
+              ((id * 17 + y * 13 + (x / 3) * 9) % 16).toInt
+            }
+            Bmp.encodeRle8(w, h, palette, indices)
+          }
+        MediaRow(id, "image/bmp", payload.length.toLong, payload)
+      }
+    }.toDF()
+  }
+
+  case class BmpStats(doc_id: Long, width: Long, height: Long,
+      compression: Long, sum_rgb: Long, pixels_md5: String)
+
+  /** REAL BMP decode ([[Bmp.decode]]: header walk, row-order
+    * normalization, padding stride, RLE escape-code machine) reduced
+    * to oracle-checkable per-image stats; `pixels_md5` binds every
+    * decoded byte. Undecodable payloads are dropped. Map-side only.
+    */
+  def decodeBmpStats(spark: SparkSession, media: DataFrame)
+      : Dataset[BmpStats] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        Bmp.decode(r.payload).map { d =>
+          val (hex, sum) = pixelDigest(d.rgb)
+          BmpStats(r.doc_id, d.width.toLong, d.height.toLong,
+            d.compression.toLong, sum, hex)
+        }
+      }
+    }
+  }
+
   case class PngStats(doc_id: Long, width: Long, height: Long,
       sum_rgb: Long, pixels_md5: String)
 

@@ -533,6 +533,90 @@ object EventQueries {
              |  arg_min(value, event_id) AS kept_value,
              |  count(*) AS n_dups
              |FROM events GROUP BY 1, 2, 3
-             |ORDER BY hour_start, user_id, event_type""".stripMargin))
+             |ORDER BY hour_start, user_id, event_type""".stripMargin)),
+
+    // Multi-touch conversion attribution — the marketing-analytics
+    // twin of q19's funnel: every purchase credits (a) its LAST
+    // preceding touch event (click/view/signup — strictly before, any
+    // distance) and (b) the FIRST touch inside a 7-day lookback, per
+    // user. Both credits are window functions over ONE per-user
+    // ordered pass (rows frame for last-touch, micros range frame for
+    // the lookback — the q39 range-frame machinery on event time), so
+    // the whole query is a single user-key exchange plus two
+    // broadcast-sized channel aggregates full-outer-merged; no
+    // self-join of the event table against itself. Revenue rides as
+    // exact cents. 'none' collects purchases with no qualifying touch.
+    Q("q52_attribution",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val SevenDaysUs = 604800000000L
+        val ev = Tables.events(s, d).select(
+          col("user_id"), unix_micros(col("ts")).as("tsl"),
+          col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("val_c"),
+          when(col("event_type").isin("click", "view", "signup"),
+            col("event_type")).as("touch"))
+        val byUser = Window.partitionBy("user_id").orderBy("tsl")
+        val w = ev
+          .withColumn("last_touch",
+            last(col("touch"), ignoreNulls = true).over(
+              byUser.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("first_touch",
+            first(col("touch"), ignoreNulls = true).over(
+              byUser.rangeBetween(-SevenDaysUs, -1)))
+          .filter(col("event_type") === "purchase")
+        val lastAgg = w.groupBy(
+            coalesce(col("last_touch"), lit("none")).as("channel"))
+          .agg(count(lit(1)).as("n_last"), sum("val_c").as("rev_last_c"))
+        val firstAgg = w.groupBy(
+            coalesce(col("first_touch"), lit("none")).as("channel"))
+          .agg(count(lit(1)).as("n_first"), sum("val_c").as("rev_first_c"))
+        lastAgg.join(firstAgg, Seq("channel"), "full_outer")
+          .select(col("channel"),
+            coalesce(col("n_last"), lit(0L)).as("n_last"),
+            coalesce(col("rev_last_c"), lit(0L)).as("rev_last_c"),
+            coalesce(col("n_first"), lit(0L)).as("n_first"),
+            coalesce(col("rev_first_c"), lit(0L)).as("rev_first_c"))
+          .orderBy("channel")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_us(ts) AS tsl, event_type,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS val_c,
+             |    CASE WHEN event_type IN ('click', 'view', 'signup')
+             |         THEN event_type END AS touch
+             |  FROM events
+             |),
+             |w AS (
+             |  SELECT *,
+             |    last_value(touch IGNORE NULLS) OVER (
+             |      PARTITION BY user_id ORDER BY tsl
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS last_touch,
+             |    first_value(touch IGNORE NULLS) OVER (
+             |      PARTITION BY user_id ORDER BY tsl
+             |      RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)
+             |      AS first_touch
+             |  FROM ev
+             |),
+             |p AS (SELECT * FROM w WHERE event_type = 'purchase'),
+             |la AS (
+             |  SELECT coalesce(last_touch, 'none') AS channel,
+             |    count(*) AS n_last,
+             |    CAST(sum(val_c) AS BIGINT) AS rev_last_c
+             |  FROM p GROUP BY 1
+             |),
+             |fa AS (
+             |  SELECT coalesce(first_touch, 'none') AS channel,
+             |    count(*) AS n_first,
+             |    CAST(sum(val_c) AS BIGINT) AS rev_first_c
+             |  FROM p GROUP BY 1
+             |)
+             |SELECT coalesce(la.channel, fa.channel) AS channel,
+             |  CAST(coalesce(n_last, 0) AS BIGINT) AS n_last,
+             |  CAST(coalesce(rev_last_c, 0) AS BIGINT) AS rev_last_c,
+             |  CAST(coalesce(n_first, 0) AS BIGINT) AS n_first,
+             |  CAST(coalesce(rev_first_c, 0) AS BIGINT) AS rev_first_c
+             |FROM la FULL OUTER JOIN fa ON la.channel = fa.channel
+             |ORDER BY channel""".stripMargin))
   )
 }

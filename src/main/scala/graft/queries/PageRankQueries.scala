@@ -1244,6 +1244,64 @@ object PageRankQueries {
                      |)""".stripMargin
                 }.mkString(",\n")}
               |SELECT node, round(rank, 6) AS rank FROM r10
-              |ORDER BY rank DESC, node LIMIT 20""".stripMargin))
+              |ORDER BY rank DESC, node LIMIT 20""".stripMargin)),
+
+    // Weighted shortest paths (graph.Sssp, bounded Bellman-Ford) —
+    // the weighted twin of g3's BFS and the last distance primitive:
+    // edge cost falls with co-occurrence frequency (1000000 div
+    // weight + 1 — popular word-follow transitions are cheap,
+    // integer-exact on both engines), seeds are the 3 smallest
+    // nodes, 6 relaxation rounds so every node holds the exact
+    // cheapest ≤6-edge path cost. Scale shape: edges partitioned by
+    // src once and persisted; per round only the distance table
+    // moves and the consolidation is a partial-aggregated min; the
+    // carried/relaxed double-reference is lineage-cut per round
+    // (the PageRank fix), so plan depth stays constant. Oracle: 6
+    // unrolled full-relaxation CTE rounds (MATERIALIZED — each
+    // references its predecessor twice).
+    Q("g14_sssp",
+      (s, d) => {
+        val we = LinkGraph
+          .wordFollowWeighted(Tables.documents(s, d), "text")
+          .select(col("src"), col("dst"),
+            (expr("1000000 div weight") + 1).as("cost"))
+        val nodes = we.select(col("src").as("node"))
+          .union(we.select(col("dst").as("node"))).distinct()
+        val seeds = nodes.orderBy("node").limit(3)
+        graft.graph.Sssp.run(we, seeds, rounds = 6)
+          .orderBy("node")
+      },
+      Some {
+        val rounds = (1 to 6).map { h =>
+          s"""s$h AS MATERIALIZED (
+             |  SELECT node, min(dist) AS dist FROM (
+             |    SELECT node, dist FROM s${h - 1}
+             |    UNION ALL
+             |    SELECT e.dst AS node, f.dist + e.cost AS dist
+             |    FROM s${h - 1} f JOIN e ON e.src = f.node
+             |  ) GROUP BY node
+             |)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH w AS (
+           |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+           |  FROM documents WHERE length(trim(text)) > 0
+           |),
+           |e AS MATERIALIZED (
+           |  SELECT src, dst, 1000000 // weight + 1 AS cost FROM (
+           |    SELECT p.s AS src, p.d AS dst, count(*) AS weight
+           |    FROM (SELECT unnest(list_transform(range(1, len(w)),
+           |                        i -> {'s': w[i], 'd': w[i+1]})) AS p
+           |          FROM w WHERE len(w) >= 2)
+           |    GROUP BY 1, 2)
+           |),
+           |nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |s0 AS (
+           |  SELECT node, CAST(0 AS BIGINT) AS dist
+           |  FROM (SELECT node FROM nd ORDER BY node LIMIT 3)
+           |),
+           |$rounds
+           |SELECT node, CAST(dist AS BIGINT) AS dist FROM s6
+           |ORDER BY node""".stripMargin
+      })
   )
 }

@@ -63,6 +63,79 @@ object PipelineQueries {
        |FROM jac
        |WHERE j >= 0.8 ORDER BY da, db""".stripMargin
 
+  /** Shared CTE chain for the d46/d66 oracles: the full LogReg
+    * training replication (8 integer-exact gradient rounds over the
+    * standardized quality features) ending in a `scored` table of
+    * (doc_id, label, p_e6). Factored so the calibration audit binning
+    * is guaranteed to run over the IDENTICAL scored stream d46
+    * verifies row-by-row.
+    */
+  private def lrScoredCtes: String = {
+    def meanSql(j: Int) = s"CAST(s$j AS DOUBLE) / n0"
+    def pSql(w: String) =
+      s"1.0 / (1.0 + exp(-(($w.a0 * x0 + $w.a1 * x1 + $w.a2 * x2" +
+        s" + $w.a3 * x3) / 1000000.0)))"
+    def roundSql(r: Int) =
+      s"""g$r AS (
+         |  SELECT count(*) AS n,
+         |${(0 to 3).map(j => s"    CAST(sum(CAST(floor((y - p) * x$j" +
+           s" * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS g$j")
+           .mkString(",\n")}
+         |  FROM (SELECT f.*, ${pSql("w")} AS p FROM f, w${r - 1} w)
+         |),
+         |w$r AS (
+         |  SELECT ${(0 to 3).map(j => s"w.a$j + CAST(floor(" +
+           s"CAST(32 * g.g$j AS DOUBLE) / g.n + 0.5) AS BIGINT) AS a$j")
+           .mkString(", ")}
+         |  FROM w${r - 1} w, g$r g
+         |)""".stripMargin
+    s"""t AS (
+       |  SELECT doc_id, ${TextHash.duckTokens("text")} AS tk
+       |  FROM documents
+       |),
+       |rawf AS (
+       |  SELECT doc_id,
+       |    CASE WHEN (0.4 * ttr + 0.3 * len_sat
+       |               + 0.3 * (1.0 - stop_ratio)) >= 0.63
+       |         THEN 1.0 ELSE 0.0 END AS y,
+       |    ttr AS x1, len_sat AS x2, stop_ratio AS x3
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS ttr,
+       |      least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) AS len_sat,
+       |      CAST(len(list_filter(tk, t -> t = 'the' OR t = 'a'))
+       |           AS DOUBLE) / len(tk) AS stop_ratio
+       |    FROM t)
+       |),
+       |q AS (
+       |  SELECT doc_id, y,
+       |${(1 to 3).map(j => s"    CAST(floor(x$j * 1000000 + 0.5)" +
+         s" AS BIGINT) AS q$j").mkString(",\n")}
+       |  FROM rawf
+       |),
+       |st AS (
+       |  SELECT count(*) AS n0,
+       |${(1 to 3).map(j => s"    sum(q$j) AS s$j, sum(q$j * q$j)" +
+         s" AS s2$j").mkString(",\n")}
+       |  FROM q
+       |),
+       |f AS MATERIALIZED (
+       |  SELECT doc_id, y, 1.0 AS x0,
+       |${(1 to 3).map(j => s"    (q$j - ${meanSql(j)}) / sqrt(" +
+         s"CAST(s2$j AS DOUBLE) / n0 - ${meanSql(j)} * ${meanSql(j)})" +
+         s" AS x$j").mkString(",\n")}
+       |  FROM q, st
+       |),
+       |w0 AS (SELECT ${(0 to 3)
+         .map(j => s"CAST(0 AS BIGINT) AS a$j").mkString(", ")}),
+       |${(1 to 8).map(roundSql).mkString(",\n")},
+       |scored AS (
+       |  SELECT doc_id, CAST(y AS INT) AS label,
+       |    CAST(floor(${pSql("w")} * 1000000 + 0.5) AS BIGINT) AS p_e6
+       |  FROM f, w8 w
+       |)""".stripMargin
+  }
+
   /** Unrolled min-label propagation rounds for the d9 oracle: each
     * round every vertex takes the min label among itself and its
     * in-neighbors — the SQL mirror of ConnectedComponents.minLabel.
@@ -194,7 +267,8 @@ object PipelineQueries {
   private def kmeansCtes(k: Int, iters: Int,
       trainPred: String = "TRUE",
       embExpr: String = "CAST(embedding AS DOUBLE[])",
-      prefix: String = "", dims: Int = 64): String = {
+      prefix: String = "", dims: Int = 64,
+      src: String = "embeddings"): String = {
     val p = prefix
     val steps = (1 to iters).map { i =>
       s"""${p}a$i AS MATERIALIZED (
@@ -218,7 +292,7 @@ object PipelineQueries {
          |)""".stripMargin
     }.mkString(",\n")
     s"""${p}e AS MATERIALIZED (
-       |  SELECT vec_id, $embExpr AS emb FROM embeddings
+       |  SELECT vec_id, $embExpr AS emb FROM $src
        |),
        |${p}et AS MATERIALIZED (
        |  SELECT vec_id, emb FROM ${p}e WHERE $trainPred
@@ -2808,73 +2882,66 @@ object PipelineQueries {
             col("p_e6"), col("pred"))
           .orderBy("doc_id")
       },
-      Some {
-        def meanSql(j: Int) = s"CAST(s$j AS DOUBLE) / n0"
-        def pSql(w: String) =
-          s"1.0 / (1.0 + exp(-(($w.a0 * x0 + $w.a1 * x1 + $w.a2 * x2" +
-            s" + $w.a3 * x3) / 1000000.0)))"
-        def roundSql(r: Int) =
-          s"""g$r AS (
-             |  SELECT count(*) AS n,
-             |${(0 to 3).map(j => s"    CAST(sum(CAST(floor((y - p) * x$j" +
-               s" * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS g$j")
-               .mkString(",\n")}
-             |  FROM (SELECT f.*, ${pSql("w")} AS p FROM f, w${r - 1} w)
-             |),
-             |w$r AS (
-             |  SELECT ${(0 to 3).map(j => s"w.a$j + CAST(floor(" +
-               s"CAST(32 * g.g$j AS DOUBLE) / g.n + 0.5) AS BIGINT) AS a$j")
-               .mkString(", ")}
-             |  FROM w${r - 1} w, g$r g
-             |)""".stripMargin
-        s"""WITH t AS (
-           |  SELECT doc_id, ${TextHash.duckTokens("text")} AS tk
-           |  FROM documents
-           |),
-           |rawf AS (
-           |  SELECT doc_id,
-           |    CASE WHEN (0.4 * ttr + 0.3 * len_sat
-           |               + 0.3 * (1.0 - stop_ratio)) >= 0.63
-           |         THEN 1.0 ELSE 0.0 END AS y,
-           |    ttr AS x1, len_sat AS x2, stop_ratio AS x3
-           |  FROM (
-           |    SELECT doc_id,
-           |      CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS ttr,
-           |      least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) AS len_sat,
-           |      CAST(len(list_filter(tk, t -> t = 'the' OR t = 'a'))
-           |           AS DOUBLE) / len(tk) AS stop_ratio
-           |    FROM t)
-           |),
-           |q AS (
-           |  SELECT doc_id, y,
-           |${(1 to 3).map(j => s"    CAST(floor(x$j * 1000000 + 0.5)" +
-             s" AS BIGINT) AS q$j").mkString(",\n")}
-           |  FROM rawf
-           |),
-           |st AS (
-           |  SELECT count(*) AS n0,
-           |${(1 to 3).map(j => s"    sum(q$j) AS s$j, sum(q$j * q$j)" +
-             s" AS s2$j").mkString(",\n")}
-           |  FROM q
-           |),
-           |f AS MATERIALIZED (
-           |  SELECT doc_id, y, 1.0 AS x0,
-           |${(1 to 3).map(j => s"    (q$j - ${meanSql(j)}) / sqrt(" +
-             s"CAST(s2$j AS DOUBLE) / n0 - ${meanSql(j)} * ${meanSql(j)})" +
-             s" AS x$j").mkString(",\n")}
-           |  FROM q, st
-           |),
-           |w0 AS (SELECT ${(0 to 3)
-             .map(j => s"CAST(0 AS BIGINT) AS a$j").mkString(", ")}),
-           |${(1 to 8).map(roundSql).mkString(",\n")}
-           |SELECT doc_id, label, p_e6,
-           |  CASE WHEN p_e6 >= 500000 THEN 1 ELSE 0 END AS pred
-           |FROM (
-           |  SELECT doc_id, CAST(y AS INT) AS label,
-           |    CAST(floor(${pSql("w")} * 1000000 + 0.5) AS BIGINT) AS p_e6
-           |  FROM f, w8 w
-           |) ORDER BY doc_id""".stripMargin
-      }),
+      Some(s"""WITH ${lrScoredCtes}
+              |SELECT doc_id, label, p_e6,
+              |  CASE WHEN p_e6 >= 500000 THEN 1 ELSE 0 END AS pred
+              |FROM scored ORDER BY doc_id""".stripMargin)),
+
+    // Calibration audit of the d46 quality gate — the ML-ops check a
+    // trainable filter needs before its scores steer a corpus mix:
+    // bucket the model's p into deciles and compare claimed
+    // confidence (mean p per bin) against observed accuracy (label
+    // rate per bin); |conf − acc| per bin is the reliability diagram
+    // and its n-weighted sum the ECE. Everything downstream of the
+    // shared scored table is ONE partial-aggregated groupBy on a
+    // derived 10-value key — no new exchange shape at any corpus
+    // size; both engines bin the SAME integer p_e6 so no boundary
+    // can disagree. Bins with no docs simply don't appear (exact on
+    // both sides).
+    Q("d66_calibration",
+      (s, d) => {
+        val raw = TextAnalysis.quality(Tables.documents(s, d))
+          .select(col("doc_id"),
+            when(col("quality_score") >= 0.63, 1.0).otherwise(0.0).as("y"),
+            col("ttr").as("x1"), col("len_sat").as("x2"),
+            col("stop_ratio").as("x3"))
+        val f = LogReg.standardizeE6(raw, Seq("x1", "x2", "x3"))
+          .withColumn("x0", lit(1.0))
+        val cols = Seq("x0", "x1_std", "x2_std", "x3_std")
+        val w = LogReg.train(f, cols, "y", rounds = 8, lrNum = 32L)
+        LogReg.score(f, cols, w)
+          .select(col("y").cast("long").as("label"), col("p_e6"))
+          .groupBy(least(floor(col("p_e6") / 100000), lit(9L))
+            .cast("long").as("bin"))
+          .agg(count(lit(1)).as("n"),
+            sum("label").as("n_pos"),
+            sum("p_e6").as("sp"))
+          .select(col("bin"), col("n"), col("n_pos"),
+            floor(col("sp").cast("double") / col("n") + 0.5)
+              .cast("long").as("conf_e6"),
+            floor(col("n_pos") * lit(1000000L).cast("double") / col("n")
+              + 0.5).cast("long").as("acc_e6"))
+          .withColumn("gap_e6", abs(col("conf_e6") - col("acc_e6")))
+          .orderBy("bin")
+      },
+      Some(s"""WITH ${lrScoredCtes},
+              |b AS (
+              |  SELECT least(p_e6 // 100000, 9) AS bin,
+              |    count(*) AS n,
+              |    CAST(sum(label) AS BIGINT) AS n_pos,
+              |    CAST(sum(p_e6) AS BIGINT) AS sp
+              |  FROM scored GROUP BY 1
+              |)
+              |SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
+              |  CAST(floor(CAST(sp AS DOUBLE) / n + 0.5) AS BIGINT)
+              |    AS conf_e6,
+              |  CAST(floor(CAST(n_pos * 1000000 AS DOUBLE) / n + 0.5)
+              |    AS BIGINT) AS acc_e6,
+              |  CAST(abs(
+              |    floor(CAST(sp AS DOUBLE) / n + 0.5) -
+              |    floor(CAST(n_pos * 1000000 AS DOUBLE) / n + 0.5))
+              |    AS BIGINT) AS gap_e6
+              |FROM b ORDER BY bin""".stripMargin)),
 
     // BPE merge-table TRAINING (operators.BpeTrain, Sennrich et al.
     // 2016) — the learning half of the tokenizer story: d29 APPLIES
@@ -3848,6 +3915,51 @@ object PipelineQueries {
              |)
              |SELECT doc_id, CAST(w AS BIGINT) AS width,
              |  CAST(h AS BIGINT) AS height,
+             |  CAST(SUM(b) AS BIGINT) AS sum_rgb,
+             |  md5(lower(string_agg(lpad(to_hex(b), 2, '0'), ''
+             |    ORDER BY y, x, c))) AS pixels_md5
+             |FROM px GROUP BY doc_id, w, h
+             |ORDER BY doc_id""".stripMargin)),
+
+    // REAL BMP decode (multimodal.Bmp): even ids are 24-bit BI_RGB
+    // planted in BOTH row orders (ids % 4 == 0 top-down via negative
+    // biHeight, the rest bottom-up — the decoder normalizes), odd
+    // ids are BI_RLE8 palette images whose 3-pixel runs walk the RLE
+    // escape machine (encoded runs on even storage rows, absolute
+    // mode with word padding on odd ones, EOL/EOD codes). Storage
+    // order and compression never change the decoded pixels, so the
+    // oracle pins every byte from the planting formulas with no
+    // decoder — exactly the m7/m17 contract. Scale: map-side decode,
+    // no shuffle beyond the deterministic sort.
+    Q("m24_bmp_decode",
+      (s, d) => Multimodal.decodeBmpStats(s,
+          Multimodal.bmpTable(s, Tables.documents(s, d)))
+        .toDF().orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id,
+             |    4 + doc_id % 5 AS w,
+             |    4 + (doc_id * 3) % 5 AS h
+             |  FROM documents
+             |),
+             |px AS (
+             |  SELECT doc_id, w, h, gy.y AS y, gx.x AS x, gc.c AS c,
+             |    CASE WHEN doc_id % 2 = 0
+             |      THEN (doc_id * 37 + gy.y * 5 + gx.x * 11 + gc.c * 7)
+             |             % 256
+             |      ELSE (doc_id * 29
+             |            + ((doc_id * 17 + gy.y * 13 + (gx.x // 3) * 9)
+             |               % 16) * 23
+             |            + gc.c * 13) % 256
+             |    END AS b
+             |  FROM dims,
+             |    (SELECT unnest(range(0, 8)) AS y) gy,
+             |    (SELECT unnest(range(0, 8)) AS x) gx,
+             |    (SELECT unnest(range(0, 3)) AS c) gc
+             |  WHERE gy.y < h AND gx.x < w
+             |)
+             |SELECT doc_id, CAST(w AS BIGINT) AS width,
+             |  CAST(h AS BIGINT) AS height,
+             |  CAST(doc_id % 2 AS BIGINT) AS compression,
              |  CAST(SUM(b) AS BIGINT) AS sum_rgb,
              |  md5(lower(string_agg(lpad(to_hex(b), 2, '0'), ''
              |    ORDER BY y, x, c))) AS pixels_md5
@@ -5413,6 +5525,179 @@ object PipelineQueries {
            |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
       }),
 
+    // RESIDUAL IVF-PQ — the FAISS-standard refinement e21 omits:
+    // quantize v − c(cell(v)) (the residual after the coarse
+    // assignment) instead of the raw vector, so the M codebooks spend
+    // their 8 codes on the WITHIN-cell spread rather than re-encoding
+    // the cell centroid every vector in the cell shares. Queries
+    // route to their nearest coarse centroid and build the ADC LUT
+    // from the QUERY residual vs that routed centroid — within a
+    // probed cell, ADC(q_res, v_res) ranks by dot(q − c, v − c),
+    // which is the residual-space inner product the raw-vector LUT
+    // can't see. Same scale shape as e21 (bounded codebook/LUT
+    // driver handoffs, broadcast query side, bounded-heap ranking);
+    // the one extra step is a broadcast centroid join computing the
+    // residual map-side.
+    Q("e34_residual_pq",
+      (s, d) => {
+        import graft.functions.CosineSimilarity.cosine_sim
+        import graft.functions.NearestCentroidCell.nearest_centroid
+        import graft.functions.TopKByScore.top_k_by_score
+        import org.apache.spark.sql.expressions.Window
+        val M = 4
+        val subDims = 16
+        val embRaw = Tables.embeddings(s, d)
+        val emb = embRaw.select(col("vec_id"), col("label"),
+          expr("transform(embedding, v -> cast(v as double))").as("e"))
+        val cent = Similarity.centroidVectors(embRaw, "label")
+        val resid = emb.join(broadcast(cent), emb("label") === cent("label"))
+          .select(col("vec_id"), emb("label"),
+            expr("zip_with(e, cvec, (a, b) -> a - b)").as("r"))
+        def sub(m: Int) = expr(s"slice(r, ${m * subDims + 1}, $subDims)")
+        val books: IndexedSeq[Seq[(Long, Array[Double])]] =
+          (0 until M).map { m =>
+            KMeans.train(resid.select(col("vec_id"),
+                sub(m).as("embedding")), k = 8, iters = 2)
+              .select(col("cell").cast("long"), col("cvec")).collect()
+              .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+          }
+        val coded = (0 until M).foldLeft(resid) { (df, m) =>
+          df.withColumn(s"code_$m", nearest_centroid(sub(m), books(m)))
+        }
+        // Route each query to its nearest coarse centroid, then take
+        // the residual vs the ROUTED centroid (not the query's own
+        // label) — the cell whose residual space the search runs in.
+        val wAssign = Window.partitionBy("query_id")
+          .orderBy(col("csim").desc, col("label"))
+        val qAssigned = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("e").as("qe"))
+          .join(broadcast(cent))
+          .withColumn("csim", cosine_sim(col("qe"), col("cvec")))
+          .withColumn("rn", row_number().over(wAssign))
+          .filter(col("rn") === 1)
+          .select(col("query_id"), col("label"),
+            expr("zip_with(qe, cvec, (a, b) -> a - b)").as("qr"))
+        val qRows = qAssigned.select(col("query_id"), col("qr")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        val (qlut, stride) = adcQueryLut(s, qRows, books, subDims)
+        val assigned = qAssigned.select("query_id", "label")
+          .join(qlut, "query_id")
+        def l(m: Int) = element_at(col("lut"),
+          lit(m * stride) + col(s"code_$m"))
+        coded.as("c").join(broadcast(assigned).as("a"),
+            col("c.label") === col("a.label") &&
+              col("vec_id") =!= col("query_id"))
+          .withColumn("adc", l(0) + l(1) + l(2) + l(3))
+          .groupBy("query_id")
+          .agg(top_k_by_score(col("adc"), col("vec_id"),
+            col("c.label").cast("long"), 5).as("tk"))
+          .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "t")))
+          .select(col("query_id"), col("t.tag").cast("long").as("label"),
+            (col("pos") + 1).cast("long").as("rank"),
+            col("t.cand_id").as("cand_id"),
+            round(col("t.sim"), 6).as("adc"))
+          .orderBy("query_id", "rank")
+      },
+      Some {
+        def rslice(m: Int) = s"embedding[${m * 16 + 1}:${m * 16 + 16}]"
+        def dotFold(a: String, b: String) =
+          s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+            s"list_transform(range(1, 17), i -> $a[i] * $b[i])), " +
+            s"(acc, x) -> acc + x)"
+        val books = (0 until 4)
+          .map(m => kmeansCtes(8, 2, "TRUE", rslice(m), s"p$m", 16,
+            src = "resid"))
+          .mkString(",\n")
+        val encs = (0 until 4).map { m =>
+          s"""enc$m AS MATERIALIZED (
+             |  SELECT vec_id, cell AS code_$m FROM (
+             |    SELECT v.vec_id, c.cell, row_number() OVER (
+             |      PARTITION BY v.vec_id
+             |      ORDER BY ${TextHash.duckCosine("v.emb", "c.cvec", 16)}
+             |        DESC, c.cell) AS rn
+             |    FROM p${m}e v, p${m}cent2 c) WHERE rn = 1
+             |)""".stripMargin
+        }.mkString(",\n")
+        val luts = (0 until 4).map { m =>
+          s"""lut$m AS MATERIALIZED (
+             |  SELECT q.query_id AS qid, c.cell,
+             |    ${dotFold(s"q.emb[${m * 16 + 1}:${m * 16 + 16}]",
+                  "c.cvec")} AS d
+             |  FROM qres q, p${m}cent2 c
+             |)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ed AS (
+           |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+           |  FROM embeddings
+           |),
+           |c0 AS (
+           |  SELECT label, i - 1 AS dim, round(avg(v), 6) AS c
+           |  FROM (
+           |    SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+           |      generate_subscripts(embedding, 1) AS i
+           |    FROM embeddings
+           |  ) GROUP BY label, dim
+           |),
+           |cent AS (
+           |  SELECT label, list(c ORDER BY dim) AS cvec
+           |  FROM c0 GROUP BY label
+           |),
+           |resid AS MATERIALIZED (
+           |  SELECT e0.vec_id, e0.label,
+           |    list_transform(range(1, 65),
+           |      i -> e0.emb[i] - c.cvec[i]) AS embedding
+           |  FROM ed e0 JOIN cent c ON c.label = e0.label
+           |),
+           |ass0 AS (
+           |  SELECT q.vec_id AS query_id, q.emb AS qe, cent.label,
+           |    cent.cvec,
+           |    ${TextHash.duckCosine("q.emb", "cent.cvec", 64)} AS cs
+           |  FROM (SELECT vec_id, emb FROM ed WHERE vec_id < 10) q, cent
+           |),
+           |ass AS (
+           |  SELECT query_id, label, qe, cvec FROM (
+           |    SELECT *, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY cs DESC, label) AS rn
+           |    FROM ass0
+           |  ) WHERE rn = 1
+           |),
+           |qres AS MATERIALIZED (
+           |  SELECT query_id, label,
+           |    list_transform(range(1, 65), i -> qe[i] - cvec[i]) AS emb
+           |  FROM ass
+           |),
+           |$books,
+           |$encs,
+           |$luts,
+           |enc AS (
+           |  SELECT e0.vec_id, e0.code_0, e1.code_1, e2.code_2,
+           |    e3.code_3
+           |  FROM enc0 e0 JOIN enc1 e1 USING (vec_id)
+           |       JOIN enc2 e2 USING (vec_id)
+           |       JOIN enc3 e3 USING (vec_id)
+           |),
+           |sc AS (
+           |  SELECT a.query_id, a.label, c2.vec_id AS cand_id,
+           |    l0.d + l1.d + l2.d + l3.d AS adc
+           |  FROM ass a
+           |  JOIN ed c2 ON c2.label = a.label AND c2.vec_id <> a.query_id
+           |  JOIN enc v ON v.vec_id = c2.vec_id
+           |  JOIN lut0 l0 ON l0.cell = v.code_0 AND l0.qid = a.query_id
+           |  JOIN lut1 l1 ON l1.cell = v.code_1 AND l1.qid = a.query_id
+           |  JOIN lut2 l2 ON l2.cell = v.code_2 AND l2.qid = a.query_id
+           |  JOIN lut3 l3 ON l3.cell = v.code_3 AND l3.qid = a.query_id
+           |),
+           |r AS (
+           |  SELECT query_id, label, cand_id, adc, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY adc DESC, cand_id) AS rank
+           |  FROM sc
+           |)
+           |SELECT query_id, CAST(label AS BIGINT) AS label,
+           |  CAST(rank AS BIGINT) AS rank, cand_id,
+           |  round(adc, 6) AS adc
+           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      }),
+
     // Gopher-style composite heuristic rule filter: one bit per rule
     // plus the conjunction — the per-rule audit a curation pipeline
     // reads per source. Pure map over the corpus scan (no shuffle
@@ -6593,6 +6878,70 @@ object PipelineQueries {
               |  coalesce(h, 0) AS n_hits,
               |  coalesce(h, 0) * 2000 AS recall_e4
               |FROM q LEFT JOIN hits ON hits.query_id = q.vec_id
+              |ORDER BY query_id""".stripMargin)),
+
+    // Matryoshka-style PREFIX-DIMENSION retrieval + recall gate: score
+    // candidates on only the first 32 of 64 dims (the cheap pass an
+    // MRL-trained embedding enables — half the bytes read, half the
+    // multiplies, same index layout) and measure recall@5 against the
+    // full-dim exact top-k. This is the dimension-truncation axis of
+    // the approximate-search family (e13 = IVF routing, e18 = SQ8
+    // quantization, e22 = PQ, e26/e30 = graph walk); at 100 TB the
+    // prefix scan is the first-stage filter with full-dim rerank only
+    // on survivors (the e27 two-stage shape applied to dims instead
+    // of codes). Both passes are the same broadcast-queries
+    // bounded-heap kernel — no window, no extra exchange; the prefix
+    // side just slices the stored array before the dot product.
+    Q("e33_prefix_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") < 10)
+        val exact = Similarity.bruteForceTopK(emb, qs, k = 5)
+          .select(col("query_id"), col("cand_id"))
+        val half = emb.select(col("vec_id"),
+          expr("slice(embedding, 1, 32)").as("embedding"))
+        val approx = Similarity
+          .bruteForceTopK(half, half.filter(col("vec_id") < 10), k = 5)
+          .select(col("query_id"), col("cand_id"))
+        val hits = exact.join(approx, Seq("query_id", "cand_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("h"))
+        qs.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("h"), lit(0L)).as("n_hits"),
+            (coalesce(col("h"), lit(0L)) * 2000).as("recall_e4"))
+          .orderBy("query_id")
+      },
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              |  FROM embeddings
+              |),
+              |q AS (SELECT vec_id, emb FROM e WHERE vec_id < 10),
+              |ex0 AS (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              |    row_number() OVER (PARTITION BY q.vec_id
+              |      ORDER BY ${TextHash.duckCosine("q.emb", "c.emb", 64)}
+              |        DESC, c.vec_id) AS rank
+              |  FROM q JOIN e c ON c.vec_id <> q.vec_id
+              |),
+              |exact AS (SELECT query_id, cand_id FROM ex0 WHERE rank <= 5),
+              |px0 AS (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              |    row_number() OVER (PARTITION BY q.vec_id
+              |      ORDER BY ${TextHash.duckCosine("q.emb", "c.emb", 32)}
+              |        DESC, c.vec_id) AS rank
+              |  FROM q JOIN e c ON c.vec_id <> q.vec_id
+              |),
+              |approx AS (SELECT query_id, cand_id FROM px0 WHERE rank <= 5),
+              |h AS (
+              |  SELECT exact.query_id, count(*) AS n_hits
+              |  FROM exact JOIN approx USING (query_id, cand_id)
+              |  GROUP BY 1
+              |)
+              |SELECT q.vec_id AS query_id,
+              |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+              |  CAST(coalesce(h.n_hits, 0) * 2000 AS BIGINT) AS recall_e4
+              |FROM q LEFT JOIN h ON h.query_id = q.vec_id
               |ORDER BY query_id""".stripMargin)),
 
     // Per-channel PCM autocorrelation at lags 1/2/4 over REAL WAV

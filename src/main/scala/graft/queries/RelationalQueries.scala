@@ -1050,7 +1050,90 @@ object RelationalQueries {
              |      3 * CAST(round(2 * mad.mad2) AS BIGINT)
              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
              |FROM dev JOIN mad USING (p_brand)
-             |GROUP BY dev.p_brand ORDER BY dev.p_brand""".stripMargin))
+             |GROUP BY dev.p_brand ORDER BY dev.p_brand""".stripMargin)),
+
+    // Z-ORDER data layout audit — the file-skipping lever a 100 TB
+    // table lives or dies by when queries filter on TWO columns
+    // (here o_custkey × o_orderdate): bucket each dimension to a
+    // 16-rank grid, interleave the bits into an 8-bit Morton code,
+    // and cut the table into 32 files along fixed Morton ranges
+    // (morton >> 3 — what OPTIMIZE ZORDER BY clustering produces).
+    // The per-file min/max of BOTH dimensions is the footer stat a
+    // scan consults; `touched` replays a 3..5 × 3..5 predicate box
+    // against those stats — 4 of 32 files scanned at every SF,
+    // where a single-column sort layout would touch ~all files for
+    // the second dimension. Everything is map-side integer math
+    // (the one-row min/max aggregate broadcasts); no window, no
+    // global sort — layout assignment is embarrassingly parallel,
+    // exactly what a repartition-by-Morton-range write needs.
+    Q("q53_zorder",
+      (s, d) => {
+        val o = Tables.orders(s, d).select(
+          col("o_custkey").cast("long").as("x"),
+          datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+            .cast("long").as("y"))
+        val st = o.agg(min("x").as("minx"), max("x").as("maxx"),
+          min("y").as("miny"), max("y").as("maxy"))
+        def bit(c: org.apache.spark.sql.Column, i: Int, pos: Int) =
+          shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), pos)
+        val morton = (0 until 4).map(i =>
+            bit(col("bx"), i, 2 * i + 1)
+              .bitwiseOR(bit(col("by"), i, 2 * i)))
+          .reduce(_.bitwiseOR(_))
+        o.crossJoin(broadcast(st))
+          .select(
+            expr("(x - minx) * 16 div (maxx - minx + 1)").as("bx"),
+            expr("(y - miny) * 16 div (maxy - miny + 1)").as("by"))
+          .withColumn("file_id", shiftright(morton, 3).cast("long"))
+          .groupBy("file_id")
+          .agg(count(lit(1)).as("n"),
+            min("bx").as("min_bx"), max("bx").as("max_bx"),
+            min("by").as("min_by"), max("by").as("max_by"))
+          .withColumn("touched",
+            when(col("max_bx") >= 3 && col("min_bx") <= 5 &&
+              col("max_by") >= 3 && col("min_by") <= 5, 1L)
+              .otherwise(0L))
+          .orderBy("file_id")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_custkey AS x,
+             |    datediff('day', DATE '1992-01-01', o_orderdate) AS y
+             |  FROM orders
+             |),
+             |st AS (
+             |  SELECT min(x) AS minx, max(x) AS maxx,
+             |    min(y) AS miny, max(y) AS maxy
+             |  FROM o
+             |),
+             |b AS (
+             |  SELECT (x - minx) * 16 // (maxx - minx + 1) AS bx,
+             |    (y - miny) * 16 // (maxy - miny + 1) AS by
+             |  FROM o, st
+             |),
+             |m AS (
+             |  SELECT bx, by,
+             |    (((bx >> 0) & 1) << 1) | (((by >> 0) & 1) << 0)
+             |    | (((bx >> 1) & 1) << 3) | (((by >> 1) & 1) << 2)
+             |    | (((bx >> 2) & 1) << 5) | (((by >> 2) & 1) << 4)
+             |    | (((bx >> 3) & 1) << 7) | (((by >> 3) & 1) << 6)
+             |      AS morton
+             |  FROM b
+             |),
+             |g AS (
+             |  SELECT morton // 8 AS file_id, count(*) AS n,
+             |    min(bx) AS min_bx, max(bx) AS max_bx,
+             |    min(by) AS min_by, max(by) AS max_by
+             |  FROM m GROUP BY 1
+             |)
+             |SELECT CAST(file_id AS BIGINT) AS file_id, n,
+             |  CAST(min_bx AS BIGINT) AS min_bx,
+             |  CAST(max_bx AS BIGINT) AS max_bx,
+             |  CAST(min_by AS BIGINT) AS min_by,
+             |  CAST(max_by AS BIGINT) AS max_by,
+             |  CAST(CASE WHEN max_bx >= 3 AND min_bx <= 5
+             |        AND max_by >= 3 AND min_by <= 5
+             |       THEN 1 ELSE 0 END AS BIGINT) AS touched
+             |FROM g ORDER BY file_id""".stripMargin))
   )
 
   private val GroupingSetsSql =

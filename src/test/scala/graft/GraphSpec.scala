@@ -543,4 +543,37 @@ class GraphSpec extends SparkSpec {
         assert(sccOf(es) == sccRef(es), s"trial $trial: $es")
     }
   }
+
+  test("SSSP: cheap 2-hop beats direct edge; bounded-round semantics") {
+    import graft.graph.Sssp
+    val wedges = Seq(
+      ("a", "b", 10L), ("a", "b", 7L), // parallel edges keep the min
+      ("b", "c", 10L), ("a", "c", 100L),
+      ("c", "d", 1L), ("x", "a", 1L) // x unreachable FROM a
+    ).toDF("src", "dst", "cost")
+    val seeds = Seq("a").toDF("node")
+    // After 1 round only direct edges: c costs 100.
+    val r1 = Sssp.run(wedges, seeds, rounds = 1)
+      .as[(String, Long)].collect().toMap
+    assert(r1 == Map("a" -> 0L, "b" -> 7L, "c" -> 100L))
+    // After 3 rounds the 2-hop path wins and d is reached; x absent.
+    val r3 = Sssp.run(wedges, seeds, rounds = 3)
+      .as[(String, Long)].collect().toMap
+    assert(r3 == Map("a" -> 0L, "b" -> 7L, "c" -> 17L, "d" -> 18L))
+  }
+
+  test("SSSP until stable: fixpoint equals a deep bounded run") {
+    import graft.graph.Sssp
+    val wedges = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "d", 1L),
+      ("a", "d", 10L)).toDF("src", "dst", "cost")
+    val seeds = Seq("a").toDF("node")
+    val (dist, rounds) = Sssp.runUntilStable(wedges, seeds)
+    assert(dist.as[(String, Long)].collect().toMap ==
+      Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L))
+    assert(dist.as[(String, Long)].collect().toMap ==
+      Sssp.run(wedges, seeds, rounds = 10)
+        .as[(String, Long)].collect().toMap)
+    // d improves twice (10 then 3); round 4 proves the fixpoint.
+    assert(rounds == 4)
+  }
 }
