@@ -170,4 +170,57 @@ object KMeans {
     corpus.unpersist()
     out
   }
+
+  /** k-means++-style FARTHEST-POINT seeding — the init-quality half
+    * [[seeds]]' hash picks trade away (hash seeds can land in one
+    * dense region; farthest-point spreads them, the spread Arthur &
+    * Vassilvitskii's k-means++ samples toward): seed 1 is the
+    * smallest vec_id (the deterministic anchor — classic k-means++
+    * draws it uniformly), each later seed maximizes the e6-floored
+    * cosine distance to its NEAREST already-chosen seed, ties to the
+    * smallest vec_id. The e6 grid makes the argmax engine-stable, so
+    * the greedy sequence oracle-checks exactly.
+    *
+    * Scale shape: the corpus persists once; each step is one
+    * map-side `greatest(running max-sim, cosine to the newest seed)`
+    * update (the newest seed rides as a literal — no join) plus a
+    * TakeOrderedAndProject argmax; k bounded driver handoffs of one
+    * (vec_id, vector) row each — the [[train]] collect class. The
+    * running frame is lineage-cut per step.
+    *
+    * @return (step 1..k, vec_id, dist_e6 — 0 for step 1 by
+    *   convention, cvec) — feed `cvec` to [[assign]] or
+    *   [[Similarity.ivfProbeTopK]] as the initial centroid table
+    */
+  def seedsPlusPlus(emb: DataFrame, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    import graft.functions.CosineSimilarity.cosine_sim
+    require(k >= 1, s"k must be >= 1, got $k")
+    val corpus = emb.select("vec_id", "embedding")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def vecOf(r: org.apache.spark.sql.Row): Array[Double] =
+      r.getSeq[Double](1).toArray
+    val first = corpus.orderBy("vec_id").limit(1).collect()(0)
+    var chosen = Vector((1, first.getLong(0), 0L, vecOf(first).toSeq))
+    var ms = corpus.withColumn("ms",
+      cosine_sim(col("embedding"), typedlit(vecOf(first).toSeq)))
+      .lineageCut
+    for (step <- 2 to k) {
+      val ids = chosen.map(_._2)
+      val next = ms.filter(!col("vec_id").isin(ids: _*))
+        .select(col("vec_id"), col("embedding"),
+          floor((lit(1.0) - col("ms")) * 1000000 + 0.5).cast("long")
+            .as("d_e6"))
+        .orderBy(col("d_e6").desc, col("vec_id")).limit(1).collect()(0)
+      val v = vecOf(next)
+      chosen :+= ((step, next.getLong(0), next.getLong(2), v.toSeq))
+      if (step < k)
+        ms = ms.withColumn("ms",
+          greatest(col("ms"), cosine_sim(col("embedding"), typedlit(v.toSeq))))
+          .lineageCut
+    }
+    corpus.unpersist()
+    chosen.toDF("step", "vec_id", "dist_e6", "cvec")
+  }
 }

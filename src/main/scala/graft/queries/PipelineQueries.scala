@@ -2943,6 +2943,176 @@ object PipelineQueries {
               |    AS BIGINT) AS gap_e6
               |FROM b ORDER BY bin""".stripMargin)),
 
+    // Corpus DRIFT card between ingest snapshots (even vs odd
+    // doc_ids standing in for yesterday/today) — the data-ops
+    // monitor that pages before a mix shift poisons training: per
+    // dimension value (lang:* and source:*) both snapshots' counts,
+    // corpus-share gap (the per-dim term of total-variation
+    // distance) and mean-quality shift on the d6 e4 grid. ONE
+    // dimension-key partial aggregation over the doubled (lang ∪
+    // source) projection + a broadcast one-row totals join — no
+    // extra exchange shape at any corpus size; integer outputs so
+    // no boundary disagrees. Complements d34 (per-DOC content diff)
+    // and d57 (cross-source content overlap) with the
+    // DISTRIBUTION-level view.
+    Q("d67_drift_card",
+      (s, d) => {
+        val q = TextAnalysis.quality(Tables.documents(s, d))
+          .select(col("doc_id"), col("lang"), col("source"),
+            floor(col("quality_score") * 10000 + 0.5).cast("long")
+              .as("qe4"),
+            when(col("doc_id") % 2 === 0, 1L).otherwise(0L).as("a"))
+        val dims = q.select(concat(lit("lang:"), col("lang")).as("dim"),
+            col("qe4"), col("a"))
+          .union(q.select(concat(lit("source:"), col("source")).as("dim"),
+            col("qe4"), col("a")))
+        val tot = q.agg(sum(col("a")).as("tot_a"),
+          sum(lit(1L) - col("a")).as("tot_b"))
+        def share(n: org.apache.spark.sql.Column,
+            t: org.apache.spark.sql.Column) =
+          floor(n * 1000000L.toDouble / t + 0.5).cast("long")
+        def meanQ(sq: org.apache.spark.sql.Column,
+            n: org.apache.spark.sql.Column) =
+          when(n > 0, floor(sq.cast("double") / n + 0.5)).otherwise(0L)
+            .cast("long")
+        dims.groupBy("dim")
+          .agg(sum(col("a")).as("n_a"),
+            sum(lit(1L) - col("a")).as("n_b"),
+            sum(col("qe4") * col("a")).as("sqa"),
+            sum(col("qe4") * (lit(1L) - col("a"))).as("sqb"))
+          .crossJoin(broadcast(tot))
+          .select(col("dim"), col("n_a"), col("n_b"),
+            share(col("n_a"), col("tot_a")).as("share_a_e6"),
+            share(col("n_b"), col("tot_b")).as("share_b_e6"),
+            abs(share(col("n_a"), col("tot_a")) -
+              share(col("n_b"), col("tot_b"))).as("gap_e6"),
+            meanQ(col("sqa"), col("n_a")).as("q_a_e4"),
+            meanQ(col("sqb"), col("n_b")).as("q_b_e4"),
+            abs(meanQ(col("sqa"), col("n_a")) -
+              meanQ(col("sqb"), col("n_b"))).as("dq_e4"))
+          .orderBy("dim")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, lang, source,
+              |    ${TextHash.duckTokens("text")} AS tk
+              |  FROM documents
+              |),
+              |m AS (
+              |  SELECT doc_id, lang, source,
+              |    CAST(floor((0.4 * ttr + 0.3 * len_sat
+              |                + 0.3 * (1.0 - stop_ratio)) * 10000 + 0.5)
+              |         AS BIGINT) AS qe4,
+              |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS a
+              |  FROM (
+              |    SELECT doc_id, lang, source,
+              |      CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
+              |        AS ttr,
+              |      least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0)
+              |        AS len_sat,
+              |      CAST(len(list_filter(tk, t -> t = 'the' OR t = 'a'))
+              |           AS DOUBLE) / len(tk) AS stop_ratio
+              |    FROM t)
+              |),
+              |dims AS (
+              |  SELECT 'lang:' || lang AS dim, qe4, a FROM m
+              |  UNION ALL
+              |  SELECT 'source:' || source AS dim, qe4, a FROM m
+              |),
+              |tot AS (
+              |  SELECT CAST(sum(a) AS BIGINT) AS tot_a,
+              |    CAST(sum(1 - a) AS BIGINT) AS tot_b
+              |  FROM m
+              |),
+              |g AS (
+              |  SELECT dim,
+              |    CAST(sum(a) AS BIGINT) AS n_a,
+              |    CAST(sum(1 - a) AS BIGINT) AS n_b,
+              |    CAST(sum(qe4 * a) AS BIGINT) AS sqa,
+              |    CAST(sum(qe4 * (1 - a)) AS BIGINT) AS sqb
+              |  FROM dims GROUP BY dim
+              |),
+              |x AS (
+              |  SELECT dim, n_a, n_b,
+              |    CAST(floor(n_a * CAST(1000000 AS DOUBLE) / tot_a + 0.5)
+              |      AS BIGINT) AS share_a_e6,
+              |    CAST(floor(n_b * CAST(1000000 AS DOUBLE) / tot_b + 0.5)
+              |      AS BIGINT) AS share_b_e6,
+              |    CAST(CASE WHEN n_a > 0
+              |      THEN floor(CAST(sqa AS DOUBLE) / n_a + 0.5)
+              |      ELSE 0 END AS BIGINT) AS q_a_e4,
+              |    CAST(CASE WHEN n_b > 0
+              |      THEN floor(CAST(sqb AS DOUBLE) / n_b + 0.5)
+              |      ELSE 0 END AS BIGINT) AS q_b_e4
+              |  FROM g, tot
+              |)
+              |SELECT dim, n_a, n_b, share_a_e6, share_b_e6,
+              |  abs(share_a_e6 - share_b_e6) AS gap_e6,
+              |  q_a_e4, q_b_e4, abs(q_a_e4 - q_b_e4) AS dq_e4
+              |FROM x ORDER BY dim""".stripMargin)),
+
+    // Dedup THRESHOLD-TUNING curve — what every team asks before
+    // picking d2/d3's 0.8: how many pairs does each Jaccard cutoff
+    // accept? One run of the d2 chain at the loose 0.5 floor, then
+    // pairs bucket by floor(j·10) (bucket 10 = exact dups) with the
+    // cumulative accepted-at-or-above count per bucket — the curve a
+    // threshold sweep would need |thresholds| full runs to draw.
+    // Past the pair verification this is one 6-row aggregate and a
+    // 6-row running sum; the candidate generation is the same
+    // df-capped inverted index, so cost is d2's, not |thresholds|×.
+    Q("d68_dedup_curve",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val pairs = Dedup
+          .ngramJaccardPairs(Tables.documents(s, d), minJaccard = 0.5)
+        val w = Window.orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        pairs
+          .groupBy(floor(col("jaccard_e6") / 100000).cast("long")
+            .as("bucket"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .withColumn("n_cum", sum("n_pairs").over(w))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH ${TextHash.duckToksCte},
+              |${TextHash.duckShinglesCte},
+              |rare AS (
+              |  SELECT s FROM sh GROUP BY s
+              |  HAVING count(*) <= ${Dedup.DefaultMaxShingleDf}
+              |),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+              |  FROM sh a JOIN rare r ON a.s = r.s
+              |  JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id
+              |),
+              |ix AS (
+              |  SELECT c.da, c.db, count(*) AS inter
+              |  FROM cand c
+              |  JOIN sh x ON x.doc_id = c.da
+              |  JOIN sh y ON y.doc_id = c.db AND y.s = x.s
+              |  GROUP BY c.da, c.db
+              |),
+              |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |jac AS (
+              |  SELECT CAST(ix.inter AS DOUBLE) / (x.n + y.n - ix.inter)
+              |    AS j
+              |  FROM ix
+              |  JOIN sz x ON x.doc_id = ix.da
+              |  JOIN sz y ON y.doc_id = ix.db
+              |),
+              |f AS (
+              |  SELECT CAST(floor(j * 1000000 + 0.5) AS BIGINT) AS je6
+              |  FROM jac WHERE j >= 0.5
+              |),
+              |b AS (
+              |  SELECT je6 // 100000 AS bucket, count(*) AS n_pairs
+              |  FROM f GROUP BY 1
+              |)
+              |SELECT CAST(bucket AS BIGINT) AS bucket, n_pairs,
+              |  CAST(sum(n_pairs) OVER (ORDER BY bucket DESC
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |    AS BIGINT) AS n_cum
+              |FROM b ORDER BY bucket""".stripMargin)),
+
     // BPE merge-table TRAINING (operators.BpeTrain, Sennrich et al.
     // 2016) — the learning half of the tokenizer story: d29 APPLIES
     // a fixed merge table; this derives one from the corpus. Six
@@ -3430,6 +3600,96 @@ object PipelineQueries {
       Some(s"""WITH ${kmeansCtes(8, 3)}
               |SELECT cell, CAST(dim AS BIGINT) AS dim, centroid
               |FROM c3d ORDER BY cell, dim""".stripMargin)),
+
+    // k-means++ FARTHEST-POINT seeding (KMeans.seedsPlusPlus) — the
+    // init-quality half e7's hash seeds trade away: 6 seeds chosen
+    // greedily, each maximizing its e6-floored cosine distance to
+    // the nearest already-chosen seed (ties to the smallest vec_id),
+    // then the whole corpus assigned to its nearest seed — the
+    // per-seed population showing the spread. The greedy sequence is
+    // engine-exact on the e6 grid, so the oracle unrolls it as one
+    // argmax CTE per step (MATERIALIZED — each step re-reads its
+    // predecessor; round-10 rule) and the assignment mirrors the
+    // nearest-centroid kernel's (cos DESC, cell ASC) tie rule.
+    Q("e35_kmeanspp",
+      (s, d) => {
+        import graft.functions.NearestCentroidCell.nearest_centroid
+        val emb = Tables.embeddings(s, d).select(col("vec_id"),
+          expr("transform(embedding, v -> cast(v as double))")
+            .as("embedding"))
+        val seeds = KMeans.seedsPlusPlus(emb, k = 6)
+        val books = seeds
+          .select((col("step") - 1).cast("long").as("cell"), col("cvec"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+        val counts = emb.withColumn("cell",
+            nearest_centroid(col("embedding"), books))
+          .groupBy("cell").agg(count(lit(1)).as("n_assigned"))
+        seeds.select(col("step").cast("long").as("step"), col("vec_id"),
+            col("dist_e6"), (col("step") - 1).cast("long").as("cell"))
+          .join(counts, Seq("cell"), "left")
+          .select(col("step"), col("vec_id"), col("dist_e6"),
+            coalesce(col("n_assigned"), lit(0L)).as("n_assigned"))
+          .orderBy("step")
+      },
+      Some {
+        def dist = "CAST(floor((1 - ms) * 1000000 + 0.5) AS BIGINT)"
+        val steps = (2 to 6).map { i =>
+          val excl = (1 until i)
+            .map(j => s"SELECT vec_id FROM pk$j").mkString(" UNION ALL ")
+          s"""pk$i AS MATERIALIZED (
+             |  SELECT vec_id, emb, d_e6 FROM (
+             |    SELECT vec_id, emb, $dist AS d_e6,
+             |      row_number() OVER (ORDER BY $dist DESC, vec_id) AS rn
+             |    FROM ms${i - 1}
+             |    WHERE vec_id NOT IN ($excl)
+             |  ) WHERE rn = 1
+             |)""".stripMargin +
+            (if (i < 6)
+              s""",
+                 |ms$i AS MATERIALIZED (
+                 |  SELECT m.vec_id, m.emb,
+                 |    greatest(m.ms, ${TextHash.duckCosine("m.emb",
+                      "p.emb", 64)}) AS ms
+                 |  FROM ms${i - 1} m, pk$i p
+                 |)""".stripMargin
+            else "")
+        }.mkString(",\n")
+        s"""WITH e AS MATERIALIZED (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           |  FROM embeddings
+           |),
+           |pk1 AS MATERIALIZED (
+           |  SELECT vec_id, emb, CAST(0 AS BIGINT) AS d_e6
+           |  FROM e ORDER BY vec_id LIMIT 1
+           |),
+           |ms1 AS MATERIALIZED (
+           |  SELECT v.vec_id, v.emb,
+           |    ${TextHash.duckCosine("v.emb", "p.emb", 64)} AS ms
+           |  FROM e v, pk1 p
+           |),
+           |$steps,
+           |picks AS (
+           |${(1 to 6).map(i =>
+               s"  SELECT $i AS step, vec_id, d_e6, emb FROM pk$i")
+               .mkString(" UNION ALL\n")}
+           |),
+           |asn AS (
+           |  SELECT vec_id, step FROM (
+           |    SELECT v.vec_id, s.step, row_number() OVER (
+           |      PARTITION BY v.vec_id
+           |      ORDER BY ${TextHash.duckCosine("v.emb", "s.emb", 64)}
+           |        DESC, s.step) AS rn
+           |    FROM e v, picks s
+           |  ) WHERE rn = 1
+           |),
+           |counts AS (SELECT step, count(*) AS n FROM asn GROUP BY 1)
+           |SELECT CAST(p.step AS BIGINT) AS step, p.vec_id,
+           |  p.d_e6 AS dist_e6,
+           |  CAST(coalesce(c.n, 0) AS BIGINT) AS n_assigned
+           |FROM picks p LEFT JOIN counts c ON c.step = p.step
+           |ORDER BY step""".stripMargin
+      }),
 
     // LEARNED cells end-to-end: assign every vector to its trained
     // k-means cell, then run the e4 probe path (nearest-centroid

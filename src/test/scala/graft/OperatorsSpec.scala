@@ -515,6 +515,39 @@ class OperatorsSpec extends SparkSpec {
     assert(again == assigned)
   }
 
+  test("seedsPlusPlus: farthest-point greedy, hand-checked on 3 cones") {
+    // Three orthogonal cones; anchors at ids 0/10/20. Seed 1 is the
+    // smallest id; seeds 2 and 3 must land in the OTHER two cones
+    // (farthest-point spreads across clusters where hash seeding
+    // can't promise to).
+    def mk(base: Seq[Double], i: Int) =
+      base.updated(3, 0.01 * (i % 5 + 1))
+    val axes = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 1.0, 0.0))
+    val rows = for {
+      (ax, g) <- axes.zipWithIndex
+      i <- 0 until 10
+    } yield ((g * 10 + i).toLong, mk(ax, i))
+    val emb = rows.toDF("vec_id", "embedding")
+    val seeds = KMeans.seedsPlusPlus(emb, k = 3)
+      .select("step", "vec_id", "dist_e6")
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(seeds(0) == ((1, 0L, 0L)))
+    // One seed per cone, order-independent of which cone goes second.
+    val cones = seeds.map(_._2 / 10).toSet
+    assert(cones == Set(0L, 1L, 2L))
+    // Later picks can only be nearer to the chosen set: greedy
+    // farthest-point distances are non-increasing.
+    assert(seeds(1)._3 >= seeds(2)._3)
+    // Near-orthogonal cones: both later picks are far (dist ≈ 1e6).
+    assert(seeds(1)._3 > 900000L && seeds(2)._3 > 900000L)
+    // Determinism across partitionings.
+    val again = KMeans.seedsPlusPlus(emb.repartition(7), k = 3)
+      .select("step", "vec_id", "dist_e6")
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(again.toSeq == seeds.toSeq)
+  }
+
   test("SQL registration: sketch aggregates usable from spark.sql") {
     Seq((1L, "a"), (2L, "b"), (2L, "b"), (7L, "a"), (5L, "c"))
       .toDF("h", "item").createOrReplaceTempView("sk_sql_t")
