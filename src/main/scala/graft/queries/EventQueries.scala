@@ -565,18 +565,27 @@ object EventQueries {
             first(col("touch"), ignoreNulls = true).over(
               byUser.rangeBetween(-SevenDaysUs, -1)))
           .filter(col("event_type") === "purchase")
-        val lastAgg = w.groupBy(
-            coalesce(col("last_touch"), lit("none")).as("channel"))
-          .agg(count(lit(1)).as("n_last"), sum("val_c").as("rev_last_c"))
-        val firstAgg = w.groupBy(
-            coalesce(col("first_touch"), lit("none")).as("channel"))
-          .agg(count(lit(1)).as("n_first"), sum("val_c").as("rev_first_c"))
-        lastAgg.join(firstAgg, Seq("channel"), "full_outer")
-          .select(col("channel"),
-            coalesce(col("n_last"), lit(0L)).as("n_last"),
-            coalesce(col("rev_last_c"), lit(0L)).as("rev_last_c"),
-            coalesce(col("n_first"), lit(0L)).as("n_first"),
-            coalesce(col("rev_first_c"), lit(0L)).as("rev_first_c"))
+        // Both models aggregate from ONE pass over the windowed
+        // purchases (explode to (channel, model) pairs) — two
+        // separate groupBys would re-scan events and re-run the
+        // user-key window per model.
+        w.select(explode(array(
+            struct(coalesce(col("last_touch"), lit("none"))
+              .as("channel"), lit("last").as("model"), col("val_c")),
+            struct(coalesce(col("first_touch"), lit("none"))
+              .as("channel"), lit("first").as("model"), col("val_c"))))
+            .as("p"))
+          .select(col("p.channel"), col("p.model"), col("p.val_c"))
+          .groupBy("channel")
+          .agg(
+            sum(when(col("model") === "last", 1L).otherwise(0L))
+              .as("n_last"),
+            sum(when(col("model") === "last", col("val_c"))
+              .otherwise(0L)).as("rev_last_c"),
+            sum(when(col("model") === "first", 1L).otherwise(0L))
+              .as("n_first"),
+            sum(when(col("model") === "first", col("val_c"))
+              .otherwise(0L)).as("rev_first_c"))
           .orderBy("channel")
       },
       Some("""WITH ev AS (
