@@ -155,7 +155,13 @@ object Bmp {
       if (p.length < FileHeaderSize + InfoHeaderSize) return None
       if (p(0) != 'B' || p(1) != 'M') return None
       val offBits = u32(p, 10)
-      if (u32(p, 14) < InfoHeaderSize) return None
+      // BITMAPINFOHEADER and its V4/V5 extensions (biSize 40/108/124)
+      // share the first 40 bytes; the palette starts AFTER the full
+      // declared header, so V4/V5 color-space fields never read as
+      // palette entries.
+      val infoSize = u32(p, 14)
+      if (infoSize < InfoHeaderSize || infoSize > 1024) return None
+      val palBase = FileHeaderSize + infoSize
       val w = u32(p, 18)
       val rawH = u32(p, 22)
       val topDown = rawH < 0
@@ -163,13 +169,12 @@ object Bmp {
       val bits = u16(p, 28)
       val comp = u32(p, 30)
       if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return None
-      if (offBits < FileHeaderSize + InfoHeaderSize ||
-        offBits > p.length) return None
+      if (offBits < palBase || offBits > p.length) return None
       val rgb = new Array[Byte](w * h * 3)
 
       def paletteAt(j: Int, c: Int): Byte =
         // stored BGRA; c is the RGB channel
-        p(FileHeaderSize + InfoHeaderSize + j * 4 + (2 - c))
+        p(palBase + j * 4 + (2 - c))
 
       (bits, comp) match {
         case (24, 0) =>
@@ -194,7 +199,7 @@ object Bmp {
           if (topDown) return None
           val rowSize = (w + 3) & ~3
           if (offBits + rowSize.toLong * h > p.length) return None
-          val psize = (offBits - FileHeaderSize - InfoHeaderSize) / 4
+          val psize = (offBits - palBase) / 4
           var y = 0
           while (y < h) {
             var x = 0
@@ -211,7 +216,7 @@ object Bmp {
           Some(Decoded(w, h, rgb, comp))
         case (8, 1) =>
           if (topDown) return None // RLE is defined bottom-up only
-          val psize = (offBits - FileHeaderSize - InfoHeaderSize) / 4
+          val psize = (offBits - palBase) / 4
           if (psize <= 0) return None
           // decode into a bottom-up index grid, palette 0 background
           val idx = new Array[Int](w * h)

@@ -201,18 +201,31 @@ object KMeans {
       .persist(StorageLevel.MEMORY_AND_DISK)
     def vecOf(r: org.apache.spark.sql.Row): Array[Double] =
       r.getSeq[Double](1).toArray
-    val first = corpus.orderBy("vec_id").limit(1).collect()(0)
+    val firstRows = corpus.orderBy("vec_id").limit(1).collect()
+    if (firstRows.isEmpty) {
+      corpus.unpersist()
+      throw new IllegalArgumentException(
+        "seedsPlusPlus: empty corpus — nothing to seed from")
+    }
+    val first = firstRows(0)
     var chosen = Vector((1, first.getLong(0), 0L, vecOf(first).toSeq))
     var ms = corpus.withColumn("ms",
       cosine_sim(col("embedding"), typedlit(vecOf(first).toSeq)))
       .lineageCut
     for (step <- 2 to k) {
       val ids = chosen.map(_._2)
-      val next = ms.filter(!col("vec_id").isin(ids: _*))
+      val nextRows = ms.filter(!col("vec_id").isin(ids: _*))
         .select(col("vec_id"), col("embedding"),
           floor((lit(1.0) - col("ms")) * 1000000 + 0.5).cast("long")
             .as("d_e6"))
-        .orderBy(col("d_e6").desc, col("vec_id")).limit(1).collect()(0)
+        .orderBy(col("d_e6").desc, col("vec_id")).limit(1).collect()
+      if (nextRows.isEmpty) {
+        corpus.unpersist()
+        throw new IllegalArgumentException(
+          s"seedsPlusPlus: k=$k exceeds the ${chosen.size} distinct " +
+            "vectors in the corpus")
+      }
+      val next = nextRows(0)
       val v = vecOf(next)
       chosen :+= ((step, next.getLong(0), next.getLong(2), v.toSeq))
       if (step < k)

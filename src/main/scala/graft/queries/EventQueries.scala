@@ -537,33 +537,45 @@ object EventQueries {
 
     // Multi-touch conversion attribution — the marketing-analytics
     // twin of q19's funnel: every purchase credits (a) its LAST
-    // preceding touch event (click/view/signup — strictly before, any
-    // distance) and (b) the FIRST touch inside a 7-day lookback, per
-    // user. Both credits are window functions over ONE per-user
-    // ordered pass (rows frame for last-touch, micros range frame for
-    // the lookback — the q39 range-frame machinery on event time), so
-    // the whole query is a single user-key exchange plus two
-    // broadcast-sized channel aggregates full-outer-merged; no
-    // self-join of the event table against itself. Revenue rides as
-    // exact cents. 'none' collects purchases with no qualifying touch.
+    // preceding touch event (click/view/signup — strictly before by
+    // timestamp, any distance) and (b) the FIRST touch inside a
+    // 7-day lookback, per user. Both credits are struct extrema over
+    // micros RANGE frames (the q39 machinery on event time) in ONE
+    // per-user ordered pass — max/min of (tsl, event_id, touch)
+    // keeps the pick deterministic under same-timestamp ties, where
+    // last()/first() over the frame would take whichever peer row
+    // the engine ordered first. One user-key exchange, one channel
+    // aggregate; no self-join of the event table against itself.
+    // Revenue rides as exact cents. 'none' collects purchases with
+    // no qualifying touch.
     Q("q52_attribution",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val SevenDaysUs = 604800000000L
         val ev = Tables.events(s, d).select(
-          col("user_id"), unix_micros(col("ts")).as("tsl"),
+          col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tsl"),
           col("event_type"),
           floor(col("value") * 100 + 0.5).cast("long").as("val_c"),
           when(col("event_type").isin("click", "view", "signup"),
             col("event_type")).as("touch"))
+        // Both frames are VALUE-based (range on micros, strictly
+        // before the purchase's timestamp) and the pick inside a
+        // frame is a struct extremum ordered (tsl, event_id, touch)
+        // — deterministic under same-timestamp ties, where a
+        // last()/first() over an (ORDER BY tsl) frame would take
+        // whichever peer row the engine ordered first.
         val byUser = Window.partitionBy("user_id").orderBy("tsl")
+        val touchKey = when(col("touch").isNotNull,
+          struct(col("tsl"), col("event_id"), col("touch")))
         val w = ev
           .withColumn("last_touch",
-            last(col("touch"), ignoreNulls = true).over(
-              byUser.rowsBetween(Window.unboundedPreceding, -1)))
+            max(touchKey).over(
+              byUser.rangeBetween(Window.unboundedPreceding, -1))
+              .getField("touch"))
           .withColumn("first_touch",
-            first(col("touch"), ignoreNulls = true).over(
-              byUser.rangeBetween(-SevenDaysUs, -1)))
+            min(touchKey).over(byUser.rangeBetween(-SevenDaysUs, -1))
+              .getField("touch"))
           .filter(col("event_type") === "purchase")
         // Both models aggregate from ONE pass over the windowed
         // purchases (explode to (channel, model) pairs) — two
@@ -589,7 +601,7 @@ object EventQueries {
           .orderBy("channel")
       },
       Some("""WITH ev AS (
-             |  SELECT user_id, epoch_us(ts) AS tsl, event_type,
+             |  SELECT user_id, event_id, epoch_us(ts) AS tsl, event_type,
              |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS val_c,
              |    CASE WHEN event_type IN ('click', 'view', 'signup')
              |         THEN event_type END AS touch
@@ -597,13 +609,15 @@ object EventQueries {
              |),
              |w AS (
              |  SELECT *,
-             |    last_value(touch IGNORE NULLS) OVER (
+             |    (max(CASE WHEN touch IS NOT NULL THEN
+             |       {'t': tsl, 'e': event_id, 'c': touch} END) OVER (
              |      PARTITION BY user_id ORDER BY tsl
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)).c
              |      AS last_touch,
-             |    first_value(touch IGNORE NULLS) OVER (
+             |    (min(CASE WHEN touch IS NOT NULL THEN
+             |       {'t': tsl, 'e': event_id, 'c': touch} END) OVER (
              |      PARTITION BY user_id ORDER BY tsl
-             |      RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)
+             |      RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)).c
              |      AS first_touch
              |  FROM ev
              |),

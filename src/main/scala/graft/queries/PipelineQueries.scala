@@ -63,6 +63,25 @@ object PipelineQueries {
        |FROM jac
        |WHERE j >= 0.8 ORDER BY da, db""".stripMargin
 
+  /** Shared Spark chain for d46/d66 (the twin of [[lrScoredCtes]] on
+    * the oracle side): quality features → e6 standardization → 8
+    * integer-exact LogReg rounds → scored frame with (doc_id, y,
+    * p_e6, pred). Factored so the calibration audit provably bins
+    * the IDENTICAL scored stream the d46 gate verifies row-by-row.
+    */
+  private def lrScored(s: SparkSession, d: String): DataFrame = {
+    val raw = TextAnalysis.quality(Tables.documents(s, d))
+      .select(col("doc_id"),
+        when(col("quality_score") >= 0.63, 1.0).otherwise(0.0).as("y"),
+        col("ttr").as("x1"), col("len_sat").as("x2"),
+        col("stop_ratio").as("x3"))
+    val f = LogReg.standardizeE6(raw, Seq("x1", "x2", "x3"))
+      .withColumn("x0", lit(1.0))
+    val cols = Seq("x0", "x1_std", "x2_std", "x3_std")
+    val w = LogReg.train(f, cols, "y", rounds = 8, lrNum = 32L)
+    LogReg.score(f, cols, w)
+  }
+
   /** Shared CTE chain for the d46/d66 oracles: the full LogReg
     * training replication (8 integer-exact gradient rounds over the
     * standardized quality features) ending in a `scored` table of
@@ -2867,21 +2886,10 @@ object PipelineQueries {
     // is map-side column math. Oracle: 3 unrolled gradient rounds as
     // scalar CTEs over the shared d6 feature SQL.
     Q("d46_lr_quality",
-      (s, d) => {
-        val raw = TextAnalysis.quality(Tables.documents(s, d))
-          .select(col("doc_id"),
-            when(col("quality_score") >= 0.63, 1.0).otherwise(0.0).as("y"),
-            col("ttr").as("x1"), col("len_sat").as("x2"),
-            col("stop_ratio").as("x3"))
-        val f = LogReg.standardizeE6(raw, Seq("x1", "x2", "x3"))
-          .withColumn("x0", lit(1.0))
-        val cols = Seq("x0", "x1_std", "x2_std", "x3_std")
-        val w = LogReg.train(f, cols, "y", rounds = 8, lrNum = 32L)
-        LogReg.score(f, cols, w)
-          .select(col("doc_id"), col("y").cast("int").as("label"),
-            col("p_e6"), col("pred"))
-          .orderBy("doc_id")
-      },
+      (s, d) => lrScored(s, d)
+        .select(col("doc_id"), col("y").cast("int").as("label"),
+          col("p_e6"), col("pred"))
+        .orderBy("doc_id"),
       Some(s"""WITH ${lrScoredCtes}
               |SELECT doc_id, label, p_e6,
               |  CASE WHEN p_e6 >= 500000 THEN 1 ELSE 0 END AS pred
@@ -2900,16 +2908,7 @@ object PipelineQueries {
     // both sides).
     Q("d66_calibration",
       (s, d) => {
-        val raw = TextAnalysis.quality(Tables.documents(s, d))
-          .select(col("doc_id"),
-            when(col("quality_score") >= 0.63, 1.0).otherwise(0.0).as("y"),
-            col("ttr").as("x1"), col("len_sat").as("x2"),
-            col("stop_ratio").as("x3"))
-        val f = LogReg.standardizeE6(raw, Seq("x1", "x2", "x3"))
-          .withColumn("x0", lit(1.0))
-        val cols = Seq("x0", "x1_std", "x2_std", "x3_std")
-        val w = LogReg.train(f, cols, "y", rounds = 8, lrNum = 32L)
-        LogReg.score(f, cols, w)
+        lrScored(s, d)
           .select(col("y").cast("long").as("label"), col("p_e6"))
           .groupBy(least(floor(col("p_e6") / 100000), lit(9L))
             .cast("long").as("bin"))
@@ -2962,12 +2961,15 @@ object PipelineQueries {
             floor(col("quality_score") * 10000 + 0.5).cast("long")
               .as("qe4"),
             when(col("doc_id") % 2 === 0, 1L).otherwise(0L).as("a"))
-        val dims = q.select(concat(lit("lang:"), col("lang")).as("dim"),
-            col("qe4"), col("a"))
-          .union(q.select(concat(lit("source:"), col("source")).as("dim"),
-            col("qe4"), col("a")))
-        val tot = q.agg(sum(col("a")).as("tot_a"),
-          sum(lit(1L) - col("a")).as("tot_b"))
+        // Single corpus scan: each doc explodes to its two dimension
+        // rows (a union of two projections of `q` would re-run the
+        // regex-heavy quality chain per branch), the totals derive
+        // from the grouped lang rows (every doc has exactly one
+        // lang) instead of a third scan, and the ~25-row aggregate is
+        // lineage-cut so its two readers (totals + final join) share
+        // ONE corpus pass — the pushed-down lang filter makes the
+        // branches' exchanges differ, so plain exchange reuse can't
+        // dedupe them.
         def share(n: org.apache.spark.sql.Column,
             t: org.apache.spark.sql.Column) =
           floor(n * 1000000L.toDouble / t + 0.5).cast("long")
@@ -2975,12 +2977,19 @@ object PipelineQueries {
             n: org.apache.spark.sql.Column) =
           when(n > 0, floor(sq.cast("double") / n + 0.5)).otherwise(0L)
             .cast("long")
-        dims.groupBy("dim")
+        val g = q.select(explode(array(
+            concat(lit("lang:"), col("lang")),
+            concat(lit("source:"), col("source")))).as("dim"),
+            col("qe4"), col("a"))
+          .groupBy("dim")
           .agg(sum(col("a")).as("n_a"),
             sum(lit(1L) - col("a")).as("n_b"),
             sum(col("qe4") * col("a")).as("sqa"),
             sum(col("qe4") * (lit(1L) - col("a"))).as("sqb"))
-          .crossJoin(broadcast(tot))
+          .lineageCut
+        val tot = g.filter(col("dim").startsWith("lang:"))
+          .agg(sum("n_a").as("tot_a"), sum("n_b").as("tot_b"))
+        g.crossJoin(broadcast(tot))
           .select(col("dim"), col("n_a"), col("n_b"),
             share(col("n_a"), col("tot_a")).as("share_a_e6"),
             share(col("n_b"), col("tot_b")).as("share_b_e6"),

@@ -79,6 +79,37 @@ class BmpSpec extends SparkSpec {
     assert(px(0, 0) == 0 && px(0, 1) == 0 && px(0, 2) == 0)
   }
 
+  test("V4 header (biSize=108): palette reads past the extension") {
+    // Re-frame an RLE8 payload under a BITMAPV4HEADER: 68 extension
+    // bytes between the core header and the palette. A decoder that
+    // assumes the palette at byte 54 would read mask/color-space
+    // fields as colors.
+    val palette = Array.tabulate(8 * 3)(i => (i * 11 % 256).toByte)
+    val indices = Array.tabulate(6 * 4)(i => i % 8)
+    val p40 = Bmp.encodeRle8(6, 4, palette, indices)
+    val want = Bmp.decode(p40).get
+    val ext = 68
+    val v4 = new Array[Byte](p40.length + ext)
+    System.arraycopy(p40, 0, v4, 0, 54) // file header + core info
+    System.arraycopy(p40, 54, v4, 54 + ext, p40.length - 54)
+    def put32(off: Int, v: Int): Unit = {
+      v4(off) = (v & 0xFF).toByte
+      v4(off + 1) = ((v >> 8) & 0xFF).toByte
+      v4(off + 2) = ((v >> 16) & 0xFF).toByte
+      v4(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    def get32(off: Int): Int =
+      (v4(off) & 0xFF) | ((v4(off + 1) & 0xFF) << 8) |
+        ((v4(off + 2) & 0xFF) << 16) | ((v4(off + 3) & 0xFF) << 24)
+    put32(14, 108)               // biSize: V4
+    put32(2, get32(2) + ext)     // bfSize
+    put32(10, get32(10) + ext)   // bfOffBits
+    val d = Bmp.decode(v4).getOrElse(fail("V4 BMP did not decode"))
+    assert(d.width == want.width && d.height == want.height)
+    assert(d.rgb.sameElements(want.rgb),
+      "V4 palette must decode identically to the core-header framing")
+  }
+
   test("rejects corruption: magic, truncation, oversize, bad index") {
     val rgb = img(4, 4)((y, x, c) => y + x + c)
     val good = Bmp.encode24(4, 4, rgb, topDown = false)
