@@ -932,6 +932,54 @@ object Multimodal {
     }
   }
 
+  case class AudioBands(doc_id: Long, channel: Long, dc: Long,
+      p_fs4: Long, p_fs2: Long, energy: Long)
+
+  /** Coarse SPECTRAL band energies per channel, WITHOUT floating
+    * point: the DFT bins at DC, fs/4 and fs/2 have twiddle factors
+    * in {0, ±1} (cos/sin of 0, π/2, π), so their powers are exact
+    * int64 arithmetic — re(fs/4) = Σ v[4k] − Σ v[4k+2],
+    * im(fs/4) = Σ v[4k+1] − Σ v[4k+3], X(fs/2) = Σ (−1)ⁿ v[n] — and
+    * a formula oracle matches bit-for-bit (m13's rationale: the trig
+    * of a general DFT bin rounds differently per libm; these three
+    * bins don't have any). Together with m11's energy/zero-cross and
+    * m13's autocorrelation this gives the low/mid/high coarse
+    * spectrum a curation featurizer thresholds on. Map-side decode
+    * only; one deterministic sort.
+    */
+  def audioBands(spark: SparkSession, media: DataFrame)
+      : Dataset[AudioBands] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        Wav.decode(r.payload).toSeq.flatMap { d =>
+          val ch = d.channels
+          val nf = d.samples.length / ch
+          (0 until ch).map { c =>
+            var dc = 0L; var re4 = 0L; var im4 = 0L
+            var alt = 0L; var energy = 0L
+            var i = 0
+            while (i < nf) {
+              val v = d.samples(i * ch + c).toLong
+              dc += v
+              energy += v * v
+              (i % 4: @annotation.switch) match {
+                case 0 => re4 += v
+                case 1 => im4 += v
+                case 2 => re4 -= v
+                case 3 => im4 -= v
+              }
+              alt += (if (i % 2 == 0) v else -v)
+              i += 1
+            }
+            AudioBands(r.doc_id, c.toLong, dc,
+              re4 * re4 + im4 * im4, alt * alt, energy)
+          }
+        }
+      }
+    }
+  }
+
   case class ImageHeader(doc_id: Long, format: String, width: Long,
       height: Long, bit_depth: Long, n_components: Long)
 

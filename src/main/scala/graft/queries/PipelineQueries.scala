@@ -2627,6 +2627,134 @@ object PipelineQueries {
               |FROM r WHERE rank <= 5
               |ORDER BY query_id, rank""".stripMargin)),
 
+    // Recall-vs-nprobe TUNING CURVE from ONE search (the d68 idea
+    // applied to the IVF knob): score candidates in the 4
+    // nearest-centroid cells once, then every candidate row fans out
+    // to the nprobe values that would have seen it (its cell's rank
+    // .. 4 — a candidate's cell has exactly one rank per query, so
+    // nothing is scored twice) and ONE (query, nprobe) bounded-heap
+    // ranking yields recall@5 for all four settings — where a naive
+    // sweep runs four separate probe searches. The fan-out is ≤4×
+    // candidate rows into the same aggregate exchange; no window
+    // over candidates, no second scan.
+    Q("e36_nprobe_curve",
+      (s, d) => {
+        import graft.functions.CosineSimilarity.cosine_sim
+        import graft.functions.TopKByScore.top_k_by_score
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") < 10)
+        val exact = Similarity.bruteForceTopK(emb, qs, k = 5)
+          .select(col("query_id"), col("cand_id"))
+        val cent = Similarity.centroidVectors(emb, "label")
+        val wAssign = Window.partitionBy("query_id")
+          .orderBy(col("csim").desc, col("label"))
+        val assigned = qs
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("query_emb"))
+          .join(broadcast(cent))
+          .withColumn("csim", cosine_sim(col("query_emb"), col("cvec")))
+          .withColumn("cell_rank", row_number().over(wAssign))
+          .filter(col("cell_rank") <= 4)
+          .select(col("query_id"), col("query_emb"), col("label"),
+            col("cell_rank"))
+        val cand = emb.select(col("label"), col("vec_id").as("cand_id"),
+          col("embedding").as("cand_emb"))
+        val top = cand.join(broadcast(assigned),
+            cand("label") === assigned("label") &&
+              col("cand_id") =!= col("query_id"))
+          .withColumn("sim", cosine_sim(col("query_emb"), col("cand_emb")))
+          .select(col("query_id"), col("cand_id"), col("sim"),
+            explode(sequence(col("cell_rank"), lit(4))).as("np0"))
+          .withColumn("nprobe", col("np0").cast("long"))
+          .groupBy("query_id", "nprobe")
+          .agg(top_k_by_score(col("sim"), col("cand_id"), lit(0L), 5)
+            .as("tk"))
+          .select(col("query_id"), col("nprobe"),
+            explode(col("tk")).as("t"))
+          .select(col("query_id"), col("nprobe"),
+            col("t.cand_id").as("cand_id"))
+        val hits = exact.join(top, Seq("query_id", "cand_id"))
+          .groupBy("query_id", "nprobe").agg(count(lit(1)).as("h"))
+        qs.select(col("vec_id").as("query_id"))
+          .crossJoin(s.range(1, 5).select(col("id").as("nprobe")))
+          .join(hits, Seq("query_id", "nprobe"), "left")
+          .select(col("query_id"), col("nprobe"),
+            coalesce(col("h"), lit(0L)).as("n_hits"),
+            (coalesce(col("h"), lit(0L)) * 2000).as("recall_e4"))
+          .orderBy("query_id", "nprobe")
+      },
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+              |  FROM embeddings
+              |),
+              |q AS (SELECT vec_id, emb FROM e WHERE vec_id < 10),
+              |ex0 AS (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              |    row_number() OVER (PARTITION BY q.vec_id
+              |      ORDER BY ${TextHash.duckCosine("q.emb", "c.emb", 64)}
+              |        DESC, c.vec_id) AS rank
+              |  FROM q JOIN e c ON c.vec_id <> q.vec_id
+              |),
+              |exact AS (SELECT query_id, cand_id FROM ex0 WHERE rank <= 5),
+              |c0 AS (
+              |  SELECT label, i - 1 AS dim, round(avg(v), 6) AS c
+              |  FROM (
+              |    SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+              |      generate_subscripts(embedding, 1) AS i
+              |    FROM embeddings
+              |  ) GROUP BY label, dim
+              |),
+              |cent AS (
+              |  SELECT label, list(c ORDER BY dim) AS cvec
+              |  FROM c0 GROUP BY label
+              |),
+              |ass AS (
+              |  SELECT query_id, qe, label, rn AS cell_rank FROM (
+              |    SELECT q.vec_id AS query_id, q.emb AS qe, cent.label,
+              |      row_number() OVER (PARTITION BY q.vec_id
+              |        ORDER BY ${TextHash.duckCosine("q.emb",
+                      "cent.cvec", 64)} DESC, cent.label) AS rn
+              |    FROM q, cent
+              |  ) WHERE rn <= 4
+              |),
+              |sc AS (
+              |  SELECT a.query_id, e.vec_id AS cand_id,
+              |    ${TextHash.duckCosine("a.qe", "e.emb", 64)} AS sim,
+              |    a.cell_rank
+              |  FROM ass a JOIN e ON e.label = a.label
+              |    AND e.vec_id <> a.query_id
+              |),
+              |pn AS (
+              |  SELECT query_id, cand_id, sim, gn.n AS nprobe
+              |  FROM sc, (SELECT unnest(range(1, 5)) AS n) gn
+              |  WHERE sc.cell_rank <= gn.n
+              |),
+              |top AS (
+              |  SELECT query_id, nprobe, cand_id FROM (
+              |    SELECT query_id, nprobe, cand_id, row_number() OVER (
+              |      PARTITION BY query_id, nprobe
+              |      ORDER BY sim DESC, cand_id) AS rk
+              |    FROM pn
+              |  ) WHERE rk <= 5
+              |),
+              |h AS (
+              |  SELECT t.query_id, t.nprobe, count(*) AS nh
+              |  FROM top t JOIN exact x ON x.query_id = t.query_id
+              |    AND x.cand_id = t.cand_id
+              |  GROUP BY 1, 2
+              |),
+              |grid AS (
+              |  SELECT q.vec_id AS query_id, gn.n AS nprobe
+              |  FROM q, (SELECT unnest(range(1, 5)) AS n) gn
+              |)
+              |SELECT g.query_id, CAST(g.nprobe AS BIGINT) AS nprobe,
+              |  CAST(coalesce(h.nh, 0) AS BIGINT) AS n_hits,
+              |  CAST(coalesce(h.nh, 0) * 2000 AS BIGINT) AS recall_e4
+              |FROM grid g LEFT JOIN h ON h.query_id = g.query_id
+              |  AND h.nprobe = g.nprobe
+              |ORDER BY 1, 2""".stripMargin)),
+
     // Benchmark decontamination: find every corpus document containing
     // any probe n-gram (8 canonical-whitespace tokens drawn from
     // benchmark docs — here every 50th doc stands in for "the eval
@@ -4234,6 +4362,49 @@ object PipelineQueries {
              |    ORDER BY y, x, c))) AS pixels_md5
              |FROM px GROUP BY doc_id, w, h
              |ORDER BY doc_id""".stripMargin)),
+
+    // Integer-exact coarse spectrum over REAL WAV decode: the DFT
+    // bins whose twiddles are all in {0, ±1} (DC, fs/4, fs/2) —
+    // low/mid/high band energy with zero floating point, so the
+    // formula oracle pins every value (the m13 rationale: a general
+    // DFT bin's trig rounds differently per libm; these bins have
+    // none). Same map-side decode-and-fold as m11/m13.
+    Q("m25_audio_bands",
+      (s, d) => Multimodal.audioBands(s,
+          Multimodal.wavTable(s, Tables.documents(s, d)))
+        .toDF().orderBy("doc_id", "channel"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 1 + doc_id % 2 AS ch,
+             |    32 + (doc_id * 7) % 33 AS nf
+             |  FROM documents
+             |),
+             |sm AS (
+             |  SELECT d.doc_id, gc.c AS channel, gi.i,
+             |    ((d.doc_id * 131 + gi.i * 37 + gc.c * 17 + 13) % 65536)
+             |      - 32768 AS v
+             |  FROM dims d,
+             |    (SELECT unnest(range(0, 65)) AS i) gi,
+             |    (SELECT unnest(range(0, 2)) AS c) gc
+             |  WHERE gi.i < d.nf AND gc.c < d.ch
+             |),
+             |a AS (
+             |  SELECT doc_id, channel,
+             |    CAST(sum(v) AS BIGINT) AS dc,
+             |    CAST(sum(CASE WHEN i % 4 = 0 THEN v
+             |                  WHEN i % 4 = 2 THEN -v ELSE 0 END)
+             |      AS BIGINT) AS re4,
+             |    CAST(sum(CASE WHEN i % 4 = 1 THEN v
+             |                  WHEN i % 4 = 3 THEN -v ELSE 0 END)
+             |      AS BIGINT) AS im4,
+             |    CAST(sum(CASE WHEN i % 2 = 0 THEN v ELSE -v END)
+             |      AS BIGINT) AS alt,
+             |    CAST(sum(v * v) AS BIGINT) AS energy
+             |  FROM sm GROUP BY 1, 2
+             |)
+             |SELECT doc_id, CAST(channel AS BIGINT) AS channel, dc,
+             |  re4 * re4 + im4 * im4 AS p_fs4,
+             |  alt * alt AS p_fs2, energy
+             |FROM a ORDER BY doc_id, channel""".stripMargin)),
 
     // REAL baseline JPEG decode: planted images go through the FULL
     // lossy codec — forward DCT + Annex K quantization + canonical
