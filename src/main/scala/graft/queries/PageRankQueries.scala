@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
+import graft.functions.TextHash
 import graft.graph.{LinkGraph, PageRank}
 import graft.operators.Sampling
 import graft.sources.WikiPageRankPipeline
@@ -1302,6 +1303,59 @@ object PageRankQueries {
            |$rounds
            |SELECT node, CAST(dist AS BIGINT) AS dist FROM s6
            |ORDER BY node""".stripMargin
+      }),
+
+    // Deterministic graph WALKS (graph.Walks) — the sampling
+    // primitive under node2vec/DeepWalk representation learning: 5
+    // seed walks of 4 hops over the word-follow graph, hop t leaving
+    // node u through out-edge index (polyhash(u)·31 + t) mod
+    // outdeg(u) — a pure function of (node, step), so the walk
+    // corpus reproduces across runs, partitionings, and engines
+    // where a rand() walk would not. Scale shape: indexed adjacency
+    // + degrees build once partitioned by src; each hop joins only
+    // the O(|walks|) frontier on that same key. Oracle: the same 4
+    // hops unrolled, picking by the shared poly-hash formula over
+    // the row_number adjacency.
+    Q("g15_random_walks",
+      (s, d) => {
+        val e = LinkGraph.wordFollowEdges(Tables.documents(s, d), "text")
+        val nodes = e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node"))).distinct()
+        val seeds = nodes.orderBy("node").limit(5)
+        graft.graph.Walks.run(e, seeds, steps = 4)
+          .orderBy("walk_id", "step")
+      },
+      Some {
+        val hops = (1 to 4).map { t =>
+          s"""f$t AS MATERIALIZED (
+             |  SELECT s.walk_id, $t AS step, a.dst AS node
+             |  FROM f${t - 1} s
+             |  JOIN deg dg ON dg.src = s.node
+             |  JOIN adj a ON a.src = s.node
+             |    AND a.idx = (${TextHash.duckStringHash("s.node")} * 31
+             |                 + $t) % dg.outdeg
+             |)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $edgeCtes,
+           |adj AS MATERIALIZED (
+           |  SELECT src, dst, row_number() OVER (
+           |    PARTITION BY src ORDER BY dst) - 1 AS idx
+           |  FROM e
+           |),
+           |deg AS (SELECT src, count(*) AS outdeg FROM adj GROUP BY src),
+           |nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |f0 AS (
+           |  SELECT node AS walk_id, 0 AS step, node
+           |  FROM (SELECT node FROM nd ORDER BY node LIMIT 5)
+           |),
+           |$hops
+           |SELECT walk_id, CAST(step AS BIGINT) AS step, node FROM (
+           |  SELECT * FROM f0
+           |  UNION ALL SELECT * FROM f1
+           |  UNION ALL SELECT * FROM f2
+           |  UNION ALL SELECT * FROM f3
+           |  UNION ALL SELECT * FROM f4
+           |) ORDER BY walk_id, step""".stripMargin
       })
   )
 }

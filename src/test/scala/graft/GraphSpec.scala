@@ -562,6 +562,26 @@ class GraphSpec extends SparkSpec {
     assert(r3 == Map("a" -> 0L, "b" -> 7L, "c" -> 17L, "d" -> 18L))
   }
 
+  test("walks: hash-pick formula hand-checked; dead ends stop walks") {
+    import graft.graph.Walks
+    val edges = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("d", "e"))
+      .toDF("src", "dst")
+    val seeds = Seq("a", "e").toDF("node")
+    val got = Walks.run(edges, seeds, steps = 4)
+      .as[(String, Long, String)].collect().toSet
+    // polyhash("a") = 97: hop 1 picks idx (97·31 + 1) % 3 = 2 → "d"
+    // (neighbors sorted b, c, d); polyhash("d") = 100: hop 2 picks
+    // idx (100·31 + 2) % 1 = 0 → "e"; "e" has no out-edges, so the
+    // walk ends at step 2. Seed "e" is a dead end immediately.
+    assert(got == Set(
+      ("a", 0L, "a"), ("a", 1L, "d"), ("a", 2L, "e"),
+      ("e", 0L, "e")))
+    // Determinism across partitionings.
+    val again = Walks.run(edges.repartition(5), seeds, steps = 4)
+      .as[(String, Long, String)].collect().toSet
+    assert(again == got)
+  }
+
   test("SSSP until stable: fixpoint equals a deep bounded run") {
     import graft.graph.Sssp
     val wedges = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "d", 1L),
