@@ -57,4 +57,29 @@ object Walks {
     }
     out
   }
+
+  /** Skip-gram (center, context) pair extraction over a walk corpus
+    * — the step between [[run]]'s walks and representation learning
+    * (DeepWalk/node2vec train word2vec on exactly these pairs): every
+    * ordered pair of nodes within `window` steps of each other on
+    * the same walk, counted. Scale shape: the self-join is
+    * co-partitioned on walk_id (each walk's pairs form locally —
+    * state bounded by walk length × window, never the corpus), and
+    * the count is one partial-aggregated exchange on the pair key.
+    *
+    * @param walks [[run]] output (walk_id, step, node)
+    * @return (center, context, n_pairs)
+    */
+  def skipGramPairs(walks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val a = walks.select(col("walk_id"), col("step").as("si"),
+      col("node").as("center"))
+    val b = walks.select(col("walk_id"), col("step").as("sj"),
+      col("node").as("context"))
+    a.join(b, Seq("walk_id"))
+      .filter(col("si") =!= col("sj") &&
+        abs(col("si") - col("sj")) <= window)
+      .groupBy("center", "context")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
 }

@@ -513,6 +513,55 @@ object Multimodal {
     }
   }
 
+  case class ShotCutRow(doc_id: Long, frame_idx: Long, diff_total: Long,
+      changed_px: Long, is_cut: Boolean)
+
+  /** SHOT-BOUNDARY (scene-cut) detection over the composited frame
+    * walk — the video-curation primitive between frame decode (m19)
+    * and per-shot sampling/dedup (a sampler that ignores cuts
+    * over-samples long static shots and misses short ones): each
+    * consecutive composited-frame pair reports the exact integer
+    * pixel delta (Σ|Δbyte| and changed-pixel count) and `is_cut` when
+    * ≥ `threshMilli`/1000 of canvas pixels changed — the classic
+    * pixel-difference detector, integer-exact so the oracle states
+    * the rule directly (cross-multiplied: changed·1000 ≥ thresh·n —
+    * no division, no float). Map-side only: decode + one linear
+    * canvas pass per frame pair, state = two frames; undecodable
+    * payloads drop row-local.
+    */
+  def shotCuts(spark: SparkSession, media: DataFrame,
+      threshMilli: Long = 200L): Dataset[ShotCutRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        Gif.decodeFrames(r.payload).iterator.flatMap { fs =>
+          fs.iterator.zipWithIndex.drop(1).map { case (f, i) =>
+            val prev = fs(i - 1)
+            val n = f.width * f.height
+            var diff = 0L
+            var changed = 0L
+            var px = 0
+            while (px < n) {
+              var c = 0
+              var any = false
+              while (c < 3) {
+                val d = (f.rgb(px * 3 + c) & 0xff) -
+                  (prev.rgb(px * 3 + c) & 0xff)
+                diff += math.abs(d)
+                if (d != 0) any = true
+                c += 1
+              }
+              if (any) changed += 1
+              px += 1
+            }
+            ShotCutRow(r.doc_id, i.toLong, diff, changed,
+              changed * 1000L >= threshMilli * n)
+          }
+        }
+      }
+    }
+  }
+
   case class ResampleStats(doc_id: Long, sr_in: Long, n_in: Long,
       n_out: Long, sum_scaled: Long, vals_md5: String)
 

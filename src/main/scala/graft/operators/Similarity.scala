@@ -852,4 +852,56 @@ object Similarity {
       .withColumn("sq",
         expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
       .drop("embedding")
+
+  /** BINARY (sign) quantization — the 1-bit-per-dimension end of the
+    * compression family (e11 PQ: sub-vector codes; e16 SQ8: 8-bit
+    * scalars; this: the sign bit): bit i is set iff v_i > 0, packed
+    * MSB-first into TWO 32-bit words `hi` (dims 1-32) and `lo`
+    * (dims 33-64) — the d4 SimHash two-half convention, so no shift
+    * ever touches the sign bit and both engines' 64-bit arithmetic
+    * stays exact. 8 bytes per vector vs 512: the layout that holds
+    * tens of billions of codes in cluster memory, scanned with one
+    * XOR + popcount per word. One map-side HOF pass, STATELESS —
+    * serves batch and append-mode streams unchanged; extra columns
+    * pass through.
+    */
+  def bqQuantize(vectors: DataFrame): DataFrame = {
+    def half(off: Int): String =
+      s"aggregate(slice(embedding, $off, 32), CAST(0 AS BIGINT), " +
+        "(a, x) -> a * 2 + IF(CAST(x AS DOUBLE) > CAST(0 AS DOUBLE), " +
+        "CAST(1 AS BIGINT), CAST(0 AS BIGINT)))"
+    vectors
+      .withColumn("hi", expr(half(1)))
+      .withColumn("lo", expr(half(33)))
+      .drop("embedding")
+  }
+
+  /** Exhaustive HAMMING search over the packed sign codes — the
+    * candidate-generation pass a binary-quantized index serves:
+    * agreement = 64 − popcount(hi⊕qhi) − popcount(lo⊕qlo), ranked
+    * (agreement DESC, cand_id ASC). Integer arithmetic end-to-end —
+    * no float leaves either engine. Scale shape: the probe batch is
+    * the broadcast side riding the one corpus scan of 8-byte codes;
+    * ranking is the bounded-heap aggregate (≤ partitions·k candidates
+    * ship per query, never a corpus-wide window sort).
+    *
+    * @return (query_id, rank, cand_id, agree)
+    */
+  def bqTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val cand = bqQuantize(emb.select(col("vec_id"), col("embedding")))
+    val probes = bqQuantize(queries.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id").as("query_id"),
+        col("hi").as("qhi"), col("lo").as("qlo"))
+    cand.join(broadcast(probes), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        (lit(64L) - expr("CAST(bit_count(hi ^ qhi) AS BIGINT)")
+          - expr("CAST(bit_count(lo ^ qlo) AS BIGINT)")).as("agree"))
+      .groupBy("query_id")
+      .agg(top_k_by_score(col("agree").cast("double"), col("cand_id"),
+        lit(0L), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("s.cand_id").as("cand_id"),
+        col("s.sim").cast("long").as("agree"))
+  }
 }

@@ -1325,37 +1325,74 @@ object PageRankQueries {
         graft.graph.Walks.run(e, seeds, steps = 4)
           .orderBy("walk_id", "step")
       },
-      Some {
-        val hops = (1 to 4).map { t =>
-          s"""f$t AS MATERIALIZED (
-             |  SELECT s.walk_id, $t AS step, a.dst AS node
-             |  FROM f${t - 1} s
-             |  JOIN deg dg ON dg.src = s.node
-             |  JOIN adj a ON a.src = s.node
-             |    AND a.idx = (${TextHash.duckStringHash("s.node")} * 31
-             |                 + $t) % dg.outdeg
-             |)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH $edgeCtes,
-           |adj AS MATERIALIZED (
-           |  SELECT src, dst, row_number() OVER (
-           |    PARTITION BY src ORDER BY dst) - 1 AS idx
-           |  FROM e
-           |),
-           |deg AS (SELECT src, count(*) AS outdeg FROM adj GROUP BY src),
-           |nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-           |f0 AS (
-           |  SELECT node AS walk_id, 0 AS step, node
-           |  FROM (SELECT node FROM nd ORDER BY node LIMIT 5)
-           |),
-           |$hops
-           |SELECT walk_id, CAST(step AS BIGINT) AS step, node FROM (
-           |  SELECT * FROM f0
-           |  UNION ALL SELECT * FROM f1
-           |  UNION ALL SELECT * FROM f2
-           |  UNION ALL SELECT * FROM f3
-           |  UNION ALL SELECT * FROM f4
-           |) ORDER BY walk_id, step""".stripMargin
-      })
+      Some(s"""WITH ${walkCtes(seeds = 5, steps = 4)}
+           |SELECT walk_id, CAST(step AS BIGINT) AS step, node
+           |FROM walks ORDER BY walk_id, step""".stripMargin)),
+
+    // Skip-gram PAIR extraction over the walk corpus — the step that
+    // turns g15's walks into representation-learning training data
+    // (DeepWalk/node2vec feed word2vec exactly these (center,
+    // context) pairs): every ordered within-2-steps co-occurrence on
+    // the same walk, counted. Scale shape: the pair join is
+    // co-partitioned on walk_id (each walk's pairs form locally,
+    // state ≤ walk length × window), counts partial-agg on the pair
+    // key. Oracle: the shared walk CTEs self-joined on walk_id.
+    Q("g16_walk_pairs",
+      (s, d) => {
+        val e = LinkGraph.wordFollowEdges(Tables.documents(s, d), "text")
+        val nodes = e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node"))).distinct()
+        val seeds = nodes.orderBy("node").limit(5)
+        val walks = graft.graph.Walks.run(e, seeds, steps = 4)
+        graft.graph.Walks.skipGramPairs(walks, window = 2)
+          .orderBy("center", "context")
+      },
+      Some(s"""WITH ${walkCtes(seeds = 5, steps = 4)},
+           |p AS (
+           |  SELECT a.node AS center, b.node AS context,
+           |    count(*) AS n_pairs
+           |  FROM walks a JOIN walks b ON b.walk_id = a.walk_id
+           |    AND b.step <> a.step AND abs(b.step - a.step) <= 2
+           |  GROUP BY 1, 2
+           |)
+           |SELECT center, context, CAST(n_pairs AS BIGINT) AS n_pairs
+           |FROM p ORDER BY center, context""".stripMargin))
   )
+
+  /** DuckDB CTEs mirroring graft.graph.Walks.run over the word-follow
+    * graph — row_number adjacency, degrees, and the shared poly-hash
+    * hop pick — ending in `walks` (walk_id, step, node). Shared by
+    * g15 (the walk corpus itself) and g16 (skip-gram pairs) so both
+    * mirrors state one definition of the walk.
+    */
+  private def walkCtes(seeds: Int, steps: Int): String = {
+    val hops = (1 to steps).map { t =>
+      s"""f$t AS MATERIALIZED (
+         |  SELECT s.walk_id, $t AS step, a.dst AS node
+         |  FROM f${t - 1} s
+         |  JOIN deg dg ON dg.src = s.node
+         |  JOIN adj a ON a.src = s.node
+         |    AND a.idx = (${TextHash.duckStringHash("s.node")} * 31
+         |                 + $t) % dg.outdeg
+         |)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to steps).map(t => s"SELECT * FROM f$t")
+      .mkString("\n  UNION ALL ")
+    s"""$edgeCtes,
+       |adj AS MATERIALIZED (
+       |  SELECT src, dst, row_number() OVER (
+       |    PARTITION BY src ORDER BY dst) - 1 AS idx
+       |  FROM e
+       |),
+       |deg AS (SELECT src, count(*) AS outdeg FROM adj GROUP BY src),
+       |nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |f0 AS (
+       |  SELECT node AS walk_id, 0 AS step, node
+       |  FROM (SELECT node FROM nd ORDER BY node LIMIT $seeds)
+       |),
+       |$hops,
+       |walks AS (
+       |  $union
+       |)""".stripMargin
+  }
 }

@@ -4238,6 +4238,39 @@ object PipelineQueries {
               |FROM sig s JOIN cnt USING (anim_sig)
               |ORDER BY s.doc_id""".stripMargin)),
 
+    // SHOT-BOUNDARY detection over the composited frame walk — the
+    // video-curation primitive after frame decode (m19) and beside
+    // animation dedup (m22): per consecutive frame pair the exact
+    // integer pixel delta (Σ|Δbyte|, changed-pixel count) and a cut
+    // flag at the 20%-of-canvas-changed threshold, cross-multiplied
+    // so the rule is pure integer comparison. Disposal-2 background
+    // restores double a frame's changed area vs a plain overlay, so
+    // the planted corpus genuinely mixes cuts (~40%) and non-cuts at
+    // every SF. Map-side decode + one linear canvas pass per pair;
+    // the only exchange is the ORDER BY. Oracle: the shared
+    // composited-pixel CTEs self-joined one frame back.
+    Q("m26_shot_cuts",
+      (s, d) => Multimodal.shotCuts(s,
+          Multimodal.gifAnimTable(s, Tables.documents(s, d)))
+        .toDF()
+        .orderBy("doc_id", "frame_idx"),
+      Some(s"""WITH ${gifAnimFrameCtes()},
+              |diffs AS (
+              |  SELECT a.doc_id, a.frame_idx, a.w, a.h,
+              |    CAST(SUM(abs(a.b - p.b)) AS BIGINT) AS diff_total,
+              |    CAST(COUNT(DISTINCT CASE WHEN a.b <> p.b
+              |      THEN a.y * 16 + a.x END) AS BIGINT) AS changed_px
+              |  FROM apx a JOIN apx p ON p.doc_id = a.doc_id
+              |    AND p.y = a.y AND p.x = a.x AND p.c = a.c
+              |    AND p.frame_idx = a.frame_idx - 1
+              |  GROUP BY 1, 2, 3, 4
+              |)
+              |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+              |  diff_total, changed_px,
+              |  changed_px * 1000 >= 200 * (w * h) AS is_cut
+              |FROM diffs
+              |ORDER BY doc_id, frame_idx""".stripMargin)),
+
     // The composited frame walk itself: EVERY frame of the planted
     // animations as a full-canvas snapshot — offsets, transparency
     // show-through, and disposal-2 background restore are each
@@ -7312,6 +7345,128 @@ object PipelineQueries {
               |hits AS (
               |  SELECT query_id, count(*) AS h
               |  FROM exact JOIN sq8 USING (query_id, cand_id)
+              |  GROUP BY query_id
+              |)
+              |SELECT q.vec_id AS query_id,
+              |  coalesce(h, 0) AS n_hits,
+              |  coalesce(h, 0) * 2000 AS recall_e4
+              |FROM q LEFT JOIN hits ON hits.query_id = q.vec_id
+              |ORDER BY query_id""".stripMargin)),
+
+    // BINARY-QUANTIZATION ANN — the 1-bit compression axis closing
+    // the family (e11 PQ sub-vector codes, e16 SQ8 8-bit scalars,
+    // this the sign bit): vectors pack to TWO 32-bit sign words
+    // (the d4 two-half convention — nothing touches the sign bit),
+    // candidates rank by bit agreement = 64 − Hamming, ties to
+    // cand_id. 8 bytes per vector vs 512 — the code layout that
+    // keeps ten billion vectors scannable in cluster memory with an
+    // XOR + popcount per word. Integer end-to-end, so parity is
+    // arithmetic. Scale shape: probe batch broadcast over the one
+    // corpus code scan, bounded-heap ranking — no window, no corpus
+    // shuffle.
+    Q("e37_bq_topk",
+      (s, d) => Similarity.bqTopK(
+          Tables.embeddings(s, d),
+          Tables.embeddings(s, d).filter(col("vec_id") < 10), k = 5)
+        .orderBy("query_id", "rank"),
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+             |  FROM embeddings
+             |),
+             |bq AS (
+             |  SELECT vec_id,
+             |    CAST(list_sum(list_transform(range(1, 33),
+             |      i -> CASE WHEN emb[i] > 0
+             |           THEN (CAST(1 AS BIGINT) << (32 - i))
+             |           ELSE 0 END)) AS BIGINT) AS hi,
+             |    CAST(list_sum(list_transform(range(33, 65),
+             |      i -> CASE WHEN emb[i] > 0
+             |           THEN (CAST(1 AS BIGINT) << (64 - i))
+             |           ELSE 0 END)) AS BIGINT) AS lo
+             |  FROM e
+             |),
+             |pr AS (SELECT vec_id AS query_id, hi AS qhi, lo AS qlo
+             |       FROM bq WHERE vec_id < 10),
+             |scored AS (
+             |  SELECT pr.query_id, c.vec_id AS cand_id,
+             |    64 - bit_count(xor(c.hi, pr.qhi))
+             |       - bit_count(xor(c.lo, pr.qlo)) AS agree
+             |  FROM pr JOIN bq c ON c.vec_id <> pr.query_id
+             |),
+             |r AS (
+             |  SELECT query_id, cand_id, agree,
+             |    row_number() OVER (
+             |      PARTITION BY query_id ORDER BY agree DESC, cand_id)
+             |      AS rank
+             |  FROM scored
+             |)
+             |SELECT query_id, rank, cand_id, CAST(agree AS BIGINT) AS agree
+             |FROM r WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    // Recall gate for the binary-quantization axis (the e13/e18/e22/
+    // e26 pattern — every approximate path ships with its
+    // oracle-checked measurement): recall@5 of the Hamming ranking
+    // vs float brute-force truth. 1-bit codes are the lossiest
+    // member of the family, so this is the gate that decides whether
+    // BQ serves as a first-stage filter (with exact rerank — the e27
+    // shape) or not at all; zero-hit queries surface as explicit 0s.
+    Q("e38_bq_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") < 10)
+        val exact = Similarity.bruteForceTopK(emb, qs, k = 5)
+          .select(col("query_id"), col("cand_id"))
+        val bq = Similarity.bqTopK(emb, qs, k = 5)
+          .select(col("query_id"), col("cand_id"))
+        val hits = exact.join(bq, Seq("query_id", "cand_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("h"))
+        qs.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("h"), lit(0L)).as("n_hits"),
+            (coalesce(col("h"), lit(0L)) * 2000).as("recall_e4"))
+          .orderBy("query_id")
+      },
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              |  FROM embeddings
+              |),
+              |q AS (SELECT vec_id, emb FROM e WHERE vec_id < 10),
+              |ex0 AS (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              |    row_number() OVER (PARTITION BY q.vec_id
+              |      ORDER BY ${TextHash.duckCosine("q.emb", "c.emb", 64)}
+              |        DESC, c.vec_id) AS rank
+              |  FROM q JOIN e c ON c.vec_id <> q.vec_id
+              |),
+              |exact AS (SELECT query_id, cand_id FROM ex0 WHERE rank <= 5),
+              |bq AS (
+              |  SELECT vec_id,
+              |    CAST(list_sum(list_transform(range(1, 33),
+              |      i -> CASE WHEN emb[i] > 0
+              |           THEN (CAST(1 AS BIGINT) << (32 - i))
+              |           ELSE 0 END)) AS BIGINT) AS hi,
+              |    CAST(list_sum(list_transform(range(33, 65),
+              |      i -> CASE WHEN emb[i] > 0
+              |           THEN (CAST(1 AS BIGINT) << (64 - i))
+              |           ELSE 0 END)) AS BIGINT) AS lo
+              |  FROM e
+              |),
+              |pr AS (SELECT vec_id AS query_id, hi AS qhi, lo AS qlo
+              |       FROM bq WHERE vec_id < 10),
+              |bq0 AS (
+              |  SELECT pr.query_id, c.vec_id AS cand_id,
+              |    row_number() OVER (PARTITION BY pr.query_id
+              |      ORDER BY 64 - bit_count(xor(c.hi, pr.qhi))
+              |                  - bit_count(xor(c.lo, pr.qlo)) DESC,
+              |        c.vec_id) AS rank
+              |  FROM pr JOIN bq c ON c.vec_id <> pr.query_id
+              |),
+              |bqk AS (SELECT query_id, cand_id FROM bq0 WHERE rank <= 5),
+              |hits AS (
+              |  SELECT query_id, count(*) AS h
+              |  FROM exact JOIN bqk USING (query_id, cand_id)
               |  GROUP BY query_id
               |)
               |SELECT q.vec_id AS query_id,

@@ -1193,4 +1193,71 @@ class OperatorsSpec extends SparkSpec {
       assert(got == Seq(7L, 42L, 99L), s"fpp=$fpp")
     }
   }
+
+  test("bqQuantize packs sign bits MSB-first in two halves; bqTopK ranks by agreement") {
+    val full = (1L << 32) - 1 // all 32 bits of a half set
+    val vecs = Seq(
+      (1L, Seq.fill(64)(1.0f)),                      // hi=full, lo=full
+      (2L, Seq(-1.0f) ++ Seq.fill(63)(1.0f)),        // first dim → MSB off
+      (3L, Seq.fill(64)(-1.0f)),                     // all off
+      (4L, Seq.fill(32)(1.0f) ++ Seq.fill(32)(0.0f)) // zero is NOT > 0
+    ).toDF("vec_id", "embedding")
+    val codes = Similarity.bqQuantize(vecs)
+      .select("vec_id", "hi", "lo")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(codes(1L) == (full, full))
+    assert(codes(2L) == (full - (1L << 31), full)) // dim 1 = bit 31 of hi
+    assert(codes(3L) == (0L, 0L))
+    assert(codes(4L) == (full, 0L))
+    // From query 1: cand 2 agrees on 63 bits, cand 4 on 32, cand 3 on 0.
+    val tk = Similarity.bqTopK(vecs, vecs.filter(col("vec_id") === 1L), k = 3)
+      .select("rank", "cand_id", "agree")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(tk == Seq((1L, 2L, 63L), (2L, 4L, 32L), (3L, 3L, 0L)))
+  }
+
+  test("skipGramPairs counts within-window co-occurrences per walk") {
+    import graft.graph.Walks
+    // w1 = a b c a; w2 = a b. Window 2, ordered pairs, counted across
+    // walks: a→b from (a@0,b@1), (a@3,b@1) and w2 = 3; a@0 vs a@3 is
+    // 3 steps apart — outside the window, so a→a never appears.
+    val walks = Seq(
+      ("w1", 0L, "a"), ("w1", 1L, "b"), ("w1", 2L, "c"), ("w1", 3L, "a"),
+      ("w2", 0L, "a"), ("w2", 1L, "b")).toDF("walk_id", "step", "node")
+    val got = Walks.skipGramPairs(walks, window = 2)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map(
+      ("a", "b") -> 3L, ("a", "c") -> 2L, ("b", "a") -> 3L,
+      ("b", "c") -> 1L, ("c", "a") -> 2L, ("c", "b") -> 1L))
+  }
+
+  test("shotCuts: changed-pixel fraction drives the cut flag exactly") {
+    import graft.multimodal.Gif
+    // 8×8 canvas. Frame 1 repaints a 4×4 rect (16/64 = 25% ≥ 20% →
+    // cut); frame 2 repaints ONE pixel (1/64 < 20% → no cut). Every
+    // palette index maps to a distinct color triple, and overlay
+    // indices shift by +1, so every overlaid pixel genuinely changes.
+    val palette = Array.tabulate(3 * 16) { i =>
+      ((i / 3) * 15 + (i % 3) * 5).toByte
+    }
+    val base = Gif.FrameSpec(0, 0, 8, 8,
+      Array.tabulate(64)(i => (i % 8).toByte), disposal = 1)
+    val f1 = Gif.FrameSpec(2, 2, 4, 4,
+      Array.tabulate(16) { i =>
+        val y = 2 + i / 4; val x = 2 + i % 4
+        (((y * 8 + x) % 8) + 1).toByte // base index + 1 at every pixel
+      }, disposal = 1)
+    val f2 = Gif.FrameSpec(0, 0, 1, 1, Array[Byte](15), disposal = 1)
+    val payload = Gif.encodeAnimated(8, 8, 4, palette, Seq(base, f1, f2))
+    val media = Seq(
+      Multimodal.MediaRow(9L, "image/gif", payload.length.toLong, payload))
+      .toDF()
+    val got = Multimodal.shotCuts(spark, media).collect()
+      .map(r => r.frame_idx -> r).toMap
+    assert(got.size == 2)
+    assert(got(1L).changed_px == 16L && got(1L).is_cut)
+    assert(got(2L).changed_px == 1L && !got(2L).is_cut)
+    assert(got(1L).diff_total > 0L && got(2L).diff_total > 0L)
+  }
 }

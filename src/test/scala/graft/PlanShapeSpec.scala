@@ -18,7 +18,7 @@ class PlanShapeSpec extends SparkSpec {
         "e8_ann_learned", "m5_media_sim", "e11_pq_topk", "e16_sq8_topk",
         "e17_ivf_sq8", "e19_mips_topk", "q50_topk_pergroup",
         "e21_ivf_pq", "e23_filtered_ann", "e24_filtered_ivf",
-        "e27_pq_rerank")) {
+        "e27_pq_rerank", "e37_bq_topk")) {
       val p = plan(q)
       assert(p.contains("ObjectHashAggregate"),
         s"$q lost the top_k_by_score partial aggregate")
@@ -420,10 +420,14 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("decode queries stay map-side: only the ORDER BY exchange") {
-    // m14/m15/m16: the codec work rides the scan; the single range
-    // exchange is the deterministic output sort. A second exchange
-    // would mean decode results started shuffling.
-    for (q <- Seq("m14_jpeg_color", "m15_png_palette", "m16_png16")) {
+    // The codec work rides the scan; the single range exchange is
+    // the deterministic output sort. A second exchange would mean
+    // decode results started shuffling (m23/m25 = audio decode+DSP,
+    // m24 = BMP incl. RLE8, m26 = frame-pair shot cuts — all pure
+    // per-payload passes).
+    for (q <- Seq("m14_jpeg_color", "m15_png_palette", "m16_png16",
+        "m23_vad_segments", "m24_bmp_decode", "m25_audio_bands",
+        "m26_shot_cuts")) {
       val p = plan(q)
       val x = "Exchange (?:range|hash|Single)".r.findAllIn(p).size
       assert(x == 1, s"$q: expected only the ORDER BY exchange, got $x\n$p")
@@ -564,5 +568,69 @@ class PlanShapeSpec extends SparkSpec {
     val d58 = plan("d58_quality_ensemble")
     assert(!d58.contains("Window") && !d58.contains("CartesianProduct"),
       s"d58 lost its aggregate-only shape\n$d58")
+  }
+
+  test("round-10 additions keep their scale shapes") {
+    // q52: BOTH attribution models come from ONE per-user window pass
+    // (rows frame + range frame) over the events scan — exactly two
+    // windows, and never a join (an event-table self-join is the
+    // naive multi-touch formulation this query exists to avoid).
+    val q52 = plan("q52_attribution")
+    assert("Window".r.findAllIn(q52).size == 2,
+      s"q52: expected the rows-frame + range-frame window pair\n$q52")
+    assert(!q52.contains("Join"),
+      s"q52 regressed to an event self-join\n$q52")
+    // q53: Z-order assignment is map-side bit math plus the one-row
+    // min/max broadcast — no window rank, no global sort of orders.
+    val q53 = plan("q53_zorder")
+    assert(!q53.contains("Window") && !q53.contains("CartesianProduct"),
+      s"q53 lost its map-side shape\n$q53")
+    assert("BroadcastNestedLoop".r.findAllIn(q53).size <= 1,
+      s"q53: only the 1-row min/max aggregate may broadcast\n$q53")
+    // d65: the deterministic shuffle must be a RANGE-partitioned
+    // distributed sort (sampled split points) — a SinglePartition
+    // exchange feeding the sort would be the single-task collapse.
+    val d65 = plan("d65_train_shuffle")
+    assert(d65.contains("rangepartitioning"),
+      s"d65 lost the range-partitioned sort\n$d65")
+    assert(!d65.contains("Exchange SinglePartition"),
+      s"d65 sorts through a single task\n$d65")
+    // d66/d67: audit cards are one partial-agg pass plus bounded
+    // one-row broadcasts — no window, no cartesian; d67's doubled
+    // (yesterday|today) projection must come off a SINGLE corpus
+    // read (the persisted projection), not two parquet scans.
+    for (q <- Seq("d66_calibration", "d67_drift_card")) {
+      val p = plan(q)
+      assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+        s"$q lost its aggregate-only shape\n$p")
+    }
+    val d67 = plan("d67_drift_card")
+    assert("Scan parquet .*documents".r.findAllIn(d67).size <= 1,
+      s"d67 re-reads the corpus per snapshot side\n$d67")
+    // e33/e36: every ranking (prefix pass, full pass, per-nprobe
+    // fan-out) rides the bounded heap; e36's one permitted window
+    // ranks the BOUNDED centroid table (cell routing), never
+    // candidates — pin via the window partition keys.
+    val e33 = plan("e33_prefix_recall")
+    assert(!e33.contains("Window") && e33.contains("ObjectHashAggregate"),
+      s"e33 lost its bounded-heap shape\n$e33")
+    val e36 = plan("e36_nprobe_curve")
+    assert(e36.contains("ObjectHashAggregate"),
+      s"e36 lost the bounded-heap rankings\n$e36")
+    val e36parts = "windowspecdefinition\\((\\w+)#".r
+      .findAllMatchIn(e36).map(_.group(1)).toSet
+    assert(e36parts.subsetOf(Set("query_id")),
+      s"e36 windows over more than the bounded routing: $e36parts\n$e36")
+    // e34: residual PQ keeps e21's contract — LUT/codebooks ride
+    // broadcast DATA, candidates rank via the heap, no cartesian.
+    val e34 = plan("e34_residual_pq")
+    assert(e34.contains("ObjectHashAggregate") &&
+      !e34.contains("CartesianProduct"),
+      s"e34 lost the PQ scale shape\n$e34")
+    // g16: skip-gram pairs — the pair join must stay an equi-join on
+    // walk_id (never a cross of walk rows) and the count a hash agg.
+    val g16 = plan("g16_walk_pairs")
+    assert(!g16.contains("CartesianProduct"),
+      s"g16 crosses walk rows\n$g16")
   }
 }
