@@ -70,6 +70,17 @@ object AnnStream {
   def sq8Encode(vectors: DataFrame): DataFrame =
     graft.operators.Similarity.sq8Quantize(vectors)
 
+  /** Ingest-time BINARY quantization — e37's sign-code layout
+    * produced as vectors ARRIVE: two 32-bit sign words per vector,
+    * the raw embedding dropped at the edge (8 bytes stored per
+    * 64-dim vector — the Hamming-scan tier of a continuously
+    * ingested index). Stateless map-side pass, so the BATCH
+    * definition (operators.Similarity.bqQuantize) runs unchanged in
+    * append-mode streams — parity asserted in AnnStreamSpec.
+    */
+  def bqEncode(vectors: DataFrame): DataFrame =
+    graft.operators.Similarity.bqQuantize(vectors)
+
   def probeTopK(queries: DataFrame, corpusWithCells: DataFrame,
       centroids: DataFrame, k: Int, watermark: String = "1 hour",
       windowLen: String = "1 hour"): DataFrame = {

@@ -136,6 +136,36 @@ class AnnStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("parity: streaming bqEncode equals the batch sign packing") {
+    // 4 dims of each half carry the signal; zero is NOT > 0 (the
+    // documented bq contract), so vec 3's zeros pack as 0-bits.
+    val corpus = Seq(
+      (1L, Array.fill(64)(1.0)),
+      (2L, Array.fill(32)(-1.0) ++ Array.fill(32)(2.0)),
+      (3L, Array.fill(64)(0.0)))
+    val emb = corpus.toDF("vec_id", "embedding")
+    val want = graft.operators.Similarity.bqQuantize(emb)
+      .select("vec_id", "hi", "lo")
+      .as[(Long, Long, Long)].collect().toSet
+    val full = (1L << 32) - 1
+    assert(want == Set((1L, full, full), (2L, 0L, full), (3L, 0L, 0L)))
+
+    val rows = corpus.map { case (id, e) =>
+      Vec(id, new Timestamp(600000L + id * 1000), e) }
+    val stream = MemoryStream[Vec](spark)
+    val q = AnnStream.bqEncode(stream.toDF())
+      .select("vec_id", "hi", "lo")
+      .writeStream.format("memory").queryName("bq_t")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("bq_t")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
   private implicit class ToMap2(rows: Array[(Long, Seq[Long], Long)]) {
     def toMap2: Map[Long, (Seq[Long], Long)] =
       rows.map(r => r._1 -> ((r._2, r._3))).toMap

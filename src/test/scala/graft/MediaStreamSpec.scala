@@ -205,6 +205,41 @@ class MediaStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("parity: streaming shot cuts equal the batch frame-pair deltas") {
+    import graft.multimodal.Gif
+    // Three-frame animations with a big and a small repaint — the
+    // m26 plan is a stateless mapPartitions pass, so the one
+    // definition serves append-mode streams unchanged.
+    def gif(id: Long): Multimodal.MediaRow = {
+      val palette = Array.tabulate(3 * 16)(i =>
+        ((i / 3) * 15 + (i % 3) * 5 + id).toByte)
+      val base = Gif.FrameSpec(0, 0, 8, 8,
+        Array.tabulate(64)(i => ((i + id) % 8).toByte), disposal = 1)
+      val f1 = Gif.FrameSpec(2, 2, 4, 4,
+        Array.tabulate(16)(i => ((i + id) % 8 + 8).toByte), disposal = 1)
+      val f2 = Gif.FrameSpec(0, 0, 1, 1,
+        Array[Byte](15), disposal = 1)
+      val p = Gif.encodeAnimated(8, 8, 4, palette, Seq(base, f1, f2))
+      Multimodal.MediaRow(id, "image/gif", p.length.toLong, p)
+    }
+    val rows = (1L to 4L).map(gif)
+    val stream = MemoryStream[Multimodal.MediaRow](spark)
+    val q = Multimodal.shotCuts(spark, stream.toDF())
+      .writeStream.format("memory").queryName("cuts_t")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("cuts_t")
+        .as[Multimodal.ShotCutRow].collect().toSet
+      val want = Multimodal.shotCuts(spark, rows.toDF()).collect().toSet
+      assert(got == want && got.size == 8)
+      // the 4×4 repaint crosses the 20% threshold, the 1-px one never
+      assert(got.filter(_.frame_idx == 1L).forall(_.is_cut))
+      assert(!got.filter(_.frame_idx == 2L).exists(_.is_cut))
+    } finally q.stop()
+  }
+
   test("undecodable payloads drop in both engines identically") {
     val bad = Multimodal.MediaRow(7L, "image/png",
       3L, Array[Byte](1, 2, 3))
