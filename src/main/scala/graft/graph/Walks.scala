@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 import graft.functions.TextHashExprs.string_poly_hash
+import graft.operators.Checkpointing.CutOps
 
 /** Deterministic graph WALKS — the sampling primitive under
   * node2vec/DeepWalk-style representation learning (walk corpus →
@@ -23,7 +24,12 @@ import graft.functions.TextHashExprs.string_poly_hash
   * key (no re-shuffle of the big side — the idx pick is a filter
   * inside the co-partitioned join, local to the node's partition),
   * and dead-end nodes simply end their walk (inner join drops
-  * them). Bounded `steps` keeps the lazy plan linear; no cut needed.
+  * them). Each hop's frontier is eagerly lineage-cut (the
+  * PageRank/Sssp per-round discipline): the output is a union of
+  * every step's rows, so an uncut chain would embed hop t's full
+  * join prefix in all later branches — steps·(steps+1)/2 join nodes
+  * and per-branch recomputation where exchange reuse misses. Cut,
+  * the union reads `steps`+1 checkpoint scans regardless of depth.
   */
 object Walks {
 
@@ -45,6 +51,7 @@ object Walks {
 
     var frontier = seeds.select(col("node")).distinct()
       .select(col("node").as("walk_id"), lit(0L).as("step"), col("node"))
+      .lineageCut
     var out = frontier
     for (st <- 1 to steps) {
       val nxt = frontier.join(a, frontier("node") === a("src"))
@@ -52,6 +59,7 @@ object Walks {
           (string_poly_hash(col("node")) * 31 + st) % col("outdeg"))
         .select(col("walk_id"), lit(st.toLong).as("step"),
           col("dst").as("node"))
+        .lineageCut
       out = out.union(nxt)
       frontier = nxt
     }

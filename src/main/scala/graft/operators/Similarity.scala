@@ -904,4 +904,64 @@ object Similarity {
         col("s.cand_id").as("cand_id"),
         col("s.sim").cast("long").as("agree"))
   }
+
+  /** MMR (maximal-marginal-relevance) DIVERSITY re-ranking — the
+    * retrieval step after top-k when near-duplicate hits waste the
+    * result page (RAG context windows, dedup-aware search):
+    * greedily select k of the `poolK` retrieved candidates, each
+    * pick maximizing lambda·relevance − (1−lambda)·max-similarity-
+    * to-already-picked (Carbonell & Goldstein 1998). Arithmetic is
+    * on the e6 integer grid with lambda scaled ×10 (score =
+    * lambda10·rel_e6 − (10−lambda10)·maxdiv_e6), ties to the
+    * smaller cand_id — fully deterministic, so the greedy SEQUENCE
+    * oracle-checks exactly. Scale shape: stage 1 is the pinned
+    * bounded-heap retrieval; the greedy runs as ONE higher-order
+    * aggregate per query over its own ≤ poolK gathered candidates
+    * (state ≤ poolK×dims — the e28 RobustPrune discipline; pairwise
+    * similarities never materialize as rows, and nothing regroups
+    * the corpus).
+    *
+    * @return (query_id, rank, cand_id, score) — score the greedy
+    *   objective at selection time on the ×10 e6 grid
+    */
+  def mmrRerank(emb: DataFrame, queries: DataFrame, k: Int,
+      poolK: Int, lambda10: Int = 7): DataFrame = {
+    require(lambda10 >= 0 && lambda10 <= 10,
+      s"lambda10 must be in [0, 10], got $lambda10")
+    require(poolK >= k, s"pool ($poolK) must cover k ($k)")
+    val mu = 10 - lambda10
+    val cands = bruteForceTopK(emb, queries, poolK)
+      .select(col("query_id"), col("cand_id"),
+        floor(col("sim") * 1000000 + 0.5).cast("long").as("re6"))
+    val en = withNorms(emb)
+      .select(col("vec_id").as("cand_id"), col("e"), col("nrm"))
+    val st = "struct<sc:bigint,nbr:bigint,re6:bigint," +
+      "nrm:double,e:array<double>>"
+    // The in-lambda e6 cosine (precomputed nrm, double-cast arrays)
+    // is bit-identical to the codegen kernel — the e28 parity rule.
+    val score = s"($lambda10 * c.re6 - $mu * coalesce(" +
+      "aggregate(acc, cast(null as bigint), (m, s) -> greatest(" +
+      "coalesce(m, -2000000), " +
+      "cast(floor(aggregate(zip_with(s.e, c.e, (x, y) -> x * y), " +
+      "cast(0 as double), (a, v) -> a + v) / (s.nrm * c.nrm) " +
+      "* 1000000.0d + 0.5d) as bigint))), cast(0 as bigint)))"
+    cands.join(en, "cand_id")
+      .groupBy("query_id")
+      .agg(array_sort(collect_list(struct(col("cand_id").as("nbr"),
+        col("re6"), col("nrm"), col("e")))).as("cands"))
+      .select(col("query_id"), expr(
+        s"""aggregate(sequence(1, $k),
+           |  cast(array() as array<$st>),
+           |  (acc, step) -> array_append(acc,
+           |    aggregate(cands, cast(null as $st),
+           |      (bst, c) -> if(exists(acc, s -> s.nbr = c.nbr), bst,
+           |        if(bst.sc is null or $score > bst.sc,
+           |          named_struct('sc', $score, 'nbr', c.nbr,
+           |            're6', c.re6, 'nrm', c.nrm, 'e', c.e),
+           |          bst)))))""".stripMargin
+          .replaceAll("\n\\s*", " ")).as("sel"))
+      .select(col("query_id"), posexplode(col("sel")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("s.nbr").as("cand_id"), col("s.sc").as("score"))
+  }
 }

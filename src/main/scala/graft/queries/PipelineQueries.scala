@@ -7475,6 +7475,90 @@ object PipelineQueries {
               |FROM q LEFT JOIN hits ON hits.query_id = q.vec_id
               |ORDER BY query_id""".stripMargin)),
 
+    // MMR DIVERSITY re-ranking (Carbonell & Goldstein 1998) — the
+    // retrieval step after top-k when near-duplicate hits waste the
+    // result page (RAG context selection, dedup-aware search): from
+    // the top-20 pool, greedily pick 5, each pick maximizing
+    // 7·rel_e6 − 3·maxdiv_e6 (λ=0.7 on the ×10 integer grid, div =
+    // max e6-cosine to the already-picked set), ties to the smaller
+    // cand_id — deterministic, so the greedy SEQUENCE oracle-checks
+    // exactly (the e35/e28 unrolled-greedy pattern). Scale shape:
+    // stage 1 is the pinned bounded-heap retrieval; the greedy is
+    // ONE higher-order aggregate per query over its own ≤20 gathered
+    // candidates (state ≤ pool×dims — pairwise similarities never
+    // materialize as rows, nothing regroups the corpus).
+    Q("e39_mmr_rerank",
+      (s, d) => Similarity.mmrRerank(
+          Tables.embeddings(s, d),
+          Tables.embeddings(s, d).filter(col("vec_id") < 10),
+          k = 5, poolK = 20)
+        .orderBy("query_id", "rank"),
+      Some {
+        val steps = (2 to 5).map { k =>
+          val sel = s"sel${k - 1} AS (SELECT query_id, cand_id FROM p1" +
+            (2 until k).map(j =>
+              s" UNION ALL SELECT query_id, cand_id FROM p$j").mkString +
+            ")"
+          s"""$sel,
+             |p$k AS MATERIALIZED (
+             |  SELECT query_id, cand_id, re6, sc, $k AS rank FROM (
+             |    SELECT s.*, row_number() OVER (PARTITION BY s.query_id
+             |      ORDER BY s.sc DESC, s.cand_id) AS rn2
+             |    FROM (
+             |      SELECT c.query_id, c.cand_id, c.re6,
+             |        7 * c.re6 - 3 * max(d.de6) AS sc
+             |      FROM cand c
+             |      JOIN sel${k - 1} s2 ON s2.query_id = c.query_id
+             |      JOIN dv d ON d.query_id = c.query_id
+             |        AND d.ca = c.cand_id AND d.cb = s2.cand_id
+             |      WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} z
+             |        WHERE z.query_id = c.query_id
+             |          AND z.cand_id = c.cand_id)
+             |      GROUP BY 1, 2, 3
+             |    ) s
+             |  ) WHERE rn2 = 1
+             |)""".stripMargin
+        }.mkString(",\n")
+        val cos = TextHash.duckCosine("q.emb", "c.emb", 64)
+        s"""WITH e AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           |  FROM embeddings
+           |),
+           |q AS (SELECT vec_id, emb FROM e WHERE vec_id < 10),
+           |c0 AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           |    CAST(floor($cos * 1000000 + 0.5) AS BIGINT) AS re6,
+           |    row_number() OVER (PARTITION BY q.vec_id
+           |      ORDER BY $cos DESC, c.vec_id) AS rn
+           |  FROM q JOIN e c ON c.vec_id <> q.vec_id
+           |),
+           |cand AS MATERIALIZED (
+           |  SELECT query_id, cand_id, re6 FROM c0 WHERE rn <= 20),
+           |dv AS MATERIALIZED (
+           |  SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+           |    CAST(floor(${TextHash.duckCosine("x.emb", "y.emb", 64)}
+           |      * 1000000 + 0.5) AS BIGINT) AS de6
+           |  FROM cand a JOIN cand b ON b.query_id = a.query_id
+           |    AND b.cand_id <> a.cand_id
+           |  JOIN e x ON x.vec_id = a.cand_id
+           |  JOIN e y ON y.vec_id = b.cand_id
+           |),
+           |p1 AS MATERIALIZED (
+           |  SELECT query_id, cand_id, re6,
+           |    CAST(7 * re6 AS BIGINT) AS sc, 1 AS rank
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY re6 DESC, cand_id) AS rn2 FROM cand)
+           |  WHERE rn2 = 1
+           |),
+           |$steps
+           |SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id,
+           |  sc AS score
+           |FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+           |      UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4
+           |      UNION ALL SELECT * FROM p5)
+           |ORDER BY query_id, rank""".stripMargin
+      }),
+
     // Matryoshka-style PREFIX-DIMENSION retrieval + recall gate: score
     // candidates on only the first 32 of 64 dims (the cheap pass an
     // MRL-trained embedding enables — half the bytes read, half the

@@ -580,6 +580,16 @@ class GraphSpec extends SparkSpec {
     val again = Walks.run(edges.repartition(5), seeds, steps = 4)
       .as[(String, Long, String)].collect().toSet
     assert(again == got)
+    // Per-hop lineage cut: the output unions one cut scan per step,
+    // so the logical plan grows by a CONSTANT per added step — an
+    // uncut chain would embed hop t's whole join prefix in every
+    // later branch (steps·(steps+1)/2 join nodes, the quadratic
+    // failure the PageRank/Sssp per-round cuts exist for).
+    def nodes(steps: Int): Int = Walks.run(edges, seeds, steps)
+      .queryExecution.analyzed.collect { case n => n }.size
+    val (n2, n4, n6) = (nodes(2), nodes(4), nodes(6))
+    assert(n4 - n2 == n6 - n4,
+      s"walk plan growth is not linear in steps: $n2, $n4, $n6")
   }
 
   test("SSSP until stable: fixpoint equals a deep bounded run") {

@@ -1216,6 +1216,40 @@ class OperatorsSpec extends SparkSpec {
     assert(tk == Seq((1L, 2L, 63L), (2L, 4L, 32L), (3L, 3L, 0L)))
   }
 
+  test("mmrRerank demotes redundant hits that plain top-k keeps") {
+    // q along dim 0; a and its near-copy a2 are the two most relevant,
+    // b is diverse at rel ~0.45. Plain top-2 = {a, a2}. The greedy
+    // trade: a2 wins iff λ·(rel_a2−rel_b) > (1−λ)·(div_a2−div_b) —
+    // here div(a2,a) ≈ 0.99995 vs div(b,a) ≈ 0.491, so b overtakes
+    // exactly below λ ≈ 0.48: λ=0.4 must swap in b, λ=0.7 must keep
+    // a2 (diversity-aware ≠ relevance-blind).
+    def v(x: Double, y: Double): Seq[Double] =
+      Seq(x, y) ++ Seq.fill(62)(0.0)
+    val emb = Seq(
+      (0L, v(1.0, 0.0)),        // query
+      (1L, v(1.0, 0.05)),       // a: rel ~0.999
+      (2L, v(1.0, 0.06)),       // a2: rel ~0.998, near-dup of a
+      (3L, v(0.5, 1.0))         // b: rel ~0.447, diverse
+    ).toDF("vec_id", "embedding")
+    val qs = emb.filter(col("vec_id") === 0L)
+    val plain = Similarity.bruteForceTopK(emb, qs, k = 2)
+      .select("rank", "cand_id").as[(Long, Long)].collect().toSet
+    assert(plain == Set((1L, 1L), (2L, 2L)))
+    val mmr = Similarity.mmrRerank(emb, qs, k = 2, poolK = 3,
+      lambda10 = 4)
+      .select("rank", "cand_id").as[(Long, Long)].collect().toSet
+    assert(mmr == Set((1L, 1L), (2L, 3L)))
+    val keep = Similarity.mmrRerank(emb, qs, k = 2, poolK = 3,
+      lambda10 = 7)
+      .select("rank", "cand_id").as[(Long, Long)].collect().toSet
+    assert(keep == plain)
+    // λ=1.0 degenerates to pure relevance = the plain ranking.
+    val rel = Similarity.mmrRerank(emb, qs, k = 2, poolK = 3,
+      lambda10 = 10)
+      .select("rank", "cand_id").as[(Long, Long)].collect().toSet
+    assert(rel == plain)
+  }
+
   test("skipGramPairs counts within-window co-occurrences per walk") {
     import graft.graph.Walks
     // w1 = a b c a; w2 = a b. Window 2, ordered pairs, counted across

@@ -632,5 +632,11 @@ class PlanShapeSpec extends SparkSpec {
     val g16 = plan("g16_walk_pairs")
     assert(!g16.contains("CartesianProduct"),
       s"g16 crosses walk rows\n$g16")
+    // e39: stage 1 rides the bounded heap and the greedy MMR runs
+    // inside ONE per-query aggregate — pairwise candidate sims must
+    // never materialize as a window or a candidate×candidate join.
+    val e39 = plan("e39_mmr_rerank")
+    assert(e39.contains("ObjectHashAggregate") && !e39.contains("Window"),
+      s"e39 lost its bounded-heap + in-aggregate greedy shape\n$e39")
   }
 }
