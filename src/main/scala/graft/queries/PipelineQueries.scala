@@ -511,6 +511,25 @@ object PipelineQueries {
       maxCand: Int, embCte: String = "e",
       ncCte: String = "nc"): String = {
     val cosBC = TextHash.duckCosine("be.emb", "ce.emb", 64)
+    // Every candidate-pair cosine the greedy can ever consult,
+    // computed ONCE (the identical left-to-right fold — bit parity
+    // unchanged) and keyed (vec, earlier-rank b, later-rank c): a
+    // kept blocker always carries a lower crank than the candidate
+    // it tests, so (b.crank < c.crank) covers exactly the consulted
+    // pairs. Without this hoist each of the `maxCand` unrolled steps
+    // re-ran the 64-element fold inside a correlated NOT EXISTS —
+    // ~hours at n=2000 in the oracle engine; hoisted, the steps are
+    // integer hash joins.
+    val pw =
+      s"""pw AS MATERIALIZED (
+         |  SELECT b0.vec_id, b0.nbr_id AS b, c0.nbr_id AS c,
+         |    CAST(floor($cosBC * 1000000 + 0.5) AS BIGINT) AS pe6
+         |  FROM $ncCte b0
+         |  JOIN $ncCte c0 ON c0.vec_id = b0.vec_id
+         |    AND c0.crank > b0.crank
+         |  JOIN $embCte be ON be.vec_id = b0.nbr_id
+         |  JOIN $embCte ce ON ce.vec_id = c0.nbr_id
+         |)""".stripMargin
     val steps = (1 to maxCand).map { i =>
       s"""k$i AS MATERIALIZED (
          |  SELECT * FROM k${i - 1}
@@ -522,15 +541,15 @@ object PipelineQueries {
          |         WHERE p.vec_id = c.vec_id) < $maxDeg
          |    AND NOT EXISTS (
          |      SELECT 1 FROM k${i - 1} p
-         |      JOIN $embCte be ON be.vec_id = p.nbr_id
-         |      JOIN $embCte ce ON ce.vec_id = c.nbr_id
+         |      JOIN pw w ON w.vec_id = c.vec_id AND w.b = p.nbr_id
+         |        AND w.c = c.nbr_id
          |      WHERE p.vec_id = c.vec_id
-         |        AND $alpha100 * (1000000 -
-         |              CAST(floor($cosBC * 1000000 + 0.5) AS BIGINT))
+         |        AND $alpha100 * (1000000 - w.pe6)
          |            <= 100 * (1000000 - c.se))
          |)""".stripMargin
     }.mkString(",\n")
-    s"""k0 AS (SELECT vec_id, nbr_id, se FROM $ncCte WHERE 1 = 0),
+    s"""$pw,
+       |k0 AS (SELECT vec_id, nbr_id, se FROM $ncCte WHERE 1 = 0),
        |$steps,
        |nav AS MATERIALIZED (
        |  SELECT vec_id, row_number() OVER (PARTITION BY vec_id
