@@ -1356,7 +1356,66 @@ object PageRankQueries {
            |  GROUP BY 1, 2
            |)
            |SELECT center, context, CAST(n_pairs AS BIGINT) AS n_pairs
-           |FROM p ORDER BY center, context""".stripMargin))
+           |FROM p ORDER BY center, context""".stripMargin)),
+
+    // Degree assortativity card: Pearson corr of (out-degree(src),
+    // in-degree(dst)) across distinct edges, from exact BIGINT
+    // sufficient statistics (graft.graph.GraphStats Scaladoc covers
+    // the divide-before-multiply overflow discipline). Two O(V)
+    // degree aggs + two co-partitioned equi-joins + one global agg —
+    // no windows, no driver state.
+    Q("g17_assortativity",
+      (s, d) => graft.graph.GraphStats.assortativity(
+        LinkGraph.wordFollowEdges(Tables.documents(s, d), "text")),
+      Some(s"""WITH $edgeCtes,
+           |el AS (SELECT src, dst FROM e WHERE src <> dst),
+           |outd AS (SELECT src, count(*) AS x FROM el GROUP BY src),
+           |ind AS (SELECT dst, count(*) AS y FROM el GROUP BY dst),
+           |st AS (
+           |  SELECT count(*) AS n_edges,
+           |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           |    CAST(sum(x * y) AS BIGINT) AS sxy,
+           |    CAST(sum(x * x) AS BIGINT) AS sxx,
+           |    CAST(sum(y * y) AS BIGINT) AS syy
+           |  FROM el JOIN outd USING (src) JOIN ind USING (dst)
+           |)
+           |SELECT n_edges, sx, sy, sxy, sxx, syy,
+           |  CASE WHEN (CAST(sxx AS DOUBLE) / n_edges
+           |             - (CAST(sx AS DOUBLE) / n_edges)
+           |               * (CAST(sx AS DOUBLE) / n_edges)) > 0
+           |        AND (CAST(syy AS DOUBLE) / n_edges
+           |             - (CAST(sy AS DOUBLE) / n_edges)
+           |               * (CAST(sy AS DOUBLE) / n_edges)) > 0
+           |    THEN CAST(floor((CAST(sxy AS DOUBLE) / n_edges
+           |             - (CAST(sx AS DOUBLE) / n_edges)
+           |               * (CAST(sy AS DOUBLE) / n_edges))
+           |      / (sqrt(CAST(sxx AS DOUBLE) / n_edges
+           |              - (CAST(sx AS DOUBLE) / n_edges)
+           |                * (CAST(sx AS DOUBLE) / n_edges))
+           |         * sqrt(CAST(syy AS DOUBLE) / n_edges
+           |                - (CAST(sy AS DOUBLE) / n_edges)
+           |                  * (CAST(sy AS DOUBLE) / n_edges)))
+           |      * 10000 + 0.5) AS BIGINT)
+           |    ELSE NULL END AS assort_fp
+           |FROM st""".stripMargin)),
+
+    // Edge reciprocity: fraction of directed edges with a reverse
+    // edge — one composite-key left-semi self-join, one row out.
+    Q("g18_reciprocity",
+      (s, d) => graft.graph.GraphStats.reciprocity(
+        LinkGraph.wordFollowEdges(Tables.documents(s, d), "text")),
+      Some(s"""WITH $edgeCtes,
+           |el AS (SELECT src, dst FROM e WHERE src <> dst),
+           |m AS (
+           |  SELECT count(*) AS n_mutual FROM el a
+           |  WHERE EXISTS (SELECT 1 FROM el b
+           |                WHERE b.src = a.dst AND b.dst = a.src)
+           |),
+           |t AS (SELECT count(*) AS n_edges FROM el)
+           |SELECT n_edges, n_mutual,
+           |  CAST(floor(CAST(n_mutual AS DOUBLE) / n_edges * 10000 + 0.5)
+           |    AS BIGINT) AS recip_fp
+           |FROM t, m""".stripMargin))
   )
 
   /** DuckDB CTEs mirroring graft.graph.Walks.run over the word-follow

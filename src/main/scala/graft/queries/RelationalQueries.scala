@@ -1133,7 +1133,130 @@ object RelationalQueries {
              |  CAST(CASE WHEN max_bx >= 3 AND min_bx <= 5
              |        AND max_by >= 3 AND min_by <= 5
              |       THEN 1 ELSE 0 END AS BIGINT) AS touched
-             |FROM g ORDER BY file_id""".stripMargin))
+             |FROM g ORDER BY file_id""".stripMargin)),
+
+    // Interval-overlap sweep line: each order is "open" from its
+    // order date to its last lineitem ship date; per priority class,
+    // the peak number of simultaneously-open orders and the first
+    // day that peak is reached. The scale trick: deltas are
+    // pre-aggregated to one net (+opens − closes) row per
+    // (priority, day) by a distributed hash agg BEFORE any window —
+    // the running-sum window then scans only O(priorities × days)
+    // rows, so the per-priority partition skew is bounded by the
+    // calendar, not the data.
+    Q("q54_order_concurrency",
+      (s, d) => {
+        val closes = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(max(col("l_shipdate")).as("close_ts"))
+        val o = Tables.orders(s, d)
+          .join(closes, col("o_orderkey") === col("l_orderkey"))
+        val deltas = o.select(col("o_orderpriority"),
+            to_date(col("o_orderdate")).as("day"), lit(1L).as("delta"))
+          .union(o.select(col("o_orderpriority"),
+            date_add(to_date(col("close_ts")), 1).as("day"),
+            lit(-1L).as("delta")))
+        val net = deltas.groupBy(col("o_orderpriority"), col("day"))
+          .agg(sum("delta").as("net"))
+        val wRun = Window.partitionBy("o_orderpriority").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val open = net.withColumn("open", sum("net").over(wRun))
+        val wPick = Window.partitionBy("o_orderpriority")
+          .orderBy(col("open").desc, col("day").asc)
+        open.withColumn("rn", row_number().over(wPick))
+          .filter(col("rn") === 1)
+          .select(col("o_orderpriority"), col("open").as("peak_open"),
+            col("day").as("peak_day"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH closes AS (
+             |  SELECT l_orderkey, max(l_shipdate) AS close_ts
+             |  FROM lineitem GROUP BY 1
+             |),
+             |deltas AS (
+             |  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+             |    CAST(1 AS BIGINT) AS delta
+             |  FROM orders JOIN closes ON o_orderkey = l_orderkey
+             |  UNION ALL
+             |  SELECT o_orderpriority,
+             |    CAST(close_ts AS DATE) + 1,
+             |    CAST(-1 AS BIGINT)
+             |  FROM orders JOIN closes ON o_orderkey = l_orderkey
+             |),
+             |net AS (
+             |  SELECT o_orderpriority, day, sum(delta) AS net
+             |  FROM deltas GROUP BY 1, 2
+             |),
+             |run AS (
+             |  SELECT o_orderpriority, day,
+             |    sum(net) OVER (PARTITION BY o_orderpriority ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS open
+             |  FROM net
+             |)
+             |SELECT o_orderpriority, CAST(open AS BIGINT) AS peak_open,
+             |  day AS peak_day
+             |FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+             |    ORDER BY open DESC, day ASC) AS rn
+             |  FROM run
+             |) WHERE rn = 1
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // Islands-and-gaps: per customer, runs of CONSECUTIVE order
+    // months (month_idx − row_number is constant within a run).
+    // Output is the per-customer streak card: number of streaks,
+    // longest streak, and the start month of the longest (earliest
+    // wins ties) — all exact integers. Windows partition by
+    // customer (high-cardinality key → no skew) over the tiny
+    // per-customer distinct-month list.
+    Q("q55_order_streaks",
+      (s, d) => {
+        val months = Tables.orders(s, d)
+          .select(col("o_custkey"),
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+              .cast("long").as("m"))
+          .distinct()
+        val wSeq = Window.partitionBy("o_custkey").orderBy("m")
+        val isl = months
+          .withColumn("grp", col("m") - row_number().over(wSeq))
+        val runs = isl.groupBy("o_custkey", "grp")
+          .agg(count(lit(1)).as("len"), min("m").as("start_m"))
+        val wBest = Window.partitionBy("o_custkey")
+          .orderBy(col("len").desc, col("start_m").asc)
+        runs
+          .withColumn("n_streaks",
+            count(lit(1)).over(Window.partitionBy("o_custkey")))
+          .withColumn("rn", row_number().over(wBest))
+          .filter(col("rn") === 1)
+          .select(col("o_custkey"), col("n_streaks"),
+            col("len").as("longest"), col("start_m").as("longest_start"))
+          .orderBy("o_custkey")
+      },
+      Some("""WITH months AS (
+             |  SELECT DISTINCT o_custkey,
+             |    year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m
+             |  FROM orders
+             |),
+             |isl AS (
+             |  SELECT o_custkey, m,
+             |    m - row_number() OVER (PARTITION BY o_custkey ORDER BY m)
+             |      AS grp
+             |  FROM months
+             |),
+             |runs AS (
+             |  SELECT o_custkey, grp, count(*) AS len, min(m) AS start_m
+             |  FROM isl GROUP BY 1, 2
+             |)
+             |SELECT o_custkey, n_streaks, len AS longest,
+             |  start_m AS longest_start
+             |FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+             |    ORDER BY len DESC, start_m ASC) AS rn,
+             |    count(*) OVER (PARTITION BY o_custkey) AS n_streaks
+             |  FROM runs
+             |) WHERE rn = 1
+             |ORDER BY o_custkey""".stripMargin))
   )
 
   private val GroupingSetsSql =

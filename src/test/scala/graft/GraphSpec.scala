@@ -606,4 +606,42 @@ class GraphSpec extends SparkSpec {
     // d improves twice (10 then 3); round 4 proves the fixpoint.
     assert(rounds == 4)
   }
+
+  test("assortativity: perfect correlation on a uniform chain, stats exact") {
+    import graft.graph.GraphStats
+    // Directed 3-cycle: every src outdeg = 1, every dst indeg = 1 →
+    // zero variance on both axes → assort_fp NULL; sums exact.
+    val cyc = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val r = GraphStats.assortativity(cyc).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L && r.getLong(3) == 3L)
+    assert(r.isNullAt(6))
+
+    // Star out of a hub plus a 2-cycle: degrees vary; verify against
+    // the hand-computed Pearson r over edge endpoint degrees.
+    // Edges: h->x1 h->x2 h->x3 (out 3, in-deg of xi = 1), x1->h (out 1,
+    // indeg(h) = 1). Pairs (x=outdeg(src), y=indeg(dst)):
+    // (3,1)x3, (1,1)x1 → n=4 sx=10 sy=4 sxy=10 sxx=28 syy=4.
+    // vy = 0 → NULL again; use a graph with variance on both sides:
+    // add x2->x3. Pairs: (3,1),(3,1),(3,2),(1,1),(1,2) with
+    // outdeg(h)=3, outdeg(x1)=1, outdeg(x2)=1, indeg(x3)=2.
+    val g = Seq(("h", "x1"), ("h", "x2"), ("h", "x3"), ("x1", "h"),
+      ("x2", "x3")).toDF("src", "dst")
+    val s = GraphStats.assortativity(g).collect().head
+    val (n, sx, sy, sxy, sxx, syy) = (5.0, 11.0, 7.0, 15.0, 29.0, 11.0)
+    val cov = sxy / n - (sx / n) * (sy / n)
+    val r2 = cov / (math.sqrt(sxx / n - (sx / n) * (sx / n)) *
+      math.sqrt(syy / n - (sy / n) * (sy / n)))
+    assert(s.getLong(0) == 5L && s.getLong(1) == 11L && s.getLong(2) == 7L)
+    assert(s.getLong(6) == math.floor(r2 * 10000 + 0.5).toLong)
+  }
+
+  test("reciprocity: mutual fraction exact, loops and dups normalized") {
+    import graft.graph.GraphStats
+    val g = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("a", "a"),
+      ("a", "b")).toDF("src", "dst")
+    val r = GraphStats.reciprocity(g).collect().head
+    // Distinct loop-free: a->b, b->a, a->c → 2 mutual of 3.
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == math.floor(2.0 / 3.0 * 10000 + 0.5).toLong)
+  }
 }
