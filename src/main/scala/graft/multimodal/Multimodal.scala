@@ -271,6 +271,71 @@ object Multimodal {
     }
   }
 
+  /** Planted netpbm corpus: P6 RGB for even doc_ids, P5 gray for odd
+    * (16-bit maxval=1000 when id % 4 == 1 — the big-endian two-byte
+    * path), comments planted in the header for id % 3 == 0 so the
+    * tokenizer's comment handling is exercised on real rows. Formula
+    * samples so the decode oracle can restate the generator.
+    */
+  def netpbmTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (4 + id % 5).toInt
+        val h = (4 + (id * 7) % 5).toInt
+        val magic = if (id % 2 == 0) 6 else 5
+        val maxval = if (magic == 5 && id % 4 == 1) 1000 else 255
+        val ch = if (magic == 6) 3 else 1
+        val samples = Array.tabulate(w * h * ch) { i =>
+          val c = i % ch; val x = (i / ch) % w; val y = i / ch / w
+          ((id * 41 + y * 19 + x * 7 + c * 5) % (maxval + 1)).toInt
+        }
+        val comment = if (id % 3 == 0) "planted netpbm" else ""
+        val payload = Netpbm.encode(magic, w, h, maxval, samples, comment)
+        MediaRow(id,
+          if (magic == 6) "image/x-portable-pixmap"
+          else "image/x-portable-graymap",
+          payload.length.toLong, payload)
+      }
+    }.toDF()
+  }
+
+  case class NetpbmStats(doc_id: Long, fmt: Long, width: Long,
+      height: Long, maxval: Long, channels: Long, sum_px: Long,
+      pixels_md5: String)
+
+  /** REAL netpbm decode ([[Netpbm.decode]]: comment-tolerant header
+    * tokenizer, single-whitespace raster boundary, 1- vs 2-byte
+    * big-endian samples) reduced to oracle-checkable per-image
+    * stats; `pixels_md5` (4-hex per sample, interleaved order) binds
+    * every decoded value. Undecodable payloads drop. Map-side only.
+    */
+  def decodeNetpbmStats(spark: SparkSession, media: DataFrame)
+      : Dataset[NetpbmStats] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        Netpbm.decode(r.payload).map { d =>
+          var sum = 0L
+          val sb = new java.lang.StringBuilder(d.samples.length * 4)
+          var i = 0
+          while (i < d.samples.length) {
+            val v = d.samples(i)
+            sum += v
+            sb.append(Character.forDigit((v >> 12) & 15, 16))
+              .append(Character.forDigit((v >> 8) & 15, 16))
+              .append(Character.forDigit((v >> 4) & 15, 16))
+              .append(Character.forDigit(v & 15, 16))
+            i += 1
+          }
+          NetpbmStats(r.doc_id, d.magic.toLong, d.width.toLong,
+            d.height.toLong, d.maxval.toLong, d.channels.toLong, sum,
+            md5Ascii(sb.toString))
+        }
+      }
+    }
+  }
+
   case class PngStats(doc_id: Long, width: Long, height: Long,
       sum_rgb: Long, pixels_md5: String)
 

@@ -4415,6 +4415,47 @@ object PipelineQueries {
              |FROM px GROUP BY doc_id, w, h
              |ORDER BY doc_id""".stripMargin)),
 
+    // REAL netpbm decode (P5/P6): the HEADER-parsing codec — ASCII
+    // dims with comment lines at arbitrary token boundaries, the
+    // exactly-one-whitespace raster start, and 2-byte big-endian
+    // samples when maxval > 255 (planted on id % 4 == 1). The
+    // formula oracle restates the generator because the raster is
+    // uncompressed: every decoded sample equals the planted value.
+    // Same map-side decode-and-fold shape as m24.
+    Q("m27_netpbm_decode",
+      (s, d) => Multimodal.decodeNetpbmStats(s,
+          Multimodal.netpbmTable(s, Tables.documents(s, d)))
+        .toDF().orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id,
+             |    4 + doc_id % 5 AS w,
+             |    4 + (doc_id * 7) % 5 AS h,
+             |    CASE WHEN doc_id % 2 = 0 THEN 6 ELSE 5 END AS fmt,
+             |    CASE WHEN doc_id % 2 = 1 AND doc_id % 4 = 1
+             |      THEN 1000 ELSE 255 END AS mv,
+             |    CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
+             |  FROM documents
+             |),
+             |px AS (
+             |  SELECT doc_id, fmt, w, h, mv, ch,
+             |    gy.y AS y, gx.x AS x, gc.c AS c,
+             |    (doc_id * 41 + gy.y * 19 + gx.x * 7 + gc.c * 5)
+             |      % (mv + 1) AS v
+             |  FROM dims,
+             |    (SELECT unnest(range(0, 8)) AS y) gy,
+             |    (SELECT unnest(range(0, 8)) AS x) gx,
+             |    (SELECT unnest(range(0, 3)) AS c) gc
+             |  WHERE gy.y < h AND gx.x < w AND gc.c < ch
+             |)
+             |SELECT doc_id, CAST(fmt AS BIGINT) AS fmt,
+             |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(mv AS BIGINT) AS maxval, CAST(ch AS BIGINT) AS channels,
+             |  CAST(sum(v) AS BIGINT) AS sum_px,
+             |  md5(lower(string_agg(lpad(to_hex(v), 4, '0'), ''
+             |    ORDER BY y, x, c))) AS pixels_md5
+             |FROM px GROUP BY doc_id, fmt, w, h, mv, ch
+             |ORDER BY doc_id""".stripMargin)),
+
     // Integer-exact coarse spectrum over REAL WAV decode: the DFT
     // bins whose twiddles are all in {0, ±1} (DC, fs/4, fs/2) —
     // low/mid/high band energy with zero floating point, so the
@@ -5243,6 +5284,76 @@ object PipelineQueries {
               |FROM p JOIN lm ON p.prev = lm.prev AND p.w = lm.w
               |GROUP BY p.doc_id
               |ORDER BY doc_id""".stripMargin)),
+
+    // Collocation mining: top bigrams by LIFT — P(xy)/(P(x)·P(y)),
+    // the phrase detector feeding tokenizer vocab decisions ("new
+    // york" should be one token) and boilerplate spotting. Counts
+    // are the same distributed partial-aggs as d37's bigram LM; the
+    // two corpus totals are one-row driver scalars (the documented
+    // bounded handoff — same as d37's n). The top-20 cutoff orders
+    // on exact integers (count desc, then the pair) so the boundary
+    // never depends on float ties; lift ships as the audit value,
+    // fixed-pointed with divide-before-multiply parity (each count
+    // normalized by its own total BEFORE the cross ratio).
+    Q("d69_collocations",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tk = docs.select(
+          explode(expr(TextHash.sparkTokens("text"))).as("token"))
+        val u = tk.count() // corpus unigram total (driver scalar)
+        val pairs = docs
+          .withColumn("_t", expr(TextHash.sparkTokens("text")))
+          .filter(size(col("_t")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(_t) - 1), i -> named_struct(" +
+              "'prev', element_at(_t, i), 'w', element_at(_t, i + 1)))"))
+            .as("p"))
+          .select(col("p.prev").as("prev"), col("p.w").as("w"))
+        val t = pairs.count() // corpus bigram total (driver scalar)
+        val uni = tk.groupBy("token").agg(count(lit(1)).as("cw"))
+        val c2 = pairs.groupBy("prev", "w").agg(count(lit(1)).as("n_pair"))
+          .filter(col("n_pair") >= 5)
+        val lift = (col("n_pair").cast("double") / lit(t.toDouble)) /
+          ((col("cp").cast("double") / lit(u.toDouble)) *
+            (col("cw").cast("double") / lit(u.toDouble)))
+        c2.join(uni.select(col("token").as("prev"), col("cw").as("cp")),
+            "prev")
+          .join(uni.select(col("token").as("w"), col("cw")), "w")
+          .select(col("prev"), col("w"), col("n_pair"),
+            floor(lift * 10000 + 0.5).cast("long").as("lift_fp"))
+          .orderBy(col("n_pair").desc, col("prev"), col("w"))
+          .limit(20)
+      },
+      Some(s"""WITH tk AS (
+              |  SELECT unnest(${TextHash.duckTokens("text")}) AS token
+              |  FROM documents
+              |),
+              |p AS (
+              |  SELECT unnest(tks[1:len(tks) - 1]) AS prev,
+              |    unnest(tks[2:len(tks)]) AS w
+              |  FROM (SELECT ${TextHash.duckTokens("text")} AS tks
+              |        FROM documents)
+              |  WHERE len(tks) >= 2
+              |),
+              |uni AS (SELECT token, count(*) AS cw FROM tk GROUP BY 1),
+              |c2 AS (
+              |  SELECT prev, w, count(*) AS n_pair FROM p GROUP BY 1, 2
+              |  HAVING count(*) >= 5
+              |)
+              |SELECT c2.prev, c2.w, n_pair,
+              |  CAST(floor(
+              |    (CAST(n_pair AS DOUBLE)
+              |       / (SELECT CAST(count(*) AS DOUBLE) FROM p))
+              |    / ((CAST(up.cw AS DOUBLE)
+              |          / (SELECT CAST(count(*) AS DOUBLE) FROM tk))
+              |       * (CAST(uw.cw AS DOUBLE)
+              |          / (SELECT CAST(count(*) AS DOUBLE) FROM tk)))
+              |    * 10000 + 0.5) AS BIGINT) AS lift_fp
+              |FROM c2
+              |JOIN uni up ON up.token = c2.prev
+              |JOIN uni uw ON uw.token = c2.w
+              |ORDER BY n_pair DESC, c2.prev, c2.w
+              |LIMIT 20""".stripMargin)),
 
     // Deterministic hash-sample quantiles — the QUANTILE estimator
     // completing the sketch family (d27 KMV = cardinality, d18

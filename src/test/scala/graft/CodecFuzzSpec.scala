@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.{Gif, Jpeg, Png, Wav}
+import graft.multimodal.{Gif, Jpeg, Netpbm, Png, Wav}
 
 /** Deterministic fuzz for the pure-JVM codecs: at corpus scale the
   * decoders face untrusted bytes, so the contract is total — every
@@ -30,6 +30,9 @@ class CodecFuzzSpec extends SparkSpec {
       Gif.decodeFrames("GIF89a".getBytes("US-ASCII") ++ body)
       Gif.animMeta(body)
       Gif.animMeta("GIF89a".getBytes("US-ASCII") ++ body)
+      Netpbm.decode(body)
+      Netpbm.decode("P6\n".getBytes("US-ASCII") ++ body)
+      Netpbm.decode("P5 #".getBytes("US-ASCII") ++ body)
     }
     succeed
   }
@@ -61,12 +64,17 @@ class CodecFuzzSpec extends SparkSpec {
         Gif.FrameSpec(4, 2, 3, 3,
           Array.tabulate(9)(i => ((i * 7) % 16).toByte),
           disposal = 3, transparent = 1, interlaced = true)))
+    val ppm = Netpbm.encode(6, 5, 4, 255,
+      Array.tabulate(60)(i => (i * 7) % 256), comment = "fuzz base")
+    val pgm16 = Netpbm.encode(5, 4, 6, 1000,
+      Array.tabulate(24)(i => (i * 131) % 1001))
     val rnd = new scala.util.Random(0xFA22)
     for ((base, dec) <- Seq[(Array[Byte], Array[Byte] => Option[Any])](
         (png, Png.decode), (palPng, Png.decode), (wav, Wav.decode),
         (jpg, Jpeg.decode), (colorJpg, Jpeg.decodeRgb),
         (gif, Gif.decode), (animGif, Gif.decodeFrames(_)),
-        (animGif, Gif.animMeta(_)))) {
+        (animGif, Gif.animMeta(_)),
+        (ppm, Netpbm.decode), (pgm16, Netpbm.decode))) {
       // every single-byte flip at every position, 4 flip values each
       for (pos <- base.indices; _ <- 1 to 4) {
         val m = base.clone()
