@@ -271,6 +271,48 @@ object Multimodal {
     }
   }
 
+  case class TileStats(doc_id: Long, tile_y: Long, tile_x: Long,
+      n_samples: Long, sum_rgb: Long)
+
+  /** Coarse g×g tile-grid signature over REAL PNG decode: per tile
+    * the RGB sample count and sum — the LAYOUT-aware counterpart to
+    * the global dHash (m10): two images with equal global stats but
+    * swapped quadrants get different tile rows. Tile assignment is
+    * the integer bucket (y·g)/h so any width/height splits without
+    * floats. Map-side: decode and fold per image, emit g² rows.
+    */
+  def tileSignature(spark: SparkSession, media: DataFrame, grid: Int)
+      : Dataset[TileStats] = {
+    import spark.implicits._
+    require(grid >= 1 && grid <= 16, "grid out of range")
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        Png.decode(r.payload).toSeq.flatMap { d =>
+          val n = new Array[Long](grid * grid)
+          val s = new Array[Long](grid * grid)
+          var y = 0
+          while (y < d.height) {
+            val ty = y * grid / d.height
+            var x = 0
+            while (x < d.width) {
+              val t = ty * grid + x * grid / d.width
+              val p = (y * d.width + x) * 3
+              n(t) += 3
+              s(t) += (d.rgb(p) & 0xFF) + (d.rgb(p + 1) & 0xFF) +
+                (d.rgb(p + 2) & 0xFF)
+              x += 1
+            }
+            y += 1
+          }
+          (0 until grid * grid).filter(n(_) > 0).map { t =>
+            TileStats(r.doc_id, (t / grid).toLong, (t % grid).toLong,
+              n(t), s(t))
+          }
+        }
+      }
+    }
+  }
+
   /** Planted netpbm corpus: P6 RGB for even doc_ids, P5 gray for odd
     * (16-bit maxval=1000 when id % 4 == 1 — the big-endian two-byte
     * path), comments planted in the header for id % 3 == 0 so the

@@ -4415,6 +4415,39 @@ object PipelineQueries {
              |FROM px GROUP BY doc_id, w, h
              |ORDER BY doc_id""".stripMargin)),
 
+    // Tile-grid spatial signature over REAL PNG decode: per-quadrant
+    // sample count + RGB sum — the layout-aware near-dup feature
+    // complementing the global dHash (m10); quadrant-swapped images
+    // collide on global stats but not on tile rows. The oracle
+    // recomputes the planted pixels and the same (y·2)/h integer
+    // bucketing (nonneg operands, so DuckDB // truncation == floor).
+    Q("m28_image_tiles",
+      (s, d) => Multimodal.tileSignature(s,
+          Multimodal.pngTable(s, Tables.documents(s, d)), grid = 2)
+        .toDF().orderBy("doc_id", "tile_y", "tile_x"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id,
+             |    4 + doc_id % 5 AS w,
+             |    4 + (doc_id * 3) % 5 AS h
+             |  FROM documents
+             |),
+             |px AS (
+             |  SELECT doc_id, w, h, gy.y AS y, gx.x AS x, gc.c AS c,
+             |    (doc_id * 31 + gy.y * 7 + gx.x * 3 + gc.c) % 256 AS v
+             |  FROM dims,
+             |    (SELECT unnest(range(0, 8)) AS y) gy,
+             |    (SELECT unnest(range(0, 8)) AS x) gx,
+             |    (SELECT unnest(range(0, 3)) AS c) gc
+             |  WHERE gy.y < h AND gx.x < w
+             |)
+             |SELECT doc_id,
+             |  CAST(y * 2 // h AS BIGINT) AS tile_y,
+             |  CAST(x * 2 // w AS BIGINT) AS tile_x,
+             |  count(*) AS n_samples,
+             |  CAST(sum(v) AS BIGINT) AS sum_rgb
+             |FROM px GROUP BY 1, 2, 3
+             |ORDER BY doc_id, tile_y, tile_x""".stripMargin)),
+
     // REAL netpbm decode (P5/P6): the HEADER-parsing codec — ASCII
     // dims with comment lines at arbitrary token boundaries, the
     // exactly-one-whitespace raster start, and 2-byte big-endian

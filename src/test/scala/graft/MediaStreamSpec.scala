@@ -240,6 +240,55 @@ class MediaStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("parity: streaming netpbm decode equals the batch m27 stats plan") {
+    import graft.multimodal.Netpbm
+    def pbm(id: Long): Multimodal.MediaRow = {
+      val magic = if (id % 2 == 0) 6 else 5
+      val mv = if (magic == 5 && id % 4 == 1) 1000 else 255
+      val ch = if (magic == 6) 3 else 1
+      val w = 4 + (id % 3).toInt; val h = 3 + (id % 4).toInt
+      val samples = Array.tabulate(w * h * ch)(i =>
+        ((id * 41 + i * 19) % (mv + 1)).toInt)
+      val p = Netpbm.encode(magic, w, h, mv, samples,
+        comment = if (id % 3 == 0) "stream" else "")
+      Multimodal.MediaRow(id, "image/x-portable-anymap",
+        p.length.toLong, p)
+    }
+    val rows = (1L to 8L).map(pbm)
+    val stream = MemoryStream[Multimodal.MediaRow](spark)
+    val q = Multimodal.decodeNetpbmStats(spark, stream.toDF())
+      .writeStream.format("memory").queryName("pbm_t")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("pbm_t")
+        .as[Multimodal.NetpbmStats].collect().toSet
+      val want = Multimodal.decodeNetpbmStats(spark, rows.toDF())
+        .collect().toSet
+      assert(got == want && got.size == 8)
+      // the 16-bit path is represented in the streamed batch
+      assert(got.exists(_.maxval == 1000L))
+    } finally q.stop()
+  }
+
+  test("parity: streaming tile signature equals the batch m28 plan") {
+    val rows = (1L to 6L).map(png)
+    val stream = MemoryStream[Multimodal.MediaRow](spark)
+    val q = Multimodal.tileSignature(spark, stream.toDF(), grid = 2)
+      .writeStream.format("memory").queryName("tiles_t")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("tiles_t")
+        .as[Multimodal.TileStats].collect().toSet
+      val want = Multimodal.tileSignature(spark, rows.toDF(), grid = 2)
+        .collect().toSet
+      assert(got == want && got.size == 24)
+    } finally q.stop()
+  }
+
   test("undecodable payloads drop in both engines identically") {
     val bad = Multimodal.MediaRow(7L, "image/png",
       3L, Array[Byte](1, 2, 3))
