@@ -64,6 +64,53 @@ object GraphStats {
         .as("assort_fp"))
   }
 
+  /** Newman modularity of a community assignment, per community:
+    * contrib_c = e_c/m − (d_c/2m)² over the canonical undirected
+    * loop-free edge set (e_c = internal edges, d_c = degree mass,
+    * m = total edges); global Q is the sum of contribs. The quality
+    * gate for g4's label propagation — near-zero contribs mean the
+    * labels are no better than random cuts. Scale shape: the
+    * undirected edge set is materialized once (read three times:
+    * total, degrees, internal-edge count), everything downstream is
+    * equi-joins on node/community keys plus one broadcast one-row
+    * total. Isolated or loop-only labeled nodes carry no degree row
+    * and drop from the card (inner join) — consistent on both
+    * engines.
+    *
+    * @param labels (node, comm) assignment, e.g.
+    *   [[LabelPropagation.communities]]
+    * @return (comm, n_nodes, e_in, d_sum, contrib_fp) — contrib
+    *   fixed-pointed at 10⁸
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("a").as("n"))
+      .union(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val m1 = und.agg(count(lit(1)).as("m"))
+    val ein = und
+      .join(labels.select(col("node").as("a"), col("comm").as("ca")), "a")
+      .join(labels.select(col("node").as("b"), col("comm").as("cb")), "b")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("comm")).agg(count(lit(1)).as("e_in"))
+    val ds = labels.join(deg, col("node") === col("n"))
+      .groupBy("comm")
+      .agg(count(lit(1)).as("n_nodes"), sum("deg").as("d_sum"))
+    val half = col("d_sum").cast("double") / (lit(2) * col("m"))
+    ds.join(ein, Seq("comm"), "left")
+      .crossJoin(broadcast(m1))
+      .select(col("comm"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_sum"),
+        floor((coalesce(col("e_in"), lit(0L)).cast("double") / col("m")
+          - half * half) * 100000000 + 0.5).cast("long")
+          .as("contrib_fp"))
+      .orderBy("comm")
+  }
+
   /** Edge reciprocity: the fraction of directed edges whose reverse
     * edge also exists. One row: (n_edges, n_mutual, recip_fp).
     * The mutual count is a single (src,dst)↔(dst,src) left-semi

@@ -1136,6 +1136,50 @@ object Multimodal {
     }
   }
 
+  case class OnsetRow(doc_id: Long, channel: Long, frame_idx: Long,
+      energy: Long, is_onset: Boolean)
+
+  /** Onset detection over REAL WAV decode: per-channel energies of
+    * non-overlapping `frame`-sample windows, with a rising-edge flag
+    * where a frame's energy exceeds 1.5× the previous frame's —
+    * compared as the integer cross-product energy·2 > prev·3, so
+    * the flag is exact and the formula oracle can restate it. The
+    * music/speech segmentation gate next to m23's silence runs (VAD
+    * finds QUIET stretches; onsets find where new energy ARRIVES).
+    * Map-side decode-and-fold; lag state lives inside the row's own
+    * scan, so the one definition serves append-mode streams too.
+    */
+  def audioOnsets(spark: SparkSession, media: DataFrame,
+      frame: Int = 16): Dataset[OnsetRow] = {
+    import spark.implicits._
+    require(frame >= 1, "frame must be positive")
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        Wav.decode(r.payload).toSeq.flatMap { d =>
+          val ch = d.channels
+          val nf = d.samples.length / ch
+          val nFrames = (nf + frame - 1) / frame
+          (0 until ch).flatMap { c =>
+            var prev = 0L
+            (0 until nFrames).map { f =>
+              var energy = 0L
+              var i = f * frame
+              val end = math.min((f + 1) * frame, nf)
+              while (i < end) {
+                val v = d.samples(i * ch + c).toLong
+                energy += v * v
+                i += 1
+              }
+              val onset = f > 0 && energy * 2 > prev * 3
+              prev = energy
+              OnsetRow(r.doc_id, c.toLong, f.toLong, energy, onset)
+            }
+          }
+        }
+      }
+    }
+  }
+
   case class ImageHeader(doc_id: Long, format: String, width: Long,
       height: Long, bit_depth: Long, n_components: Long)
 

@@ -815,42 +815,8 @@ object PageRankQueries {
         graft.graph.LabelPropagation.communities(e, iters = 4)
           .orderBy("node")
       },
-      Some {
-        val rounds = (1 to 4).map { h =>
-          s"""c$h AS (
-             |  SELECT es.dst AS id, r${h - 1}.label, count(*) AS c
-             |  FROM es JOIN r${h - 1} ON es.src = r${h - 1}.id
-             |  GROUP BY 1, 2
-             |),
-             |r$h AS (
-             |  SELECT id, label FROM (
-             |    SELECT id, label, row_number() OVER (
-             |      PARTITION BY id ORDER BY c DESC, label) AS rn
-             |    FROM c$h) WHERE rn = 1
-             |)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH $edgeCtes,
-           |sym AS (
-           |  SELECT DISTINCT src, dst FROM
-           |  (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)
-           |),
-           |ids AS MATERIALIZED (
-           |  SELECT node,
-           |    CAST(row_number() OVER (ORDER BY node) AS BIGINT) AS id
-           |  FROM (SELECT DISTINCT src AS node FROM sym)
-           |),
-           |es AS MATERIALIZED (
-           |  SELECT a.id AS src, b.id AS dst
-           |  FROM sym JOIN ids a ON a.node = sym.src
-           |           JOIN ids b ON b.node = sym.dst
-           |),
-           |r0 AS (SELECT id, id AS label FROM ids),
-           |$rounds
-           |SELECT i.node AS node, j.node AS comm
-           |FROM r4 JOIN ids i ON i.id = r4.id
-           |        JOIN ids j ON j.id = r4.label
-           |ORDER BY node""".stripMargin
-      }),
+      Some(s"""WITH ${lpaCtes(4)}
+           |SELECT node, comm FROM labels ORDER BY node""".stripMargin)),
 
     // Link prediction: top-20 non-adjacent word pairs by Adamic-Adar
     // score (shared neighbors, rare ones weighted up). Wedge
@@ -1415,8 +1381,97 @@ object PageRankQueries {
            |SELECT n_edges, n_mutual,
            |  CAST(floor(CAST(n_mutual AS DOUBLE) / n_edges * 10000 + 0.5)
            |    AS BIGINT) AS recip_fp
-           |FROM t, m""".stripMargin))
+           |FROM t, m""".stripMargin)),
+
+    // Modularity of the g4 label-propagation assignment: per
+    // community e_c/m − (d_c/2m)² over the canonical undirected
+    // graph — the quality gate that tells whether the propagated
+    // labels beat random cuts (GraphStats.modularity Scaladoc). The
+    // oracle reuses the SHARED lpaCtes so g4 and g19 state one
+    // definition of the propagation.
+    Q("g19_modularity",
+      (s, d) => {
+        val e = LinkGraph.wordFollowEdges(Tables.documents(s, d), "text")
+        graft.graph.GraphStats.modularity(e,
+          graft.graph.LabelPropagation.communities(e, iters = 4))
+      },
+      Some(s"""WITH ${lpaCtes(4)},
+           |und AS (
+           |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           |  FROM e WHERE src <> dst
+           |),
+           |dg AS (
+           |  SELECT n, count(*) AS deg FROM (
+           |    SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und
+           |  ) GROUP BY n
+           |),
+           |mm AS (SELECT count(*) AS m FROM und),
+           |ein AS (
+           |  SELECT la.comm, count(*) AS e_in
+           |  FROM und JOIN labels la ON la.node = und.a
+           |           JOIN labels lb ON lb.node = und.b
+           |  WHERE la.comm = lb.comm GROUP BY 1
+           |),
+           |ds AS (
+           |  SELECT l.comm, count(*) AS n_nodes,
+           |    CAST(sum(deg) AS BIGINT) AS d_sum
+           |  FROM labels l JOIN dg ON dg.n = l.node GROUP BY 1
+           |)
+           |SELECT ds.comm AS comm, ds.n_nodes AS n_nodes,
+           |  CAST(coalesce(ein.e_in, 0) AS BIGINT) AS e_in, ds.d_sum,
+           |  CAST(floor((CAST(coalesce(ein.e_in, 0) AS DOUBLE)
+           |      / (SELECT m FROM mm)
+           |    - (CAST(ds.d_sum AS DOUBLE) / (2 * (SELECT m FROM mm)))
+           |      * (CAST(ds.d_sum AS DOUBLE) / (2 * (SELECT m FROM mm))))
+           |    * 100000000 + 0.5) AS BIGINT) AS contrib_fp
+           |FROM ds LEFT JOIN ein ON ein.comm = ds.comm
+           |ORDER BY ds.comm""".stripMargin))
   )
+
+  /** DuckDB CTEs mirroring graft.graph.LabelPropagation.communities
+    * over the word-follow graph — symmetrized distinct edges, dense
+    * ids, unrolled majority-vote rounds — ending in `labels`
+    * (node, comm). Shared by g4 (the assignment itself) and g19
+    * (modularity of that assignment) so both mirrors state ONE
+    * definition of the propagation.
+    */
+  private def lpaCtes(iters: Int): String = {
+    val rounds = (1 to iters).map { h =>
+      s"""c$h AS (
+         |  SELECT es.dst AS id, r${h - 1}.label, count(*) AS c
+         |  FROM es JOIN r${h - 1} ON es.src = r${h - 1}.id
+         |  GROUP BY 1, 2
+         |),
+         |r$h AS (
+         |  SELECT id, label FROM (
+         |    SELECT id, label, row_number() OVER (
+         |      PARTITION BY id ORDER BY c DESC, label) AS rn
+         |    FROM c$h) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""$edgeCtes,
+       |sym AS (
+       |  SELECT DISTINCT src, dst FROM
+       |  (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)
+       |),
+       |ids AS MATERIALIZED (
+       |  SELECT node,
+       |    CAST(row_number() OVER (ORDER BY node) AS BIGINT) AS id
+       |  FROM (SELECT DISTINCT src AS node FROM sym)
+       |),
+       |es AS MATERIALIZED (
+       |  SELECT a.id AS src, b.id AS dst
+       |  FROM sym JOIN ids a ON a.node = sym.src
+       |           JOIN ids b ON b.node = sym.dst
+       |),
+       |r0 AS (SELECT id, id AS label FROM ids),
+       |$rounds,
+       |labels AS MATERIALIZED (
+       |  SELECT i.node AS node, j.node AS comm
+       |  FROM r$iters JOIN ids i ON i.id = r$iters.id
+       |          JOIN ids j ON j.id = r$iters.label
+       |)""".stripMargin
+  }
 
   /** DuckDB CTEs mirroring graft.graph.Walks.run over the word-follow
     * graph — row_number adjacency, degrees, and the shared poly-hash

@@ -1675,6 +1675,50 @@ object PipelineQueries {
               |FROM documents
               |ORDER BY shuffle_key, doc_id""".stripMargin)),
 
+    // Shard-balance card: the QA gate after writeTokenShards — per
+    // shard (same mixed-hash % n assignment as the sink, ONE shared
+    // definition so the card audits exactly what the sink wrote) the
+    // doc count, char mass, language diversity, and fixed-point doc
+    // share. A trainer reads this before a run: a shard whose share
+    // drifts far from 1/n or that lost a language signals a skewed
+    // or corrupted export. One partial-agg exchange on the shard key
+    // + a broadcast one-row total.
+    Q("d70_shard_card",
+      (s, d) => {
+        val per = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .withColumn("shard", Sampling.mixedKey(col("doc_id")) % 32)
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("sum_chars"),
+            countDistinct("lang").as("n_langs"))
+        val tot = per.agg(sum("n_docs").as("total"))
+        per.crossJoin(broadcast(tot))
+          .select(col("shard"), col("n_docs"), col("sum_chars"),
+            col("n_langs"),
+            floor(col("n_docs").cast("double") / col("total") * 10000
+              + 0.5).cast("long").as("share_fp"))
+          .orderBy("shard")
+      },
+      Some(s"""WITH sh AS (
+              |  SELECT doc_id, lang, n_chars,
+              |    ${TextHash.duckDocFingerprint("CAST(doc_id AS VARCHAR)")}
+              |      * ${Sampling.Mixer} % ${Sampling.MixMod} % 32 AS shard
+              |  FROM documents
+              |),
+              |per AS (
+              |  SELECT shard, count(*) AS n_docs,
+              |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+              |    count(DISTINCT lang) AS n_langs
+              |  FROM sh GROUP BY 1
+              |)
+              |SELECT CAST(shard AS BIGINT) AS shard, n_docs, sum_chars,
+              |  n_langs,
+              |  CAST(floor(CAST(n_docs AS DOUBLE)
+              |    / (SELECT CAST(sum(n_docs) AS DOUBLE) FROM per)
+              |    * 10000 + 0.5) AS BIGINT) AS share_fp
+              |FROM per ORDER BY shard""".stripMargin)),
+
     // Corpus heavy hitters (frequent-token mining): one pass builds a
     // Misra-Gries sketch (capacity 64 ⇒ every token with true count
     // > N/65 is guaranteed in it, whatever the partitioning), then an
@@ -4532,6 +4576,45 @@ object PipelineQueries {
              |  alt * alt AS p_fs2, energy
              |FROM a ORDER BY doc_id, channel""".stripMargin)),
 
+    // Onset detection over REAL WAV decode: 16-sample frame energies
+    // per channel with an integer rising-edge flag (energy·2 >
+    // prev·3 ⇔ energy > 1.5×prev, exact) — where m23's VAD finds
+    // quiet stretches, this finds where new energy ARRIVES. The
+    // oracle restates the m25 sample formula, frames it with the
+    // same integer division, and lags the energy per (doc, channel).
+    Q("m29_audio_onsets",
+      (s, d) => Multimodal.audioOnsets(s,
+          Multimodal.wavTable(s, Tables.documents(s, d)))
+        .toDF().orderBy("doc_id", "channel", "frame_idx"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 1 + doc_id % 2 AS ch,
+             |    32 + (doc_id * 7) % 33 AS nf
+             |  FROM documents
+             |),
+             |sm AS (
+             |  SELECT d.doc_id, gc.c AS channel, gi.i,
+             |    ((d.doc_id * 131 + gi.i * 37 + gc.c * 17 + 13) % 65536)
+             |      - 32768 AS v
+             |  FROM dims d,
+             |    (SELECT unnest(range(0, 65)) AS i) gi,
+             |    (SELECT unnest(range(0, 2)) AS c) gc
+             |  WHERE gi.i < d.nf AND gc.c < d.ch
+             |),
+             |fr AS (
+             |  SELECT doc_id, channel, i // 16 AS frame_idx,
+             |    CAST(sum(v * v) AS BIGINT) AS energy
+             |  FROM sm GROUP BY 1, 2, 3
+             |),
+             |lg AS (
+             |  SELECT *, lag(energy) OVER (
+             |    PARTITION BY doc_id, channel ORDER BY frame_idx) AS prev
+             |  FROM fr
+             |)
+             |SELECT doc_id, CAST(channel AS BIGINT) AS channel,
+             |  CAST(frame_idx AS BIGINT) AS frame_idx, energy,
+             |  coalesce(energy * 2 > prev * 3, FALSE) AS is_onset
+             |FROM lg ORDER BY doc_id, channel, frame_idx""".stripMargin)),
+
     // REAL baseline JPEG decode: planted images go through the FULL
     // lossy codec — forward DCT + Annex K quantization + canonical
     // Huffman entropy coding at write time; marker walk, huffman
@@ -5783,6 +5866,72 @@ object PipelineQueries {
               |  round(sim, 6) AS sim
               |FROM r WHERE rank <= 5
               |ORDER BY query_id, rank""".stripMargin)),
+
+    // Rerank-DEPTH tuning curve for the e27 two-stage retriever:
+    // recall@4 as a function of how many ADC candidates the exact
+    // stage rescores (R ∈ {5,10,20,40}). Because the rerank orders
+    // by TRUE cosine, a ground-truth neighbor lands in the final
+    // top-4 iff it survives the ADC cut — so the curve is the
+    // membership count |exact-top4 ∩ ADC-top-R|, computed from ONE
+    // ADC ranking pass (bounded heap, rank ≤ 40) and ONE exact
+    // ground-truth pass, no per-depth rescan. The e36 nprobe curve's
+    // axis for the OTHER knob a deployed index tunes.
+    Q("e40_rerank_curve",
+      (s, d) => {
+        import graft.functions.TopKByScore.top_k_by_score
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") < 10)
+        val exact4 = Similarity.bruteForceTopK(emb, qs, k = 4)
+          .select(col("query_id"), col("cand_id"))
+        val adc = pqAdcScores(s, d)
+          .groupBy("query_id")
+          .agg(top_k_by_score(col("adc"), col("vec_id"), lit(0L), 40)
+            .as("tk"))
+          .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "t")))
+          .select(col("query_id"), col("t.cand_id").as("cand_id"),
+            (col("pos") + 1).cast("long").as("adc_rank"))
+        exact4.join(adc, Seq("query_id", "cand_id"), "left")
+          .select(explode(expr("array(5L, 10L, 20L, 40L)")).as("depth"),
+            col("adc_rank"))
+          .groupBy("depth")
+          .agg(sum(when(col("adc_rank") <= col("depth"), 1L)
+            .otherwise(0L)).as("n_hits"))
+          .select(col("depth"), col("n_hits"),
+            (col("n_hits") * 250).as("recall_e4"))
+          .orderBy("depth")
+      },
+      Some(s"""WITH $pqScoreCtes,
+              |ed AS (
+              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              |  FROM embeddings
+              |),
+              |qx AS (SELECT vec_id, emb FROM ed WHERE vec_id < 10),
+              |ex0 AS (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              |    row_number() OVER (PARTITION BY q.vec_id
+              |      ORDER BY ${TextHash.duckCosine("q.emb", "c.emb", 64)}
+              |        DESC, c.vec_id) AS rank
+              |  FROM qx q JOIN ed c ON c.vec_id <> q.vec_id
+              |),
+              |exact4 AS (SELECT query_id, cand_id FROM ex0
+              |           WHERE rank <= 4),
+              |ar AS (
+              |  SELECT query_id, cand_id, row_number() OVER (
+              |    PARTITION BY query_id ORDER BY adc DESC, cand_id)
+              |    AS adc_rank
+              |  FROM sc
+              |),
+              |j AS (
+              |  SELECT e.query_id, e.cand_id, ar.adc_rank
+              |  FROM exact4 e LEFT JOIN ar USING (query_id, cand_id)
+              |)
+              |SELECT CAST(dp.depth AS BIGINT) AS depth,
+              |  CAST(sum(CASE WHEN adc_rank <= dp.depth
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+              |  CAST(sum(CASE WHEN adc_rank <= dp.depth
+              |    THEN 1 ELSE 0 END) * 250 AS BIGINT) AS recall_e4
+              |FROM (SELECT unnest([5, 10, 20, 40]) AS depth) dp, j
+              |GROUP BY dp.depth ORDER BY depth""".stripMargin)),
 
     // FILTERED vector search — the production retrieval shape
     // (metadata predicate + ANN in one query): top-5 neighbors among

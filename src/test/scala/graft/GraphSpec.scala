@@ -635,6 +635,29 @@ class GraphSpec extends SparkSpec {
     assert(s.getLong(6) == math.floor(r2 * 10000 + 0.5).toLong)
   }
 
+  test("modularity: two bridged triangles split cleanly, one blob scores ~0") {
+    import graft.graph.GraphStats
+    // Two triangles joined by one bridge; labels = the two triangles.
+    // m=7; e_A=e_B=3; d_A=d_B=7 → contrib = 3/7 − (7/14)² each.
+    val g = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("d", "e"),
+      ("d", "f"), ("e", "f"), ("c", "d")).toDF("src", "dst")
+    val lab = Seq(("a", "A"), ("b", "A"), ("c", "A"), ("d", "B"),
+      ("e", "B"), ("f", "B")).toDF("node", "comm")
+    val rows = GraphStats.modularity(g, lab).collect()
+    assert(rows.length == 2)
+    val want = math.floor(
+      (3.0 / 7 - (7.0 / 14) * (7.0 / 14)) * 100000000 + 0.5).toLong
+    for (r <- rows) {
+      assert(r.getLong(1) == 3L && r.getLong(2) == 3L && r.getLong(3) == 7L)
+      assert(r.getLong(4) == want)
+    }
+    // Everything in ONE community: Q = m/m − (2m/2m)² = 0 exactly.
+    val one = Seq(("a", "X"), ("b", "X"), ("c", "X"), ("d", "X"),
+      ("e", "X"), ("f", "X")).toDF("node", "comm")
+    val blob = GraphStats.modularity(g, one).collect()
+    assert(blob.length == 1 && blob.head.getLong(4) == 0L)
+  }
+
   test("reciprocity: mutual fraction exact, loops and dups normalized") {
     import graft.graph.GraphStats
     val g = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("a", "a"),
