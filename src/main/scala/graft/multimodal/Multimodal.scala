@@ -1180,6 +1180,56 @@ object Multimodal {
     }
   }
 
+  case class ExifRow(doc_id: Long, byte_order: String,
+      orientation: Long, width: Long, height: Long, datetime: String,
+      make: String)
+
+  /** Planted EXIF corpus: real [[Jpeg.encode]] streams with an APP1
+    * spliced in after SOI ([[Exif.encodeInto]]) — byte order
+    * alternates II/MM by id parity, the Make string flips between
+    * the inline (≤4 bytes incl. NUL, id % 5 == 0) and the
+    * offset-indirected ASCII storage paths, and all field values
+    * are id formulas so the parse oracle restates them.
+    */
+  def exifTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val jpeg = Jpeg.encode(16, 8,
+          Array.tabulate(128)(i => ((id * 7 + i * 3) % 256).toByte))
+        val dt = f"${2000 + id % 20}%04d:${1 + id % 12}%02d:" +
+          f"${1 + id % 28}%02d ${id % 24}%02d:${id % 60}%02d:" +
+          f"${id * 7 % 60}%02d"
+        val make =
+          if (id % 5 == 0) "c" + (id % 10) else "cam" + (id % 100)
+        val meta = Exif.Meta(
+          byteOrder = if (id % 2 == 0) "II" else "MM",
+          orientation = (1 + id % 8).toInt,
+          width = 100 + id % 50, height = 50 + id % 30,
+          dateTime = dt, make = make)
+        val payload = Exif.encodeInto(jpeg, meta)
+        MediaRow(id, "image/jpeg", payload.length.toLong, payload)
+      }
+    }.toDF()
+  }
+
+  /** REAL EXIF parse ([[Exif.parse]]: JPEG marker walk → APP1 →
+    * endian-aware TIFF IFD machine with inline vs offset values)
+    * per media row; unparseable payloads drop. Map-side only.
+    */
+  def parseExifMeta(spark: SparkSession, media: DataFrame)
+      : Dataset[ExifRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        Exif.parse(r.payload).map { m =>
+          ExifRow(r.doc_id, m.byteOrder, m.orientation.toLong,
+            m.width, m.height, m.dateTime, m.make)
+        }
+      }
+    }
+  }
+
   case class ImageHeader(doc_id: Long, format: String, width: Long,
       height: Long, bit_depth: Long, n_components: Long)
 

@@ -1425,7 +1425,58 @@ object PageRankQueries {
            |      * (CAST(ds.d_sum AS DOUBLE) / (2 * (SELECT m FROM mm))))
            |    * 100000000 + 0.5) AS BIGINT) AS contrib_fp
            |FROM ds LEFT JOIN ein ON ein.comm = ds.comm
-           |ORDER BY ds.comm""".stripMargin))
+           |ORDER BY ds.comm""".stripMargin)),
+
+    // 4-truss of the word graph: edges supported by ≥2 triangles
+    // within the surviving subgraph, peeled synchronously (bounded
+    // form, 6 waves — idempotent once stable, which the word graph
+    // reaches well inside 6; Truss.untilStable is the convergence
+    // twin, spec-checked equal). The edge-centric density axis next
+    // to g7's node peeling: pure bridges die here however high
+    // their endpoints' cores are.
+    Q("g20_ktruss",
+      (s, d) => graft.graph.Truss.survivors(
+          LinkGraph.wordFollowEdges(Tables.documents(s, d), "text"),
+          k = 4, waves = 6)
+        .orderBy("a", "b"),
+      Some {
+        val rounds = (0 to 5).map { i =>
+          s"""s$i AS MATERIALIZED (
+             |  SELECT a AS u, b AS v FROM t$i
+             |  UNION ALL SELECT b, a FROM t$i
+             |),
+             |sup$i AS MATERIALIZED (
+             |  SELECT t.a, t.b, count(*) AS sup
+             |  FROM t$i t
+             |  JOIN s$i x ON x.u = t.a
+             |  JOIN s$i y ON y.u = t.b AND y.v = x.v
+             |  GROUP BY t.a, t.b
+             |),
+             |t${i + 1} AS MATERIALIZED (
+             |  SELECT a, b FROM sup$i WHERE sup >= 2
+             |)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $edgeCtes,
+           |t0 AS (
+           |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           |  FROM e WHERE src <> dst
+           |),
+           |$rounds,
+           |s6 AS (
+           |  SELECT a AS u, b AS v FROM t6
+           |  UNION ALL SELECT b, a FROM t6
+           |),
+           |sup6 AS (
+           |  SELECT t.a, t.b, count(*) AS sup
+           |  FROM t6 t
+           |  JOIN s6 x ON x.u = t.a
+           |  JOIN s6 y ON y.u = t.b AND y.v = x.v
+           |  GROUP BY t.a, t.b
+           |)
+           |SELECT a, b, CAST(sup AS BIGINT) AS support
+           |FROM sup6 WHERE sup >= 2
+           |ORDER BY a, b""".stripMargin
+      })
   )
 
   /** DuckDB CTEs mirroring graft.graph.LabelPropagation.communities

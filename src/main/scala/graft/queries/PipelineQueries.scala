@@ -4615,6 +4615,36 @@ object PipelineQueries {
              |  coalesce(energy * 2 > prev * 3, FALSE) AS is_onset
              |FROM lg ORDER BY doc_id, channel, frame_idx""".stripMargin)),
 
+    // REAL EXIF parse: JPEG marker walk → APP1 → endian-aware TIFF
+    // IFD machine (II and MM both planted, inline vs offset ASCII
+    // storage both exercised via the Make length flip) — the
+    // metadata a vision-curation pipeline dedups and filters on
+    // (orientation to normalize before hashing, timestamps for
+    // temporal dedup) without decoding a single pixel. The payloads
+    // are real Jpeg.encode streams with the APP1 spliced after SOI,
+    // so the walker must skip genuine segments. Formula oracle.
+    Q("m30_exif",
+      (s, d) => Multimodal.parseExifMeta(s,
+          Multimodal.exifTable(s, Tables.documents(s, d)))
+        .toDF().orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END
+             |    AS byte_order,
+             |  CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+             |  CAST(100 + doc_id % 50 AS BIGINT) AS width,
+             |  CAST(50 + doc_id % 30 AS BIGINT) AS height,
+             |  lpad(CAST(2000 + doc_id % 20 AS VARCHAR), 4, '0') || ':' ||
+             |  lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') || ':' ||
+             |  lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') || ' ' ||
+             |  lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':' ||
+             |  lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || ':' ||
+             |  lpad(CAST(doc_id * 7 % 60 AS VARCHAR), 2, '0')
+             |    AS datetime,
+             |  CASE WHEN doc_id % 5 = 0
+             |    THEN 'c' || CAST(doc_id % 10 AS VARCHAR)
+             |    ELSE 'cam' || CAST(doc_id % 100 AS VARCHAR) END AS make
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // REAL baseline JPEG decode: planted images go through the FULL
     // lossy codec — forward DCT + Annex K quantization + canonical
     // Huffman entropy coding at write time; marker walk, huffman

@@ -658,6 +658,30 @@ class GraphSpec extends SparkSpec {
     assert(blob.length == 1 && blob.head.getLong(4) == 0L)
   }
 
+  test("k-truss: K4 survives at k=4, bridges and lone triangles peel away") {
+    import graft.graph.Truss
+    // K4 on {a,b,c,d} (each edge in 2 triangles), a bridge d-e, and a
+    // lone triangle {e,f,g} (each edge in 1 triangle).
+    val g = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d"), ("d", "e"), ("e", "f"), ("e", "g"),
+      ("f", "g")).toDF("src", "dst")
+    val got = Truss.survivors(g, k = 4, waves = 4)
+      .as[(String, String, Long)].collect().toSet
+    val k4 = Set(("a", "b", 2L), ("a", "c", 2L), ("a", "d", 2L),
+      ("b", "c", 2L), ("b", "d", 2L), ("c", "d", 2L))
+    assert(got == k4)
+    // The lone triangle IS a 3-truss; the bridge never is.
+    val t3 = Truss.survivors(g, k = 3, waves = 4)
+      .as[(String, String, Long)].collect().toSet
+    assert(t3.map(e => (e._1, e._2)) ==
+      k4.map(e => (e._1, e._2)) + (("e", "f")) + (("e", "g")) +
+        (("f", "g")))
+    // Convergence twin agrees with the bounded form once stable.
+    val conv = Truss.untilStable(g, k = 4)
+      .as[(String, String, Long)].collect().toSet
+    assert(conv == k4)
+  }
+
   test("reciprocity: mutual fraction exact, loops and dups normalized") {
     import graft.graph.GraphStats
     val g = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("a", "a"),
