@@ -5431,6 +5431,51 @@ object PipelineQueries {
               |GROUP BY p.doc_id
               |ORDER BY doc_id""".stripMargin)),
 
+    // Per-source boilerplate vocabulary: tokens whose DOCUMENT
+    // frequency within a source crosses 50% — template/navigation
+    // vocabulary that inflates every quality signal computed over
+    // that source (a crawl's "home | login | search" chrome). The
+    // cutoff is the integer cross-product df·2 ≥ n_docs (no float
+    // boundary); the fixed-point ratio ships as the audit value.
+    // One distinct-token explode + two partial-agg exchanges.
+    Q("d71_boiler_vocab",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .filter(length(trim(col("text"))) > 0)
+        val dt = docs.select(col("source"), col("doc_id"),
+          explode(array_distinct(expr(TextHash.sparkTokens("text"))))
+            .as("token"))
+        val dfT = dt.groupBy("source", "token")
+          .agg(count(lit(1)).as("df"))
+        val nd = docs.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"))
+        dfT.join(nd, "source")
+          .filter(col("df") * 2 >= col("n_docs"))
+          .select(col("source"), col("token"), col("df"), col("n_docs"),
+            floor(col("df").cast("double") / col("n_docs") * 10000
+              + 0.5).cast("long").as("ratio_fp"))
+          .orderBy("source", "token")
+      },
+      Some(s"""WITH dt AS (
+              |  SELECT source, doc_id,
+              |    unnest(list_distinct(${TextHash.duckTokens("text")}))
+              |      AS token
+              |  FROM documents WHERE length(trim(text)) > 0
+              |),
+              |dft AS (
+              |  SELECT source, token, count(*) AS df FROM dt GROUP BY 1, 2
+              |),
+              |nd AS (
+              |  SELECT source, count(*) AS n_docs FROM documents
+              |  WHERE length(trim(text)) > 0 GROUP BY 1
+              |)
+              |SELECT source, token, df, n_docs,
+              |  CAST(floor(CAST(df AS DOUBLE) / n_docs * 10000 + 0.5)
+              |    AS BIGINT) AS ratio_fp
+              |FROM dft JOIN nd USING (source)
+              |WHERE df * 2 >= n_docs
+              |ORDER BY source, token""".stripMargin)),
+
     // Collocation mining: top bigrams by LIFT — P(xy)/(P(x)·P(y)),
     // the phrase detector feeding tokenizer vocab decisions ("new
     // york" should be one token) and boilerplate spotting. Counts

@@ -1256,6 +1256,49 @@ object RelationalQueries {
              |    count(*) OVER (PARTITION BY o_custkey) AS n_streaks
              |  FROM runs
              |) WHERE rn = 1
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // Running-max drawdown: per customer, track the running PEAK of
+    // order value over time and the largest peak-to-current drop —
+    // the only window frame family not yet exercised (running max;
+    // q23 = running sum, q46 = recursive EWMA, q35 = sliding avg).
+    // The detector for "this account's orders collapsed from their
+    // high" — churn-risk shape. Windows partition on the
+    // high-cardinality customer key; money stays at 2 decimals on
+    // both sides.
+    Q("q56_drawdown",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val dd = Tables.orders(s, d)
+          .withColumn("peak", max(col("o_totalprice")).over(w))
+          .withColumn("drawdown",
+            round(col("peak") - col("o_totalprice"), 2))
+        val wPick = Window.partitionBy("o_custkey")
+          .orderBy(col("drawdown").desc, col("o_orderdate"),
+            col("o_orderkey"))
+        dd.withColumn("rn", row_number().over(wPick))
+          .filter(col("rn") === 1)
+          .select(col("o_custkey"), col("drawdown").as("max_drawdown"),
+            col("o_orderdate").as("at_date"))
+          .orderBy("o_custkey")
+      },
+      Some("""WITH dd AS (
+             |  SELECT o_custkey, o_orderkey, o_orderdate,
+             |    round(max(o_totalprice) OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderdate, o_orderkey
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      - o_totalprice, 2) AS drawdown
+             |  FROM orders
+             |)
+             |SELECT o_custkey, drawdown AS max_drawdown,
+             |  o_orderdate AS at_date
+             |FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+             |    ORDER BY drawdown DESC, o_orderdate, o_orderkey) AS rn
+             |  FROM dd
+             |) WHERE rn = 1
              |ORDER BY o_custkey""".stripMargin))
   )
 
