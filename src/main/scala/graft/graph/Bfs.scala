@@ -32,9 +32,13 @@ object Bfs {
   def hopDistance(edges: DataFrame, seeds: DataFrame,
       maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    // Eager localCheckpoint, not persist: partitioning survives into
+    // the LogicalRDD so every hop's frontier join reads the same
+    // src-partitioned layout, and the blocks self-release with the
+    // RDD instead of leaking a cache entry per evaluation.
     val e = edges.select("src", "dst").distinct()
       .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .lineageCut
 
     var dist = seeds.select(col("node")).distinct()
       .withColumn("dist", lit(0L))
@@ -69,7 +73,7 @@ object Bfs {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val e = edges.select("src", "dst").distinct()
       .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .lineageCut
 
     var dist = seeds.select(col("node")).distinct()
       .withColumn("dist", lit(0L))
@@ -92,6 +96,10 @@ object Bfs {
       dist.unpersist()
       dist = next
     }
-    (dist, h)
+    // Release the last live loop cache: the returned frame reads its
+    // own checkpoint blocks, never the persisted round frame.
+    val out = dist.lineageCut
+    dist.unpersist(blocking = false)
+    (out, h)
   }
 }

@@ -3,6 +3,8 @@ package graft.graph
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.operators.Checkpointing.CutOps
+
 /** Whole-graph structural summary statistics: degree assortativity
   * and edge reciprocity. These are the one-row "is this graph
   * hub-attracts-hub or hub-attracts-leaf, and how symmetric is it"
@@ -87,7 +89,7 @@ object GraphStats {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .lineageCut
     val deg = und.select(col("a").as("n"))
       .union(und.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))

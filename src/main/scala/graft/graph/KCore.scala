@@ -114,4 +114,87 @@ object KCore {
         .lineageCut
     } finally symE.unpersist(blocking = false)
   }
+
+  /** FULL core decomposition (bounded form): every node's core
+    * number — the largest k at which it survives peeling — computed
+    * PROGRESSIVELY: the k-level starts from the (k−1)-level's
+    * survivors (cores are nested) and runs `waves` synchronous peel
+    * waves of "keep nodes with ≥ k alive neighbors". Core numbers
+    * are capped at `maxK` (the k-tail of a graph card, like g12's
+    * degree tail) and each level's peel is bounded at `waves` —
+    * BOTH bounds are the DEFINED semantics (the g7/g4 pattern: an
+    * unrolled SQL mirror needs static counts); the convergence twin
+    * [[decomposeUntilStable]] is spec-checked to agree once bounded
+    * peeling has stabilized inside the caps.
+    *
+    * Scale shape: the symmetric edge set shuffles ONCE; each wave is
+    * the same two alive-joins + partial-agg recount as [[survivors]],
+    * and each level's survivor set only shrinks, so total work is
+    * bounded by maxK × waves × (join over the current survivor
+    * subgraph). Alive sets are lineage-cut per level — the plan
+    * never nests across levels.
+    *
+    * @return (node, core) for every node appearing in an edge;
+    *   core ∈ [1, maxK]
+    */
+  def decompose(edges: DataFrame, maxK: Int, waves: Int): DataFrame = {
+    require(maxK >= 1, "maxK must be >= 1")
+    require(waves >= 1, "at least one wave")
+    val spark = edges.sparkSession
+    val shufflePartitions =
+      spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // Eager lineage cut, not persist: blocks self-release with the
+    // RDD (CacheHygieneSpec), and the partitioning survives into the
+    // LogicalRDD for every level's alive joins.
+    val symE = sym(edges)
+      .repartition(shufflePartitions, col("u"))
+      .lineageCut
+    // Level 1: every node on an edge (degree ≥ 1 by construction).
+    var alive = symE.select(col("u").as("node")).distinct().lineageCut
+    var out = alive.withColumn("core", lit(1L))
+    for (k <- 2 to maxK) {
+      for (_ <- 1 to waves)
+        alive = wave(symE, alive, k)
+      alive = alive.lineageCut
+      out = out.union(alive.withColumn("core", lit(k.toLong)))
+    }
+    out.groupBy("node").agg(max("core").as("core"))
+  }
+
+  /** Convergence twin of [[decompose]]: each level peels until a
+    * wave removes nothing (one O(1) scalar per wave), and the level
+    * loop stops early once a core empties — so the returned core
+    * numbers are EXACT (not wave-bounded) up to `maxK`. Throws if a
+    * level fails to stabilize within `maxWaves`.
+    */
+  def decomposeUntilStable(edges: DataFrame, maxK: Int,
+      maxWaves: Int = 100): DataFrame = {
+    require(maxK >= 1, "maxK must be >= 1")
+    val spark = edges.sparkSession
+    val shufflePartitions =
+      spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val symE = sym(edges)
+      .repartition(shufflePartitions, col("u"))
+      .lineageCut
+    var alive = symE.select(col("u").as("node")).distinct().lineageCut
+    var out = alive.withColumn("core", lit(1L))
+    var n = alive.count()
+    var k = 2
+    while (k <= maxK && n > 0) {
+      var stable = false
+      var w = 0
+      while (!stable && w < maxWaves) {
+        val next = wave(symE, alive, k).lineageCut
+        val m = next.count()
+        stable = m == n
+        alive = next
+        n = m
+        w += 1
+      }
+      require(stable, s"core level $k did not stabilize in $maxWaves waves")
+      if (n > 0) out = out.union(alive.withColumn("core", lit(k.toLong)))
+      k += 1
+    }
+    out.groupBy("node").agg(max("core").as("core"))
+  }
 }

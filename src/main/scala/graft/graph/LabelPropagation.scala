@@ -3,7 +3,8 @@ package graft.graph
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
+
+import graft.operators.Checkpointing.CutOps
 
 /** Community detection by synchronous label propagation (LPA) — the
   * COMMUNITY primitive completing the graph family: centrality
@@ -20,7 +21,8 @@ import org.apache.spark.storage.StorageLevel
   * structure appears in 3-5 and oscillation begins after).
   *
   * Scale shape (the PageRank skeleton): symmetric deduped edges are
-  * hash-partitioned by `src` ONCE and persisted — only the O(|V|)
+  * hash-partitioned by `src` ONCE and materialized (eager lineage
+  * cut; blocks self-release with the RDD) — only the O(|V|)
   * label table moves per round. The neighbor vote is two partial
   * aggregates per round: count per (node, label), then the argmax as
   * a `max` over the PACKED long `count·2³¹ + (2³¹ − label)` — max
@@ -63,7 +65,7 @@ object LabelPropagation {
       .withColumn("id", row_number().over(Window
         .partitionBy(pmod(length(col("node")), lit(1)))
         .orderBy("node")).cast("long"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .lineageCut
     val es = sym
       .join(ids.withColumnRenamed("node", "src")
         .withColumnRenamed("id", "sid"), "src")
@@ -71,7 +73,7 @@ object LabelPropagation {
         .withColumnRenamed("id", "did"), "dst")
       .select(col("sid").as("src"), col("did").as("dst"))
       .repartition(shufflePartitions, col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .lineageCut
 
     val Pack = 2147483648L // 2^31: > any row_number label or count
     var labels = ids.select(col("id"), col("id").as("label"))
@@ -114,7 +116,7 @@ object LabelPropagation {
       .withColumn("id", row_number().over(Window
         .partitionBy(pmod(length(col("node")), lit(1)))
         .orderBy("node")).cast("long"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .lineageCut
     val es = sym
       .join(ids.withColumnRenamed("node", "src")
         .withColumnRenamed("id", "sid"), "src")
@@ -122,11 +124,16 @@ object LabelPropagation {
         .withColumnRenamed("id", "did"), "dst")
       .select(col("sid").as("src"), col("did").as("dst"))
       .repartition(shufflePartitions, col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .lineageCut
 
     val Pack = 2147483648L
+    // Per-round eager lineage cut, NOT persist (the Sssp.runUntilStable
+    // discipline): persist leaves the LOGICAL plan nesting one round
+    // deeper each round — on an oscillating graph (LPA 2-cycles) the
+    // maxIters-deep plan OOMs just rendering the SQL-event string.
+    // The cut truncates the plan to one round AND self-releases.
     var labels = ids.select(col("id"), col("id").as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .lineageCut
     var rounds = 0
     var changed = 1L
     while (changed > 0 && rounds < maxIters) {
@@ -138,11 +145,10 @@ object LabelPropagation {
         .agg(max(col("c") * Pack + (lit(Pack) - col("label"))).as("m"))
         .select(col("id"), (lit(Pack) - pmod(col("m"), lit(Pack)))
           .as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .lineageCut
       changed = next.join(labels
           .withColumnRenamed("label", "prev"), "id")
         .filter(col("label") =!= col("prev")).count()
-      labels.unpersist()
       labels = next
     }
     val out = labels

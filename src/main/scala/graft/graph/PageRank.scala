@@ -35,14 +35,18 @@ import graft.operators.Checkpointing.CutOps
   *     instead of growing with the iteration count.
   *   - AQE splits skewed hub nodes' aggregation partitions at runtime.
   *
-  * Cache lifecycle — CALLER RELEASES: the fixed-iteration entry
-  * points return a LAZY frame (so `.explain` audits and plan pins see
-  * the whole iteration chain), which means the partitioned edge/node
-  * caches must outlive this call until the caller materializes the
-  * result. After materializing, release them —
-  * `spark.catalog.clearCache()` (what `graft.Verify` does per query),
-  * or keep the session short. The convergence twins, which cut their
-  * results eagerly, unpersist their own caches before returning.
+  * Cache lifecycle — SELF-RELEASING: the static loop frames (edges
+  * joined with out-degrees, the node set) are eagerly lineage-cut
+  * (localCheckpoint) rather than persisted, so their blocks live in
+  * the block manager and release with the RDD on GC — nothing is ever
+  * registered in the cache manager, and a many-query session (Bench
+  * runs hundreds of evaluations in one JVM) accumulates no cached
+  * edge tables (CacheHygieneSpec pins this for every graph operator).
+  * The fixed-iteration entry points still return a LAZY frame over
+  * those checkpoint leaves, so `.explain` audits and plan pins see
+  * the whole iteration chain; the convergence twins, whose round
+  * counts are run-dependent, cut their results eagerly and release
+  * their own loop caches before returning.
   */
 object PageRank {
 
@@ -100,18 +104,21 @@ object PageRank {
     val e = edges.select("src", "dst").distinct()
 
     // Static across iterations: (src, dst, outdeg), co-partitioned and
-    // persisted once. This is the 100-TB side. (rank/outdeg stays a
-    // division — precomputing 1/outdeg would double-round and break
-    // bit-parity with the SQL oracle.)
+    // materialized once (eager localCheckpoint — partitioning survives
+    // into the LogicalRDD, so the per-iteration join still reads the
+    // src-partitioned layout; blocks self-release with the RDD).
+    // This is the 100-TB side. (rank/outdeg stays a division —
+    // precomputing 1/outdeg would double-round and break bit-parity
+    // with the SQL oracle.)
     val outDeg = e.groupBy("src").agg(count("*").as("outdeg"))
     val linked = e.join(outDeg, "src")
       .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .lineageCut
 
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .lineageCut
 
     // The only driver-side scalar in the pipeline — mirrors the
     // reference's phase-1 page count handed to phase 2 via job conf.
@@ -124,7 +131,7 @@ object PageRank {
           outDeg.select(col("src").as("node"), lit(true).as("_has_out")),
           Seq("node"), "left")
         .select(col("node"), coalesce(col("_has_out"), lit(false)).as("_has_out"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .lineageCut
     } else nodes // unused
 
     // Warm start (the runUntilConverged seed, in the bounded-
@@ -188,13 +195,13 @@ object PageRank {
     val outDeg = e.groupBy("src").agg(count("*").as("outdeg"))
     val linked = e.join(outDeg, "src")
       .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .lineageCut
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .lineageCut
     val s = sources.select(col("node")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .lineageCut
     val nSources = s.count() // O(1) driver scalar, like run()'s n
     require(nSources > 0, "personalized PageRank needs a non-empty source set")
 
@@ -204,7 +211,7 @@ object PageRank {
         Seq("node"), "left")
       .select(col("node"),
         (coalesce(col("_is_src"), lit(0.0)) / nSources).as("tele"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .lineageCut
 
     var ranks = flagged.select(col("node"), col("tele").as("rank"))
     for (_ <- 1 to iterations) {
@@ -236,11 +243,11 @@ object PageRank {
     val outW = e.groupBy("src").agg(sum("weight").as("outw"))
     val linked = e.join(outW, "src")
       .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .lineageCut
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .lineageCut
     val n = nodes.count()
 
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
@@ -378,8 +385,8 @@ object PageRank {
     val outDeg = links.groupBy("src").agg(count("*").as("outdeg"))
     val linked = links.join(outDeg, "src")
       .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val p = pages.select("node").persist(StorageLevel.MEMORY_AND_DISK)
+      .lineageCut
+    val p = pages.select("node").lineageCut
 
     var ranks = p.withColumn("rank", lit(1.0 / nPages))
     for (_ <- 1 to iterations) {

@@ -3,6 +3,8 @@ package graft.graph
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.operators.Checkpointing.CutOps
+
 /** Triangle counting over an undirected graph by degree-ordered
   * orientation (the "compact-forward" scheme): orient every edge
   * from its lower-(degree, id) endpoint to the higher, build wedges
@@ -19,10 +21,11 @@ import org.apache.spark.sql.functions._
   * joins are plain equi-joins on vertex keys — co-partitioned
   * shuffles, AQE-splittable.
   *
-  * Cache lifetime: the oriented edge table is persisted because the
-  * returned plan reads it three times (two wedge legs + the closing
-  * semi-join), so it must outlive this call; the caller owns the
-  * cache after materializing (see [[graft.operators.Dedup]]'s note).
+  * Cache lifetime: the oriented edge table is eagerly lineage-cut
+  * (localCheckpoint) because the returned plan reads it three times
+  * (two wedge legs + the closing semi-join); its blocks self-release
+  * with the RDD, so no cache entry outlives the evaluation
+  * (CacheHygieneSpec).
   */
 object Triangles {
 
@@ -51,7 +54,11 @@ object Triangles {
           .otherwise(struct(col("b").as("u"), col("a").as("v"),
             col("da").as("dv"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Read three times below (both wedge legs + the closing side):
+      // eager localCheckpoint materializes it once and self-releases
+      // with the RDD — persist here leaked one cache entry per
+      // evaluation (CacheHygieneSpec).
+      .lineageCut
     // Wedges at u: ordered out-neighbor pairs; the closing edge is
     // oriented exactly (lower leg → higher leg), so one equi-join
     // finds each triangle once.

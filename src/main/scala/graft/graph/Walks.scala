@@ -63,6 +63,11 @@ object Walks {
       out = out.union(nxt)
       frontier = nxt
     }
+    // Every frontier branch is eagerly cut, so nothing in `out`'s
+    // lineage still reads the cached adjacency — release it here
+    // (the Sssp.run release-on-return discipline) instead of leaking
+    // one edge cache per evaluation in a long-lived session.
+    a.unpersist()
     out
   }
 

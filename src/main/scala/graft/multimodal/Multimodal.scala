@@ -1230,6 +1230,52 @@ object Multimodal {
     }
   }
 
+  case class Mp3Row(doc_id: Long, title: String, artist: String,
+      tlen_ms: Long, bitrate_kbps: Long, sample_rate: Long,
+      n_frames: Long)
+
+  /** Planted MP3 corpus: real [[Mp3.encode]] streams — an ID3v2.3
+    * tag (synchsafe tag size, plain-int v2.3 frame sizes, TIT2/TPE1/
+    * TLEN text frames) followed by an MPEG-1 Layer III frame chain
+    * whose lengths come from the real bitrate/samplerate tables
+    * (alternating padding bit). Every field is an id formula so the
+    * parse oracle restates them; bitrate and samplerate sweep their
+    * table entries across ids.
+    */
+  def mp3Table(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val meta = Mp3.Meta(
+          title = "t" + (id % 100),
+          artist = if (id % 3 == 0) "va" else "a" + (id % 50),
+          tlenMs = 1000L * (30 + id % 300),
+          bitrateKbps = Array(128, 192, 256, 320)((id % 4).toInt),
+          sampleRate = Array(44100, 48000, 32000)((id % 3).toInt),
+          nFrames = (3 + id % 5).toInt)
+        val payload = Mp3.encode(meta)
+        MediaRow(id, "audio/mpeg", payload.length.toLong, payload)
+      }
+    }.toDF()
+  }
+
+  /** REAL ID3v2.3 + MPEG frame-header parse ([[Mp3.parse]]) per
+    * media row; unparseable payloads drop row-local. Map-side only —
+    * the catalogue pass rides the scan that reads the payload.
+    */
+  def parseMp3Meta(spark: SparkSession, media: DataFrame)
+      : Dataset[Mp3Row] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        Mp3.parse(r.payload).map { m =>
+          Mp3Row(r.doc_id, m.title, m.artist, m.tlenMs,
+            m.bitrateKbps.toLong, m.sampleRate.toLong, m.nFrames.toLong)
+        }
+      }
+    }
+  }
+
   case class ImageHeader(doc_id: Long, format: String, width: Long,
       height: Long, bit_depth: Long, n_components: Long)
 

@@ -281,6 +281,92 @@ object TextAnalysis {
         (col("start") % seqTokens).as("offset"))
   }
 
+  /** First-fit-decreasing BIN packing within each shard — the
+    * padding-minimizing sibling of [[packSequences]]: where that
+    * operator streams tokens contiguously (docs may straddle
+    * sequence boundaries), this one places each doc WHOLE into the
+    * first already-open sequence with room (docs longer than
+    * `seqTokens` are capped to one full sequence), opening a new
+    * sequence when none fits. Sorting each shard's docs by
+    * (length DESC, doc_id) first is the classic FFD guarantee
+    * (≤ 11/9·OPT + 1 bins) — and what closes the d56 padding-waste
+    * loop: a spec pins utilization(FFD) ≥ utilization(first-fit in
+    * hash order) on a planted corpus.
+    *
+    * Fully deterministic: the shard is the [[Sampling]] hash, the
+    * order is (len_eff DESC, doc_id), and first-fit always takes the
+    * LOWEST-indexed open sequence — so placements oracle-check
+    * exactly against a recursive SQL mirror.
+    *
+    * Scale shape: one exchange on the shard key; the fold is ONE
+    * higher-order `aggregate` per shard whose state is the open-
+    * sequence fill array + the placement list — bounded by the
+    * shard's TARGET size (shards scale with the corpus via
+    * [[shardsFor]], each holding ~targetSeqsPerShard sequences), so
+    * per-group state never grows with corpus size. No window over
+    * doc rows, no driver loop.
+    *
+    * @return (doc_id, shard, n_tokens, seq_id, offset) — seq_id the
+    *   shard-local sequence the doc was placed in, offset its token
+    *   position there; len capped at `seqTokens` for placement
+    */
+  def packSequencesFfd(docs: DataFrame, seqTokens: Int,
+      shards: Int): DataFrame = {
+    require(seqTokens > 0 && shards > 0,
+      s"need seqTokens > 0 and shards > 0, got $seqTokens / $shards")
+    val cap = seqTokens.toLong
+    val base = docs.select(col("doc_id"),
+      (Sampling.hashBucket(col("doc_id")) % shards).as("shard"),
+      expr(s"size(${TextHash.sparkTokens("text")})").cast("long")
+        .as("n_tokens"))
+      .withColumn("l", least(col("n_tokens"), lit(cap)))
+    // Per-shard docs in FFD order: sort_array ascending on
+    // (cap − len, doc_id) = length DESC, doc_id ASC. The first-fit
+    // index is array_min over (eligible index | null) — the lowest
+    // open sequence with room — and the whole placement pass is one
+    // fold with (fills, placements) state.
+    val folded = base
+      .groupBy("shard")
+      .agg(sort_array(collect_list(struct(
+        (lit(cap) - col("l")).as("k"), col("doc_id").as("doc_id"),
+        col("l").as("l"), col("n_tokens").as("n_tokens")))).as("ds"))
+      .withColumn("placed", expr(
+        s"""aggregate(
+           |  ds,
+           |  named_struct(
+           |    'used', cast(array() as array<bigint>),
+           |    'out', cast(array() as
+           |      array<struct<doc_id: bigint, n_tokens: bigint,
+           |                   seq: bigint, off: bigint>>)),
+           |  (acc, x) -> named_struct(
+           |    'used',
+           |    if(array_min(transform(acc.used,
+           |         (u, i) -> if(u + x.l <= $cap, i, cast(null as int))))
+           |       is null,
+           |      concat(acc.used, array(x.l)),
+           |      transform(acc.used, (u, i) ->
+           |        if(i = array_min(transform(acc.used, (u2, i2) ->
+           |             if(u2 + x.l <= $cap, i2, cast(null as int)))),
+           |          u + x.l, u))),
+           |    'out',
+           |    concat(acc.out, array(named_struct(
+           |      'doc_id', x.doc_id,
+           |      'n_tokens', x.n_tokens,
+           |      'seq', cast(coalesce(
+           |        array_min(transform(acc.used, (u, i) ->
+           |          if(u + x.l <= $cap, i, cast(null as int)))),
+           |        size(acc.used)) as bigint),
+           |      'off', coalesce(get(acc.used,
+           |        array_min(transform(acc.used, (u, i) ->
+           |          if(u + x.l <= $cap, i, cast(null as int))))),
+           |        0L))))),
+           |  acc -> acc.out)""".stripMargin))
+      .select(col("shard"), explode(col("placed")).as("p"))
+    folded.select(col("p.doc_id").as("doc_id"), col("shard"),
+      col("p.n_tokens").as("n_tokens"), col("p.seq").as("seq_id"),
+      col("p.off").as("offset"))
+  }
+
   /** Intra-document repetition metrics (the Gopher-style "fraction of
     * duplicated n-grams" quality signal): every rolling `n`-token
     * window of the doc, counted once vs. distinct. A document shorter

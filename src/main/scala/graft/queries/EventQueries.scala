@@ -640,6 +640,61 @@ object EventQueries {
              |  CAST(coalesce(n_first, 0) AS BIGINT) AS n_first,
              |  CAST(coalesce(rev_first_c, 0) AS BIGINT) AS rev_first_c
              |FROM la FULL OUTER JOIN fa ON la.channel = fa.channel
-             |ORDER BY channel""".stripMargin))
+             |ORDER BY channel""".stripMargin)),
+
+    // SCD-2 (slowly-changing-dimension type 2) build: collapse each
+    // user's event stream into VALIDITY INTERVALS of their current
+    // event_type "state" — a new version opens only when the state
+    // CHANGES (consecutive same-type events fold into one interval),
+    // valid_to = the next version's valid_from (NULL = current row,
+    // flagged). The warehouse staple turning an event log into a
+    // point-in-time-joinable dimension (q21's as-of join is its
+    // read side). Scale shape: ONE exchange on the high-cardinality
+    // user key feeds all three windows (lag-change detection, then
+    // lead/version over the change rows — same key, same ordering,
+    // so Catalyst plans one sort); per-partition state is one lag /
+    // one lead / one counter. Micros-integral timestamps, ties break
+    // on event_id — bit-identical interval edges on both engines.
+    Q("q57_scd2",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("tsl"), col("event_id"))
+        val changes = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("tsl"), col("event_type"))
+          .withColumn("prev_type", lag("event_type", 1).over(w))
+          .filter(col("prev_type").isNull ||
+            col("prev_type") =!= col("event_type"))
+        changes
+          .withColumn("valid_to", lead("tsl", 1).over(w))
+          .withColumn("version", row_number().over(w).cast("long"))
+          .select(col("user_id"), col("version"),
+            col("event_type").as("state"),
+            col("tsl").as("valid_from"), col("valid_to"),
+            col("valid_to").isNull.as("is_current"))
+          .orderBy("user_id", "version")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS tsl, event_type,
+             |    lag(event_type) OVER (
+             |      PARTITION BY user_id ORDER BY tsl, event_id)
+             |      AS prev_type
+             |  FROM events
+             |),
+             |ch AS (
+             |  SELECT user_id, event_id, tsl, event_type
+             |  FROM ev
+             |  WHERE prev_type IS NULL OR prev_type <> event_type
+             |)
+             |SELECT user_id,
+             |  CAST(row_number() OVER w AS BIGINT) AS version,
+             |  event_type AS state,
+             |  tsl AS valid_from,
+             |  lead(tsl) OVER w AS valid_to,
+             |  lead(tsl) OVER w IS NULL AS is_current
+             |FROM ch
+             |WINDOW w AS (PARTITION BY user_id ORDER BY tsl, event_id)
+             |ORDER BY user_id, version""".stripMargin))
   )
 }

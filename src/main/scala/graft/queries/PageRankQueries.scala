@@ -1476,6 +1476,59 @@ object PageRankQueries {
            |SELECT a, b, CAST(sup AS BIGINT) AS support
            |FROM sup6 WHERE sup >= 2
            |ORDER BY a, b""".stripMargin
+      }),
+
+    // FULL core decomposition (KCore.decompose): every word's core
+    // number over the undirected word graph — the k-tail structure
+    // card generalizing g7 ("who survives k=3") to "the largest k
+    // each node survives", capped at maxK=5 with 4 peel waves per
+    // level; BOTH caps are the defined semantics (bounded peels are
+    // what an unrolled SQL mirror can state) and the convergence
+    // twin KCore.decomposeUntilStable is spec-checked to agree once
+    // bounded peeling stabilizes inside the caps. Levels seed from
+    // the previous core's survivors (cores nest), so each level
+    // peels a shrinking subgraph — one symmetric-edge shuffle total.
+    Q("g21_core_decomp",
+      (s, d) => graft.graph.KCore.decompose(
+          LinkGraph.wordFollowEdges(Tables.documents(s, d), "text"),
+          maxK = 5, waves = 4)
+        .orderBy("node"),
+      Some {
+        val levels = (2 to 5).map { k =>
+          val prev = if (k == 2) "c1" else s"c${k - 1}w4"
+          val waves = (1 to 4).map { w =>
+            val from = if (w == 1) prev else s"c${k}w${w - 1}"
+            s"""c${k}w$w AS MATERIALIZED (
+               |  SELECT s.u AS node FROM sym s
+               |  JOIN $from x ON s.u = x.node
+               |  JOIN $from y ON s.v = y.node
+               |  GROUP BY s.u HAVING count(*) >= $k
+               |)""".stripMargin
+          }.mkString(",\n")
+          waves
+        }.mkString(",\n")
+        s"""WITH $edgeCtes,
+           |und AS (
+           |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           |  FROM e WHERE src <> dst
+           |),
+           |sym AS MATERIALIZED (
+           |  SELECT a AS u, b AS v FROM und
+           |  UNION ALL
+           |  SELECT b AS u, a AS v FROM und
+           |),
+           |c1 AS MATERIALIZED (SELECT DISTINCT u AS node FROM sym),
+           |$levels,
+           |cores AS (
+           |  SELECT node, 1 AS core FROM c1
+           |  UNION ALL SELECT node, 2 FROM c2w4
+           |  UNION ALL SELECT node, 3 FROM c3w4
+           |  UNION ALL SELECT node, 4 FROM c4w4
+           |  UNION ALL SELECT node, 5 FROM c5w4
+           |)
+           |SELECT node, CAST(max(core) AS BIGINT) AS core
+           |FROM cores GROUP BY node
+           |ORDER BY node""".stripMargin
       })
   )
 

@@ -1345,6 +1345,86 @@ object PipelineQueries {
               |  CAST(st % 64 AS BIGINT) AS offset
               |FROM p ORDER BY doc_id""".stripMargin)),
 
+    // First-fit-decreasing packing (TextAnalysis.packSequencesFfd) —
+    // the padding-minimizing twin of d25: docs placed WHOLE (capped
+    // at the 64-token sequence length) into the first open sequence
+    // with room, longest first. d25 streams tokens contiguously
+    // (zero padding, docs straddle boundaries); d56 measures what
+    // per-doc cap-bucketing wastes; this is the non-straddling
+    // packer that minimizes that waste — OperatorsSpec pins
+    // utilization(FFD) ≥ utilization(first-fit in hash order) on a
+    // planted corpus. Same corpus-sized shard count as d25 (the
+    // bounded driver-scalar handoff); the per-shard fold is one HOF
+    // aggregate with open-fill state, mirrored exactly by the
+    // oracle's one-doc-per-step recursive CTE (first-fit = min
+    // eligible index on both engines).
+    Q("d72_ffd_pack",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val total = docs
+          .select(coalesce(
+            sum(expr(s"size(${TextHash.sparkTokens("text")})"))
+              .cast("long"), lit(0L))).head.getLong(0)
+        val shards = TextAnalysis.shardsFor(total, seqTokens = 64,
+          targetSeqsPerShard = 200)
+        TextAnalysis.packSequencesFfd(docs, seqTokens = 64,
+            shards = shards)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id,
+              |    ${TextHash.duckDocFingerprint("CAST(doc_id AS VARCHAR)")}
+              |      * ${Sampling.Mixer} % ${Sampling.MixMod}
+              |      % ${Sampling.Buckets} AS bucket,
+              |    CAST(len(${TextHash.duckTokens("text")}) AS BIGINT)
+              |      AS n_tokens
+              |  FROM documents
+              |),
+              |shc AS (
+              |  SELECT GREATEST(1, CAST(CEIL(
+              |    CAST(SUM(n_tokens) AS DOUBLE) / (64.0 * 200)) AS BIGINT))
+              |    AS s
+              |  FROM tok
+              |),
+              |sharded AS (
+              |  SELECT doc_id, bucket % (SELECT s FROM shc) AS shard,
+              |    n_tokens, LEAST(n_tokens, 64) AS l
+              |  FROM tok
+              |),
+              |rk AS (
+              |  SELECT doc_id, shard, n_tokens, l,
+              |    row_number() OVER (PARTITION BY shard
+              |      ORDER BY l DESC, doc_id) AS rank
+              |  FROM sharded
+              |),
+              |sh AS (SELECT DISTINCT shard FROM rk)
+              |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+              |  seq_id, off AS offset
+              |FROM (
+              |  WITH RECURSIVE r(shard, step, used, doc_id, n_tokens,
+              |                   seq_id, off) AS (
+              |    SELECT shard, 0, CAST([] AS BIGINT[]),
+              |      CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+              |      CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+              |    FROM sh
+              |    UNION ALL
+              |    SELECT rk.shard, r.step + 1,
+              |      CASE WHEN fi IS NULL THEN list_append(r.used, rk.l)
+              |           ELSE list_transform(r.used, (u, i) ->
+              |             CASE WHEN i = fi THEN u + rk.l ELSE u END) END,
+              |      rk.doc_id, rk.n_tokens,
+              |      CAST(coalesce(fi - 1, len(r.used)) AS BIGINT),
+              |      CAST(coalesce(r.used[fi], 0) AS BIGINT)
+              |    FROM r
+              |    JOIN rk ON rk.shard = r.shard AND rk.rank = r.step + 1,
+              |    LATERAL (SELECT list_aggregate(list_transform(r.used,
+              |      (u, i) -> CASE WHEN u + rk.l <= 64 THEN i END), 'min')
+              |      AS fi) f
+              |  )
+              |  SELECT * FROM r WHERE doc_id IS NOT NULL
+              |)
+              |ORDER BY doc_id""".stripMargin)),
+
     // KMV (k-minimum-values) distinct-count sketch — the cardinality
     // estimator alongside the frequency (d18) and similarity (d3/d4)
     // sketches: corpus-distinct 3-gram SHINGLE count (the size of the
@@ -4643,6 +4723,31 @@ object PipelineQueries {
              |  CASE WHEN doc_id % 5 = 0
              |    THEN 'c' || CAST(doc_id % 10 AS VARCHAR)
              |    ELSE 'cam' || CAST(doc_id % 100 AS VARCHAR) END AS make
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // MP3/ID3 metadata walk (Mp3.parse over Multimodal.mp3Table) —
+    // the audio sibling of m30's EXIF: ID3v2.3 tag walk (synchsafe
+    // tag size, plain-int v2.3 frame sizes, encoding-byte text
+    // frames) + MPEG-1 Layer III frame-header chain parse (bitrate/
+    // samplerate table lookup, 144000·kbps/hz + padding frame
+    // lengths — counting frames WITHOUT decoding audio). The
+    // catalogue pass for an audio crawl: map-side, rides the payload
+    // scan, corrupt objects drop row-local. The oracle restates the
+    // planted id formulas.
+    Q("m31_mp3_meta",
+      (s, d) => Multimodal.parseMp3Meta(s,
+          Multimodal.mp3Table(s, Tables.documents(s, d)))
+        .toDF().orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  't' || CAST(doc_id % 100 AS VARCHAR) AS title,
+             |  CASE WHEN doc_id % 3 = 0 THEN 'va'
+             |    ELSE 'a' || CAST(doc_id % 50 AS VARCHAR) END AS artist,
+             |  CAST(1000 * (30 + doc_id % 300) AS BIGINT) AS tlen_ms,
+             |  CAST(CASE doc_id % 4 WHEN 0 THEN 128 WHEN 1 THEN 192
+             |    WHEN 2 THEN 256 ELSE 320 END AS BIGINT) AS bitrate_kbps,
+             |  CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+             |    ELSE 32000 END AS BIGINT) AS sample_rate,
+             |  CAST(3 + doc_id % 5 AS BIGINT) AS n_frames
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // REAL baseline JPEG decode: planted images go through the FULL

@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.{Gif, Jpeg, Netpbm, Png, Wav}
+import graft.multimodal.{Gif, Jpeg, Mp3, Netpbm, Png, Wav}
 
 /** Deterministic fuzz for the pure-JVM codecs: at corpus scale the
   * decoders face untrusted bytes, so the contract is total — every
@@ -33,6 +33,9 @@ class CodecFuzzSpec extends SparkSpec {
       Netpbm.decode(body)
       Netpbm.decode("P6\n".getBytes("US-ASCII") ++ body)
       Netpbm.decode("P5 #".getBytes("US-ASCII") ++ body)
+      Mp3.parse(body)
+      // past the ID3 magic + a valid v2.3 version, into the tag walker
+      Mp3.parse("ID3".getBytes("US-ASCII") ++ Array[Byte](3, 0) ++ body)
     }
     succeed
   }
@@ -68,13 +71,16 @@ class CodecFuzzSpec extends SparkSpec {
       Array.tabulate(60)(i => (i * 7) % 256), comment = "fuzz base")
     val pgm16 = Netpbm.encode(5, 4, 6, 1000,
       Array.tabulate(24)(i => (i * 131) % 1001))
+    val mp3 = Mp3.encode(Mp3.Meta("fuzz title", "fuzz artist", 31000L,
+      bitrateKbps = 192, sampleRate = 44100, nFrames = 3))
     val rnd = new scala.util.Random(0xFA22)
     for ((base, dec) <- Seq[(Array[Byte], Array[Byte] => Option[Any])](
         (png, Png.decode), (palPng, Png.decode), (wav, Wav.decode),
         (jpg, Jpeg.decode), (colorJpg, Jpeg.decodeRgb),
         (gif, Gif.decode), (animGif, Gif.decodeFrames(_)),
         (animGif, Gif.animMeta(_)),
-        (ppm, Netpbm.decode), (pgm16, Netpbm.decode))) {
+        (ppm, Netpbm.decode), (pgm16, Netpbm.decode),
+        (mp3, Mp3.parse))) {
       // every single-byte flip at every position, 4 flip values each
       for (pos <- base.indices; _ <- 1 to 4) {
         val m = base.clone()

@@ -394,6 +394,38 @@ class GraphSpec extends SparkSpec {
     assert(KCore.untilStable(edges, k = 9).isEmpty)
   }
 
+  test("core decomposition: core != degree on bridges, twin agrees, cap binds") {
+    import graft.graph.KCore
+    // K4 (core 3) + chain off d (core 1) + triangle (core 2) + a
+    // BRIDGE node x adjacent to two K4 members: degree 2 but core 2
+    // (not 3 — it can't keep 3 in-core neighbors), the core≠degree
+    // case a degree table alone can't produce.
+    val edges = Seq(
+      "a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c", "b" -> "d",
+      "c" -> "d",
+      "d" -> "e", "e" -> "f", "f" -> "g",
+      "t1" -> "t2", "t2" -> "t3", "t3" -> "t1",
+      "x" -> "a", "x" -> "b")
+      .toDF("src", "dst")
+    val got = KCore.decompose(edges, maxK = 5, waves = 6)
+      .as[(String, Long)].collect().toMap
+    val want = Map(
+      "a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L,
+      "e" -> 1L, "f" -> 1L, "g" -> 1L,
+      "t1" -> 2L, "t2" -> 2L, "t3" -> 2L,
+      "x" -> 2L)
+    assert(got == want)
+    assert(got("x") == 2L && got.keySet.count(_ == "x") == 1)
+    // Convergence twin agrees once the bounded peels have stabilized.
+    val conv = KCore.decomposeUntilStable(edges, maxK = 5)
+      .as[(String, Long)].collect().toMap
+    assert(conv == want)
+    // The maxK CAP binds: capping below the true core truncates to it.
+    val capped = KCore.decompose(edges, maxK = 2, waves = 6)
+      .as[(String, Long)].collect().toMap
+    assert(capped == want.view.mapValues(v => math.min(v, 2L)).toMap)
+  }
+
   test("HITS: star center dominates authority, agrees with plain-Scala ref") {
     import graft.graph.Hits
     // three hubs into one authority `a`, which passes on to `z`; h1

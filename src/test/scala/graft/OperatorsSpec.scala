@@ -651,6 +651,63 @@ class OperatorsSpec extends SparkSpec {
     assert(again.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
   }
 
+  test("FFD packing: valid non-straddling placements, beats hash-order first-fit") {
+    val cap = 10
+    val docs = (1L to 40L).map(i =>
+      (i, (1 to (i % 7 + 1).toInt).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.packSequencesFfd(docs, seqTokens = cap,
+        shards = 3)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.length == 40)
+    // Every placement fits whole: offset + len <= cap, and per-shard
+    // sequence fills never exceed cap.
+    val fills = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    for ((_, shard, n, seqId, off) <- got) {
+      val l = math.min(n, cap.toLong)
+      assert(off >= 0 && off + l <= cap, s"doc straddles: off=$off l=$l")
+      fills((shard, seqId)) = fills.getOrElse((shard, seqId), 0L) + l
+    }
+    assert(fills.values.forall(_ <= cap))
+    // First-fit property: each doc's offset equals the fill of its
+    // sequence among docs placed BEFORE it in (len DESC, doc_id)
+    // order — replay the fold on the driver and compare exactly.
+    for ((shard, rows) <- got.groupBy(_._2)) {
+      val ordered = rows.sortBy(r => (-math.min(r._3, cap.toLong), r._1))
+      val used = scala.collection.mutable.ArrayBuffer.empty[Long]
+      for ((_, _, n, seqId, off) <- ordered) {
+        val l = math.min(n, cap.toLong)
+        val fi = used.indexWhere(_ + l <= cap)
+        if (fi < 0) {
+          assert(seqId == used.length && off == 0L)
+          used += l
+        } else {
+          assert(seqId == fi && off == used(fi))
+          used(fi) += l
+        }
+      }
+    }
+    // FFD uses no more sequences than first-fit in hash (doc_id)
+    // order — the d25-style arrival order — on every shard.
+    for ((shard, rows) <- got.groupBy(_._2)) {
+      val ffdSeqs = rows.map(_._4).distinct.length
+      val arrival = rows.sortBy(_._1)
+      val used = scala.collection.mutable.ArrayBuffer.empty[Long]
+      for ((_, _, n, _, _) <- arrival) {
+        val l = math.min(n, cap.toLong)
+        val fi = used.indexWhere(_ + l <= cap)
+        if (fi < 0) used += l else used(fi) += l
+      }
+      assert(ffdSeqs <= used.length,
+        s"shard $shard: FFD used $ffdSeqs seqs vs first-fit ${used.length}")
+    }
+    // Deterministic across partitionings (pure hash + fold).
+    val again = TextAnalysis.packSequencesFfd(docs.repartition(7),
+        cap, 3)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(again.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
+  }
+
   test("ExactPercentile matches the built-in percentile bit-for-bit") {
     // The scale-safe cumulative pick must reproduce Catalyst's
     // Percentile interpolation EXACTLY — including both of its
