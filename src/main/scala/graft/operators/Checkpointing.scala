@@ -33,6 +33,20 @@ object Checkpointing {
 
   val ReliableKey = "graft.checkpoint.reliable"
 
+  /** Test-only plan capture: with `graft.debug.capturePlans` set
+    * true on the session, every frame passed through [[cut]] records
+    * its OPTIMIZED logical plan here before materializing. Eager
+    * per-round cuts make iterative operators' round plans invisible
+    * to the returned frame's `.explain` (it reads a checkpoint
+    * scan); this hook is how PlanShapeSpec pins invariants INSIDE
+    * the rounds — e.g. that a filtered walk's predicate sits below
+    * the per-round ranking window. Off (the default) it costs one
+    * conf lookup per cut.
+    */
+  val CaptureKey = "graft.debug.capturePlans"
+  val capturedPlans =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
   /** Chained form: `df.lineageCut` ≡ `Checkpointing.cut(df)`. */
   implicit class CutOps(private val df: DataFrame) extends AnyVal {
     def lineageCut: DataFrame = Checkpointing.cut(df)
@@ -43,6 +57,8 @@ object Checkpointing {
     */
   def cut(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
+    if (spark.conf.getOption(CaptureKey).exists(_.toBoolean))
+      capturedPlans.add(df.queryExecution.optimizedPlan.toString)
     val reliable =
       spark.conf.getOption(ReliableKey).exists(_.toBoolean)
     if (reliable) {

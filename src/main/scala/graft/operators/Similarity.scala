@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -392,6 +392,34 @@ object Similarity {
       maxRounds = rounds, untilStable = false)
   }
 
+  /** FILTERED graph-walk ANN — the production filtered-HNSW shape
+    * completing the predicate-before-scoring family (e23 proved it
+    * on the brute-force scan, e24 on the IVF probe; this is the
+    * graph walk): `candidatePred` applies to the CANDIDATE
+    * embedding rows BELOW the gather join, so excluded vectors are
+    * never scored, never enter a beam, and the walk never routes
+    * THROUGH an excluded node — each round's beam is exactly the
+    * top `beamWidth` ELIGIBLE candidates. Queries and graph edges
+    * are unfiltered (the index is built once, filters vary per
+    * query; an eligible beam member may expand along edges that
+    * point at ineligible neighbors — those drop at the scoring
+    * join). Entry points that fail the predicate drop the same way,
+    * so seed entries from cells the predicate can reach.
+    *
+    * PlanShapeSpec pins the filter position (below the per-round
+    * ranking window AND the gather join) via the Checkpointing
+    * capture hook; e42 carries the recall gate vs filtered brute
+    * force.
+    */
+  def graphBeamSearchFiltered(emb: DataFrame, queries: DataFrame,
+      graph: DataFrame, entries: DataFrame, beamWidth: Int,
+      rounds: Int, candidatePred: Column): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    beamWalk(emb, queries, graph, entries, beamWidth,
+      maxRounds = rounds, untilStable = false,
+      pred = Some(candidatePred))
+  }
+
   /** Convergence twin of [[graphBeamSearch]] — the open-ended form
     * every other iterative operator has (PageRank/HITS/k-means/BFS/
     * LPA/k-core): walk until the kept beam SET stops changing instead
@@ -414,9 +442,14 @@ object Similarity {
 
   private def beamWalk(emb: DataFrame, queries: DataFrame,
       graph: DataFrame, entries: DataFrame, beamWidth: Int,
-      maxRounds: Int, untilStable: Boolean): DataFrame = {
+      maxRounds: Int, untilStable: Boolean,
+      pred: Option[Column] = None): DataFrame = {
     import graft.operators.Checkpointing.CutOps
-    val e = emb.select(col("vec_id"), col("embedding"))
+    // Predicate BEFORE scoring (the e23/e24 discipline): the filter
+    // sits below the gather join, so ineligible candidates never
+    // reach the cosine kernel or the per-query ranking window.
+    val e = pred.fold(emb)(emb.filter)
+      .select(col("vec_id"), col("embedding"))
     val g = graph.select(col("vec_id"), col("nbr_id"))
       .repartition(col("vec_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

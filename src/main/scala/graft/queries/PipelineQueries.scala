@@ -433,7 +433,13 @@ object PipelineQueries {
     */
   private def beamWalkCtes(graphK: Int, rounds: Int,
       beamWidth: Int, probePred: String = "vec_id < 10",
-      graphSql: Option[String] = None): String = {
+      graphSql: Option[String] = None,
+      candPred: Option[String] = None): String = {
+    // Candidate eligibility (e41): the predicate applies on the
+    // candidate embedding row `v` INSIDE each round's scoring — the
+    // SQL mirror of the Spark side's filter below the gather join.
+    val b0Pred = candPred.fold("")(p => s" AND ($p)")
+    val biPred = candPred.fold("")(p => s" WHERE ($p)")
     val walk = (1 to rounds).map { i =>
       s"""c$i AS (
          |  SELECT DISTINCT query_id, cand_id FROM (
@@ -451,7 +457,7 @@ object PipelineQueries {
          |      SELECT c.query_id, c.cand_id,
          |        ${TextHash.duckCosine("q.qe", "v.emb", 64)} AS sim
          |      FROM c$i c JOIN q ON q.query_id = c.query_id
-         |      JOIN e v ON v.vec_id = c.cand_id
+         |      JOIN e v ON v.vec_id = c.cand_id$biPred
          |    ) s
          |  ) WHERE rn <= $beamWidth
          |)""".stripMargin
@@ -479,7 +485,7 @@ object PipelineQueries {
        |      SELECT q.query_id, en.cand_id,
        |        ${TextHash.duckCosine("q.qe", "v.emb", 64)} AS sim
        |      FROM q, ent en JOIN e v ON v.vec_id = en.cand_id
-       |      WHERE en.cand_id <> q.query_id
+       |      WHERE en.cand_id <> q.query_id$b0Pred
        |    ) s
        |  ) WHERE rn <= $beamWidth
        |),
@@ -3641,6 +3647,109 @@ object PipelineQueries {
               |  FROM bfinal
               |)
               |ORDER BY query_id, rank""".stripMargin)),
+
+    // FILTERED graph-walk ANN (Similarity.graphBeamSearchFiltered) —
+    // the production filtered-HNSW shape closing the predicate-
+    // before-scoring family: e23 proved it on the brute-force scan,
+    // e24 on the IVF probe, this on the graph walk. The predicate
+    // (label % 2 = 0 — "even shards only") applies to candidate
+    // rows BELOW the gather join: excluded vectors are never scored,
+    // never enter a beam, and the walk never routes through them —
+    // every beam is the top-16 ELIGIBLE candidates. Graph and
+    // entries stay unfiltered (index built once, filters vary per
+    // query; ineligible medoid entries just drop at round 0's
+    // scoring). PlanShapeSpec pins the filter position inside the
+    // rounds via the Checkpointing capture hook; e42 is the recall
+    // gate vs filtered brute force.
+    Q("e41_filtered_graph_ann",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.graphBeamSearchFiltered(emb,
+          emb.filter(col("vec_id") < 10),
+          Similarity.knnGraphProbed(emb, "label", k = 16, nprobe = 2)
+            .select(col("vec_id"), col("nbr_id")),
+          Similarity.cellMedoids(emb, "label"),
+          beamWidth = 16, rounds = 4,
+          candidatePred = col("label") % 2 === 0)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH $probedKnnCtes,
+              |${beamWalkCtes(graphK = 16, rounds = 4, beamWidth = 16,
+                              candPred = Some("v.label % 2 = 0"))}
+              |SELECT query_id, rn AS rank, cand_id,
+              |  round(sim, 6) AS sim
+              |FROM (
+              |  SELECT bfinal.*, row_number() OVER (
+              |    PARTITION BY query_id
+              |    ORDER BY sim DESC, cand_id) AS rn
+              |  FROM bfinal
+              |)
+              |ORDER BY query_id, rank""".stripMargin)),
+
+    // Recall gate for the FILTERED walk (the e13/e18/e22/e26/e30
+    // pattern — every approximate axis carries an oracle-checked
+    // recall measurement): recall@4 of e41's filtered beam walk
+    // against FILTERED brute-force ground truth (e23's chain — the
+    // same predicate on the exact scan). What it guards: a filtered
+    // walk can silently strand when the eligible subgraph
+    // disconnects (excluded nodes were the only bridges); this row
+    // makes that recall loss a visible, oracle-pinned number per
+    // query instead of a production surprise.
+    Q("e42_filtered_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val pred = col("label") % 2 === 0
+        val qs = emb.filter(col("vec_id") < 10)
+        val exact = Similarity.bruteForceTopK(emb.filter(pred), qs, k = 4)
+          .select(col("query_id"), col("cand_id"))
+        val walk = Similarity.graphBeamSearchFiltered(emb, qs,
+            Similarity.knnGraphProbed(emb, "label", k = 16, nprobe = 2)
+              .select(col("vec_id"), col("nbr_id")),
+            Similarity.cellMedoids(emb, "label"),
+            beamWidth = 16, rounds = 4, candidatePred = pred)
+          .filter(col("rank") <= 4)
+          .select(col("query_id"), col("cand_id"))
+        val hits = exact.join(walk, Seq("query_id", "cand_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("h"))
+        qs.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("h"), lit(0L)).as("n_hits"),
+            (coalesce(col("h"), lit(0L)) * 2500).as("recall_e4"))
+          .orderBy("query_id")
+      },
+      Some(s"""WITH $probedKnnCtes,
+              |${beamWalkCtes(graphK = 16, rounds = 4, beamWidth = 16,
+                              candPred = Some("v.label % 2 = 0"))},
+              |exact AS (
+              |  SELECT query_id, cand_id FROM (
+              |    SELECT q.query_id, c.vec_id AS cand_id,
+              |      row_number() OVER (PARTITION BY q.query_id
+              |        ORDER BY ${TextHash.duckCosine("q.qe", "c.emb", 64)}
+              |          DESC, c.vec_id) AS rk
+              |    FROM q JOIN e c
+              |      ON c.vec_id <> q.query_id AND c.label % 2 = 0
+              |  ) WHERE rk <= 4
+              |),
+              |walk4 AS (
+              |  SELECT query_id, cand_id FROM (
+              |    SELECT bfinal.*, row_number() OVER (
+              |      PARTITION BY query_id
+              |      ORDER BY sim DESC, cand_id) AS rn
+              |    FROM bfinal
+              |  ) WHERE rn <= 4
+              |),
+              |h AS (
+              |  SELECT x.query_id, count(*) AS h
+              |  FROM exact x JOIN walk4 w
+              |    ON w.query_id = x.query_id AND w.cand_id = x.cand_id
+              |  GROUP BY x.query_id
+              |)
+              |SELECT q.query_id,
+              |  CAST(coalesce(h.h, 0) AS BIGINT) AS n_hits,
+              |  CAST(coalesce(h.h, 0) * 2500 AS BIGINT) AS recall_e4
+              |FROM q LEFT JOIN h ON h.query_id = q.query_id
+              |ORDER BY q.query_id""".stripMargin)),
 
     // Navigable-graph BUILD (Vamana/NSW construction — the missing
     // twin of e25's search): symmetrize the degree-16 probed kNN

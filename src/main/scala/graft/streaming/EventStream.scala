@@ -302,4 +302,83 @@ object EventStream {
           }
       }
   }
+
+  /** Stored as-of match: the user's latest click so far (the ONE-ROW
+    * state the streaming as-of join keeps per user). Public for
+    * Spark's state encoder codegen.
+    */
+  case class AsOfState(click_ts_us: Long, click_id: Long)
+
+  case class AsOfOut(event_id: Long, user_id: Long, ts_us: Long,
+      click_id: Long, click_ts_us: Long, gap_us: Long)
+
+  /** Streaming twin of the batch as-of join (q21's "last click
+    * before each purchase"): per-user state is EXACTLY ONE row — the
+    * latest click seen so far — and each purchase emits immediately
+    * with that match attached, the q51-twin discipline applied to
+    * the §C flagship operator. Matches the batch
+    * [[graft.operators.AsOfJoin]] semantics on ordered input:
+    * inclusive at equal timestamps (clicks at a purchase's own ts
+    * DO match — clicks process first within a batch regardless of
+    * event_id order), the q21 pre-aggregation's max-click_id-per-
+    * (user, ts) reproduced by ascending-event_id overwrite, and
+    * purchases with no prior click DROP (q21's isNotNull filter).
+    *
+    * State is O(ACTIVE users): a stored click older than
+    * `idleGapMicros` (by event time, watermark-driven — the
+    * [[transitions]] expiry discipline) is reclaimed, so purchases
+    * past that horizon see no match — an attribution-window bound,
+    * the same bounded-state trade every watermark operator here
+    * makes, and what keeps this runnable forever where the batch
+    * union+window needs the full history.
+    */
+  def asofLastClick(spark: SparkSession, events: Dataset[Event],
+      idleGapMicros: Long = 24L * 3600 * 1000000,
+      watermark: String = "1 hour"): Dataset[AsOfOut] = {
+    import spark.implicits._
+
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfState, AsOfOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event],
+            state: GroupState[AsOfState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // Clicks sort BEFORE purchases at equal ts (batch as-of
+            // is inclusive: a same-ts click is in the preceding
+            // frame); ascending event_id makes the last same-ts
+            // click overwrite = q21's max(click_id) pre-aggregation.
+            val sorted = rows.toSeq.sortBy(e =>
+              (micros(e.ts), e.event_type != "click", e.event_id))
+            var last = state.getOption
+            val out = Seq.newBuilder[AsOfOut]
+            for (e <- sorted) {
+              val t = micros(e.ts)
+              if (e.event_type == "click")
+                last = Some(AsOfState(t, e.event_id))
+              else if (e.event_type == "purchase")
+                last.foreach { l =>
+                  out += AsOfOut(e.event_id, userId, t, l.click_id,
+                    l.click_ts_us, t - l.click_ts_us)
+                }
+            }
+            last match {
+              case Some(l) =>
+                state.update(l)
+                state.setTimeoutTimestamp(
+                  math.max((l.click_ts_us + idleGapMicros) / 1000 + 1,
+                    state.getCurrentWatermarkMs() + 1))
+              case None =>
+            }
+            out.result().iterator
+          }
+      }
+  }
 }

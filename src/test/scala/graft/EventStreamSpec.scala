@@ -381,4 +381,91 @@ class EventStreamSpec extends SparkSpec {
         Set((20L, 2.0, 3L), (24L, 2.4, 1L)))
     } finally q.stop()
   }
+
+  test("parity: streaming as-of join equals the batch q21 chain, incl. cross-batch") {
+    // user 1: click then purchase in DIFFERENT micro-batches (the
+    // cross-batch match); a fresher click then a second purchase.
+    // user 2: purchase with NO prior click (drops, batch isNotNull
+    // semantics); then two same-ts clicks (max event_id wins — the
+    // q21 pre-aggregation) before a purchase.
+    // user 3: click and purchase at the SAME timestamp (inclusive
+    // as-of: matches).
+    val b1 = Seq(ev(1, 10, 1, "click"), ev(2, 5, 2, "purchase"),
+      ev(3, 20, 2, "click"), ev(4, 20, 2, "click"),
+      ev(5, 30, 3, "click"))
+    val b2 = Seq(ev(6, 40, 1, "purchase"), ev(7, 50, 1, "click"),
+      ev(8, 60, 1, "purchase"), ev(9, 35, 2, "purchase"),
+      ev(10, 30, 3, "purchase"))
+    val stream = MemoryStream[Event](spark)
+    val q = EventStream.asofLastClick(spark, stream.toDS())
+      .writeStream.format("memory").queryName("asof_t")
+      .outputMode("append").start()
+    try {
+      stream.addData(b1: _*)
+      q.processAllAvailable()
+      stream.addData(b2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("asof_t")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      // Batch reference: the exact q21 chain over the union.
+      val evs = (b1 ++ b2).toDF()
+      val clicks = evs.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts")
+        .agg(max("event_id").as("click_id"))
+        .select(col("user_id"), col("ts"), col("click_id"),
+          unix_micros(col("ts")).as("click_ts_us"))
+      val purchases = evs.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val batch = graft.operators.AsOfJoin(purchases, clicks,
+          "user_id", "ts", Seq("click_id", "click_ts_us"))
+        .filter(col("asof_click_id").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("asof_click_id"), col("asof_click_ts_us"),
+          (unix_micros(col("ts")) - col("asof_click_ts_us")).as("gap"))
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch)
+      // Load-bearing cases all present: the cross-batch match (6
+      // matched click 1), the same-ts max-id pre-agg (9 matched
+      // click 4, not 3), the inclusive same-ts match (10 matched 5),
+      // and the no-prior-click drop (2 absent).
+      assert(streamed.exists(r => r._1 == 6L && r._4 == 1L))
+      assert(streamed.exists(r => r._1 == 9L && r._4 == 4L))
+      assert(streamed.exists(r => r._1 == 10L && r._4 == 5L && r._6 == 0L))
+      assert(!streamed.exists(_._1 == 2L))
+    } finally q.stop()
+  }
+
+  test("as-of state evicts on the event-time horizon") {
+    val stream = MemoryStream[Event](spark)
+    // Tight horizon: a stored click expires 30 min (event time)
+    // after it happened; watermark delay 10 min.
+    val q = EventStream.asofLastClick(spark, stream.toDS(),
+        idleGapMicros = 30L * 60000L * 1000L, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("asof_evict_t")
+      .outputMode("append").start()
+    try {
+      stream.addData(ev(1, 10, 1, "click"))
+      q.processAllAvailable()
+      // Advance the watermark far past click+gap via another user,
+      // then give the timeout a batch to fire in (watermark from
+      // batch N applies in N+1).
+      stream.addData(ev(2, 300, 99, "view"))
+      q.processAllAvailable()
+      stream.addData(ev(3, 310, 99, "view"))
+      q.processAllAvailable()
+      // The purchase arrives after the stored click was reclaimed:
+      // no match emitted.
+      stream.addData(ev(4, 320, 1, "purchase"))
+      q.processAllAvailable()
+      assert(spark.table("asof_evict_t").isEmpty)
+      // A fresh click re-arms the state and the next purchase matches.
+      stream.addData(ev(5, 330, 1, "click"), ev(6, 340, 1, "purchase"))
+      q.processAllAvailable()
+      val got = spark.table("asof_evict_t")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      assert(got == Seq((6L, 1L, 340 * 60000000L, 5L,
+        330 * 60000000L, 10 * 60000000L)))
+    } finally q.stop()
+  }
 }

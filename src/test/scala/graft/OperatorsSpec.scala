@@ -847,6 +847,37 @@ class OperatorsSpec extends SparkSpec {
     assert(stable.nonEmpty)
   }
 
+  test("filtered beam walk: only eligible candidates, full beam, matches post-hoc on reachables") {
+    // Same two-cluster corpus as the stability test; the predicate
+    // keeps even vec_ids only.
+    val emb = (0 until 24).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.1f * (i % 5), 0.0f, 0.2f)
+                 else Array(0.0f, 0.2f, 1.0f, 0.1f * (i % 7))
+      (i.toLong, i % 2, base)
+    }.toDF("vec_id", "label", "embedding")
+    val g = Similarity.knnGraphProbed(emb, "label", k = 3, nprobe = 2)
+      .select(col("vec_id"), col("nbr_id"))
+    val med = Similarity.cellMedoids(emb, "label")
+    val qs = emb.filter(col("vec_id") < 2)
+    val pred = col("vec_id") % 2 === 0
+    val got = Similarity.graphBeamSearchFiltered(emb, qs, g, med,
+        beamWidth = 4, rounds = 6, candidatePred = pred)
+      .as[(Long, Long, Long, Double)].collect()
+    // Every returned candidate is eligible, and each query gets a
+    // FULL beam of eligible candidates (11 evens excl. self exist).
+    assert(got.forall(_._3 % 2 == 0))
+    assert(got.groupBy(_._1).values.forall(_.length == 4))
+    // An always-true predicate reduces exactly to the unfiltered
+    // walk — the filter changes WHICH rows score, never how.
+    val allTrue = Similarity.graphBeamSearchFiltered(emb, qs, g, med,
+        beamWidth = 4, rounds = 6, candidatePred = lit(true))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val plain = Similarity.graphBeamSearch(emb, qs, g, med,
+        beamWidth = 4, rounds = 6)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(allTrue == plain)
+  }
+
   test("navigable graph: reverse edges, degree cap, alpha prune") {
     // Hand-checkable line corpus: vectors along two directions where
     // the α rule provably fires. a=(1,0), b=(0.99,0.14)-ish (near a),

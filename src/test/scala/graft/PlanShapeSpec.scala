@@ -467,6 +467,50 @@ class PlanShapeSpec extends SparkSpec {
       s"pr_ranks_salted lost the salted first-stage exchange\n$p")
   }
 
+  test("filtered beam walk: predicate below the per-round ranking and gather join") {
+    // e41's contract: the eligibility predicate applies to candidate
+    // rows BEFORE scoring — below the per-query ranking window and
+    // below the gather join — so ineligible vectors never reach the
+    // cosine kernel and a beam slot is never spent on one. The
+    // rounds cut eagerly (the returned plan is a window over a
+    // checkpoint scan), so the pin reads the round plans through the
+    // Checkpointing capture hook.
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Checkpointing, Similarity}
+    val emb = Tables.embeddings(spark, sf)
+    val g = Similarity.knnGraphProbed(emb, "label", k = 4, nprobe = 2)
+      .select(col("vec_id"), col("nbr_id"))
+    val med = Similarity.cellMedoids(emb, "label")
+    Checkpointing.capturedPlans.clear()
+    spark.conf.set(Checkpointing.CaptureKey, "true")
+    try {
+      Similarity.graphBeamSearchFiltered(emb,
+        emb.filter(col("vec_id") < 3), g, med,
+        beamWidth = 4, rounds = 1,
+        candidatePred = col("label") % 2 === 0)
+    } finally {
+      spark.conf.unset(Checkpointing.CaptureKey)
+    }
+    val plans = {
+      import scala.jdk.CollectionConverters._
+      Checkpointing.capturedPlans.asScala.toList
+    }
+    Checkpointing.capturedPlans.clear()
+    val rounds = plans.filter(p =>
+      p.contains("windowspecdefinition") && p.contains("% 2) = 0"))
+    assert(rounds.nonEmpty,
+      s"no captured round plan carries both the ranking window and " +
+        s"the predicate; captured ${plans.size} plans")
+    for (p <- rounds) {
+      val wIdx = p.indexOf("Window")
+      val jIdx = p.indexOf("Join", wIdx)
+      val fIdx = p.indexOf("% 2) = 0", jIdx)
+      assert(wIdx >= 0 && jIdx > wIdx && fIdx > jIdx,
+        s"predicate not below the gather join and ranking window " +
+          s"(window@$wIdx join@$jIdx filter@$fIdx)\n$p")
+    }
+  }
+
   test("bloom-pruned decontamination filters the gram stream") {
     // d42's contract: the probe-gram bloom prunes the exploded
     // corpus grams BEFORE the candidate equi-join, via a scalar
