@@ -1149,6 +1149,51 @@ object PageRankQueries {
               |SELECT u, v, aa_e6 FROM pred
               |ORDER BY aa_e6 DESC, u, v LIMIT 20""".stripMargin)),
 
+    // Jaccard link prediction (LinkPredict.jaccardTopK) — the
+    // degree-normalized sibling of g5: |N∩|/|N∪| favors pairs whose
+    // neighborhoods overlap PROPORTIONALLY where Adamic-Adar favors
+    // pairs near rare hubs; running both is how link-prediction
+    // baselines are actually reported. Same wedge-enumeration scale
+    // shape (never per-pair adjacency intersection); the score is
+    // an exact integer division — no float anywhere on either
+    // engine. At sf0.1 the synthetic word graph SATURATES (complete
+    // on its 31-word vocabulary), so the non-adjacent candidate set
+    // — and therefore this row and g5 — is correctly empty there;
+    // both engines agree on the empty prediction set.
+    Q("g22_jaccard_links",
+      (s, d) => {
+        val e = LinkGraph.wordFollowEdges(Tables.documents(s, d), "text")
+        graft.graph.LinkPredict.jaccardTopK(e, k = 20)
+      },
+      Some(s"""WITH $edgeCtes,
+              |und AS (
+              |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              |  FROM e WHERE src <> dst
+              |),
+              |adj AS (
+              |  SELECT a AS w, b AS m FROM und
+              |  UNION ALL SELECT b, a FROM und
+              |),
+              |deg AS (SELECT w, count(*) AS d FROM adj GROUP BY w),
+              |com AS (
+              |  SELECT x.m AS u, y.m AS v,
+              |    CAST(count(*) AS BIGINT) AS n_common
+              |  FROM adj x JOIN adj y ON x.w = y.w AND x.m < y.m
+              |  GROUP BY x.m, y.m
+              |),
+              |pred AS (
+              |  SELECT c.u, c.v, c.n_common,
+              |    CAST(c.n_common * 1000000
+              |      // (du.d + dv.d - c.n_common) AS BIGINT) AS jac_e6
+              |  FROM com c
+              |  JOIN deg du ON du.w = c.u
+              |  JOIN deg dv ON dv.w = c.v
+              |  LEFT JOIN und ON und.a = c.u AND und.b = c.v
+              |  WHERE und.a IS NULL
+              |)
+              |SELECT u, v, n_common, jac_e6 FROM pred
+              |ORDER BY jac_e6 DESC, u, v LIMIT 20""".stripMargin)),
+
     // The complete reference pipeline with its EXACT page semantics
     // (PageRank.runOnPages): fabricated wiki pages whose outlinks
     // point at other titles (plus a deterministic share of dangling

@@ -1431,6 +1431,110 @@ object PipelineQueries {
               |)
               |ORDER BY doc_id""".stripMargin)),
 
+    // Packing-efficiency CURVE: d72's FFD packer swept over the
+    // sequence lengths a trainer actually chooses between (64/128/
+    // 256/512 tokens), at the d25 shard assignment — the d68-style
+    // tuning table ("which seq length wastes least padding on THIS
+    // corpus") closing the loop d56 opened by measuring waste.
+    // util_e4 = packed tokens / (sequences × cap). Scale shape: one
+    // shard-key exchange per cap over the same HOF fold as d72, then
+    // a bounded per-shard aggregate and a 4-row union; the oracle
+    // runs the identical fold as ONE recursive CTE keyed on
+    // (cap, shard).
+    Q("d73_pack_curve",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val total = docs
+          .select(coalesce(
+            sum(expr(s"size(${TextHash.sparkTokens("text")})"))
+              .cast("long"), lit(0L))).head.getLong(0)
+        val shards = TextAnalysis.shardsFor(total, seqTokens = 64,
+          targetSeqsPerShard = 200)
+        Seq(64, 128, 256, 512).map { cap =>
+          TextAnalysis.packSequencesFfd(docs, seqTokens = cap,
+              shards = shards)
+            .groupBy("shard")
+            .agg(count(lit(1)).as("nd"),
+              (max("seq_id") + 1).as("ns"),
+              sum(least(col("n_tokens"), lit(cap.toLong))).as("used"))
+            .agg(sum("nd").as("n_docs"), sum("ns").as("n_seqs"),
+              sum("used").as("packed_tokens"))
+            .select(lit(cap.toLong).as("cap"), col("n_docs"),
+              col("n_seqs"), col("packed_tokens"),
+              floor(col("packed_tokens").cast("double")
+                / (col("n_seqs") * cap) * 10000 + 0.5).cast("long")
+                .as("util_e4"))
+        }.reduce(_ union _).orderBy("cap")
+      },
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id,
+              |    ${TextHash.duckDocFingerprint("CAST(doc_id AS VARCHAR)")}
+              |      * ${Sampling.Mixer} % ${Sampling.MixMod}
+              |      % ${Sampling.Buckets} AS bucket,
+              |    CAST(len(${TextHash.duckTokens("text")}) AS BIGINT)
+              |      AS n_tokens
+              |  FROM documents
+              |),
+              |shc AS (
+              |  SELECT GREATEST(1, CAST(CEIL(
+              |    CAST(SUM(n_tokens) AS DOUBLE) / (64.0 * 200)) AS BIGINT))
+              |    AS s
+              |  FROM tok
+              |),
+              |sharded AS (
+              |  SELECT c.cap, doc_id, bucket % (SELECT s FROM shc) AS shard,
+              |    LEAST(n_tokens, c.cap) AS l
+              |  FROM tok, (SELECT unnest([64, 128, 256, 512]) AS cap) c
+              |),
+              |rk AS (
+              |  SELECT cap, doc_id, shard, l,
+              |    row_number() OVER (PARTITION BY cap, shard
+              |      ORDER BY l DESC, doc_id) AS rank
+              |  FROM sharded
+              |),
+              |sh AS (SELECT DISTINCT cap, shard FROM rk)
+              |SELECT CAST(cap AS BIGINT) AS cap,
+              |  CAST(sum(nd) AS BIGINT) AS n_docs,
+              |  CAST(sum(ns) AS BIGINT) AS n_seqs,
+              |  CAST(sum(used) AS BIGINT) AS packed_tokens,
+              |  CAST(floor(CAST(sum(used) AS DOUBLE)
+              |    / (sum(ns) * cap) * 10000 + 0.5) AS BIGINT) AS util_e4
+              |FROM (
+              |  WITH RECURSIVE r(cap, shard, step, used, doc_id, l) AS (
+              |    SELECT cap, shard, 0, CAST([] AS BIGINT[]),
+              |      CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+              |    FROM sh
+              |    UNION ALL
+              |    SELECT rk.cap, rk.shard, r.step + 1,
+              |      CASE WHEN fi IS NULL THEN list_append(r.used, rk.l)
+              |           ELSE list_transform(r.used, (u, i) ->
+              |             CASE WHEN i = fi THEN u + rk.l ELSE u END) END,
+              |      rk.doc_id, rk.l
+              |    FROM r
+              |    JOIN rk ON rk.cap = r.cap AND rk.shard = r.shard
+              |      AND rk.rank = r.step + 1,
+              |    LATERAL (SELECT list_aggregate(list_transform(r.used,
+              |      (u, i) -> CASE WHEN u + rk.l <= rk.cap THEN i END),
+              |      'min') AS fi) f
+              |  ),
+              |  fin AS (
+              |    SELECT cap, shard, max(step) AS last_step,
+              |      count(doc_id) AS nd, sum(l) AS used
+              |    FROM r WHERE doc_id IS NOT NULL GROUP BY cap, shard
+              |  ),
+              |  seqs AS (
+              |    SELECT r.cap, r.shard, len(r.used) AS ns
+              |    FROM r JOIN fin ON fin.cap = r.cap AND fin.shard = r.shard
+              |      AND r.step = fin.last_step
+              |  )
+              |  SELECT fin.cap, fin.shard, fin.nd AS nd, seqs.ns AS ns,
+              |    fin.used AS used
+              |  FROM fin JOIN seqs ON seqs.cap = fin.cap
+              |    AND seqs.shard = fin.shard
+              |)
+              |GROUP BY cap
+              |ORDER BY cap""".stripMargin)),
+
     // KMV (k-minimum-values) distinct-count sketch — the cardinality
     // estimator alongside the frequency (d18) and similarity (d3/d4)
     // sketches: corpus-distinct 3-gram SHINGLE count (the size of the
@@ -3750,6 +3854,79 @@ object PipelineQueries {
               |  CAST(coalesce(h.h, 0) * 2500 AS BIGINT) AS recall_e4
               |FROM q LEFT JOIN h ON h.query_id = q.query_id
               |ORDER BY q.query_id""".stripMargin)),
+
+    // Filtered walk over the NAVIGABLE graph — the production
+    // pairing (e41 walks the raw probed-kNN graph; e42 shows what
+    // that costs under a 50% predicate). The filtered twin of
+    // e30-vs-e26: same predicate, same filtered-brute-force ground
+    // truth, the e28 graph in place of the raw one. Measured
+    // recall@4 across the three test SFs: 0.85/0.85/0.55 vs the raw
+    // graph's 0.975/0.825/0.50 — the reverse-edge build helps where
+    // the corpus is large enough for the eligible subgraph to
+    // fragment (sf0.01/0.1) and costs a little where the raw graph
+    // was already near-complete (sf0.001: α-pruned edges were the
+    // ones the filter needed). Filtered ANN tuning needs BOTH rows
+    // visible, which is exactly what these gates are for.
+    Q("e43_filtered_nav_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val pred = col("label") % 2 === 0
+        val qs = emb.filter(col("vec_id") < 10)
+        val exact = Similarity.bruteForceTopK(emb.filter(pred), qs, k = 4)
+          .select(col("query_id"), col("cand_id"))
+        val nav = Similarity.navigableGraph(emb,
+            Similarity.knnGraphProbed(emb, "label", k = 16, nprobe = 2)
+              .select(col("vec_id"), col("nbr_id")))
+          .select(col("vec_id"), col("nbr_id"))
+        val walk = Similarity.graphBeamSearchFiltered(emb, qs, nav,
+            Similarity.cellMedoids(emb, "label"),
+            beamWidth = 16, rounds = 4, candidatePred = pred)
+          .filter(col("rank") <= 4)
+          .select(col("query_id"), col("cand_id"))
+        val hits = exact.join(walk, Seq("query_id", "cand_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("h"))
+        qs.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("h"), lit(0L)).as("n_hits"),
+            (coalesce(col("h"), lit(0L)) * 2500).as("recall_e4"))
+          .orderBy("query_id")
+      },
+      Some {
+        s"""WITH $probedKnnCtes,
+           |${navGraphCtes(graphK = 16, alpha100 = 120,
+                           maxDeg = 16, maxCand = 32)},
+           |${beamWalkCtes(graphK = 16, rounds = 4, beamWidth = 16,
+                           graphSql =
+                             Some("SELECT vec_id, nbr_id FROM nav"),
+                           candPred = Some("v.label % 2 = 0"))},
+           |w4 AS (
+           |  SELECT query_id, cand_id FROM (
+           |    SELECT query_id, cand_id, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rn
+           |    FROM bfinal
+           |  ) WHERE rn <= 4
+           |),
+           |ex0 AS (
+           |  SELECT q.query_id, c.vec_id AS cand_id,
+           |    row_number() OVER (PARTITION BY q.query_id
+           |      ORDER BY ${TextHash.duckCosine("q.qe", "c.emb", 64)}
+           |        DESC, c.vec_id) AS rank
+           |  FROM q JOIN e c
+           |    ON c.vec_id <> q.query_id AND c.label % 2 = 0
+           |),
+           |exact AS (SELECT query_id, cand_id FROM ex0 WHERE rank <= 4),
+           |hits AS (
+           |  SELECT query_id, count(*) AS h
+           |  FROM exact JOIN w4 USING (query_id, cand_id)
+           |  GROUP BY query_id
+           |)
+           |SELECT q.query_id,
+           |  coalesce(h, 0) AS n_hits,
+           |  coalesce(h, 0) * 2500 AS recall_e4
+           |FROM q LEFT JOIN hits ON hits.query_id = q.query_id
+           |ORDER BY q.query_id""".stripMargin
+      }),
 
     // Navigable-graph BUILD (Vamana/NSW construction — the missing
     // twin of e25's search): symmetrize the degree-16 probed kNN

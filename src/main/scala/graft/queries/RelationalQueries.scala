@@ -1299,7 +1299,52 @@ object RelationalQueries {
              |    ORDER BY drawdown DESC, o_orderdate, o_orderkey) AS rn
              |  FROM dd
              |) WHERE rn = 1
-             |ORDER BY o_custkey""".stripMargin))
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // Cohort LTV matrix: customers grouped by FIRST-order month
+    // (the acquisition cohort), revenue and activity tracked by
+    // months-since-acquisition — the (cohort × age) triangle every
+    // subscription/commerce warehouse reports, and the revenue
+    // sibling of q45's event retention. Scale shape: the first-month
+    // derivation is one min() aggregate on the high-cardinality
+    // customer key (partial-aggregated), joined back to orders on
+    // the same key, then one partial-agg exchange on the BOUNDED
+    // (cohort, age) grid; month arithmetic is exact integers
+    // (year·12+month), money stays at 2 decimals.
+    Q("q58_cohort_ltv",
+      (s, d) => {
+        val o = Tables.orders(s, d).select(col("o_custkey"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("m_idx"),
+          col("o_totalprice"))
+        val first = o.groupBy("o_custkey")
+          .agg(min("m_idx").as("cohort_m"))
+        o.join(first, "o_custkey")
+          .groupBy(col("cohort_m"),
+            (col("m_idx") - col("cohort_m")).as("months_since"))
+          .agg(countDistinct("o_custkey").as("n_customers"),
+            count(lit(1)).as("n_orders"),
+            round(sum("o_totalprice"), 2).as("revenue"))
+          .orderBy("cohort_m", "months_since")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_custkey,
+             |    CAST(year(o_orderdate) * 12 + month(o_orderdate)
+             |      AS BIGINT) AS m_idx,
+             |    o_totalprice
+             |  FROM orders
+             |),
+             |f AS (
+             |  SELECT o_custkey, min(m_idx) AS cohort_m
+             |  FROM o GROUP BY o_custkey
+             |)
+             |SELECT cohort_m, m_idx - cohort_m AS months_since,
+             |  CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+             |  count(*) AS n_orders,
+             |  round(sum(o_totalprice), 2) AS revenue
+             |FROM o JOIN f USING (o_custkey)
+             |GROUP BY 1, 2
+             |ORDER BY cohort_m, months_since""".stripMargin))
   )
 
   private val GroupingSetsSql =

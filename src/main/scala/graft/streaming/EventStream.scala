@@ -303,6 +303,65 @@ object EventStream {
       }
   }
 
+  /** The OPEN SCD-2 version per user (the one-row state of the
+    * streaming dimension build). Public for Spark's state encoder
+    * codegen.
+    */
+  case class Scd2State(version: Long, state_type: String,
+      valid_from_us: Long)
+
+  case class Scd2Out(user_id: Long, version: Long, state: String,
+      valid_from: Long, valid_to: Long)
+
+  /** Streaming twin of q57's SCD-2 dimension build: per-user state
+    * is the OPEN version (type + valid_from + version counter); an
+    * event whose type DIFFERS from the open version closes it —
+    * emitting the finished validity interval exactly once — and
+    * opens the next; same-type events fold in silently (q57's
+    * change-only semantics). Append mode emits CLOSED versions only:
+    * the open row is not final until its successor arrives, so the
+    * streamed output equals the batch q57 rows with
+    * `is_current = false` (EventStreamSpec pins it, incl. a
+    * cross-microbatch close).
+    *
+    * No timeout: the open version IS the dimension's current row —
+    * state is O(users), the inherent floor of any SCD build (a
+    * dimension that forgets a user's current state cannot version
+    * their next change correctly).
+    */
+  def scd2(spark: SparkSession, events: Dataset[Event])
+      : Dataset[Scd2Out] = {
+    import spark.implicits._
+
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Out](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event],
+            state: GroupState[Scd2State]) =>
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var cur = state.getOption
+          val out = Seq.newBuilder[Scd2Out]
+          for (e <- sorted) {
+            val t = micros(e.ts)
+            cur match {
+              case Some(c) if c.state_type != e.event_type =>
+                out += Scd2Out(userId, c.version, c.state_type,
+                  c.valid_from_us, t)
+                cur = Some(Scd2State(c.version + 1, e.event_type, t))
+              case Some(_) => // same type: fold into the open version
+              case None =>
+                cur = Some(Scd2State(1L, e.event_type, t))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Stored as-of match: the user's latest click so far (the ONE-ROW
     * state the streaming as-of join keeps per user). Public for
     * Spark's state encoder codegen.

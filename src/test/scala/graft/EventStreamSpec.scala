@@ -468,4 +468,54 @@ class EventStreamSpec extends SparkSpec {
         330 * 60000000L, 10 * 60000000L)))
     } finally q.stop()
   }
+
+  test("parity: streaming SCD-2 closed versions equal the batch q57 non-current rows") {
+    // user 1's state changes SPAN the micro-batch boundary (the
+    // version opened by event 3 in batch 1 closes via event 5 in
+    // batch 2); user 2 folds consecutive same-type events into one
+    // version; user 3 never changes (one open version, nothing
+    // closed, nothing emitted).
+    val b1 = Seq(ev(1, 10, 1, "view"), ev(2, 20, 1, "view"),
+      ev(3, 30, 1, "click"), ev(4, 10, 2, "signup"),
+      ev(7, 15, 3, "view"))
+    val b2 = Seq(ev(5, 40, 1, "purchase"), ev(6, 50, 2, "signup"),
+      ev(8, 60, 2, "error"), ev(9, 70, 3, "view"))
+    val stream = MemoryStream[Event](spark)
+    val q = EventStream.scd2(spark, stream.toDS())
+      .writeStream.format("memory").queryName("scd2_t")
+      .outputMode("append").start()
+    try {
+      stream.addData(b1: _*)
+      q.processAllAvailable()
+      stream.addData(b2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("scd2_t")
+        .as[(Long, Long, String, Long, Long)].collect().toSet
+      // Batch reference: the q57 chain, keeping only CLOSED versions.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("tsl"), col("event_id"))
+      val batch = (b1 ++ b2).toDF()
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tsl"), col("event_type"))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"))
+        .withColumn("valid_to", lead("tsl", 1).over(w))
+        .withColumn("version", row_number().over(w).cast("long"))
+        .filter(col("valid_to").isNotNull)
+        .select(col("user_id"), col("version"),
+          col("event_type"), col("tsl"), col("valid_to"))
+        .as[(Long, Long, String, Long, Long)].collect().toSet
+      assert(streamed == batch)
+      // Cross-batch close happened: user 1's click version (opened
+      // batch 1) closed at event 5's ts (batch 2).
+      assert(streamed.contains(
+        (1L, 2L, "click", 30 * 60000000L, 40 * 60000000L)))
+      // Same-type folding: user 2's two signups are ONE version.
+      assert(streamed.count(r => r._1 == 2L && r._3 == "signup") == 1)
+      // Never-changed user emits nothing.
+      assert(!streamed.exists(_._1 == 3L))
+    } finally q.stop()
+  }
 }
