@@ -1230,6 +1230,56 @@ object Multimodal {
     }
   }
 
+  case class TiffStats(doc_id: Long, width: Long, height: Long,
+      samples_per_pixel: Long, photometric: Long, n_strips: Long,
+      sum_px: Long, pixels_md5: String)
+
+  /** Planted TIFF corpus: real [[Tiff.encode]] streams sweeping both
+    * byte orders, gray-8 vs RGB-8, multiple strips (rowsPerStrip
+    * 1-3, so the count-nStrips offset/bytecount arrays exercise BOTH
+    * the inline and the offset-indirected storage paths), and a
+    * short final strip. Pixels are id formulas so the decode oracle
+    * restates them.
+    */
+  def tiffTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (4 + id % 5).toInt
+        val h = (4 + (id * 3) % 5).toInt
+        val spp = if (id % 2 == 0) 3 else 1
+        val photometric = if (spp == 3) 2 else if (id % 4 == 1) 0 else 1
+        val px = Array.tabulate(w * h * spp) { i =>
+          val c = i % spp; val x = (i / spp) % w; val y = i / spp / w
+          ((id * 41 + y * 7 + x * 3 + c * 11) % 256).toByte
+        }
+        val payload = Tiff.encode(w, h, spp, photometric, px,
+          little = id % 3 == 0, rowsPerStrip = (1 + id % 3).toInt)
+        MediaRow(id, "image/tiff", payload.length.toLong, payload)
+      }
+    }.toDF()
+  }
+
+  /** REAL TIFF decode ([[Tiff.parse]]: endian-aware IFD walk with
+    * array-valued entries, strip reassembly) reduced to per-image
+    * stats; `pixels_md5` binds every decoded sample. Undecodable
+    * payloads drop row-local. Map-side only.
+    */
+  def decodeTiffStats(spark: SparkSession, media: DataFrame)
+      : Dataset[TiffStats] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        Tiff.parse(r.payload).map { d =>
+          val (hex, sum) = pixelDigest(d.pixels)
+          TiffStats(r.doc_id, d.width.toLong, d.height.toLong,
+            d.samplesPerPixel.toLong, d.photometric.toLong,
+            d.nStrips.toLong, sum, hex)
+        }
+      }
+    }
+  }
+
   case class Mp3Row(doc_id: Long, title: String, artist: String,
       tlen_ms: Long, bitrate_kbps: Long, sample_rate: Long,
       n_frames: Long)

@@ -5036,6 +5036,49 @@ object PipelineQueries {
              |  CAST(3 + doc_id % 5 AS BIGINT) AS n_frames
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // REAL TIFF decode (Tiff.parse over Multimodal.tiffTable): the
+    // sixth codec — endian-aware IFD walk with ARRAY-valued entries
+    // (StripOffsets/ByteCounts sweep both inline and
+    // offset-indirected storage via rowsPerStrip 1-3), strip
+    // reassembly incl. a short final strip, gray-8 and RGB-8,
+    // photometric reported not applied so the md5 binds the file's
+    // raw samples. Map-side decode; corrupt payloads drop row-local.
+    Q("m32_tiff_decode",
+      (s, d) => Multimodal.decodeTiffStats(s,
+          Multimodal.tiffTable(s, Tables.documents(s, d)))
+        .toDF().orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id,
+             |    4 + doc_id % 5 AS w,
+             |    4 + (doc_id * 3) % 5 AS h,
+             |    CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS spp,
+             |    1 + doc_id % 3 AS rps
+             |  FROM documents
+             |),
+             |px AS (
+             |  SELECT doc_id, w, h, spp, rps,
+             |    gy.y AS y, gx.x AS x, gc.c AS c,
+             |    (doc_id * 41 + gy.y * 7 + gx.x * 3 + gc.c * 11) % 256
+             |      AS b
+             |  FROM dims,
+             |    (SELECT unnest(range(0, 8)) AS y) gy,
+             |    (SELECT unnest(range(0, 8)) AS x) gx,
+             |    (SELECT unnest(range(0, 3)) AS c) gc
+             |  WHERE gy.y < h AND gx.x < w AND gc.c < spp
+             |)
+             |SELECT doc_id, CAST(w AS BIGINT) AS width,
+             |  CAST(h AS BIGINT) AS height,
+             |  CAST(spp AS BIGINT) AS samples_per_pixel,
+             |  CAST(CASE WHEN spp = 3 THEN 2
+             |    WHEN doc_id % 4 = 1 THEN 0 ELSE 1 END AS BIGINT)
+             |    AS photometric,
+             |  CAST((h + rps - 1) // rps AS BIGINT) AS n_strips,
+             |  CAST(SUM(b) AS BIGINT) AS sum_px,
+             |  md5(lower(string_agg(lpad(to_hex(b), 2, '0'), ''
+             |    ORDER BY y, x, c))) AS pixels_md5
+             |FROM px GROUP BY doc_id, w, h, spp, rps
+             |ORDER BY doc_id""".stripMargin)),
+
     // REAL baseline JPEG decode: planted images go through the FULL
     // lossy codec — forward DCT + Annex K quantization + canonical
     // Huffman entropy coding at write time; marker walk, huffman

@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.{Gif, Jpeg, Mp3, Netpbm, Png, Wav}
+import graft.multimodal.{Gif, Jpeg, Mp3, Netpbm, Png, Tiff, Wav}
 
 /** Deterministic fuzz for the pure-JVM codecs: at corpus scale the
   * decoders face untrusted bytes, so the contract is total — every
@@ -36,6 +36,10 @@ class CodecFuzzSpec extends SparkSpec {
       Mp3.parse(body)
       // past the ID3 magic + a valid v2.3 version, into the tag walker
       Mp3.parse("ID3".getBytes("US-ASCII") ++ Array[Byte](3, 0) ++ body)
+      Tiff.parse(body)
+      // past the byte-order magic, into the IFD machine (both orders)
+      Tiff.parse("II".getBytes("US-ASCII") ++ Array[Byte](42, 0) ++ body)
+      Tiff.parse("MM".getBytes("US-ASCII") ++ Array[Byte](0, 42) ++ body)
     }
     succeed
   }
@@ -73,6 +77,12 @@ class CodecFuzzSpec extends SparkSpec {
       Array.tabulate(24)(i => (i * 131) % 1001))
     val mp3 = Mp3.encode(Mp3.Meta("fuzz title", "fuzz artist", 31000L,
       bitrateKbps = 192, sampleRate = 44100, nFrames = 3))
+    val tiffRgb = Tiff.encode(6, 5, 3, 2,
+      Array.tabulate(90)(i => (i * 7).toByte), little = true,
+      rowsPerStrip = 2)
+    val tiffGray = Tiff.encode(5, 7, 1, 1,
+      Array.tabulate(35)(i => (i * 13).toByte), little = false,
+      rowsPerStrip = 3)
     val rnd = new scala.util.Random(0xFA22)
     for ((base, dec) <- Seq[(Array[Byte], Array[Byte] => Option[Any])](
         (png, Png.decode), (palPng, Png.decode), (wav, Wav.decode),
@@ -80,7 +90,7 @@ class CodecFuzzSpec extends SparkSpec {
         (gif, Gif.decode), (animGif, Gif.decodeFrames(_)),
         (animGif, Gif.animMeta(_)),
         (ppm, Netpbm.decode), (pgm16, Netpbm.decode),
-        (mp3, Mp3.parse))) {
+        (mp3, Mp3.parse), (tiffRgb, Tiff.parse), (tiffGray, Tiff.parse))) {
       // every single-byte flip at every position, 4 flip values each
       for (pos <- base.indices; _ <- 1 to 4) {
         val m = base.clone()
