@@ -49,26 +49,27 @@ object Walks {
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var frontier = seeds.select(col("node")).distinct()
-      .select(col("node").as("walk_id"), lit(0L).as("step"), col("node"))
-      .lineageCut
-    var out = frontier
-    for (st <- 1 to steps) {
-      val nxt = frontier.join(a, frontier("node") === a("src"))
-        .filter(col("idx") ===
-          (string_poly_hash(col("node")) * 31 + st) % col("outdeg"))
-        .select(col("walk_id"), lit(st.toLong).as("step"),
-          col("dst").as("node"))
+    try {
+      var frontier = seeds.select(col("node")).distinct()
+        .select(col("node").as("walk_id"), lit(0L).as("step"), col("node"))
         .lineageCut
-      out = out.union(nxt)
-      frontier = nxt
-    }
-    // Every frontier branch is eagerly cut, so nothing in `out`'s
-    // lineage still reads the cached adjacency — release it here
-    // (the Sssp.run release-on-return discipline) instead of leaking
-    // one edge cache per evaluation in a long-lived session.
-    a.unpersist()
-    out
+      var out = frontier
+      for (st <- 1 to steps) {
+        val nxt = frontier.join(a, frontier("node") === a("src"))
+          .filter(col("idx") ===
+            (string_poly_hash(col("node")) * 31 + st) % col("outdeg"))
+          .select(col("walk_id"), lit(st.toLong).as("step"),
+            col("dst").as("node"))
+          .lineageCut
+        out = out.union(nxt)
+        frontier = nxt
+      }
+      out
+      // Every frontier branch is eagerly cut, so nothing in `out`'s
+      // lineage still reads the cached adjacency — release it in
+      // finally (the KCore.survivors discipline: a failed mid-walk
+      // cut must not leak the cache either).
+    } finally a.unpersist(blocking = false)
   }
 
   /** Skip-gram (center, context) pair extraction over a walk corpus

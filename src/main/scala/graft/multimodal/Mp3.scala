@@ -45,7 +45,15 @@ object Mp3 {
     require(bi >= 1, s"unsupported bitrate ${meta.bitrateKbps}")
     require(si >= 0, s"unsupported samplerate ${meta.sampleRate}")
     require(meta.nFrames >= 1, "at least one audio frame")
-    require(meta.tlenMs >= 0, "TLEN must be non-negative")
+    // Encode's domain must equal parse's acceptance set (the
+    // Tiff/Exif guard discipline), or a planted row silently
+    // disappears on the read side: parse caps TLEN at 15 digits and
+    // reads text as ISO-8859-1 (getBytes would lossily substitute
+    // '?' for anything outside Latin-1, breaking the roundtrip).
+    require(meta.tlenMs >= 0 && meta.tlenMs < 1000000000000000L,
+      "TLEN must be 0 <= ms < 10^15")
+    require((meta.title + meta.artist).forall(_ <= 'ÿ'),
+      "title/artist must be ISO-8859-1-encodable")
 
     def textFrame(id: String, text: String): Array[Byte] = {
       val body = 0.toByte +: text.getBytes("ISO-8859-1")
@@ -113,7 +121,11 @@ object Mp3 {
         val sz = ((bytes(p + 4) & 0xFF) << 24) |
           ((bytes(p + 5) & 0xFF) << 16) |
           ((bytes(p + 6) & 0xFF) << 8) | (bytes(p + 7) & 0xFF)
-        if (sz < 0 || p + 10 + sz > tagEnd) return None
+        // Overflow-safe bound: `p + 10 + sz > tagEnd` wraps negative
+        // for sz near Int.MaxValue and would accept the frame, then
+        // index out of bounds — compare against the remaining room
+        // instead (loop guard ensures tagEnd - 10 - p >= 0).
+        if (sz < 0 || sz > tagEnd - 10 - p) return None
         id match {
           case "TIT2" | "TPE1" | "TLEN" =>
             if (sz < 1 || bytes(p + 10) != 0) return None // ISO-8859-1 only

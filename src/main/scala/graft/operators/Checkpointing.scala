@@ -57,7 +57,11 @@ object Checkpointing {
     */
   def cut(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    if (spark.conf.getOption(CaptureKey).exists(_.toBoolean))
+    // Bounded at 256: a capture flag left on across a long session
+    // must not grow a JVM-global queue without limit (tests clear()
+    // before use, so the bound never bites a real pin).
+    if (spark.conf.getOption(CaptureKey).exists(_.toBoolean) &&
+        capturedPlans.size < 256)
       capturedPlans.add(df.queryExecution.optimizedPlan.toString)
     val reliable =
       spark.conf.getOption(ReliableKey).exists(_.toBoolean)

@@ -331,6 +331,11 @@ object TextAnalysis {
         (lit(cap) - col("l")).as("k"), col("doc_id").as("doc_id"),
         col("l").as("l"), col("n_tokens").as("n_tokens")))).as("ds"))
       .withColumn("placed", expr(
+        // The first-fit index (array_min over eligible slots) is
+        // bound ONCE per document via a transform over a one-element
+        // array — SQL lambdas have no `let`, and inlining it at each
+        // of its four use sites would re-scan the fill array 4x per
+        // doc (the DuckDB mirror binds it once via LATERAL).
         s"""aggregate(
            |  ds,
            |  named_struct(
@@ -338,28 +343,20 @@ object TextAnalysis {
            |    'out', cast(array() as
            |      array<struct<doc_id: bigint, n_tokens: bigint,
            |                   seq: bigint, off: bigint>>)),
-           |  (acc, x) -> named_struct(
-           |    'used',
-           |    if(array_min(transform(acc.used,
-           |         (u, i) -> if(u + x.l <= $cap, i, cast(null as int))))
-           |       is null,
-           |      concat(acc.used, array(x.l)),
-           |      transform(acc.used, (u, i) ->
-           |        if(i = array_min(transform(acc.used, (u2, i2) ->
-           |             if(u2 + x.l <= $cap, i2, cast(null as int)))),
-           |          u + x.l, u))),
-           |    'out',
-           |    concat(acc.out, array(named_struct(
-           |      'doc_id', x.doc_id,
-           |      'n_tokens', x.n_tokens,
-           |      'seq', cast(coalesce(
-           |        array_min(transform(acc.used, (u, i) ->
-           |          if(u + x.l <= $cap, i, cast(null as int)))),
-           |        size(acc.used)) as bigint),
-           |      'off', coalesce(get(acc.used,
-           |        array_min(transform(acc.used, (u, i) ->
-           |          if(u + x.l <= $cap, i, cast(null as int))))),
-           |        0L))))),
+           |  (acc, x) -> get(transform(
+           |    array(array_min(transform(acc.used,
+           |      (u, i) -> if(u + x.l <= $cap, i, cast(null as int))))),
+           |    fi -> named_struct(
+           |      'used',
+           |      if(fi is null,
+           |        concat(acc.used, array(x.l)),
+           |        transform(acc.used, (u, i) -> if(i = fi, u + x.l, u))),
+           |      'out',
+           |      concat(acc.out, array(named_struct(
+           |        'doc_id', x.doc_id,
+           |        'n_tokens', x.n_tokens,
+           |        'seq', cast(coalesce(fi, size(acc.used)) as bigint),
+           |        'off', coalesce(get(acc.used, fi), 0L)))))), 0),
            |  acc -> acc.out)""".stripMargin))
       .select(col("shard"), explode(col("placed")).as("p"))
     folded.select(col("p.doc_id").as("doc_id"), col("shard"),

@@ -20,6 +20,13 @@ object EventStream {
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 
+  /** Timestamp → epoch micros, shared by every stateful twin (the
+    * getTime millis already include the first three nano digits, so
+    * only the sub-milli remainder is added back).
+    */
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000) % 1000
+
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long)
 
@@ -144,9 +151,6 @@ object EventStream {
       : Dataset[FunnelState] = {
     import spark.implicits._
 
-    def micros(t: java.sql.Timestamp): Long =
-      t.getTime * 1000L + (t.getNanos / 1000) % 1000
-
     events
       .groupByKey(_.user_id)
       .mapGroupsWithState[FunnelState, FunnelState](
@@ -204,9 +208,6 @@ object EventStream {
       watermark: String = "1 hour"): Dataset[TransitionOut] = {
     import spark.implicits._
 
-    def micros(t: java.sql.Timestamp): Long =
-      t.getTime * 1000L + (t.getNanos / 1000) % 1000
-
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
@@ -252,9 +253,6 @@ object EventStream {
       gapMicros: Long = 1800L * 1000000L,
       watermark: String = "1 hour"): Dataset[SessionOut] = {
     import spark.implicits._
-
-    def micros(t: java.sql.Timestamp): Long =
-      t.getTime * 1000L + (t.getNanos / 1000) % 1000
 
     def toTs(us: Long): java.sql.Timestamp = {
       val t = new java.sql.Timestamp(us / 1000)
@@ -304,11 +302,12 @@ object EventStream {
   }
 
   /** The OPEN SCD-2 version per user (the one-row state of the
-    * streaming dimension build). Public for Spark's state encoder
+    * streaming dimension build) plus the event-time high-water mark
+    * used to drop late arrivals. Public for Spark's state encoder
     * codegen.
     */
   case class Scd2State(version: Long, state_type: String,
-      valid_from_us: Long)
+      valid_from_us: Long, last_ts_us: Long)
 
   case class Scd2Out(user_id: Long, version: Long, state: String,
       valid_from: Long, valid_to: Long)
@@ -319,10 +318,19 @@ object EventStream {
     * emitting the finished validity interval exactly once — and
     * opens the next; same-type events fold in silently (q57's
     * change-only semantics). Append mode emits CLOSED versions only:
-    * the open row is not final until its successor arrives, so the
-    * streamed output equals the batch q57 rows with
-    * `is_current = false` (EventStreamSpec pins it, incl. a
-    * cross-microbatch close).
+    * the open row is not final until its successor arrives, so on
+    * IN-ORDER delivery the streamed output equals the batch q57
+    * rows with `is_current = false` (EventStreamSpec pins it, incl.
+    * a cross-microbatch close).
+    *
+    * Late data: an event older than the user's event-time high-water
+    * mark is DROPPED (one per-user scalar in state) — without the
+    * guard a straggler would close the open version with
+    * `valid_to < valid_from` and permanently desynchronize version
+    * numbers from the batch build. Emitted intervals are therefore
+    * always non-negative and version numbers monotone; the dropped
+    * straggler is the same trade every watermark operator here
+    * makes, just enforced per user since SCD state never expires.
     *
     * No timeout: the open version IS the dimension's current row —
     * state is O(users), the inherent floor of any SCD build (a
@@ -332,9 +340,6 @@ object EventStream {
   def scd2(spark: SparkSession, events: Dataset[Event])
       : Dataset[Scd2Out] = {
     import spark.implicits._
-
-    def micros(t: java.sql.Timestamp): Long =
-      t.getTime * 1000L + (t.getNanos / 1000) % 1000
 
     events
       .groupByKey(_.user_id)
@@ -348,13 +353,16 @@ object EventStream {
           for (e <- sorted) {
             val t = micros(e.ts)
             cur match {
+              case Some(c) if t < c.last_ts_us =>
+              // late straggler: dropped (see Scaladoc)
               case Some(c) if c.state_type != e.event_type =>
                 out += Scd2Out(userId, c.version, c.state_type,
                   c.valid_from_us, t)
-                cur = Some(Scd2State(c.version + 1, e.event_type, t))
-              case Some(_) => // same type: fold into the open version
+                cur = Some(Scd2State(c.version + 1, e.event_type, t, t))
+              case Some(c) => // same type: fold into the open version
+                cur = Some(c.copy(last_ts_us = t))
               case None =>
-                cur = Some(Scd2State(1L, e.event_type, t))
+                cur = Some(Scd2State(1L, e.event_type, t, t))
             }
           }
           cur.foreach(state.update)
@@ -395,9 +403,6 @@ object EventStream {
       idleGapMicros: Long = 24L * 3600 * 1000000,
       watermark: String = "1 hour"): Dataset[AsOfOut] = {
     import spark.implicits._
-
-    def micros(t: java.sql.Timestamp): Long =
-      t.getTime * 1000L + (t.getNanos / 1000) % 1000
 
     events
       .withWatermark("ts", watermark)

@@ -516,6 +516,21 @@ class EventStreamSpec extends SparkSpec {
       assert(streamed.count(r => r._1 == 2L && r._3 == "signup") == 1)
       // Never-changed user emits nothing.
       assert(!streamed.exists(_._1 == 3L))
+      // Late-data guard: a straggler OLDER than the user's high-water
+      // mark is dropped — no inverted interval, no version churn.
+      stream.addData(ev(10, 35, 1, "error"))
+      q.processAllAvailable()
+      val after = spark.table("scd2_t")
+        .as[(Long, Long, String, Long, Long)].collect().toSet
+      assert(after == streamed,
+        "a late straggler must not close or open any version")
+      // An in-order successor still closes the open purchase version.
+      stream.addData(ev(11, 80, 1, "view"))
+      q.processAllAvailable()
+      val closed = spark.table("scd2_t")
+        .as[(Long, Long, String, Long, Long)].collect().toSet
+      assert(closed.contains(
+        (1L, 3L, "purchase", 40 * 60000000L, 80 * 60000000L)))
     } finally q.stop()
   }
 }
