@@ -41,6 +41,23 @@ object Harmonic {
     *   score their OWN distance-0 term as nothing)
     */
   def fromLandmarks(edges: DataFrame, landmarks: DataFrame,
+      maxHops: Int): DataFrame =
+    landmarkDistances(edges, landmarks, maxHops)
+      .filter(col("dist") > 0)
+      .select(col("node"),
+        floor(lit(1000000.0) / col("dist")).cast("long").as("c"))
+      .groupBy("node").agg(sum("c").as("harm_e6"))
+
+  /** The (landmark, node, min-dist) table under [[fromLandmarks]] —
+    * exposed because eccentricity/diameter cards (g23) consume the
+    * same multi-source BFS before a different reduction. Every
+    * round's carry is eagerly cut, so the returned frame reads
+    * checkpoint blocks and the symmetric edge cache releases here.
+    *
+    * @return (lm, node, dist) for every node within `maxHops` of
+    *   each landmark, including the landmark itself at dist 0
+    */
+  def landmarkDistances(edges: DataFrame, landmarks: DataFrame,
       maxHops: Int): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     val und = edges.select(col("src"), col("dst"))
@@ -69,10 +86,7 @@ object Harmonic {
           .groupBy("lm", "node").agg(min("dist").as("dist"))
           .lineageCut
       }
-      dist.filter(col("dist") > 0)
-        .select(col("node"),
-          floor(lit(1000000.0) / col("dist")).cast("long").as("c"))
-        .groupBy("node").agg(sum("c").as("harm_e6"))
+      dist
     } finally e.unpersist(blocking = false)
   }
 }

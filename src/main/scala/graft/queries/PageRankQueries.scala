@@ -1011,6 +1011,56 @@ object PageRankQueries {
               |FROM md WHERE dist > 0
               |GROUP BY node ORDER BY node""".stripMargin)),
 
+    // Landmark eccentricity card (Harmonic.landmarkDistances → max
+    // reduction): per landmark, how many nodes it reaches within 6
+    // hops and the FARTHEST one's distance — the bounded-hop
+    // eccentricity estimate whose max over landmarks lower-bounds
+    // the graph diameter (the Eppstein-Wang trade g10 already makes
+    // for closeness, reduced by max instead of Σ1/d). Same
+    // multi-source BFS: one symmetric-edge shuffle, per-round
+    // frontier joins keyed by landmark, O(|L|·V) state.
+    Q("g23_eccentricity",
+      (s, d) => {
+        val e = LinkGraph.wordFollowEdges(Tables.documents(s, d), "text")
+        val nd = e.filter(col("src") =!= col("dst"))
+        val nodes = nd.select(col("src").as("node"))
+          .union(nd.select(col("dst").as("node"))).distinct()
+        val landmarks = nodes.orderBy("node").limit(5)
+        graft.graph.Harmonic.landmarkDistances(e, landmarks, maxHops = 6)
+          .groupBy(col("lm").as("landmark"))
+          .agg((count(lit(1)) - 1).as("n_reached"),
+            max("dist").as("ecc"))
+          .orderBy("landmark")
+      },
+      Some(s"""WITH RECURSIVE $edgeCtes,
+              |und AS (
+              |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              |  FROM e WHERE src <> dst
+              |),
+              |sym AS (
+              |  SELECT a AS u, b AS v FROM und
+              |  UNION ALL
+              |  SELECT b AS u, a AS v FROM und
+              |),
+              |lms AS (
+              |  SELECT u AS lm FROM sym GROUP BY u ORDER BY u LIMIT 5
+              |),
+              |walk(lm, node, dist) AS (
+              |  SELECT lm, lm, 0 FROM lms
+              |  UNION
+              |  SELECT w.lm, s.v, w.dist + 1
+              |  FROM walk w JOIN sym s ON s.u = w.node
+              |  WHERE w.dist < 6
+              |),
+              |md AS (
+              |  SELECT lm, node, min(dist) AS dist
+              |  FROM walk GROUP BY lm, node
+              |)
+              |SELECT lm AS landmark,
+              |  CAST(count(*) - 1 AS BIGINT) AS n_reached,
+              |  CAST(max(dist) AS BIGINT) AS ecc
+              |FROM md GROUP BY lm ORDER BY landmark""".stripMargin)),
+
     // Directed 3-node motif census: cyclic (a→b→c→a, counted once at
     // the smallest corner) vs transitive (a→b, b→c, a→c — unique
     // source/sink, counted directly) triangles over the word graph —

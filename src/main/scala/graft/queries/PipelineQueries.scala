@@ -1535,6 +1535,62 @@ object PipelineQueries {
               |GROUP BY cap
               |ORDER BY cap""".stripMargin)),
 
+    // Held-out n-gram COVERAGE — the inverse of decontamination
+    // (d15 asks "is eval data leaking INTO the corpus?"; this asks
+    // "how much of a held-out set does the corpus already cover?" —
+    // the memorization/novelty audit run before trusting held-out
+    // perplexity): per held-out doc (every 97th), the fraction of
+    // its distinct token 5-grams present anywhere in the REST of the
+    // corpus. Scale shape: one distinct exchange builds the corpus
+    // gram set (the d2 inverted-index class — gram-keyed,
+    // partial-agg'd), the probe side left-joins on the gram key
+    // (co-partitioned; ≤1 match per gram BY distinctness), coverage
+    // is exact integer division per doc. No pair scan anywhere.
+    Q("d74_gram_coverage",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .filter(length(trim(col("text"))) > 0)
+          .withColumn("_toks", expr(TextHash.sparkTokens("text")))
+          .filter(size(col("_toks")) >= 5)
+        def grams(c: DataFrame) = c.select(col("doc_id"),
+          explode(array_distinct(expr(
+            "transform(sequence(1, size(_toks) - 4), " +
+              "i -> array_join(slice(_toks, i, 5), ' '))"))).as("gram"))
+        val held = grams(docs.filter(col("doc_id") % 97 === 0))
+        val corpusGrams = grams(docs.filter(col("doc_id") % 97 =!= 0))
+          .select("gram").distinct().withColumn("_hit", lit(1L))
+        held.join(corpusGrams, Seq("gram"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(coalesce(col("_hit"), lit(0L))).as("n_covered"))
+          .select(col("doc_id"), col("n_grams"), col("n_covered"),
+            expr("CAST(n_covered * 10000 div n_grams AS BIGINT)")
+              .as("cov_e4"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH dt AS (
+              |  SELECT doc_id, ${TextHash.duckTokens("text")} AS toks
+              |  FROM documents WHERE length(trim(text)) > 0
+              |),
+              |g AS (
+              |  SELECT doc_id, unnest(list_distinct(list_transform(
+              |    range(1, len(toks) - 3),
+              |    i -> array_to_string(list_slice(toks, i, i + 4), ' '))))
+              |    AS gram
+              |  FROM dt WHERE len(toks) >= 5
+              |),
+              |held AS (SELECT * FROM g WHERE doc_id % 97 = 0),
+              |cg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 <> 0)
+              |SELECT h.doc_id,
+              |  count(*) AS n_grams,
+              |  CAST(sum(CASE WHEN cg.gram IS NOT NULL THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_covered,
+              |  CAST(sum(CASE WHEN cg.gram IS NOT NULL THEN 1 ELSE 0 END)
+              |    * 10000 // count(*) AS BIGINT) AS cov_e4
+              |FROM held h LEFT JOIN cg USING (gram)
+              |GROUP BY h.doc_id
+              |ORDER BY h.doc_id""".stripMargin)),
+
     // KMV (k-minimum-values) distinct-count sketch — the cardinality
     // estimator alongside the frequency (d18) and similarity (d3/d4)
     // sketches: corpus-distinct 3-gram SHINGLE count (the size of the
