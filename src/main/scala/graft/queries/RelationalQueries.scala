@@ -1344,7 +1344,54 @@ object RelationalQueries {
              |  round(sum(o_totalprice), 2) AS revenue
              |FROM o JOIN f USING (o_custkey)
              |GROUP BY 1, 2
-             |ORDER BY cohort_m, months_since""".stripMargin))
+             |ORDER BY cohort_m, months_since""".stripMargin)),
+
+    // TPC-H Q9 shape (product-line profit): per (supplier nation,
+    // order year), sum of line profit = discounted revenue minus a
+    // retail-derived cost proxy, over one product family (the
+    // dataset has no partsupp table, so p_retailprice·qty·0.6 stands
+    // in for ps_supplycost·qty — the JOIN SHAPE is the point). The
+    // heaviest relational plan in the suite: a 5-way join where
+    // lineitem joins orders on the fact key while part/supplier/
+    // nation broadcast (dimension sides — no shuffle of the fact
+    // table for them), then one partial-agg exchange on the bounded
+    // (nation, year) grid. The part filter prunes BEFORE the join
+    // (pushed to the scan). Literal discipline: CAST(0.6 AS DOUBLE)
+    // on the DuckDB side — a bare 0.6 is DECIMAL and would round
+    // differently.
+    Q("q59_profit",
+      (s, d) => {
+        val p = Tables.part(s, d)
+          .filter(col("p_name").like("%widget%"))
+        val l = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+        val sup = Tables.supplier(s, d)
+        val n = Tables.nation(s, d)
+        l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"),
+            year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(round(sum(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+              - col("p_retailprice") * col("l_quantity") * lit(0.6)), 2)
+            .as("profit"))
+          .orderBy(col("nation"), col("o_year").desc)
+      },
+      Some("""SELECT n_name AS nation,
+             |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             |  round(sum(l_extendedprice * (1.0 - l_discount)
+             |    - p_retailprice * l_quantity * CAST(0.6 AS DOUBLE)), 2)
+             |    AS profit
+             |FROM lineitem
+             |JOIN part ON l_partkey = p_partkey
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |WHERE p_name LIKE '%widget%'
+             |GROUP BY 1, 2
+             |ORDER BY nation, o_year DESC""".stripMargin))
   )
 
   private val GroupingSetsSql =
