@@ -362,6 +362,58 @@ object PageRank {
     }
   }
 
+  /** Per-iteration CONVERGENCE CURVE: the max-|Δrank| residual after
+    * each of `iterations` fixed updates — the tuning card for
+    * choosing an iteration budget (the reference hardwires 10; this
+    * row shows what each iteration buys, the d68/e36 curve shape
+    * applied to the graph family). One row per iteration, residual
+    * on the e9 integer grid.
+    *
+    * Scale shape: the statics cut once (the [[run]] layout); each
+    * iteration's rank table is eagerly cut because it is read TWICE
+    * (next update + residual join) — lazy, the plan would double per
+    * iteration. The residual is a one-row aggregate per iteration,
+    * all `iterations` of them unioned into one bounded output.
+    */
+  def residualCurve(edges: DataFrame, iterations: Int = 10,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "at least one iteration")
+    val e = edges.select("src", "dst").distinct()
+    val outDeg = e.groupBy("src").agg(count("*").as("outdeg"))
+    val linked = e.join(outDeg, "src")
+      .repartition(col("src"))
+      .lineageCut
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .lineageCut
+    val n = nodes.count()
+    var ranks = nodes.withColumn("rank", lit(1.0 / n)).lineageCut
+    var out: DataFrame = null
+    for (i <- 1 to iterations) {
+      val contribs = linked
+        .join(ranks, linked("src") === ranks("node"))
+        .select(linked("dst").as("node"),
+          (col("rank") / col("outdeg")).as("contrib"))
+        .groupBy("node").agg(sum("contrib").as("incoming"))
+      val next = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) +
+            lit(damping) * coalesce(col("incoming"), lit(0.0))).as("rank"))
+        .lineageCut
+      val res = next
+        .join(ranks.withColumnRenamed("rank", "prev"), "node")
+        .agg(max(abs(col("rank") - col("prev"))).as("r"))
+        .select(lit(i.toLong).as("iter"),
+          floor(col("r") * 1000000000L + 0.5).cast("long")
+            .as("residual_e9"))
+      out = if (out == null) res else out.union(res)
+      ranks = next
+    }
+    out
+  }
+
   /** PageRank with the reference's EXACT page semantics
     * (/root/reference/PageRank.java:437-530): the node set is the
     * page/title set (not src ∪ dst), initial rank is 1/N with N the

@@ -1061,6 +1061,53 @@ object PageRankQueries {
               |  CAST(max(dist) AS BIGINT) AS ecc
               |FROM md GROUP BY lm ORDER BY landmark""".stripMargin)),
 
+    // PageRank convergence CURVE (PageRank.residualCurve): max-|Δ|
+    // residual after each of 10 fixed iterations, e9-scaled — the
+    // iteration-budget tuning card (what does iteration k buy?),
+    // the d68/e36 curve shape for the graph family. Float parity:
+    // the oracle's teleport term is written `1.0 - 0.85` (NOT the
+    // literal 0.15) so both engines compute the identical IEEE
+    // double; residuals compare on the e9 grid (the g9 HITS
+    // convention — summation-order effects sit ~7 orders below it).
+    Q("g24_pr_residuals",
+      (s, d) => {
+        val e = LinkGraph.wordFollowEdges(Tables.documents(s, d), "text")
+        PageRank.residualCurve(e, iterations = 10).orderBy("iter")
+      },
+      Some {
+        val steps = (1 to 10).map { i =>
+          s"""r$i AS MATERIALIZED (
+             |  SELECT n.node,
+             |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+             |      + CAST(0.85 AS DOUBLE) *
+             |        coalesce(sum(p.rank / ed.outdeg), CAST(0 AS DOUBLE))
+             |      AS rank
+             |  FROM nodes n
+             |  LEFT JOIN ed ON ed.dst = n.node
+             |  LEFT JOIN r${i - 1} p ON p.node = ed.src
+             |  GROUP BY n.node
+             |)""".stripMargin
+        }.mkString(",\n")
+        val residuals = (1 to 10).map { i =>
+          s"""SELECT CAST($i AS BIGINT) AS iter,
+             |  CAST(floor(max(abs(a.rank - b.rank)) * 1000000000
+             |    + 0.5) AS BIGINT) AS residual_e9
+             |FROM r$i a JOIN r${i - 1} b USING (node)""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH $edgeCtes,
+           |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+           |ed AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
+           |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |r0 AS (
+           |  SELECT node,
+           |    CAST(1.0 AS DOUBLE) / (SELECT count(*) FROM nodes) AS rank
+           |  FROM nodes
+           |),
+           |$steps
+           |$residuals
+           |ORDER BY iter""".stripMargin
+      }),
+
     // Directed 3-node motif census: cyclic (a→b→c→a, counted once at
     // the smallest corner) vs transitive (a→b, b→c, a→c — unique
     // source/sink, counted directly) triangles over the word graph —
