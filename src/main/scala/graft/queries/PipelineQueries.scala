@@ -7107,6 +7107,57 @@ object PipelineQueries {
               |FROM p GROUP BY label, vb
               |ORDER BY label, vec_id""".stripMargin)),
 
+    // SemDeDup threshold-sensitivity curve — the d68 tuning-table
+    // shape for EMBEDDING dedup (d68 tunes the text-LSH threshold;
+    // this tunes e12's cosine bar): per candidate threshold, how
+    // many docs the semantic dedup would remove and the removal rate
+    // — what an operator reads before committing a bar to a corpus
+    // (too low silently halves the corpus, too high keeps paraphrase
+    // clusters). Scale shape: the in-cluster pair space materializes
+    // ONCE per threshold through the same co-partitioned cell join
+    // as e12 (never cross-cluster), each threshold reduces to one
+    // row, and the corpus count is a broadcast one-row scalar; the
+    // oracle computes each pair's cosine once and sweeps thresholds
+    // over it.
+    Q("e44_semdedup_curve",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val nRow = emb.agg(count(lit(1)).as("n"))
+        Seq(20, 25, 30, 35).map { t =>
+          Similarity.semDedup(emb, "label",
+              minSim = t / 100.0)
+            .agg(count(lit(1)).as("n_removed"))
+            .select(lit(t.toLong).as("min_sim_e2"), col("n_removed"))
+        }.reduce(_ union _)
+          .crossJoin(broadcast(nRow))
+          .select(col("min_sim_e2"), col("n"), col("n_removed"),
+            expr("CAST(n_removed * 10000 div n AS BIGINT)")
+              .as("removed_e4"))
+          .orderBy("min_sim_e2")
+      },
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+              |  FROM embeddings
+              |),
+              |pc AS MATERIALIZED (
+              |  SELECT a.vec_id AS va, b.vec_id AS vb,
+              |    ${TextHash.duckCosine("a.emb", "b.emb", 64)} AS c
+              |  FROM e a JOIN e b
+              |    ON a.label = b.label AND a.vec_id < b.vec_id
+              |),
+              |nn AS (SELECT count(*) AS n FROM e),
+              |t AS (SELECT unnest([20, 25, 30, 35]) AS thr)
+              |SELECT CAST(t.thr AS BIGINT) AS min_sim_e2,
+              |  CAST(nn.n AS BIGINT) AS n,
+              |  CAST(count(DISTINCT pc.vb) AS BIGINT) AS n_removed,
+              |  CAST(count(DISTINCT pc.vb) * 10000 // nn.n AS BIGINT)
+              |    AS removed_e4
+              |FROM t CROSS JOIN nn
+              |LEFT JOIN pc
+              |  ON pc.c >= CAST(t.thr AS DOUBLE) / CAST(100 AS DOUBLE)
+              |GROUP BY t.thr, nn.n
+              |ORDER BY min_sim_e2""".stripMargin)),
+
     // ANN quality EVALUATION as a first-class query: recall@5 of the
     // nprobe=1 IVF probe against the brute-force ground truth, per
     // probe query — the measurement a pipeline runs before trusting
