@@ -467,6 +467,50 @@ class PlanShapeSpec extends SparkSpec {
       s"pr_ranks_salted lost the salted first-stage exchange\n$p")
   }
 
+  test("round-11 relational/pipeline shapes: broadcasts, window keys, no pair scans") {
+    // q59 (TPC-H Q9 shape): every dimension side broadcasts; the
+    // fact table must never shuffle through a sort-merge join before
+    // the bounded (nation, year) aggregate.
+    val q59 = plan("q59_profit")
+    assert("BroadcastHashJoin".r.findAllIn(q59).length >= 4,
+      s"q59 lost its all-broadcast dimension joins\n$q59")
+    assert(!q59.contains("SortMergeJoin") &&
+      !q59.contains("CartesianProduct"),
+      s"q59 shuffles the fact table through a dimension join\n$q59")
+    // q57/q58: windows and aggregates keyed on the high-cardinality
+    // user/customer key — never a corpus-wide window.
+    for ((q, key) <- Seq(("q57_scd2", "user_id"),
+        ("q56_drawdown", "o_custkey"))) {
+      val p = plan(q)
+      val parts = "windowspecdefinition\\((\\w+)#".r
+        .findAllMatchIn(p).map(_.group(1)).toSet
+      assert(parts == Set(key),
+        s"$q windows must key on $key only: $parts")
+    }
+    // d72/d73: the FFD fold is an object aggregate over the shard
+    // key — no window over doc rows, no pair join anywhere.
+    for (q <- Seq("d72_ffd_pack", "d73_pack_curve")) {
+      val p = plan(q)
+      assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+        s"$q lost the per-shard fold aggregate\n$p")
+      assert(!p.contains("Window") && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoop"),
+        s"$q regressed to a window/pair scan\n$p")
+    }
+    // d74: gram coverage is equi-join only — a NLJ here would be the
+    // all-pairs doc scan the operator exists to avoid.
+    val d74 = plan("d74_gram_coverage")
+    assert(!d74.contains("CartesianProduct") &&
+      !d74.contains("BroadcastNestedLoop"),
+      s"d74 regressed to a pair scan\n$d74")
+    // g24: eager per-iteration cuts leave the returned plan a union
+    // of one-row aggregates over checkpoint scans — re-running the
+    // iteration chain here would mean the cuts regressed.
+    val g24 = plan("g24_pr_residuals")
+    assert(g24.contains("ExistingRDD"),
+      s"g24 re-runs the rank chain instead of reading checkpoints\n$g24")
+  }
+
   test("filtered beam walk: predicate below the per-round ranking and gather join") {
     // e41's contract: the eligibility predicate applies to candidate
     // rows BEFORE scoring — below the per-query ranking window and
