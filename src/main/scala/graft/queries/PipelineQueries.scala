@@ -1591,6 +1591,83 @@ object PipelineQueries {
               |GROUP BY h.doc_id
               |ORDER BY h.doc_id""".stripMargin)),
 
+    // Train/val/test SPLIT-LEAKAGE audit: deterministic 80/10/10
+    // hash split (the d14 Sampling bucket — reshuffle-stable), then
+    // count d3's verified near-dup pairs per (split_a, split_b) cell
+    // — off-diagonal cells are evaluation leakage (a val doc whose
+    // near-duplicate sits in train scores as memorization, not
+    // generalization). The audit every split ships with: splitting
+    // BEFORE deduping is the classic silent benchmark-inflation bug.
+    // Scale shape: the pair list is d3's banded candidate join
+    // (never all-pairs); the split table joins it twice on the doc
+    // key; the output is the bounded 3x3 grid.
+    Q("d75_split_leakage",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bucket = Sampling.hashBucket(col("doc_id")) % 10
+        val split = docs.select(col("doc_id"),
+          when(bucket < 8, "train")
+            .when(bucket === 8, "val")
+            .otherwise("test").as("split"))
+        Dedup.minhashLshPairs(docs, minJaccard = 0.8)
+          .select("da", "db")
+          .join(split.select(col("doc_id").as("da"),
+            col("split").as("split_a")), "da")
+          .join(split.select(col("doc_id").as("db"),
+            col("split").as("split_b")), "db")
+          .groupBy("split_a", "split_b")
+          .agg(count(lit(1)).as("n_pairs"))
+          .select(col("split_a"), col("split_b"), col("n_pairs"),
+            (col("split_a") =!= col("split_b")).as("is_leak"))
+          .orderBy("split_a", "split_b")
+      },
+      Some(s"""WITH ${TextHash.duckToksCte},
+              |${TextHash.duckShinglesCte},
+              |${TextHash.duckMinHashCte},
+              |${TextHash.duckBandsCte},
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+              |  FROM bands a JOIN bands b
+              |    ON a.band = b.band AND a.sig = b.sig
+              |   AND a.doc_id < b.doc_id
+              |),
+              |ix AS (
+              |  SELECT c.da, c.db, count(*) AS inter
+              |  FROM cand c
+              |  JOIN sh x ON x.doc_id = c.da
+              |  JOIN sh y ON y.doc_id = c.db AND y.s = x.s
+              |  GROUP BY c.da, c.db
+              |),
+              |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |pairs AS (
+              |  SELECT ix.da, ix.db
+              |  FROM ix
+              |  JOIN sz x ON x.doc_id = ix.da
+              |  JOIN sz y ON y.doc_id = ix.db
+              |  WHERE CAST(ix.inter AS DOUBLE) / (x.n + y.n - ix.inter)
+              |    >= 0.8
+              |),
+              |split AS (
+              |  SELECT doc_id,
+              |    CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+              |      ELSE 'test' END AS split
+              |  FROM (
+              |    SELECT doc_id,
+              |      ${TextHash.duckDocFingerprint("CAST(doc_id AS VARCHAR)")}
+              |        * ${Sampling.Mixer} % ${Sampling.MixMod}
+              |        % ${Sampling.Buckets} % 10 AS b
+              |    FROM documents
+              |  )
+              |)
+              |SELECT sa.split AS split_a, sb.split AS split_b,
+              |  count(*) AS n_pairs,
+              |  sa.split <> sb.split AS is_leak
+              |FROM pairs p
+              |JOIN split sa ON sa.doc_id = p.da
+              |JOIN split sb ON sb.doc_id = p.db
+              |GROUP BY 1, 2
+              |ORDER BY split_a, split_b""".stripMargin)),
+
     // KMV (k-minimum-values) distinct-count sketch — the cardinality
     // estimator alongside the frequency (d18) and similarity (d3/d4)
     // sketches: corpus-distinct 3-gram SHINGLE count (the size of the
