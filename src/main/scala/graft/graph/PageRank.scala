@@ -68,6 +68,31 @@ object PageRank {
     else
       contribRows.groupBy("node").agg(sum("contrib").as("incoming"))
 
+  /** The static loop frames every count-based variant shares —
+    * factored so the parity-critical layout (distinct edges joined
+    * with out-degrees ONCE, src-partitioned, eagerly lineage-cut;
+    * rank/outdeg stays a division — precomputing 1/outdeg would
+    * double-round and break bit-parity with the SQL oracle) is
+    * stated once for [[run]], [[runPersonalized]] and
+    * [[residualCurve]].
+    *
+    * @return (linked = (src, dst, outdeg) cut, outDeg (lazy, small),
+    *   nodes cut, n = node count)
+    */
+  private def countStatics(edges: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, Long) = {
+    val e = edges.select("src", "dst").distinct()
+    val outDeg = e.groupBy("src").agg(count("*").as("outdeg"))
+    val linked = e.join(outDeg, "src")
+      .repartition(col("src"))
+      .lineageCut
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .lineageCut
+    (linked, outDeg, nodes, nodes.count())
+  }
+
   /** @param edges DataFrame with `src`, `dst` columns (any type).
     * @param checkpointEvery truncate rank lineage every N iterations
     *   (0 = never). Leave OFF for bounded iteration counts: the
@@ -101,28 +126,12 @@ object PageRank {
       checkpointEvery: Int = 0, saltHotKeys: Int = 0,
       redistributeDangling: Boolean = false,
       seedRanks: Option[DataFrame] = None): DataFrame = {
-    val e = edges.select("src", "dst").distinct()
-
-    // Static across iterations: (src, dst, outdeg), co-partitioned and
-    // materialized once (eager localCheckpoint — partitioning survives
-    // into the LogicalRDD, so the per-iteration join still reads the
-    // src-partitioned layout; blocks self-release with the RDD).
-    // This is the 100-TB side. (rank/outdeg stays a division —
-    // precomputing 1/outdeg would double-round and break bit-parity
-    // with the SQL oracle.)
-    val outDeg = e.groupBy("src").agg(count("*").as("outdeg"))
-    val linked = e.join(outDeg, "src")
-      .repartition(col("src"))
-      .lineageCut
-
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
-      .lineageCut
-
-    // The only driver-side scalar in the pipeline — mirrors the
-    // reference's phase-1 page count handed to phase 2 via job conf.
-    val n = nodes.count()
+    // Static across iterations ([[countStatics]]): (src, dst, outdeg)
+    // co-partitioned and materialized once — this is the 100-TB side.
+    // `n` is the only driver-side scalar in the pipeline — mirrors
+    // the reference's phase-1 page count handed to phase 2 via job
+    // conf.
+    val (linked, outDeg, nodes, n) = countStatics(edges)
 
     // Static dangling flags (node has no outlinks) — only built when
     // the conserving variant needs the per-iteration dangling mass.
@@ -191,15 +200,7 @@ object PageRank {
   def runPersonalized(edges: DataFrame, sources: DataFrame,
       iterations: Int = 10, damping: Double = 0.85,
       saltHotKeys: Int = 0): DataFrame = {
-    val e = edges.select("src", "dst").distinct()
-    val outDeg = e.groupBy("src").agg(count("*").as("outdeg"))
-    val linked = e.join(outDeg, "src")
-      .repartition(col("src"))
-      .lineageCut
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
-      .lineageCut
+    val (linked, _, nodes, _) = countStatics(edges)
     val s = sources.select(col("node")).distinct()
       .lineageCut
     val nSources = s.count() // O(1) driver scalar, like run()'s n
@@ -378,16 +379,7 @@ object PageRank {
   def residualCurve(edges: DataFrame, iterations: Int = 10,
       damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, "at least one iteration")
-    val e = edges.select("src", "dst").distinct()
-    val outDeg = e.groupBy("src").agg(count("*").as("outdeg"))
-    val linked = e.join(outDeg, "src")
-      .repartition(col("src"))
-      .lineageCut
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
-      .lineageCut
-    val n = nodes.count()
+    val (linked, _, nodes, n) = countStatics(edges)
     var ranks = nodes.withColumn("rank", lit(1.0 / n)).lineageCut
     var out: DataFrame = null
     for (i <- 1 to iterations) {

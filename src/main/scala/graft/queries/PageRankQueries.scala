@@ -32,6 +32,21 @@ object PageRankQueries {
     * and r0..r{iters} (unrolled — recursive CTEs can't aggregate).
     * Mirrors graft.graph.PageRank.run's semantics exactly.
     */
+  /** Landmark set for the g10/g23 distance cards — ONE recipe so the
+    * eccentricity card provably measures the same landmarks as the
+    * harmonic card it pairs with: the first 5 nodes (by name) of the
+    * symmetrized LOOP-FREE node set (a self-loop-only node has no
+    * BFS reach and its selection would diverge from the oracle's
+    * sym-derived set).
+    */
+  private def graphLandmarks(e: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val nd = e.filter(col("src") =!= col("dst"))
+    nd.select(col("src").as("node"))
+      .union(nd.select(col("dst").as("node"))).distinct()
+      .orderBy("node").limit(5)
+  }
+
   private def rankCtes(iters: Int): String = {
     val steps = (1 to iters).map { i =>
       s"""r$i AS (
@@ -971,14 +986,8 @@ object PageRankQueries {
     Q("g10_harmonic",
       (s, d) => {
         val e = LinkGraph.wordFollowEdges(Tables.documents(s, d), "text")
-        // landmark universe = the symmetrized loop-free node set (a
-        // self-loop-only node has no BFS reach and its selection
-        // would diverge from the oracle's sym-derived set)
-        val nd = e.filter(col("src") =!= col("dst"))
-        val nodes = nd.select(col("src").as("node"))
-          .union(nd.select(col("dst").as("node"))).distinct()
-        val landmarks = nodes.orderBy("node").limit(5)
-        graft.graph.Harmonic.fromLandmarks(e, landmarks, maxHops = 6)
+        graft.graph.Harmonic.fromLandmarks(e, graphLandmarks(e),
+          maxHops = 6)
           .orderBy("node")
       },
       Some(s"""WITH RECURSIVE $edgeCtes,
@@ -1022,11 +1031,8 @@ object PageRankQueries {
     Q("g23_eccentricity",
       (s, d) => {
         val e = LinkGraph.wordFollowEdges(Tables.documents(s, d), "text")
-        val nd = e.filter(col("src") =!= col("dst"))
-        val nodes = nd.select(col("src").as("node"))
-          .union(nd.select(col("dst").as("node"))).distinct()
-        val landmarks = nodes.orderBy("node").limit(5)
-        graft.graph.Harmonic.landmarkDistances(e, landmarks, maxHops = 6)
+        graft.graph.Harmonic.landmarkDistances(e, graphLandmarks(e),
+          maxHops = 6)
           .groupBy(col("lm").as("landmark"))
           .agg((count(lit(1)) - 1).as("n_reached"),
             max("dist").as("ecc"))

@@ -49,7 +49,13 @@ object PipelineQueries {
     * — so the output is a scaled integer via floor(j·10⁶ + 0.5),
     * bit-identical on both engines.
     */
-  private def jaccardTailSql(candSrc: String): String =
+  /** The `sz`/`jac` CTE core of exact Jaccard verification — ONE
+    * statement of the near-dup pair definition, shared by d3's final
+    * SELECT ([[jaccardTailSql]]) and d75's pairs CTE, so a threshold
+    * or formula change can never diverge the leakage audit from the
+    * dedup it audits.
+    */
+  private def jaccardCoreSql(candSrc: String): String =
     s"""sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |jac AS (
        |  SELECT ix.da, ix.db,
@@ -57,7 +63,10 @@ object PipelineQueries {
        |  FROM ($candSrc) ix
        |  JOIN sz x ON x.doc_id = ix.da
        |  JOIN sz y ON y.doc_id = ix.db
-       |)
+       |)""".stripMargin
+
+  private def jaccardTailSql(candSrc: String): String =
+    s"""${jaccardCoreSql(candSrc)}
        |SELECT da, db,
        |  CAST(floor(j * 1000000 + 0.5) AS BIGINT) AS jaccard_e6
        |FROM jac
@@ -1631,22 +1640,13 @@ object PipelineQueries {
               |    ON a.band = b.band AND a.sig = b.sig
               |   AND a.doc_id < b.doc_id
               |),
-              |ix AS (
-              |  SELECT c.da, c.db, count(*) AS inter
-              |  FROM cand c
-              |  JOIN sh x ON x.doc_id = c.da
-              |  JOIN sh y ON y.doc_id = c.db AND y.s = x.s
-              |  GROUP BY c.da, c.db
-              |),
-              |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-              |pairs AS (
-              |  SELECT ix.da, ix.db
-              |  FROM ix
-              |  JOIN sz x ON x.doc_id = ix.da
-              |  JOIN sz y ON y.doc_id = ix.db
-              |  WHERE CAST(ix.inter AS DOUBLE) / (x.n + y.n - ix.inter)
-              |    >= 0.8
-              |),
+              |${jaccardCoreSql(
+                 """SELECT c.da, c.db, count(*) AS inter
+                   |   FROM cand c
+                   |   JOIN sh x ON x.doc_id = c.da
+                   |   JOIN sh y ON y.doc_id = c.db AND y.s = x.s
+                   |   GROUP BY c.da, c.db""".stripMargin)},
+              |pairs AS (SELECT da, db FROM jac WHERE j >= 0.8),
               |split AS (
               |  SELECT doc_id,
               |    CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
@@ -7198,12 +7198,28 @@ object PipelineQueries {
     // over it.
     Q("e44_semdedup_curve",
       (s, d) => {
+        import graft.functions.CosineSimilarity.cosine_sim
         val emb = Tables.embeddings(s, d)
         val nRow = emb.agg(count(lit(1)).as("n"))
+        // ONE in-cluster pair scan at the loosest threshold (the
+        // oracle's single MATERIALIZED pc CTE; calling semDedup per
+        // threshold would re-run the dominant join 4x), on the RAW
+        // kernel cosine — thresholds must compare against the same
+        // unrounded doubles semDedup filters on.
+        val a = emb.select(col("label"), col("vec_id").as("va"),
+          col("embedding").as("ea"))
+        val b = emb.select(col("label"), col("vec_id").as("vb"),
+          col("embedding").as("eb"))
+        val pairs = a.join(b, Seq("label"))
+          .filter(col("va") < col("vb"))
+          .withColumn("sim", cosine_sim(col("ea"), col("eb")))
+          .filter(col("sim") >= 0.20)
+          .select(col("vb"), col("sim"))
+          .lineageCut
         Seq(20, 25, 30, 35).map { t =>
-          Similarity.semDedup(emb, "label",
-              minSim = t / 100.0)
-            .agg(count(lit(1)).as("n_removed"))
+          pairs
+            .agg(countDistinct(when(col("sim") >= t / 100.0, col("vb")))
+              .as("n_removed"))
             .select(lit(t.toLong).as("min_sim_e2"), col("n_removed"))
         }.reduce(_ union _)
           .crossJoin(broadcast(nRow))

@@ -477,8 +477,8 @@ class PlanShapeSpec extends SparkSpec {
     assert(!q59.contains("SortMergeJoin") &&
       !q59.contains("CartesianProduct"),
       s"q59 shuffles the fact table through a dimension join\n$q59")
-    // q57/q58: windows and aggregates keyed on the high-cardinality
-    // user/customer key — never a corpus-wide window.
+    // q56/q57: windows keyed on the high-cardinality customer/user
+    // key — never a corpus-wide window (q58 aggregates without one).
     for ((q, key) <- Seq(("q57_scd2", "user_id"),
         ("q56_drawdown", "o_custkey"))) {
       val p = plan(q)
