@@ -443,41 +443,42 @@ object PipelineQueries {
   private def beamWalkCtes(graphK: Int, rounds: Int,
       beamWidth: Int, probePred: String = "vec_id < 10",
       graphSql: Option[String] = None,
-      candPred: Option[String] = None): String = {
+      candPred: Option[String] = None,
+      sfx: String = ""): String = {
     // Candidate eligibility (e41): the predicate applies on the
     // candidate embedding row `v` INSIDE each round's scoring — the
     // SQL mirror of the Spark side's filter below the gather join.
     val b0Pred = candPred.fold("")(p => s" AND ($p)")
     val biPred = candPred.fold("")(p => s" WHERE ($p)")
     val walk = (1 to rounds).map { i =>
-      s"""c$i AS (
+      s"""c$sfx$i AS (
          |  SELECT DISTINCT query_id, cand_id FROM (
-         |    SELECT query_id, cand_id FROM b${i - 1}
+         |    SELECT query_id, cand_id FROM b$sfx${i - 1}
          |    UNION ALL
          |    SELECT b.query_id, g.nbr_id AS cand_id
-         |    FROM b${i - 1} b JOIN g ON g.vec_id = b.cand_id
+         |    FROM b$sfx${i - 1} b JOIN g$sfx g ON g.vec_id = b.cand_id
          |  ) WHERE cand_id <> query_id
          |),
-         |b$i AS MATERIALIZED (
+         |b$sfx$i AS MATERIALIZED (
          |  SELECT query_id, cand_id, sim FROM (
          |    SELECT s.*, row_number() OVER (PARTITION BY query_id
          |      ORDER BY sim DESC, cand_id) AS rn
          |    FROM (
          |      SELECT c.query_id, c.cand_id,
          |        ${TextHash.duckCosine("q.qe", "v.emb", 64)} AS sim
-         |      FROM c$i c JOIN q ON q.query_id = c.query_id
+         |      FROM c$sfx$i c JOIN q$sfx q ON q.query_id = c.query_id
          |      JOIN e v ON v.vec_id = c.cand_id$biPred
          |    ) s
          |  ) WHERE rn <= $beamWidth
          |)""".stripMargin
     }.mkString(",\n")
-    s"""g AS MATERIALIZED (
+    s"""g$sfx AS MATERIALIZED (
        |  ${graphSql.getOrElse(
               s"SELECT vec_id, nbr_id FROM r WHERE rank <= $graphK")}
        |),
-       |q AS (SELECT vec_id AS query_id, emb AS qe FROM e
+       |q$sfx AS (SELECT vec_id AS query_id, emb AS qe FROM e
        |      WHERE $probePred),
-       |ent AS (
+       |ent$sfx AS (
        |  SELECT vec_id AS cand_id FROM (
        |    SELECT v.vec_id,
        |      row_number() OVER (PARTITION BY v.label
@@ -486,20 +487,20 @@ object PipelineQueries {
        |    FROM e v JOIN cent c ON c.label = v.label
        |  ) WHERE rn = 1
        |),
-       |b0 AS MATERIALIZED (
+       |b${sfx}0 AS MATERIALIZED (
        |  SELECT query_id, cand_id, sim FROM (
        |    SELECT s.*, row_number() OVER (PARTITION BY query_id
        |      ORDER BY sim DESC, cand_id) AS rn
        |    FROM (
        |      SELECT q.query_id, en.cand_id,
        |        ${TextHash.duckCosine("q.qe", "v.emb", 64)} AS sim
-       |      FROM q, ent en JOIN e v ON v.vec_id = en.cand_id
+       |      FROM q$sfx q, ent$sfx en JOIN e v ON v.vec_id = en.cand_id
        |      WHERE en.cand_id <> q.query_id$b0Pred
        |    ) s
        |  ) WHERE rn <= $beamWidth
        |),
        |$walk,
-       |bfinal AS (SELECT * FROM b$rounds)""".stripMargin
+       |bfinal$sfx AS (SELECT * FROM b$sfx$rounds)""".stripMargin
   }
 
   /** DuckDB CTEs for the e28 navigable-graph build (mirrors
@@ -7250,6 +7251,69 @@ object PipelineQueries {
               |  ON pc.c >= CAST(t.thr AS DOUBLE) / CAST(100 AS DOUBLE)
               |GROUP BY t.thr, nn.n
               |ORDER BY min_sim_e2""".stripMargin)),
+
+    // Beam-WIDTH tuning curve for the graph walk — the knob the
+    // e36/e40 curves don't cover (nprobe tunes IVF, rerank depth the
+    // two-stage pipeline; beam width IS the graph-ANN quality/cost
+    // dial): aggregate recall@4 of the e25 walk at widths 4/8/16
+    // against brute-force ground truth, one row per width. Scale
+    // shape: each width's walk is the e25 plan (per-round cuts,
+    // bounded windows); ground truth computes once; the oracle
+    // instantiates the walk CTEs three times under width suffixes.
+    Q("e45_beam_curve",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") < 10)
+        val exact = Similarity.bruteForceTopK(emb, qs, k = 4)
+          .select("query_id", "cand_id")
+        val g = Similarity.knnGraphProbed(emb, "label", k = 16,
+            nprobe = 2)
+          .select(col("vec_id"), col("nbr_id"))
+        val med = Similarity.cellMedoids(emb, "label")
+        Seq(4, 8, 16).map { bw =>
+          val walk = Similarity.graphBeamSearch(emb, qs, g, med,
+              beamWidth = bw, rounds = 4)
+            .filter(col("rank") <= 4)
+            .select("query_id", "cand_id")
+          exact.join(walk, Seq("query_id", "cand_id"))
+            .agg(count(lit(1)).as("n_hits"))
+            .select(lit(bw.toLong).as("beam_width"), col("n_hits"),
+              expr("CAST(n_hits * 10000 div 40 AS BIGINT)")
+                .as("recall_e4"))
+        }.reduce(_ union _).orderBy("beam_width")
+      },
+      Some {
+        val walks = Seq(4, 8, 16).map { bw =>
+          beamWalkCtes(graphK = 16, rounds = 4, beamWidth = bw,
+            sfx = s"w$bw")
+        }.mkString(",\n")
+        val rows = Seq(4, 8, 16).map { bw =>
+          s"""SELECT CAST($bw AS BIGINT) AS beam_width,
+             |  CAST(count(*) AS BIGINT) AS n_hits,
+             |  CAST(count(*) * 10000 // 40 AS BIGINT) AS recall_e4
+             |FROM exact x JOIN (
+             |  SELECT query_id, cand_id FROM (
+             |    SELECT query_id, cand_id, row_number() OVER (
+             |      PARTITION BY query_id
+             |      ORDER BY sim DESC, cand_id) AS rn
+             |    FROM bfinalw$bw
+             |  ) WHERE rn <= 4
+             |) w ON w.query_id = x.query_id
+             |   AND w.cand_id = x.cand_id""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH $probedKnnCtes,
+           |$walks,
+           |ex0 AS (
+           |  SELECT q.query_id, c.vec_id AS cand_id,
+           |    row_number() OVER (PARTITION BY q.query_id
+           |      ORDER BY ${TextHash.duckCosine("q.qe", "c.emb", 64)}
+           |        DESC, c.vec_id) AS rank
+           |  FROM qw4 q JOIN e c ON c.vec_id <> q.query_id
+           |),
+           |exact AS (SELECT query_id, cand_id FROM ex0 WHERE rank <= 4)
+           |$rows
+           |ORDER BY beam_width""".stripMargin
+      }),
 
     // ANN quality EVALUATION as a first-class query: recall@5 of the
     // nprobe=1 IVF probe against the brute-force ground truth, per
