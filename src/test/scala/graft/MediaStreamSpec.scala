@@ -304,4 +304,55 @@ class MediaStreamSpec extends SparkSpec {
       assert(Multimodal.decodePngStats(spark, rows.toDF()).count() == 1)
     } finally q.stop()
   }
+
+  test("parity: streaming MP3/ID3 metadata walk equals the batch m31 plan") {
+    import graft.multimodal.Mp3
+    val rows = (1L to 6L).map { id =>
+      val p = Mp3.encode(Mp3.Meta("t" + id, "a" + (id % 3),
+        1000L * (10 + id), Array(128, 192, 256, 320)((id % 4).toInt),
+        Array(44100, 48000, 32000)((id % 3).toInt),
+        nFrames = (2 + id % 3).toInt))
+      Multimodal.MediaRow(id, "audio/mpeg", p.length.toLong, p)
+    } :+ Multimodal.MediaRow(99L, "audio/mpeg", 4L,
+      Array[Byte](0, 1, 2, 3)) // corrupt: drops row-local, both engines
+    val stream = MemoryStream[Multimodal.MediaRow](spark)
+    val q = Multimodal.parseMp3Meta(spark, stream.toDF())
+      .writeStream.format("memory").queryName("mp3_t")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("mp3_t").as[Multimodal.Mp3Row]
+        .collect().toSet
+      val want = Multimodal.parseMp3Meta(spark, rows.toDF())
+        .collect().toSet
+      assert(got == want && got.size == 6)
+    } finally q.stop()
+  }
+
+  test("parity: streaming TIFF decode equals the batch m32 stats plan") {
+    import graft.multimodal.Tiff
+    val rows = (1L to 6L).map { id =>
+      val w = 4 + (id % 3).toInt; val h = 3 + (id % 4).toInt
+      val spp = if (id % 2 == 0) 3 else 1
+      val photometric = if (spp == 3) 2 else 1
+      val px = Array.tabulate(w * h * spp)(i => (id * 19 + i * 5).toByte)
+      val p = Tiff.encode(w, h, spp, photometric, px,
+        little = id % 2 == 0, rowsPerStrip = (1 + id % 2).toInt)
+      Multimodal.MediaRow(id, "image/tiff", p.length.toLong, p)
+    }
+    val stream = MemoryStream[Multimodal.MediaRow](spark)
+    val q = Multimodal.decodeTiffStats(spark, stream.toDF())
+      .writeStream.format("memory").queryName("tiff_t")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("tiff_t").as[Multimodal.TiffStats]
+        .collect().toSet
+      val want = Multimodal.decodeTiffStats(spark, rows.toDF())
+        .collect().toSet
+      assert(got == want && got.size == 6)
+    } finally q.stop()
+  }
 }
