@@ -871,6 +871,77 @@ object PageRankQueries {
               |GROUP BY n.node
               |ORDER BY node""".stripMargin)),
 
+    // SCC CONDENSATION card (composes g6): collapse every strongly
+    // connected component to one node and report the DAG that
+    // remains — component count, size tail, singleton share, and
+    // the distinct component-to-component edge count. The
+    // "how cyclic is this graph really" card: a link graph whose
+    // condensation is nearly the whole graph is feed-forward; a few
+    // giant components mean link farms / citation rings (g11's motif
+    // census measures the same axis locally, this globally). Scale
+    // shape: component ids from g6's converged Scc.run; sizes are
+    // one partial-agg exchange; the DAG edge set is the edge list
+    // joined twice on the node key then a bounded distinct; scalars
+    // combine as broadcast one-row aggregates.
+    Q("g25_scc_condensation",
+      (s, d) => {
+        val e = LinkGraph.wordFollowEdges(Tables.documents(s, d), "text")
+        val comp = graft.graph.Scc.run(e).select(col("node"), col("scc"))
+        val sizes = comp.groupBy("scc").agg(count(lit(1)).as("sz"))
+        val card = sizes.agg(count(lit(1)).as("n_comps"),
+          sum("sz").as("n_nodes"),
+          max("sz").as("max_comp_size"),
+          sum(when(col("sz") === 1, 1L).otherwise(0L))
+            .as("n_singletons"))
+        val dag = e
+          .join(comp.select(col("node").as("src"), col("scc").as("ca")),
+            "src")
+          .join(comp.select(col("node").as("dst"), col("scc").as("cb")),
+            "dst")
+          .filter(col("ca") =!= col("cb"))
+          .select("ca", "cb").distinct()
+          .agg(count(lit(1)).as("n_dag_edges"))
+        card.crossJoin(broadcast(dag))
+      },
+      Some(s"""WITH RECURSIVE $edgeCtes,
+              |reach(a, b) AS (
+              |  SELECT src, dst FROM e
+              |  UNION
+              |  SELECT r.a, e2.dst FROM reach r JOIN e e2 ON e2.src = r.b
+              |),
+              |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+              |mutual AS (
+              |  SELECT r1.a AS u, r1.b AS v
+              |  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+              |),
+              |comp AS (
+              |  SELECT n.node,
+              |    least(n.node, coalesce(min(m.v), n.node)) AS scc
+              |  FROM nodes n LEFT JOIN mutual m ON m.u = n.node
+              |  GROUP BY n.node
+              |),
+              |sizes AS (SELECT scc, count(*) AS sz FROM comp GROUP BY scc),
+              |card AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_comps,
+              |    CAST(sum(sz) AS BIGINT) AS n_nodes,
+              |    CAST(max(sz) AS BIGINT) AS max_comp_size,
+              |    CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS n_singletons
+              |  FROM sizes
+              |),
+              |dag AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_dag_edges FROM (
+              |    SELECT DISTINCT a.scc AS ca, b.scc AS cb
+              |    FROM e
+              |    JOIN comp a ON a.node = e.src
+              |    JOIN comp b ON b.node = e.dst
+              |    WHERE a.scc <> b.scc
+              |  )
+              |)
+              |SELECT n_comps, n_nodes, max_comp_size, n_singletons,
+              |  n_dag_edges
+              |FROM card, dag""".stripMargin)),
+
     // k-CORE survivors (k=3, 6 synchronous peeling waves) over the
     // undirected word graph — the dense-subgraph primitive: nodes
     // keeping ≥3 surviving neighbors through every wave, with their
