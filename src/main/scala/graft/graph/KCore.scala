@@ -153,9 +153,12 @@ object KCore {
     var alive = symE.select(col("u").as("node")).distinct().lineageCut
     var out = alive.withColumn("core", lit(1L))
     for (k <- 2 to maxK) {
+      // Cut per WAVE, not per level: the plan otherwise nests two
+      // joins + an aggregate per wave, and a large caller-supplied
+      // `waves` reproduces the deep-plan blowup documented on
+      // LabelPropagation (decomposeUntilStable already cuts per wave).
       for (_ <- 1 to waves)
-        alive = wave(symE, alive, k)
-      alive = alive.lineageCut
+        alive = wave(symE, alive, k).lineageCut
       out = out.union(alive.withColumn("core", lit(k.toLong)))
     }
     out.groupBy("node").agg(max("core").as("core"))

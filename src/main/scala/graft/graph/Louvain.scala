@@ -1,0 +1,181 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Checkpointing.CutOps
+
+/** Community detection by bounded, deterministic Louvain — the
+  * modularity-OPTIMIZING member of the community family: g4's label
+  * propagation assigns labels and g19's card measures their
+  * modularity; this operator actually improves it (greedy local
+  * moves + graph contraction, Blondel et al. 2008), in a form an
+  * unrolled SQL oracle can mirror bit-for-bit.
+  *
+  * Determinism (the LPA/g21 discipline — classic Louvain is
+  * sequential and order-dependent):
+  *   - fixed `levels` contraction levels × `moveRounds` synchronous
+  *     local-move rounds per level (bounded = the DEFINED semantics);
+  *   - per round only nodes in ONE parity class (`id % 2 == round % 2`)
+  *     may move, so each round is a block-sequential step against a
+  *     frozen complement — the adjacent-swap oscillation of fully
+  *     synchronous moves cannot ping-pong inside a round;
+  *   - gains compare in EXACT integer arithmetic: moving node i (degree
+  *     k_i) into community c changes modularity by
+  *     ΔQ ∝ S(c) = 2m·w(i,c) − k_i·d'_c, where w(i,c) is i's edge
+  *     weight into c, d'_c is c's degree mass excluding i, and m the
+  *     total edge weight — all BIGINTs, so the argmax (ties → smallest
+  *     community id) never touches a float;
+  *   - a node moves only on STRICT gain (S(best) > S(stay)).
+  *
+  * Scale shape (the PageRank skeleton): the weighted undirected graph
+  * is built and dense-id-mapped once per level and lineage-cut; per
+  * round only the O(|V|) label table and two partial aggregates move
+  * (node→community weights, community degree mass). The argmax stays
+  * in HashAggregate via the LPA long-packing trick — S is offset to
+  * non-negative and packed as (S + 4m²)·K + (K − comm), K = |V|+1 —
+  * exact while 6m²·(|V|+1) < 2⁶³ (checked; beyond that the packing
+  * would need the struct-max fallback). Contraction is one
+  * sum-aggregate over relabeled endpoints; total weight m is invariant
+  * under it, so m and K are the only driver scalars (both O(1) rows).
+  */
+object Louvain {
+
+  /** @param edges directed (src, dst) name pairs; canonicalized to the
+    *   loop-free undirected distinct edge set (the g19 convention)
+    * @param levels contraction levels (≥ 1)
+    * @param moveRounds parity-gated local-move rounds per level
+    * @return (node, comm): every vertex with its community's label
+    *   name (the name of the vertex whose id the community carries)
+    */
+  def communities(edges: DataFrame, levels: Int, moveRounds: Int)
+      : DataFrame = {
+    require(levels >= 1, "at least one level")
+    require(moveRounds >= 1, "at least one move round")
+    val spark = edges.sparkSession
+    val shufflePartitions =
+      spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+    // Canonical undirected loop-free edge set, then dense ids by
+    // sorted name (LPA's bounded-vocabulary window).
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val ids = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node"))).distinct()
+      .withColumn("id", row_number().over(Window
+        .partitionBy(pmod(length(col("node")), lit(1)))
+        .orderBy("node")).cast("long"))
+      .lineageCut
+    // Level-1 weighted graph: (a, b, w) with a ≤ b; self-loops only
+    // appear after contraction.
+    var g = und
+      .join(ids.select(col("node").as("a"), col("id").as("ia")), "a")
+      .join(ids.select(col("node").as("b"), col("id").as("ib")), "b")
+      .select(least(col("ia"), col("ib")).as("a"),
+        greatest(col("ia"), col("ib")).as("b"), lit(1L).as("w"))
+      .repartition(shufflePartitions, col("a"))
+      .lineageCut
+
+    // The two O(1) driver scalars: total weight m (invariant under
+    // contraction) and the packing modulus K = |V|+1.
+    val m = g.agg(sum("w")).head.getLong(0)
+    val k = ids.count() + 1
+    require(m > 0, "graph has no loop-free edge")
+    // Packing exactness bound: max packed value ≤ 6m²·K.
+    require(6.0 * m * m * k < Long.MaxValue.toDouble,
+      s"integer argmax packing needs 6m²(|V|+1) < 2^63 (m=$m, K=$k)")
+    val off = 4L * m * m
+
+    // assign: original dense id → current community id.
+    var assign: DataFrame = null
+    for (level <- 1 to levels) {
+      // Static per level: weighted degree (self-loops count twice).
+      val deg = g.select(col("a").as("n"),
+          when(col("a") === col("b"), lit(2) * col("w"))
+            .otherwise(col("w")).as("w"))
+        .union(g.filter(col("a") =!= col("b"))
+          .select(col("b").as("n"), col("w")))
+        .groupBy("n").agg(sum("w").as("k"))
+        .lineageCut
+      var labels = deg.select(col("n").as("id"), col("n").as("comm"))
+      for (r <- 1 to moveRounds) {
+        // Node→community incident weights under the current labels
+        // (self-loops excluded: they follow the node and cancel in
+        // the argmax).
+        val ns = g.filter(col("a") =!= col("b"))
+        val wic = ns.join(labels.select(col("id").as("b"),
+              col("comm").as("c")), "b")
+            .select(col("a").as("n"), col("c"), col("w"))
+          .union(ns.join(labels.select(col("id").as("a"),
+              col("comm").as("c")), "a")
+            .select(col("b").as("n"), col("c"), col("w")))
+          .groupBy("n", "c").agg(sum("w").as("w"))
+        // Community degree mass under the current labels.
+        val dc = labels.join(deg, labels("id") === deg("n"))
+          .groupBy("comm").agg(sum("k").as("d"))
+          .select(col("comm").as("c"), col("d"))
+        // Candidates = neighbor communities ∪ the stay option (w=0
+        // when the node has no internal edge); max(w) collapses the
+        // duplicate stay row.
+        val cand = wic
+          .union(labels.select(col("id").as("n"), col("comm").as("c"),
+            lit(0L).as("w")))
+          .groupBy("n", "c").agg(max("w").as("w"))
+        // Exact integer score; d'_c excludes the node's own k when
+        // scoring its current community.
+        val sc = cand
+          .join(deg, "n")
+          .join(labels.select(col("id").as("n"), col("comm").as("cur")), "n")
+          .join(dc, "c")
+          .select(col("n"), col("c"), col("cur"),
+            (lit(2L * m) * col("w") - col("k") *
+              (col("d") - when(col("c") === col("cur"), col("k"))
+                .otherwise(lit(0L)))).as("s"))
+        // HashAggregate argmax: pack (S + 4m²)·K + (K − c).
+        val best = sc
+          .groupBy("n")
+          .agg(max((col("s") + lit(off)) * lit(k) + (lit(k) - col("c")))
+            .as("p"))
+          // Exact decode (p ≥ 0, remainder k−c ∈ [1, k−1]): integer
+          // `div`, never `/` — long/long division is DOUBLE in Spark
+          // and would lose exactness past 2^53.
+          .select(col("n"),
+            (lit(k) - pmod(col("p"), lit(k))).as("bc"),
+            (expr(s"(p - (p % ${k}L)) div ${k}L") - lit(off)).as("bs"))
+        val stay = sc.filter(col("c") === col("cur"))
+          .select(col("n"), col("s").as("ss"))
+        labels = labels
+          .join(best, labels("id") === best("n"))
+          .join(stay, "n")
+          .select(col("id"),
+            when(pmod(col("id"), lit(2L)) === lit((r % 2).toLong) &&
+                col("bs") > col("ss"), col("bc"))
+              .otherwise(col("comm")).as("comm"))
+          .lineageCut
+      }
+      assign =
+        if (level == 1) labels
+        else assign.join(labels.select(col("id").as("comm"),
+            col("comm").as("_c2")), "comm")
+          .select(col("id"), col("_c2").as("comm"))
+          .lineageCut
+      if (level < levels)
+        g = g
+          .join(labels.select(col("id").as("a"), col("comm").as("ca")), "a")
+          .join(labels.select(col("id").as("b"), col("comm").as("cb")), "b")
+          .groupBy(least(col("ca"), col("cb")).as("a"),
+            greatest(col("ca"), col("cb")).as("b"))
+          .agg(sum("w").as("w"))
+          .repartition(shufflePartitions, col("a"))
+          .lineageCut
+    }
+    assign
+      .join(ids.select(col("id"), col("node").as("node_name")), "id")
+      .join(ids.select(col("id").as("comm"), col("node").as("comm_name")),
+        "comm")
+      .select(col("node_name").as("node"), col("comm_name").as("comm"))
+  }
+}

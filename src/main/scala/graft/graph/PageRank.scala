@@ -76,11 +76,11 @@ object PageRank {
     * stated once for [[run]], [[runPersonalized]] and
     * [[residualCurve]].
     *
-    * @return (linked = (src, dst, outdeg) cut, outDeg (lazy, small),
-    *   nodes cut, n = node count)
+    * @return (linked = (src, dst, outdeg) cut, nodes cut,
+    *   n = node count)
     */
   private def countStatics(edges: DataFrame)
-      : (DataFrame, DataFrame, DataFrame, Long) = {
+      : (DataFrame, DataFrame, Long) = {
     val e = edges.select("src", "dst").distinct()
     val outDeg = e.groupBy("src").agg(count("*").as("outdeg"))
     val linked = e.join(outDeg, "src")
@@ -90,7 +90,7 @@ object PageRank {
       .union(e.select(col("dst").as("node")))
       .distinct()
       .lineageCut
-    (linked, outDeg, nodes, nodes.count())
+    (linked, nodes, nodes.count())
   }
 
   /** @param edges DataFrame with `src`, `dst` columns (any type).
@@ -131,13 +131,17 @@ object PageRank {
     // `n` is the only driver-side scalar in the pipeline — mirrors
     // the reference's phase-1 page count handed to phase 2 via job
     // conf.
-    val (linked, outDeg, nodes, n) = countStatics(edges)
+    val (linked, nodes, n) = countStatics(edges)
 
     // Static dangling flags (node has no outlinks) — only built when
     // the conserving variant needs the per-iteration dangling mass.
+    // Derived from the already-cut `linked` (its distinct src IS the
+    // has-outlinks set), not from the lazy outDeg plan, which would
+    // re-run the edge distinct + groupBy a second time.
     val flagged = if (redistributeDangling) {
       nodes.join(
-          outDeg.select(col("src").as("node"), lit(true).as("_has_out")),
+          linked.select(col("src").as("node")).distinct()
+            .withColumn("_has_out", lit(true)),
           Seq("node"), "left")
         .select(col("node"), coalesce(col("_has_out"), lit(false)).as("_has_out"))
         .lineageCut
@@ -200,7 +204,7 @@ object PageRank {
   def runPersonalized(edges: DataFrame, sources: DataFrame,
       iterations: Int = 10, damping: Double = 0.85,
       saltHotKeys: Int = 0): DataFrame = {
-    val (linked, _, nodes, _) = countStatics(edges)
+    val (linked, nodes, _) = countStatics(edges)
     val s = sources.select(col("node")).distinct()
       .lineageCut
     val nSources = s.count() // O(1) driver scalar, like run()'s n
@@ -379,7 +383,7 @@ object PageRank {
   def residualCurve(edges: DataFrame, iterations: Int = 10,
       damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, "at least one iteration")
-    val (linked, _, nodes, n) = countStatics(edges)
+    val (linked, nodes, n) = countStatics(edges)
     var ranks = nodes.withColumn("rank", lit(1.0 / n)).lineageCut
     var out: DataFrame = null
     for (i <- 1 to iterations) {

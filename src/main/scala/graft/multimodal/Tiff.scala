@@ -226,7 +226,12 @@ object Tiff {
     }
     // Hostile-header allocation guard: reject before the pixel
     // buffer is sized (the PNG 2^30-dims lesson in CodecFuzzSpec).
-    if (width <= 0 || height <= 0 || width * height > (1 << 24))
+    // Bound each u32 dimension BEFORE multiplying: width/height come
+    // off the wire as values up to 2^32-1, so the Long product can
+    // wrap negative and slip past a product-only check.
+    if (width <= 0 || height <= 0 ||
+        width > (1 << 24) || height > (1 << 24) ||
+        width * height > (1 << 24))
       return None
     if (comp != 1 || !bitsOk) return None
     if (spp != 1 && spp != 3) return None

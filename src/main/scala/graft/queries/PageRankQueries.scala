@@ -1748,8 +1748,134 @@ object PageRankQueries {
            |SELECT node, CAST(max(core) AS BIGINT) AS core
            |FROM cores GROUP BY node
            |ORDER BY node""".stripMargin
-      })
+      }),
+
+    // Bounded deterministic Louvain (graph.Louvain): the
+    // modularity-OPTIMIZING community operator — g4 propagates
+    // labels, g19 measures their modularity, this one improves it:
+    // 2 contraction levels × 2 parity-gated synchronous local-move
+    // rounds, gains compared in EXACT integer arithmetic
+    // (S = 2m·w(i,c) − k_i·d'_c), moves on strict gain only, ties to
+    // the smallest community id. GraphSpec pins modularity(g26) ≥
+    // modularity(g4) on a planted two-cluster fixture. Oracle =
+    // fully unrolled move/contract CTEs over the same dense ids.
+    Q("g26_louvain",
+      (s, d) => graft.graph.Louvain.communities(
+          LinkGraph.wordFollowEdges(Tables.documents(s, d), "text"),
+          levels = 2, moveRounds = 2)
+        .orderBy("node"),
+      Some(s"""WITH ${louvainCtes(2, 2)}
+           |SELECT i.node AS node, j.node AS comm
+           |FROM fin JOIN ids i ON i.id = fin.id
+           |         JOIN ids j ON j.id = fin.comm
+           |ORDER BY node""".stripMargin))
   )
+
+  /** DuckDB CTEs mirroring graft.graph.Louvain.communities over the
+    * word-follow graph: weighted undirected graph with dense ids,
+    * per level `moveRounds` unrolled parity-gated local-move rounds
+    * (exact-integer scores, row_number argmax — result-identical to
+    * the Spark side's long-packing argmax), then contraction —
+    * ending in `fin` (id, comm) plus `ids` for the name mapping.
+    */
+  private def louvainCtes(levels: Int, moveRounds: Int): String = {
+    def roundCtes(lv: Int, r: Int): String = {
+      val prev = if (r == 1) s"l${lv}r0" else s"l${lv}r${r - 1}"
+      val par = r % 2
+      s"""wic_${lv}_$r AS (
+         |  SELECT n, c, CAST(sum(w) AS BIGINT) AS w FROM (
+         |    SELECT g.a AS n, lb.comm AS c, g.w FROM g$lv g
+         |    JOIN $prev lb ON lb.id = g.b WHERE g.a <> g.b
+         |    UNION ALL
+         |    SELECT g.b, la.comm, g.w FROM g$lv g
+         |    JOIN $prev la ON la.id = g.a WHERE g.a <> g.b
+         |  ) GROUP BY 1, 2
+         |),
+         |dc_${lv}_$r AS (
+         |  SELECT p.comm AS c, CAST(sum(d.k) AS BIGINT) AS d
+         |  FROM $prev p JOIN deg$lv d ON d.n = p.id GROUP BY 1
+         |),
+         |cand_${lv}_$r AS (
+         |  SELECT n, c, max(w) AS w FROM (
+         |    SELECT n, c, w FROM wic_${lv}_$r
+         |    UNION ALL SELECT id, comm, CAST(0 AS BIGINT) FROM $prev
+         |  ) GROUP BY 1, 2
+         |),
+         |sc_${lv}_$r AS (
+         |  SELECT cd.n, cd.c, p.comm AS cur,
+         |    2 * (SELECT m FROM mm) * cd.w
+         |      - d.k * (dc.d - CASE WHEN cd.c = p.comm THEN d.k
+         |                           ELSE 0 END) AS s
+         |  FROM cand_${lv}_$r cd
+         |  JOIN deg$lv d ON d.n = cd.n
+         |  JOIN $prev p ON p.id = cd.n
+         |  JOIN dc_${lv}_$r dc ON dc.c = cd.c
+         |),
+         |l${lv}r$r AS MATERIALIZED (
+         |  SELECT p.id,
+         |    CASE WHEN p.id % 2 = $par AND b.s > st.s THEN b.c
+         |         ELSE p.comm END AS comm
+         |  FROM $prev p
+         |  JOIN (SELECT n, c, s FROM (
+         |          SELECT n, c, s, row_number() OVER (
+         |            PARTITION BY n ORDER BY s DESC, c) AS rn
+         |          FROM sc_${lv}_$r) WHERE rn = 1) b ON b.n = p.id
+         |  JOIN sc_${lv}_$r st ON st.n = p.id AND st.c = p.comm
+         |)""".stripMargin
+    }
+    def levelCtes(lv: Int): String = {
+      val graph =
+        if (lv == 1)
+          s"""g1 AS MATERIALIZED (
+             |  SELECT least(ia.id, ib.id) AS a, greatest(ia.id, ib.id) AS b,
+             |    CAST(1 AS BIGINT) AS w
+             |  FROM und JOIN ids ia ON ia.node = und.a
+             |           JOIN ids ib ON ib.node = und.b
+             |),
+             |mm AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM g1)"""
+            .stripMargin
+        else {
+          val lp = s"l${lv - 1}r$moveRounds"
+          s"""g$lv AS MATERIALIZED (
+             |  SELECT least(la.comm, lb.comm) AS a,
+             |    greatest(la.comm, lb.comm) AS b, CAST(sum(w) AS BIGINT) AS w
+             |  FROM g${lv - 1} g JOIN $lp la ON la.id = g.a
+             |                    JOIN $lp lb ON lb.id = g.b
+             |  GROUP BY 1, 2
+             |)""".stripMargin
+        }
+      val rounds = (1 to moveRounds).map(roundCtes(lv, _)).mkString(",\n")
+      s"""$graph,
+         |deg$lv AS MATERIALIZED (
+         |  SELECT n, CAST(sum(w) AS BIGINT) AS k FROM (
+         |    SELECT a AS n, CASE WHEN a = b THEN 2 * w ELSE w END AS w
+         |    FROM g$lv
+         |    UNION ALL
+         |    SELECT b, w FROM g$lv WHERE a <> b
+         |  ) GROUP BY n
+         |),
+         |l${lv}r0 AS (SELECT n AS id, n AS comm FROM deg$lv),
+         |$rounds""".stripMargin
+    }
+    val allLevels = (1 to levels).map(levelCtes).mkString(",\n")
+    val fin = (2 to levels).foldLeft(
+      s"SELECT id, comm FROM l1r$moveRounds") { (acc, lv) =>
+      s"""SELECT p.id, l.comm FROM ($acc) p
+         |JOIN l${lv}r$moveRounds l ON l.id = p.comm""".stripMargin
+    }
+    s"""$edgeCtes,
+       |und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM e WHERE src <> dst
+       |),
+       |ids AS MATERIALIZED (
+       |  SELECT node,
+       |    CAST(row_number() OVER (ORDER BY node) AS BIGINT) AS id
+       |  FROM (SELECT a AS node FROM und UNION SELECT b FROM und)
+       |),
+       |$allLevels,
+       |fin AS ($fin)""".stripMargin
+  }
 
   /** DuckDB CTEs mirroring graft.graph.LabelPropagation.communities
     * over the word-follow graph — symmetrized distinct edges, dense
