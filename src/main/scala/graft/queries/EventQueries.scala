@@ -695,6 +695,71 @@ object EventQueries {
              |  lead(tsl) OVER w IS NULL AS is_current
              |FROM ch
              |WINDOW w AS (PARTITION BY user_id ORDER BY tsl, event_id)
-             |ORDER BY user_id, version""".stripMargin))
+             |ORDER BY user_id, version""".stripMargin)),
+
+    // MERGE / CDC-apply (operators.Merge.applyChangelog): apply a
+    // changelog to a base snapshot — latest-change-wins per key,
+    // upserts AND deletes — producing the post-merge snapshot: the
+    // WRITE side of the q57/d34/q21 warehouse family. The changelog
+    // derives from events (signup → INSERT of a new 1000000+user_id
+    // key, error → DELETE, click/view/purchase → UPDATE with the
+    // event's value as the new balance), sequenced by (ts, event_id).
+    // Scale shape: one changelog exchange on the key feeds the
+    // latest-wins window, survivors join the base with ONE
+    // equi-shuffle on the same key; the base is never windowed.
+    // OperatorsSpec pins idempotence (same changelog twice = no-op)
+    // and each I/U/D precedence path on a hand fixture.
+    Q("q60_cdc_apply",
+      (s, d) => {
+        val base = Tables.customer(s, d).select(col("c_custkey"),
+          floor(col("c_acctbal") * 100 + 0.5).cast("long").as("bal_c"),
+          col("c_mktsegment").as("seg"))
+        val chg = Tables.events(s, d).select(
+          when(col("event_type") === "signup",
+            lit(1000000L) + col("user_id")).otherwise(col("user_id"))
+            .as("c_custkey"),
+          unix_micros(col("ts")).as("tsl"), col("event_id"),
+          when(col("event_type") === "signup", "I")
+            .when(col("event_type") === "error", "D")
+            .otherwise("U").as("op"),
+          floor(col("value") * 100 + 0.5).cast("long").as("bal_c"),
+          upper(col("event_type")).as("seg"))
+        graft.operators.Merge.applyChangelog(base, chg,
+            keyCol = "c_custkey", seqCols = Seq(col("tsl"), col("event_id")),
+            opCol = "op", valueCols = Seq("bal_c", "seg"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH base AS (
+             |  SELECT c_custkey,
+             |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c,
+             |    c_mktsegment AS seg
+             |  FROM customer
+             |),
+             |chg AS (
+             |  SELECT CASE WHEN event_type = 'signup'
+             |              THEN 1000000 + user_id ELSE user_id END
+             |      AS c_custkey,
+             |    epoch_us(ts) AS tsl, event_id,
+             |    CASE WHEN event_type = 'signup' THEN 'I'
+             |         WHEN event_type = 'error' THEN 'D'
+             |         ELSE 'U' END AS op,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS bal_c,
+             |    upper(event_type) AS seg
+             |  FROM events
+             |),
+             |last AS (
+             |  SELECT c_custkey, op, bal_c, seg FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY c_custkey
+             |        ORDER BY tsl DESC, event_id DESC) AS rn
+             |    FROM chg) WHERE rn = 1
+             |)
+             |SELECT coalesce(b.c_custkey, l.c_custkey) AS c_custkey,
+             |  CASE WHEN l.op IS NOT NULL THEN l.bal_c ELSE b.bal_c END
+             |    AS bal_c,
+             |  CASE WHEN l.op IS NOT NULL THEN l.seg ELSE b.seg END AS seg
+             |FROM base b FULL OUTER JOIN last l
+             |  ON b.c_custkey = l.c_custkey
+             |WHERE l.op IS NULL OR l.op <> 'D'
+             |ORDER BY c_custkey""".stripMargin))
   )
 }

@@ -1382,4 +1382,57 @@ class OperatorsSpec extends SparkSpec {
     assert(got(2L).changed_px == 1L && !got(2L).is_cut)
     assert(got(1L).diff_total > 0L && got(2L).diff_total > 0L)
   }
+
+  test("merge applyChangelog: I/U/D precedence, latest-wins, idempotent") {
+    import graft.operators.Merge
+    val base = Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"))
+      .toDF("k", "v", "s")
+    // Key 1: update then delete (latest D wins → gone).
+    // Key 2: delete then update (latest U wins → new values).
+    // Key 3: untouched (base row survives).
+    // Key 4: insert of a new key.
+    // Key 5: delete of an unknown key (no-op).
+    val chg = Seq(
+      (1L, 1L, "U", 11L, "a2"), (1L, 2L, "D", 0L, "x"),
+      (2L, 1L, "D", 0L, "x"), (2L, 2L, "U", 22L, "b2"),
+      (4L, 1L, "I", 40L, "d"),
+      (5L, 1L, "D", 0L, "x")).toDF("k", "seq", "op", "v", "s")
+    def apply(b: org.apache.spark.sql.DataFrame) =
+      Merge.applyChangelog(b, chg, keyCol = "k",
+        seqCols = Seq(col("seq")), opCol = "op",
+        valueCols = Seq("v", "s"))
+    val once = apply(base)
+    assert(once.as[(Long, Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((2L, 22L, "b2"), (3L, 30L, "c"), (4L, 40L, "d")))
+    // Idempotence: re-applying the SAME changelog to the merged
+    // snapshot changes nothing (the second apply upserts identical
+    // values and re-deletes already-absent keys).
+    val twice = apply(once)
+    assert(twice.as[(Long, Long, String)].collect().sortBy(_._1).toSeq ==
+      once.as[(Long, Long, String)].collect().sortBy(_._1).toSeq)
+  }
+
+  test("merge applyChangelog composes with SCD-2: snapshots chain through applies") {
+    import graft.operators.Merge
+    // Two CDC days applied in sequence reach the same snapshot as
+    // one combined batch with a day-major sequence — the replay
+    // property that lets a warehouse rebuild from any checkpoint.
+    val base = Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "v", "s")
+    val day1 = Seq((1L, 1L, "U", 11L, "a1"), (3L, 1L, "I", 30L, "c"))
+      .toDF("k", "seq", "op", "v", "s")
+    val day2 = Seq((2L, 1L, "D", 0L, "x"), (3L, 1L, "U", 31L, "c2"))
+      .toDF("k", "seq", "op", "v", "s")
+    def ap(b: org.apache.spark.sql.DataFrame,
+        c: org.apache.spark.sql.DataFrame, seq: Seq[
+          org.apache.spark.sql.Column] = Seq(col("seq"))) =
+      Merge.applyChangelog(b, c, "k", seq, "op", Seq("v", "s"))
+    val chained = ap(ap(base, day1), day2)
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    val combined = ap(base,
+      day1.withColumn("day", lit(1)).union(day2.withColumn("day", lit(2))),
+      Seq(col("day"), col("seq")))
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(chained == combined)
+    assert(chained == Seq((1L, 11L, "a1"), (3L, 31L, "c2")))
+  }
 }
