@@ -9071,6 +9071,65 @@ object PipelineQueries {
              |SELECT query_id, rank, cand_id,
              |  CAST(floor(ip * 1000000 + 0.5) AS BIGINT) AS ip_e6
              |FROM r WHERE rank <= 5
-             |ORDER BY query_id, rank""".stripMargin))
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    // Per-GROUP quantiles via the mergeable KLL/MRL-style sketch —
+    // the quantile member of the sketch family (KMV/HLL count
+    // distinct, CMS/Misra-Gries count frequency, this summarizes
+    // RANK): per-language n_chars percentiles from ONE aggregation
+    // pass with bounded O(cap·log n) per-group state, where d38's
+    // sample percentiles and d24's exact ones both need the group's
+    // full row set in one place. `n` comes from the sketch's summed
+    // weights — exactly the group count, pinning the sketch's exact
+    // mass conservation in production. cap = 32768 keeps every group
+    // lossless at all tested SFs (largest group: en at sf1.0 ≈
+    // 20.5k docs), so rank-selection over the sketch IS the exact
+    // order statistic and the oracle mirrors it; the compaction
+    // regime's rank-error grid is pinned in FunctionsSpec at cap
+    // 32/64/128. Quantile rule: smallest v with cumweight·den ≥
+    // n·num — integer arithmetic, no float rank anywhere.
+    Q("d76_kll_quantiles",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.functions.KllSketch.kll_sketch
+        val sk = Tables.documents(s, d)
+          .groupBy("lang")
+          .agg(kll_sketch(col("n_chars"), 32768).as("sk"))
+          .select(col("lang"), col("sk"),
+            aggregate(col("sk"), lit(0L),
+              (a, x) => a + x.getField("w")).as("n"))
+        val cum = sk
+          .select(col("lang"), col("n"), explode(col("sk")).as("t"))
+          .groupBy(col("lang"), col("n"), col("t.v").as("v"))
+          .agg(sum(col("t.w")).as("w"))
+          .withColumn("cw",
+            sum("w").over(Window.partitionBy("lang").orderBy("v")))
+        def qv(name: String, num: Int, den: Int) =
+          min(when(col("cw") * den >= col("n") * num, col("v")))
+            .as(name)
+        cum.groupBy("lang", "n")
+          .agg(qv("p25", 1, 4), qv("p50", 1, 2), qv("p75", 3, 4),
+            qv("p90", 9, 10))
+          .orderBy("lang")
+      },
+      Some("""WITH g AS (
+             |  SELECT lang, n_chars AS v, count(*) AS w
+             |  FROM documents GROUP BY 1, 2
+             |),
+             |nn AS (SELECT lang, CAST(sum(w) AS BIGINT) AS n
+             |       FROM g GROUP BY 1),
+             |c AS (
+             |  SELECT lang, v, CAST(sum(w) OVER (
+             |    PARTITION BY lang ORDER BY v) AS BIGINT) AS cw
+             |  FROM g
+             |)
+             |SELECT c.lang AS lang, n,
+             |  min(CASE WHEN cw * 4 >= n * 1 THEN v END) AS p25,
+             |  min(CASE WHEN cw * 2 >= n * 1 THEN v END) AS p50,
+             |  min(CASE WHEN cw * 4 >= n * 3 THEN v END) AS p75,
+             |  min(CASE WHEN cw * 10 >= n * 9 THEN v END) AS p90
+             |FROM c JOIN nn ON nn.lang = c.lang
+             |GROUP BY c.lang, n
+             |ORDER BY 1""".stripMargin))
   )
 }

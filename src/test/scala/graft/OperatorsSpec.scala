@@ -1383,6 +1383,68 @@ class OperatorsSpec extends SparkSpec {
     assert(got(1L).diff_total > 0L && got(2L).diff_total > 0L)
   }
 
+  test("kll sketch: lossless below cap — exact multiset, repartition-invariant") {
+    import graft.functions.KllSketch.kll_sketch
+    // 300 values with duplicates, below cap=512: level 0 holds the
+    // full multiset, so the sketch IS the sorted (v, w=1) list and
+    // is a pure function of the input SET — identical across any
+    // partitioning (the merge-associativity / shuffle-order
+    // invariance pin for the lossless regime).
+    val vals = (0 until 300).map(i => ((i * 7919) % 100).toLong)
+    def sk(parts: Int): Seq[(Long, Long)] =
+      vals.toDF("v").repartition(parts)
+        .agg(kll_sketch(col("v"), 512).as("sk"))
+        .select(explode(col("sk")).as("t"))
+        .select(col("t.v"), col("t.w"))
+        .as[(Long, Long)].collect().toSeq
+    val one = sk(1)
+    assert(one == vals.sorted.map(v => (v, 1L)))
+    assert(sk(4) == one && sk(16) == one)
+  }
+
+  test("kll sketch: compaction preserves mass exactly, bounds rank error") {
+    // Direct buffer drive (the aggregate's exact code path for
+    // update/merge): a 2000-item permutation through caps 32/64/128.
+    // Empirical grid measured at authoring time (deterministic
+    // schedule, so these are stable): maxRankErr/n = 0.030 / 0.016 /
+    // 0.007 sequential, 0.042 / 0.0245 / 0.0105 under a 4-way merge.
+    // Asserted with headroom; tightening cap must tighten error.
+    val n = 2000
+    val vals = (0 until n).map(i => ((i * 1237) % n).toLong)
+    def maxErr(items: Seq[(Long, Long)]): Double = {
+      assert(items.map(_._2).sum == n.toLong) // exact mass, always
+      (5 until 100 by 5).map { qn =>
+        val target = (qn * n + 99) / 100
+        var cw = 0L
+        val est = items.find { case (_, w) =>
+          cw += w; cw >= target
+        }.get._1
+        math.abs((est + 1) - qn * n / 100.0) // values are 0..n-1 distinct
+      }.max
+    }
+    def seqErr(cap: Int): Double = {
+      val b = new graft.functions.KllSketch.Buffer(cap)
+      vals.foreach(b.add)
+      maxErr(b.items.sortBy(t => (t._1, t._2)))
+    }
+    def mergeErr(cap: Int): Double = {
+      val bufs = (0 until 4).map { k =>
+        val b = new graft.functions.KllSketch.Buffer(cap)
+        vals.zipWithIndex.filter(_._2 % 4 == k).map(_._1).foreach(b.add)
+        b
+      }
+      val m = bufs.reduceLeft { (a, o) => a.mergeIn(o); a }
+      maxErr(m.items.sortBy(t => (t._1, t._2)))
+    }
+    val se = Seq(32, 64, 128).map(seqErr)
+    assert(se(0) <= 0.05 * n && se(1) <= 0.03 * n && se(2) <= 0.015 * n,
+      s"sequential errors $se")
+    assert(se(2) < se(1) && se(1) < se(0), s"error must shrink with cap: $se")
+    val me = Seq(32, 64, 128).map(mergeErr)
+    assert(me(0) <= 0.06 * n && me(1) <= 0.04 * n && me(2) <= 0.02 * n,
+      s"merged errors $me")
+  }
+
   test("merge applyChangelog: I/U/D precedence, latest-wins, idempotent") {
     import graft.operators.Merge
     val base = Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"))
