@@ -443,7 +443,8 @@ object Similarity {
   private def beamWalk(emb: DataFrame, queries: DataFrame,
       graph: DataFrame, entries: DataFrame, beamWidth: Int,
       maxRounds: Int, untilStable: Boolean,
-      pred: Option[Column] = None): DataFrame = {
+      pred: Option[Column] = None,
+      entriesPerQuery: Boolean = false): DataFrame = {
     import graft.operators.Checkpointing.CutOps
     // Predicate BEFORE scoring (the e23/e24 discipline): the filter
     // sits below the gather join, so ineligible candidates never
@@ -467,8 +468,14 @@ object Similarity {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= beamWidth)
           .select(col("query_id"), col("cand_id"), col("sim"))
-      val ent = entries.select(col("cand_id"))
-      var beam = score(q.select(col("query_id")).crossJoin(ent)
+      // Seed: shared entry set crossed with every query, or (the
+      // hierarchical-descent case) a per-query (query_id, cand_id)
+      // seed — the previous level's beam — used as-is.
+      val seed =
+        if (entriesPerQuery) entries.select("query_id", "cand_id")
+        else q.select(col("query_id"))
+          .crossJoin(entries.select(col("cand_id")))
+      var beam = score(seed
         .filter(col("cand_id") =!= col("query_id"))).lineageCut
       var stable = false
       var r = 0
@@ -681,6 +688,99 @@ object Similarity {
     * IEEE roundings). `sim` is the raw approximate cosine — callers
     * scale/round for output. Zero vectors drop on both sides.
     */
+  /** Deterministic geometric LEVEL assignment for the hierarchical
+    * navigable graph (the HNSW layer rule, hash-derandomized): a
+    * vector belongs to every level `l` with
+    * `((vec_id · Mixer) mod 2³²) mod 4^l == 0`, so level-`l`
+    * membership is a deterministic ~4^-l sample and each level is a
+    * subset of the one below — pure integer arithmetic, identical in
+    * SQL (the Sampling.Mixer idiom), no RNG state anywhere.
+    */
+  def hierLevel(maxLevel: Int): Column = {
+    import graft.operators.Sampling.{Mixer, MixMod}
+    require(maxLevel >= 1 && maxLevel <= 15,
+      s"maxLevel must be in [1, 15], got $maxLevel")
+    val h = col("vec_id") * Mixer % MixMod
+    (1 to maxLevel).foldLeft(lit(0L)) { (acc, l) =>
+      when(h % (1L << (2 * l)) === 0, lit(l.toLong)).otherwise(acc)
+    }
+  }
+
+  /** HIERARCHICAL navigable-graph BUILD (the HNSW shape, batch-
+    * first): level 0 is the full [[navigableGraph]] (symmetrize +
+    * α-prune over the probed kNN graph — the e28 build, unchanged);
+    * each upper level `l ≥ 1` is the probed kNN graph over that
+    * level's deterministic 4^-l member sample ([[hierLevel]]).
+    * Sparse upper levels force LONG-RANGE edges (a member's kUpper
+    * nearest fellow members span clusters once the sample is thin) —
+    * exactly the coarse routing layer the flat walk lacks, and why
+    * the descent escapes a bad entry region that traps a flat walk
+    * (OperatorsSpec pins this on a planted separated-cluster
+    * fixture; on near-uniform corpora the descent is break-even —
+    * e47 measures both).
+    *
+    * Scale shape: every level build is the cluster-blocked probed
+    * kNN (one co-partitioned equi-join per level, bounded-heap
+    * truncation; level l costs ~(n/4^l)²/cells, a geometric series
+    * dominated by level 0's own build) plus level 0's α-prune; the
+    * union is O(n·k) edges total.
+    *
+    * @return (level, vec_id, nbr_id) directed edges for all levels
+    */
+  def hierarchicalNavGraph(emb: DataFrame, labelCol: String,
+      maxLevel: Int, k0: Int = 16, kUpper: Int = 8,
+      nprobe: Int = 2): DataFrame = {
+    val lvl = hierLevel(maxLevel)
+    val base = navigableGraph(emb,
+        knnGraphProbed(emb, labelCol, k0, nprobe)
+          .select(col("vec_id"), col("nbr_id")))
+      .select(lit(0L).as("level"), col("vec_id"), col("nbr_id"))
+    (1 to maxLevel).foldLeft(base) { (acc, l) =>
+      acc.unionByName(
+        knnGraphProbed(emb.filter(lvl >= l), labelCol, kUpper, nprobe)
+          .select(lit(l.toLong).as("level"), col("vec_id"),
+            col("nbr_id")))
+    }
+  }
+
+  /** HIERARCHICAL beam search — the descent half of the HNSW story:
+    * walk the TOP level from the caller's entry points with a small
+    * beam, hand each level's kept beam down as the NEXT level's
+    * per-query entry points, finish with the full-width walk on the
+    * level-0 navigable graph. Total expansion budget =
+    * maxLevel · upperRounds · upperWidth + rounds · beamWidth —
+    * e47 holds it equal to the flat walk's when comparing.
+    *
+    * Scale shape: each level runs [[graphBeamSearch]]'s machinery
+    * unchanged (per-round lineage cut, graph persisted-partitioned
+    * once per level and self-released, beam state O(queries × width)
+    * broadcast); the upper levels' graphs are 4^-l -sized so the
+    * descent prepends a geometrically-cheap prefix to the level-0
+    * walk.
+    *
+    * @param levelGraphs [[hierarchicalNavGraph]] output
+    * @param entries     entry ids for the TOP level walk (cand_id)
+    */
+  def hierarchicalBeamSearch(emb: DataFrame, queries: DataFrame,
+      levelGraphs: DataFrame, entries: DataFrame, maxLevel: Int,
+      upperWidth: Int, upperRounds: Int, beamWidth: Int,
+      rounds: Int): DataFrame = {
+    require(maxLevel >= 1, s"maxLevel must be >= 1, got $maxLevel")
+    var seed = beamWalk(emb, queries,
+      levelGraphs.filter(col("level") === maxLevel), entries,
+      upperWidth, maxRounds = upperRounds, untilStable = false)
+      .select("query_id", "cand_id")
+    for (l <- (maxLevel - 1) to 1 by -1)
+      seed = beamWalk(emb, queries,
+        levelGraphs.filter(col("level") === l), seed,
+        upperWidth, maxRounds = upperRounds, untilStable = false,
+        entriesPerQuery = true)
+        .select("query_id", "cand_id")
+    beamWalk(emb, queries, levelGraphs.filter(col("level") === 0),
+      seed, beamWidth, maxRounds = rounds, untilStable = false,
+      entriesPerQuery = true)
+  }
+
   def sq8TopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val cand = sq8Quantize(emb.select(col("vec_id"), col("embedding")))
       .filter(col("sq") > 0)

@@ -444,7 +444,9 @@ object PipelineQueries {
       beamWidth: Int, probePred: String = "vec_id < 10",
       graphSql: Option[String] = None,
       candPred: Option[String] = None,
-      sfx: String = ""): String = {
+      sfx: String = "",
+      entSql: Option[String] = None,
+      entPerQuery: Boolean = false): String = {
     // Candidate eligibility (e41): the predicate applies on the
     // candidate embedding row `v` INSIDE each round's scoring — the
     // SQL mirror of the Spark side's filter below the gather join.
@@ -472,6 +474,24 @@ object PipelineQueries {
          |  ) WHERE rn <= $beamWidth
          |)""".stripMargin
     }.mkString(",\n")
+    // Per-query entries (hierarchical descent): ent$sfx carries
+    // (query_id, cand_id) — the previous level's beam — and b0
+    // seeds each query from ITS rows instead of the shared set.
+    val entCte = entSql.getOrElse(
+      s"""SELECT vec_id AS cand_id FROM (
+         |    SELECT v.vec_id,
+         |      row_number() OVER (PARTITION BY v.label
+         |        ORDER BY ${TextHash.duckCosine("v.emb", "c.cvec", 64)}
+         |          DESC, v.vec_id) AS rn
+         |    FROM e v JOIN cent c ON c.label = v.label
+         |  ) WHERE rn = 1""".stripMargin)
+    val b0From =
+      if (entPerQuery)
+        s"""FROM ent$sfx en
+           |      JOIN q$sfx q ON q.query_id = en.query_id
+           |      JOIN e v ON v.vec_id = en.cand_id""".stripMargin
+      else
+        s"FROM q$sfx q, ent$sfx en JOIN e v ON v.vec_id = en.cand_id"
     s"""g$sfx AS MATERIALIZED (
        |  ${graphSql.getOrElse(
               s"SELECT vec_id, nbr_id FROM r WHERE rank <= $graphK")}
@@ -479,13 +499,7 @@ object PipelineQueries {
        |q$sfx AS (SELECT vec_id AS query_id, emb AS qe FROM e
        |      WHERE $probePred),
        |ent$sfx AS (
-       |  SELECT vec_id AS cand_id FROM (
-       |    SELECT v.vec_id,
-       |      row_number() OVER (PARTITION BY v.label
-       |        ORDER BY ${TextHash.duckCosine("v.emb", "c.cvec", 64)}
-       |          DESC, v.vec_id) AS rn
-       |    FROM e v JOIN cent c ON c.label = v.label
-       |  ) WHERE rn = 1
+       |  $entCte
        |),
        |b${sfx}0 AS MATERIALIZED (
        |  SELECT query_id, cand_id, sim FROM (
@@ -494,13 +508,62 @@ object PipelineQueries {
        |    FROM (
        |      SELECT q.query_id, en.cand_id,
        |        ${TextHash.duckCosine("q.qe", "v.emb", 64)} AS sim
-       |      FROM q$sfx q, ent$sfx en JOIN e v ON v.vec_id = en.cand_id
+       |      $b0From
        |      WHERE en.cand_id <> q.query_id$b0Pred
        |    ) s
        |  ) WHERE rn <= $beamWidth
        |),
        |$walk,
        |bfinal$sfx AS (SELECT * FROM b$sfx$rounds)""".stripMargin
+  }
+
+  /** Probed-kNN CTEs over ONE hierarchy level's member sample
+    * (mirrors Similarity.hierarchicalNavGraph's upper-level build:
+    * knnGraphProbed restricted to vectors with hierLevel ≥ `lvl`):
+    * members by the deterministic Mixer hash, member-centroids per
+    * label (the same round-6 parity rule), nprobe=2 assignment,
+    * ranked in-cell neighbors. Emits `e$sfx` (members) and `r$sfx`
+    * (vec_id, nbr_id, rank). Requires [[probedKnnCtes]]'s `e`
+    * upstream.
+    */
+  private def leveledKnnCtes(sfx: String, lvl: Int): String = {
+    val mod = 1L << (2 * lvl)
+    s"""e$sfx AS (
+       |  SELECT vec_id, label, emb FROM e
+       |  WHERE vec_id * ${Sampling.Mixer} % ${Sampling.MixMod}
+       |        % $mod = 0
+       |),
+       |c0$sfx AS (
+       |  SELECT label, i - 1 AS dim, round(avg(v), 6) AS c
+       |  FROM (
+       |    SELECT label, unnest(emb) AS v,
+       |      generate_subscripts(emb, 1) AS i
+       |    FROM e$sfx
+       |  ) GROUP BY label, dim
+       |),
+       |cent$sfx AS (
+       |  SELECT label, list(c ORDER BY dim) AS cvec FROM c0$sfx
+       |  GROUP BY label
+       |),
+       |ass$sfx AS MATERIALIZED (
+       |  SELECT vec_id, emb, label FROM (
+       |    SELECT v.vec_id, v.emb, c.label,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${TextHash.duckCosine("v.emb", "c.cvec", 64)}
+       |          DESC, c.label) AS rn
+       |    FROM e$sfx v, cent$sfx c
+       |  ) WHERE rn <= 2
+       |),
+       |r$sfx AS (
+       |  SELECT vec_id, nbr_id, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS rank
+       |  FROM (
+       |    SELECT a.vec_id, b.vec_id AS nbr_id,
+       |      ${TextHash.duckCosine("a.emb", "b.emb", 64)} AS sim
+       |    FROM ass$sfx a JOIN e$sfx b
+       |      ON b.label = a.label AND b.vec_id <> a.vec_id
+       |  )
+       |)""".stripMargin
   }
 
   /** DuckDB CTEs for the e28 navigable-graph build (mirrors
@@ -9130,6 +9193,174 @@ object PipelineQueries {
              |  min(CASE WHEN cw * 10 >= n * 9 THEN v END) AS p90
              |FROM c JOIN nn ON nn.lang = c.lang
              |GROUP BY c.lang, n
-             |ORDER BY 1""".stripMargin))
+             |ORDER BY 1""".stripMargin)),
+
+    // HIERARCHICAL navigable-graph build card (the HNSW layer
+    // structure): per level — deterministic 4^-l member sample by
+    // the Mixer hash, level 0 the full e28 α-pruned navigable
+    // graph, upper levels the probed kNN over the sample — node
+    // count, edge count, max out-degree. Sparse upper levels force
+    // LONG-RANGE edges (a member's 8 nearest FELLOW MEMBERS span
+    // clusters once the sample is thin): the coarse routing layer
+    // the flat walk lacks. Scale: each level is one cluster-blocked
+    // equi-join + bounded-heap truncation, geometric series
+    // dominated by level 0's own build.
+    Q("e46_hier_graph",
+      (s, d) => Similarity.hierarchicalNavGraph(
+          Tables.embeddings(s, d), "label", maxLevel = 4)
+        .groupBy("level", "vec_id").agg(count(lit(1)).as("deg"))
+        .groupBy("level")
+        .agg(count(lit(1)).as("n_nodes"), sum("deg").as("n_edges"),
+          max("deg").as("max_deg"))
+        .orderBy("level"),
+      Some(s"""WITH $probedKnnCtes,
+              |${navGraphCtes(graphK = 16, alpha100 = 120,
+                              maxDeg = 16, maxCand = 32)},
+              |${(1 to 4).map(l => leveledKnnCtes(s"l$l", l))
+                  .mkString(",\n")},
+              |alledges AS (
+              |  SELECT CAST(0 AS BIGINT) AS level, vec_id, nbr_id
+              |  FROM nav
+              |${(1 to 4).map(l =>
+                  s"  UNION ALL SELECT $l, vec_id, nbr_id " +
+                    s"FROM rl$l WHERE rank <= 8").mkString("\n")}
+              |),
+              |dg AS (
+              |  SELECT level, vec_id, count(*) AS deg
+              |  FROM alledges GROUP BY 1, 2
+              |)
+              |SELECT level, CAST(count(*) AS BIGINT) AS n_nodes,
+              |  CAST(sum(deg) AS BIGINT) AS n_edges,
+              |  CAST(max(deg) AS BIGINT) AS max_deg
+              |FROM dg GROUP BY level
+              |ORDER BY level""".stripMargin)),
+
+    // Descent-vs-flat recall CURVE at EQUAL expansion budget (the
+    // e44/e45 measurement discipline): from ONE shared single entry
+    // point (the top level's min id — deliberately label-free: no
+    // medoid/centroid knowledge at query time, the regime HNSW is
+    // for), recall@4 of the flat level-0 walk vs the full descent,
+    // at budgets 24 (flat 3×8 vs descent 4·(1×2)+2×8) and 64 (flat
+    // 4×16 vs descent 4·(1×4)+3×16). On this near-uniform synthetic
+    // corpus the descent is break-even (the numpy sim and these
+    // oracle rows agree); on clustered geometry it strictly wins —
+    // OperatorsSpec pins the planted-cluster case where the flat
+    // walk NEVER escapes the entry cluster (recall 0) and the
+    // descent routes across the sparse upper layer.
+    Q("e47_hier_recall",
+      (s, d) => {
+        import graft.operators.Checkpointing.CutOps
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") < 10)
+        val lg = Similarity.hierarchicalNavGraph(emb, "label",
+          maxLevel = 4).lineageCut
+        val g0 = lg.filter(col("level") === 0)
+          .select("vec_id", "nbr_id")
+        val ent = emb.filter(Similarity.hierLevel(4) >= 4)
+          .agg(min("vec_id").as("cand_id"))
+        val exact = Similarity.bruteForceTopK(emb, qs, k = 4)
+          .select(col("query_id"), col("cand_id"))
+        def hits(walk: DataFrame, as: String): DataFrame =
+          walk.filter(col("rank") <= 4)
+            .select("query_id", "cand_id")
+            .join(exact, Seq("query_id", "cand_id"))
+            .agg(count(lit(1)).as(as))
+        def row(budget: Long, fw: Int, fr: Int, uw: Int, bw: Int,
+            r0: Int): DataFrame = {
+          val flat = Similarity.graphBeamSearch(emb, qs, g0, ent,
+            beamWidth = fw, rounds = fr)
+          val hier = Similarity.hierarchicalBeamSearch(emb, qs, lg,
+            ent, maxLevel = 4, upperWidth = uw, upperRounds = 1,
+            beamWidth = bw, rounds = r0)
+          hits(flat, "hf").crossJoin(hits(hier, "hh"))
+            .select(lit(budget).as("budget"),
+              col("hf").as("n_hits_flat"), col("hh").as("n_hits_hier"),
+              (col("hf") * 250).as("recall_flat_e4"),
+              (col("hh") * 250).as("recall_hier_e4"))
+        }
+        row(24L, fw = 8, fr = 3, uw = 2, bw = 8, r0 = 2)
+          .unionByName(row(64L, fw = 16, fr = 4, uw = 4, bw = 16,
+            r0 = 3))
+          .orderBy("budget")
+      },
+      Some {
+        val ent1 = "SELECT min(vec_id) AS cand_id FROM el4"
+        def chain(tag: String, uw: Int, bw: Int, r0: Int): String = {
+          val top = beamWalkCtes(graphK = 0, rounds = 1,
+            beamWidth = uw,
+            graphSql = Some("SELECT vec_id, nbr_id FROM rl4 WHERE rank <= 8"),
+            sfx = s"${tag}4", entSql = Some(ent1))
+          val mids = (3 to 1 by -1).map { l =>
+            beamWalkCtes(graphK = 0, rounds = 1, beamWidth = uw,
+              graphSql =
+                Some(s"SELECT vec_id, nbr_id FROM rl$l WHERE rank <= 8"),
+              sfx = s"$tag$l",
+              entSql = Some(
+                s"SELECT query_id, cand_id FROM bfinal$tag${l + 1}"),
+              entPerQuery = true)
+          }.mkString(",\n")
+          val bottom = beamWalkCtes(graphK = 0, rounds = r0,
+            beamWidth = bw,
+            graphSql = Some("SELECT vec_id, nbr_id FROM nav"),
+            sfx = s"${tag}0",
+            entSql = Some(
+              s"SELECT query_id, cand_id FROM bfinal${tag}1"),
+            entPerQuery = true)
+          s"$top,\n$mids,\n$bottom"
+        }
+        def top4hits(sfx: String, as: String): String =
+          s"""$as AS (
+             |  SELECT count(*) AS h FROM (
+             |    SELECT query_id, cand_id FROM (
+             |      SELECT query_id, cand_id, row_number() OVER (
+             |        PARTITION BY query_id
+             |        ORDER BY sim DESC, cand_id) AS rn
+             |      FROM bfinal$sfx
+             |    ) WHERE rn <= 4
+             |  ) w JOIN exact USING (query_id, cand_id)
+             |)""".stripMargin
+        s"""WITH $probedKnnCtes,
+           |${navGraphCtes(graphK = 16, alpha100 = 120,
+                           maxDeg = 16, maxCand = 32)},
+           |${(1 to 4).map(l => leveledKnnCtes(s"l$l", l))
+               .mkString(",\n")},
+           |${beamWalkCtes(graphK = 0, rounds = 3, beamWidth = 8,
+               graphSql = Some("SELECT vec_id, nbr_id FROM nav"),
+               sfx = "fa", entSql = Some(ent1))},
+           |${beamWalkCtes(graphK = 0, rounds = 4, beamWidth = 16,
+               graphSql = Some("SELECT vec_id, nbr_id FROM nav"),
+               sfx = "fb", entSql = Some(ent1))},
+           |${chain("ha", uw = 2, bw = 8, r0 = 2)},
+           |${chain("hb", uw = 4, bw = 16, r0 = 3)},
+           |ex0 AS (
+           |  SELECT q.query_id, c.vec_id AS cand_id,
+           |    row_number() OVER (PARTITION BY q.query_id
+           |      ORDER BY ${TextHash.duckCosine("q.qe", "c.emb", 64)}
+           |        DESC, c.vec_id) AS rank
+           |  FROM qfa q JOIN e c ON c.vec_id <> q.query_id
+           |),
+           |exact AS (SELECT query_id, cand_id FROM ex0
+           |          WHERE rank <= 4),
+           |${top4hits("fa", "hfa")},
+           |${top4hits("fb", "hfb")},
+           |${top4hits("ha0", "hha")},
+           |${top4hits("hb0", "hhb")}
+           |SELECT * FROM (
+           |  SELECT CAST(24 AS BIGINT) AS budget,
+           |    CAST((SELECT h FROM hfa) AS BIGINT) AS n_hits_flat,
+           |    CAST((SELECT h FROM hha) AS BIGINT) AS n_hits_hier,
+           |    CAST((SELECT h FROM hfa) * 250 AS BIGINT)
+           |      AS recall_flat_e4,
+           |    CAST((SELECT h FROM hha) * 250 AS BIGINT)
+           |      AS recall_hier_e4
+           |  UNION ALL
+           |  SELECT CAST(64 AS BIGINT),
+           |    CAST((SELECT h FROM hfb) AS BIGINT),
+           |    CAST((SELECT h FROM hhb) AS BIGINT),
+           |    CAST((SELECT h FROM hfb) * 250 AS BIGINT),
+           |    CAST((SELECT h FROM hhb) * 250 AS BIGINT)
+           |)
+           |ORDER BY budget""".stripMargin
+      })
   )
 }

@@ -1445,6 +1445,62 @@ class OperatorsSpec extends SparkSpec {
       s"merged errors $me")
   }
 
+  test("hierarchical descent escapes the entry cluster where the flat walk cannot") {
+    // Four well-separated clusters (centers 6·e_c, hash noise ±0.5
+    // per dim — numpy-simulated before implementation, the walk
+    // discipline): the level-0 probed-kNN/navigable graph keeps ONLY
+    // in-cluster edges (own-cluster cosine ≈ 1 ≫ cross ≈ 0), so a
+    // flat walk seeded in cluster 0 STRUCTURALLY cannot reach any
+    // other cluster. The sparse upper levels force long-range edges
+    // (a member's nearest FELLOW MEMBERS span clusters once the
+    // sample is thin), so the descent routes across — the regime the
+    // hierarchy exists for (e47 measures the near-uniform corpus
+    // where it is break-even).
+    val MIX = BigInt(2654435761L)
+    val MOD = BigInt(2).pow(32)
+    val rows = (0 until 200).map { i =>
+      val c = i / 50
+      val h = (BigInt(i + 1) * MIX) % MOD
+      val e = Array.tabulate(64) { dd =>
+        val noise =
+          ((h * (dd + 3) * MIX) % MOD).toDouble / MOD.toDouble - 0.5
+        val center = if (dd == c) 6.0 else 0.0
+        (center + noise).toFloat
+      }
+      (i.toLong, e, c.toLong)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val lg = Similarity.hierarchicalNavGraph(emb, "label",
+      maxLevel = 2, k0 = 8, kUpper = 4)
+    val cluster = udf((id: Long) => id / 50)
+    // Structural premise: no level-0 edge crosses clusters...
+    val g0 = lg.filter(col("level") === 0)
+    assert(g0.filter(cluster(col("vec_id")) =!= cluster(col("nbr_id")))
+      .count() == 0L)
+    // ...but the sparse upper levels DO cross.
+    assert(lg.filter(col("level") >= 1)
+      .filter(cluster(col("vec_id")) =!= cluster(col("nbr_id")))
+      .count() > 0L)
+    val qs = emb.filter(col("vec_id") % 50 === 7)
+    val ent = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("cand_id"))
+    val exact = Similarity.bruteForceTopK(emb, qs, k = 4)
+      .select(col("query_id"), col("cand_id"))
+    def crossHits(walk: org.apache.spark.sql.DataFrame): Long =
+      walk.filter(col("rank") <= 4 && col("query_id") >= 50)
+        .select("query_id", "cand_id")
+        .join(exact, Seq("query_id", "cand_id")).count()
+    val flat = Similarity.graphBeamSearch(emb, qs,
+      g0.select("vec_id", "nbr_id"), ent, beamWidth = 8, rounds = 2)
+    val hier = Similarity.hierarchicalBeamSearch(emb, qs, lg, ent,
+      maxLevel = 2, upperWidth = 2, upperRounds = 1, beamWidth = 8,
+      rounds = 1)
+    assert(crossHits(flat) == 0L,
+      "flat walk cannot reach outside the entry cluster")
+    assert(crossHits(hier) > 0L,
+      "descent must route across via the upper layers")
+  }
+
   test("merge applyChangelog: I/U/D precedence, latest-wins, idempotent") {
     import graft.operators.Merge
     val base = Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"))
