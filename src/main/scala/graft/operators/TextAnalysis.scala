@@ -259,7 +259,27 @@ object TextAnalysis {
       .toLong).toInt
   }
 
+  /** Per-doc token counts — the ONE tokenization pass the packing
+    * family shares: callers that need both a corpus total (for
+    * [[shardsFor]]) and a packing run lineage-cut THIS frame once
+    * and feed the `Counted` variants, so the corpus is scanned and
+    * tokenized once per evaluation instead of once per consumer
+    * (the round-11 verdict's d72 double-scan; PlanShapeSpec pins
+    * the single-scan shape).
+    */
+  def countedTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      expr(s"size(${TextHash.sparkTokens("text")})").cast("long")
+        .as("n_tokens"))
+
   def packSequences(docs: DataFrame, seqTokens: Int,
+      shards: Int): DataFrame =
+    packSequencesCounted(countedTokens(docs), seqTokens, shards)
+
+  /** [[packSequences]] over a precomputed (doc_id, n_tokens) frame
+    * ([[countedTokens]]).
+    */
+  def packSequencesCounted(counted: DataFrame, seqTokens: Int,
       shards: Int): DataFrame = {
     require(seqTokens > 0 && shards > 0,
       s"need seqTokens > 0 and shards > 0, got $seqTokens / $shards")
@@ -267,11 +287,10 @@ object TextAnalysis {
       .partitionBy("shard").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         -1)
-    docs
+    counted
       .select(col("doc_id"),
         (Sampling.hashBucket(col("doc_id")) % shards).as("shard"),
-        expr(s"size(${TextHash.sparkTokens("text")})").cast("long")
-          .as("n_tokens"))
+        col("n_tokens"))
       .withColumn("start", coalesce(sum("n_tokens").over(w), lit(0L)))
       // `div` is INTEGER floor division — Column `/` is double
       // division + cast, which silently loses exactness once a
@@ -311,14 +330,20 @@ object TextAnalysis {
     *   position there; len capped at `seqTokens` for placement
     */
   def packSequencesFfd(docs: DataFrame, seqTokens: Int,
+      shards: Int): DataFrame =
+    packSequencesFfdCounted(countedTokens(docs), seqTokens, shards)
+
+  /** [[packSequencesFfd]] over a precomputed (doc_id, n_tokens)
+    * frame ([[countedTokens]]).
+    */
+  def packSequencesFfdCounted(counted: DataFrame, seqTokens: Int,
       shards: Int): DataFrame = {
     require(seqTokens > 0 && shards > 0,
       s"need seqTokens > 0 and shards > 0, got $seqTokens / $shards")
     val cap = seqTokens.toLong
-    val base = docs.select(col("doc_id"),
+    val base = counted.select(col("doc_id"),
       (Sampling.hashBucket(col("doc_id")) % shards).as("shard"),
-      expr(s"size(${TextHash.sparkTokens("text")})").cast("long")
-        .as("n_tokens"))
+      col("n_tokens"))
       .withColumn("l", least(col("n_tokens"), lit(cap)))
     // Per-shard docs in FFD order: sort_array ascending on
     // (cap − len, doc_id) = length DESC, doc_id ASC. The first-fit

@@ -1378,17 +1378,21 @@ object PipelineQueries {
     // exchange on the shard key, identical on both engines.
     Q("d25_pack_sequences",
       (s, d) => {
+        import graft.operators.Checkpointing.CutOps
         // Shards sized to the corpus (never a constant): total token
         // count is one aggregate — a bounded driver scalar — and the
         // oracle recomputes the identical ceil from the same sum.
-        val docs = Tables.documents(s, d)
-        val total = docs
-          .select(coalesce(
-            sum(expr(s"size(${TextHash.sparkTokens("text")})"))
-              .cast("long"), lit(0L))).head.getLong(0)
+        // The tokenized counts are lineage-cut ONCE so the scalar
+        // and the packer share a single corpus scan (the round-11
+        // double-scan fix; PlanShapeSpec pins it on d72).
+        val counted = TextAnalysis
+          .countedTokens(Tables.documents(s, d)).lineageCut
+        val total = counted
+          .select(coalesce(sum("n_tokens"), lit(0L))).head.getLong(0)
         val shards = TextAnalysis.shardsFor(total, seqTokens = 64,
           targetSeqsPerShard = 200)
-        TextAnalysis.packSequences(docs, seqTokens = 64, shards = shards)
+        TextAnalysis.packSequencesCounted(counted, seqTokens = 64,
+            shards = shards)
           .orderBy("doc_id")
       },
       Some(s"""WITH tok AS (
@@ -1439,14 +1443,16 @@ object PipelineQueries {
     // eligible index on both engines).
     Q("d72_ffd_pack",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        val total = docs
-          .select(coalesce(
-            sum(expr(s"size(${TextHash.sparkTokens("text")})"))
-              .cast("long"), lit(0L))).head.getLong(0)
+        import graft.operators.Checkpointing.CutOps
+        // One corpus scan: counts cut once, shared by the shard
+        // scalar and the fold (PlanShapeSpec pins the shape).
+        val counted = TextAnalysis
+          .countedTokens(Tables.documents(s, d)).lineageCut
+        val total = counted
+          .select(coalesce(sum("n_tokens"), lit(0L))).head.getLong(0)
         val shards = TextAnalysis.shardsFor(total, seqTokens = 64,
           targetSeqsPerShard = 200)
-        TextAnalysis.packSequencesFfd(docs, seqTokens = 64,
+        TextAnalysis.packSequencesFfdCounted(counted, seqTokens = 64,
             shards = shards)
           .orderBy("doc_id")
       },
@@ -1516,15 +1522,18 @@ object PipelineQueries {
     // (cap, shard).
     Q("d73_pack_curve",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        val total = docs
-          .select(coalesce(
-            sum(expr(s"size(${TextHash.sparkTokens("text")})"))
-              .cast("long"), lit(0L))).head.getLong(0)
+        import graft.operators.Checkpointing.CutOps
+        // One tokenization for the scalar AND all four cap runs —
+        // before the counted refactor each cap re-scanned and
+        // re-tokenized the corpus (5 scans per evaluation).
+        val counted = TextAnalysis
+          .countedTokens(Tables.documents(s, d)).lineageCut
+        val total = counted
+          .select(coalesce(sum("n_tokens"), lit(0L))).head.getLong(0)
         val shards = TextAnalysis.shardsFor(total, seqTokens = 64,
           targetSeqsPerShard = 200)
         Seq(64, 128, 256, 512).map { cap =>
-          TextAnalysis.packSequencesFfd(docs, seqTokens = cap,
+          TextAnalysis.packSequencesFfdCounted(counted, seqTokens = cap,
               shards = shards)
             .groupBy("shard")
             .agg(count(lit(1)).as("nd"),

@@ -727,4 +727,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(e39.contains("ObjectHashAggregate") && !e39.contains("Window"),
       s"e39 lost its bounded-heap + in-aggregate greedy shape\n$e39")
   }
+
+  test("packing family scans documents once: scalar and packer share the cut") {
+    // Round-11 verdict "what's wrong #1": d72's shard-count scalar
+    // re-scanned + re-tokenized the corpus before the packing plan
+    // ran (and d73 once per cap — 5 scans per evaluation). Fixed by
+    // lineage-cutting countedTokens once; the RETURNED plan must
+    // read the checkpoint (ExistingRDD) and never the parquet
+    // table — the one corpus scan happened at the cut.
+    for (q <- Seq("d72_ffd_pack", "d73_pack_curve",
+        "d25_pack_sequences")) {
+      val p = plan(q)
+      assert(p.contains("ExistingRDD"),
+        s"$q no longer reads the shared counted-tokens checkpoint\n$p")
+      assert(!p.contains("Scan parquet"),
+        s"$q re-scans the corpus after the cut\n$p")
+    }
+  }
 }
