@@ -1768,7 +1768,88 @@ object PageRankQueries {
            |SELECT i.node AS node, j.node AS comm
            |FROM fin JOIN ids i ON i.id = fin.id
            |         JOIN ids j ON j.id = fin.comm
-           |ORDER BY node""".stripMargin))
+           |ORDER BY node""".stripMargin)),
+
+    // Landmark STRESS centrality (graph.Betweenness.landmarkStress):
+    // the Brandes dependency accumulation restricted to g23's
+    // 5-landmark set and a 4-hop radius, in the DIVISION-FREE form —
+    // σ(s,v)·DAG-path-count(v) summed over landmarks — so every
+    // quantity is an exact BIGINT and the unrolled mirror matches
+    // bit-for-bit (normalized betweenness's σ-ratio sums land on the
+    // float grid's rounding boundary; see the operator Scaladoc).
+    // The "how much shortest-path traffic crosses v" card the
+    // centrality family lacked (g10/g23 measure distance, pr_* rank
+    // by link mass, this ranks by PATH LOAD).
+    Q("g27_stress",
+      (s, d) => {
+        val e = LinkGraph.wordFollowEdges(Tables.documents(s, d), "text")
+        graft.graph.Betweenness.landmarkStress(e, graphLandmarks(e),
+            maxHops = 4)
+          .orderBy("node")
+      },
+      Some {
+        val fwd = (1 to 4).map { h =>
+          s"""f$h AS (
+             |  SELECT k.lm, s.v AS node,
+             |    CAST(sum(k.sigma) AS BIGINT) AS sigma
+             |  FROM k${h - 1} k JOIN sym s ON s.u = k.node
+             |  WHERE k.dist = ${h - 1} GROUP BY 1, 2
+             |),
+             |k$h AS MATERIALIZED (
+             |  SELECT * FROM k${h - 1}
+             |  UNION ALL
+             |  SELECT f.lm, f.node, $h AS dist, f.sigma FROM f$h f
+             |  WHERE NOT EXISTS (SELECT 1 FROM k${h - 1} p
+             |                    WHERE p.lm = f.lm AND p.node = f.node)
+             |)""".stripMargin
+        }.mkString(",\n")
+        val back = (3 to 0 by -1).map { h =>
+          s"""p$h AS MATERIALIZED (
+             |  SELECT k.lm, k.node,
+             |    CAST(coalesce(sum(1 + pw.p), 0) AS BIGINT) AS p
+             |  FROM k4 k
+             |  LEFT JOIN dag d ON d.lm = k.lm AND d.du = k.node
+             |  LEFT JOIN p${h + 1} pw
+             |    ON pw.lm = d.lm AND pw.node = d.dv
+             |  WHERE k.dist = $h GROUP BY 1, 2
+             |)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $edgeCtes,
+           |und AS (
+           |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           |  FROM e WHERE src <> dst
+           |),
+           |sym AS (
+           |  SELECT a AS u, b AS v FROM und
+           |  UNION ALL
+           |  SELECT b AS u, a AS v FROM und
+           |),
+           |lms AS (
+           |  SELECT u AS lm FROM sym GROUP BY u ORDER BY u LIMIT 5
+           |),
+           |k0 AS (SELECT lm, lm AS node, 0 AS dist,
+           |       CAST(1 AS BIGINT) AS sigma FROM lms),
+           |$fwd,
+           |dag AS MATERIALIZED (
+           |  SELECT a.lm, a.node AS du, b.node AS dv
+           |  FROM k4 a JOIN sym s ON s.u = a.node
+           |  JOIN k4 b ON b.lm = a.lm AND b.node = s.v
+           |    AND b.dist = a.dist + 1
+           |),
+           |p4 AS (SELECT lm, node, CAST(0 AS BIGINT) AS p
+           |       FROM k4 WHERE dist = 4),
+           |$back,
+           |pp AS (
+           |  SELECT * FROM p4 UNION ALL SELECT * FROM p3
+           |  UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p1
+           |  UNION ALL SELECT * FROM p0
+           |)
+           |SELECT k.node AS node,
+           |  CAST(sum(k.sigma * pp.p) AS BIGINT) AS stress
+           |FROM k4 k JOIN pp ON pp.lm = k.lm AND pp.node = k.node
+           |WHERE k.dist > 0
+           |GROUP BY 1 ORDER BY node""".stripMargin
+      })
   )
 
   /** DuckDB CTEs mirroring graft.graph.Louvain.communities over the

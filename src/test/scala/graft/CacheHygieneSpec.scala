@@ -108,6 +108,8 @@ class CacheHygieneSpec extends SparkSpec {
     LabelPropagation.communitiesUntilStable(edges)._1)
   checkReleased("Louvain.communities")(
     Louvain.communities(edges, levels = 2, moveRounds = 2))
+  checkReleased("Betweenness.landmarkStress")(
+    Betweenness.landmarkStress(edges, seeds, maxHops = 3))
 
   // ---- Pipeline operators that persist internally (the round-11
   // verdict's remaining hygiene gap). Two classes:
@@ -223,7 +225,7 @@ class CacheHygieneSpec extends SparkSpec {
       "KCore.scala", "Neighborhood.scala", "Scc.scala", "Hits.scala",
       "PageRank.scala", "ConnectedComponents.scala", "Sssp.scala",
       "Bfs.scala", "Harmonic.scala", "Walks.scala", "KMeans.scala",
-      "BpeTrain.scala", "Similarity.scala",
+      "BpeTrain.scala", "Similarity.scala", "Betweenness.scala",
       // documented caller-releases, pinned by checkCallerReleased
       "Dedup.scala",
       // query-local persist under Verify's per-query clearCache

@@ -737,6 +737,27 @@ class GraphSpec extends SparkSpec {
     assert(louvain > 0)
   }
 
+  test("landmark stress: path and diamond fixtures, hand-computed") {
+    import graft.graph.Betweenness
+    // Path a-b-c-d from landmark a: σ=1 everywhere, DAG paths
+    // b→{c, cd}=2, c→{d}=1, d leaf — stress b=2, c=1, d=0 (b is
+    // strictly intermediate on a..c and a..d).
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val lmA = Seq("a").toDF("node")
+    val got = Betweenness.landmarkStress(path, lmA, maxHops = 3)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("b" -> 2L, "c" -> 1L, "d" -> 0L))
+    // Diamond a-b-d, a-c-d with landmarks {a, d}: from a, d has σ=2
+    // (two shortest paths) and b/c each carry one continuation;
+    // symmetric from d — stress b = c = 2, endpoints 0.
+    val diamond = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"))
+      .toDF("src", "dst")
+    val lmAD = Seq("a", "d").toDF("node")
+    val got2 = Betweenness.landmarkStress(diamond, lmAD, maxHops = 2)
+      .as[(String, Long)].collect().toMap
+    assert(got2 == Map("a" -> 0L, "b" -> 2L, "c" -> 2L, "d" -> 0L))
+  }
+
   test("k-truss: K4 survives at k=4, bridges and lone triangles peel away") {
     import graft.graph.Truss
     // K4 on {a,b,c,d} (each edge in 2 triangles), a bridge d-e, and a
