@@ -52,7 +52,13 @@ object Bench {
     // the heaviest new plan shape) and the audio VAD segmentation
     // (decode + resample + run-length scan — the audio family's
     // gate representative).
-    "e28_nav_graph", "m23_vad_segments")
+    "e28_nav_graph", "m23_vad_segments",
+    // Round 12 widening (the round-11 verdict's ask): the filtered
+    // graph-ANN walk (predicate below the gather join on the
+    // heaviest search family — round 11's genuinely new plan shape)
+    // and the full k-core decomposition (seeded peeling waves — the
+    // heaviest round-11 graph plan).
+    "e41_filtered_graph_ann", "g21_core_decomp")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

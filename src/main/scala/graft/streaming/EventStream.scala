@@ -445,4 +445,58 @@ object EventStream {
           }
       }
   }
+  /** One changelog record for the CDC-apply stream: `op` is
+    * 'I'|'U'|'D', `(tsl, event_id)` the total sequence order.
+    * Public for Spark's state/row encoder codegen.
+    */
+  case class CdcChange(key: Long, tsl: Long, event_id: Long,
+      op: String, bal_c: Long, seg: String)
+
+  case class CdcState(tsl: Long, event_id: Long, op: String,
+      bal_c: Long, seg: String)
+
+  case class CdcOut(key: Long, tsl: Long, event_id: Long, op: String,
+      bal_c: Long, seg: String)
+
+  /** Streaming twin of the batch MERGE/CDC-apply (q60's
+    * operators.Merge.applyChangelog): a changelog stream folds into
+    * a per-key LATEST-CHANGE-WINS state (exactly one row per key —
+    * the minimal upsert-view state), and each micro-batch emits the
+    * key's post-batch row: op I/U = the upserted values, op D = a
+    * tombstone. Cross-batch the sequence order still rules: a later
+    * batch carrying an EARLIER (tsl, event_id) is ignored (the
+    * scd2/as-of late-data discipline), so replayed or out-of-order
+    * CDC batches cannot regress the view — the same idempotence the
+    * batch operator pins. EventStreamSpec pins parity: the
+    * max-sequence emitted row per key equals the batch post-merge
+    * snapshot (tombstones = keys the batch apply deleted).
+    */
+  def cdcApply(spark: SparkSession, changes: Dataset[CdcChange])
+      : Dataset[CdcOut] = {
+    import spark.implicits._
+    changes
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[CdcState, CdcOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[CdcChange],
+            state: GroupState[CdcState]) =>
+          var cur = state.getOption
+          var applied = false
+          for (c <- rows.toSeq.sortBy(c => (c.tsl, c.event_id))) {
+            val newer = cur.forall(s =>
+              c.tsl > s.tsl || (c.tsl == s.tsl && c.event_id > s.event_id))
+            if (newer) {
+              cur = Some(CdcState(c.tsl, c.event_id, c.op, c.bal_c, c.seg))
+              applied = true
+            }
+          }
+          cur match {
+            case Some(s) if applied =>
+              state.update(s)
+              Iterator.single(
+                CdcOut(key, s.tsl, s.event_id, s.op, s.bal_c, s.seg))
+            case _ => Iterator.empty
+          }
+      }
+  }
 }

@@ -533,4 +533,52 @@ class EventStreamSpec extends SparkSpec {
         (1L, 3L, "purchase", 40 * 60000000L, 80 * 60000000L)))
     } finally q.stop()
   }
+
+  test("parity: streaming CDC-apply latest rows equal the batch q60 merge") {
+    import graft.streaming.EventStream.{CdcChange, CdcOut}
+    // Key 1: update in batch 1, deleted in batch 2 (cross-batch D
+    // wins). Key 2: delete then a LATER update in batch 2 (U wins).
+    // Key 3: batch-2 change carries an EARLIER sequence than the
+    // batch-1 one — replayed/out-of-order CDC must NOT regress the
+    // view. Key 4: insert only.
+    val b1 = Seq(
+      CdcChange(1L, 10L, 1L, "U", 11L, "a1"),
+      CdcChange(2L, 10L, 2L, "D", 0L, "x"),
+      CdcChange(3L, 50L, 3L, "U", 33L, "c2"),
+      CdcChange(4L, 10L, 4L, "I", 40L, "d"))
+    val b2 = Seq(
+      CdcChange(1L, 20L, 5L, "D", 0L, "x"),
+      CdcChange(2L, 20L, 6L, "U", 22L, "b2"),
+      CdcChange(3L, 20L, 7L, "U", 31L, "c1")) // stale: seq < (50, 3)
+    val stream = MemoryStream[CdcChange](spark)
+    val q = EventStream.cdcApply(spark, stream.toDS())
+      .writeStream.format("memory").queryName("cdc_t")
+      .outputMode("update").start()
+    try {
+      stream.addData(b1: _*)
+      q.processAllAvailable()
+      stream.addData(b2: _*)
+      q.processAllAvailable()
+      val rows = spark.table("cdc_t").as[CdcOut].collect()
+      // Latest emitted row per key (max sequence) is the view.
+      val view = rows.groupBy(_.key).map { case (k, rs) =>
+        k -> rs.maxBy(r => (r.tsl, r.event_id))
+      }
+      // Batch reference: q60's Merge over an empty base.
+      val base = Seq.empty[(Long, Long, String)].toDF("key", "bal_c", "seg")
+      val merged = graft.operators.Merge.applyChangelog(base,
+          (b1 ++ b2).toDF(), keyCol = "key",
+          seqCols = Seq(col("tsl"), col("event_id")), opCol = "op",
+          valueCols = Seq("bal_c", "seg"))
+        .as[(Long, Long, String)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+      // Upserted keys agree on values; deleted keys are tombstones.
+      assert(view(2L).op == "U" && merged(2L) == ((22L, "b2")))
+      assert(view(3L).op == "U" && view(3L).bal_c == 33L &&
+        merged(3L) == ((33L, "c2")), "stale batch-2 row must not win")
+      assert(view(4L).op == "I" && merged(4L) == ((40L, "d")))
+      assert(view(1L).op == "D" && !merged.contains(1L))
+      assert(merged.keySet == view.filter(_._2.op != "D").keySet)
+    } finally q.stop()
+  }
 }

@@ -31,6 +31,13 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sfdir, outdir = args[0], args[1]
     only = set(args[2:])
+    # --timeout=N: per-oracle DuckDB budget in seconds (sf1-scale
+    # sweeps: an unrolled greedy oracle that is 14 s at sf0.1 can be
+    # hours at n=20000; interrupt it, record the exclusion, move on).
+    timeout = None
+    for a in sys.argv[1:]:
+        if a.startswith("--timeout="):
+            timeout = float(a.split("=", 1)[1])
     if "--skip-verify" not in sys.argv:
         r = subprocess.run(
             ["sbt", f'runMain graft.Verify {sfdir} {outdir}'],
@@ -47,14 +54,26 @@ def main():
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
             continue
+        timer = None
+        if timeout:
+            import threading
+            timer = threading.Timer(timeout, con.interrupt)
+            timer.start()
         try:
             want = canon(con.sql(sql).df())
             got = canon(con.sql(
                 f"FROM read_parquet('{outdir}/{name}/*.parquet')").df())
         except Exception as e:
-            print(f"FAIL {name}: {e}")
+            msg = str(e)
+            if "INTERRUPT" in msg.upper():
+                print(f"TIMEOUT {name}: oracle exceeded {timeout}s")
+            else:
+                print(f"FAIL {name}: {e}")
             fail += 1
             continue
+        finally:
+            if timer:
+                timer.cancel()
         if list(want.columns) != list(got.columns):
             print(f"FAIL {name}: cols want={list(want.columns)} got={list(got.columns)}")
             fail += 1
