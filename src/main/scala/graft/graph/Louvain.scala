@@ -50,19 +50,42 @@ object Louvain {
     *   name (the name of the vertex whose id the community carries)
     */
   def communities(edges: DataFrame, levels: Int, moveRounds: Int)
-      : DataFrame = {
-    require(levels >= 1, "at least one level")
-    require(moveRounds >= 1, "at least one move round")
-    val spark = edges.sparkSession
-    val shufflePartitions =
-      spark.conf.get("spark.sql.shuffle.partitions").toInt
-
-    // Canonical undirected loop-free edge set, then dense ids by
-    // sorted name (LPA's bounded-vocabulary window).
-    val und = edges.filter(col("src") =!= col("dst"))
+      : DataFrame =
+    run(edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
+      .withColumn("w", lit(1L)), levels, moveRounds)
+
+  /** WEIGHTED Louvain: same bounded deterministic algorithm over a
+    * (src, dst, weight) multigraph — parallel/reverse edges merge by
+    * weight SUM into the canonical undirected form, and every score
+    * (2m·w(i,c) − k_i·d'_c) runs on the summed weights, still exact
+    * BIGINTs. The natural fit for the word-FOLLOW graph, whose
+    * co-occurrence multiplicity the unweighted form discards (g26
+    * asks "which words connect"; this asks "which words connect
+    * OFTEN").
+    */
+  def communitiesWeighted(edges: DataFrame, levels: Int,
+      moveRounds: Int): DataFrame =
+    run(edges.filter(col("src") =!= col("dst"))
+      .groupBy(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .agg(sum("weight").as("w")), levels, moveRounds)
+
+  /** @param undw canonical undirected loop-free weighted edges
+    *   (a ≤ b, w ≥ 1 summed)
+    */
+  private def run(undw: DataFrame, levels: Int, moveRounds: Int)
+      : DataFrame = {
+    require(levels >= 1, "at least one level")
+    require(moveRounds >= 1, "at least one move round")
+    val spark = undw.sparkSession
+    val shufflePartitions =
+      spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+    // Dense ids by sorted name (LPA's bounded-vocabulary window).
+    val und = undw
     val ids = und.select(col("a").as("node"))
       .union(und.select(col("b").as("node"))).distinct()
       .withColumn("id", row_number().over(Window
@@ -75,7 +98,7 @@ object Louvain {
       .join(ids.select(col("node").as("a"), col("id").as("ia")), "a")
       .join(ids.select(col("node").as("b"), col("id").as("ib")), "b")
       .select(least(col("ia"), col("ib")).as("a"),
-        greatest(col("ia"), col("ib")).as("b"), lit(1L).as("w"))
+        greatest(col("ia"), col("ib")).as("b"), col("w"))
       .repartition(shufflePartitions, col("a"))
       .lineageCut
 

@@ -1849,7 +1849,25 @@ object PageRankQueries {
            |FROM k4 k JOIN pp ON pp.lm = k.lm AND pp.node = k.node
            |WHERE k.dist > 0
            |GROUP BY 1 ORDER BY node""".stripMargin
-      })
+      }),
+
+    // WEIGHTED Louvain (Louvain.communitiesWeighted) over the
+    // word-FOLLOW multigraph: g26 runs on the distinct edge set
+    // ("which words connect"); this runs on follow FREQUENCIES
+    // ("which words connect often") — at sf0.1 the distinct graph
+    // saturates (complete on 31 words, memory note) so the weighted
+    // form is where community structure actually survives scale.
+    // Same exact-integer argmax, weights just seed the level-1 w.
+    Q("g28_louvain_weighted",
+      (s, d) => graft.graph.Louvain.communitiesWeighted(
+          LinkGraph.wordFollowWeighted(Tables.documents(s, d), "text"),
+          levels = 2, moveRounds = 2)
+        .orderBy("node"),
+      Some(s"""WITH ${louvainCtes(2, 2, weighted = true)}
+           |SELECT i.node AS node, j.node AS comm
+           |FROM fin JOIN ids i ON i.id = fin.id
+           |         JOIN ids j ON j.id = fin.comm
+           |ORDER BY node""".stripMargin))
   )
 
   /** DuckDB CTEs mirroring graft.graph.Louvain.communities over the
@@ -1859,7 +1877,8 @@ object PageRankQueries {
     * the Spark side's long-packing argmax), then contraction —
     * ending in `fin` (id, comm) plus `ids` for the name mapping.
     */
-  private def louvainCtes(levels: Int, moveRounds: Int): String = {
+  private def louvainCtes(levels: Int, moveRounds: Int,
+      weighted: Boolean = false): String = {
     def roundCtes(lv: Int, r: Int): String = {
       val prev = if (r == 1) s"l${lv}r0" else s"l${lv}r${r - 1}"
       val par = r % 2
@@ -1905,11 +1924,12 @@ object PageRankQueries {
          |)""".stripMargin
     }
     def levelCtes(lv: Int): String = {
+      val w1 = if (weighted) "und.uw" else "CAST(1 AS BIGINT)"
       val graph =
         if (lv == 1)
           s"""g1 AS MATERIALIZED (
              |  SELECT least(ia.id, ib.id) AS a, greatest(ia.id, ib.id) AS b,
-             |    CAST(1 AS BIGINT) AS w
+             |    $w1 AS w
              |  FROM und JOIN ids ia ON ia.node = und.a
              |           JOIN ids ib ON ib.node = und.b
              |),
@@ -1944,11 +1964,28 @@ object PageRankQueries {
       s"""SELECT p.id, l.comm FROM ($acc) p
          |JOIN l${lv}r$moveRounds l ON l.id = p.comm""".stripMargin
     }
+    val undCte =
+      if (weighted)
+        s"""we AS (
+           |  SELECT p.s AS src, p.d AS dst,
+           |    CAST(count(*) AS BIGINT) AS weight
+           |  FROM (SELECT unnest(list_transform(range(1, len(w)),
+           |                      i -> {'s': w[i], 'd': w[i+1]})) AS p
+           |        FROM w WHERE len(w) >= 2)
+           |  GROUP BY 1, 2
+           |),
+           |und AS (
+           |  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+           |    CAST(sum(weight) AS BIGINT) AS uw
+           |  FROM we WHERE src <> dst GROUP BY 1, 2
+           |)""".stripMargin
+      else
+        """und AS (
+          |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          |  FROM e WHERE src <> dst
+          |)""".stripMargin
     s"""$edgeCtes,
-       |und AS (
-       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-       |  FROM e WHERE src <> dst
-       |),
+       |$undCte,
        |ids AS MATERIALIZED (
        |  SELECT node,
        |    CAST(row_number() OVER (ORDER BY node) AS BIGINT) AS id

@@ -737,6 +737,32 @@ class GraphSpec extends SparkSpec {
     assert(louvain > 0)
   }
 
+  test("louvain weighted: unit weights reduce to the unweighted form") {
+    import graft.graph.Louvain
+    // Same bridged-triangles fixture as the unweighted test; with
+    // every weight 1 (and a duplicate reverse edge that must MERGE
+    // by sum, not double) the weighted path must agree with
+    // communities() exactly.
+    val g = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("d", "e"),
+      ("d", "f"), ("e", "f"), ("c", "d")).toDF("src", "dst")
+    import org.apache.spark.sql.functions.{col, lit}
+    val gw = g.withColumn("weight", lit(1L))
+    val unw = Louvain.communities(g, levels = 2, moveRounds = 2)
+      .as[(String, String)].collect().toMap
+    assert(Louvain.communitiesWeighted(gw, levels = 2, moveRounds = 2)
+      .as[(String, String)].collect().toMap == unw)
+    // Reverse duplicates sum: (a,b,1)+(b,a,1) ≡ (a,b,2) — the
+    // canonicalization contract.
+    val dup = gw.unionByName(
+      gw.select(col("dst").as("src"), col("src").as("dst"),
+        col("weight")))
+    val two = gw.withColumn("weight", lit(2L))
+    assert(Louvain.communitiesWeighted(dup, 2, 2)
+      .as[(String, String)].collect().toMap ==
+      Louvain.communitiesWeighted(two, 2, 2)
+        .as[(String, String)].collect().toMap)
+  }
+
   test("landmark stress: path and diamond fixtures, hand-computed") {
     import graft.graph.Betweenness
     // Path a-b-c-d from landmark a: σ=1 everywhere, DAG paths
