@@ -760,6 +760,73 @@ object EventQueries {
              |FROM base b FULL OUTER JOIN last l
              |  ON b.c_custkey = l.c_custkey
              |WHERE l.op IS NULL OR l.op <> 'D'
-             |ORDER BY c_custkey""".stripMargin))
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // TIME-TRAVEL (AS OF) read — the read side that completes the
+    // warehouse triangle: q57 BUILDS the SCD-2 dimension, q60
+    // APPLIES changelogs, this reconstructs the point-in-time
+    // snapshot "state of every user AS OF t" from the versioned
+    // table: the version whose [valid_from, valid_to) interval
+    // covers t (t = the stream's midpoint, derived as a one-row
+    // scalar aggregate so the query is corpus-relative, never a
+    // wall-clock constant). Scale shape: the SCD-2 build is q57's
+    // one user-key exchange; the AS-OF cut is a broadcast one-row
+    // scalar + a FILTER on the versioned rows — no join against the
+    // full history, no window beyond the build's own.
+    Q("q61_time_travel",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("tsl"), col("event_id"))
+        val changes = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("tsl"), col("event_type"))
+          .withColumn("prev_type", lag("event_type", 1).over(w))
+          .filter(col("prev_type").isNull ||
+            col("prev_type") =!= col("event_type"))
+        val scd2 = changes
+          .withColumn("valid_to", lead("tsl", 1).over(w))
+          .withColumn("version", row_number().over(w).cast("long"))
+        val mid = Tables.events(s, d)
+          .agg(((min(unix_micros(col("ts"))) +
+            max(unix_micros(col("ts")))) / 2).cast("long").as("t"))
+        scd2.crossJoin(broadcast(mid))
+          .filter(col("tsl") <= col("t") &&
+            (col("valid_to").isNull || col("valid_to") > col("t")))
+          .select(col("user_id"), col("version"),
+            col("event_type").as("state_asof"),
+            col("tsl").as("valid_from"), col("t").as("asof_ts"))
+          .orderBy("user_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS tsl, event_type,
+             |    lag(event_type) OVER (
+             |      PARTITION BY user_id ORDER BY tsl, event_id)
+             |      AS prev_type
+             |  FROM events
+             |),
+             |ch AS (
+             |  SELECT user_id, event_id, tsl, event_type
+             |  FROM ev
+             |  WHERE prev_type IS NULL OR prev_type <> event_type
+             |),
+             |v AS (
+             |  SELECT user_id, event_type, tsl,
+             |    lead(tsl) OVER w AS valid_to,
+             |    CAST(row_number() OVER w AS BIGINT) AS version
+             |  FROM ch
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY tsl, event_id)
+             |),
+             |mid AS (
+             |  SELECT CAST((min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+             |    AS BIGINT) AS t
+             |  FROM events
+             |)
+             |SELECT user_id, version, event_type AS state_asof,
+             |  tsl AS valid_from, (SELECT t FROM mid) AS asof_ts
+             |FROM v
+             |WHERE tsl <= (SELECT t FROM mid)
+             |  AND (valid_to IS NULL OR valid_to > (SELECT t FROM mid))
+             |ORDER BY user_id""".stripMargin))
   )
 }
