@@ -104,12 +104,15 @@ object Louvain {
 
     // The two O(1) driver scalars: total weight m (invariant under
     // contraction) and the packing modulus K = |V|+1.
-    val m = g.agg(sum("w")).head.getLong(0)
+    val m = g.agg(coalesce(sum("w"), lit(0L))).head.getLong(0)
     val k = ids.count() + 1
     require(m > 0, "graph has no loop-free edge")
-    // Packing exactness bound: max packed value ≤ 6m²·K.
-    require(6.0 * m * m * k < Long.MaxValue.toDouble,
-      s"integer argmax packing needs 6m²(|V|+1) < 2^63 (m=$m, K=$k)")
+    // Packing exactness bound, checked EXACTLY: the max packed value
+    // is 6m²·K + (K−1), and a double compare at the 2^63 boundary is
+    // ~2^11 ulps loose — both would let a just-inside input wrap the
+    // long argmax silently instead of failing loudly here.
+    require(BigInt(6) * m * m * k + (k - 1) <= BigInt(Long.MaxValue),
+      s"integer argmax packing needs 6m²(|V|+1)+|V| < 2^63 (m=$m, K=$k)")
     val off = 4L * m * m
 
     // assign: original dense id → current community id.
@@ -148,7 +151,10 @@ object Louvain {
             lit(0L).as("w")))
           .groupBy("n", "c").agg(max("w").as("w"))
         // Exact integer score; d'_c excludes the node's own k when
-        // scoring its current community.
+        // scoring its current community. Consumed TWICE below
+        // (argmax + stay row) — cut it per round or the whole
+        // wic/cand/dc scoring subtree plans twice per round (the
+        // Sssp carried/relaxed double-reference discipline).
         val sc = cand
           .join(deg, "n")
           .join(labels.select(col("id").as("n"), col("comm").as("cur")), "n")
@@ -157,6 +163,7 @@ object Louvain {
             (lit(2L * m) * col("w") - col("k") *
               (col("d") - when(col("c") === col("cur"), col("k"))
                 .otherwise(lit(0L)))).as("s"))
+          .lineageCut
         // HashAggregate argmax: pack (S + 4m²)·K + (K − c).
         val best = sc
           .groupBy("n")

@@ -681,13 +681,6 @@ object Similarity {
         col("vec_id").as("nbr_id"), col("sim_e6")))
   }
 
-  /** Exhaustive SQ8 scan top-k — [[bruteForceTopK]] run over the
-    * int8 code rows instead of float embeddings: both sides quantize
-    * with [[sq8Quantize]] and candidates score by the integer code
-    * dot over the integer code norms (exact arithmetic up to two
-    * IEEE roundings). `sim` is the raw approximate cosine — callers
-    * scale/round for output. Zero vectors drop on both sides.
-    */
   /** Deterministic geometric LEVEL assignment for the hierarchical
     * navigable graph (the HNSW layer rule, hash-derandomized): a
     * vector belongs to every level `l` with
@@ -781,6 +774,13 @@ object Similarity {
       entriesPerQuery = true)
   }
 
+  /** Exhaustive SQ8 scan top-k — [[bruteForceTopK]] run over the
+    * int8 code rows instead of float embeddings: both sides quantize
+    * with [[sq8Quantize]] and candidates score by the integer code
+    * dot over the integer code norms (exact arithmetic up to two
+    * IEEE roundings). `sim` is the raw approximate cosine — callers
+    * scale/round for output. Zero vectors drop on both sides.
+    */
   def sq8TopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val cand = sq8Quantize(emb.select(col("vec_id"), col("embedding")))
       .filter(col("sq") > 0)

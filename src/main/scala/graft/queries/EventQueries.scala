@@ -787,9 +787,13 @@ object EventQueries {
         val scd2 = changes
           .withColumn("valid_to", lead("tsl", 1).over(w))
           .withColumn("version", row_number().over(w).cast("long"))
+        // `div`, never Column `/`: long/long `/` is double division
+        // + cast, exact only while min+max < 2^53 — the
+        // packSequences discipline (the oracle's `//` is integer).
         val mid = Tables.events(s, d)
-          .agg(((min(unix_micros(col("ts"))) +
-            max(unix_micros(col("ts")))) / 2).cast("long").as("t"))
+          .agg((min(unix_micros(col("ts"))) +
+            max(unix_micros(col("ts")))).as("s2"))
+          .select(expr("s2 div 2").cast("long").as("t"))
         scd2.crossJoin(broadcast(mid))
           .filter(col("tsl") <= col("t") &&
             (col("valid_to").isNull || col("valid_to") > col("t")))

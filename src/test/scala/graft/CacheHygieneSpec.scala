@@ -215,11 +215,14 @@ class CacheHygieneSpec extends SparkSpec {
   test("every .persist( site in src/main is on this spec's roster") {
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get("src/main/scala/graft")
-    val persisting = java.nio.file.Files.walk(root).iterator().asScala
-      .filter(_.toString.endsWith(".scala"))
-      .filter(p => new String(java.nio.file.Files.readAllBytes(p))
-        .contains(".persist("))
-      .map(_.getFileName.toString).toSet
+    val walk = java.nio.file.Files.walk(root)
+    val persisting =
+      try walk.iterator().asScala
+        .filter(_.toString.endsWith(".scala"))
+        .filter(p => new String(java.nio.file.Files.readAllBytes(p))
+          .contains(".persist("))
+        .map(_.getFileName.toString).toSet
+      finally walk.close() // Files.walk holds directory handles
     val roster = Set(
       // release-on-return, pinned by checkReleased above
       "KCore.scala", "Neighborhood.scala", "Scc.scala", "Hits.scala",

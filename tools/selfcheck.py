@@ -54,26 +54,53 @@ def main():
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
             continue
+        # Timer races are real: arm it ONLY around the oracle query,
+        # record firing in a flag (a late fire must not be read as a
+        # query failure), and REBUILD the connection after any fire —
+        # a pending interrupt on the shared connection would poison
+        # the NEXT oracle otherwise.
+        fired = [False]
         timer = None
         if timeout:
             import threading
-            timer = threading.Timer(timeout, con.interrupt)
+            def _fire(c=con):
+                fired[0] = True
+                c.interrupt()
+            timer = threading.Timer(timeout, _fire)
             timer.start()
         try:
             want = canon(con.sql(sql).df())
-            got = canon(con.sql(
-                f"FROM read_parquet('{outdir}/{name}/*.parquet')").df())
         except Exception as e:
-            msg = str(e)
-            if "INTERRUPT" in msg.upper():
+            if timer:
+                timer.cancel()
+            if fired[0]:
                 print(f"TIMEOUT {name}: oracle exceeded {timeout}s")
             else:
                 print(f"FAIL {name}: {e}")
             fail += 1
+            if fired[0]:
+                con = duckdb.connect()
+                for t in TABLES:
+                    con.sql(f"CREATE VIEW {t} AS FROM "
+                            f"read_parquet('{sfdir}/{t}.parquet')")
             continue
         finally:
             if timer:
                 timer.cancel()
+        if fired[0]:
+            # fired between completion and cancel: result is good,
+            # but the interrupt may still be pending — fresh conn.
+            con = duckdb.connect()
+            for t in TABLES:
+                con.sql(f"CREATE VIEW {t} AS FROM "
+                        f"read_parquet('{sfdir}/{t}.parquet')")
+        try:
+            got = canon(con.sql(
+                f"FROM read_parquet('{outdir}/{name}/*.parquet')").df())
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            fail += 1
+            continue
         if list(want.columns) != list(got.columns):
             print(f"FAIL {name}: cols want={list(want.columns)} got={list(got.columns)}")
             fail += 1
