@@ -55,6 +55,42 @@ object EventStream {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming WINDOWED QUANTILES through the mergeable KLL sketch
+    * (d76's functions.KllSketch as a streaming aggregate — the
+    * mergeable contract is exactly what streaming aggregation
+    * needs: partials build map-side per micro-batch and MERGE into
+    * the windowed state, bounded O(cap·log n) per open window,
+    * reclaimed past the watermark): per tumbling hour, event-value
+    * cent quantiles (p50/p90) by the same integer cum-weight rank
+    * rule as d76. ONE definition serves batch and stream
+    * (withWatermark is a no-op on a static frame — the parity spec
+    * runs the IDENTICAL call both ways).
+    */
+  def windowQuantiles(events: DataFrame, watermark: String = "2 hours")
+      : DataFrame = {
+    import graft.functions.KllSketch.kll_sketch
+    def rank(num: Int, den: Int) = expr(
+      // smallest v with cumweight·den ≥ n·num — the d76 rule, as a
+      // fold over the (v, w)-sorted sketch: carry (remaining rank
+      // target · den−scaled, answer).
+      s"""aggregate(sk, named_struct('cw', 0L, 'v', CAST(NULL AS BIGINT)),
+         |  (acc, x) -> IF(acc.v IS NOT NULL, acc,
+         |    IF((acc.cw + x.w) * $den >= n * $num,
+         |      named_struct('cw', acc.cw + x.w, 'v', x.v),
+         |      named_struct('cw', acc.cw + x.w,
+         |        'v', CAST(NULL AS BIGINT)))),
+         |  acc -> acc.v)""".stripMargin)
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(kll_sketch(floor(col("value") * 100 + 0.5).cast("long"),
+        4096).as("sk"))
+      .withColumn("n",
+        aggregate(col("sk"), lit(0L), (a, x) => a + x.getField("w")))
+      .select(col("window.start").as("hour_start"), col("n"),
+        rank(1, 2).as("p50_c"), rank(9, 10).as("p90_c"))
+  }
+
   /** SLIDING-window event counts (the q35 moving-average shape in
     * its streaming form): `windowLen` windows advancing every
     * `slide`, so each event lands in windowLen/slide overlapping

@@ -534,6 +534,39 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("parity: streaming windowed KLL quantiles equal batch and exact ranks") {
+    // Two hourly windows; window 1's events SPAN the micro-batch
+    // boundary, so the sketch state genuinely MERGES partials across
+    // batches (the mergeable-aggregate contract under streaming).
+    // Values are i cents → exact expected order statistics.
+    def e2(id: Long, min: Long, v: Double) =
+      Event(id, new Timestamp(min * 60000L), 1L, "view", v)
+    val w1 = (1 to 7).map(i => e2(i, 5 + i, i / 100.0))      // 0.01..0.07
+    val w2 = (1 to 9).map(i => e2(100 + i, 65 + i, i / 10.0)) // 0.1..0.9
+    val (b1, b2) = (w1.take(3) ++ w2.take(4), w1.drop(3) ++ w2.drop(4))
+    val stream = MemoryStream[Event](spark)
+    val q = EventStream.windowQuantiles(stream.toDS().toDF())
+      .writeStream.format("memory").queryName("kllq_t")
+      .outputMode("complete").start()
+    try {
+      stream.addData(b1: _*)
+      q.processAllAvailable()
+      stream.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.table("kllq_t")
+        .select(col("n"), col("p50_c"), col("p90_c"))
+        .as[(Long, Long, Long)].collect().toSet
+      // Exact: w1 has n=7, p50 = 4th smallest = 4c, p90 = ceil(6.3)=7th = 7c;
+      // w2 has n=9, p50 = ceil(4.5)=5th = 50c, p90 = ceil(8.1)=9th = 90c.
+      assert(got == Set((7L, 4L, 7L), (9L, 50L, 90L)))
+      // ONE definition serves batch: same call on the static frame.
+      val batch = EventStream.windowQuantiles((b1 ++ b2).toDF())
+        .select(col("n"), col("p50_c"), col("p90_c"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("parity: streaming CDC-apply latest rows equal the batch q60 merge") {
     import graft.streaming.EventStream.{CdcChange, CdcOut}
     // Key 1: update in batch 1, deleted in batch 2 (cross-batch D
