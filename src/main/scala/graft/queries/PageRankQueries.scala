@@ -1851,6 +1851,73 @@ object PageRankQueries {
            |GROUP BY 1 ORDER BY node""".stripMargin
       }),
 
+    // TWO-SWEEP diameter estimate (the classic double-BFS lower
+    // bound: BFS from a fixed start, re-BFS from the farthest node
+    // found — on trees exact, in general a high-quality lower bound
+    // whose endpoints are a certified distant pair): completes the
+    // distance family's ladder (g10 harmonic centrality → g23
+    // per-landmark eccentricity → this, the global diameter card).
+    // Both sweeps are Harmonic.landmarkDistances (frontier joins,
+    // per-hop cuts); the farthest pick is a TakeOrdered over the
+    // (dist DESC, node) order — one bounded row, never a collect;
+    // sweep 2's landmark set IS that 1-row frame (no driver
+    // round-trip between the sweeps).
+    Q("g29_diameter",
+      (s, d) => {
+        val e = LinkGraph.wordFollowEdges(Tables.documents(s, d), "text")
+        val start = graphLandmarks(e).orderBy("node").limit(1)
+        val d1 = graft.graph.Harmonic.landmarkDistances(e, start,
+          maxHops = 6)
+        val far = d1.orderBy(col("dist").desc, col("node")).limit(1)
+        val d2 = graft.graph.Harmonic.landmarkDistances(e,
+          far.select(col("node")), maxHops = 6)
+        start.select(col("node").as("start"))
+          .crossJoin(far.select(col("node").as("far_node"),
+            col("dist").as("ecc_start")))
+          .crossJoin(d2.agg(max("dist").as("diameter_lb"),
+            (count(lit(1)) - 1).as("n_reached_far")))
+      },
+      Some(s"""WITH RECURSIVE $edgeCtes,
+              |und AS (
+              |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              |  FROM e WHERE src <> dst
+              |),
+              |sym AS (
+              |  SELECT a AS u, b AS v FROM und
+              |  UNION ALL
+              |  SELECT b AS u, a AS v FROM und
+              |),
+              |st AS (SELECT u AS lm FROM sym GROUP BY u
+              |       ORDER BY u LIMIT 1),
+              |w1(node, dist) AS (
+              |  SELECT lm, 0 FROM st
+              |  UNION
+              |  SELECT s.v, w.dist + 1
+              |  FROM w1 w JOIN sym s ON s.u = w.node
+              |  WHERE w.dist < 6
+              |),
+              |m1 AS (SELECT node, min(dist) AS dist FROM w1
+              |       GROUP BY node),
+              |far AS (
+              |  SELECT node, dist FROM m1
+              |  ORDER BY dist DESC, node LIMIT 1
+              |),
+              |w2(node, dist) AS (
+              |  SELECT node, 0 FROM far
+              |  UNION
+              |  SELECT s.v, w.dist + 1
+              |  FROM w2 w JOIN sym s ON s.u = w.node
+              |  WHERE w.dist < 6
+              |),
+              |m2 AS (SELECT node, min(dist) AS dist FROM w2
+              |       GROUP BY node)
+              |SELECT (SELECT lm FROM st) AS start,
+              |  (SELECT node FROM far) AS far_node,
+              |  (SELECT CAST(dist AS BIGINT) FROM far) AS ecc_start,
+              |  CAST(max(dist) AS BIGINT) AS diameter_lb,
+              |  CAST(count(*) - 1 AS BIGINT) AS n_reached_far
+              |FROM m2""".stripMargin)),
+
     // WEIGHTED Louvain (Louvain.communitiesWeighted) over the
     // word-FOLLOW multigraph: g26 runs on the distinct edge set
     // ("which words connect"); this runs on follow FREQUENCIES
