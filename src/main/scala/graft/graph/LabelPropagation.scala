@@ -57,14 +57,10 @@ object LabelPropagation {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-    // Dense ids by sorted name. Single partition BY CONSTRUCTION:
-    // the distinct vocabulary is bounded (≪ corpus); the non-foldable
-    // constant key declares that deliberately (KMeans.seeds pattern)
-    // so WindowExec's warning only flags genuinely unbounded windows.
-    val ids = sym.select(col("src").as("node")).distinct()
-      .withColumn("id", row_number().over(Window
-        .partitionBy(pmod(length(col("node")), lit(1)))
-        .orderBy("node")).cast("long"))
+    // Dense ids by sorted name — the distributed two-pass scheme
+    // (per-partition offsets, no single-task sort; see DenseIds).
+    val ids = DenseIds.byKey(
+        sym.select(col("src").as("node")).distinct(), "node")
       .lineageCut
     val es = sym
       .join(ids.withColumnRenamed("node", "src")
@@ -112,10 +108,8 @@ object LabelPropagation {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-    val ids = sym.select(col("src").as("node")).distinct()
-      .withColumn("id", row_number().over(Window
-        .partitionBy(pmod(length(col("node")), lit(1)))
-        .orderBy("node")).cast("long"))
+    val ids = DenseIds.byKey(
+        sym.select(col("src").as("node")).distinct(), "node")
       .lineageCut
     val es = sym
       .join(ids.withColumnRenamed("node", "src")

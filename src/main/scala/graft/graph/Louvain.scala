@@ -84,13 +84,12 @@ object Louvain {
     val shufflePartitions =
       spark.conf.get("spark.sql.shuffle.partitions").toInt
 
-    // Dense ids by sorted name (LPA's bounded-vocabulary window).
+    // Dense ids by sorted name — the distributed two-pass scheme
+    // (per-partition offsets, no single-task sort; see DenseIds).
     val und = undw
-    val ids = und.select(col("a").as("node"))
-      .union(und.select(col("b").as("node"))).distinct()
-      .withColumn("id", row_number().over(Window
-        .partitionBy(pmod(length(col("node")), lit(1)))
-        .orderBy("node")).cast("long"))
+    val ids = DenseIds.byKey(
+      und.select(col("a").as("node"))
+        .union(und.select(col("b").as("node"))).distinct(), "node")
       .lineageCut
     // Level-1 weighted graph: (a, b, w) with a ≤ b; self-loops only
     // appear after contraction.

