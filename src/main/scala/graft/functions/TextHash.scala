@@ -70,6 +70,17 @@ object TextHash {
   val EmbedPlanes = 64
   val EmbedBands = 8
   val EmbedBandBits: Int = EmbedPlanes / EmbedBands
+
+  /** Corpus-count threshold at which the embedding-LSH band layout
+    * widens from 8×8 to 4×16 bits (Similarity.embedNearDupPairs —
+    * the standard size-adaptive LSH tuning: expected collision
+    * pairs grow ~bands·n²/2^width, so the width must grow with n).
+    * Sits above every correctness SF's corpus (≤ ~2,200 rows, which
+    * keep the max-recall 8-bit layout bit-for-bit) and below the
+    * sf1.0 scale corpus (22,000 rows, where 8-bit banding measured
+    * 15.7× wall-time on 10× data in the round-12 record).
+    */
+  val EmbedBandWidenN = 10000L
   private val EmbedBlockOffset = 536870923L
   def embedPlaneA(p: Int): Long = PermA(p % NumPerms)
   def embedPlaneB(p: Int): Long =

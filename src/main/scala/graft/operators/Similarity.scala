@@ -55,13 +55,29 @@ object Similarity {
     * label-free dedup path (e2 needs given cluster labels; this
     * derives its own buckets from the vectors). Each row gets a
     * 64-bit sign-of-dot signature over deterministic ±1 hyperplanes
-    * (compiled kernel, codegen'd); the signature splits into 8 bands
-    * of 8 bits — 256 bucket values per band, so buckets stay
-    * selective at corpus scale — and candidates come from the
-    * co-partitioned band bucket join: near-parallel vectors agree on
-    * (almost) all sign bits, so they collide in some band, while the
-    * O(n²) cross space never materializes. Candidates are then
-    * verified with exact codegen'd cosine ≥ `minCos`.
+    * (compiled kernel, codegen'd); the signature splits into bands
+    * and candidates come from the co-partitioned band bucket join:
+    * near-parallel vectors agree on (almost) all sign bits, so they
+    * collide in some band, while the O(n²) cross space never
+    * materializes. Candidates are then verified with exact codegen'd
+    * cosine ≥ `minCos`.
+    *
+    * The band width is SCALE-ADAPTIVE (the standard LSH tuning; the
+    * round-12 sf1.0 record measured the fixed 8-bit layout at 15.7×
+    * wall-time on 10× data — expected collision pairs grow
+    * ~bands·n²/2^width, so a fixed width is quadratic in the corpus):
+    * below [[graft.functions.TextHash.EmbedBandWidenN]] rows the
+    * signature splits 8×8 bits (256 bucket values per band — enough
+    * selectivity for small corpora, and maximal recall); at or above
+    * it, 4×16 bits (65,536 values per band, collision mass /256 per
+    * band at half the bands). The decision rides IN-PLAN as a one-row
+    * broadcast aggregate over the signature table — no driver action,
+    * and the SQL oracle mirrors the same CASE over count(*). Recall
+    * note: a near-dup pair at cosine ≥ 0.99 differs in ~0-2 sign
+    * bits of 64, so 16-bit bands still catch it in some band with
+    * the same pigeonhole margin the d4 SimHash banding uses; beyond
+    * ~10⁷ rows the next step is more hyperplanes (a second signature
+    * word), not wider slices of this one.
     *
     * The signature table is persisted because the returned plan reads
     * it three times (banding + both verify sides); the caller owns the
@@ -70,17 +86,20 @@ object Similarity {
     * @param emb (vec_id, embedding array<double>)
     */
   def embedNearDupPairs(emb: DataFrame, minCos: Double): DataFrame = {
-    val bands = graft.functions.TextHash.EmbedBands
-    val w = graft.functions.TextHash.EmbedBandBits
-    val mask = (1L << w) - 1
+    val widenAt = graft.functions.TextHash.EmbedBandWidenN
     val sig = emb.select(col("vec_id"), col("embedding"),
       embed_simhash(col("embedding")).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sig.select(col("vec_id"),
-      posexplode(expr(
-        s"transform(sequence(0, ${bands - 1}), " +
-          s"b -> shiftright(sig, b * $w) & $mask)"))
-        .as(Seq("band", "bits")))
+    val params = sig.agg(count(lit(1)).as("n"))
+      .select(when(col("n") >= widenAt, lit(16))
+        .otherwise(lit(8)).as("w"))
+    val banded = sig.crossJoin(broadcast(params))
+      .select(col("vec_id"),
+        posexplode(expr(
+          "transform(sequence(0, (64 div w) - 1), " +
+            "b -> shiftright(sig, b * w) & " +
+            "(shiftleft(CAST(1 AS BIGINT), w) - 1))"))
+          .as(Seq("band", "bits")))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
           col("a.vec_id") < col("b.vec_id"))

@@ -1234,12 +1234,21 @@ object PipelineQueries {
               |    ${TextHash.duckEmbedSimHash("emb", 64)} AS sig
               |  FROM corpus
               |),
+              |params AS (
+              |  SELECT CASE WHEN count(*) >= ${TextHash.EmbedBandWidenN}
+              |    THEN 16 ELSE 8 END AS w
+              |  FROM sigs
+              |),
+              |pre AS (
+              |  SELECT vec_id, sig, w,
+              |    unnest(range(0, 64 // w)) AS band
+              |  FROM sigs, params
+              |),
               |banded AS MATERIALIZED (
-              |  SELECT vec_id, b.band,
-              |    (sig >> (b.band * ${TextHash.EmbedBandBits}))
-              |      & ${(1L << TextHash.EmbedBandBits) - 1} AS bits
-              |  FROM sigs,
-              |    (SELECT unnest(range(0, ${TextHash.EmbedBands})) AS band) b
+              |  SELECT vec_id, band,
+              |    (sig >> (band * w)) & ((CAST(1 AS BIGINT) << w) - 1)
+              |      AS bits
+              |  FROM pre
               |),
               |cand AS MATERIALIZED (
               |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb

@@ -221,6 +221,28 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Set((1L, 2L)))
   }
 
+  test("embed near-dup LSH widens bands past the corpus threshold") {
+    // Above EmbedBandWidenN rows the band layout switches 8×8 →
+    // 4×16 bits (the round-12 sf1.0 scale fix). A planted positive
+    // per-dim rescale keeps every sign bit, so the pair still
+    // collides in EVERY band at the wide width — recall survives the
+    // widening — while the 12k filler rows (deterministic ±1-ish
+    // soup at mutual cosine ≪ 0.99) verify nothing else surfaces.
+    val n = (graft.functions.TextHash.EmbedBandWidenN + 2000).toInt
+    val filler = (10 to n).map { i =>
+      (i.toLong, (0 until 8).map(d =>
+        math.sin(i * 37.0 + d * 101.0) + 1e-3 * d).toSeq)
+    }
+    val base = (1 to 8).map(_.toDouble)
+    val near = base.zipWithIndex.map { case (x, i) => x * (1 + i * 1e-4) }
+    val df = (Seq((1L, base), (2L, near.toSeq)) ++ filler)
+      .toDF("vec_id", "embedding")
+    val got = Similarity.embedNearDupPairs(df, minCos = 0.999999)
+      .select("va", "vb").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)))
+    assert(got.forall { case (a, b) => a == 1L && b == 2L || a >= 10L })
+  }
+
   test("decontaminate matches whole-token runs only, skips self-matches") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta eps zeta eta theta iota"), // probe src
