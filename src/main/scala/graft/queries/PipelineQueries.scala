@@ -292,7 +292,10 @@ object PipelineQueries {
     * instances (e11 runs four over 16-dim slices); the defaults are
     * the original full-vector form used by e7/e8/e10.
     */
-  private def kmeansCtes(k: Int, iters: Int,
+  /** `k` is a SQL expression (literal "8", or a scalar subquery for
+    * the scale-adaptive e6 path where nlist ∝ corpus count).
+    */
+  private def kmeansCtes(k: String, iters: Int,
       trainPred: String = "TRUE",
       embExpr: String = "CAST(embedding AS DOUBLE[])",
       prefix: String = "", dims: Int = 64,
@@ -749,7 +752,7 @@ object PipelineQueries {
         s"list_transform(range(1, 17), i -> $a[i] * $b[i])), " +
         s"(acc, x) -> acc + x)"
     val books = (0 until 4)
-      .map(m => kmeansCtes(8, 2, "TRUE", slice(m), s"p$m", 16))
+      .map(m => kmeansCtes("8", 2, "TRUE", slice(m), s"p$m", 16))
       .mkString(",\n")
     val encs = (0 until 4).map { m =>
       s"""enc$m AS MATERIALIZED (
@@ -3881,24 +3884,51 @@ object PipelineQueries {
               |FROM n, unnest(range(0, n)) AS t(copy)
               |ORDER BY doc_id, copy""".stripMargin)),
 
-    // Bulk kNN graph: top-3 in-cluster neighbors for EVERY vector
-    // (dedup-graph / clustering substrate) — co-partitioned equi-join
-    // on the cell key plus the bounded-heap top-k aggregate; neither
-    // the cross-cell pair space nor a corpus-wide sort ever exists.
+    // Bulk kNN graph: top-3 in-cell neighbors for EVERY vector
+    // (dedup-graph / clustering substrate) — blocked on TRAINED
+    // k-means cells with nlist ∝ corpus count (k = max(8, ⌈n/250⌉)),
+    // the round-12 sf1.0 scale fix: blocking on the corpus's FIXED
+    // 10 labels made in-cell all-pairs cost Σ|cell|² grow 100× per
+    // 10× rows (measured 33×); trained cells hold |cell| ≈ 250
+    // regardless of n, so the pair space is ~n·250 — linear. The
+    // oracle computes the same k from count(*) and unrolls the same
+    // 3 Lloyd rounds (e7's mirror with a dynamic LIMIT). Search is
+    // still the co-partitioned cell equi-join plus the bounded-heap
+    // top-k aggregate; neither the cross-cell pair space nor a
+    // corpus-wide sort ever exists.
     Q("e6_knn_graph",
-      (s, d) => Similarity.knnGraph(Tables.embeddings(s, d), "label", k = 3)
-        .select(col("vec_id"), col("rank").cast("long").as("rank"),
-          col("nbr_id"), col("sim"))
-        .orderBy("vec_id", "rank"),
-      Some(s"""WITH e AS (
-              |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+      (s, d) => {
+        val emb = Tables.embeddings(s, d).select(col("vec_id"),
+          expr("transform(embedding, v -> cast(v as double))")
+            .as("embedding"))
+        // Bounded driver scalar (the KMeans centroid-handoff class):
+        // nlist must be an Int for the trainer's compiled kernel.
+        val k = math.max(8L, (emb.count() + 249) / 250).toInt
+        val cent = KMeans.train(emb, k, iters = 3)
+        Similarity.knnGraph(KMeans.withCells(emb, cent), "cell", k = 3)
+          .select(col("vec_id"), col("rank").cast("long").as("rank"),
+            col("nbr_id"), col("sim"))
+          .orderBy("vec_id", "rank")
+      },
+      Some(s"""WITH kparam AS (
+              |  SELECT greatest(8, (count(*) + 249) // 250) AS k
               |  FROM embeddings
+              |),
+              |${kmeansCtes("(SELECT k FROM kparam)", 3)},
+              |a4 AS MATERIALIZED (
+              |  SELECT vec_id, emb, cell FROM (
+              |    SELECT v.vec_id, v.emb, c.cell,
+              |      row_number() OVER (PARTITION BY v.vec_id
+              |        ORDER BY ${TextHash.duckCosine("v.emb", "c.cvec", 64)}
+              |          DESC, c.cell) AS rn
+              |    FROM e v, cent3 c
+              |  ) WHERE rn = 1
               |),
               |p AS (
               |  SELECT a.vec_id, b.vec_id AS nbr_id,
               |    ${TextHash.duckCosine("a.emb", "b.emb", 64)} AS sim
-              |  FROM e a JOIN e b
-              |    ON a.label = b.label AND a.vec_id <> b.vec_id
+              |  FROM a4 a JOIN a4 b
+              |    ON b.cell = a.cell AND b.vec_id <> a.vec_id
               |),
               |r AS (
               |  SELECT vec_id, nbr_id, sim,
@@ -4378,7 +4408,7 @@ object PipelineQueries {
             col("centroid"))
           .orderBy("cell", "dim")
       },
-      Some(s"""WITH ${kmeansCtes(8, 3)}
+      Some(s"""WITH ${kmeansCtes("8", 3)}
               |SELECT cell, CAST(dim AS BIGINT) AS dim, centroid
               |FROM c3d ORDER BY cell, dim""".stripMargin)),
 
@@ -4492,7 +4522,7 @@ object PipelineQueries {
             col("rank").cast("long").as("rank"), col("cand_id"), col("sim"))
           .orderBy("query_id", "rank")
       },
-      Some(s"WITH ${kmeansCtes(8, 3)},\n$learnedIvfTailSql")),
+      Some(s"WITH ${kmeansCtes("8", 3)},\n$learnedIvfTailSql")),
 
     // Sampled-training k-means — the 100 TB recipe exercised end to
     // end (SURVEY §4 documents it; this key proves it): train the
@@ -4517,7 +4547,7 @@ object PipelineQueries {
             col("rank").cast("long").as("rank"), col("cand_id"), col("sim"))
           .orderBy("query_id", "rank")
       },
-      Some(s"WITH ${kmeansCtes(8, 3, s"$duckVecBucket < 2500")}," +
+      Some(s"WITH ${kmeansCtes("8", 3, s"$duckVecBucket < 2500")}," +
         s"\n$learnedIvfTailSql")),
 
     // IVF index-health card — the retrain trigger (IndexPipeline's
@@ -4538,7 +4568,7 @@ object PipelineQueries {
         val cent = KMeans.train(base, k = 8, iters = 3)
         Similarity.ivfHealthCard(KMeans.withCells(emb, cent), cent)
       },
-      Some(s"""WITH ${kmeansCtes(8, 3, "vec_id % 2 = 0")},
+      Some(s"""WITH ${kmeansCtes("8", 3, "vec_id % 2 = 0")},
               |ha AS MATERIALIZED (
               |  SELECT vec_id, emb, cell FROM (
               |    SELECT v.vec_id, v.emb, c.cell,
@@ -6954,7 +6984,7 @@ object PipelineQueries {
             s"list_transform(range(1, 17), i -> $a[i] * $b[i])), " +
             s"(acc, x) -> acc + x)"
         val books = (0 until 4)
-          .map(m => kmeansCtes(8, 2, "TRUE", slice(m), s"p$m", 16))
+          .map(m => kmeansCtes("8", 2, "TRUE", slice(m), s"p$m", 16))
           .mkString(",\n")
         val encs = (0 until 4).map { m =>
           s"""enc$m AS MATERIALIZED (
@@ -7114,7 +7144,7 @@ object PipelineQueries {
             s"list_transform(range(1, 17), i -> $a[i] * $b[i])), " +
             s"(acc, x) -> acc + x)"
         val books = (0 until 4)
-          .map(m => kmeansCtes(8, 2, "TRUE", rslice(m), s"p$m", 16,
+          .map(m => kmeansCtes("8", 2, "TRUE", rslice(m), s"p$m", 16,
             src = "resid"))
           .mkString(",\n")
         val encs = (0 until 4).map { m =>
