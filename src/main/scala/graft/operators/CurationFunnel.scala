@@ -55,7 +55,13 @@ object CurationFunnel {
       .select("doc_id")
       .lineageCut
     val base2 = docs.join(keepEx, "doc_id")
-    val drop3 = Dedup.ngramJaccardPairs(base2, minJaccard = 0.8)
+    // Saturation-guarded near-dup gate (Dedup.nearDupPairsAuto): the
+    // exact inverted-index path while the shingle vocabulary prunes,
+    // the df-independent MinHash-LSH path once mean shingle df
+    // approaches the cap — the d54 oracle mirrors the direct path,
+    // which is what the router picks at every correctness SF, and
+    // OperatorsSpec pins route-equality on both regimes.
+    val drop3 = Dedup.nearDupPairsAuto(base2, minJaccard = 0.8)
       .select(col("db").as("doc_id")).distinct()
     val s3 = base2.select("doc_id")
       .join(drop3, Seq("doc_id"), "left_anti")

@@ -115,6 +115,44 @@ object Dedup {
     verifyJaccard(candidates, sets, minJaccard)
   }
 
+  /** Near-dup pairs with a vocabulary-SATURATION guard (the round-12
+    * d54 fix): route between the exact-candidate inverted-index path
+    * and the MinHash-LSH path by the corpus's measured mean shingle
+    * document frequency. [[ngramJaccardPairs]]' df-cap prunes only
+    * while most shingles are RARE; on a saturated vocabulary (mean
+    * df approaching the cap — the sf1.0 synthetic corpus, or any
+    * adversarially templated real input) the cap stops pruning and
+    * the candidate join silently goes quadratic (measured 374 s cold
+    * of d54's 414-575 s at sf1.0). [[minhashLshPairs]] buckets on
+    * doc-level band signatures — df-independent — so it is the
+    * correct gate there (d3 measured 2.2× on the same 10× step).
+    *
+    * The routing scalar is ONE bounded aggregate over the exploded
+    * shingle sets (occurrences + distinct count — a linear
+    * partial-agg scan, never pair work): saturated ⇔
+    * mean df ≥ maxShingleDf/4, compared in exact integers
+    * (occ ≥ (cap/4)·uniq). Measured means on the synthetic corpus:
+    * 1.6 / 9.6 / 88.7 at sf0.01/0.1/1.0 — the correctness SFs sit
+    * 2.6×+ under the threshold (routed = direct path bit-for-bit,
+    * which is what the d54 oracle mirrors) and sf1.0 sits 1.8×+
+    * above it. Both branches verify exact Jaccard ≥ `minJaccard`;
+    * they differ only in candidate GENERATION, so routing trades
+    * recall of df-starved pairs exactly as the two operators'
+    * Scaladocs document.
+    */
+  def nearDupPairsAuto(docs: DataFrame, minJaccard: Double,
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val st = shingleSets(docs)
+      .select(explode(col("sh")).as("s"))
+      .agg(count(lit(1)).as("occ"),
+        countDistinct("s").as("uniq"))
+      .head()
+    val (occ, uniq) = (st.getLong(0), st.getLong(1))
+    val saturated = uniq > 0 && occ >= (maxShingleDf.toLong / 4) * uniq
+    if (saturated) minhashLshPairs(docs, minJaccard)
+    else ngramJaccardPairs(docs, minJaccard, maxShingleDf)
+  }
+
   /** Asymmetric CONTAINMENT near-dup pairs: C(A⊆B) = |A∩B| / |A| on
     * the shingle sets — catches what symmetric Jaccard structurally
     * can't: a short document contained in a much longer one (quote

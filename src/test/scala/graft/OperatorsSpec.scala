@@ -221,6 +221,38 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Set((1L, 2L)))
   }
 
+  test("nearDupPairsAuto routes by shingle-vocabulary saturation") {
+    // Non-saturated (diverse vocabulary, mean df ~1): the router
+    // must take the exact inverted-index path bit-for-bit — the
+    // regime every correctness SF is in, and what the d54 oracle
+    // mirrors.
+    val diverse = (1 to 20).map(i => (i.toLong,
+      s"alpha$i beta$i gamma$i delta$i eps$i zeta$i")) ++
+      Seq((21L, "shared one two three four five six seven"),
+        (22L, "shared one two three four five six eight"))
+    val dd = diverse.toDF("doc_id", "text")
+    val auto = Dedup.nearDupPairsAuto(dd, minJaccard = 0.5)
+      .as[(Long, Long, Long)].collect().toSet
+    val direct = Dedup.ngramJaccardPairs(dd, minJaccard = 0.5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(auto == direct)
+    assert(auto.exists { case (a, b, _) => (a, b) == (21L, 22L) })
+
+    // Saturated (3-word soup, every shingle's df far over the cap):
+    // the direct path's df-cap excludes EVERY shingle from candidate
+    // generation — zero pairs, the silent-quadratic/zero-recall
+    // regime — while the df-independent LSH path still pairs the
+    // identical docs. The router finding them proves it switched.
+    val soup = (1 to 30).map(i => (i.toLong, "a b c a b c a b"))
+    val sd = soup.toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairs(sd, minJaccard = 0.9,
+      maxShingleDf = 4).isEmpty)
+    val routed = Dedup.nearDupPairsAuto(sd, minJaccard = 0.9,
+      maxShingleDf = 4)
+    assert(routed.count() == 30L * 29 / 2)
+    spark.catalog.clearCache() // both pair paths are caller-releases
+  }
+
   test("embed near-dup LSH widens bands past the corpus threshold") {
     // Above EmbedBandWidenN rows the band layout switches 8×8 →
     // 4×16 bits (the round-12 sf1.0 scale fix). A planted positive
