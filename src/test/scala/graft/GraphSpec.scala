@@ -818,6 +818,51 @@ class GraphSpec extends SparkSpec {
     assert(r.getLong(2) == math.floor(2.0 / 3.0 * 10000 + 0.5).toLong)
   }
 
+  test("Leiden repair splits the synchronous-swap disconnected community") {
+    import graft.graph.Louvain
+    // Planted pathology (hand-traced; dense ids a=1,b=2,c=3,d=4,e=5,
+    // m=11, 2m=22): round 1 (odd ids move) pulls a and c into b's
+    // community and e into d's; round 2 (even ids move, scored
+    // against round-1 labels) SWAPS b and d — b joins {d,e}
+    // (S=132−96=36 > stay 28) while d simultaneously joins {a,b,c}
+    // (S=132−90=42 > stay 39). Both final communities are internally
+    // EDGE-FREE: {a,c,d} (label b) and {b,e} (label d) —
+    // Q = −0.5. The repair must split them into the five singleton
+    // components (Q = −156/484 ≈ −0.322 > −0.5: modularity strictly
+    // improves, communities trivially connected).
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L), ("b", "d", 6L),
+      ("d", "e", 3L)).toDF("src", "dst", "weight")
+    val raw = Louvain.communitiesWeighted(edges, levels = 1,
+      moveRounds = 2).as[(String, String)].collect().toMap
+    assert(raw == Map("a" -> "b", "c" -> "b", "d" -> "b",
+      "b" -> "d", "e" -> "d"))
+    val fixed = Louvain.communitiesWeightedRefined(edges, levels = 1,
+      moveRounds = 2).as[(String, String)].collect().toMap
+    assert(fixed == Map("a" -> "a", "b" -> "b", "c" -> "c",
+      "d" -> "d", "e" -> "e"))
+  }
+
+  test("Leiden repair is partition-neutral on connected communities") {
+    import graft.graph.Louvain
+    // Two disjoint triangles: Louvain finds each (connected), so the
+    // repair must return the SAME partition — only labels may move
+    // to the minimum member.
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("x", "y"), ("y", "z"), ("z", "x")).toDF("src", "dst")
+    def partitionOf(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, String)].collect().groupBy(_._2)
+        .values.map(_.map(_._1).toSet).toSet
+    val raw = Louvain.communities(edges, levels = 2, moveRounds = 2)
+    val fixed = Louvain.communitiesRefined(edges, levels = 2,
+      moveRounds = 2)
+    assert(partitionOf(raw) == partitionOf(fixed))
+    assert(partitionOf(fixed) == Set(Set("a", "b", "c"),
+      Set("x", "y", "z")))
+    // Refined labels are each component's minimum member.
+    val m = fixed.as[(String, String)].collect().toMap
+    assert(m("a") == "a" && m("b") == "a" && m("x") == "x")
+  }
+
   test("DenseIds: distributed ids equal the global rank by key") {
     import graft.graph.DenseIds
     // > shuffle-partitions keys in scrambled input order, so the
