@@ -667,6 +667,26 @@ object Similarity {
   def navigableAttach(embBase: DataFrame, embDelta: DataFrame,
       labelCol: String, alpha100: Long = 120, maxDegree: Int = 16,
       maxCandidates: Int = 32, nprobe: Int = 2): DataFrame = {
+    val sel = probedSel(embBase, embDelta, labelCol, maxCandidates,
+      nprobe).select("vec_id", "nbr_id", "se")
+    val fwd = alphaPrune(sel, withNorms(embBase), alpha100, maxDegree)
+    fwd.select(col("vec_id"), lit("fwd").as("kind"), col("rank"),
+        col("nbr_id"), col("sim_e6"))
+      .union(fwd.select(col("nbr_id").as("vec_id"),
+        lit("back").as("kind"), lit(null).cast("long").as("rank"),
+        col("vec_id").as("nbr_id"), col("sim_e6")))
+  }
+
+  /** The delta→base probed-candidate step shared by the flat and
+    * hierarchical attach paths: route each delta vector to its
+    * `nprobe` nearest base cells map-side (broadcast centroid array
+    * — zero corpus shuffle), score in-cell base candidates on the e6
+    * grid, heap-truncate to `maxCand` per delta vector.
+    * @return (vec_id, pos 0-based in (se DESC, nbr_id) order,
+    *   nbr_id, se)
+    */
+  private def probedSel(embBase: DataFrame, embDelta: DataFrame,
+      labelCol: String, maxCand: Int, nprobe: Int): DataFrame = {
     val centArr = centroidVectors(embBase, labelCol)
       .agg(array_sort(collect_list(struct(col("label"), col("cvec"))))
         .as("cents"))
@@ -682,22 +702,70 @@ object Similarity {
       .select(col("vec_id"), col("ea"), col("p.label").as("label"))
     val cand = embBase.select(col(labelCol).as("label"),
       col("vec_id").as("nbr_id"), col("embedding").as("eb"))
-    val sel = probes.join(cand, Seq("label"))
+    probes.join(cand, Seq("label"))
       .withColumn("se",
         floor(cosine_sim(col("ea"), col("eb")) * 1000000 + 0.5)
           .cast("long"))
       .groupBy("vec_id")
       .agg(top_k_by_score(col("se").cast("double"), col("nbr_id"),
-        lit(0L), maxCandidates).as("tk"))
-      .select(col("vec_id"), explode(col("tk")).as("t"))
-      .select(col("vec_id"), col("t.cand_id").as("nbr_id"),
-        col("t.sim").cast("long").as("se"))
-    val fwd = alphaPrune(sel, withNorms(embBase), alpha100, maxDegree)
-    fwd.select(col("vec_id"), lit("fwd").as("kind"), col("rank"),
-        col("nbr_id"), col("sim_e6"))
-      .union(fwd.select(col("nbr_id").as("vec_id"),
-        lit("back").as("kind"), lit(null).cast("long").as("rank"),
-        col("vec_id").as("nbr_id"), col("sim_e6")))
+        lit(0L), maxCand).as("tk"))
+      .select(col("vec_id"), posexplode(col("tk")).as(Seq("pos", "t")))
+      .select(col("vec_id"), col("pos"),
+        col("t.cand_id").as("nbr_id"), col("t.sim").cast("long").as("se"))
+  }
+
+  /** HIERARCHICAL incremental attach (e48) — [[navigableAttach]]'s
+    * FreshDiskANN insert discipline applied to the
+    * [[hierarchicalNavGraph]] layers, so the newest index shape no
+    * longer forces full rebuilds (the d21/e32 incremental family's
+    * hole the round-12 verdict named): each delta vector draws its
+    * deterministic level ([[hierLevel]] — the same hash rule the
+    * build uses, so attach and rebuild agree on membership), then
+    *
+    *   - level 0: the flat [[navigableAttach]] against the full base
+    *     (route → heap-truncate → α-prune → 'fwd' edges + 'back'
+    *     backlink appends, base lists not re-pruned — deferred
+    *     compaction, the periodic rebuild is the compaction);
+    *   - each level l ≥ 1: delta members of level ≥ l attach against
+    *     BASE members of level ≥ l only — probed top-`kUpper` on the
+    *     e6 grid, mirroring the build's un-pruned upper layers, plus
+    *     the same 'back' reverses.
+    *
+    * Attach cost scales with the DELTA at every level (the upper
+    * levels geometrically so — a 4^-l delta sample against a 4^-l
+    * base sample); the base graph is never read, only base
+    * embeddings in the probed cells. Stale-upper-layer caveat as
+    * [[navigableAttach]]: routing uses the CURRENT base members'
+    * centroids, so a drifted base eventually wants the rebuild —
+    * e29's health card is the trigger.
+    *
+    * @return (level, vec_id, kind 'fwd'|'back', rank — null for
+    *   'back', nbr_id, sim_e6)
+    */
+  def hierarchicalAttach(embBase: DataFrame, embDelta: DataFrame,
+      labelCol: String, maxLevel: Int, alpha100: Long = 120,
+      maxDegree: Int = 16, maxCandidates: Int = 32, nprobe: Int = 2,
+      kUpper: Int = 8): DataFrame = {
+    require(maxLevel >= 1, s"maxLevel must be >= 1, got $maxLevel")
+    val lvl = hierLevel(maxLevel)
+    val base0 = navigableAttach(embBase, embDelta, labelCol, alpha100,
+        maxDegree, maxCandidates, nprobe)
+      .select(lit(0L).as("level"), col("vec_id"), col("kind"),
+        col("rank"), col("nbr_id"), col("sim_e6"))
+    (1 to maxLevel).foldLeft(base0) { (acc, l) =>
+      val fwd = probedSel(embBase.filter(lvl >= l),
+          embDelta.filter(lvl >= l), labelCol, kUpper, nprobe)
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("nbr_id"), col("se").as("sim_e6"))
+      acc
+        .unionByName(fwd.select(lit(l.toLong).as("level"),
+          col("vec_id"), lit("fwd").as("kind"), col("rank"),
+          col("nbr_id"), col("sim_e6")))
+        .unionByName(fwd.select(lit(l.toLong).as("level"),
+          col("nbr_id").as("vec_id"), lit("back").as("kind"),
+          lit(null).cast("long").as("rank"),
+          col("vec_id").as("nbr_id"), col("sim_e6")))
+    }
   }
 
   /** Deterministic geometric LEVEL assignment for the hierarchical

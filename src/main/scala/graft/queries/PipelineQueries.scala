@@ -9409,6 +9409,132 @@ object PipelineQueries {
            |    CAST((SELECT h FROM hhb) * 250 AS BIGINT)
            |)
            |ORDER BY budget""".stripMargin
+      }),
+
+    // HIERARCHICAL incremental attach (Similarity.hierarchicalAttach)
+    // — the FreshDiskANN insert discipline (e32) applied to e46's
+    // layered build, closing the incremental family's hole at its
+    // newest member: the odd-id delta draws its deterministic
+    // hierLevel, attaches flat at level 0 (route → heap-truncate →
+    // α-prune → fwd + back-link appends, base lists not re-pruned —
+    // deferred compaction), and at each upper level l probes only
+    // the level-≥l BASE members for its top-8 on the e6 grid —
+    // mirroring the build's un-pruned upper layers. Attach cost
+    // scales with the delta at every level (geometrically above
+    // level 0); the base graph is never read. OperatorsSpec pins
+    // attach-then-search recall vs a full rebuild on a planted
+    // delta.
+    Q("e48_hier_attach",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.hierarchicalAttach(
+            emb.filter(col("vec_id") % 5 =!= 2),
+            emb.filter(col("vec_id") % 5 === 2), "label", maxLevel = 2)
+          .orderBy("level", "vec_id", "kind", "nbr_id")
+      },
+      Some {
+        def upper(l: Int): String = {
+          val mod = 1L << (2 * l)
+          val member =
+            s"vec_id * ${Sampling.Mixer} % ${Sampling.MixMod} % $mod = 0"
+          s"""ebu$l AS MATERIALIZED (
+             |  SELECT vec_id, label, emb FROM eb WHERE $member
+             |),
+             |edu$l AS (SELECT vec_id, emb FROM edel WHERE $member),
+             |cbu$l AS (
+             |  SELECT label, i - 1 AS dim, round(avg(v), 6) AS c
+             |  FROM (SELECT label, unnest(emb) AS v,
+             |          generate_subscripts(emb, 1) AS i FROM ebu$l)
+             |  GROUP BY label, dim
+             |),
+             |centbu$l AS (
+             |  SELECT label, list(c ORDER BY dim) AS cvec FROM cbu$l
+             |  GROUP BY label
+             |),
+             |assdu$l AS MATERIALIZED (
+             |  SELECT vec_id, emb, label FROM (
+             |    SELECT d.vec_id, d.emb, c.label,
+             |      row_number() OVER (PARTITION BY d.vec_id
+             |        ORDER BY ${TextHash.duckCosine("d.emb", "c.cvec",
+                        64)} DESC, c.label) AS rn
+             |    FROM edu$l d, centbu$l c
+             |  ) WHERE rn <= 2
+             |),
+             |rtu$l AS MATERIALIZED (
+             |  SELECT vec_id, nbr_id, se, row_number() OVER (
+             |      PARTITION BY vec_id ORDER BY se DESC, nbr_id)
+             |      AS rank
+             |  FROM (
+             |    SELECT a.vec_id, b.vec_id AS nbr_id,
+             |      CAST(floor(${TextHash.duckCosine("a.emb", "b.emb",
+                      64)} * 1000000 + 0.5) AS BIGINT) AS se
+             |    FROM assdu$l a JOIN ebu$l b ON b.label = a.label
+             |  )
+             |)""".stripMargin
+        }
+        def upperRows(l: Int): String =
+          s"""  UNION ALL
+             |  SELECT CAST($l AS BIGINT), vec_id, 'fwd',
+             |    CAST(rank AS BIGINT), nbr_id, se
+             |  FROM rtu$l WHERE rank <= 8
+             |  UNION ALL
+             |  SELECT CAST($l AS BIGINT), nbr_id, 'back',
+             |    CAST(NULL AS BIGINT), vec_id, se
+             |  FROM rtu$l WHERE rank <= 8""".stripMargin
+        s"""WITH eb AS MATERIALIZED (
+           |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+           |  FROM embeddings WHERE vec_id % 5 <> 2
+           |),
+           |edel AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           |  FROM embeddings WHERE vec_id % 5 = 2
+           |),
+           |cb0 AS (
+           |  SELECT label, i - 1 AS dim, round(avg(v), 6) AS c
+           |  FROM (SELECT label, unnest(emb) AS v,
+           |          generate_subscripts(emb, 1) AS i FROM eb)
+           |  GROUP BY label, dim
+           |),
+           |centb AS (
+           |  SELECT label, list(c ORDER BY dim) AS cvec FROM cb0
+           |  GROUP BY label
+           |),
+           |assd AS MATERIALIZED (
+           |  SELECT vec_id, emb, label FROM (
+           |    SELECT d.vec_id, d.emb, c.label,
+           |      row_number() OVER (PARTITION BY d.vec_id
+           |        ORDER BY ${TextHash.duckCosine("d.emb", "c.cvec", 64)}
+           |          DESC, c.label) AS rn
+           |    FROM edel d, centb c
+           |  ) WHERE rn <= 2
+           |),
+           |nc AS MATERIALIZED (
+           |  SELECT vec_id, nbr_id, se, crank FROM (
+           |    SELECT vec_id, nbr_id, se, row_number() OVER (
+           |      PARTITION BY vec_id ORDER BY se DESC, nbr_id) AS crank
+           |    FROM (
+           |      SELECT a.vec_id, b.vec_id AS nbr_id,
+           |        CAST(floor(${TextHash.duckCosine("a.emb", "b.emb", 64)}
+           |          * 1000000 + 0.5) AS BIGINT) AS se
+           |      FROM assd a JOIN eb b ON b.label = a.label
+           |    )
+           |  ) WHERE crank <= 32
+           |),
+           |${alphaPruneStepsSql(alpha100 = 120, maxDeg = 16,
+                                 maxCand = 32, embCte = "eb")},
+           |${upper(1)},
+           |${upper(2)}
+           |SELECT * FROM (
+           |  SELECT CAST(0 AS BIGINT) AS level, vec_id, 'fwd' AS kind,
+           |    CAST(rank AS BIGINT) AS rank, nbr_id, se AS sim_e6
+           |  FROM nav
+           |  UNION ALL
+           |  SELECT CAST(0 AS BIGINT), nbr_id, 'back',
+           |    CAST(NULL AS BIGINT), vec_id, se FROM nav
+           |${upperRows(1)}
+           |${upperRows(2)}
+           |)
+           |ORDER BY level, vec_id, kind, nbr_id""".stripMargin
       })
   )
 }

@@ -1555,6 +1555,84 @@ class OperatorsSpec extends SparkSpec {
       "descent must route across via the upper layers")
   }
 
+  test("hierarchical attach: planted delta walk-reachable, dominates rebuild") {
+    // Same 4-cluster geometry as the descent test. Delta = four
+    // level-2 members (ids ≡ 0 mod 16 — hierLevel is id mod 4^l
+    // since the Mixer is ≡ 1 mod 16) spread across clusters plus two
+    // level-0-only ids; attach them to the base build and verify the
+    // FreshDiskANN contract level-wise, then search probes planted
+    // AT each delta vector's position through attach-union and full
+    // rebuild — both must return the delta vector at rank 1 (attach
+    // loses nothing the rebuild would have).
+    val MIX = BigInt(2654435761L)
+    val MOD = BigInt(2).pow(32)
+    val rows = (0 until 200).map { i =>
+      val c = i / 50
+      val h = (BigInt(i + 1) * MIX) % MOD
+      val e = Array.tabulate(64) { dd =>
+        val noise =
+          ((h * (dd + 3) * MIX) % MOD).toDouble / MOD.toDouble - 0.5
+        val center = if (dd == c) 6.0 else 0.0
+        (center + noise).toFloat
+      }
+      (i.toLong, e, c.toLong)
+    }
+    val all = rows.toDF("vec_id", "embedding", "label")
+    val deltaIds = Seq(16L, 48L, 112L, 176L, 7L, 55L)
+    val base = all.filter(!col("vec_id").isin(deltaIds: _*))
+    val delta = all.filter(col("vec_id").isin(deltaIds: _*))
+    val att = Similarity.hierarchicalAttach(base, delta, "label",
+      maxLevel = 2, maxDegree = 4, maxCandidates = 8, kUpper = 4)
+    val rowsAtt = att
+      .as[(Long, Long, String, Option[Long], Long, Long)].collect()
+    val fwd = rowsAtt.filter(_._3 == "fwd")
+    val back = rowsAtt.filter(_._3 == "back")
+      .map(r => (r._1, r._5, r._2)).toSet
+    assert(fwd.nonEmpty && fwd.exists(_._1 == 2L),
+      "upper-level fwd rows must exist for the level-2 delta members")
+    // fwd: delta -> base members of that level only; back twins.
+    assert(fwd.forall(r => deltaIds.contains(r._2)))
+    assert(fwd.forall(r => !deltaIds.contains(r._5)))
+    assert(fwd.forall(r => r._5 % BigInt(4).pow(r._1.toInt).toLong == 0
+      || r._1 == 0L), "upper fwd edges must target level members")
+    assert(fwd.forall(r => back.contains((r._1, r._2, r._5))),
+      "every fwd edge carries its level's backlink twin")
+    // Attach-union vs rebuild search parity on planted probes.
+    val baseHier = Similarity.hierarchicalNavGraph(base, "label",
+      maxLevel = 2, k0 = 8, kUpper = 4)
+    val unionG = baseHier.select("level", "vec_id", "nbr_id")
+      .unionByName(att.select(col("level"), col("vec_id"),
+        col("nbr_id")))
+    val rebuilt = Similarity.hierarchicalNavGraph(all, "label",
+      maxLevel = 2, k0 = 8, kUpper = 4)
+      .select("level", "vec_id", "nbr_id")
+    val probes = delta.select((col("vec_id") + 1000L).as("vec_id"),
+      col("embedding"))
+    val ent = base.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("cand_id"))
+    def top1(lg: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Similarity.hierarchicalBeamSearch(all, probes, lg, ent,
+          maxLevel = 2, upperWidth = 4, upperRounds = 2,
+          beamWidth = 8, rounds = 3)
+        .filter(col("rank") === 1)
+        .select("query_id", "cand_id").as[(Long, Long)]
+        .collect().toMap
+    val viaAttach = top1(unionG)
+    val viaRebuild = top1(rebuilt)
+    // The attach contract: every planted delta is walk-reachable at
+    // rank 1 through base-build ∪ attach edges. (The REBUILD at this
+    // budget legitimately misses the cross-cluster deltas — the
+    // descent is approximate and the attach path's un-pruned
+    // backlinks add extra long-range entry edges — so the pin is
+    // attach ⊇ rebuild, not equality.)
+    for (id <- deltaIds)
+      assert(viaAttach.get(id + 1000L).contains(id),
+        s"attach-union walk missed delta $id: $viaAttach")
+    for (id <- deltaIds if viaRebuild.get(id + 1000L).contains(id))
+      assert(viaAttach.get(id + 1000L).contains(id),
+        s"attach lost delta $id that the rebuild finds")
+  }
+
   test("merge applyChangelog: I/U/D precedence, latest-wins, idempotent") {
     import graft.operators.Merge
     val base = Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"))
