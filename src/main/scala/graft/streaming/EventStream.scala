@@ -406,6 +406,103 @@ object EventStream {
       }
   }
 
+  /** [[scd2AsOf]]'s per-user state: the open SCD-2 version plus a
+    * served flag (the as-of row must emit exactly once). Public for
+    * Spark's state encoder codegen.
+    */
+  case class Scd2AsOfState(version: Long, state_type: String,
+      valid_from_us: Long, last_ts_us: Long, served: Boolean)
+
+  case class Scd2AsOfOut(user_id: Long, version: Long,
+      state_asof: String, valid_from: Long, asof_ts: Long)
+
+  /** Streaming twin of q61's TIME-TRAVEL read: an AS-OF lookup
+    * served from the LIVE SCD-2 state store instead of a replayed
+    * history (the q60→q61 pair's missing streaming half — q60's
+    * cdcApply maintains state, this READS it at a point in time).
+    * Per user the state machine is exactly [[scd2]]'s (change-only
+    * versioning, same-type folding, the late-straggler drop); the
+    * as-of row for `asofUs` emits EXACTLY ONCE, at the first moment
+    * it becomes FINAL:
+    *
+    *   - a change at `t > asofUs` closes the version covering the
+    *     as-of point → emit it immediately (the cross-batch close
+    *     case the parity spec pins);
+    *   - no such change: the open version covers `asofUs` forever —
+    *     final once the EVENT-TIME watermark passes the as-of point
+    *     (the [[transitions]] expiry discipline), emitted from the
+    *     timeout and the state reclaimed.
+    *
+    * State is O(users) with a constant payload — the scd2 floor plus
+    * one served bit; emission order is decided per user with no
+    * global barrier, which is what makes the read serveable WHILE
+    * the dimension keeps building (a batch q61 must re-scan the
+    * event history per read). On in-order delivery the emitted set
+    * equals the batch q61 rows for the same `asofUs`
+    * (EventStreamSpec pins parity incl. a cross-batch version close
+    * and a timeout-served open version).
+    */
+  def scd2AsOf(spark: SparkSession, events: Dataset[Event],
+      asofUs: Long, watermark: String = "1 hour")
+      : Dataset[Scd2AsOfOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2AsOfState, Scd2AsOfOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event],
+            state: GroupState[Scd2AsOfState]) =>
+          if (state.hasTimedOut) {
+            // Watermark passed the as-of point: the open version is
+            // final for asofUs. Emit if it covers it, then reclaim —
+            // the read is served; scd2 proper owns the dimension.
+            val out = state.getOption.toSeq.collect {
+              case c if !c.served && c.valid_from_us <= asofUs =>
+                Scd2AsOfOut(userId, c.version, c.state_type,
+                  c.valid_from_us, asofUs)
+            }
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq
+              .sortBy(e => (micros(e.ts), e.event_id))
+            var cur = state.getOption
+            val out = Seq.newBuilder[Scd2AsOfOut]
+            for (e <- sorted) {
+              val t = micros(e.ts)
+              cur match {
+                case Some(c) if t < c.last_ts_us =>
+                // late straggler: dropped (the scd2 guard)
+                case Some(c) if c.state_type != e.event_type =>
+                  val closesAsOf =
+                    !c.served && c.valid_from_us <= asofUs && t > asofUs
+                  if (closesAsOf)
+                    out += Scd2AsOfOut(userId, c.version, c.state_type,
+                      c.valid_from_us, asofUs)
+                  cur = Some(Scd2AsOfState(c.version + 1, e.event_type,
+                    t, t, c.served || closesAsOf))
+                case Some(c) =>
+                  cur = Some(c.copy(last_ts_us = t))
+                case None =>
+                  cur = Some(Scd2AsOfState(1L, e.event_type, t, t,
+                    served = false))
+              }
+            }
+            cur.foreach { c =>
+              state.update(c)
+              // Clamped past the watermark (Spark rejects timeouts at
+              // or below it); served states keep a timeout too so the
+              // slot reclaims once the watermark passes.
+              state.setTimeoutTimestamp(
+                math.max(asofUs / 1000L + 1,
+                  state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Stored as-of match: the user's latest click so far (the ONE-ROW
     * state the streaming as-of join keeps per user). Public for
     * Spark's state encoder codegen.

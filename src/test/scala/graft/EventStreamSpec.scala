@@ -534,6 +534,71 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("parity: streaming scd2AsOf time-travel read equals the batch q61 plan") {
+    // As-of point t = minute 35. user 1's covering version (click,
+    // opened batch 1) CLOSES in batch 2 — the cross-batch close must
+    // emit immediately; user 2's covering version never closes —
+    // served by the event-time timeout once the watermark passes t;
+    // user 3 first appears after t (no as-of row); user 4's covering
+    // version is its SECOND (the first closed before t).
+    val asofUs = 35 * 60000000L
+    val b1 = Seq(ev(1, 10, 1, "view"), ev(2, 30, 1, "click"),
+      ev(3, 10, 2, "signup"), ev(6, 5, 4, "view"),
+      ev(7, 20, 4, "error"))
+    val b2 = Seq(ev(4, 40, 1, "purchase"), ev(5, 50, 2, "signup"),
+      ev(8, 40, 3, "view"))
+    val stream = MemoryStream[Event](spark)
+    val q = EventStream.scd2AsOf(spark, stream.toDS(), asofUs,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("asof_read_t")
+      .outputMode("append").start()
+    try {
+      stream.addData(b1: _*)
+      q.processAllAvailable()
+      stream.addData(b2: _*)
+      q.processAllAvailable()
+      // Cross-batch close already served user 1, before any timeout.
+      val early = spark.table("asof_read_t")
+        .as[(Long, Long, String, Long, Long)].collect().toSet
+      assert(early.contains((1L, 2L, "click", 30 * 60000000L, asofUs)),
+        s"cross-batch close must serve the read immediately: $early")
+      // Advance the watermark past t via a sentinel user, then give
+      // the timeouts a batch to fire in (batch N's watermark applies
+      // in N+1).
+      stream.addData(ev(90, 300, 99, "view"))
+      q.processAllAvailable()
+      stream.addData(ev(91, 310, 99, "view"))
+      q.processAllAvailable()
+      val streamed = spark.table("asof_read_t")
+        .as[(Long, Long, String, Long, Long)].collect()
+      assert(streamed.length == streamed.toSet.size,
+        "the as-of row must emit exactly once per user")
+      // Batch reference: q61's exact plan over the same events with
+      // the same fixed t (sentinel included — it must NOT produce a
+      // row: its valid_from is past t).
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("tsl"), col("event_id"))
+      val batch = (b1 ++ b2 ++ Seq(ev(90, 300, 99, "view"),
+          ev(91, 310, 99, "view"))).toDF()
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tsl"), col("event_type"))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"))
+        .withColumn("valid_to", lead("tsl", 1).over(w))
+        .withColumn("version", row_number().over(w).cast("long"))
+        .filter(col("tsl") <= asofUs &&
+          (col("valid_to").isNull || col("valid_to") > asofUs))
+        .select(col("user_id"), col("version"), col("event_type"),
+          col("tsl"), lit(asofUs).as("asof_ts"))
+        .as[(Long, Long, String, Long, Long)].collect().toSet
+      assert(streamed.toSet == batch,
+        s"streamed=${streamed.toSet} batch=$batch")
+      assert(batch.map(_._1) == Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
   test("parity: streaming windowed KLL quantiles equal batch and exact ranks") {
     // Two hourly windows; window 1's events SPAN the micro-batch
     // boundary, so the sketch state genuinely MERGES partials across
