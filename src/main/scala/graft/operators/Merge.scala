@@ -45,10 +45,21 @@ object Merge {
     *                 unique — e.g. (ts, event_id) — or the pick is
     *                 engine-dependent)
     * @return post-merge snapshot: `keyCol` :: `valueCols`
+    * @note the implementation reserves helper column names `_rn`,
+    *   `_op`, and `_c_<valueCol>` — an input frame already carrying
+    *   one would make the op gating ambiguous, so the call fails
+    *   loudly up front instead of risking an analysis error (or
+    *   worse, silently gating on the caller's column)
     */
   def applyChangelog(base: DataFrame, changes: DataFrame,
       keyCol: String, seqCols: Seq[Column], opCol: String,
       valueCols: Seq[String]): DataFrame = {
+    val reserved = "_rn" +: "_op" +: valueCols.map(c => s"_c_$c")
+    val inUse = (base.columns ++ changes.columns).toSet
+    val clash = reserved.filter(inUse)
+    require(clash.isEmpty,
+      s"applyChangelog reserves helper columns ${reserved.mkString(", ")}; " +
+        s"rename conflicting input columns: ${clash.mkString(", ")}")
     val last = changes
       .withColumn("_rn", row_number().over(Window.partitionBy(keyCol)
         .orderBy(seqCols.map(_.desc): _*)))

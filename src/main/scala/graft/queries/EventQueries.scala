@@ -701,22 +701,31 @@ object EventQueries {
     // changelog to a base snapshot — latest-change-wins per key,
     // upserts AND deletes — producing the post-merge snapshot: the
     // WRITE side of the q57/d34/q21 warehouse family. The changelog
-    // derives from events (signup → INSERT of a new 1000000+user_id
-    // key, error → DELETE, click/view/purchase → UPDATE with the
-    // event's value as the new balance), sequenced by (ts, event_id).
-    // Scale shape: one changelog exchange on the key feeds the
-    // latest-wins window, survivors join the base with ONE
-    // equi-shuffle on the same key; the base is never windowed.
-    // OperatorsSpec pins idempotence (same changelog twice = no-op)
-    // and each I/U/D precedence path on a hand fixture.
+    // derives from events (signup → INSERT of a new key in a
+    // namespace provably above BOTH existing key ranges —
+    // max(c_custkey, user_id) + 1 + user_id as a one-row broadcast
+    // scalar, so no SF can make synthetic inserts collide with real
+    // customers and silently become updates; error → DELETE,
+    // click/view/purchase → UPDATE with the event's value as the
+    // new balance), sequenced by (ts, event_id). Scale shape: one
+    // changelog exchange on the key feeds the latest-wins window,
+    // survivors join the base with ONE equi-shuffle on the same
+    // key; the base is never windowed. OperatorsSpec pins
+    // idempotence (same changelog twice = no-op) and each I/U/D
+    // precedence path on a hand fixture.
     Q("q60_cdc_apply",
       (s, d) => {
         val base = Tables.customer(s, d).select(col("c_custkey"),
           floor(col("c_acctbal") * 100 + 0.5).cast("long").as("bal_c"),
           col("c_mktsegment").as("seg"))
-        val chg = Tables.events(s, d).select(
+        val off = Tables.customer(s, d).agg(max("c_custkey").as("mc"))
+          .crossJoin(Tables.events(s, d).agg(max("user_id").as("mu")))
+          .select(greatest(col("mc").cast("long"), col("mu"))
+            .as("off"))
+        val chg = Tables.events(s, d).crossJoin(broadcast(off)).select(
           when(col("event_type") === "signup",
-            lit(1000000L) + col("user_id")).otherwise(col("user_id"))
+            col("off") + lit(1L) + col("user_id"))
+            .otherwise(col("user_id"))
             .as("c_custkey"),
           unix_micros(col("ts")).as("tsl"), col("event_id"),
           when(col("event_type") === "signup", "I")
@@ -735,9 +744,15 @@ object EventQueries {
              |    c_mktsegment AS seg
              |  FROM customer
              |),
+             |off AS (
+             |  SELECT greatest(
+             |    (SELECT CAST(max(c_custkey) AS BIGINT) FROM customer),
+             |    (SELECT max(user_id) FROM events)) AS off
+             |),
              |chg AS (
              |  SELECT CASE WHEN event_type = 'signup'
-             |              THEN 1000000 + user_id ELSE user_id END
+             |              THEN (SELECT off FROM off) + 1 + user_id
+             |              ELSE user_id END
              |      AS c_custkey,
              |    epoch_us(ts) AS tsl, event_id,
              |    CASE WHEN event_type = 'signup' THEN 'I'
