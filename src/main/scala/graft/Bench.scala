@@ -58,7 +58,13 @@ object Bench {
     // heaviest search family — round 11's genuinely new plan shape)
     // and the full k-core decomposition (seeded peeling waves — the
     // heaviest round-11 graph plan).
-    "e41_filtered_graph_ann", "g21_core_decomp")
+    "e41_filtered_graph_ann", "g21_core_decomp",
+    // Round 13 widening (the round-12 verdict's ask): bounded
+    // deterministic Louvain (integer-argmax local moves +
+    // contraction — the heaviest round-12 graph plan) and the
+    // hierarchical navigable-graph build (per-level probed kNN +
+    // the level-0 alpha-prune — the heaviest round-12 ANN plan).
+    "g26_louvain", "e46_hier_graph")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
