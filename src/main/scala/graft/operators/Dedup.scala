@@ -98,9 +98,20 @@ object Dedup {
     * scale); the oracle mirrors whatever cap is used.
     */
   def ngramJaccardPairs(docs: DataFrame, minJaccard: Double,
-      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
-    val sets = shingleSets(docs)
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame =
+    ngramJaccardFromSets(persistedSets(docs), minJaccard, maxShingleDf)
+
+  private def persistedSets(docs: DataFrame): DataFrame =
+    shingleSets(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Inverted-index path over PRE-persisted shingle sets (the shared
+    * entry for the direct operator and [[nearDupPairsAuto]], whose
+    * routing scalar already materialized the sets — reusing them
+    * saves the second corpus tokenize pass).
+    */
+  private def ngramJaccardFromSets(sets: DataFrame, minJaccard: Double,
+      maxShingleDf: Int): DataFrame = {
     val inv = sets.select(col("doc_id"), explode(col("sh")).as("s"))
     // df per shingle is a partial-agg count on the same key the
     // self-join shuffles on, so the filter join is co-partitioned.
@@ -142,15 +153,18 @@ object Dedup {
     */
   def nearDupPairsAuto(docs: DataFrame, minJaccard: Double,
       maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
-    val st = shingleSets(docs)
-      .select(explode(col("sh")).as("s"))
+    val sets = persistedSets(docs)
+    // The routing head() materializes the persisted sets, so the
+    // chosen path reuses the SAME cache — one corpus tokenize pass
+    // total, not one for the scalar plus one for the gate.
+    val st = sets.select(explode(col("sh")).as("s"))
       .agg(count(lit(1)).as("occ"),
         countDistinct("s").as("uniq"))
       .head()
     val (occ, uniq) = (st.getLong(0), st.getLong(1))
     val saturated = uniq > 0 && occ >= (maxShingleDf.toLong / 4) * uniq
-    if (saturated) minhashLshPairs(docs, minJaccard)
-    else ngramJaccardPairs(docs, minJaccard, maxShingleDf)
+    if (saturated) minhashLshFromSets(sets, minJaccard)
+    else ngramJaccardFromSets(sets, minJaccard, maxShingleDf)
   }
 
   /** Asymmetric CONTAINMENT near-dup pairs: C(A⊆B) = |A∩B| / |A| on
@@ -221,9 +235,11 @@ object Dedup {
     * the O(n²) space is pruned to bucket collisions before any exact
     * verification work happens.
     */
-  def minhashLshPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
-    val sets = shingleSets(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  def minhashLshPairs(docs: DataFrame, minJaccard: Double): DataFrame =
+    minhashLshFromSets(persistedSets(docs), minJaccard)
+
+  private def minhashLshFromSets(sets: DataFrame,
+      minJaccard: Double): DataFrame = {
     val bands = sets
       .select(col("doc_id"), minhash_sig(col("sh")).as("mh"))
       .select(col("doc_id"),
