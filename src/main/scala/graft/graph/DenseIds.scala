@@ -16,10 +16,11 @@ import graft.operators.Checkpointing.CutOps
   * The two-pass per-partition-offset scheme (the RDD zipWithIndex
   * idea expressed on DataFrames):
   *
-  *   1. range-partition the keys and sort within partitions, then
-  *      MATERIALIZE (eager lineage cut) — the sampled range
-  *      boundaries are pinned by the materialization, so both
-  *      readers below see the same placement;
+  *   1. range-partition the keys, then MATERIALIZE (eager lineage
+  *      cut) — the sampled range boundaries are pinned by the
+  *      materialization, so both readers below see the same
+  *      placement (no pre-sort: the window re-sorts its own
+  *      partitions and the counts are order-insensitive);
   *   2. per-partition row counts collect to the driver — a bounded
   *      ≤ shuffle-partitions-row handoff (the KMeans centroid
   *      class, never corpus data) — and prefix-sum into offsets;
@@ -47,9 +48,11 @@ object DenseIds {
     val spark = keys.sparkSession
     import spark.implicits._
     val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // No sortWithinPartitions: the counts are order-insensitive and
+    // the row_number window re-sorts its _pid partitions anyway — a
+    // pre-sort would only bloat the checkpoint (review finding).
     val ranged = keys.select(col(keyCol))
       .repartitionByRange(p, col(keyCol))
-      .sortWithinPartitions(keyCol)
       .withColumn("_pid", spark_partition_id())
       .lineageCut
     val counts = ranged.groupBy("_pid").agg(count(lit(1)).as("_c"))

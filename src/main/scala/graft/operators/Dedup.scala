@@ -153,6 +153,8 @@ object Dedup {
     */
   def nearDupPairsAuto(docs: DataFrame, minJaccard: Double,
       maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
+    require(maxShingleDf >= 1,
+      s"maxShingleDf must be >= 1, got $maxShingleDf")
     val sets = persistedSets(docs)
     // The routing head() materializes the persisted sets, so the
     // chosen path reuses the SAME cache — one corpus tokenize pass
@@ -162,7 +164,10 @@ object Dedup {
         countDistinct("s").as("uniq"))
       .head()
     val (occ, uniq) = (st.getLong(0), st.getLong(1))
-    val saturated = uniq > 0 && occ >= (maxShingleDf.toLong / 4) * uniq
+    // Exact rational compare (occ/uniq >= cap/4 as cross-products):
+    // integer-dividing the cap first would floor cap/4 to <= 1 for
+    // caps under 8 and silently route every diverse corpus to LSH.
+    val saturated = uniq > 0 && 4L * occ >= maxShingleDf.toLong * uniq
     if (saturated) minhashLshFromSets(sets, minJaccard)
     else ngramJaccardFromSets(sets, minJaccard, maxShingleDf)
   }

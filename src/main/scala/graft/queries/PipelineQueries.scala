@@ -8223,9 +8223,21 @@ object PipelineQueries {
     // stage's survivor set, so the oracle replays the same chain.
     // Scale shape: nothing new — every stage keeps its pinned
     // standalone plan (map-side rules, partial-agg keep-min,
-    // df-capped inverted-index join, broadcast probe join); the
+    // saturation-guarded candidate join, broadcast probe join); the
     // funnel adds only doc_id semi/anti joins between stages and
     // five one-row aggregates.
+    // ORACLE SCOPE (round-13 router): the SQL below mirrors the
+    // near-dup gate's DIRECT (inverted-index) path — the route
+    // nearDupPairsAuto takes whenever mean shingle df < cap/4,
+    // which holds at every correctness SF (measured 1.6/9.6 vs
+    // threshold 25). On a SATURATED corpus the Spark side routes to
+    // MinHash-LSH and this oracle does not apply (and its own
+    // candidate CTE is the quadratic join that motivated the
+    // router — at sf1.0 it spilled past 79 GB); the routed regime
+    // is covered by OperatorsSpec's route-equality pins and the
+    // BASELINE sf1.0 record instead. A mid-regime corpus where the
+    // oracle finishes but routing diverges would read as an honest
+    // FAIL, not a silent pass.
     Q("d54_curation_funnel",
       (s, d) => CurationFunnel.audit(Tables.documents(s, d))
         .orderBy("stage_id"),

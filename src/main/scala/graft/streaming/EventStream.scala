@@ -489,6 +489,23 @@ object EventStream {
                     served = false))
               }
             }
+            // Liveness for a NEVER-QUIET user (review finding): the
+            // event-time timeout only fires in a batch where the
+            // group received no data, so a key active every batch
+            // would defer its as-of row forever. Once the watermark
+            // has passed the as-of point the open covering version
+            // is final regardless (later events close at t >
+            // watermark > asofUs; older-than-watermark stragglers
+            // are dropped upstream) — so the DATA branch also serves
+            // the read the first batch it observes that watermark.
+            cur = cur.map { c =>
+              if (!c.served && c.valid_from_us <= asofUs &&
+                  state.getCurrentWatermarkMs() * 1000L > asofUs) {
+                out += Scd2AsOfOut(userId, c.version, c.state_type,
+                  c.valid_from_us, asofUs)
+                c.copy(served = true)
+              } else c
+            }
             cur.foreach { c =>
               state.update(c)
               // Clamped past the watermark (Spark rejects timeouts at

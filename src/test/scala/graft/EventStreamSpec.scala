@@ -542,11 +542,16 @@ class EventStreamSpec extends SparkSpec {
     // user 3 first appears after t (no as-of row); user 4's covering
     // version is its SECOND (the first closed before t).
     val asofUs = 35 * 60000000L
+    // user 5 is NEVER QUIET: it sends a same-type event in every
+    // batch including the sentinel ones, so its group always has
+    // data and the event-time timeout can never fire for it — the
+    // DATA branch must serve its read once the watermark passes t
+    // (the review-caught liveness hole).
     val b1 = Seq(ev(1, 10, 1, "view"), ev(2, 30, 1, "click"),
       ev(3, 10, 2, "signup"), ev(6, 5, 4, "view"),
-      ev(7, 20, 4, "error"))
+      ev(7, 20, 4, "error"), ev(20, 12, 5, "view"))
     val b2 = Seq(ev(4, 40, 1, "purchase"), ev(5, 50, 2, "signup"),
-      ev(8, 40, 3, "view"))
+      ev(8, 40, 3, "view"), ev(21, 45, 5, "view"))
     val stream = MemoryStream[Event](spark)
     val q = EventStream.scd2AsOf(spark, stream.toDS(), asofUs,
         watermark = "10 minutes")
@@ -565,14 +570,22 @@ class EventStreamSpec extends SparkSpec {
       // Advance the watermark past t via a sentinel user, then give
       // the timeouts a batch to fire in (batch N's watermark applies
       // in N+1).
-      stream.addData(ev(90, 300, 99, "view"))
+      stream.addData(ev(90, 300, 99, "view"), ev(22, 305, 5, "view"))
       q.processAllAvailable()
-      stream.addData(ev(91, 310, 99, "view"))
+      stream.addData(ev(91, 310, 99, "view"), ev(23, 315, 5, "view"))
+      q.processAllAvailable()
+      // Keep user 5 active one more batch: its row must have come
+      // from the data branch, not a timeout, and must not repeat.
+      stream.addData(ev(24, 320, 5, "view"))
       q.processAllAvailable()
       val streamed = spark.table("asof_read_t")
         .as[(Long, Long, String, Long, Long)].collect()
       assert(streamed.length == streamed.toSet.size,
         "the as-of row must emit exactly once per user")
+      assert(streamed.toSet.contains(
+        (5L, 1L, "view", 12 * 60000000L, asofUs)),
+        s"never-quiet user must be served by the data branch: " +
+          s"${streamed.toSet}")
       // Batch reference: q61's exact plan over the same events with
       // the same fixed t (sentinel included — it must NOT produce a
       // row: its valid_from is past t).
@@ -580,7 +593,8 @@ class EventStreamSpec extends SparkSpec {
       val w = Window.partitionBy("user_id")
         .orderBy(col("tsl"), col("event_id"))
       val batch = (b1 ++ b2 ++ Seq(ev(90, 300, 99, "view"),
-          ev(91, 310, 99, "view"))).toDF()
+          ev(22, 305, 5, "view"), ev(91, 310, 99, "view"),
+          ev(23, 315, 5, "view"), ev(24, 320, 5, "view"))).toDF()
         .select(col("user_id"), col("event_id"),
           unix_micros(col("ts")).as("tsl"), col("event_type"))
         .withColumn("prev_type", lag("event_type", 1).over(w))
@@ -595,7 +609,7 @@ class EventStreamSpec extends SparkSpec {
         .as[(Long, Long, String, Long, Long)].collect().toSet
       assert(streamed.toSet == batch,
         s"streamed=${streamed.toSet} batch=$batch")
-      assert(batch.map(_._1) == Set(1L, 2L, 4L))
+      assert(batch.map(_._1) == Set(1L, 2L, 4L, 5L))
     } finally q.stop()
   }
 

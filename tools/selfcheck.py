@@ -128,6 +128,12 @@ def main():
             print(f"PASS {name} ({len(want)} rows)")
             ok += 1
     tmo = f", {timedout} timeout" if timedout else ""
+    if timedout:
+        # Timeouts are EXCLUSIONS, not passes: they keep the fail
+        # gate green for deliberate scale sweeps, but a previously
+        # fast oracle showing up here is a regression — the names
+        # print loudly so a reader cannot mistake one for coverage.
+        print("   timeout exclusions above are NOT verified results")
     print(f"== {ok} pass, {fail} fail{tmo} ==")
     sys.exit(1 if fail else 0)
 
