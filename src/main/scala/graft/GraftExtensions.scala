@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{BandSigsExpr, BpeUnitsExpr, CosineSimilarity, EmbedSimHashExpr, HeavyHittersSketch, HllSketch, KmvSketch, MinHashSigExpr, NGramHashesExpr, NGramHashesPosExpr, ShingleSetExpr, SimHashExpr, StringHashExpr, TextCanonExpr, TokenHashesExpr, TopKByScore}
+import graft.functions.{BandSigsExpr, BpeUnitsExpr, CosineSimilarity, EmbedSimHash2Expr, EmbedSimHashExpr, HeavyHittersSketch, HllSketch, KmvSketch, MinHashSigExpr, NGramHashesExpr, NGramHashesPosExpr, ShingleSetExpr, SimHashExpr, StringHashExpr, TextCanonExpr, TokenHashesExpr, TopKByScore}
 
 /** Registers graft's native expressions for SQL use:
   * `SELECT cosine_sim(a, b)` / `text_canon(s)` — codegen'd Catalyst
@@ -72,6 +72,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     unary("band_sigs", classOf[BandSigsExpr], BandSigsExpr)
     unary("simhash", classOf[SimHashExpr], SimHashExpr)
     unary("embed_simhash", classOf[EmbedSimHashExpr], EmbedSimHashExpr)
+    unary("embed_simhash2", classOf[EmbedSimHash2Expr], EmbedSimHash2Expr)
     unary("string_poly_hash", classOf[StringHashExpr], StringHashExpr)
     unary("bpe_units", classOf[BpeUnitsExpr], BpeUnitsExpr)
     ext.injectFunction((

@@ -81,6 +81,21 @@ object TextHash {
     * 15.7× wall-time on 10× data in the round-12 record).
     */
   val EmbedBandWidenN = 10000L
+
+  /** Second widening threshold: at or above this corpus count the
+    * embedding-LSH signature grows a SECOND 64-plane word (planes
+    * 64-127, same block-offset derivation) and the band layout moves
+    * to 4×32 bits across the 128-bit signature — collision mass per
+    * band drops another 2^16× while a cosine ≥ 0.99 pair (~0-4
+    * flipped bits of 128) still lands intact in ≥ 1 of the 4 bands
+    * by pigeonhole. 16-bit slices of one word stop pruning around
+    * n ~ 10⁷ (expected bucket size n/65536 ⇒ ~10¹⁰ candidate pairs);
+    * the threshold sits a decade below that knee. The second word's
+    * kernel cost is paid ONLY on the wide tier (a lazy CASE branch),
+    * so every smaller corpus keeps the one-word signature
+    * bit-for-bit.
+    */
+  val EmbedBandWiden2N = 1000000L
   private val EmbedBlockOffset = 536870923L
   def embedPlaneA(p: Int): Long = PermA(p % NumPerms)
   def embedPlaneB(p: Int): Long =
@@ -269,8 +284,15 @@ object TextHash {
     * literal (DuckDB has no 1<<63); it is added LAST, so every
     * partial sum stays in signed-64 range.
     */
-  def duckEmbedSimHash(e: String, dims: Int): String = {
-    val bits = (0 until EmbedPlanes).map { p =>
+  def duckEmbedSimHash(e: String, dims: Int): String =
+    duckEmbedSimHash(e, dims, word = 0)
+
+  /** `word` selects the 64-plane block (0 → planes 0-63, 1 → planes
+    * 64-127): the oracle twin of TextHashKernels.embedSimHash2.
+    */
+  def duckEmbedSimHash(e: String, dims: Int, word: Int): String = {
+    val bits = (0 until EmbedPlanes).map { j =>
+      val p = word * EmbedPlanes + j
       val a = embedPlaneA(p)
       val b = embedPlaneB(p)
       val dot = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
@@ -278,7 +300,7 @@ object TextHash {
         s"(CASE WHEN (($a * i + $b) % $P) % 2 = 0 " +
         s"THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) * $e[i])), " +
         s"(acc, x) -> acc + x)"
-      s"(CASE WHEN $dot >= 0 THEN CAST(${1L << p} AS BIGINT) " +
+      s"(CASE WHEN $dot >= 0 THEN CAST(${1L << j} AS BIGINT) " +
         s"ELSE CAST(0 AS BIGINT) END)"
     }
     bits.mkString("(", " + ", ")")

@@ -198,13 +198,25 @@ object TextHashKernels {
     * even. Accumulation is left-to-right double — bit-identical to
     * the DuckDB twin (TextHash.duckEmbedSimHash).
     */
-  def embedSimHash(emb: ArrayData): Long = {
+  def embedSimHash(emb: ArrayData): Long = embedSimHashWord(emb, 0)
+
+  /** Second 64-plane signature word (planes 64-127, same derivation
+    * law — the block-offset construction extends past plane 63
+    * unchanged): the scale step for corpora past
+    * [[TextHash.EmbedBandWiden2N]], where even 16-bit slices of one
+    * word stop pruning and the band layout moves to 4×32 bits across
+    * the 128-bit two-word signature.
+    */
+  def embedSimHash2(emb: ArrayData): Long = embedSimHashWord(emb, 1)
+
+  private def embedSimHashWord(emb: ArrayData, word: Int): Long = {
     val n = emb.numElements()
+    val off = word * EmbedPlanes
     var sig = 0L
-    var p = 0
-    while (p < EmbedPlanes) {
-      val a = embedPlaneA(p)
-      val b = embedPlaneB(p)
+    var j = 0
+    while (j < EmbedPlanes) {
+      val a = embedPlaneA(off + j)
+      val b = embedPlaneB(off + j)
       var dot = 0.0
       var d = 0
       while (d < n) {
@@ -212,8 +224,8 @@ object TextHashKernels {
         dot += s * emb.getDouble(d)
         d += 1
       }
-      if (dot >= 0) sig |= 1L << p
-      p += 1
+      if (dot >= 0) sig |= 1L << j
+      j += 1
     }
     sig
   }
@@ -349,6 +361,22 @@ case class EmbedSimHashExpr(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+case class EmbedSimHash2Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"embed_simhash2 expects array<double>, got ${other.catalogString}")
+  }
+  override protected def nullSafeEval(a: Any): Any =
+    TextHashKernels.embedSimHash2(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashKernels.embedSimHash2($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 case class StringHashExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -379,5 +407,6 @@ object TextHashExprs {
   def band_sigs(col: Column): Column = c(BandSigsExpr(e(col)))
   def simhash(col: Column): Column = c(SimHashExpr(e(col)))
   def embed_simhash(col: Column): Column = c(EmbedSimHashExpr(e(col)))
+  def embed_simhash2(col: Column): Column = c(EmbedSimHash2Expr(e(col)))
   def string_poly_hash(col: Column): Column = c(StringHashExpr(e(col)))
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.CosineSimilarity.cosine_sim
-import graft.functions.TextHashExprs.embed_simhash
+import graft.functions.TextHashExprs.{embed_simhash, embed_simhash2}
 import graft.functions.TopKByScore.top_k_by_score
 
 /** Similarity search over an embedding column (array<float>).
@@ -70,14 +70,22 @@ object Similarity {
     * signature splits 8×8 bits (256 bucket values per band — enough
     * selectivity for small corpora, and maximal recall); at or above
     * it, 4×16 bits (65,536 values per band, collision mass /256 per
-    * band at half the bands). The decision rides IN-PLAN as a one-row
-    * broadcast aggregate over the signature table — no driver action,
-    * and the SQL oracle mirrors the same CASE over count(*). Recall
+    * band at half the bands); at or above
+    * [[graft.functions.TextHash.EmbedBandWiden2N]] the signature
+    * grows a SECOND 64-plane word (planes 64-127) and bands become
+    * 4×32 bits across the 128-bit signature — collision mass /2^16
+    * again, because past ~10⁶ rows wider slices of ONE word run out
+    * (16-bit buckets hold ~n/65536 rows each and the band self-join
+    * re-quadratizes; the fix is more hyperplanes, not wider slices).
+    * The decision rides IN-PLAN as a one-row broadcast aggregate over
+    * the signature table — no driver action — and the SQL oracle
+    * mirrors the same CASE over count(*). The second word's kernel
+    * cost is paid only on the wide tier: it sits under a lazy
+    * CaseWhen branch, so smaller corpora never evaluate it. Recall
     * note: a near-dup pair at cosine ≥ 0.99 differs in ~0-2 sign
-    * bits of 64, so 16-bit bands still catch it in some band with
-    * the same pigeonhole margin the d4 SimHash banding uses; beyond
-    * ~10⁷ rows the next step is more hyperplanes (a second signature
-    * word), not wider slices of this one.
+    * bits per 64-bit word, so even the 4×32 layout leaves ≥ 1 clean
+    * band by pigeonhole — the same margin the d4 SimHash banding
+    * uses.
     *
     * The signature table is persisted because the returned plan reads
     * it three times (banding + both verify sides); the caller owns the
@@ -85,20 +93,41 @@ object Similarity {
     *
     * @param emb (vec_id, embedding array<double>)
     */
-  def embedNearDupPairs(emb: DataFrame, minCos: Double): DataFrame = {
-    val widenAt = graft.functions.TextHash.EmbedBandWidenN
+  def embedNearDupPairs(emb: DataFrame, minCos: Double): DataFrame =
+    embedNearDupPairs(emb, minCos,
+      widenAt = graft.functions.TextHash.EmbedBandWidenN,
+      widen2At = graft.functions.TextHash.EmbedBandWiden2N)
+
+  /** Threshold-parameterized variant: specs force each band tier on
+    * small fixtures; production callers take the published defaults.
+    */
+  def embedNearDupPairs(emb: DataFrame, minCos: Double,
+      widenAt: Long, widen2At: Long): DataFrame = {
     val sig = emb.select(col("vec_id"), col("embedding"),
       embed_simhash(col("embedding")).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val params = sig.agg(count(lit(1)).as("n"))
-      .select(when(col("n") >= widenAt, lit(16))
+      .select(when(col("n") >= widen2At, lit(32))
+        .when(col("n") >= widenAt, lit(16))
         .otherwise(lit(8)).as("w"))
     val banded = sig.crossJoin(broadcast(params))
+      // The second signature word evaluates ONLY on the 32-bit tier
+      // (CaseWhen branches are lazy in codegen), so the narrow tiers
+      // keep the one-kernel cost and the one-word signature
+      // bit-for-bit.
+      .select(col("vec_id"), col("sig"), col("w"),
+        when(col("w") === 32, embed_simhash2(col("embedding")))
+          .otherwise(lit(0L)).as("sig2"))
       .select(col("vec_id"),
         posexplode(expr(
-          "transform(sequence(0, (64 div w) - 1), " +
+          "CASE WHEN w <= 16 THEN " +
+            "transform(sequence(0, (64 div w) - 1), " +
             "b -> shiftright(sig, b * w) & " +
-            "(shiftleft(CAST(1 AS BIGINT), w) - 1))"))
+            "(shiftleft(CAST(1 AS BIGINT), w) - 1)) " +
+            "ELSE transform(sequence(0, 3), " +
+            "b -> shiftright(element_at(array(sig, sig2), " +
+            "CAST((b div 2) + 1 AS INT)), " +
+            "CAST((b % 2) * 32 AS INT)) & 4294967295) END"))
           .as(Seq("band", "bits")))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&

@@ -1234,23 +1234,28 @@ object PipelineQueries {
               |),
               |sigs AS MATERIALIZED (
               |  SELECT vec_id, emb,
-              |    ${TextHash.duckEmbedSimHash("emb", 64)} AS sig
+              |    ${TextHash.duckEmbedSimHash("emb", 64)} AS sig,
+              |    ${TextHash.duckEmbedSimHash("emb", 64, 1)} AS sig2
               |  FROM corpus
               |),
               |params AS (
-              |  SELECT CASE WHEN count(*) >= ${TextHash.EmbedBandWidenN}
+              |  SELECT CASE WHEN count(*) >= ${TextHash.EmbedBandWiden2N}
+              |    THEN 32 WHEN count(*) >= ${TextHash.EmbedBandWidenN}
               |    THEN 16 ELSE 8 END AS w
               |  FROM sigs
               |),
               |pre AS (
-              |  SELECT vec_id, sig, w,
-              |    unnest(range(0, 64 // w)) AS band
+              |  SELECT vec_id, sig, sig2, w,
+              |    unnest(range(0, CASE WHEN w <= 16 THEN 64 // w
+              |      ELSE 4 END)) AS band
               |  FROM sigs, params
               |),
               |banded AS MATERIALIZED (
               |  SELECT vec_id, band,
-              |    (sig >> (band * w)) & ((CAST(1 AS BIGINT) << w) - 1)
-              |      AS bits
+              |    CASE WHEN w <= 16
+              |      THEN (sig >> (band * w)) & ((CAST(1 AS BIGINT) << w) - 1)
+              |      ELSE ((CASE WHEN band < 2 THEN sig ELSE sig2 END)
+              |        >> ((band % 2) * 32)) & 4294967295 END AS bits
               |  FROM pre
               |),
               |cand AS MATERIALIZED (

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BloomPrune, ExactPercentile, SkewTools}
+import graft.operators.{BloomPrune, ExactPercentile, SkewTools, Skyline}
 import graft.{Q, Tables}
 
 /** Relational core (SURVEY.md §2 block B): the batch query surface.
@@ -1391,7 +1391,60 @@ object RelationalQueries {
              |JOIN nation ON s_nationkey = n_nationkey
              |WHERE p_name LIKE '%widget%'
              |GROUP BY 1, 2
-             |ORDER BY nation, o_year DESC""".stripMargin))
+             |ORDER BY nation, o_year DESC""".stripMargin)),
+
+    // 2-D skyline (Pareto frontier) per market segment: orders no
+    // other same-segment order beats on BOTH (earlier-or-equal date,
+    // higher-or-equal price, strictly better in one) — the classic
+    // multi-criteria shortlist ("cheapest-and-earliest" frontier).
+    // Plan: a coarse month-grid pre-prune — per (segment, month) max
+    // price, running max over EARLIER months (a tiny broadcast) —
+    // discards every order provably dominated across a month
+    // boundary BEFORE the exact pass, so the per-segment range
+    // windows sort only the surviving sliver (skyline pruning:
+    // dominance is transitive, so filtering by any subset of
+    // dominators never changes the frontier). The exact pass is two
+    // RANGE-frame windows on the day number: m1 = best price at any
+    // STRICTLY earlier date, m2 = best price up to the same date;
+    // skyline ⇔ m1 < price AND m2 ≤ price. The oracle states the
+    // same frontier with DuckDB's interval range frames over the FULL
+    // input — no pre-prune — so it independently checks that the
+    // prune never drops a frontier member.
+    Q("q62_skyline",
+      (s, d) => {
+        val rows = Tables.orders(s, d)
+          .join(Tables.customer(s, d),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("segment"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"),
+            datediff(col("o_orderdate"), lit("1992-01-01")).as("dd"),
+            trunc(col("o_orderdate"), "month").as("mon"))
+        Skyline.frontier2d(rows, groupCol = "segment", xCol = "dd",
+            yCol = "o_totalprice", bucketCol = "mon")
+          .select(col("segment"), col("o_orderkey"), col("o_orderdate"),
+            col("o_totalprice"))
+          .orderBy("segment", "o_orderkey")
+      },
+      Some("""WITH r AS (
+             |  SELECT c_mktsegment AS segment, o_orderkey,
+             |    o_orderdate, o_totalprice
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |),
+             |m AS (
+             |  SELECT segment, o_orderkey, o_orderdate, o_totalprice,
+             |    max(o_totalprice) OVER (PARTITION BY segment
+             |      ORDER BY o_orderdate RANGE BETWEEN UNBOUNDED PRECEDING
+             |      AND INTERVAL 1 DAY PRECEDING) AS m1,
+             |    max(o_totalprice) OVER (PARTITION BY segment
+             |      ORDER BY o_orderdate RANGE BETWEEN UNBOUNDED PRECEDING
+             |      AND CURRENT ROW) AS m2
+             |  FROM r
+             |)
+             |SELECT segment, o_orderkey, o_orderdate, o_totalprice
+             |FROM m
+             |WHERE (m1 IS NULL OR m1 < o_totalprice)
+             |  AND m2 <= o_totalprice
+             |ORDER BY segment, o_orderkey""".stripMargin))
   )
 
   private val GroupingSetsSql =

@@ -195,6 +195,30 @@ class OperatorsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("skyline frontier equals brute-force dominance on random data") {
+    // Deterministic pseudo-random points with repeated x values and
+    // y ties (so both strictness branches and the same-x rule fire),
+    // bucketed coarsely enough that the pre-prune crosses bucket
+    // boundaries. Reference = O(n²) dominance scan.
+    val pts = (1 to 300).map { i =>
+      val g = "g" + (i % 3)
+      val x = (i * 7919) % 40          // day number, many collisions
+      val y = ((i * 104729) % 50).toDouble
+      (g, i.toLong, x, y, x / 10)      // bucket = decade of x
+    }
+    val df = pts.toDF("grp", "id", "x", "y", "bkt")
+    val got = operators.Skyline
+      .frontier2d(df, "grp", "x", "y", "bkt")
+      .select("grp", "id").as[(String, Long)].collect().toSet
+    val want = pts.filter { case (g, _, x, y, _) =>
+      !pts.exists { case (g2, _, x2, y2, _) =>
+        g2 == g && x2 <= x && y2 >= y && (x2 < x || y2 > y)
+      }
+    }.map { case (g, id, _, _, _) => (g, id) }.toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
   test("salted join equals the plain join on a hot key") {
     // 400 of 403 big-side rows share one key — the skew shape.
     val big = ((1 to 400).map(i => ("hot", i.toLong)) ++
@@ -273,6 +297,41 @@ class OperatorsSpec extends SparkSpec {
       .select("va", "vb").as[(Long, Long)].collect().toSet
     assert(got.contains((1L, 2L)))
     assert(got.forall { case (a, b) => a == 1L && b == 2L || a >= 10L })
+  }
+
+  test("embed near-dup LSH: two-word 4×32 tier keeps the verified pair set") {
+    // Past EmbedBandWiden2N the signature grows a second 64-plane
+    // word and bands become 4×32 across the 128 bits. The output is
+    // cosine-VERIFIED pairs, so tier choice may only lose recall —
+    // never add rows. Forcing each tier on the same fixture and
+    // pinning set-equality against the exact brute-force pair set
+    // proves the wide tier loses nothing (planted near-dups flip
+    // ~0 sign bits, so every band stays clean).
+    val base = (1 to 8).map(_.toDouble)
+    val fixture = (1 to 40).map { i =>
+      (i.toLong, (0 until 8).map(d =>
+        math.sin(i * 37.0 + d * 101.0) + 1e-3 * d).toSeq)
+    } ++ Seq((101L, base), (102L,
+      base.zipWithIndex.map { case (x, i) => x * (1 + i * 1e-4) }))
+    val df = fixture.toDF("vec_id", "embedding")
+    def run(widenAt: Long, widen2At: Long) =
+      Similarity.embedNearDupPairs(df, minCos = 0.99, widenAt, widen2At)
+        .select("va", "vb", "cos_e6")
+        .as[(Long, Long, Long)].collect().toSet
+    val narrow = run(widenAt = 1000, widen2At = 100000) // 8×8 tier
+    val wide16 = run(widenAt = 1, widen2At = 100000)    // 4×16 tier
+    val wide32 = run(widenAt = 1, widen2At = 1)         // 4×32 two-word
+    assert(narrow.exists { case (a, b, _) => (a, b) == (101L, 102L) })
+    assert(wide16 == narrow)
+    assert(wide32 == narrow)
+    // The second word is a DIFFERENT 64-plane projection (planes
+    // 64-127): a same-sign fixture vector must not share it with
+    // word 0 in general.
+    import graft.functions.TextHashExprs.{embed_simhash, embed_simhash2}
+    val words = df.select(embed_simhash(col("embedding")).as("s1"),
+      embed_simhash2(col("embedding")).as("s2"))
+    assert(words.filter(col("s1") =!= col("s2")).count() > 0)
+    spark.catalog.clearCache() // embedNearDupPairs is caller-releases
   }
 
   test("decontaminate matches whole-token runs only, skips self-matches") {

@@ -39,8 +39,11 @@ def main():
         if a.startswith("--timeout="):
             timeout = float(a.split("=", 1)[1])
     if "--skip-verify" not in sys.argv:
+        # Forward the name filter to Verify so a one-query selfcheck
+        # dumps one parquet, not the full suite.
+        names = " ".join(sorted(only))
         r = subprocess.run(
-            ["sbt", f'runMain graft.Verify {sfdir} {outdir}'],
+            ["sbt", f'runMain graft.Verify {sfdir} {outdir} {names}'.strip()],
             capture_output=True, text=True, cwd="/root/repo")
         if r.returncode != 0:
             print(r.stdout[-4000:], r.stderr[-4000:])
