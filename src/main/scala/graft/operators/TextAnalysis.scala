@@ -180,6 +180,50 @@ object TextAnalysis {
     * @return (doc_id, n_tokens, logprob_e6) mean token log-prob,
     *   e6-scaled per the §5 parity protocol
     */
+  /** Interpolated Kneser-Ney bigram model from observed (prev, w)
+    * pair rows (Kneser & Ney 1995; Chen & Goodman 1999's interpolated
+    * form) — the standard n-gram smoothing a curation LM wants over
+    * d37's Jelinek-Mercer mix: mass freed by absolute-discounting
+    * each seen bigram is redistributed by CONTINUATION probability
+    * (how many distinct contexts a word follows — "francisco" is
+    * frequent but follows only "san", so its continuation mass is
+    * tiny), fixing exactly the burstiness unigram interpolation gets
+    * wrong.
+    *
+    *   P(w|v) = (c(v,w) − D)/c(v) + (D·N₁₊(v·)/c(v)) · N₁₊(·w)/T
+    *
+    * with D = `discount`, N₁₊(v·) = distinct continuations of v,
+    * N₁₊(·w) = distinct contexts of w, T = distinct bigram types.
+    * Scoring covers observed bigrams (c ≥ 1 > D), so every term is
+    * positive and the ln() is total.
+    *
+    * Scale shape: one exchange on the pair key builds c₂; both
+    * per-context statistics (c(v), N₁₊(v·)) come out of ONE partial
+    * agg over c₂; N₁₊(·w) is a second bounded agg; T is a one-row
+    * scalar handoff. Everything downstream is vocabulary²-bounded,
+    * independent of corpus size.
+    *
+    * @param pairs (prev, w) — one row per bigram OCCURRENCE
+    * @return (token, logprob) with token = "prev w" — feeds
+    *   [[lmScore]] unchanged (the d19/d30/d37 plug point)
+    */
+  def kneserNeyBigramLm(pairs: DataFrame,
+      discount: Double = 0.75): DataFrame = {
+    val c2 = pairs.groupBy("prev", "w").agg(count(lit(1)).as("c2"))
+    val byPrev = c2.groupBy("prev")
+      .agg(sum("c2").as("c1"), count(lit(1)).as("nf"))
+    val byW = c2.groupBy("w").agg(count(lit(1)).as("nb"))
+    val tTypes = c2.count() // one-row scalar handoff (d37's n pattern)
+    c2.join(byPrev, "prev").join(byW, "w")
+      .select(concat(col("prev"), lit(" "), col("w")).as("token"),
+        log((col("c2").cast("double") - lit(discount))
+            / col("c1").cast("double")
+          + ((lit(discount) * col("nf").cast("double"))
+            / col("c1").cast("double"))
+            * (col("nb").cast("double") / lit(tTypes.toDouble)))
+          .as("logprob"))
+  }
+
   def lmScore(docTokens: DataFrame, lm: DataFrame,
       oovLogprob: Option[Double] = None): DataFrame = {
     val scored = oovLogprob match {

@@ -6115,6 +6115,72 @@ object PipelineQueries {
               |GROUP BY p.doc_id
               |ORDER BY doc_id""".stripMargin)),
 
+    // Interpolated Kneser-Ney bigram scoring — the smoothing step up
+    // from d37's Jelinek-Mercer mix: discounted bigram mass is
+    // redistributed by CONTINUATION probability (distinct contexts a
+    // word follows / total bigram types) instead of raw unigram
+    // frequency, so bursty words stop inflating unseen-transition
+    // scores. Same TextAnalysis.lmScore (token, logprob) contract —
+    // a third model through the d19/d30/d37 plug point with zero
+    // operator changes. All four count statistics (c2, c1, N1+(v.),
+    // N1+(.w)) are integer-exact in both engines; the single ln()
+    // rides the identical association (see TextAnalysis
+    // .kneserNeyBigramLm), and comparison is on the e6 grid.
+    Q("d77_kneser_ney",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = docs
+          .withColumn("_t", expr(TextHash.sparkTokens("text")))
+          .filter(size(col("_t")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(_t) - 1), i -> named_struct(" +
+              "'prev', element_at(_t, i), 'w', element_at(_t, i + 1)))"))
+            .as("p"))
+          .select(col("doc_id"), col("p.prev").as("prev"),
+            col("p.w").as("w"))
+        val lm = TextAnalysis.kneserNeyBigramLm(
+          pairs.select("prev", "w"), discount = 0.75)
+        TextAnalysis.lmScore(
+          pairs.select(col("doc_id"),
+            concat(col("prev"), lit(" "), col("w")).as("token")), lm)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH p AS (
+              |  SELECT doc_id,
+              |    unnest(tks[1:len(tks) - 1]) AS prev,
+              |    unnest(tks[2:len(tks)]) AS w
+              |  FROM (SELECT doc_id, ${TextHash.duckTokens("text")}
+              |          AS tks
+              |        FROM documents)
+              |  WHERE len(tks) >= 2
+              |),
+              |c2 AS (SELECT prev, w, count(*) AS c2 FROM p GROUP BY 1, 2),
+              |byprev AS (
+              |  SELECT prev, CAST(sum(c2) AS BIGINT) AS c1,
+              |    count(*) AS nf
+              |  FROM c2 GROUP BY 1
+              |),
+              |byw AS (SELECT w, count(*) AS nb FROM c2 GROUP BY 1),
+              |lm AS (
+              |  SELECT c2.prev, c2.w,
+              |    ln((CAST(c2 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+              |        / CAST(c1 AS DOUBLE)
+              |      + ((CAST(0.75 AS DOUBLE) * CAST(nf AS DOUBLE))
+              |        / CAST(c1 AS DOUBLE))
+              |        * (CAST(nb AS DOUBLE)
+              |          / (SELECT CAST(count(*) AS DOUBLE) FROM c2)))
+              |      AS lp
+              |  FROM c2
+              |  JOIN byprev USING (prev)
+              |  JOIN byw ON byw.w = c2.w
+              |)
+              |SELECT p.doc_id, count(*) AS n_tokens,
+              |  CAST(floor(avg(lp) * 1000000 + 0.5) AS BIGINT)
+              |    AS logprob_e6
+              |FROM p JOIN lm ON p.prev = lm.prev AND p.w = lm.w
+              |GROUP BY p.doc_id
+              |ORDER BY doc_id""".stripMargin)),
+
     // Per-source boilerplate vocabulary: tokens whose DOCUMENT
     // frequency within a source crosses 50% — template/navigation
     // vocabulary that inflates every quality signal computed over

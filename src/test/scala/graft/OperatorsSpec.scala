@@ -195,6 +195,22 @@ class OperatorsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("Kneser-Ney bigram LM matches hand-computed probabilities") {
+    // Corpus bigrams: (a,b)×2, (b,a), (b,c).
+    //   c(a)=2 N1+(a·)=1; c(b)=2 N1+(b·)=2; T=3 types
+    //   N1+(·b)=1, N1+(·a)=1, N1+(·c)=1; D=0.75
+    //   P(b|a) = (2−.75)/2 + (.75·1/2)(1/3) = 0.75
+    //   P(a|b) = (1−.75)/2 + (.75·2/2)(1/3) = 0.375 = P(c|b)
+    val pairs = Seq(("a", "b"), ("b", "a"), ("a", "b"), ("b", "c"))
+      .toDF("prev", "w")
+    val got = TextAnalysis.kneserNeyBigramLm(pairs)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(got("a b") - math.log(0.75)) < 1e-12)
+    assert(math.abs(got("b a") - math.log(0.375)) < 1e-12)
+    assert(math.abs(got("b c") - math.log(0.375)) < 1e-12)
+    assert(got.size == 3)
+  }
+
   test("skyline frontier equals brute-force dominance on random data") {
     // Deterministic pseudo-random points with repeated x values and
     // y ties (so both strictness branches and the same-x rule fire),
