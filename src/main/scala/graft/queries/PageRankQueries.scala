@@ -1974,7 +1974,41 @@ object PageRankQueries {
            |SELECT i.node AS node, j.node AS comm
            |FROM cc JOIN ids i ON i.id = cc.id
            |        JOIN ids j ON j.id = cc.comp
-           |ORDER BY node""".stripMargin))
+           |ORDER BY node""".stripMargin)),
+
+    // Global 4-cycle count (graph.Squares): priority-anchored wedge
+    // counting — each square claimed once at its unique max-(deg,id)
+    // corner, per-center wedge fan-out bounded by the O(√m)
+    // higher-rank out-degree (the Triangles orientation law), so hub
+    // centers never emit their d² wedge cross. The quadrangle is the
+    // smallest motif triangles miss: bipartite-ish link structure
+    // (co-citation, template pages) is square-heavy while
+    // triangle-free. Oracle = a DIFFERENT exact algorithm (the
+    // unrestricted codegree identity sum C(codeg,2) = 2·#C4), so the
+    // anchoring logic is independently checked, not mirrored.
+    Q("g31_squares",
+      (s, d) => graft.graph.Squares.globalCount(
+        LinkGraph.wordFollowEdges(Tables.documents(s, d), "text")),
+      Some(s"""WITH $edgeCtes,
+              |und AS (
+              |  SELECT DISTINCT least(src, dst) AS a,
+              |    greatest(src, dst) AS b
+              |  FROM e WHERE src <> dst
+              |),
+              |adj AS (
+              |  SELECT a AS x, b AS u FROM und
+              |  UNION ALL
+              |  SELECT b, a FROM und
+              |),
+              |cod AS (
+              |  SELECT p1.u AS u, p2.u AS w, count(*) AS c
+              |  FROM adj p1 JOIN adj p2
+              |    ON p1.x = p2.x AND p1.u < p2.u
+              |  GROUP BY 1, 2
+              |)
+              |SELECT CAST(coalesce(sum((c * (c - 1)) // 2), 0) // 2
+              |  AS BIGINT) AS n_squares
+              |FROM cod""".stripMargin))
   )
 
   /** DuckDB CTEs mirroring graft.graph.Louvain.communities over the

@@ -233,6 +233,50 @@ class GraphSpec extends SparkSpec {
     assert(cck4.forall(r => r._2 == 3L && r._3 == 3L && r._4 == 10000L))
   }
 
+  test("square count: planted cycles, K4, random graphs vs brute force") {
+    import graft.graph.Squares
+    def sq(pairs: Seq[(String, String)]): Long =
+      Squares.globalCount(pairs.toDF("src", "dst")).as[Long].head()
+    // One plain 4-cycle; duplicates and reversals must not change it.
+    assert(sq(Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
+      ("b", "a"), ("a", "b"))) == 1L)
+    // K4: 3 squares (each of the 3 perfect matchings of diagonals).
+    val k4 = for {
+      a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d")
+      if a < b
+    } yield (a, b)
+    assert(sq(k4) == 3L)
+    // Triangle and path: none.
+    assert(sq(Seq(("a", "b"), ("b", "c"), ("c", "a"))) == 0L)
+    assert(sq(Seq(("a", "b"), ("b", "c"), ("c", "d"))) == 0L)
+    // Complete bipartite K(2,3): C(2,2)·C(3,2) = 3 squares and zero
+    // triangles — the motif the triangle census misses.
+    val k23 = for (a <- Seq("l1", "l2"); b <- Seq("r1", "r2", "r3"))
+      yield (a, b)
+    assert(sq(k23) == 3L)
+    // Random graphs vs an O(n^4) brute-force corner enumeration.
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 7841)
+      val n = 9
+      val edges = (for {
+        a <- 0 until n; b <- (a + 1) until n
+        if rnd.nextDouble() < 0.4
+      } yield (s"v$a", s"v$b")).toSeq
+      val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      def linked(a: String, b: String) = adj.getOrElse(a, Set()).contains(b)
+      val nodes = adj.keys.toSeq.sorted
+      // Count each cycle once: corners (a, x, c, y) with a the
+      // lexicographic minimum and x < y its two neighbors.
+      val brute = (for {
+        a <- nodes; x <- nodes if a < x && linked(a, x)
+        y <- nodes if x < y && linked(a, y)
+        c <- nodes if c != a && c > a && linked(x, c) && linked(y, c)
+      } yield 1).size.toLong
+      assert(sq(edges) == brute, s"seed $seed")
+    }
+  }
+
   test("BFS hop distance: multi-source min, hop bound, unreachable absent") {
     import graft.graph.Bfs
     // chain a->b->c->d->e plus seed z->c (shortcut): c is 1 from z,
