@@ -2008,7 +2008,52 @@ object PageRankQueries {
               |)
               |SELECT CAST(coalesce(sum((c * (c - 1)) // 2), 0) // 2
               |  AS BIGINT) AS n_squares
-              |FROM cod""".stripMargin))
+              |FROM cod""".stripMargin)),
+
+    // Item-item co-visitation graph (graph.BipartiteProject): fold
+    // the (user, page) event log onto weighted page-page edges —
+    // "users who viewed both" — the recommender backbone projection.
+    // The page key is the props.k JSON field (the q17 extraction,
+    // codegen'd); view+click events only. The per-user top-8 cap is
+    // the operator's heavy-user guard: explicit, parameterized, and
+    // ORACLE-CHECKED (the row_number mirror applies the identical
+    // (count DESC, page ASC) cap), never a silent truncation.
+    Q("g32_covisit",
+      (s, d) => {
+        val visits = Tables.events(s, d)
+          .filter(col("event_type").isin("view", "click"))
+          .select(col("user_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("page"))
+          .filter(col("page").isNotNull)
+        graft.graph.BipartiteProject.covisit(visits, "user_id", "page",
+            maxItemsPerUser = 8, minSupport = 2)
+          .orderBy("item_a", "item_b")
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id,
+             |    CAST(props->>'$.k' AS BIGINT) AS page
+             |  FROM events
+             |  WHERE event_type IN ('view', 'click')
+             |    AND (props->>'$.k') IS NOT NULL
+             |),
+             |c AS (
+             |  SELECT user_id, page, count(*) AS vc
+             |  FROM v GROUP BY 1, 2
+             |),
+             |r AS (
+             |  SELECT user_id, page, row_number() OVER (
+             |    PARTITION BY user_id ORDER BY vc DESC, page) AS rn
+             |  FROM c
+             |),
+             |capped AS (SELECT user_id, page FROM r WHERE rn <= 8)
+             |SELECT x.page AS item_a, y.page AS item_b,
+             |  count(*) AS n_users
+             |FROM capped x
+             |JOIN capped y
+             |  ON x.user_id = y.user_id AND x.page < y.page
+             |GROUP BY 1, 2
+             |HAVING count(*) >= 2
+             |ORDER BY item_a, item_b""".stripMargin))
   )
 
   /** DuckDB CTEs mirroring graft.graph.Louvain.communities over the

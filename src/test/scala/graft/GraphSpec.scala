@@ -277,6 +277,42 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("covisit projection: pair weights exact, heavy-user cap binds") {
+    import graft.graph.BipartiteProject
+    // Users 1..3 share items; user 9 is the heavy user touching
+    // items 100..109 once each — with cap 4 the (count DESC, item
+    // ASC) rule keeps exactly items 100..103.
+    val visits = Seq(
+      (1L, 10L), (1L, 11L), (1L, 10L), // repeat visit: count 2 on 10
+      (2L, 10L), (2L, 11L), (2L, 12L),
+      (3L, 11L), (3L, 12L)) ++
+      (100L to 109L).map(i => (9L, i))
+    val df = visits.toDF("user_id", "item")
+    val got = BipartiteProject
+      .covisit(df, "user_id", "item", maxItemsPerUser = 4, minSupport = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    // (10,11): users 1,2; (11,12): users 2,3; (10,12): only user 2.
+    assert(got == Set((10L, 11L, 2L), (11L, 12L, 2L)))
+    // With minSupport 1 the heavy user's pairs appear, but ONLY
+    // among its 4 kept items: C(4,2) = 6 pairs, none touching 104+.
+    val all = BipartiteProject
+      .covisit(df, "user_id", "item", maxItemsPerUser = 4, minSupport = 1)
+      .as[(Long, Long, Long)].collect()
+    val heavy = all.filter(p => p._1 >= 100L)
+    assert(heavy.length == 6)
+    assert(heavy.forall(p => p._1 <= 103L && p._2 <= 103L))
+    // Brute-force parity on the capped universe.
+    val byUser = visits.groupBy(_._1).map { case (u, vs) =>
+      u -> vs.groupBy(_._2).map { case (i, n) => i -> n.size }
+        .toSeq.sortBy { case (i, n) => (-n, i) }.take(4).map(_._1).toSet
+    }
+    val want = byUser.values.flatMap(items =>
+      items.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (k, v) => (k._1, k._2, v.size.toLong) }
+      .toSet
+    assert(all.toSet == want)
+  }
+
   test("BFS hop distance: multi-source min, hop bound, unreachable absent") {
     import graft.graph.Bfs
     // chain a->b->c->d->e plus seed z->c (shortcut): c is 1 from z,
