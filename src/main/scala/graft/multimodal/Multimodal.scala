@@ -271,6 +271,72 @@ object Multimodal {
     }
   }
 
+  /** Plant REAL ICO containers ([[Ico.encode]]): 1 + id%3 icons per
+    * doc; icon j is a PNG entry when (id + j) even (REAL [[Png]]
+    * encode, filters rotating) else a 24-bit DIB icon with an AND
+    * mask. Every byte derives from formulas so the oracle pins the
+    * decode without a decoder:
+    *   w = 4 + (id + j) % 5, h = 4 + (id·3 + j) % 5
+    *   PNG rgb(y,x,c)  = (id·31 + j·17 + y·7 + x·3 + c) % 256
+    *   DIB rgb(y,x,c)  = (id·37 + j·19 + y·5 + x·11 + c·7) % 256
+    *   DIB mask(y,x)   = (id + j·5 + y·7 + x·3) % 3 == 0
+    */
+  def icoTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val n = (1 + id % 3).toInt
+        val entries: Seq[Ico.Entry] = (0 until n).map { j =>
+          val w = (4 + (id + j) % 5).toInt
+          val h = (4 + (id * 3 + j) % 5).toInt
+          if ((id + j) % 2 == 0) {
+            val rgb = Array.tabulate(w * h * 3) { i =>
+              val c = i % 3; val x = (i / 3) % w; val y = i / 3 / w
+              ((id * 31 + j * 17 + y * 7 + x * 3 + c) % 256).toByte
+            }
+            Ico.PngEntry(Png.encode(w, h, rgb, y => y % 5))
+          } else {
+            val rgb = Array.tabulate(w * h * 3) { i =>
+              val c = i % 3; val x = (i / 3) % w; val y = i / 3 / w
+              ((id * 37 + j * 19 + y * 5 + x * 11 + c * 7) % 256).toByte
+            }
+            val mask = Array.tabulate(w * h) { i =>
+              val x = i % w; val y = i / w
+              (id + j * 5 + y * 7 + x * 3) % 3 == 0
+            }
+            Ico.DibEntry(w, h, rgb, mask)
+          }
+        }
+        val payload = Ico.encode(entries)
+        MediaRow(id, "image/x-icon", payload.length.toLong, payload)
+      }
+    }.toDF()
+  }
+
+  case class IcoStats(doc_id: Long, icon_idx: Long, width: Long,
+      height: Long, is_png: Long, bit_count: Long, sum_rgb: Long,
+      mask_bits: Long)
+
+  /** REAL ICO container walk ([[Ico.parse]]: directory bounds checks,
+    * PNG-vs-DIB detection, the doubled-biHeight XOR+AND block, both
+    * row strides, MSB-first mask bits; PNG entries re-enter the real
+    * [[Png]] decoder) reduced to per-icon oracle-checkable stats.
+    * Undecodable containers/entries drop. Map-side only.
+    */
+  def decodeIcoStats(spark: SparkSession, media: DataFrame)
+      : Dataset[IcoStats] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        Ico.parse(r.payload).toSeq.flatten.map { m =>
+          IcoStats(r.doc_id, m.idx.toLong, m.width.toLong,
+            m.height.toLong, if (m.isPng) 1L else 0L, m.bitCount.toLong,
+            m.sumRgb, m.maskBits)
+        }
+      }
+    }
+  }
+
   case class TileStats(doc_id: Long, tile_y: Long, tile_x: Long,
       n_samples: Long, sum_rgb: Long)
 

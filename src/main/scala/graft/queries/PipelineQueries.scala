@@ -5040,6 +5040,68 @@ object PipelineQueries {
     // oracle pins every byte from the planting formulas with no
     // decoder — exactly the m7/m17 contract. Scale: map-side decode,
     // no shuffle beyond the deterministic sort.
+    // REAL ICO container walk (multimodal.Ico): 1 + id%3 icons per
+    // doc — PNG entries (re-entering the real Png decoder) alternate
+    // with 24-bit DIB icons whose doubled-biHeight XOR block and
+    // MSB-first AND mask the parser must stride correctly; directory
+    // offsets/sizes are bounds-checked. Every planted byte is a
+    // formula, so the oracle pins dims, entry form, pixel sums and
+    // mask-bit counts per icon with NO decoder (the m7/m24 contract).
+    // Scale: map-side container walk, no shuffle but the sort.
+    Q("m33_ico_meta",
+      (s, d) => Multimodal.decodeIcoStats(s,
+          Multimodal.icoTable(s, Tables.documents(s, d)))
+        .toDF().orderBy("doc_id", "icon_idx"),
+      Some("""WITH icons AS (
+             |  SELECT doc_id, j,
+             |    4 + (doc_id + j) % 5 AS w,
+             |    4 + (doc_id * 3 + j) % 5 AS h,
+             |    CASE WHEN (doc_id + j) % 2 = 0 THEN 1 ELSE 0 END
+             |      AS png
+             |  FROM documents, unnest(range(0, 3)) AS u(j)
+             |  WHERE j < 1 + doc_id % 3
+             |),
+             |px AS (
+             |  SELECT i.doc_id, i.j,
+             |    CASE WHEN i.png = 1
+             |      THEN (i.doc_id * 31 + i.j * 17 + gy.y * 7
+             |            + gx.x * 3 + gc.c) % 256
+             |      ELSE (i.doc_id * 37 + i.j * 19 + gy.y * 5
+             |            + gx.x * 11 + gc.c * 7) % 256
+             |    END AS b
+             |  FROM icons i,
+             |    (SELECT unnest(range(0, 8)) AS y) gy,
+             |    (SELECT unnest(range(0, 8)) AS x) gx,
+             |    (SELECT unnest(range(0, 3)) AS c) gc
+             |  WHERE gy.y < i.h AND gx.x < i.w
+             |),
+             |sums AS (
+             |  SELECT doc_id, j, CAST(sum(b) AS BIGINT) AS sum_rgb
+             |  FROM px GROUP BY 1, 2
+             |),
+             |mask AS (
+             |  SELECT i.doc_id, i.j, CAST(count(*) FILTER (
+             |      (i.doc_id + i.j * 5 + gy.y * 7 + gx.x * 3) % 3 = 0)
+             |    AS BIGINT) AS mask_bits
+             |  FROM icons i,
+             |    (SELECT unnest(range(0, 8)) AS y) gy,
+             |    (SELECT unnest(range(0, 8)) AS x) gx
+             |  WHERE gy.y < i.h AND gx.x < i.w AND i.png = 0
+             |  GROUP BY 1, 2
+             |)
+             |SELECT i.doc_id, CAST(i.j AS BIGINT) AS icon_idx,
+             |  CAST(i.w AS BIGINT) AS width,
+             |  CAST(i.h AS BIGINT) AS height,
+             |  CAST(i.png AS BIGINT) AS is_png,
+             |  CAST(CASE WHEN i.png = 1 THEN 0 ELSE 24 END AS BIGINT)
+             |    AS bit_count,
+             |  s.sum_rgb,
+             |  CAST(coalesce(m.mask_bits, 0) AS BIGINT) AS mask_bits
+             |FROM icons i
+             |JOIN sums s ON s.doc_id = i.doc_id AND s.j = i.j
+             |LEFT JOIN mask m ON m.doc_id = i.doc_id AND m.j = i.j
+             |ORDER BY i.doc_id, icon_idx""".stripMargin)),
+
     Q("m24_bmp_decode",
       (s, d) => Multimodal.decodeBmpStats(s,
           Multimodal.bmpTable(s, Tables.documents(s, d)))

@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.{Gif, Jpeg, Mp3, Netpbm, Png, Tiff, Wav}
+import graft.multimodal.{Gif, Ico, Jpeg, Mp3, Netpbm, Png, Tiff, Wav}
 
 /** Deterministic fuzz for the pure-JVM codecs: at corpus scale the
   * decoders face untrusted bytes, so the contract is total — every
@@ -40,6 +40,9 @@ class CodecFuzzSpec extends SparkSpec {
       // past the byte-order magic, into the IFD machine (both orders)
       Tiff.parse("II".getBytes("US-ASCII") ++ Array[Byte](42, 0) ++ body)
       Tiff.parse("MM".getBytes("US-ASCII") ++ Array[Byte](0, 42) ++ body)
+      Ico.parse(body)
+      // past the ICONDIR magic, into the directory/entry walkers
+      Ico.parse(Array[Byte](0, 0, 1, 0) ++ body)
     }
     succeed
   }
@@ -90,7 +93,13 @@ class CodecFuzzSpec extends SparkSpec {
         (gif, Gif.decode), (animGif, Gif.decodeFrames(_)),
         (animGif, Gif.animMeta(_)),
         (ppm, Netpbm.decode), (pgm16, Netpbm.decode),
-        (mp3, Mp3.parse), (tiffRgb, Tiff.parse), (tiffGray, Tiff.parse))) {
+        (mp3, Mp3.parse), (tiffRgb, Tiff.parse), (tiffGray, Tiff.parse),
+        (Ico.encode(Seq(
+          Ico.PngEntry(Png.encode(5, 4,
+            Array.tabulate(60)(i => (i * 11).toByte), y => y % 5)),
+          Ico.DibEntry(6, 5, Array.tabulate(90)(i => (i * 7).toByte),
+            Array.tabulate(30)(i => i % 3 == 0)))),
+          Ico.parse(_)))) {
       // every single-byte flip at every position, 4 flip values each
       for (pos <- base.indices; _ <- 1 to 4) {
         val m = base.clone()
