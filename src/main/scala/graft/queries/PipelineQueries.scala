@@ -449,7 +449,8 @@ object PipelineQueries {
       candPred: Option[String] = None,
       sfx: String = "",
       entSql: Option[String] = None,
-      entPerQuery: Boolean = false): String = {
+      entPerQuery: Boolean = false,
+      candTable: String = "e"): String = {
     // Candidate eligibility (e41): the predicate applies on the
     // candidate embedding row `v` INSIDE each round's scoring — the
     // SQL mirror of the Spark side's filter below the gather join.
@@ -472,7 +473,7 @@ object PipelineQueries {
          |      SELECT c.query_id, c.cand_id,
          |        ${TextHash.duckCosine("q.qe", "v.emb", 64)} AS sim
          |      FROM c$sfx$i c JOIN q$sfx q ON q.query_id = c.query_id
-         |      JOIN e v ON v.vec_id = c.cand_id$biPred
+         |      JOIN $candTable v ON v.vec_id = c.cand_id$biPred
          |    ) s
          |  ) WHERE rn <= $beamWidth
          |)""".stripMargin
@@ -492,9 +493,10 @@ object PipelineQueries {
       if (entPerQuery)
         s"""FROM ent$sfx en
            |      JOIN q$sfx q ON q.query_id = en.query_id
-           |      JOIN e v ON v.vec_id = en.cand_id""".stripMargin
+           |      JOIN $candTable v ON v.vec_id = en.cand_id""".stripMargin
       else
-        s"FROM q$sfx q, ent$sfx en JOIN e v ON v.vec_id = en.cand_id"
+        s"FROM q$sfx q, ent$sfx en " +
+          s"JOIN $candTable v ON v.vec_id = en.cand_id"
     s"""g$sfx AS MATERIALIZED (
        |  ${graphSql.getOrElse(
               s"SELECT vec_id, nbr_id FROM r WHERE rank <= $graphK")}
@@ -707,36 +709,117 @@ object PipelineQueries {
     * BEFORE ranking, so searchers rank it with the bounded heap and
     * evaluators take rank ≤ k slices.
     */
-  private def pqAdcScores(s: SparkSession, d: String): DataFrame = {
+  private val PqM = 4
+  private val PqSubDims = 16
+
+  /** PQ training + coding shared by the ADC scorers and the
+    * reconstruction path: per-subspace Lloyd codebooks (the shared
+    * KMeans trainer) and the map-side-coded corpus
+    * (vec_id, e, code_0..code_3).
+    */
+  private def pqCoded(s: SparkSession, d: String)
+      : (DataFrame, IndexedSeq[Seq[(Long, Array[Double])]]) = {
     import graft.functions.NearestCentroidCell.nearest_centroid
-    val M = 4
-    val subDims = 16
     val emb = Tables.embeddings(s, d).select(col("vec_id"),
       expr("transform(embedding, v -> cast(v as double))").as("e"))
-    def sub(m: Int) = expr(s"slice(e, ${m * subDims + 1}, $subDims)")
+    def sub(m: Int) = expr(s"slice(e, ${m * PqSubDims + 1}, $PqSubDims)")
     val books: IndexedSeq[Seq[(Long, Array[Double])]] =
-      (0 until M).map { m =>
+      (0 until PqM).map { m =>
         KMeans.train(emb.select(col("vec_id"),
             sub(m).as("embedding")), k = 8, iters = 2)
           .select(col("cell").cast("long"), col("cvec")).collect()
           .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
       }
+    val coded = (0 until PqM).foldLeft(emb) { (df, m) =>
+      df.withColumn(s"code_$m", nearest_centroid(sub(m), books(m)))
+    }
+    (coded, books)
+  }
+
+  private def pqAdcScores(s: SparkSession, d: String): DataFrame = {
+    val (coded, books) = pqCoded(s, d)
     // ADC lookup table, driver-built over the 10 probe queries with
     // the engine's left-to-right fold (bounded: queries × M × k
     // scalars — the centroid-handoff class, never corpus).
-    val qRows = emb.filter(col("vec_id") < 10)
+    val qRows = coded.filter(col("vec_id") < 10)
       .select(col("vec_id"), col("e")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val (qlut, stride) = adcQueryLut(s, qRows, books, subDims)
-    val coded = (0 until M).foldLeft(emb) { (df, m) =>
-      df.withColumn(s"code_$m", nearest_centroid(sub(m), books(m)))
-    }
+    val (qlut, stride) = adcQueryLut(s, qRows, books, PqSubDims)
     def l(m: Int) = element_at(col("lut"),
       lit(m * stride) + col(s"code_$m"))
     coded.join(broadcast(qlut), col("vec_id") =!= col("query_id"))
       .withColumn("adc", l(0) + l(1) + l(2) + l(3))
       .drop("lut")
   }
+
+  /** PQ-RECONSTRUCTED corpus (vec_id, embedding): each vector
+    * replaced by the concatenation of its four codebook centroids —
+    * the decompressed view a PQ-guided searcher scores against
+    * (cosine of query vs reconstruction ≡ ADC with the cosine
+    * metric). Four broadcast joins against the 8-row books; data,
+    * never plan literals.
+    */
+  private def pqReconstructed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (coded, books) = pqCoded(s, d)
+    (0 until PqM).foldLeft(coded) { (df, m) =>
+      df.join(broadcast(books(m).toDF("cell", s"cv_$m")
+          .select(col("cell").as(s"code_$m"), col(s"cv_$m"))),
+        Seq(s"code_$m"))
+    }.select(col("vec_id"),
+      concat(col("cv_0"), col("cv_1"), col("cv_2"), col("cv_3"))
+        .as("embedding"))
+  }
+
+  /** Shared e49/e50 body — the DiskANN deployment shape: the beam
+    * walk over the probed kNN graph scores candidates against their
+    * PQ RECONSTRUCTIONS (cosine vs reconstruction ≡ ADC with the
+    * cosine metric — the compressed codes are all the walk touches),
+    * then ONLY the final 16-beam gathers float vectors for the exact
+    * top-4 rerank. Full precision is paid on 16 rows per query,
+    * never during navigation.
+    */
+  private def pqNavTop4(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.CosineSimilarity.cosine_sim
+    val emb = Tables.embeddings(s, d)
+    val embD = emb.select(col("vec_id"),
+      expr("transform(embedding, v -> cast(v as double))")
+        .as("embedding"))
+    val qsD = embD.filter(col("vec_id") < 10)
+    val walked = Similarity.graphBeamSearch(pqReconstructed(s, d), qsD,
+      Similarity.knnGraphProbed(emb, "label", k = 16, nprobe = 2)
+        .select(col("vec_id"), col("nbr_id")),
+      Similarity.cellMedoids(emb, "label"),
+      beamWidth = 16, rounds = 4)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("cand_id"))
+    walked.select("query_id", "cand_id")
+      .join(embD.select(col("vec_id").as("cand_id"),
+        col("embedding").as("ce")), "cand_id")
+      .join(broadcast(qsD.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"))), "query_id")
+      .withColumn("sim", cosine_sim(col("qe"), col("ce")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 4)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("cand_id"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** e49/e50's reconstructed-corpus CTE (the oracle twin of
+    * [[pqReconstructed]]): concat of the four codebook centroids per
+    * coded vector. Requires [[pqScoreCtes]] upstream.
+    */
+  private lazy val pqReconCte: String =
+    s"""rc AS MATERIALIZED (
+       |  SELECT v.vec_id,
+       |    c0.cvec || c1.cvec || c2.cvec || c3.cvec AS emb
+       |  FROM enc v
+       |  JOIN p0cent2 c0 ON c0.cell = v.code_0
+       |  JOIN p1cent2 c1 ON c1.cell = v.code_1
+       |  JOIN p2cent2 c2 ON c2.cell = v.code_2
+       |  JOIN p3cent2 c3 ON c3.cell = v.code_3
+       |)""".stripMargin
 
 
   /** Shared PQ-ADC oracle CTEs (mirrors [[pqAdcScores]] exactly):
@@ -6753,6 +6836,98 @@ object PipelineQueries {
               |  round(sim, 6) AS sim
               |FROM r WHERE rank <= 5
               |ORDER BY query_id, rank""".stripMargin)),
+
+    // PQ-GUIDED graph walk + exact rerank (e49 = the walk, e50 = its
+    // recall gate): the production DiskANN composition — e25 walks
+    // the graph with FLOAT vectors, e27 reranks a FLAT ADC scan;
+    // this walks the graph touching ONLY compressed codes (each
+    // candidate scored as cosine vs its PQ reconstruction — exactly
+    // ADC under the cosine metric) and pays full precision on the
+    // final 16-beam alone. At 100 TB the float corpus lives on disk:
+    // navigation cost is what decides feasibility, and it drops to
+    // the 32-byte code per visited node. Deterministic everywhere
+    // ((sim DESC, cand_id) at every rank), so the whole composition
+    // is SQL-oracle-checked, not just sampled.
+    Q("e49_pq_nav",
+      (s, d) => pqNavTop4(s, d).orderBy("query_id", "rank"),
+      Some(s"""WITH $probedKnnCtes,
+              |$pqScoreCtes,
+              |$pqReconCte,
+              |${beamWalkCtes(graphK = 16, rounds = 4, beamWidth = 16,
+                 candTable = "rc")},
+              |rr AS (
+              |  SELECT b.query_id, b.cand_id,
+              |    ${TextHash.duckCosine("q.qe", "v.emb", 64)} AS sim
+              |  FROM bfinal b
+              |  JOIN q ON q.query_id = b.query_id
+              |  JOIN e v ON v.vec_id = b.cand_id
+              |)
+              |SELECT query_id, CAST(rn AS BIGINT) AS rank, cand_id,
+              |  round(sim, 6) AS sim
+              |FROM (
+              |  SELECT rr.*, row_number() OVER (PARTITION BY query_id
+              |    ORDER BY sim DESC, cand_id) AS rn
+              |  FROM rr
+              |)
+              |WHERE rn <= 4
+              |ORDER BY query_id, rank""".stripMargin)),
+
+    // Recall gate for the PQ-guided walk (the e13/e18/e22/e26
+    // discipline: every approximate path measures itself against the
+    // float brute force): recall@4 of e49's reranked output. The
+    // number that decides whether navigating on 32-byte codes is
+    // safe for this corpus.
+    Q("e50_pq_nav_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") < 10)
+        val exact = Similarity.bruteForceTopK(emb, qs, k = 4)
+          .select(col("query_id"), col("cand_id"))
+        val pq = pqNavTop4(s, d).select("query_id", "cand_id")
+        val hits = exact.join(pq, Seq("query_id", "cand_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("h"))
+        qs.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("h"), lit(0L)).as("n_hits"),
+            (coalesce(col("h"), lit(0L)) * 2500).as("recall_e4"))
+          .orderBy("query_id")
+      },
+      Some(s"""WITH $probedKnnCtes,
+              |$pqScoreCtes,
+              |$pqReconCte,
+              |${beamWalkCtes(graphK = 16, rounds = 4, beamWidth = 16,
+                 candTable = "rc")},
+              |w4 AS (
+              |  SELECT query_id, cand_id FROM (
+              |    SELECT b.query_id, b.cand_id, row_number() OVER (
+              |      PARTITION BY b.query_id ORDER BY
+              |        ${TextHash.duckCosine("q.qe", "v.emb", 64)} DESC,
+              |        b.cand_id) AS rn
+              |    FROM bfinal b
+              |    JOIN q ON q.query_id = b.query_id
+              |    JOIN e v ON v.vec_id = b.cand_id
+              |  ) WHERE rn <= 4
+              |),
+              |ex0 AS (
+              |  SELECT q.query_id, c.vec_id AS cand_id,
+              |    row_number() OVER (PARTITION BY q.query_id
+              |      ORDER BY ${TextHash.duckCosine("q.qe", "c.emb", 64)}
+              |        DESC, c.vec_id) AS rank
+              |  FROM q JOIN e c ON c.vec_id <> q.query_id
+              |),
+              |exact AS (SELECT query_id, cand_id FROM ex0
+              |          WHERE rank <= 4),
+              |hits AS (
+              |  SELECT query_id, count(*) AS h
+              |  FROM exact JOIN w4 USING (query_id, cand_id)
+              |  GROUP BY query_id
+              |)
+              |SELECT q.query_id,
+              |  coalesce(h, 0) AS n_hits,
+              |  coalesce(h, 0) * 2500 AS recall_e4
+              |FROM q LEFT JOIN hits ON hits.query_id = q.query_id
+              |ORDER BY q.query_id""".stripMargin)),
 
     // Rerank-DEPTH tuning curve for the e27 two-stage retriever:
     // recall@4 as a function of how many ADC candidates the exact
