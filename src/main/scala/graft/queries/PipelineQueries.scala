@@ -6326,6 +6326,125 @@ object PipelineQueries {
               |GROUP BY p.doc_id
               |ORDER BY doc_id""".stripMargin)),
 
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020): per
+    // LANGUAGE, docs split into head/middle/tail terciles by LM
+    // score — the curation split that trains on "head", holds
+    // "middle", drops "tail". Scoring is the d77 Kneser-Ney model
+    // (CCNet uses KenLM; the plug point is identical); the cut is
+    // ntile(3) over (logprob DESC, doc_id) — deterministic,
+    // SQL-standard remainder semantics, mirrored exactly. Scale
+    // note: the per-lang rank window is the EXACT form (CCNet itself
+    // sorts per-language score shards); at 100 TB the same split
+    // takes d76's mergeable KLL cuts (approximate tercile boundaries,
+    // one aggregation pass) and buckets map-side by comparison —
+    // the operator contract (doc, lang, score → bucket) is unchanged.
+    Q("d78_ccnet_buckets",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val pairs = docs
+          .withColumn("_t", expr(TextHash.sparkTokens("text")))
+          .filter(size(col("_t")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(_t) - 1), i -> named_struct(" +
+              "'prev', element_at(_t, i), 'w', element_at(_t, i + 1)))"))
+            .as("p"))
+          .select(col("doc_id"), col("p.prev").as("prev"),
+            col("p.w").as("w"))
+        val lm = TextAnalysis.kneserNeyBigramLm(
+          pairs.select("prev", "w"), discount = 0.75)
+        val scored = TextAnalysis.lmScore(
+          pairs.select(col("doc_id"),
+            concat(col("prev"), lit(" "), col("w")).as("token")), lm)
+        val wN = Window.partitionBy("lang")
+          .orderBy(col("logprob_e6").desc, col("doc_id"))
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+          .withColumn("bucket",
+            element_at(array(lit("head"), lit("middle"), lit("tail")),
+              ntile(3).over(wN)))
+          .select(col("doc_id"), col("lang"), col("logprob_e6"),
+            col("bucket"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH p AS (
+              |  SELECT doc_id,
+              |    unnest(tks[1:len(tks) - 1]) AS prev,
+              |    unnest(tks[2:len(tks)]) AS w
+              |  FROM (SELECT doc_id, ${TextHash.duckTokens("text")}
+              |          AS tks
+              |        FROM documents)
+              |  WHERE len(tks) >= 2
+              |),
+              |c2 AS (SELECT prev, w, count(*) AS c2 FROM p GROUP BY 1, 2),
+              |byprev AS (
+              |  SELECT prev, CAST(sum(c2) AS BIGINT) AS c1,
+              |    count(*) AS nf
+              |  FROM c2 GROUP BY 1
+              |),
+              |byw AS (SELECT w, count(*) AS nb FROM c2 GROUP BY 1),
+              |lm AS (
+              |  SELECT c2.prev, c2.w,
+              |    ln((CAST(c2 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+              |        / CAST(c1 AS DOUBLE)
+              |      + ((CAST(0.75 AS DOUBLE) * CAST(nf AS DOUBLE))
+              |        / CAST(c1 AS DOUBLE))
+              |        * (CAST(nb AS DOUBLE)
+              |          / (SELECT CAST(count(*) AS DOUBLE) FROM c2)))
+              |      AS lp
+              |  FROM c2
+              |  JOIN byprev USING (prev)
+              |  JOIN byw ON byw.w = c2.w
+              |),
+              |scored AS (
+              |  SELECT p.doc_id,
+              |    CAST(floor(avg(lp) * 1000000 + 0.5) AS BIGINT)
+              |      AS logprob_e6
+              |  FROM p JOIN lm ON p.prev = lm.prev AND p.w = lm.w
+              |  GROUP BY p.doc_id
+              |)
+              |SELECT s.doc_id, d.lang, s.logprob_e6,
+              |  (['head', 'middle', 'tail'])[ntile(3) OVER (
+              |    PARTITION BY d.lang
+              |    ORDER BY s.logprob_e6 DESC, s.doc_id)] AS bucket
+              |FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+              |ORDER BY s.doc_id""".stripMargin)),
+
+    // Deterministic fixed-k PER-GROUP sample — the eval-slice cut
+    // ("5 docs from every source for human review") complementing
+    // d14 (stratified FRACTION), d61 (weighted), d65 (global order):
+    // rank = the KMV bottom-k rule on the Knuth-mixed id hash, a
+    // pure function of the row set, so the slice reproduces across
+    // engines, retries and partitionings. The bounded-heap aggregate
+    // keeps per-group state at k — a 10⁹-doc source never sorts
+    // (the d76/TopKByScore discipline), unlike a row_number window.
+    Q("d79_group_sample",
+      (s, d) => {
+        import graft.functions.TopKByScore.top_k_by_score
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            (col("doc_id") * Sampling.Mixer % Sampling.MixMod).as("h"))
+          .groupBy("source")
+          .agg(top_k_by_score((-col("h")).cast("double"), col("doc_id"),
+            lit(0L), 5).as("tk"))
+          .select(col("source"), posexplode(col("tk")).as(Seq("pos", "t")))
+          .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+            col("t.cand_id").as("doc_id"))
+          .orderBy("source", "rank")
+      },
+      Some(s"""WITH h AS (
+              |  SELECT source, doc_id,
+              |    doc_id * ${Sampling.Mixer} % ${Sampling.MixMod} AS h
+              |  FROM documents
+              |),
+              |r AS (
+              |  SELECT source, doc_id, row_number() OVER (
+              |    PARTITION BY source ORDER BY h, doc_id) AS rank
+              |  FROM h
+              |)
+              |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id
+              |FROM r WHERE rank <= 5
+              |ORDER BY source, rank""".stripMargin)),
+
     // Per-source boilerplate vocabulary: tokens whose DOCUMENT
     // frequency within a source crosses 50% — template/navigation
     // vocabulary that inflates every quality signal computed over
