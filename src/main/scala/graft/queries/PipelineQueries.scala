@@ -6445,6 +6445,91 @@ object PipelineQueries {
               |FROM r WHERE rank <= 5
               |ORDER BY source, rank""".stripMargin)),
 
+    // CONTRASTIVE training-pair construction — the step that turns a
+    // dedup signal into embedding-model training data (SimCSE/E5-
+    // style): each verified near-dup pair (d3's MinHash-LSH at
+    // Jaccard ≥ 0.8) becomes (anchor, positive); the NEGATIVE is a
+    // deterministic draw from the corpus — the Knuth-mixed pair key
+    // mod n over the dense doc-id space, skipping forward past the
+    // pair itself (≤ 2 skips; 3 consecutive ids can't all collide
+    // with a 2-element set) — then anti-joined against the verified
+    // near-dup set in BOTH orientations so a drawn negative that is
+    // itself a known duplicate of the anchor drops (the false-
+    // negative guard; unverified semantic overlap stays, as in any
+    // hash-negative pipeline). A pure function of the row set: the
+    // same triples reproduce across engines, retries, partitionings.
+    Q("d80_contrastive_pairs",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val n = docs.count() // corpus-size scalar (the d37 handoff class)
+        // The pair list is read three times (output + both anti-join
+        // probes): cut it once, eagerly.
+        val pos = Dedup.minhashLshPairs(docs, minJaccard = 0.8)
+          .lineageCut
+        val withNeg = pos
+          .withColumn("n0",
+            (col("da") * Sampling.Mixer + col("db"))
+              % Sampling.MixMod % n)
+          .withColumn("neg_id",
+            when(col("n0") =!= col("da") && col("n0") =!= col("db"),
+              col("n0"))
+              .when((col("n0") + 1) % n =!= col("da")
+                && (col("n0") + 1) % n =!= col("db"), (col("n0") + 1) % n)
+              .otherwise((col("n0") + 2) % n))
+          .select(col("da").as("anchor_id"), col("db").as("pos_id"),
+            col("neg_id"), col("jaccard_e6"))
+        withNeg
+          .join(pos.select(col("da").as("anchor_id"),
+            col("db").as("neg_id")), Seq("anchor_id", "neg_id"),
+            "left_anti")
+          .join(pos.select(col("db").as("anchor_id"),
+            col("da").as("neg_id")), Seq("anchor_id", "neg_id"),
+            "left_anti")
+          .orderBy("anchor_id", "pos_id")
+      },
+      Some(s"""WITH ${TextHash.duckToksCte},
+              |${TextHash.duckShinglesCte},
+              |${TextHash.duckMinHashCte},
+              |${TextHash.duckBandsCte},
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+              |  FROM bands a JOIN bands b
+              |    ON a.band = b.band AND a.sig = b.sig
+              |   AND a.doc_id < b.doc_id
+              |),
+              |${jaccardCoreSql(
+                 """SELECT c.da, c.db, count(*) AS inter
+                   |   FROM cand c
+                   |   JOIN sh x ON x.doc_id = c.da
+                   |   JOIN sh y ON y.doc_id = c.db AND y.s = x.s
+                   |   GROUP BY c.da, c.db""".stripMargin)},
+              |pos AS (
+              |  SELECT da, db,
+              |    CAST(floor(j * 1000000 + 0.5) AS BIGINT) AS jaccard_e6
+              |  FROM jac WHERE j >= 0.8
+              |),
+              |nn AS (SELECT count(*) AS n FROM documents),
+              |c1 AS (
+              |  SELECT da AS anchor_id, db AS pos_id, jaccard_e6,
+              |    CASE WHEN n0 <> da AND n0 <> db THEN n0
+              |      WHEN (n0 + 1) % n <> da AND (n0 + 1) % n <> db
+              |        THEN (n0 + 1) % n
+              |      ELSE (n0 + 2) % n END AS neg_id
+              |  FROM (
+              |    SELECT da, db, jaccard_e6, n,
+              |      (da * ${Sampling.Mixer} + db)
+              |        % ${Sampling.MixMod} % n AS n0
+              |    FROM pos, nn
+              |  )
+              |)
+              |SELECT anchor_id, pos_id, neg_id, jaccard_e6
+              |FROM c1 c
+              |WHERE NOT EXISTS (
+              |  SELECT 1 FROM pos p
+              |  WHERE (p.da = c.anchor_id AND p.db = c.neg_id)
+              |     OR (p.da = c.neg_id AND p.db = c.anchor_id))
+              |ORDER BY anchor_id, pos_id""".stripMargin)),
+
     // Per-source boilerplate vocabulary: tokens whose DOCUMENT
     // frequency within a source crosses 50% — template/navigation
     // vocabulary that inflates every quality signal computed over
