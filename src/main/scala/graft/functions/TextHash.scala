@@ -87,8 +87,12 @@ object TextHash {
     * 64-127, same block-offset derivation) and the band layout moves
     * to 4×32 bits across the 128-bit signature — collision mass per
     * band drops another 2^16× while a cosine ≥ 0.99 pair (~0-4
-    * flipped bits of 128) still lands intact in ≥ 1 of the 4 bands
-    * by pigeonhole. 16-bit slices of one word stop pruning around
+    * flipped bits of 128) keeps a clean band GUARANTEED up to 3
+    * flips (pigeonhole over 4 bands) and with high probability at 4+
+    * (all four landing in distinct bands is the only loss case —
+    * the wide tier trades the small-corpus tiers' hard recall
+    * guarantee for pruning, as every production LSH width step
+    * does). 16-bit slices of one word stop pruning around
     * n ~ 10⁷ (expected bucket size n/65536 ⇒ ~10¹⁰ candidate pairs);
     * the threshold sits a decade below that knee. The second word's
     * kernel cost is paid ONLY on the wide tier (a lazy CASE branch),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.TopKByScore.top_k_by_score
+import graft.operators.Checkpointing.CutOps
 
 /** Bipartite projection with a per-entity degree cap: fold a
   * (user, item) visit log onto the item–item CO-VISITATION graph —
@@ -45,6 +46,10 @@ object BipartiteProject {
         lit(0L), maxItemsPerUser).as("tk"))
       .select(col(userCol).as("u"), explode(col("tk")).as("s"))
       .select(col("u"), col("s.cand_id").as("item"))
+      // Read twice (both pair-join legs): cut once so the count
+      // aggregation and the heap never run twice (the Triangles
+      // oriented-edge discipline; blocks self-release with the RDD).
+      .lineageCut
     capped.as("x").join(capped.as("y"), Seq("u"))
       .filter(col("x.item") < col("y.item"))
       .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"))

@@ -82,10 +82,11 @@ object Similarity {
     * mirrors the same CASE over count(*). The second word's kernel
     * cost is paid only on the wide tier: it sits under a lazy
     * CaseWhen branch, so smaller corpora never evaluate it. Recall
-    * note: a near-dup pair at cosine ≥ 0.99 differs in ~0-2 sign
-    * bits per 64-bit word, so even the 4×32 layout leaves ≥ 1 clean
-    * band by pigeonhole — the same margin the d4 SimHash banding
-    * uses.
+    * note: a near-dup pair at cosine ≥ 0.99 differs in ~0-4 sign
+    * bits of 128; the 4×32 layout GUARANTEES a clean band up to 3
+    * flips (pigeonhole) and loses one only when 4+ flips land in 4
+    * distinct bands — a probabilistic tail the narrow tiers don't
+    * have, the standard price of every LSH width step.
     *
     * The signature table is persisted because the returned plan reads
     * it three times (banding + both verify sides); the caller owns the

@@ -55,6 +55,75 @@ object PipelineQueries {
     * or formula change can never diverge the leakage audit from the
     * dedup it audits.
     */
+  /** Adjacent-bigram rows (doc_id, prev, w) built MAP-SIDE from the
+    * token array — the shared front end of every bigram-LM card
+    * (d37 Jelinek-Mercer, d77/d78 Kneser-Ney): transform over
+    * sequence, no lag window, no pre-shuffle; docs with < 2 tokens
+    * drop in both engines.
+    */
+  private def bigramPairs(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("_t", expr(TextHash.sparkTokens("text")))
+      .filter(size(col("_t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(_t) - 1), i -> named_struct(" +
+          "'prev', element_at(_t, i), 'w', element_at(_t, i + 1)))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.prev").as("prev"),
+        col("p.w").as("w"))
+
+  /** Oracle twin of [[bigramPairs]]: the `p` CTE body. */
+  private val bigramPairsCte: String =
+    s"""p AS (
+       |  SELECT doc_id,
+       |    unnest(tks[1:len(tks) - 1]) AS prev,
+       |    unnest(tks[2:len(tks)]) AS w
+       |  FROM (SELECT doc_id, ${TextHash.duckTokens("text")}
+       |          AS tks
+       |        FROM documents)
+       |  WHERE len(tks) >= 2
+       |)""".stripMargin
+
+  /** Oracle twin of TextAnalysis.kneserNeyBigramLm at D = 0.75
+    * (requires [[bigramPairsCte]] upstream): count statistics + the
+    * interpolated-KN ln() on the exact Spark association, ending in
+    * `lm (prev, w, lp)` — shared by d77's scorer and d78's buckets
+    * so the two oracles cannot diverge from one model.
+    */
+  private val knLmCtes: String =
+    s"""c2 AS (SELECT prev, w, count(*) AS c2 FROM p GROUP BY 1, 2),
+       |byprev AS (
+       |  SELECT prev, CAST(sum(c2) AS BIGINT) AS c1,
+       |    count(*) AS nf
+       |  FROM c2 GROUP BY 1
+       |),
+       |byw AS (SELECT w, count(*) AS nb FROM c2 GROUP BY 1),
+       |lm AS (
+       |  SELECT c2.prev, c2.w,
+       |    ln((CAST(c2 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+       |        / CAST(c1 AS DOUBLE)
+       |      + ((CAST(0.75 AS DOUBLE) * CAST(nf AS DOUBLE))
+       |        / CAST(c1 AS DOUBLE))
+       |        * (CAST(nb AS DOUBLE)
+       |          / (SELECT CAST(count(*) AS DOUBLE) FROM c2)))
+       |      AS lp
+       |  FROM c2
+       |  JOIN byprev USING (prev)
+       |  JOIN byw ON byw.w = c2.w
+       |)""".stripMargin
+
+  /** Shared Spark chain for d77/d78: bigram pairs → KN model →
+    * per-doc mean log-prob through the lmScore contract.
+    */
+  private def knScored(s: SparkSession, d: String): DataFrame = {
+    val pairs = bigramPairs(Tables.documents(s, d))
+    val lm = TextAnalysis.kneserNeyBigramLm(
+      pairs.select("prev", "w"), discount = 0.75)
+    TextAnalysis.lmScore(
+      pairs.select(col("doc_id"),
+        concat(col("prev"), lit(" "), col("w")).as("token")), lm)
+  }
+
   private def jaccardCoreSql(candSrc: String): String =
     s"""sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |jac AS (
@@ -1317,8 +1386,7 @@ object PipelineQueries {
               |),
               |sigs AS MATERIALIZED (
               |  SELECT vec_id, emb,
-              |    ${TextHash.duckEmbedSimHash("emb", 64)} AS sig,
-              |    ${TextHash.duckEmbedSimHash("emb", 64, 1)} AS sig2
+              |    ${TextHash.duckEmbedSimHash("emb", 64)} AS sig
               |  FROM corpus
               |),
               |params AS (
@@ -1327,11 +1395,20 @@ object PipelineQueries {
               |    THEN 16 ELSE 8 END AS w
               |  FROM sigs
               |),
+              |sigs2 AS MATERIALIZED (
+              |  -- Second word only on the 32-bit tier (lazy CASE —
+              |  -- the Spark side's CaseWhen discipline mirrored).
+              |  SELECT s.vec_id, s.sig,
+              |    CASE WHEN p.w = 32
+              |      THEN ${TextHash.duckEmbedSimHash("s.emb", 64, 1)}
+              |      ELSE CAST(0 AS BIGINT) END AS sig2
+              |  FROM sigs s, params p
+              |),
               |pre AS (
               |  SELECT vec_id, sig, sig2, w,
               |    unnest(range(0, CASE WHEN w <= 16 THEN 64 // w
               |      ELSE 4 END)) AS band
-              |  FROM sigs, params
+              |  FROM sigs2, params
               |),
               |banded AS MATERIALIZED (
               |  SELECT vec_id, band,
@@ -6203,15 +6280,7 @@ object PipelineQueries {
           explode(expr(TextHash.sparkTokens("text"))).as("token"))
         val n = tk.count() // corpus token count (driver scalar handoff)
         val uni = tk.groupBy("token").agg(count(lit(1)).as("cw"))
-        val pairs = docs
-          .withColumn("_t", expr(TextHash.sparkTokens("text")))
-          .filter(size(col("_t")) >= 2)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, size(_t) - 1), i -> named_struct(" +
-              "'prev', element_at(_t, i), 'w', element_at(_t, i + 1)))"))
-            .as("p"))
-          .select(col("doc_id"), col("p.prev").as("prev"),
-            col("p.w").as("w"))
+        val pairs = bigramPairs(docs)
         val c2 = pairs.groupBy("prev", "w").agg(count(lit(1)).as("c2"))
         val c1 = c2.groupBy("prev").agg(sum("c2").as("c1"))
         val lm = c2.join(c1, "prev")
@@ -6266,59 +6335,18 @@ object PipelineQueries {
     // word follows / total bigram types) instead of raw unigram
     // frequency, so bursty words stop inflating unseen-transition
     // scores. Same TextAnalysis.lmScore (token, logprob) contract —
-    // a third model through the d19/d30/d37 plug point with zero
+    // a fourth model through the d19/d30/d37 plug point with zero
     // operator changes. All four count statistics (c2, c1, N1+(v.),
     // N1+(.w)) are integer-exact in both engines; the single ln()
     // rides the identical association (see TextAnalysis
-    // .kneserNeyBigramLm), and comparison is on the e6 grid.
+    // .kneserNeyBigramLm), and comparison is on the e6 grid. The
+    // pair construction, KN CTE chain and Spark scoring chain are
+    // SHARED with d78 (bigramPairs/knLmCtes/knScored) so the two
+    // cards cannot diverge from one model.
     Q("d77_kneser_ney",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        val pairs = docs
-          .withColumn("_t", expr(TextHash.sparkTokens("text")))
-          .filter(size(col("_t")) >= 2)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, size(_t) - 1), i -> named_struct(" +
-              "'prev', element_at(_t, i), 'w', element_at(_t, i + 1)))"))
-            .as("p"))
-          .select(col("doc_id"), col("p.prev").as("prev"),
-            col("p.w").as("w"))
-        val lm = TextAnalysis.kneserNeyBigramLm(
-          pairs.select("prev", "w"), discount = 0.75)
-        TextAnalysis.lmScore(
-          pairs.select(col("doc_id"),
-            concat(col("prev"), lit(" "), col("w")).as("token")), lm)
-          .orderBy("doc_id")
-      },
-      Some(s"""WITH p AS (
-              |  SELECT doc_id,
-              |    unnest(tks[1:len(tks) - 1]) AS prev,
-              |    unnest(tks[2:len(tks)]) AS w
-              |  FROM (SELECT doc_id, ${TextHash.duckTokens("text")}
-              |          AS tks
-              |        FROM documents)
-              |  WHERE len(tks) >= 2
-              |),
-              |c2 AS (SELECT prev, w, count(*) AS c2 FROM p GROUP BY 1, 2),
-              |byprev AS (
-              |  SELECT prev, CAST(sum(c2) AS BIGINT) AS c1,
-              |    count(*) AS nf
-              |  FROM c2 GROUP BY 1
-              |),
-              |byw AS (SELECT w, count(*) AS nb FROM c2 GROUP BY 1),
-              |lm AS (
-              |  SELECT c2.prev, c2.w,
-              |    ln((CAST(c2 AS DOUBLE) - CAST(0.75 AS DOUBLE))
-              |        / CAST(c1 AS DOUBLE)
-              |      + ((CAST(0.75 AS DOUBLE) * CAST(nf AS DOUBLE))
-              |        / CAST(c1 AS DOUBLE))
-              |        * (CAST(nb AS DOUBLE)
-              |          / (SELECT CAST(count(*) AS DOUBLE) FROM c2)))
-              |      AS lp
-              |  FROM c2
-              |  JOIN byprev USING (prev)
-              |  JOIN byw ON byw.w = c2.w
-              |)
+      (s, d) => knScored(s, d).orderBy("doc_id"),
+      Some(s"""WITH $bigramPairsCte,
+              |$knLmCtes
               |SELECT p.doc_id, count(*) AS n_tokens,
               |  CAST(floor(avg(lp) * 1000000 + 0.5) AS BIGINT)
               |    AS logprob_e6
@@ -6341,24 +6369,11 @@ object PipelineQueries {
     Q("d78_ccnet_buckets",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val docs = Tables.documents(s, d)
-        val pairs = docs
-          .withColumn("_t", expr(TextHash.sparkTokens("text")))
-          .filter(size(col("_t")) >= 2)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, size(_t) - 1), i -> named_struct(" +
-              "'prev', element_at(_t, i), 'w', element_at(_t, i + 1)))"))
-            .as("p"))
-          .select(col("doc_id"), col("p.prev").as("prev"),
-            col("p.w").as("w"))
-        val lm = TextAnalysis.kneserNeyBigramLm(
-          pairs.select("prev", "w"), discount = 0.75)
-        val scored = TextAnalysis.lmScore(
-          pairs.select(col("doc_id"),
-            concat(col("prev"), lit(" "), col("w")).as("token")), lm)
         val wN = Window.partitionBy("lang")
           .orderBy(col("logprob_e6").desc, col("doc_id"))
-        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        knScored(s, d)
+          .join(Tables.documents(s, d).select("doc_id", "lang"),
+            "doc_id")
           .withColumn("bucket",
             element_at(array(lit("head"), lit("middle"), lit("tail")),
               ntile(3).over(wN)))
@@ -6366,35 +6381,8 @@ object PipelineQueries {
             col("bucket"))
           .orderBy("doc_id")
       },
-      Some(s"""WITH p AS (
-              |  SELECT doc_id,
-              |    unnest(tks[1:len(tks) - 1]) AS prev,
-              |    unnest(tks[2:len(tks)]) AS w
-              |  FROM (SELECT doc_id, ${TextHash.duckTokens("text")}
-              |          AS tks
-              |        FROM documents)
-              |  WHERE len(tks) >= 2
-              |),
-              |c2 AS (SELECT prev, w, count(*) AS c2 FROM p GROUP BY 1, 2),
-              |byprev AS (
-              |  SELECT prev, CAST(sum(c2) AS BIGINT) AS c1,
-              |    count(*) AS nf
-              |  FROM c2 GROUP BY 1
-              |),
-              |byw AS (SELECT w, count(*) AS nb FROM c2 GROUP BY 1),
-              |lm AS (
-              |  SELECT c2.prev, c2.w,
-              |    ln((CAST(c2 AS DOUBLE) - CAST(0.75 AS DOUBLE))
-              |        / CAST(c1 AS DOUBLE)
-              |      + ((CAST(0.75 AS DOUBLE) * CAST(nf AS DOUBLE))
-              |        / CAST(c1 AS DOUBLE))
-              |        * (CAST(nb AS DOUBLE)
-              |          / (SELECT CAST(count(*) AS DOUBLE) FROM c2)))
-              |      AS lp
-              |  FROM c2
-              |  JOIN byprev USING (prev)
-              |  JOIN byw ON byw.w = c2.w
-              |),
+      Some(s"""WITH $bigramPairsCte,
+              |$knLmCtes,
               |scored AS (
               |  SELECT p.doc_id,
               |    CAST(floor(avg(lp) * 1000000 + 0.5) AS BIGINT)
@@ -6453,10 +6441,11 @@ object PipelineQueries {
     // mod n over the dense doc-id space, skipping forward past the
     // pair itself (≤ 2 skips; 3 consecutive ids can't all collide
     // with a 2-element set) — then anti-joined against the verified
-    // near-dup set in BOTH orientations so a drawn negative that is
-    // itself a known duplicate of the anchor drops (the false-
-    // negative guard; unverified semantic overlap stays, as in any
-    // hash-negative pipeline). A pure function of the row set: the
+    // near-dup set in both orientations for the ANCHOR and for the
+    // POSITIVE, so a drawn negative that is a known duplicate of
+    // EITHER side of the pair drops (the false-negative guard;
+    // unverified semantic overlap stays, as in any hash-negative
+    // pipeline). A pure function of the row set: the
     // same triples reproduce across engines, retries, partitionings.
     Q("d80_contrastive_pairs",
       (s, d) => {
@@ -6485,6 +6474,14 @@ object PipelineQueries {
           .join(pos.select(col("db").as("anchor_id"),
             col("da").as("neg_id")), Seq("anchor_id", "neg_id"),
             "left_anti")
+          .join(pos.select(col("da").as("pos_id"),
+            col("db").as("neg_id")), Seq("pos_id", "neg_id"),
+            "left_anti")
+          .join(pos.select(col("db").as("pos_id"),
+            col("da").as("neg_id")), Seq("pos_id", "neg_id"),
+            "left_anti")
+          .select(col("anchor_id"), col("pos_id"), col("neg_id"),
+            col("jaccard_e6"))
           .orderBy("anchor_id", "pos_id")
       },
       Some(s"""WITH ${TextHash.duckToksCte},
@@ -6527,7 +6524,9 @@ object PipelineQueries {
               |WHERE NOT EXISTS (
               |  SELECT 1 FROM pos p
               |  WHERE (p.da = c.anchor_id AND p.db = c.neg_id)
-              |     OR (p.da = c.neg_id AND p.db = c.anchor_id))
+              |     OR (p.da = c.neg_id AND p.db = c.anchor_id)
+              |     OR (p.da = c.pos_id AND p.db = c.neg_id)
+              |     OR (p.da = c.neg_id AND p.db = c.pos_id))
               |ORDER BY anchor_id, pos_id""".stripMargin)),
 
     // Per-source boilerplate vocabulary: tokens whose DOCUMENT
