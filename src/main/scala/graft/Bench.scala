@@ -64,7 +64,13 @@ object Bench {
     // contraction — the heaviest round-12 graph plan) and the
     // hierarchical navigable-graph build (per-level probed kNN +
     // the level-0 alpha-prune — the heaviest round-12 ANN plan).
-    "g26_louvain", "e46_hier_graph")
+    "g26_louvain", "e46_hier_graph",
+    // Round 13 second widening: the PQ-GUIDED walk + exact rerank
+    // (e49 — PQ training, map-side coding, reconstruction joins, the
+    // beam walk over reconstructions, float rerank: the round's
+    // heaviest new composition, and the one whose regression no
+    // other headline query would surface).
+    "e49_pq_nav")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
