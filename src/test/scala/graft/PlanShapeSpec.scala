@@ -35,6 +35,40 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("round-13 session shapes: skyline pre-prune, heap-capped projections") {
+    // q62: the exact range windows must sort only the PRE-PRUNED
+    // candidates — the plan carries exactly two Window nodes (the
+    // bounded month-grid running max and the merged m1/m2 exact
+    // pass; Spark fuses same-spec frames), and the grid rides a
+    // broadcast join back onto the rows.
+    val sky = plan("q62_skyline")
+    assert("Window".r.findAllIn(sky).size == 2,
+      "q62 gained/lost a window stage")
+    assert(sky.contains("BroadcastHashJoin"),
+      "q62's coarse grid stopped broadcasting")
+    // g32/d79: per-group capping IS the bounded heap — a Window in
+    // either plan means a per-group sort of unbounded group contents.
+    // g32's heap runs EAGERLY behind the lineage cut (the capped list
+    // is read by both pair-join legs), so its final plan reads the
+    // checkpoint (ExistingRDD — the d72/d73 pin pattern); d79's heap
+    // is visible directly.
+    val cov = plan("g32_covisit")
+    assert(cov.contains("ExistingRDD"),
+      "g32 lost the capped-list lineage cut")
+    assert(!cov.contains("RunningWindowFunction") && !cov.contains("Window"),
+      "g32 caps through a window sort")
+    val gs = plan("d79_group_sample")
+    assert(gs.contains("ObjectHashAggregate"),
+      "d79 lost the top_k_by_score partial aggregate")
+    assert(!gs.contains("RunningWindowFunction") && !gs.contains("Window"),
+      "d79 caps through a window sort")
+    // g31: the anchored-wedge count partial-aggregates map-side — two
+    // HashAggregate pairs (per-pair count, global sum), no window.
+    val sq = plan("g31_squares")
+    assert(!sq.contains("Window"), "g31 gained a window")
+    assert(sq.contains("HashAggregate"), "g31 lost its partial aggregate")
+  }
+
   test("graph-walk ANN: bounded plan depth, query_id windows, heap medoids") {
     // e25's contract since the round-10 lineage cut: every walk round
     // eagerly cuts the beam (it is referenced twice per round — union
