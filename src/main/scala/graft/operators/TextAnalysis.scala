@@ -180,6 +180,70 @@ object TextAnalysis {
     * @return (doc_id, n_tokens, logprob_e6) mean token log-prob,
     *   e6-scaled per the §5 parity protocol
     */
+  /** WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): positional k-gram hashes,
+    * then each sliding window of `w` consecutive grams selects its
+    * RIGHTMOST MINIMAL hash; the selected (position, hash) pairs are
+    * the fingerprint set. The winnowing guarantee: any shared token
+    * run of ≥ w + k − 1 tokens between two documents yields at least
+    * one shared fingerprint HASH, while an edit perturbs only the
+    * ≤ w windows that see it — the local-robustness whole-document
+    * hashing (d8) lacks and shingle sets (d2) pay O(grams) to get.
+    *
+    * Selection is one map-side higher-order fold per window over a
+    * packed key — hash·w + (w−1−offset), so the integer min IS "min
+    * hash, rightmost tie" — decoded in the aggregate's finish lambda
+    * to the collision-free fingerprint id pos·P + hash. No shuffle,
+    * no UDF; the card (gram count, fingerprint count, mod-P checksum
+    * binding the set) aggregates map-side per document.
+    */
+  def winnowing(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    val P = TextHash.P
+    winnowed(docs, k, w)
+      .select(col("doc_id"),
+        size(col("_gh")).cast("long").as("n_grams"),
+        size(col("_fp")).cast("long").as("n_fp"),
+        expr(s"aggregate(_fp, CAST(0 AS BIGINT), (a, x) -> (a + x) % $P)")
+          .as("fp_sum"))
+  }
+
+  /** Exploded fingerprint rows (doc_id, pos, hash) — the join key
+    * for winnowing-based overlap detection and the spec's guarantee
+    * checks; `hash` is the fingerprint id mod P, `pos` its 0-based
+    * gram position.
+    */
+  def winnowingFingerprints(docs: DataFrame, k: Int = 3,
+      w: Int = 4): DataFrame = {
+    val P = TextHash.P
+    winnowed(docs, k, w)
+      .select(col("doc_id"), explode(col("_fp")).as("fp"))
+      .select(col("doc_id"), expr(s"fp div ${P}L").as("pos"),
+        (col("fp") % P).as("hash"))
+  }
+
+  private def winnowed(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 2, s"need k >= 1, w >= 2; got k=$k w=$w")
+    import graft.functions.TextHashExprs.{ngram_hashes_pos, token_hashes}
+    val P = TextHash.P
+    val fpExpr =
+      s"""CASE WHEN size(_gh) >= $w THEN array_distinct(
+         |  transform(sequence(0, size(_gh) - $w), i ->
+         |    aggregate(sequence(i, i + ${w - 1}),
+         |      CAST(NULL AS BIGINT),
+         |      (best, j) -> CASE WHEN best IS NULL
+         |          OR element_at(_gh, CAST(j + 1 AS INT)) * $w
+         |             + (i + ${w - 1} - j) < best
+         |        THEN element_at(_gh, CAST(j + 1 AS INT)) * $w
+         |             + (i + ${w - 1} - j)
+         |        ELSE best END,
+         |      p -> (i + ${w - 1} - p % $w) * ${P}L + p div $w)))
+         |ELSE CAST(array() AS array<bigint>) END""".stripMargin
+    docs
+      .withColumn("_gh", ngram_hashes_pos(
+        token_hashes(expr(TextHash.sparkTokens("text"))), k))
+      .withColumn("_fp", expr(fpExpr))
+  }
+
   /** Interpolated Kneser-Ney bigram model from observed (prev, w)
     * pair rows (Kneser & Ney 1995; Chen & Goodman 1999's interpolated
     * form) — the standard n-gram smoothing a curation LM wants over

@@ -846,6 +846,76 @@ object EventQueries {
              |FROM v
              |WHERE tsl <= (SELECT t FROM mid)
              |  AND (valid_to IS NULL OR valid_to > (SELECT t FROM mid))
+             |ORDER BY user_id""".stripMargin)),
+
+    // INTERVAL-UNION coverage per user — the "merge overlapping
+    // intervals" staple (machine uptime, user engagement seconds,
+    // on-call coverage): each event opens an interval of `value`
+    // seconds; overlapping/touching intervals merge (a new merged
+    // group starts exactly when an interval's start exceeds the
+    // running max of all earlier ends — the classic sweep), and the
+    // answer is the union LENGTH, which q54's point-in-time
+    // concurrency cannot produce. One exchange on the user key feeds
+    // all three window passes (same key + ordering → one sort); the
+    // running-max / flag / running-sum arithmetic is integral micros
+    // end to end.
+    Q("q63_interval_coverage",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val iv = Tables.events(s, d).select(col("user_id"),
+          unix_micros(col("ts")).as("st"),
+          (unix_micros(col("ts"))
+            + floor(col("value") * 1000000).cast("long")).as("en"))
+        val w = Window.partitionBy("user_id").orderBy(col("st"), col("en"))
+        val flagged = iv
+          .withColumn("maxe",
+            max("en").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("new_grp",
+            when(col("maxe").isNull || col("st") > col("maxe"), 1L)
+              .otherwise(0L))
+          .withColumn("grp", sum("new_grp")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        flagged.groupBy("user_id", "grp")
+          .agg(min("st").as("gs"), max("en").as("ge"),
+            count(lit(1)).as("n"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_merged"),
+            sum("n").as("n_intervals"),
+            sum(col("ge") - col("gs")).as("covered_us"))
+          .orderBy("user_id")
+      },
+      Some("""WITH iv AS (
+             |  SELECT user_id, epoch_us(ts) AS st,
+             |    epoch_us(ts) + CAST(floor(value * 1000000) AS BIGINT)
+             |      AS en
+             |  FROM events
+             |),
+             |f AS (
+             |  SELECT user_id, st, en,
+             |    CASE WHEN max(en) OVER pw IS NULL
+             |           OR st > max(en) OVER pw
+             |         THEN 1 ELSE 0 END AS new_grp
+             |  FROM iv
+             |  WINDOW pw AS (PARTITION BY user_id ORDER BY st, en
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |),
+             |g AS (
+             |  SELECT user_id, st, en,
+             |    sum(new_grp) OVER (PARTITION BY user_id
+             |      ORDER BY st, en
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS grp
+             |  FROM f
+             |),
+             |m AS (
+             |  SELECT user_id, grp, min(st) AS gs, max(en) AS ge,
+             |    count(*) AS n
+             |  FROM g GROUP BY 1, 2
+             |)
+             |SELECT user_id, count(*) AS n_merged,
+             |  CAST(sum(n) AS BIGINT) AS n_intervals,
+             |  CAST(sum(ge - gs) AS BIGINT) AS covered_us
+             |FROM m GROUP BY user_id
              |ORDER BY user_id""".stripMargin))
   )
 }

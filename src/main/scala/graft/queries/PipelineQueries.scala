@@ -6529,6 +6529,53 @@ object PipelineQueries {
               |     OR (p.da = c.neg_id AND p.db = c.pos_id))
               |ORDER BY anchor_id, pos_id""".stripMargin)),
 
+    // WINNOWING fingerprint card (the MOSS algorithm, Schleimer et
+    // al. 2003 — TextAnalysis.winnowing): per sliding window of 4
+    // positional 3-gram hashes, select the rightmost minimal hash;
+    // the distinct (position, hash) selections are the document's
+    // fingerprints — any shared ≥ 6-token run between two docs
+    // yields a shared fingerprint hash while an edit perturbs only
+    // its own ≤ 4 windows (the local-robustness guarantee d8's
+    // whole-doc hash lacks). The card binds gram count, fingerprint
+    // count and a mod-P checksum of the fingerprint SET per doc; the
+    // oracle recomputes the identical packed-min selection with
+    // 1-based list arithmetic. All integer-exact.
+    Q("d81_winnowing",
+      (s, d) => TextAnalysis
+        .winnowing(Tables.documents(s, d), k = 3, w = 4)
+        .orderBy("doc_id"),
+      Some(s"""WITH ${TextHash.duckToksCte},
+              |gh AS (
+              |  SELECT doc_id,
+              |    CASE WHEN len(th) >= 3 THEN
+              |      list_transform(range(1, len(th) - 1), j ->
+              |        (((th[j] * 31 + th[j+1]) % $P) * 31 + th[j+2])
+              |          % $P)
+              |    ELSE [] END AS gh
+              |  FROM toks
+              |),
+              |packs AS (
+              |  SELECT doc_id, len(gh) AS ng,
+              |    CASE WHEN len(gh) >= 4 THEN
+              |      list_transform(range(0, len(gh) - 3), i ->
+              |        list_min(list_transform(range(0, 4), o ->
+              |          gh[i + o + 1] * 4 + (3 - o))))
+              |    ELSE [] END AS packs
+              |  FROM gh
+              |),
+              |fps AS (
+              |  SELECT doc_id, ng,
+              |    list_distinct(list_transform(packs, (p, ii) ->
+              |      ((ii - 1) + 3 - p % 4) * $P + p // 4)) AS fps
+              |  FROM packs
+              |)
+              |SELECT doc_id, CAST(ng AS BIGINT) AS n_grams,
+              |  CAST(len(fps) AS BIGINT) AS n_fp,
+              |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), fps),
+              |    (a, x) -> (a + x) % $P) AS BIGINT) AS fp_sum
+              |FROM fps
+              |ORDER BY doc_id""".stripMargin)),
+
     // Per-source boilerplate vocabulary: tokens whose DOCUMENT
     // frequency within a source crosses 50% — template/navigation
     // vocabulary that inflates every quality signal computed over

@@ -195,6 +195,56 @@ class OperatorsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("winnowing fingerprints: reference parity and the shared-run guarantee") {
+    val P = graft.functions.TextHash.P
+    // Plain-Scala reference: token char-hash → positional 3-gram
+    // hashes → per 4-window rightmost minimal → distinct (pos, h).
+    def ref(text: String): Set[(Long, Long)] = {
+      val th = text.trim.toLowerCase.split("\\s+").toSeq
+        .map(_.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % P))
+      val gh = th.sliding(3).filter(_.size == 3).toIndexedSeq
+        .map(g => g.foldLeft(0L)((h, x) => (h * 31 + x) % P))
+      (0 to gh.size - 4).map { i =>
+        // min hash; tie -> rightmost position
+        val j = (i until i + 4).minBy(j2 => (gh(j2), -(j2)))
+        (j.toLong, gh(j))
+      }.toSet
+    }
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "pack my box with five dozen brown fox jumps over the " +
+        "lazy jugs now"),
+      (3L, "aa aa aa aa aa aa aa aa")) // all-equal grams: tie path
+      .toDF("doc_id", "text")
+    val got = operators.TextAnalysis.winnowingFingerprints(docs)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (k, v) =>
+        k -> v.map(r => (r._2, r._3)).toSet
+      }
+    val texts = Map(
+      1L -> "the quick brown fox jumps over the lazy dog again today",
+      2L -> ("pack my box with five dozen brown fox jumps over the " +
+        "lazy jugs now"),
+      3L -> "aa aa aa aa aa aa aa aa")
+    for ((id, t) <- texts) assert(got(id) == ref(t), s"doc $id")
+    // Guarantee: docs 1 and 2 share the 6-token run "brown fox jumps
+    // over the lazy" (≥ w + k − 1 = 6), so they MUST share a
+    // fingerprint HASH.
+    val h1 = got(1L).map(_._2); val h2 = got(2L).map(_._2)
+    assert((h1 & h2).nonEmpty)
+    // Card consistency: n_fp/fp_sum bind the same sets.
+    val card = operators.TextAnalysis.winnowing(docs)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    for ((id, fps) <- got) {
+      val fpIds = fps.map { case (pos, h) => pos * P + h }
+      assert(card(id)._1 == fpIds.size.toLong, s"doc $id n_fp")
+      assert(card(id)._2 ==
+        fpIds.toSeq.sorted.foldLeft(0L)((a, x) => (a + x) % P),
+        s"doc $id fp_sum")
+    }
+  }
+
   test("Kneser-Ney bigram LM matches hand-computed probabilities") {
     // Corpus bigrams: (a,b)×2, (b,a), (b,c).
     //   c(a)=2 N1+(a·)=1; c(b)=2 N1+(b·)=2; T=3 types
