@@ -89,4 +89,64 @@ object Truss {
     require(stable, s"k-truss did not stabilize in $maxWaves waves")
     wave(t, k).select(col("a"), col("b"), col("support"))
   }
+
+  /** FULL truss decomposition — per-edge MAX k such that the edge
+    * survives the k-truss (the edge-centric twin of
+    * [[KCore.decompose]], same progressive contract): trusses are
+    * nested, so level k peels the (k−1)-level's survivors with
+    * `waves` synchronous waves; truss numbers are capped at `maxK`
+    * and each level's peel is wave-bounded — both bounds are the
+    * DEFINED semantics (the unrolled SQL mirror needs static
+    * counts); [[decomposeUntilStable]] is the exact convergence
+    * twin. Every edge is in the 2-truss by definition.
+    *
+    * Scale shape: each wave is the triangle-wedge shape over the
+    * CURRENT survivor set (two co-partitioned equi-joins + one
+    * partial agg), the survivor set shrinks monotonically across
+    * waves AND levels, and per-wave lineage cuts keep the plan
+    * linear — never nested across levels.
+    *
+    * @return (a, b, truss) for every undirected edge; truss ∈ [2, maxK]
+    */
+  def decompose(edges: DataFrame, maxK: Int, waves: Int): DataFrame = {
+    require(maxK >= 2, "maxK must be >= 2")
+    require(waves >= 1, "at least one wave")
+    var t = und(edges).lineageCut
+    var out = t.withColumn("truss", lit(2L))
+    for (k <- 3 to maxK) {
+      for (_ <- 1 to waves)
+        t = wave(t, k).select("a", "b").lineageCut
+      out = out.union(t.withColumn("truss", lit(k.toLong)))
+    }
+    out.groupBy("a", "b").agg(max("truss").as("truss"))
+  }
+
+  /** Convergence twin of [[decompose]]: each level peels until a
+    * wave removes nothing, the level loop stops once a truss
+    * empties — truss numbers EXACT up to `maxK`.
+    */
+  def decomposeUntilStable(edges: DataFrame, maxK: Int,
+      maxWaves: Int = 100): DataFrame = {
+    require(maxK >= 2, "maxK must be >= 2")
+    var t = und(edges).lineageCut
+    var out = t.withColumn("truss", lit(2L))
+    var n = t.count()
+    var k = 3
+    while (k <= maxK && n > 0) {
+      var stable = false
+      var w = 0
+      while (!stable && w < maxWaves) {
+        val next = wave(t, k).select("a", "b").lineageCut
+        val m = next.count()
+        stable = m == n
+        t = next
+        n = m
+        w += 1
+      }
+      require(stable, s"truss level $k did not stabilize in $maxWaves waves")
+      if (n > 0) out = out.union(t.withColumn("truss", lit(k.toLong)))
+      k += 1
+    }
+    out.groupBy("a", "b").agg(max("truss").as("truss"))
+  }
 }

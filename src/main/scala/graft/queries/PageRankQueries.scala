@@ -2053,7 +2053,55 @@ object PageRankQueries {
              |  ON x.user_id = y.user_id AND x.page < y.page
              |GROUP BY 1, 2
              |HAVING count(*) >= 2
-             |ORDER BY item_a, item_b""".stripMargin))
+             |ORDER BY item_a, item_b""".stripMargin)),
+
+    // FULL truss decomposition (graph.Truss.decompose): per-edge max
+    // k surviving the k-truss — the edge-centric completion of the
+    // density family (g20 answers "which edges survive THIS k", g21
+    // decomposes nodes by core; this decomposes EDGES by truss,
+    // the standard community-core strength label). Progressive
+    // nested peeling, truss ≤ 5, 4 waves per level — the g21
+    // bounded contract, convergence twin spec-pinned. Oracle =
+    // fully unrolled per-level × per-wave support recounts.
+    Q("g33_truss_decomp",
+      (s, d) => graft.graph.Truss.decompose(
+          LinkGraph.wordFollowEdges(Tables.documents(s, d), "text"),
+          maxK = 5, waves = 4)
+        .orderBy("a", "b"),
+      Some {
+        val levels = (3 to 5).map { k =>
+          (1 to 4).map { w =>
+            val from = if (w == 1) { if (k == 3) "t2" else s"t${k - 1}w4" }
+              else s"t${k}w${w - 1}"
+            s"""s${k}w$w AS (
+               |  SELECT a AS u, b AS v FROM $from
+               |  UNION ALL SELECT b, a FROM $from
+               |),
+               |t${k}w$w AS MATERIALIZED (
+               |  SELECT t.a, t.b FROM $from t
+               |  JOIN s${k}w$w x ON x.u = t.a
+               |  JOIN s${k}w$w y ON y.u = t.b AND y.v = x.v
+               |  GROUP BY t.a, t.b
+               |  HAVING count(*) >= $k - 2
+               |)""".stripMargin
+          }.mkString(",\n")
+        }.mkString(",\n")
+        s"""WITH $edgeCtes,
+           |t2 AS MATERIALIZED (
+           |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           |  FROM e WHERE src <> dst
+           |),
+           |$levels,
+           |lv AS (
+           |  SELECT a, b, 2 AS truss FROM t2
+           |  UNION ALL SELECT a, b, 3 FROM t3w4
+           |  UNION ALL SELECT a, b, 4 FROM t4w4
+           |  UNION ALL SELECT a, b, 5 FROM t5w4
+           |)
+           |SELECT a, b, CAST(max(truss) AS BIGINT) AS truss
+           |FROM lv GROUP BY a, b
+           |ORDER BY a, b""".stripMargin
+      })
   )
 
   /** DuckDB CTEs mirroring graft.graph.Louvain.communities over the

@@ -277,6 +277,45 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("truss decomposition: bowtie, K4+tail, K5; twin agrees") {
+    import graft.graph.Truss
+    def decomp(pairs: Seq[(String, String)]): Map[(String, String), Long] =
+      Truss.decompose(pairs.toDF("src", "dst"), maxK = 5, waves = 4)
+        .as[(String, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    // Bowtie (two triangles sharing a vertex... use shared EDGE):
+    // triangles a-b-c and a-b-d share edge (a,b). Its 2 triangles
+    // don't make a 4-truss: the OTHER edges have support 1, so the
+    // k=4 peel cascades and every edge lands at truss 3.
+    val bowtie = Seq(("a", "b"), ("a", "c"), ("b", "c"),
+      ("a", "d"), ("b", "d"))
+    assert(decomp(bowtie).values.toSet == Set(3L))
+    // K4 + pendant tail: K4 edges are a 4-truss (each edge in 2
+    // triangles that survive together); the tail edge has no
+    // triangle -> truss 2.
+    val k4 = for {
+      x <- Seq("a", "b", "c", "d"); y <- Seq("a", "b", "c", "d")
+      if x < y
+    } yield (x, y)
+    val withTail = k4 ++ Seq(("d", "t"))
+    val dt = decomp(withTail)
+    assert(k4.forall(e => dt(e) == 4L))
+    assert(dt(("d", "t")) == 2L)
+    // K5: every edge sits in 3 triangles -> the whole clique is a
+    // 5-truss.
+    val k5 = for {
+      x <- Seq("a", "b", "c", "d", "e")
+      y <- Seq("a", "b", "c", "d", "e") if x < y
+    } yield (x, y)
+    assert(decomp(k5).values.toSet == Set(5L))
+    // Convergence twin agreement on the mixed fixture.
+    val exact = Truss
+      .decomposeUntilStable(withTail.toDF("src", "dst"), maxK = 5)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(exact == dt)
+  }
+
   test("covisit projection: pair weights exact, heavy-user cap binds") {
     import graft.graph.BipartiteProject
     // Users 1..3 share items; user 9 is the heavy user touching
