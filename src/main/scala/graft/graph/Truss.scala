@@ -58,24 +58,24 @@ object Truss {
     *
     * @return (a, b, support) for edges alive after `waves` waves
     */
-  def survivors(edges: DataFrame, k: Int, waves: Int): DataFrame = {
-    require(k >= 3, "k-truss needs k >= 3")
-    require(waves >= 1, "at least one wave")
-    var t = und(edges).lineageCut
+  /** `waves` bounded synchronous peel waves at level `k` — the ONE
+    * copy of the bounded loop all public forms share.
+    */
+  private def peelBounded(t0: DataFrame, k: Int, waves: Int): DataFrame = {
+    var t = t0
     for (_ <- 1 to waves)
       t = wave(t, k).select("a", "b").lineageCut
-    // Final support within the stable survivor set.
-    wave(t, k).select(col("a"), col("b"), col("support"))
+    t
   }
 
-  /** Convergence twin: peel until a wave removes no edge; throws
-    * rather than returning an unconverged truss.
+  /** Peel at level `k` until a wave removes no edge (one O(1) count
+    * per wave); returns the survivors with their count, throws past
+    * `maxWaves` — the ONE copy of the convergence loop.
     */
-  def untilStable(edges: DataFrame, k: Int, maxWaves: Int = 100)
-      : DataFrame = {
-    require(k >= 3, "k-truss needs k >= 3")
-    var t = und(edges).lineageCut
-    var n = t.count()
+  private def peelUntilStable(t0: DataFrame, n0: Long, k: Int,
+      maxWaves: Int, label: String): (DataFrame, Long) = {
+    var t = t0
+    var n = n0
     var stable = false
     var w = 0
     while (!stable && w < maxWaves) {
@@ -86,7 +86,26 @@ object Truss {
       n = m
       w += 1
     }
-    require(stable, s"k-truss did not stabilize in $maxWaves waves")
+    require(stable, s"$label did not stabilize in $maxWaves waves")
+    (t, n)
+  }
+
+  def survivors(edges: DataFrame, k: Int, waves: Int): DataFrame = {
+    require(k >= 3, "k-truss needs k >= 3")
+    require(waves >= 1, "at least one wave")
+    val t = peelBounded(und(edges).lineageCut, k, waves)
+    // Final support within the stable survivor set.
+    wave(t, k).select(col("a"), col("b"), col("support"))
+  }
+
+  /** Convergence twin: peel until a wave removes no edge; throws
+    * rather than returning an unconverged truss.
+    */
+  def untilStable(edges: DataFrame, k: Int, maxWaves: Int = 100)
+      : DataFrame = {
+    require(k >= 3, "k-truss needs k >= 3")
+    val t0 = und(edges).lineageCut
+    val (t, _) = peelUntilStable(t0, t0.count(), k, maxWaves, "k-truss")
     wave(t, k).select(col("a"), col("b"), col("support"))
   }
 
@@ -113,10 +132,16 @@ object Truss {
     require(waves >= 1, "at least one wave")
     var t = und(edges).lineageCut
     var out = t.withColumn("truss", lit(2L))
-    for (k <- 3 to maxK) {
-      for (_ <- 1 to waves)
-        t = wave(t, k).select("a", "b").lineageCut
-      out = out.union(t.withColumn("truss", lit(k.toLong)))
+    var k = 3
+    var empty = false
+    while (k <= maxK && !empty) {
+      t = peelBounded(t, k, waves)
+      // Survivors only shrink: once a level empties, every later
+      // level is empty too — skip its dead checkpoint waves
+      // (result-identical; wave(empty, k) = empty).
+      empty = t.isEmpty
+      if (!empty) out = out.union(t.withColumn("truss", lit(k.toLong)))
+      k += 1
     }
     out.groupBy("a", "b").agg(max("truss").as("truss"))
   }
@@ -133,17 +158,9 @@ object Truss {
     var n = t.count()
     var k = 3
     while (k <= maxK && n > 0) {
-      var stable = false
-      var w = 0
-      while (!stable && w < maxWaves) {
-        val next = wave(t, k).select("a", "b").lineageCut
-        val m = next.count()
-        stable = m == n
-        t = next
-        n = m
-        w += 1
-      }
-      require(stable, s"truss level $k did not stabilize in $maxWaves waves")
+      val (t2, n2) = peelUntilStable(t, n, k, maxWaves, s"truss level $k")
+      t = t2
+      n = n2
       if (n > 0) out = out.union(t.withColumn("truss", lit(k.toLong)))
       k += 1
     }
