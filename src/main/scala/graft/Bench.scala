@@ -104,7 +104,15 @@ object Bench {
     val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
-    val results = headline.filterNot(skip).map { name =>
+    // SPARK_GRAFT_BENCH_EXTRA: comma-separated non-headline names
+    // APPENDED to the run — the dev knob for scale probes of new
+    // operators (the driver never sets it; like skip, the JSON
+    // records it so an augmented run cannot read as the gate set).
+    val extra = sys.env.get("SPARK_GRAFT_BENCH_EXTRA")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty[String])
+      .filterNot(headline.contains)
+    val results = (headline.filterNot(skip) ++ extra).map { name =>
       def run(): Double = {
         val t0 = System.nanoTime()
         // toRdd, not count(): under a bare count() Catalyst prunes
@@ -144,6 +152,9 @@ object Bench {
       s""""queries_contended":${jmap(_.contended.toString)},""" +
       (if (skip.isEmpty) ""
        else s""""skipped":[${skip.toSeq.sorted
+         .map("\"" + _ + "\"").mkString(",")}],""") +
+      (if (extra.isEmpty) ""
+       else s""""extra":[${extra.sorted
          .map("\"" + _ + "\"").mkString(",")}],""") +
       s""""sf":"$sfDir"}"""
     // The JSON must survive sbt's [info]-prefixed stdout wrapping:
