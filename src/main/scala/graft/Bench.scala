@@ -70,7 +70,47 @@ object Bench {
     // beam walk over reconstructions, float rerank: the round's
     // heaviest new composition, and the one whose regression no
     // other headline query would surface).
-    "e49_pq_nav")
+    "e49_pq_nav",
+    // Round 14 widening (the round-13 verdict's ask): the full
+    // truss decomposition (iterated support peeling — the heaviest
+    // round-13 graph plan) and the CCNet perplexity terciles (the
+    // KN bigram LM chain + percentile split — the heaviest
+    // round-13 text plan).
+    "g33_truss_decomp", "d78_ccnet_buckets")
+
+  /** Per-query quiet-box gate rows (sf0.1 cross-run steady medians,
+    * BASELINE.md round-14 record) — the CURRENT reference the run
+    * adjudicates itself against. The round-13 verdict's finding:
+    * within-run spread (median vs own min) catches bursts but not
+    * SUSTAINED co-tenant load that inflates every query uniformly —
+    * BENCH_r13 shipped 1.26× of gate with zero contended flags.
+    * The fix: compare the run's gated total against these rows and
+    * re-run the whole set once when it exceeds [[GateInflated]];
+    * the JSON carries gate_total/gate_ratio/inflated either way, so
+    * a reader can adjudicate an artifact without bench_quiet/
+    * cross-referencing. Rows are re-recorded when a plan changes
+    * (protocol in BASELINE.md); queries without a row (new or
+    * just-changed plans, pre-record) simply don't enter the ratio.
+    */
+  val gate: Map[String, Double] = Map(
+    // Round-13 quiet-box rows (carried queries, plans unchanged).
+    "pr_ranks" -> 3.42, "q1_agg" -> 0.34, "q3_topk_join" -> 0.54,
+    "q18_sessionize" -> 0.64, "d3_minhash_lsh" -> 0.44,
+    "e1_ann_topk" -> 0.42, "e6_knn_graph" -> 1.23,
+    "d10_embed_dedup" -> 0.67, "q21_asof_join" -> 0.55,
+    "pr_wiki_ranks" -> 2.38, "e8_ann_learned" -> 1.38,
+    "d54_curation_funnel" -> 5.63, "m10_image_dhash" -> 0.51,
+    "e24_filtered_ivf" -> 0.59, "m19_gif_frames" -> 0.89,
+    "m23_vad_segments" -> 0.23, "g21_core_decomp" -> 3.34,
+    "g26_louvain" -> 7.08,
+    // Round-13 extras-anchor rows for the round-14 widening pair.
+    "g33_truss_decomp" -> 3.99, "d78_ccnet_buckets" -> 3.68)
+    // e28/e41/e46/e49 re-enter once the round-14 substrate-swap
+    // quiet runs record their new rows (BASELINE.md round-14).
+
+  /** Run-total-vs-gate threshold above which the set re-runs once
+    * and, failing again, the JSON self-flags `inflated`. */
+  val GateInflated = 1.3
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -108,11 +148,19 @@ object Bench {
     // APPENDED to the run — the dev knob for scale probes of new
     // operators (the driver never sets it; like skip, the JSON
     // records it so an augmented run cannot read as the gate set).
-    val extra = sys.env.get("SPARK_GRAFT_BENCH_EXTRA")
+    val extraRaw = sys.env.get("SPARK_GRAFT_BENCH_EXTRA")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty[String])
       .filterNot(headline.contains)
-    val results = (headline.filterNot(skip) ++ extra).map { name =>
+      .distinct
+    // Unknown names drop with a warning instead of crashing the run
+    // mid-bench (and duplicates above would double-emit JSON rows).
+    val (extra, unknown) = extraRaw.partition(SparkEntry.queries.contains)
+    unknown.foreach(n => System.err.println(
+      s"[bench] WARNING: unknown SPARK_GRAFT_BENCH_EXTRA name '$n' " +
+        "dropped (not a SparkEntry.queries key)"))
+    val names = headline.filterNot(skip) ++ extra
+    def benchOne(name: String): R = {
       def run(): Double = {
         val t0 = System.nanoTime()
         // toRdd, not count(): under a bare count() Catalyst prunes
@@ -127,10 +175,10 @@ object Bench {
       val cold = run()
       val steady = scala.collection.mutable.ArrayBuffer.fill(5)(run())
       def median = steady.sorted.apply(steady.size / 2)
-      var extra = 0
-      while (extra < 4 && median > 1.5 * steady.min) {
+      var extraRounds = 0
+      while (extraRounds < 4 && median > 1.5 * steady.min) {
         steady += run()
-        extra += 1
+        extraRounds += 1
       }
       val contended = median > 1.5 * steady.min
       System.err.println(
@@ -139,6 +187,29 @@ object Bench {
           (if (contended) ", STILL CONTENDED)" else ")"))
       R(name, median, steady.min, cold, steady.size, contended)
     }
+    // Gate adjudication (round-13 verdict): within-run spread only
+    // catches bursts; SUSTAINED co-tenant load inflates every query
+    // uniformly and the run still shows zero contended flags. So the
+    // run compares its gated total against the recorded quiet-box
+    // rows and re-runs the whole set ONCE when > GateInflated×; if
+    // the re-run is still inflated the JSON self-flags, and either
+    // way the ratio ships in the artifact.
+    def gateRatio(rs: Seq[R]): Option[Double] = {
+      val g = rs.filter(r => gate.contains(r.name))
+      if (g.isEmpty) None
+      else Some(g.map(_.median).sum / g.map(r => gate(r.name)).sum)
+    }
+    var results = names.map(benchOne)
+    if (gateRatio(results).exists(_ > GateInflated)) {
+      System.err.println(
+        f"[bench] gated total ${gateRatio(results).get}%.2fx of the " +
+          "quiet-box gate rows - re-running the full set once")
+      val second = names.map(benchOne)
+      if (gateRatio(second).get < gateRatio(results).get)
+        results = second
+    }
+    val ratio = gateRatio(results)
+    val inflated = ratio.exists(_ > GateInflated)
     def jmap(f: R => String) =
       results.map(r => "\"" + r.name + "\":" + f(r)).mkString("{", ",", "}")
     val total = results.map(_.median).sum
@@ -150,6 +221,11 @@ object Bench {
       s""""queries_cold":${jmap(_.cold.toString)},""" +
       s""""queries_runs":${jmap(_.nSteady.toString)},""" +
       s""""queries_contended":${jmap(_.contended.toString)},""" +
+      ratio.fold("") { rr =>
+        val gt = results.filter(r => gate.contains(r.name))
+          .map(r => gate(r.name)).sum
+        s""""gate_total":$gt,"gate_ratio":$rr,"inflated":$inflated,"""
+      } +
       (if (skip.isEmpty) ""
        else s""""skipped":[${skip.toSeq.sorted
          .map("\"" + _ + "\"").mkString(",")}],""") +

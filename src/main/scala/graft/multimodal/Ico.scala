@@ -84,8 +84,36 @@ object Ico {
     out.toByteArray
   }
 
-  /** Build a well-formed ICO container from the entries. */
+  /** Build a well-formed ICO container from the entries.
+    *
+    * Encoder contract (fixture/round-trip use — the decode side is
+    * the production path): every [[DibEntry]] must carry exactly
+    * w·h·3 rgb bytes and w·h mask flags with dims in [1, 256] (the
+    * directory's 0-means-256 byte can express nothing larger), and
+    * a [[PngEntry]] must hold a decodable PNG (its dims fill the
+    * directory). Violations throw here, at build time — a silently
+    * truncated pixel block or a 300-wide entry advertised as 256
+    * would otherwise surface as a confusing decode-side mismatch.
+    */
   def encode(entries: Seq[Entry]): Array[Byte] = {
+    entries.foreach {
+      case d: DibEntry =>
+        require(d.width >= 1 && d.width <= 256 &&
+          d.height >= 1 && d.height <= 256,
+          s"DibEntry dims must be in [1, 256], got " +
+            s"${d.width}x${d.height}")
+        require(d.rgb.length == d.width * d.height * 3,
+          s"DibEntry rgb must be w*h*3 = ${d.width * d.height * 3} " +
+            s"bytes, got ${d.rgb.length}")
+        require(d.mask.length == d.width * d.height,
+          s"DibEntry mask must be w*h = ${d.width * d.height} " +
+            s"flags, got ${d.mask.length}")
+      case p: PngEntry =>
+        require(Png.decode(p.png).exists(dec =>
+          dec.width >= 1 && dec.width <= 256 &&
+            dec.height >= 1 && dec.height <= 256),
+          "PngEntry must hold a decodable PNG with dims in [1, 256]")
+    }
     val images = entries.map {
       case p: PngEntry => p.png
       case d: DibEntry => dibBytes(d)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextHash
@@ -74,19 +75,23 @@ object Dedup {
       .filter(size(col("th")) >= 3)
       .select(col("doc_id"), shingle_set(col("th")).as("sh"))
 
-  /** All-pairs n-gram Jaccard ≥ `minJaccard` via the inverted-index
-    * self-join: explode shingles, join on the shingle hash (only
-    * co-occurring docs ever meet) to generate candidates, then verify
-    * exact Jaccard on the full shingle sets. The exploded join is the
-    * scalable shape — the shuffle key is the shingle hash, and no
-    * pair without a shared shingle is ever materialized.
+  /** All-pairs n-gram Jaccard ≥ `minJaccard` via PREFIX-FILTERED
+    * candidates (round 14 — see [[ngramJaccardFromSets]] for the
+    * principle and the equivalence argument): only each doc's
+    * (1−t)-fraction rarest-shingle prefix is indexed and self-joined,
+    * then exact Jaccard verifies on the full shingle sets. The
+    * shuffle key is the shingle hash, no pair without a shared
+    * prefix shingle is ever materialized, and — unlike the round-2
+    * full inverted index — a SATURATED vocabulary no longer turns
+    * candidate generation quadratic (prefix buckets are rare by
+    * construction).
     *
-    * `maxShingleDf` is the frequent-shingle guard: the self-join is
-    * O(df²) per shingle bucket, so one stopword-like shingle present
-    * in a large fraction of a web-scale corpus makes its bucket
-    * quadratic. Shingles with document frequency above the cap are
-    * excluded from CANDIDATE GENERATION only — verification still
-    * scores the full sets. The TRADEOFF this buys: a duplicate
+    * `maxShingleDf` is the frequent-shingle candidate LAW (kept
+    * bit-identical across the round-14 rewrite, now enforced as a
+    * post-verify filter on the few surviving pairs): a pair whose
+    * every shared shingle has document frequency above the cap is
+    * not emitted — verification still scores the full sets. The
+    * TRADEOFF this buys: a duplicate
     * CLUSTER larger than the cap makes its own shingles frequent, so
     * pairs whose every shared shingle sits in such a cluster are not
     * generated — the standard df-cutoff behavior, and why this
@@ -105,25 +110,74 @@ object Dedup {
     shingleSets(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  /** Inverted-index path over PRE-persisted shingle sets (the shared
-    * entry for the direct operator and [[nearDupPairsAuto]], whose
-    * routing scalar already materialized the sets — reusing them
-    * saves the second corpus tokenize pass).
+  /** PREFIX-FILTERED candidate path over PRE-persisted shingle sets
+    * (the shared entry for the direct operator and
+    * [[nearDupPairsAuto]], whose routing scalar already materialized
+    * the sets — reusing them saves the second corpus tokenize pass).
+    *
+    * Candidate generation is the prefix-filtering principle
+    * (Chaudhuri et al. ICDE'06; Bayardo et al. WWW'07 All-Pairs;
+    * Xiao et al. WWW'08 ppjoin): J(A,B) ≥ t forces
+    * |A∩B| ≥ ⌈t·|X|⌉ for BOTH sets, so under any shared global
+    * element order the two (|X| − ⌈t·|X|⌉ + 1)-prefixes must
+    * intersect — only PREFIX shingles need indexing. With the global
+    * order (df ASC, hash ASC), prefixes hold each doc's RAREST
+    * shingles, which is what makes the round-12 saturation cliff go
+    * away: the old full inverted self-join was O(Σ df²) and a
+    * saturated vocabulary (every df near the cap) made it quadratic
+    * — the measured 374 s cold / 79 GB oracle spill at sf1. Prefix
+    * buckets are rare by construction, and the index is ~(1−t) of
+    * the full one (t=0.8 ⇒ 5× smaller).
+    *
+    * The threshold enters the prefix length as the EXACT integer
+    * ⌈n·⌊t·10⁶⌋/10⁶⌉ (floor-scaled t is ≤ t ⇒ the bound stays
+    * sound; no float boundary can diverge between engines).
+    *
+    * Output is UNCHANGED from the round-2 inverted-index form: the
+    * documented df-cap candidate law ("pairs whose every shared
+    * shingle is frequent are not generated") is preserved by an
+    * equivalent post-verify filter — a surviving pair must still
+    * share ≥ 1 shingle with df ≤ `maxShingleDf` — applied to the
+    * handful of verified pairs instead of the whole candidate space.
+    * OperatorsSpec pins the path against brute-force
+    * all-pairs ∩ share-rare on randomized fixtures.
     */
   private def ngramJaccardFromSets(sets: DataFrame, minJaccard: Double,
       maxShingleDf: Int): DataFrame = {
     val inv = sets.select(col("doc_id"), explode(col("sh")).as("s"))
     // df per shingle is a partial-agg count on the same key the
-    // self-join shuffles on, so the filter join is co-partitioned.
-    val rare = inv.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxShingleDf)
-      .select("s")
-    val invRare = inv.join(rare, "s")
-    val candidates = invRare.as("a").join(invRare.as("b"),
+    // candidate self-join shuffles on, so every join below is
+    // co-partitioned.
+    val dfS = inv.groupBy("s").agg(count(lit(1)).as("df"))
+    val tE6 = math.floor(minJaccard * 1e6).toLong
+    val wDoc = Window.partitionBy("doc_id").orderBy("df", "s")
+    val pref = inv.join(dfS, "s")
+      .join(sets.select(col("doc_id"), size(col("sh")).as("n")),
+        "doc_id")
+      .withColumn("rk", row_number().over(wDoc))
+      // Integral `div`, not `/`: Column./ is double division and a
+      // float boundary here could disagree with the oracle's `//`.
+      .filter(col("rk") <=
+        expr(s"n - (n * $tE6 + 999999) div 1000000 + 1"))
+      .select("doc_id", "s")
+    val candidates = pref.as("a").join(pref.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    verifyJaccard(candidates, sets, minJaccard)
+    val verified = verifyJaccard(candidates, sets, minJaccard)
+    // The df-cap candidate law, post-verify: the old path only ever
+    // GENERATED pairs sharing a rare shingle; equivalently, drop the
+    // (few) verified pairs that share none. The check joins the
+    // verified pair list (near-dup-sized, never corpus-sized)
+    // against the rare slice of the inverted index.
+    val invRare = inv.join(dfS.filter(col("df") <= maxShingleDf)
+      .select("s"), "s")
+    val sharesRare = verified.select("da", "db")
+      .join(invRare.select(col("doc_id").as("da"), col("s")), "da")
+      .join(invRare.select(col("doc_id").as("db"), col("s")),
+        Seq("db", "s"))
+      .select("da", "db").distinct()
+    verified.join(sharesRare, Seq("da", "db"), "left_semi")
   }
 
   /** Near-dup pairs with a vocabulary-SATURATION guard (the round-12
@@ -206,6 +260,51 @@ object Dedup {
       .select(col("da"), col("db"),
         floor(col("ca") * 1000000 + 0.5).cast("long").as("cont_a_in_b_e6"),
         floor(col("cb") * 1000000 + 0.5).cast("long").as("cont_b_in_a_e6"))
+  }
+
+  /** WINNOWING-fingerprint near-dup pairs (Schleimer et al. 2003 §4
+    * — the detection step their fingerprints exist for; d81 computes
+    * the fingerprints, this joins them): candidates are doc pairs
+    * sharing a winnowing fingerprint HASH, verified by exact n-gram
+    * Jaccard ≥ `minJaccard` on the full shingle sets — the same
+    * verify stage as [[ngramJaccardPairs]], so the two operators
+    * differ only in candidate generation.
+    *
+    * Why it's the cheaper candidate path: winnowing selects ~2/(w+1)
+    * of a document's gram hashes (window-minimum sampling), so the
+    * inverted index this self-joins is ~2.5× smaller than d2's full
+    * shingle index at w=4 — with a GUARANTEE the random sampling
+    * d2's df-cap amounts to can't give: any shared token run of
+    * length ≥ w + k − 1 (6 tokens at the defaults) selects at least
+    * one shared fingerprint, so no long-overlap pair is ever missed
+    * at candidate time. Pairs whose overlap is only scattered short
+    * runs can be missed — those rarely clear a high Jaccard bar, and
+    * the tradeoff is exactly the published algorithm's.
+    *
+    * Scale shape: same as [[ngramJaccardPairs]] — shuffle key is the
+    * fingerprint hash, `maxFpDf` caps the per-hash bucket (a
+    * boilerplate fingerprint shared by half the corpus would make
+    * its bucket quadratic), verification touches only surviving
+    * candidates. The df-cap tradeoff note on [[ngramJaccardPairs]]
+    * applies unchanged; [[minhashLshPairs]] remains the
+    * df-independent gate for saturated corpora.
+    *
+    * @return (da, db, jaccard_e6) — d2's exact schema
+    */
+  def winnowingPairs(docs: DataFrame, minJaccard: Double, k: Int = 3,
+      w: Int = 4, maxFpDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val fps = TextAnalysis.winnowingFingerprints(docs, k, w)
+      .select(col("doc_id"), col("hash")).distinct()
+    val rare = fps.groupBy("hash").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxFpDf)
+      .select("hash")
+    val fpsRare = fps.join(rare, "hash")
+    val candidates = fpsRare.as("a").join(fpsRare.as("b"),
+        col("a.hash") === col("b.hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    verifyJaccard(candidates, shingleSets(docs), minJaccard)
   }
 
   /** Exact-Jaccard verification of candidate pairs against the full

@@ -307,6 +307,37 @@ object Similarity {
         col("s.cand_id").as("nbr_id"), round(col("s.sim"), 6).as("sim"))
   }
 
+  /** TRAINED-cell substrate for the bulk kNN / graph-ANN build
+    * family — the scale fix the fixed-label blocking could not give:
+    * blocking [[knnGraphProbed]] on a corpus's FIXED label set makes
+    * the in-cell pair space Σ|cell|² grow quadratically (measured
+    * 10.6–14.3× per 10× rows on the walk family at sf1), because
+    * |cell| = n/nlist grows linearly when nlist is constant. Training
+    * k-means cells with nlist ∝ n (k = max(8, ⌈n/perCell⌉), the e6
+    * rule — measured sub-linear at two scale steps) holds |cell| ≈
+    * `perCell` REGARDLESS of corpus size, so pair work is ~n·perCell
+    * — linear. Every walk-family build (e9/e25-e32/e41-e50) routes
+    * through this one builder.
+    *
+    * Returns the input with its trained `cell` column attached
+    * (embeddings widened to double — exact float→double widening, so
+    * cosine arithmetic is unchanged); all other columns survive, so
+    * filtered-search predicates (e.g. e41's label parity) still see
+    * their columns. The count and the k×dims centroid handoff are the
+    * [[KMeans]] bounded driver scalars; assignment is the compiled
+    * map-side kernel — zero shuffle. At 100 TB, train on a hash
+    * sample ([[Sampling]]) exactly as e10 exercises, and assign the
+    * full corpus map-side.
+    */
+  def trainedCells(emb: DataFrame, perCell: Int = 250,
+      iters: Int = 3): DataFrame = {
+    require(perCell >= 1, s"perCell must be >= 1, got $perCell")
+    val e2 = emb.withColumn("embedding",
+      expr("transform(embedding, v -> cast(v as double))"))
+    val k = math.max(8L, (e2.count() + perCell - 1) / perCell).toInt
+    KMeans.withCells(e2, KMeans.train(e2, k, iters))
+  }
+
   /** IVF query path: assign each query to its `nprobe` nearest
     * centroids, then brute-force top-k over the UNION of those cells
     * only. Two broadcasts (centroid table, then assigned queries) —
@@ -744,6 +775,68 @@ object Similarity {
         col("t.cand_id").as("nbr_id"), col("t.sim").cast("long").as("se"))
   }
 
+  /** Nav-graph MAINTENANCE health card (e51 — the e29 discipline for
+    * the e28/e32 index): [[navigableAttach]] defers compaction by
+    * design (backlinks append, base lists are never re-pruned), so
+    * maintenance debt accumulates invisibly; this card is the number
+    * that decides the periodic [[navigableGraph]] rebuild. Over a
+    * `built` base graph and an `att` attach history it binds:
+    * backlink DEBT (appended un-pruned edges), degree-cap OVERFLOW
+    * (base nodes whose built degree + appended backlinks exceed
+    * `maxDegree`, plus the excess sum — the compaction workload),
+    * and RECIPROCITY before/after the appends (e31's structural
+    * number — drift from the built invariant). One row; every value
+    * a count or e6 fixed-point integer.
+    *
+    * Scale shape: two partial-agg degree passes, two co-partitioned
+    * reciprocity self-joins over O(n·k) edge lists, one-row
+    * broadcast combines — the g12/e31 card idiom.
+    *
+    * @param base  the base corpus (node universe)
+    * @param built (vec_id, nbr_id) built edges ([[navigableGraph]])
+    * @param att   [[navigableAttach]] output (vec_id, kind, …)
+    */
+  def navAttachHealth(base: DataFrame, built: DataFrame,
+      att: DataFrame, maxDegree: Int = 16): DataFrame = {
+    import graft.operators.Checkpointing.CutOps
+    val b = built.select(col("vec_id"), col("nbr_id")).lineageCut
+    val a = att.lineageCut
+    val nb = base.agg(count(lit(1)).as("n_base_nodes"))
+    val ne = b.agg(count(lit(1)).as("n_built_edges"))
+    val na = a.groupBy().agg(
+      sum(when(col("kind") === "fwd", 1L).otherwise(0L))
+        .as("n_attach_fwd"),
+      sum(when(col("kind") === "back", 1L).otherwise(0L))
+        .as("n_backlink_debt"))
+    // Post-attach degree of each BASE node: built out-degree +
+    // appended backlinks ('fwd' rows live on delta nodes and are
+    // α-prune-capped at maxDegree by construction — never overflow).
+    val bdeg = b.groupBy("vec_id").agg(count(lit(1)).as("bd"))
+    val adeg = a.filter(col("kind") === "back")
+      .groupBy("vec_id").agg(count(lit(1)).as("ad"))
+    val over = bdeg.join(adeg, Seq("vec_id"), "full")
+      .select((coalesce(col("bd"), lit(0L))
+        + coalesce(col("ad"), lit(0L))).as("deg"))
+      .agg(
+        sum(when(col("deg") > maxDegree, 1L).otherwise(0L))
+          .as("overflow_nodes"),
+        sum(when(col("deg") > maxDegree, col("deg") - maxDegree)
+          .otherwise(0L)).as("overflow_excess"))
+    def recip(g: DataFrame, as: String): DataFrame = {
+      val m = g.as("x").join(g.as("y"),
+          col("x.vec_id") === col("y.nbr_id") &&
+            col("x.nbr_id") === col("y.vec_id"))
+        .agg(count(lit(1)).as("m"))
+      g.agg(count(lit(1)).as("ne")).crossJoin(broadcast(m))
+        .select(expr("CAST(m * 1000000 div ne AS BIGINT)").as(as))
+    }
+    val ug = b.union(a.select(col("vec_id"), col("nbr_id"))).lineageCut
+    nb.crossJoin(broadcast(ne)).crossJoin(broadcast(na))
+      .crossJoin(broadcast(over))
+      .crossJoin(broadcast(recip(b, "reciprocity_built_e6")))
+      .crossJoin(broadcast(recip(ug, "reciprocity_after_e6")))
+  }
+
   /** HIERARCHICAL incremental attach (e48) — [[navigableAttach]]'s
     * FreshDiskANN insert discipline applied to the
     * [[hierarchicalNavGraph]] layers, so the newest index shape no
@@ -850,6 +943,74 @@ object Similarity {
         knnGraphProbed(emb.filter(lvl >= l), labelCol, kUpper, nprobe)
           .select(lit(l.toLong).as("level"), col("vec_id"),
             col("nbr_id")))
+    }
+  }
+
+  /** [[hierarchicalNavGraph]] on the TRAINED-cell substrate — the
+    * production form (the labelCol overload remains for externally
+    * blocked corpora and fixtures): each level trains its OWN cells
+    * on that level's member sample with nlist ∝ member count
+    * ([[trainedCells]]'s rule), so |cell| ≈ `perCell` at EVERY level
+    * — level l's build costs ~(n/4^l)·perCell, a geometric series
+    * dominated by level 0, with no level ever quadratic in its
+    * member count. Per-level training (rather than reusing the
+    * corpus cells) also preserves the long-range upper edges the
+    * descent needs: a thin sample re-clustered at ~perCell members
+    * per cell spans clusters, where corpus-trained fine cells would
+    * leave upper members nearly alone in theirs.
+    */
+  def hierarchicalNavGraphTrained(emb: DataFrame, maxLevel: Int,
+      k0: Int = 16, kUpper: Int = 8, nprobe: Int = 2,
+      perCell: Int = 250, iters: Int = 3): DataFrame = {
+    val lvl = hierLevel(maxLevel)
+    val base = navigableGraph(emb,
+        knnGraphProbed(trainedCells(emb, perCell, iters), "cell", k0,
+          nprobe)
+          .select(col("vec_id"), col("nbr_id")))
+      .select(lit(0L).as("level"), col("vec_id"), col("nbr_id"))
+    (1 to maxLevel).foldLeft(base) { (acc, l) =>
+      acc.unionByName(
+        knnGraphProbed(
+          trainedCells(emb.filter(lvl >= l), perCell, iters), "cell",
+          kUpper, nprobe)
+          .select(lit(l.toLong).as("level"), col("vec_id"),
+            col("nbr_id")))
+    }
+  }
+
+  /** [[hierarchicalAttach]] on the TRAINED-cell substrate (the e48
+    * production form): the flat level-0 attach routes over cells
+    * trained on the FULL base (nlist ∝ base count), and each upper
+    * level trains its own cells on the level's base members — the
+    * same per-level rule as [[hierarchicalNavGraphTrained]], so
+    * routing cost per delta vector stays ~nprobe·perCell candidates
+    * at every level regardless of corpus size.
+    */
+  def hierarchicalAttachTrained(embBase: DataFrame,
+      embDelta: DataFrame, maxLevel: Int, alpha100: Long = 120,
+      maxDegree: Int = 16, maxCandidates: Int = 32, nprobe: Int = 2,
+      kUpper: Int = 8, perCell: Int = 250, iters: Int = 3)
+      : DataFrame = {
+    require(maxLevel >= 1, s"maxLevel must be >= 1, got $maxLevel")
+    val lvl = hierLevel(maxLevel)
+    val base0 = navigableAttach(trainedCells(embBase, perCell, iters),
+        embDelta, "cell", alpha100, maxDegree, maxCandidates, nprobe)
+      .select(lit(0L).as("level"), col("vec_id"), col("kind"),
+        col("rank"), col("nbr_id"), col("sim_e6"))
+    (1 to maxLevel).foldLeft(base0) { (acc, l) =>
+      val fwd = probedSel(
+          trainedCells(embBase.filter(lvl >= l), perCell, iters),
+          embDelta.filter(lvl >= l), "cell", kUpper, nprobe)
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("nbr_id"), col("se").as("sim_e6"))
+      acc
+        .unionByName(fwd.select(lit(l.toLong).as("level"),
+          col("vec_id"), lit("fwd").as("kind"), col("rank"),
+          col("nbr_id"), col("sim_e6")))
+        .unionByName(fwd.select(lit(l.toLong).as("level"),
+          col("nbr_id").as("vec_id"), lit("back").as("kind"),
+          lit(null).cast("long").as("rank"),
+          col("vec_id").as("nbr_id"), col("sim_e6")))
     }
   }
 

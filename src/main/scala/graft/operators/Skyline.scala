@@ -34,6 +34,15 @@ import org.apache.spark.sql.functions._
   * `xCol` must be integral (day numbers, not dates — range frames
   * need a numeric order key); `bucketCol` any coarsening of x that is
   * monotone in it (same bucket ⇒ no cross-bucket claim is made).
+  *
+  * NULL contract: `xCol`/`yCol`/`bucketCol` must be non-null. A
+  * NULL-y row is never dominated under the stated rule, but the
+  * null-rejecting pre-prune comparison (and the inner equi-join on
+  * `bucketCol`) silently DROPS such rows instead of surfacing them —
+  * so callers must filter or impute nulls first, exactly as q62's
+  * inputs do. (Same class of requirement as the integral-xCol note
+  * above: the operator states its domain rather than guessing an
+  * imputation.)
   */
 object Skyline {
 

@@ -124,6 +124,41 @@ object PipelineQueries {
         concat(col("prev"), lit(" "), col("w")).as("token")), lm)
   }
 
+  /** PREFIX-FILTERED candidate CTEs (the oracle twin of
+    * Dedup.ngramJaccardFromSets' round-14 candidate stage — the
+    * Chaudhuri/Bayardo/ppjoin prefix principle): global order
+    * (df ASC, s ASC), per-doc prefix length n − ⌈n·t⌉ + 1 with t as
+    * the exact integer ⌊t·10⁶⌋, prefix-only self-join. Emits
+    * `dfs$sfx`/`pref$sfx`/`cand$sfx` over the shingle table `sh`.
+    */
+  private def prefixCandSql(tE6: Long, sfx: String = ""): String =
+    s"""dfs$sfx AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+       |pref$sfx AS (
+       |  SELECT doc_id, s FROM (
+       |    SELECT h.doc_id, h.s,
+       |      row_number() OVER (PARTITION BY h.doc_id
+       |        ORDER BY d.df, h.s) AS rk,
+       |      count(*) OVER (PARTITION BY h.doc_id) AS n
+       |    FROM sh h JOIN dfs$sfx d USING (s)
+       |  ) WHERE rk <= n - (n * $tE6 + 999999) // 1000000 + 1
+       |),
+       |cand$sfx AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM pref$sfx a JOIN pref$sfx b
+       |    ON a.s = b.s AND a.doc_id < b.doc_id
+       |)""".stripMargin
+
+  /** The df-cap candidate law as a post-verify predicate (the oracle
+    * twin of the engine's rare-share semi-join): the surviving pair
+    * must still share ≥ 1 shingle with df ≤ the cap. `da`/`db` are
+    * the pair columns in the enclosing scope; requires a `rare` CTE.
+    */
+  private def shareRareSql(da: String, db: String): String =
+    s"""EXISTS (SELECT 1 FROM sh x3
+       |    JOIN rare r3 ON r3.s = x3.s
+       |    JOIN sh y3 ON y3.s = x3.s AND y3.doc_id = $db
+       |    WHERE x3.doc_id = $da)""".stripMargin
+
   private def jaccardCoreSql(candSrc: String): String =
     s"""sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |jac AS (
@@ -461,55 +496,123 @@ object PipelineQueries {
        |FROM r WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
-  /** DuckDB CTEs for the nprobe=2 kNN graph (mirrors
-    * Similarity.knnGraphProbed): label centroids, 2-nearest-cell
-    * assignment, in-probed-cell pair scoring, ranked edges `r` —
-    * shared by the e9 oracle and e25's beam walk over the same graph.
+  /** DuckDB CTEs for the TRAINED-cell probed kNN substrate (mirrors
+    * Similarity.trainedCells → knnGraphProbed(…, "cell", k, 2) →
+    * cellMedoids — the one builder behind the whole walk family):
+    * nlist = max(8, ⌈members/250⌉) spherical k-means over the member
+    * set (`iters` unrolled Lloyd rounds, e6's scale-adaptive rule —
+    * |cell| ≈ 250 regardless of n, so the in-cell pair space stays
+    * linear), final member assignment `a4$sfx`, member-cell
+    * centroids `mc$sfx` (the one extra Lloyd update knnGraphProbed's
+    * probe routing computes), per-cell medoids `med$sfx` (walk
+    * entries), 2-nearest-cell probe assignment `ass$sfx`, in-cell
+    * pair scoring `p$sfx`, ranked edges `r$sfx`. `src` supplies
+    * member rows (vec_id, …, emb); `memberPred` filters it (level
+    * samples, attach bases).
     */
-  private lazy val probedKnnCtes: String =
-    s"""e AS (
-       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
-       |  FROM embeddings
+  private def trainedCellCtes(sfx: String = "", src: String = "e",
+      memberPred: String = "TRUE", iters: Int = 3): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""ka$i$sfx AS MATERIALIZED (
+         |  SELECT vec_id, emb, cell FROM (
+         |    SELECT v.vec_id, v.emb, c.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${TextHash.duckCosine("v.emb", "c.cvec", 64)}
+         |          DESC, c.cell) AS rn
+         |    FROM memb$sfx v, kc${i - 1}$sfx c
+         |  ) WHERE rn = 1
+         |),
+         |kc$i$sfx AS MATERIALIZED (
+         |  SELECT cell, list(c ORDER BY dim) AS cvec FROM (
+         |    SELECT cell, i - 1 AS dim, round(avg(v), 6) AS c
+         |    FROM (SELECT cell, unnest(emb) AS v,
+         |            generate_subscripts(emb, 1) AS i FROM ka$i$sfx)
+         |    GROUP BY cell, dim
+         |  ) GROUP BY cell
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""memb$sfx AS MATERIALIZED (
+       |  SELECT vec_id, emb FROM $src WHERE $memberPred
        |),
-       |c0 AS (
-       |  SELECT label, i - 1 AS dim, round(avg(v), 6) AS c
-       |  FROM (
-       |    SELECT label, unnest(emb) AS v,
-       |      generate_subscripts(emb, 1) AS i
-       |    FROM e
-       |  ) GROUP BY label, dim
+       |kp$sfx AS (
+       |  SELECT greatest(8, (count(*) + 249) // 250) AS k
+       |  FROM memb$sfx
        |),
-       |cent AS (
-       |  SELECT label, list(c ORDER BY dim) AS cvec FROM c0
-       |  GROUP BY label
+       |s0$sfx AS MATERIALIZED (
+       |  SELECT vec_id, emb, $duckVecBucket AS b FROM memb$sfx
+       |  ORDER BY b, vec_id LIMIT (SELECT k FROM kp$sfx)
        |),
-       |ass AS MATERIALIZED (
-       |  SELECT vec_id, emb, label FROM (
-       |    SELECT v.vec_id, v.emb, c.label,
+       |kc0$sfx AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY b, vec_id) - 1 AS cell,
+       |    emb AS cvec
+       |  FROM s0$sfx
+       |),
+       |$rounds,
+       |a4$sfx AS MATERIALIZED (
+       |  SELECT vec_id, emb, cell FROM (
+       |    SELECT v.vec_id, v.emb, c.cell,
        |      row_number() OVER (PARTITION BY v.vec_id
        |        ORDER BY ${TextHash.duckCosine("v.emb", "c.cvec", 64)}
-       |          DESC, c.label) AS rn
-       |    FROM e v, cent c
+       |          DESC, c.cell) AS rn
+       |    FROM memb$sfx v, kc$iters$sfx c
+       |  ) WHERE rn = 1
+       |),
+       |mc$sfx AS MATERIALIZED (
+       |  SELECT cell, list(c ORDER BY dim) AS cvec FROM (
+       |    SELECT cell, i - 1 AS dim, round(avg(v), 6) AS c
+       |    FROM (SELECT cell, unnest(emb) AS v,
+       |            generate_subscripts(emb, 1) AS i FROM a4$sfx)
+       |    GROUP BY cell, dim
+       |  ) GROUP BY cell
+       |),
+       |med$sfx AS (
+       |  SELECT vec_id AS cand_id FROM (
+       |    SELECT v.vec_id, row_number() OVER (PARTITION BY v.cell
+       |      ORDER BY ${TextHash.duckCosine("v.emb", "c.cvec", 64)}
+       |        DESC, v.vec_id) AS rn
+       |    FROM a4$sfx v JOIN mc$sfx c ON c.cell = v.cell
+       |  ) WHERE rn = 1
+       |),
+       |ass$sfx AS MATERIALIZED (
+       |  SELECT vec_id, emb, cell FROM (
+       |    SELECT v.vec_id, v.emb, c.cell,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${TextHash.duckCosine("v.emb", "c.cvec", 64)}
+       |          DESC, c.cell) AS rn
+       |    FROM memb$sfx v, mc$sfx c
        |  ) WHERE rn <= 2
        |),
-       |p AS (
+       |p$sfx AS (
        |  SELECT a.vec_id, b.vec_id AS nbr_id,
        |    ${TextHash.duckCosine("a.emb", "b.emb", 64)} AS sim
-       |  FROM ass a JOIN e b
-       |    ON b.label = a.label AND b.vec_id <> a.vec_id
+       |  FROM ass$sfx a JOIN a4$sfx b
+       |    ON b.cell = a.cell AND b.vec_id <> a.vec_id
        |),
-       |r AS (
+       |r$sfx AS (
        |  SELECT vec_id, nbr_id, sim,
        |    row_number() OVER (
        |      PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS rank
-       |  FROM p
+       |  FROM p$sfx
        |)""".stripMargin
+  }
+
+  /** The base trained-cell block over the full embeddings corpus —
+    * emits `e` (vec_id, label, emb) plus [[trainedCellCtes]]'s
+    * unsuffixed names (`r`, `med`, `a4`, `mc`, …). The drop-in
+    * upstream for every walk-family oracle.
+    */
+  private lazy val trainedKnnCtes: String =
+    s"""e AS MATERIALIZED (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings
+       |),
+       |${trainedCellCtes()}""".stripMargin
 
   /** DuckDB CTEs for the beam walk over the probed kNN graph
     * (mirrors Similarity.graphBeamSearch with cellMedoids entries):
     * `g` (graph edges), `q` (probe queries), `ent` (per-cell
     * medoids), `b0` (entry beam) and `b1..bR` (one expand-score-trim
-    * round each). Requires [[probedKnnCtes]] upstream. Shared by the
+    * round each). Requires [[trainedKnnCtes]] upstream. Shared by the
     * e25 search and the e26 recall gate.
     */
   private def beamWalkCtes(graphK: Int, rounds: Int,
@@ -550,14 +653,9 @@ object PipelineQueries {
     // Per-query entries (hierarchical descent): ent$sfx carries
     // (query_id, cand_id) — the previous level's beam — and b0
     // seeds each query from ITS rows instead of the shared set.
-    val entCte = entSql.getOrElse(
-      s"""SELECT vec_id AS cand_id FROM (
-         |    SELECT v.vec_id,
-         |      row_number() OVER (PARTITION BY v.label
-         |        ORDER BY ${TextHash.duckCosine("v.emb", "c.cvec", 64)}
-         |          DESC, v.vec_id) AS rn
-         |    FROM e v JOIN cent c ON c.label = v.label
-         |  ) WHERE rn = 1""".stripMargin)
+    // Default entries: the trained-cell medoids ([[trainedCellCtes]]
+    // emits `med` upstream — cellMedoids' mirror).
+    val entCte = entSql.getOrElse("SELECT cand_id FROM med")
     val b0From =
       if (entPerQuery)
         s"""FROM ent$sfx en
@@ -591,14 +689,14 @@ object PipelineQueries {
        |bfinal$sfx AS (SELECT * FROM b$sfx$rounds)""".stripMargin
   }
 
-  /** Probed-kNN CTEs over ONE hierarchy level's member sample
-    * (mirrors Similarity.hierarchicalNavGraph's upper-level build:
-    * knnGraphProbed restricted to vectors with hierLevel ≥ `lvl`):
-    * members by the deterministic Mixer hash, member-centroids per
-    * label (the same round-6 parity rule), nprobe=2 assignment,
-    * ranked in-cell neighbors. Emits `e$sfx` (members) and `r$sfx`
-    * (vec_id, nbr_id, rank). Requires [[probedKnnCtes]]'s `e`
-    * upstream.
+  /** Trained-cell probed-kNN CTEs over ONE hierarchy level's member
+    * sample (mirrors Similarity.hierarchicalNavGraphTrained's
+    * upper-level build: trainedCells(members) → knnGraphProbed —
+    * cells RE-TRAINED per level with nlist ∝ member count, so
+    * |cell| ≈ 250 at every level): members by the deterministic
+    * Mixer hash, then the full [[trainedCellCtes]] chain. Emits
+    * `e$sfx` (members) and `r$sfx` (vec_id, nbr_id, sim, rank).
+    * Requires the base block's `e` upstream.
     */
   private def leveledKnnCtes(sfx: String, lvl: Int): String = {
     val mod = 1L << (2 * lvl)
@@ -607,37 +705,7 @@ object PipelineQueries {
        |  WHERE vec_id * ${Sampling.Mixer} % ${Sampling.MixMod}
        |        % $mod = 0
        |),
-       |c0$sfx AS (
-       |  SELECT label, i - 1 AS dim, round(avg(v), 6) AS c
-       |  FROM (
-       |    SELECT label, unnest(emb) AS v,
-       |      generate_subscripts(emb, 1) AS i
-       |    FROM e$sfx
-       |  ) GROUP BY label, dim
-       |),
-       |cent$sfx AS (
-       |  SELECT label, list(c ORDER BY dim) AS cvec FROM c0$sfx
-       |  GROUP BY label
-       |),
-       |ass$sfx AS MATERIALIZED (
-       |  SELECT vec_id, emb, label FROM (
-       |    SELECT v.vec_id, v.emb, c.label,
-       |      row_number() OVER (PARTITION BY v.vec_id
-       |        ORDER BY ${TextHash.duckCosine("v.emb", "c.cvec", 64)}
-       |          DESC, c.label) AS rn
-       |    FROM e$sfx v, cent$sfx c
-       |  ) WHERE rn <= 2
-       |),
-       |r$sfx AS (
-       |  SELECT vec_id, nbr_id, row_number() OVER (
-       |      PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS rank
-       |  FROM (
-       |    SELECT a.vec_id, b.vec_id AS nbr_id,
-       |      ${TextHash.duckCosine("a.emb", "b.emb", 64)} AS sim
-       |    FROM ass$sfx a JOIN e$sfx b
-       |      ON b.label = a.label AND b.vec_id <> a.vec_id
-       |  )
-       |)""".stripMargin
+       |${trainedCellCtes(sfx, src = s"e$sfx")}""".stripMargin
   }
 
   /** DuckDB CTEs for the e28 navigable-graph build (mirrors
@@ -648,7 +716,7 @@ object PipelineQueries {
     * is sequential through the kept set, so each step admits rank-i
     * candidates checked against the survivors so far; MATERIALIZED,
     * or DuckDB would inline the triple self-reference
-    * exponentially). Requires [[probedKnnCtes]] upstream (`e`, `r`).
+    * exponentially). Requires [[trainedKnnCtes]] upstream (`e`, `r`).
     * Produces `nav` (vec_id, rank, nbr_id, se) — shared by the e28
     * build output and e30's walk-over-the-built-graph recall gate.
     */
@@ -660,9 +728,12 @@ object PipelineQueries {
     * attach oracle (candidates from the delta probe over the base
     * subset).
     */
+  /** `pfx` namespaces the unrolled step CTEs (`pw`, `k0..`, `nav`)
+    * so two prune instances (e.g. e51's base build + delta attach)
+    * can share one oracle. */
   private def alphaPruneStepsSql(alpha100: Int, maxDeg: Int,
       maxCand: Int, embCte: String = "e",
-      ncCte: String = "nc"): String = {
+      ncCte: String = "nc", pfx: String = ""): String = {
     val cosBC = TextHash.duckCosine("be.emb", "ce.emb", 64)
     // Every candidate-pair cosine the greedy can ever consult,
     // computed ONCE (the identical left-to-right fold — bit parity
@@ -674,7 +745,7 @@ object PipelineQueries {
     // ~hours at n=2000 in the oracle engine; hoisted, the steps are
     // integer hash joins.
     val pw =
-      s"""pw AS MATERIALIZED (
+      s"""${pfx}pw AS MATERIALIZED (
          |  SELECT b0.vec_id, b0.nbr_id AS b, c0.nbr_id AS c,
          |    CAST(floor($cosBC * 1000000 + 0.5) AS BIGINT) AS pe6
          |  FROM $ncCte b0
@@ -684,17 +755,17 @@ object PipelineQueries {
          |  JOIN $embCte ce ON ce.vec_id = c0.nbr_id
          |)""".stripMargin
     val steps = (1 to maxCand).map { i =>
-      s"""k$i AS MATERIALIZED (
-         |  SELECT * FROM k${i - 1}
+      s"""${pfx}k$i AS MATERIALIZED (
+         |  SELECT * FROM ${pfx}k${i - 1}
          |  UNION ALL
          |  SELECT c.vec_id, c.nbr_id, c.se
          |  FROM $ncCte c
          |  WHERE c.crank = $i
-         |    AND (SELECT count(*) FROM k${i - 1} p
+         |    AND (SELECT count(*) FROM ${pfx}k${i - 1} p
          |         WHERE p.vec_id = c.vec_id) < $maxDeg
          |    AND NOT EXISTS (
-         |      SELECT 1 FROM k${i - 1} p
-         |      JOIN pw w ON w.vec_id = c.vec_id AND w.b = p.nbr_id
+         |      SELECT 1 FROM ${pfx}k${i - 1} p
+         |      JOIN ${pfx}pw w ON w.vec_id = c.vec_id AND w.b = p.nbr_id
          |        AND w.c = c.nbr_id
          |      WHERE p.vec_id = c.vec_id
          |        AND $alpha100 * (1000000 - w.pe6)
@@ -702,12 +773,12 @@ object PipelineQueries {
          |)""".stripMargin
     }.mkString(",\n")
     s"""$pw,
-       |k0 AS (SELECT vec_id, nbr_id, se FROM $ncCte WHERE 1 = 0),
+       |${pfx}k0 AS (SELECT vec_id, nbr_id, se FROM $ncCte WHERE 1 = 0),
        |$steps,
-       |nav AS MATERIALIZED (
+       |${pfx}nav AS MATERIALIZED (
        |  SELECT vec_id, row_number() OVER (PARTITION BY vec_id
        |    ORDER BY se DESC, nbr_id) AS rank, nbr_id, se
-       |  FROM k$maxCand
+       |  FROM ${pfx}k$maxCand
        |)""".stripMargin
   }
 
@@ -856,10 +927,11 @@ object PipelineQueries {
       expr("transform(embedding, v -> cast(v as double))")
         .as("embedding"))
     val qsD = embD.filter(col("vec_id") < 10)
+    val tc = Similarity.trainedCells(emb)
     val walked = Similarity.graphBeamSearch(pqReconstructed(s, d), qsD,
-      Similarity.knnGraphProbed(emb, "label", k = 16, nprobe = 2)
+      Similarity.knnGraphProbed(tc, "cell", k = 16, nprobe = 2)
         .select(col("vec_id"), col("nbr_id")),
-      Similarity.cellMedoids(emb, "label"),
+      Similarity.cellMedoids(tc, "cell"),
       beamWidth = 16, rounds = 4)
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("cand_id"))
@@ -974,21 +1046,21 @@ object PipelineQueries {
         .orderBy("da", "db"),
       Some(s"""WITH ${TextHash.duckToksCte},
               |${TextHash.duckShinglesCte},
+              |${prefixCandSql(800000)},
               |rare AS (
-              |  SELECT s FROM sh GROUP BY s
-              |  HAVING count(*) <= ${Dedup.DefaultMaxShingleDf}
+              |  SELECT s FROM dfs WHERE df <= ${Dedup.DefaultMaxShingleDf}
               |),
-              |cand AS (
-              |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-              |  FROM sh a JOIN rare r ON a.s = r.s
-              |  JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id
-              |),
-              |${jaccardTailSql(
+              |${jaccardCoreSql(
                  """SELECT c.da, c.db, count(*) AS inter
                    |   FROM cand c
                    |   JOIN sh x ON x.doc_id = c.da
                    |   JOIN sh y ON y.doc_id = c.db AND y.s = x.s
-                   |   GROUP BY c.da, c.db""".stripMargin)}""".stripMargin)),
+                   |   GROUP BY c.da, c.db""".stripMargin)}
+              |SELECT da, db,
+              |  CAST(floor(j * 1000000 + 0.5) AS BIGINT) AS jaccard_e6
+              |FROM jac
+              |WHERE j >= 0.8 AND ${shareRareSql("jac.da", "jac.db")}
+              |ORDER BY da, db""".stripMargin)),
 
     // MinHash(16)+LSH(4×4): band-bucket join generates candidates,
     // exact Jaccard verifies. Same final pair set as d2 — the LSH
@@ -3848,14 +3920,9 @@ object PipelineQueries {
       },
       Some(s"""WITH ${TextHash.duckToksCte},
               |${TextHash.duckShinglesCte},
+              |${prefixCandSql(500000)},
               |rare AS (
-              |  SELECT s FROM sh GROUP BY s
-              |  HAVING count(*) <= ${Dedup.DefaultMaxShingleDf}
-              |),
-              |cand AS (
-              |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-              |  FROM sh a JOIN rare r ON a.s = r.s
-              |  JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id
+              |  SELECT s FROM dfs WHERE df <= ${Dedup.DefaultMaxShingleDf}
               |),
               |ix AS (
               |  SELECT c.da, c.db, count(*) AS inter
@@ -3866,7 +3933,8 @@ object PipelineQueries {
               |),
               |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
               |jac AS (
-              |  SELECT CAST(ix.inter AS DOUBLE) / (x.n + y.n - ix.inter)
+              |  SELECT ix.da, ix.db,
+              |    CAST(ix.inter AS DOUBLE) / (x.n + y.n - ix.inter)
               |    AS j
               |  FROM ix
               |  JOIN sz x ON x.doc_id = ix.da
@@ -3875,6 +3943,7 @@ object PipelineQueries {
               |f AS (
               |  SELECT CAST(floor(j * 1000000 + 0.5) AS BIGINT) AS je6
               |  FROM jac WHERE j >= 0.5
+              |    AND ${shareRareSql("jac.da", "jac.db")}
               |),
               |b AS (
               |  SELECT je6 // 100000 AS bucket, count(*) AS n_pairs
@@ -4109,18 +4178,23 @@ object PipelineQueries {
     // neighbors to its OWN cell, so a vector near a cell boundary
     // silently gets wrong neighbors (standard IVF recall loss). Here
     // every vector searches its TWO nearest cells by centroid cosine
-    // — the bulk counterpart of e5's nprobe knob. Assignment is a
-    // map-side array_sort over the one-row broadcast centroid array
-    // (zero shuffle); candidates come from the co-partitioned cell
-    // join; ranking is the bounded-heap aggregate. Recall vs the e1
-    // brute force is measured in OperatorsSpec on learned (e7) cells.
+    // — the bulk counterpart of e5's nprobe knob — over TRAINED
+    // cells (Similarity.trainedCells, nlist ∝ n: the substrate the
+    // whole walk family builds on; blocking on the corpus's fixed
+    // labels made the pair space quadratic — measured 10.6–14.3×
+    // per 10× rows at sf1). Assignment is a map-side array_sort
+    // over the one-row broadcast member-centroid array (zero
+    // shuffle); candidates come from the co-partitioned cell join;
+    // ranking is the bounded-heap aggregate. Recall vs the e1 brute
+    // force is measured in OperatorsSpec on learned (e7) cells.
     Q("e9_knn_graph_probed",
       (s, d) => Similarity.knnGraphProbed(
-          Tables.embeddings(s, d), "label", k = 3, nprobe = 2)
+          Similarity.trainedCells(Tables.embeddings(s, d)), "cell",
+          k = 3, nprobe = 2)
         .select(col("vec_id"), col("rank").cast("long").as("rank"),
           col("nbr_id"), col("sim"))
         .orderBy("vec_id", "rank"),
-      Some(s"""WITH $probedKnnCtes
+      Some(s"""WITH $trainedKnnCtes
               |SELECT vec_id, rank, nbr_id, round(sim, 6) AS sim
               |FROM r WHERE rank <= 3
               |ORDER BY vec_id, rank""".stripMargin)),
@@ -4142,15 +4216,16 @@ object PipelineQueries {
     Q("e25_graph_ann",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
+        val tc = Similarity.trainedCells(emb)
         Similarity.graphBeamSearch(emb,
           emb.filter(col("vec_id") < 10),
-          Similarity.knnGraphProbed(emb, "label", k = 16, nprobe = 2)
+          Similarity.knnGraphProbed(tc, "cell", k = 16, nprobe = 2)
             .select(col("vec_id"), col("nbr_id")),
-          Similarity.cellMedoids(emb, "label"),
+          Similarity.cellMedoids(tc, "cell"),
           beamWidth = 16, rounds = 4)
           .orderBy("query_id", "rank")
       },
-      Some(s"""WITH $probedKnnCtes,
+      Some(s"""WITH $trainedKnnCtes,
               |${beamWalkCtes(graphK = 16, rounds = 4, beamWidth = 16)}
               |SELECT query_id, rn AS rank, cand_id,
               |  round(sim, 6) AS sim
@@ -4178,16 +4253,17 @@ object PipelineQueries {
     Q("e41_filtered_graph_ann",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
+        val tc = Similarity.trainedCells(emb)
         Similarity.graphBeamSearchFiltered(emb,
           emb.filter(col("vec_id") < 10),
-          Similarity.knnGraphProbed(emb, "label", k = 16, nprobe = 2)
+          Similarity.knnGraphProbed(tc, "cell", k = 16, nprobe = 2)
             .select(col("vec_id"), col("nbr_id")),
-          Similarity.cellMedoids(emb, "label"),
+          Similarity.cellMedoids(tc, "cell"),
           beamWidth = 16, rounds = 4,
           candidatePred = col("label") % 2 === 0)
           .orderBy("query_id", "rank")
       },
-      Some(s"""WITH $probedKnnCtes,
+      Some(s"""WITH $trainedKnnCtes,
               |${beamWalkCtes(graphK = 16, rounds = 4, beamWidth = 16,
                               candPred = Some("v.label % 2 = 0"))}
               |SELECT query_id, rn AS rank, cand_id,
@@ -4216,10 +4292,11 @@ object PipelineQueries {
         val qs = emb.filter(col("vec_id") < 10)
         val exact = Similarity.bruteForceTopK(emb.filter(pred), qs, k = 4)
           .select(col("query_id"), col("cand_id"))
+        val tc = Similarity.trainedCells(emb)
         val walk = Similarity.graphBeamSearchFiltered(emb, qs,
-            Similarity.knnGraphProbed(emb, "label", k = 16, nprobe = 2)
+            Similarity.knnGraphProbed(tc, "cell", k = 16, nprobe = 2)
               .select(col("vec_id"), col("nbr_id")),
-            Similarity.cellMedoids(emb, "label"),
+            Similarity.cellMedoids(tc, "cell"),
             beamWidth = 16, rounds = 4, candidatePred = pred)
           .filter(col("rank") <= 4)
           .select(col("query_id"), col("cand_id"))
@@ -4232,7 +4309,7 @@ object PipelineQueries {
             (coalesce(col("h"), lit(0L)) * 2500).as("recall_e4"))
           .orderBy("query_id")
       },
-      Some(s"""WITH $probedKnnCtes,
+      Some(s"""WITH $trainedKnnCtes,
               |${beamWalkCtes(graphK = 16, rounds = 4, beamWidth = 16,
                               candPred = Some("v.label % 2 = 0"))},
               |exact AS (
@@ -4269,14 +4346,16 @@ object PipelineQueries {
     // pairing (e41 walks the raw probed-kNN graph; e42 shows what
     // that costs under a 50% predicate). The filtered twin of
     // e30-vs-e26: same predicate, same filtered-brute-force ground
-    // truth, the e28 graph in place of the raw one. Measured
-    // recall@4 across the three test SFs: 0.85/0.85/0.55 vs the raw
-    // graph's 0.975/0.825/0.50 — the reverse-edge build helps where
-    // the corpus is large enough for the eligible subgraph to
-    // fragment (sf0.01/0.1) and costs a little where the raw graph
-    // was already near-complete (sf0.001: α-pruned edges were the
-    // ones the filter needed). Filtered ANN tuning needs BOTH rows
-    // visible, which is exactly what these gates are for.
+    // truth, the e28 graph in place of the raw one. On the round-14
+    // trained substrate, measured recall@4 across the three test
+    // SFs: 0.85/0.80/0.475 vs the raw graph's 0.875/0.925/0.55 —
+    // under a 50% predicate the raw probed graph's denser edge set
+    // (nprobe=2 over ~250-member cells) now leaves MORE eligible
+    // alternatives than the α-pruned build at every test SF: the
+    // prune keeps one edge per covered direction, and the filter
+    // deletes exactly such single representatives. Filtered ANN
+    // tuning needs BOTH rows visible, which is exactly what these
+    // gates are for.
     Q("e43_filtered_nav_recall",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
@@ -4284,12 +4363,13 @@ object PipelineQueries {
         val qs = emb.filter(col("vec_id") < 10)
         val exact = Similarity.bruteForceTopK(emb.filter(pred), qs, k = 4)
           .select(col("query_id"), col("cand_id"))
+        val tc = Similarity.trainedCells(emb)
         val nav = Similarity.navigableGraph(emb,
-            Similarity.knnGraphProbed(emb, "label", k = 16, nprobe = 2)
+            Similarity.knnGraphProbed(tc, "cell", k = 16, nprobe = 2)
               .select(col("vec_id"), col("nbr_id")))
           .select(col("vec_id"), col("nbr_id"))
         val walk = Similarity.graphBeamSearchFiltered(emb, qs, nav,
-            Similarity.cellMedoids(emb, "label"),
+            Similarity.cellMedoids(tc, "cell"),
             beamWidth = 16, rounds = 4, candidatePred = pred)
           .filter(col("rank") <= 4)
           .select(col("query_id"), col("cand_id"))
@@ -4303,7 +4383,7 @@ object PipelineQueries {
           .orderBy("query_id")
       },
       Some {
-        s"""WITH $probedKnnCtes,
+        s"""WITH $trainedKnnCtes,
            |${navGraphCtes(graphK = 16, alpha100 = 120,
                            maxDeg = 16, maxCand = 32)},
            |${beamWalkCtes(graphK = 16, rounds = 4, beamWidth = 16,
@@ -4353,11 +4433,12 @@ object PipelineQueries {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         Similarity.navigableGraph(emb,
-          Similarity.knnGraphProbed(emb, "label", k = 16, nprobe = 2)
+          Similarity.knnGraphProbed(Similarity.trainedCells(emb),
+              "cell", k = 16, nprobe = 2)
             .select(col("vec_id"), col("nbr_id")))
           .orderBy("vec_id", "rank")
       },
-      Some(s"""WITH $probedKnnCtes,
+      Some(s"""WITH $trainedKnnCtes,
               |${navGraphCtes(graphK = 16, alpha100 = 120,
                               maxDeg = 16, maxCand = 32)}
               |SELECT vec_id, rank, nbr_id, se AS sim_e6
@@ -4366,23 +4447,27 @@ object PipelineQueries {
     // Recall gate for the BUILT graph (the e13/e18/e22/e26 pattern —
     // every approximate-search axis carries an oracle-checked recall
     // measurement): recall@4 of the e25 beam walk run over e28's
-    // navigable graph, against float brute-force ground truth.
-    // Measured across the three test SFs this reads
-    // 0.95/0.875/0.775 vs the raw-kNN walk's 0.90/0.85/0.60 — the
-    // reverse-edge + α-prune build is strictly better at equal
-    // degree (OperatorsSpec asserts the ≥ at sf0.001).
+    // navigable graph, against float brute-force ground truth. On
+    // the round-14 trained substrate this reads 0.90/0.90/0.725
+    // across the three test SFs vs the raw-kNN walk's
+    // 0.95/0.825/0.675 — the reverse-edge + α-prune build wins at
+    // equal degree once the corpus outgrows its cells (sf0.01/0.1;
+    // OperatorsSpec pins the ≥ at sf0.01), and costs 0.05 at
+    // sf0.001 where 8 trained cells over 500 vectors make the raw
+    // probed graph near-complete and pruning can only lose edges.
     Q("e30_nav_recall",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val qs = emb.filter(col("vec_id") < 10)
         val exact = Similarity.bruteForceTopK(emb, qs, k = 4)
           .select(col("query_id"), col("cand_id"))
+        val tc = Similarity.trainedCells(emb)
         val nav = Similarity.navigableGraph(emb,
-            Similarity.knnGraphProbed(emb, "label", k = 16, nprobe = 2)
+            Similarity.knnGraphProbed(tc, "cell", k = 16, nprobe = 2)
               .select(col("vec_id"), col("nbr_id")))
           .select(col("vec_id"), col("nbr_id"))
         val walk = Similarity.graphBeamSearch(emb, qs, nav,
-            Similarity.cellMedoids(emb, "label"),
+            Similarity.cellMedoids(tc, "cell"),
             beamWidth = 16, rounds = 4)
           .filter(col("rank") <= 4)
           .select(col("query_id"), col("cand_id"))
@@ -4396,7 +4481,7 @@ object PipelineQueries {
           .orderBy("query_id")
       },
       Some {
-        s"""WITH $probedKnnCtes,
+        s"""WITH $trainedKnnCtes,
            |${navGraphCtes(graphK = 16, alpha100 = 120,
                            maxDeg = 16, maxCand = 32)},
            |${beamWalkCtes(graphK = 16, rounds = 4, beamWidth = 16,
@@ -4443,7 +4528,8 @@ object PipelineQueries {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val nav = Similarity.navigableGraph(emb,
-            Similarity.knnGraphProbed(emb, "label", k = 16, nprobe = 2)
+            Similarity.knnGraphProbed(Similarity.trainedCells(emb),
+                "cell", k = 16, nprobe = 2)
               .select(col("vec_id"), col("nbr_id")))
           .select(col("vec_id"), col("nbr_id"))
         val degs = nav.groupBy("vec_id").agg(count(lit(1)).as("deg"))
@@ -4460,7 +4546,7 @@ object PipelineQueries {
             expr("CAST(m * 1000000 div n_edges AS BIGINT)")
               .as("reciprocity_e6"))
       },
-      Some(s"""WITH $probedKnnCtes,
+      Some(s"""WITH $trainedKnnCtes,
               |${navGraphCtes(graphK = 16, alpha100 = 120,
                               maxDeg = 16, maxCand = 32)},
               |degs AS (
@@ -4501,8 +4587,8 @@ object PipelineQueries {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         Similarity.navigableAttach(
-            emb.filter(col("vec_id") % 2 === 0),
-            emb.filter(col("vec_id") % 2 === 1), "label")
+            Similarity.trainedCells(emb.filter(col("vec_id") % 2 === 0)),
+            emb.filter(col("vec_id") % 2 === 1), "cell")
           .orderBy("vec_id", "kind", "nbr_id")
       },
       Some(s"""WITH eb AS MATERIALIZED (
@@ -4513,23 +4599,14 @@ object PipelineQueries {
               |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
               |  FROM embeddings WHERE vec_id % 2 = 1
               |),
-              |cb0 AS (
-              |  SELECT label, i - 1 AS dim, round(avg(v), 6) AS c
-              |  FROM (SELECT label, unnest(emb) AS v,
-              |          generate_subscripts(emb, 1) AS i FROM eb)
-              |  GROUP BY label, dim
-              |),
-              |centb AS (
-              |  SELECT label, list(c ORDER BY dim) AS cvec FROM cb0
-              |  GROUP BY label
-              |),
+              |${trainedCellCtes("b", src = "eb")},
               |assd AS MATERIALIZED (
-              |  SELECT vec_id, emb, label FROM (
-              |    SELECT d.vec_id, d.emb, c.label,
+              |  SELECT vec_id, emb, cell FROM (
+              |    SELECT d.vec_id, d.emb, c.cell,
               |      row_number() OVER (PARTITION BY d.vec_id
               |        ORDER BY ${TextHash.duckCosine("d.emb", "c.cvec", 64)}
-              |          DESC, c.label) AS rn
-              |    FROM edel d, centb c
+              |          DESC, c.cell) AS rn
+              |    FROM edel d, mcb c
               |  ) WHERE rn <= 2
               |),
               |nc AS MATERIALIZED (
@@ -4540,7 +4617,7 @@ object PipelineQueries {
               |      SELECT a.vec_id, b.vec_id AS nbr_id,
               |        CAST(floor(${TextHash.duckCosine("a.emb", "b.emb", 64)}
               |          * 1000000 + 0.5) AS BIGINT) AS se
-              |      FROM assd a JOIN eb b ON b.label = a.label
+              |      FROM assd a JOIN a4b b ON b.cell = a.cell
               |    )
               |  ) WHERE crank <= 32
               |),
@@ -6576,6 +6653,62 @@ object PipelineQueries {
               |FROM fps
               |ORDER BY doc_id""".stripMargin)),
 
+    // Winnowing-based near-dup PAIR detection (Schleimer et al. §4 —
+    // the join d81's fingerprints exist for): candidates share a
+    // fingerprint hash (df-capped inverted index, ~2.5× smaller than
+    // d2's full shingle index at w=4, with the winnowing guarantee
+    // that any shared ≥ 6-token run yields a shared fingerprint),
+    // then the SAME exact-Jaccard verify as d2 — d2's schema, d2's
+    // threshold, a cheaper candidate stage. OperatorsSpec pins
+    // recall ≥ d2 on pairs with a ≥ 6-token shared run.
+    Q("d82_winnowing_pairs",
+      (s, d) => Dedup
+        .winnowingPairs(Tables.documents(s, d), minJaccard = 0.8)
+        .orderBy("da", "db"),
+      Some(s"""WITH ${TextHash.duckToksCte},
+              |${TextHash.duckShinglesCte},
+              |gh AS (
+              |  SELECT doc_id,
+              |    CASE WHEN len(th) >= 3 THEN
+              |      list_transform(range(1, len(th) - 1), j ->
+              |        (((th[j] * 31 + th[j+1]) % $P) * 31 + th[j+2])
+              |          % $P)
+              |    ELSE [] END AS gh
+              |  FROM toks
+              |),
+              |packs AS (
+              |  SELECT doc_id,
+              |    CASE WHEN len(gh) >= 4 THEN
+              |      list_transform(range(0, len(gh) - 3), i ->
+              |        list_min(list_transform(range(0, 4), o ->
+              |          gh[i + o + 1] * 4 + (3 - o))))
+              |    ELSE [] END AS packs
+              |  FROM gh
+              |),
+              |wfp AS (
+              |  SELECT DISTINCT doc_id, f % $P AS h FROM (
+              |    SELECT doc_id, unnest(list_distinct(
+              |      list_transform(packs, (p, ii) ->
+              |        ((ii - 1) + 3 - p % 4) * $P + p // 4))) AS f
+              |    FROM packs
+              |  )
+              |),
+              |rare AS (
+              |  SELECT h FROM wfp GROUP BY h HAVING count(*) <= 100
+              |),
+              |wr AS (SELECT w.doc_id, w.h FROM wfp w JOIN rare USING (h)),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+              |  FROM wr a JOIN wr b
+              |    ON a.h = b.h AND a.doc_id < b.doc_id
+              |),
+              |${jaccardTailSql(
+                 """SELECT c.da, c.db, count(*) AS inter
+                   |   FROM cand c
+                   |   JOIN sh x ON x.doc_id = c.da
+                   |   JOIN sh y ON y.doc_id = c.db AND y.s = x.s
+                   |   GROUP BY c.da, c.db""".stripMargin)}""".stripMargin)),
+
     // Per-source boilerplate vocabulary: tokens whose DOCUMENT
     // frequency within a source crosses 50% — template/navigation
     // vocabulary that inflates every quality signal computed over
@@ -7100,7 +7233,7 @@ object PipelineQueries {
     // is SQL-oracle-checked, not just sampled.
     Q("e49_pq_nav",
       (s, d) => pqNavTop4(s, d).orderBy("query_id", "rank"),
-      Some(s"""WITH $probedKnnCtes,
+      Some(s"""WITH $trainedKnnCtes,
               |$pqScoreCtes,
               |$pqReconCte,
               |${beamWalkCtes(graphK = 16, rounds = 4, beamWidth = 16,
@@ -7143,7 +7276,7 @@ object PipelineQueries {
             (coalesce(col("h"), lit(0L)) * 2500).as("recall_e4"))
           .orderBy("query_id")
       },
-      Some(s"""WITH $probedKnnCtes,
+      Some(s"""WITH $trainedKnnCtes,
               |$pqScoreCtes,
               |$pqReconCte,
               |${beamWalkCtes(graphK = 16, rounds = 4, beamWidth = 16,
@@ -7367,10 +7500,11 @@ object PipelineQueries {
         val qs = emb.filter(col("vec_id") < 10)
         val exact = Similarity.bruteForceTopK(emb, qs, k = 4)
           .select(col("query_id"), col("cand_id"))
+        val tc = Similarity.trainedCells(emb)
         val walk = Similarity.graphBeamSearch(emb, qs,
-            Similarity.knnGraphProbed(emb, "label", k = 16, nprobe = 2)
+            Similarity.knnGraphProbed(tc, "cell", k = 16, nprobe = 2)
               .select(col("vec_id"), col("nbr_id")),
-            Similarity.cellMedoids(emb, "label"),
+            Similarity.cellMedoids(tc, "cell"),
             beamWidth = 16, rounds = 4)
           .filter(col("rank") <= 4)
           .select(col("query_id"), col("cand_id"))
@@ -7384,7 +7518,7 @@ object PipelineQueries {
           .orderBy("query_id")
       },
       Some {
-        s"""WITH $probedKnnCtes,
+        s"""WITH $trainedKnnCtes,
            |${beamWalkCtes(graphK = 16, rounds = 4, beamWidth = 16)},
            |w4 AS (
            |  SELECT query_id, cand_id FROM (
@@ -7935,10 +8069,11 @@ object PipelineQueries {
         val qs = emb.filter(col("vec_id") < 10)
         val exact = Similarity.bruteForceTopK(emb, qs, k = 4)
           .select("query_id", "cand_id")
-        val g = Similarity.knnGraphProbed(emb, "label", k = 16,
+        val tc = Similarity.trainedCells(emb)
+        val g = Similarity.knnGraphProbed(tc, "cell", k = 16,
             nprobe = 2)
           .select(col("vec_id"), col("nbr_id"))
-        val med = Similarity.cellMedoids(emb, "label")
+        val med = Similarity.cellMedoids(tc, "cell")
         Seq(4, 8, 16).map { bw =>
           val walk = Similarity.graphBeamSearch(emb, qs, g, med,
               beamWidth = bw, rounds = 4)
@@ -7970,7 +8105,7 @@ object PipelineQueries {
              |) w ON w.query_id = x.query_id
              |   AND w.cand_id = x.cand_id""".stripMargin
         }.mkString("\nUNION ALL\n")
-        s"""WITH $probedKnnCtes,
+        s"""WITH $trainedKnnCtes,
            |$walks,
            |ex0 AS (
            |  SELECT q.query_id, c.vec_id AS cand_id,
@@ -8170,18 +8305,13 @@ object PipelineQueries {
               |  WHERE CAST(cj.inter AS DOUBLE)
               |    / (x.n + y.n - cj.inter) >= 0.8
               |),
+              |${prefixCandSql(800000, "t")},
               |rare AS (
-              |  SELECT s FROM sh GROUP BY s
-              |  HAVING count(*) <= ${Dedup.DefaultMaxShingleDf}
-              |),
-              |tcand AS (
-              |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-              |  FROM sh a JOIN rare r ON a.s = r.s
-              |  JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id
+              |  SELECT s FROM dfst WHERE df <= ${Dedup.DefaultMaxShingleDf}
               |),
               |tj AS (
               |  SELECT c.da, c.db, count(*) AS inter
-              |  FROM tcand c
+              |  FROM candt c
               |  JOIN sh x ON x.doc_id = c.da
               |  JOIN sh y ON y.doc_id = c.db AND y.s = x.s
               |  GROUP BY c.da, c.db
@@ -8192,6 +8322,7 @@ object PipelineQueries {
               |  JOIN sz y ON y.doc_id = tj.db
               |  WHERE CAST(tj.inter AS DOUBLE)
               |    / (x.n + y.n - tj.inter) >= 0.8
+              |    AND ${shareRareSql("tj.da", "tj.db")}
               |),
               |hit AS (
               |  SELECT * FROM ver INTERSECT SELECT * FROM truth
@@ -8832,14 +8963,9 @@ object PipelineQueries {
              |),
              |${TextHash.duckToksCte("sub", "")},
              |${TextHash.duckShinglesCte("")},
+             |${prefixCandSql(800000)},
              |rare AS (
-             |  SELECT s FROM sh GROUP BY s
-             |  HAVING count(*) <= ${Dedup.DefaultMaxShingleDf}
-             |),
-             |cand AS (
-             |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-             |  FROM sh a JOIN rare r2 ON a.s = r2.s
-             |  JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id
+             |  SELECT s FROM dfs WHERE df <= ${Dedup.DefaultMaxShingleDf}
              |),
              |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
              |ix AS (
@@ -8855,6 +8981,7 @@ object PipelineQueries {
              |  JOIN sz y ON y.doc_id = ix.db
              |  WHERE CAST(ix.inter AS DOUBLE)
              |    / (x.n + y.n - ix.inter) >= 0.8
+             |    AND ${shareRareSql("ix.da", "ix.db")}
              |),
              |s3 AS (
              |  SELECT doc_id FROM s2
@@ -9824,14 +9951,14 @@ object PipelineQueries {
     // equi-join + bounded-heap truncation, geometric series
     // dominated by level 0's own build.
     Q("e46_hier_graph",
-      (s, d) => Similarity.hierarchicalNavGraph(
-          Tables.embeddings(s, d), "label", maxLevel = 4)
+      (s, d) => Similarity.hierarchicalNavGraphTrained(
+          Tables.embeddings(s, d), maxLevel = 4)
         .groupBy("level", "vec_id").agg(count(lit(1)).as("deg"))
         .groupBy("level")
         .agg(count(lit(1)).as("n_nodes"), sum("deg").as("n_edges"),
           max("deg").as("max_deg"))
         .orderBy("level"),
-      Some(s"""WITH $probedKnnCtes,
+      Some(s"""WITH $trainedKnnCtes,
               |${navGraphCtes(graphK = 16, alpha100 = 120,
                               maxDeg = 16, maxCand = 32)},
               |${(1 to 4).map(l => leveledKnnCtes(s"l$l", l))
@@ -9870,7 +9997,7 @@ object PipelineQueries {
         import graft.operators.Checkpointing.CutOps
         val emb = Tables.embeddings(s, d)
         val qs = emb.filter(col("vec_id") < 10)
-        val lg = Similarity.hierarchicalNavGraph(emb, "label",
+        val lg = Similarity.hierarchicalNavGraphTrained(emb,
           maxLevel = 4).lineageCut
         val g0 = lg.filter(col("level") === 0)
           .select("vec_id", "nbr_id")
@@ -9937,7 +10064,7 @@ object PipelineQueries {
              |    ) WHERE rn <= 4
              |  ) w JOIN exact USING (query_id, cand_id)
              |)""".stripMargin
-        s"""WITH $probedKnnCtes,
+        s"""WITH $trainedKnnCtes,
            |${navGraphCtes(graphK = 16, alpha100 = 120,
                            maxDeg = 16, maxCand = 32)},
            |${(1 to 4).map(l => leveledKnnCtes(s"l$l", l))
@@ -9997,9 +10124,9 @@ object PipelineQueries {
     Q("e48_hier_attach",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        Similarity.hierarchicalAttach(
+        Similarity.hierarchicalAttachTrained(
             emb.filter(col("vec_id") % 5 =!= 2),
-            emb.filter(col("vec_id") % 5 === 2), "label", maxLevel = 2)
+            emb.filter(col("vec_id") % 5 === 2), maxLevel = 2)
           .orderBy("level", "vec_id", "kind", "nbr_id")
       },
       Some {
@@ -10007,27 +10134,16 @@ object PipelineQueries {
           val mod = 1L << (2 * l)
           val member =
             s"vec_id * ${Sampling.Mixer} % ${Sampling.MixMod} % $mod = 0"
-          s"""ebu$l AS MATERIALIZED (
-             |  SELECT vec_id, label, emb FROM eb WHERE $member
-             |),
-             |edu$l AS (SELECT vec_id, emb FROM edel WHERE $member),
-             |cbu$l AS (
-             |  SELECT label, i - 1 AS dim, round(avg(v), 6) AS c
-             |  FROM (SELECT label, unnest(emb) AS v,
-             |          generate_subscripts(emb, 1) AS i FROM ebu$l)
-             |  GROUP BY label, dim
-             |),
-             |centbu$l AS (
-             |  SELECT label, list(c ORDER BY dim) AS cvec FROM cbu$l
-             |  GROUP BY label
-             |),
+          s"""edu$l AS (SELECT vec_id, emb FROM edel WHERE $member),
+             |${trainedCellCtes(s"u$l", src = "eb",
+                  memberPred = member)},
              |assdu$l AS MATERIALIZED (
-             |  SELECT vec_id, emb, label FROM (
-             |    SELECT d.vec_id, d.emb, c.label,
+             |  SELECT vec_id, emb, cell FROM (
+             |    SELECT d.vec_id, d.emb, c.cell,
              |      row_number() OVER (PARTITION BY d.vec_id
              |        ORDER BY ${TextHash.duckCosine("d.emb", "c.cvec",
-                        64)} DESC, c.label) AS rn
-             |    FROM edu$l d, centbu$l c
+                        64)} DESC, c.cell) AS rn
+             |    FROM edu$l d, mcu$l c
              |  ) WHERE rn <= 2
              |),
              |rtu$l AS MATERIALIZED (
@@ -10038,7 +10154,7 @@ object PipelineQueries {
              |    SELECT a.vec_id, b.vec_id AS nbr_id,
              |      CAST(floor(${TextHash.duckCosine("a.emb", "b.emb",
                       64)} * 1000000 + 0.5) AS BIGINT) AS se
-             |    FROM assdu$l a JOIN ebu$l b ON b.label = a.label
+             |    FROM assdu$l a JOIN a4u$l b ON b.cell = a.cell
              |  )
              |)""".stripMargin
         }
@@ -10059,23 +10175,14 @@ object PipelineQueries {
            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
            |  FROM embeddings WHERE vec_id % 5 = 2
            |),
-           |cb0 AS (
-           |  SELECT label, i - 1 AS dim, round(avg(v), 6) AS c
-           |  FROM (SELECT label, unnest(emb) AS v,
-           |          generate_subscripts(emb, 1) AS i FROM eb)
-           |  GROUP BY label, dim
-           |),
-           |centb AS (
-           |  SELECT label, list(c ORDER BY dim) AS cvec FROM cb0
-           |  GROUP BY label
-           |),
+           |${trainedCellCtes("b", src = "eb")},
            |assd AS MATERIALIZED (
-           |  SELECT vec_id, emb, label FROM (
-           |    SELECT d.vec_id, d.emb, c.label,
+           |  SELECT vec_id, emb, cell FROM (
+           |    SELECT d.vec_id, d.emb, c.cell,
            |      row_number() OVER (PARTITION BY d.vec_id
            |        ORDER BY ${TextHash.duckCosine("d.emb", "c.cvec", 64)}
-           |          DESC, c.label) AS rn
-           |    FROM edel d, centb c
+           |          DESC, c.cell) AS rn
+           |    FROM edel d, mcb c
            |  ) WHERE rn <= 2
            |),
            |nc AS MATERIALIZED (
@@ -10086,7 +10193,7 @@ object PipelineQueries {
            |      SELECT a.vec_id, b.vec_id AS nbr_id,
            |        CAST(floor(${TextHash.duckCosine("a.emb", "b.emb", 64)}
            |          * 1000000 + 0.5) AS BIGINT) AS se
-           |      FROM assd a JOIN eb b ON b.label = a.label
+           |      FROM assd a JOIN a4b b ON b.cell = a.cell
            |    )
            |  ) WHERE crank <= 32
            |),
@@ -10105,6 +10212,120 @@ object PipelineQueries {
            |${upperRows(2)}
            |)
            |ORDER BY level, vec_id, kind, nbr_id""".stripMargin
-      })
+      }),
+
+    // Nav-graph MAINTENANCE health card (the e29 discipline for the
+    // e28/e32 index — the number that decides the periodic rebuild):
+    // e32's deferred-compaction attach appends backlinks to base
+    // adjacency lists WITHOUT re-pruning them, so maintenance debt
+    // accumulates invisibly until walk quality degrades. The card
+    // binds, over a base build (even ids, trained cells) + one
+    // attach batch (odd ids): backlink DEBT (appended un-pruned
+    // edges), degree-cap OVERFLOW (base nodes whose built degree +
+    // appended backlinks exceed the cap, and the excess sum — the
+    // compaction workload), and RECIPROCITY before/after (the e31
+    // structural number; drift measures how far the graph is from
+    // its built invariants). All counts/integer fixed-point — oracle
+    // exact. Scale shape: the build and attach are the e28/e32
+    // plans; the card itself is two partial-agg degree passes + two
+    // co-partitioned reciprocity self-joins + one-row broadcast
+    // combines. OperatorsSpec pins that heavier attach histories
+    // degrade debt/overflow monotonically.
+    Q("e51_nav_health",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val base = emb.filter(col("vec_id") % 2 === 0)
+        val delta = emb.filter(col("vec_id") % 2 === 1)
+        val tcb = Similarity.trainedCells(base)
+        val built = Similarity.navigableGraph(base,
+            Similarity.knnGraphProbed(tcb, "cell", k = 16, nprobe = 2)
+              .select(col("vec_id"), col("nbr_id")))
+        val att = Similarity.navigableAttach(tcb, delta, "cell")
+        Similarity.navAttachHealth(base, built, att)
+      },
+      Some(s"""WITH e AS MATERIALIZED (
+              |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+              |  FROM embeddings WHERE vec_id % 2 = 0
+              |),
+              |${trainedCellCtes()},
+              |${navGraphCtes(graphK = 16, alpha100 = 120,
+                              maxDeg = 16, maxCand = 32)},
+              |edel AS (
+              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              |  FROM embeddings WHERE vec_id % 2 = 1
+              |),
+              |assd AS MATERIALIZED (
+              |  SELECT vec_id, emb, cell FROM (
+              |    SELECT d.vec_id, d.emb, c.cell,
+              |      row_number() OVER (PARTITION BY d.vec_id
+              |        ORDER BY ${TextHash.duckCosine("d.emb", "c.cvec", 64)}
+              |          DESC, c.cell) AS rn
+              |    FROM edel d, mc c
+              |  ) WHERE rn <= 2
+              |),
+              |dnc AS MATERIALIZED (
+              |  SELECT vec_id, nbr_id, se, crank FROM (
+              |    SELECT vec_id, nbr_id, se, row_number() OVER (
+              |      PARTITION BY vec_id ORDER BY se DESC, nbr_id) AS crank
+              |    FROM (
+              |      SELECT a.vec_id, b.vec_id AS nbr_id,
+              |        CAST(floor(${TextHash.duckCosine("a.emb", "b.emb", 64)}
+              |          * 1000000 + 0.5) AS BIGINT) AS se
+              |      FROM assd a JOIN a4 b ON b.cell = a.cell
+              |    )
+              |  ) WHERE crank <= 32
+              |),
+              |${alphaPruneStepsSql(alpha100 = 120, maxDeg = 16,
+                                    maxCand = 32, ncCte = "dnc",
+                                    pfx = "d")},
+              |built AS (SELECT vec_id, nbr_id FROM nav),
+              |attg AS (
+              |  SELECT vec_id, nbr_id FROM dnav
+              |  UNION ALL
+              |  SELECT nbr_id AS vec_id, vec_id AS nbr_id FROM dnav
+              |),
+              |ug AS (SELECT * FROM built UNION ALL SELECT * FROM attg),
+              |counts AS (
+              |  SELECT
+              |    (SELECT count(*) FROM e) AS n_base_nodes,
+              |    (SELECT count(*) FROM built) AS n_built_edges,
+              |    (SELECT count(*) FROM dnav) AS n_attach_fwd,
+              |    (SELECT count(*) FROM dnav) AS n_backlink_debt
+              |),
+              |degs AS (
+              |  SELECT vec_id, count(*) AS deg FROM (
+              |    SELECT vec_id FROM built
+              |    UNION ALL
+              |    SELECT nbr_id AS vec_id FROM dnav
+              |  ) GROUP BY vec_id
+              |),
+              |over AS (
+              |  SELECT
+              |    coalesce(sum(CASE WHEN deg > 16 THEN 1 END), 0)
+              |      AS overflow_nodes,
+              |    coalesce(sum(CASE WHEN deg > 16 THEN deg - 16 END), 0)
+              |      AS overflow_excess
+              |  FROM degs
+              |),
+              |rb AS (
+              |  SELECT CAST((SELECT count(*) FROM built x JOIN built y
+              |      ON y.vec_id = x.nbr_id AND y.nbr_id = x.vec_id)
+              |    * 1000000 // (SELECT count(*) FROM built) AS BIGINT)
+              |    AS reciprocity_built_e6
+              |),
+              |ra AS (
+              |  SELECT CAST((SELECT count(*) FROM ug x JOIN ug y
+              |      ON y.vec_id = x.nbr_id AND y.nbr_id = x.vec_id)
+              |    * 1000000 // (SELECT count(*) FROM ug) AS BIGINT)
+              |    AS reciprocity_after_e6
+              |)
+              |SELECT CAST(n_base_nodes AS BIGINT) AS n_base_nodes,
+              |  CAST(n_built_edges AS BIGINT) AS n_built_edges,
+              |  CAST(n_attach_fwd AS BIGINT) AS n_attach_fwd,
+              |  CAST(n_backlink_debt AS BIGINT) AS n_backlink_debt,
+              |  CAST(overflow_nodes AS BIGINT) AS overflow_nodes,
+              |  CAST(overflow_excess AS BIGINT) AS overflow_excess,
+              |  reciprocity_built_e6, reciprocity_after_e6
+              |FROM counts, over, rb, ra""".stripMargin))
   )
 }
