@@ -225,19 +225,30 @@ object TextAnalysis {
     require(k >= 1 && w >= 2, s"need k >= 1, w >= 2; got k=$k w=$w")
     import graft.functions.TextHashExprs.{ngram_hashes_pos, token_hashes}
     val P = TextHash.P
+    // The whole selection is wrapped in `transform(array(_gh), g ->
+    // …)[1]` so the gram array binds ONCE as a lambda variable: the
+    // optimizer substitutes plain column references when a
+    // projection collapses into the consumer (winnowingFingerprints'
+    // explode), and `_gh` appears four times here — two of them
+    // INSIDE per-window lambdas, where an inlined ngram expression
+    // re-evaluates per (window × fold step), turning the selection
+    // quadratic in grams (measured 36 s vs 3 s at sf0.1). Lambda
+    // variables cannot be substituted into, so the binding is a
+    // collapse-proof fence with identical values.
     val fpExpr =
-      s"""CASE WHEN size(_gh) >= $w THEN array_distinct(
-         |  transform(sequence(0, size(_gh) - $w), i ->
+      s"""element_at(transform(array(_gh), g ->
+         |CASE WHEN size(g) >= $w THEN array_distinct(
+         |  transform(sequence(0, size(g) - $w), i ->
          |    aggregate(sequence(i, i + ${w - 1}),
          |      CAST(NULL AS BIGINT),
          |      (best, j) -> CASE WHEN best IS NULL
-         |          OR element_at(_gh, CAST(j + 1 AS INT)) * $w
+         |          OR element_at(g, CAST(j + 1 AS INT)) * $w
          |             + (i + ${w - 1} - j) < best
-         |        THEN element_at(_gh, CAST(j + 1 AS INT)) * $w
+         |        THEN element_at(g, CAST(j + 1 AS INT)) * $w
          |             + (i + ${w - 1} - j)
          |        ELSE best END,
          |      p -> (i + ${w - 1} - p % $w) * ${P}L + p div $w)))
-         |ELSE CAST(array() AS array<bigint>) END""".stripMargin
+         |ELSE CAST(array() AS array<bigint>) END), 1)""".stripMargin
     docs
       .withColumn("_gh", ngram_hashes_pos(
         token_hashes(expr(TextHash.sparkTokens("text"))), k))
