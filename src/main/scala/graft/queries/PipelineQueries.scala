@@ -134,7 +134,7 @@ object PipelineQueries {
   private def prefixCandSql(tE6: Long, sfx: String = ""): String =
     s"""dfs$sfx AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
        |pref$sfx AS (
-       |  SELECT doc_id, s FROM (
+       |  SELECT doc_id, s, rk, n FROM (
        |    SELECT h.doc_id, h.s,
        |      row_number() OVER (PARTITION BY h.doc_id
        |        ORDER BY d.df, h.s) AS rk,
@@ -146,6 +146,9 @@ object PipelineQueries {
        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
        |  FROM pref$sfx a JOIN pref$sfx b
        |    ON a.s = b.s AND a.doc_id < b.doc_id
+       |  WHERE 1 + least(a.n - a.rk, b.n - b.rk)
+       |    >= ($tE6 * (a.n + b.n) + ${1000000L + tE6} - 1)
+       |       // ${1000000L + tE6}
        |)""".stripMargin
 
   /** The df-cap candidate law as a post-verify predicate (the oracle
