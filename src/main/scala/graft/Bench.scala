@@ -93,20 +93,22 @@ object Bench {
     * just-changed plans, pre-record) simply don't enter the ratio.
     */
   val gate: Map[String, Double] = Map(
-    // Round-13 quiet-box rows (carried queries, plans unchanged).
-    "pr_ranks" -> 3.42, "q1_agg" -> 0.34, "q3_topk_join" -> 0.54,
-    "q18_sessionize" -> 0.64, "d3_minhash_lsh" -> 0.44,
-    "e1_ann_topk" -> 0.42, "e6_knn_graph" -> 1.23,
-    "d10_embed_dedup" -> 0.67, "q21_asof_join" -> 0.55,
-    "pr_wiki_ranks" -> 2.38, "e8_ann_learned" -> 1.38,
-    "d54_curation_funnel" -> 5.63, "m10_image_dhash" -> 0.51,
-    "e24_filtered_ivf" -> 0.59, "m19_gif_frames" -> 0.89,
-    "m23_vad_segments" -> 0.23, "g21_core_decomp" -> 3.34,
-    "g26_louvain" -> 7.08,
-    // Round-13 extras-anchor rows for the round-14 widening pair.
-    "g33_truss_decomp" -> 3.99, "d78_ccnet_buckets" -> 3.68)
-    // e28/e41/e46/e49 re-enter once the round-14 substrate-swap
-    // quiet runs record their new rows (BASELINE.md round-14).
+    // Round-14 quiet-box rows: cross-run medians of
+    // bench_quiet/r14_sf01_run{1,2,3}.json (zero contended flags;
+    // gate ratios 0.86-0.93 vs the round-13 rows), d54 from its
+    // post-positional-filter re-runs (BASELINE.md round-14).
+    "pr_ranks" -> 3.75, "q1_agg" -> 0.35, "q3_topk_join" -> 0.56,
+    "q18_sessionize" -> 0.67, "d3_minhash_lsh" -> 0.43,
+    "e1_ann_topk" -> 0.46, "e6_knn_graph" -> 1.24,
+    "d10_embed_dedup" -> 0.68, "q21_asof_join" -> 0.49,
+    "pr_wiki_ranks" -> 2.59, "e8_ann_learned" -> 1.27,
+    "d54_curation_funnel" -> 6.51, "m10_image_dhash" -> 0.50,
+    "e24_filtered_ivf" -> 0.56, "m19_gif_frames" -> 0.86,
+    "e28_nav_graph" -> 4.90, "m23_vad_segments" -> 0.22,
+    "e41_filtered_graph_ann" -> 6.05, "g21_core_decomp" -> 2.87,
+    "g26_louvain" -> 6.26, "e46_hier_graph" -> 7.69,
+    "e49_pq_nav" -> 7.33, "g33_truss_decomp" -> 3.47,
+    "d78_ccnet_buckets" -> 1.47)
 
   /** Run-total-vs-gate threshold above which the set re-runs once
     * and, failing again, the JSON self-flags `inflated`. */
