@@ -96,7 +96,18 @@ object Ico {
     * would otherwise surface as a confusing decode-side mismatch.
     */
   def encode(entries: Seq[Entry]): Array[Byte] = {
-    entries.foreach {
+    // One pass validates AND extracts directory dims (each PNG entry
+    // decodes exactly once).
+    val dims = entries.map {
+      case p: PngEntry =>
+        val dec = Png.decode(p.png).getOrElse(
+          throw new IllegalArgumentException(
+            "PngEntry must hold a decodable PNG"))
+        require(dec.width >= 1 && dec.width <= 256 &&
+          dec.height >= 1 && dec.height <= 256,
+          s"PngEntry dims must be in [1, 256], got " +
+            s"${dec.width}x${dec.height}")
+        (dec.width, dec.height, 0)
       case d: DibEntry =>
         require(d.width >= 1 && d.width <= 256 &&
           d.height >= 1 && d.height <= 256,
@@ -108,23 +119,11 @@ object Ico {
         require(d.mask.length == d.width * d.height,
           s"DibEntry mask must be w*h = ${d.width * d.height} " +
             s"flags, got ${d.mask.length}")
-      case p: PngEntry =>
-        require(Png.decode(p.png).exists(dec =>
-          dec.width >= 1 && dec.width <= 256 &&
-            dec.height >= 1 && dec.height <= 256),
-          "PngEntry must hold a decodable PNG with dims in [1, 256]")
+        (d.width, d.height, 24)
     }
     val images = entries.map {
       case p: PngEntry => p.png
       case d: DibEntry => dibBytes(d)
-    }
-    val dims = entries.map {
-      case p: PngEntry =>
-        Png.decode(p.png) match {
-          case Some(dec) => (dec.width, dec.height, 0)
-          case None => (0, 0, 0)
-        }
-      case d: DibEntry => (d.width, d.height, 24)
     }
     val out = new ByteArrayOutputStream()
     putU16(out, 0); putU16(out, 1); putU16(out, entries.size)

@@ -41,6 +41,20 @@ object Dedup {
     */
   val DefaultMaxShingleDf = 100
 
+  /** Fingerprint-df cap for [[winnowingPairs]] — deliberately tighter
+    * than the shingle cap: winnowing selection is deterministic, so a
+    * globally-small gram hash is selected in EVERY doc containing it
+    * and fingerprint df approaches gram df exactly on the boilerplate
+    * vocabulary the cap exists to exclude (MOSS §5 drops very common
+    * fingerprints for the same reason). Candidate volume is bounded
+    * by cap × |fingerprint rows| — linear in the corpus — and at the
+    * three correctness SFs outputs are bit-identical to cap 100 and
+    * to d2's pair set; under sf1 saturation the tighter cap trades
+    * df-starved pairs (51 vs d2's 77) for a ~5× smaller verify, the
+    * documented df-cutoff behavior.
+    */
+  val DefaultMaxFpDf = 20
+
   /** Exact dedup on normalized text. Returns one row per duplicate
     * group: the kept (minimum) doc id and the copy count.
     *
@@ -133,6 +147,15 @@ object Dedup {
     * ⌈n·⌊t·10⁶⌋/10⁶⌉ (floor-scaled t is ≤ t ⇒ the bound stays
     * sound; no float boundary can diverge between engines).
     *
+    * Known cost edge: a giant EXACT-duplicate cluster gives every
+    * member an identical prefix, so its bucket self-joins O(c²)
+    * pairs that the df-cap law then discards (the old path generated
+    * none of them — but was quadratic on saturated corpora instead).
+    * Exact copies are d1's job: run [[exactDupGroups]] upstream, as
+    * the d54 funnel does, and cluster-heavy corpora belong on the
+    * df-independent [[minhashLshPairs]] route ([[nearDupPairsAuto]]
+    * picks it automatically).
+    *
     * Output is UNCHANGED from the round-2 inverted-index form: the
     * documented df-cap candidate law ("pairs whose every shared
     * shingle is frequent are not generated") is preserved by an
@@ -155,10 +178,14 @@ object Dedup {
       .join(sets.select(col("doc_id"), size(col("sh")).as("n")),
         "doc_id")
       .withColumn("rk", row_number().over(wDoc))
-      // Integral `div`, not `/`: Column./ is double division and a
-      // float boundary here could disagree with the oracle's `//`.
+      // Integral `div`, not `/` (Column./ is double division and a
+      // float boundary could disagree with the oracle's `//`), and
+      // BIGINT arithmetic throughout: size() is INT, so `n * 800000`
+      // overflows 32 bits at n ≥ 2685 distinct shingles — ANSI mode
+      // (Spark 4's default) would throw on a ~2700-token document.
+      // The oracle's n is count(*) OVER — already BIGINT.
       .filter(col("rk") <=
-        expr(s"n - (n * $tE6 + 999999) div 1000000 + 1"))
+        expr(s"n - (CAST(n AS BIGINT) * $tE6 + 999999) div 1000000 + 1"))
       .select("doc_id", "s", "rk", "n")
     // ppjoin's POSITIONAL filter (Xiao et al. WWW'08 §3.2), applied
     // per shared prefix element before the distinct: overlap can use
@@ -170,8 +197,8 @@ object Dedup {
     // further ~8× (17.6M → 2.25M pairs) — the margin that keeps the
     // DuckDB oracle replay inside the sweep budget.
     val alpha =
-      expr(s"($tE6 * (a.n + b.n) + ${1000000L + tE6} - 1) " +
-        s"div ${1000000L + tE6}")
+      expr(s"($tE6 * (CAST(a.n AS BIGINT) + b.n) " +
+        s"+ ${1000000L + tE6} - 1) div ${1000000L + tE6}")
     val candidates = pref.as("a").join(pref.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .filter(lit(1) +
@@ -179,7 +206,14 @@ object Dedup {
         >= alpha)
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
+    // Eagerly cut: the verified pair list feeds BOTH the rare-share
+    // probe and the final semi-join — without the cut the whole
+    // prefix-join + verify subtree plans twice per action (the
+    // graphBeamSearch double-reference pattern); the cut is
+    // near-dup-pair-sized, never corpus-sized.
+    import graft.operators.Checkpointing.CutOps
     val verified = verifyJaccard(candidates, sets, minJaccard)
+      .lineageCut
     // The df-cap candidate law, post-verify: the old path only ever
     // GENERATED pairs sharing a rare shingle; equivalently, drop the
     // (few) verified pairs that share none. The check joins the
@@ -307,9 +341,14 @@ object Dedup {
     * @return (da, db, jaccard_e6) — d2's exact schema
     */
   def winnowingPairs(docs: DataFrame, minJaccard: Double, k: Int = 3,
-      w: Int = 4, maxFpDf: Int = DefaultMaxShingleDf): DataFrame = {
+      w: Int = 4, maxFpDf: Int = DefaultMaxFpDf): DataFrame = {
+    // Both signature tables persist under the header's caller-release
+    // convention: fingerprints feed the df count AND both self-join
+    // sides, shingle sets both verify sides — unpersisted, the
+    // corpus would tokenize up to four extra times per action.
     val fps = TextAnalysis.winnowingFingerprints(docs, k, w)
       .select(col("doc_id"), col("hash")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = fps.groupBy("hash").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxFpDf)
       .select("hash")
@@ -319,7 +358,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    verifyJaccard(candidates, shingleSets(docs), minJaccard)
+    verifyJaccard(candidates, persistedSets(docs), minJaccard)
   }
 
   /** Exact-Jaccard verification of candidate pairs against the full

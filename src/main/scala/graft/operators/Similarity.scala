@@ -803,11 +803,13 @@ object Similarity {
     val a = att.lineageCut
     val nb = base.agg(count(lit(1)).as("n_base_nodes"))
     val ne = b.agg(count(lit(1)).as("n_built_edges"))
+    // count(when(...)), not sum(when(...)): an EMPTY attach history
+    // (the "no deltas yet" baseline read) must report 0 debt, not
+    // NULL — a null would silently disarm a `debt > threshold`
+    // rebuild trigger.
     val na = a.groupBy().agg(
-      sum(when(col("kind") === "fwd", 1L).otherwise(0L))
-        .as("n_attach_fwd"),
-      sum(when(col("kind") === "back", 1L).otherwise(0L))
-        .as("n_backlink_debt"))
+      count(when(col("kind") === "fwd", 1)).as("n_attach_fwd"),
+      count(when(col("kind") === "back", 1)).as("n_backlink_debt"))
     // Post-attach degree of each BASE node: built out-degree +
     // appended backlinks ('fwd' rows live on delta nodes and are
     // α-prune-capped at maxDegree by construction — never overflow).
@@ -827,8 +829,11 @@ object Similarity {
           col("x.vec_id") === col("y.nbr_id") &&
             col("x.nbr_id") === col("y.vec_id"))
         .agg(count(lit(1)).as("m"))
+      // Guard the empty graph: `div 0` throws under ANSI mode;
+      // reciprocity of an edgeless graph reads as 0 by convention.
       g.agg(count(lit(1)).as("ne")).crossJoin(broadcast(m))
-        .select(expr("CAST(m * 1000000 div ne AS BIGINT)").as(as))
+        .select(expr("CAST(CASE WHEN ne = 0 THEN 0 " +
+          "ELSE m * 1000000 div ne END AS BIGINT)").as(as))
     }
     val ug = b.union(a.select(col("vec_id"), col("nbr_id"))).lineageCut
     nb.crossJoin(broadcast(ne)).crossJoin(broadcast(na))

@@ -515,49 +515,26 @@ object PipelineQueries {
     */
   private def trainedCellCtes(sfx: String = "", src: String = "e",
       memberPred: String = "TRUE", iters: Int = 3): String = {
-    val rounds = (1 to iters).map { i =>
-      s"""ka$i$sfx AS MATERIALIZED (
-         |  SELECT vec_id, emb, cell FROM (
-         |    SELECT v.vec_id, v.emb, c.cell,
-         |      row_number() OVER (PARTITION BY v.vec_id
-         |        ORDER BY ${TextHash.duckCosine("v.emb", "c.cvec", 64)}
-         |          DESC, c.cell) AS rn
-         |    FROM memb$sfx v, kc${i - 1}$sfx c
-         |  ) WHERE rn = 1
-         |),
-         |kc$i$sfx AS MATERIALIZED (
-         |  SELECT cell, list(c ORDER BY dim) AS cvec FROM (
-         |    SELECT cell, i - 1 AS dim, round(avg(v), 6) AS c
-         |    FROM (SELECT cell, unnest(emb) AS v,
-         |            generate_subscripts(emb, 1) AS i FROM ka$i$sfx)
-         |    GROUP BY cell, dim
-         |  ) GROUP BY cell
-         |)""".stripMargin
-    }.mkString(",\n")
-    s"""memb$sfx AS MATERIALIZED (
-       |  SELECT vec_id, emb FROM $src WHERE $memberPred
-       |),
-       |kp$sfx AS (
+    // The Lloyd mirror is kmeansCtes — the SAME helper e6/e7/e8/e10
+    // and the PQ books use (one k-means oracle to keep in sync with
+    // the engine's trainer, per the round-14 review): it emits
+    // k${sfx}et (the member set) and k${sfx}cent$iters (trained
+    // centroids); this builder adds the probed-kNN tail.
+    val p = s"k$sfx"
+    s"""kp$sfx AS (
        |  SELECT greatest(8, (count(*) + 249) // 250) AS k
-       |  FROM memb$sfx
+       |  FROM $src WHERE $memberPred
        |),
-       |s0$sfx AS MATERIALIZED (
-       |  SELECT vec_id, emb, $duckVecBucket AS b FROM memb$sfx
-       |  ORDER BY b, vec_id LIMIT (SELECT k FROM kp$sfx)
-       |),
-       |kc0$sfx AS MATERIALIZED (
-       |  SELECT row_number() OVER (ORDER BY b, vec_id) - 1 AS cell,
-       |    emb AS cvec
-       |  FROM s0$sfx
-       |),
-       |$rounds,
+       |${kmeansCtes(s"(SELECT k FROM kp$sfx)", iters,
+            trainPred = memberPred, embExpr = "emb", prefix = p,
+            src = src)},
        |a4$sfx AS MATERIALIZED (
        |  SELECT vec_id, emb, cell FROM (
        |    SELECT v.vec_id, v.emb, c.cell,
        |      row_number() OVER (PARTITION BY v.vec_id
        |        ORDER BY ${TextHash.duckCosine("v.emb", "c.cvec", 64)}
        |          DESC, c.cell) AS rn
-       |    FROM memb$sfx v, kc$iters$sfx c
+       |    FROM ${p}et v, ${p}cent$iters c
        |  ) WHERE rn = 1
        |),
        |mc$sfx AS MATERIALIZED (
@@ -582,7 +559,7 @@ object PipelineQueries {
        |      row_number() OVER (PARTITION BY v.vec_id
        |        ORDER BY ${TextHash.duckCosine("v.emb", "c.cvec", 64)}
        |          DESC, c.cell) AS rn
-       |    FROM memb$sfx v, mc$sfx c
+       |    FROM k${sfx}et v, mc$sfx c
        |  ) WHERE rn <= 2
        |),
        |p$sfx AS (
@@ -6697,7 +6674,8 @@ object PipelineQueries {
               |  )
               |),
               |rare AS (
-              |  SELECT h FROM wfp GROUP BY h HAVING count(*) <= 100
+              |  SELECT h FROM wfp GROUP BY h
+              |  HAVING count(*) <= ${Dedup.DefaultMaxFpDf}
               |),
               |wr AS (SELECT w.doc_id, w.h FROM wfp w JOIN rare USING (h)),
               |cand AS (

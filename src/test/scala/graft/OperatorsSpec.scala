@@ -2029,9 +2029,13 @@ class OperatorsSpec extends SparkSpec {
       assert(got == truth(t, cap),
         s"t=$t cap=$cap: ${got.size} vs truth ${truth(t, cap).size}")
     }
-    // The tight cap must actually exercise the law (drop something).
-    assert(truth(0.8, 3) != truth(0.8, 100) ||
-      truth(0.8, 100).isEmpty == false)
+    // The tight cap must actually exercise the law: pairs exist at
+    // cap 100 and cap 3 drops at least one of them (template-shingle
+    // df ≈ 11-12 here sits between the caps).
+    assert(truth(0.8, 100).nonEmpty &&
+      truth(0.8, 3) != truth(0.8, 100),
+      s"cap law unexercised: ${truth(0.8, 3).size} vs " +
+        s"${truth(0.8, 100).size}")
     spark.catalog.clearCache()
   }
 
