@@ -16,9 +16,11 @@ import graft.functions.TextHashExprs._
   *   - Exact dedup is a single hash-partitioned groupBy on the
   *     normalized-text key: map-side partial agg collapses
   *     within-partition copies before the exchange.
-  *   - The Jaccard inverted-index join and both LSH bucket joins
+  *   - The Jaccard prefix-index join and both LSH bucket joins
   *     shuffle on (signature) keys — candidate generation never
-  *     compares all O(n²) pairs, only bucket-colliding ones.
+  *     compares all O(n²) pairs, only bucket-colliding ones (and
+  *     since round 14 only prefix-shingle collisions passing the
+  *     ppjoin positional bound).
   *   - Per-document signatures (token hashes, shingles, MinHash,
   *     SimHash) are pure map-side higher-order functions inside
   *     whole-stage codegen — zero shuffles, no UDFs.
