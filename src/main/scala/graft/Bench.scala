@@ -224,9 +224,20 @@ object Bench {
       s""""queries_runs":${jmap(_.nSteady.toString)},""" +
       s""""queries_contended":${jmap(_.contended.toString)},""" +
       ratio.fold("") { rr =>
-        val gt = results.filter(r => gate.contains(r.name))
-          .map(r => gate(r.name)).sum
-        s""""gate_total":$gt,"gate_ratio":$rr,"inflated":$inflated,"""
+        val gated = results.filter(r => gate.contains(r.name))
+        val gt = gated.map(r => gate(r.name)).sum
+        // Per-query ratios (round-14 verdict): the summed total can't
+        // distinguish a localized plan regression from uniform
+        // co-tenant inflation — ship each query's median/gate ratio
+        // and the worst one so a reader adjudicates from the artifact.
+        val perQ = gated.map(r =>
+          "\"" + r.name + "\":" + f"${r.median / gate(r.name)}%.3f")
+          .mkString("{", ",", "}")
+        val worst = gated.maxBy(r => r.median / gate(r.name))
+        s""""gate_total":$gt,"gate_ratio":$rr,"inflated":$inflated,""" +
+          s""""queries_gate_ratio":$perQ,""" +
+          f""""gate_ratio_max":${worst.median / gate(worst.name)}%.3f,""" +
+          s""""gate_ratio_max_query":"${worst.name}","""
       } +
       (if (skip.isEmpty) ""
        else s""""skipped":[${skip.toSeq.sorted

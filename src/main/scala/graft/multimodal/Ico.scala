@@ -125,6 +125,11 @@ object Ico {
       case p: PngEntry => p.png
       case d: DibEntry => dibBytes(d)
     }
+    // The directory count is a u16 — more entries would silently
+    // wrap it, the exact decode-side mismatch the per-entry checks
+    // above exist to prevent.
+    require(entries.size <= 0xFFFF,
+      s"ICO directory holds at most 65535 entries, got ${entries.size}")
     val out = new ByteArrayOutputStream()
     putU16(out, 0); putU16(out, 1); putU16(out, entries.size)
     var offset = 6 + 16 * entries.size

@@ -334,7 +334,12 @@ object Similarity {
     require(perCell >= 1, s"perCell must be >= 1, got $perCell")
     val e2 = emb.withColumn("embedding",
       expr("transform(embedding, v -> cast(v as double))"))
-    val k = math.max(8L, (e2.count() + perCell - 1) / perCell).toInt
+    // toIntExact: at 100 TB-corpus counts beyond ~2^31·perCell the
+    // Long→Int narrowing would otherwise wrap NEGATIVE and feed a
+    // nonsense k into KMeans.train — fail loudly and point the
+    // caller at the documented hash-sample training path instead.
+    val k = Math.toIntExact(
+      math.max(8L, (e2.count() + perCell - 1) / perCell))
     KMeans.withCells(e2, KMeans.train(e2, k, iters))
   }
 

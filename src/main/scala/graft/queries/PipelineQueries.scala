@@ -3882,13 +3882,23 @@ object PipelineQueries {
     // cumulative accepted-at-or-above count per bucket — the curve a
     // threshold sweep would need |thresholds| full runs to draw.
     // Past the pair verification this is one 6-row aggregate and a
-    // 6-row running sum; the candidate generation is the same
-    // df-capped inverted index, so cost is d2's, not |thresholds|×.
+    // 6-row running sum. Pair source is the SATURATION-ROUTED
+    // nearDupPairsAuto (the d54 pattern — round-14's last weak mark):
+    // the 0.5-floor prefix bound indexes HALF of every doc's shingles
+    // (α weakened to (na+nb)/3), so on a saturated vocabulary even
+    // the prefix path grew candidates super-linearly (measured 18.8×
+    // per 10× data at sf1). Below saturation the router picks the
+    // direct path — bit-identical to the old form, which is what the
+    // oracle mirrors (route equality pinned in OperatorsSpec); at
+    // saturation it switches to df-independent MinHash-LSH
+    // candidates, whose t=0.5 recall caveat (bucket probability
+    // 1−(1−j⁴)⁴ ≈ 23% at j=0.5) is the documented audit trade —
+    // measured against the exact curve in BASELINE.md's sf1 record.
     Q("d68_dedup_curve",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val pairs = Dedup
-          .ngramJaccardPairs(Tables.documents(s, d), minJaccard = 0.5)
+          .nearDupPairsAuto(Tables.documents(s, d), minJaccard = 0.5)
         val w = Window.orderBy(col("bucket").desc)
           .rowsBetween(Window.unboundedPreceding, 0)
         pairs
@@ -10289,16 +10299,20 @@ object PipelineQueries {
               |  FROM degs
               |),
               |rb AS (
-              |  SELECT CAST((SELECT count(*) FROM built x JOIN built y
-              |      ON y.vec_id = x.nbr_id AND y.nbr_id = x.vec_id)
-              |    * 1000000 // (SELECT count(*) FROM built) AS BIGINT)
-              |    AS reciprocity_built_e6
+              |  SELECT CAST(CASE
+              |    WHEN (SELECT count(*) FROM built) = 0 THEN 0
+              |    ELSE (SELECT count(*) FROM built x JOIN built y
+              |        ON y.vec_id = x.nbr_id AND y.nbr_id = x.vec_id)
+              |      * 1000000 // (SELECT count(*) FROM built)
+              |    END AS BIGINT) AS reciprocity_built_e6
               |),
               |ra AS (
-              |  SELECT CAST((SELECT count(*) FROM ug x JOIN ug y
-              |      ON y.vec_id = x.nbr_id AND y.nbr_id = x.vec_id)
-              |    * 1000000 // (SELECT count(*) FROM ug) AS BIGINT)
-              |    AS reciprocity_after_e6
+              |  SELECT CAST(CASE
+              |    WHEN (SELECT count(*) FROM ug) = 0 THEN 0
+              |    ELSE (SELECT count(*) FROM ug x JOIN ug y
+              |        ON y.vec_id = x.nbr_id AND y.nbr_id = x.vec_id)
+              |      * 1000000 // (SELECT count(*) FROM ug)
+              |    END AS BIGINT) AS reciprocity_after_e6
               |)
               |SELECT CAST(n_base_nodes AS BIGINT) AS n_base_nodes,
               |  CAST(n_built_edges AS BIGINT) AS n_built_edges,
