@@ -847,6 +847,98 @@ object Similarity {
       .crossJoin(broadcast(recip(ug, "reciprocity_after_e6")))
   }
 
+  /** SELECTIVE nav-graph COMPACTION (e52 — the FreshDiskANN
+    * delete/consolidate step, and the missing payoff of
+    * [[navAttachHealth]]'s card): fold an attach history into the
+    * built graph by re-pruning ONLY the base nodes whose built
+    * degree + appended backlinks exceed `maxDegree` — everyone else
+    * keeps their lists untouched — so maintenance debt is paid at a
+    * cost ∝ the overflow set, never the corpus (the full
+    * [[navigableGraph]] rebuild was previously the only remedy).
+    *
+    * Per base node with appends, the MERGED list = built out-edges ∪
+    * backlink appends ('back' rows). Three disjoint classes:
+    *   - merged degree > `maxDegree` (e51's overflow set): heap-
+    *     truncate the merged list to `maxCandidates` on the e6 grid
+    *     and re-run the SAME RobustPrune core ([[alphaPrune]]) the
+    *     build used — the consolidated list obeys every built
+    *     invariant (α-domination, degree ≤ cap);
+    *   - appends but within cap: the merged list survives verbatim,
+    *     ranks refreshed by (sim_e6 DESC, nbr_id) — a per-node
+    *     window whose state is the node's own ≤ cap edges, shuffled
+    *     only over the appended-node slice (∝ attach history);
+    *   - no appends: built rows pass through bit-for-bit (no
+    *     shuffle, no recompute).
+    * Delta nodes' 'fwd' lists are already α-pruned at attach time
+    * and pass through unchanged, so the result is ONE consolidated
+    * graph over base ∪ delta on which [[navAttachHealth]] (with an
+    * empty attach history) reads zero debt and zero overflow —
+    * OperatorsSpec pins that closure, the degree cap, and
+    * walk-reachability of attached nodes on planted fixtures.
+    *
+    * Caveat (FreshDiskANN semantics): the re-prune may drop a
+    * backlink entirely (an α-dominated delta neighbor), trading a
+    * reachability path for the degree bound exactly as the build
+    * does; entry-point routing (cell medoids) is unchanged.
+    *
+    * @param emb   embeddings covering EVERY node id in built ∪ att
+    *   (base and delta) — the prune recomputes candidate-candidate
+    *   cosines from these
+    * @param built (vec_id, rank, nbr_id, sim_e6) from
+    *   [[navigableGraph]]
+    * @param att   [[navigableAttach]] output
+    * @return (vec_id, rank, nbr_id, sim_e6) — the consolidated graph
+    */
+  def navCompact(emb: DataFrame, built: DataFrame, att: DataFrame,
+      alpha100: Long = 120, maxDegree: Int = 16,
+      maxCandidates: Int = 32): DataFrame = {
+    import graft.operators.Checkpointing.CutOps
+    // Both inputs are consumed by several branches below — cut once
+    // so the (already-executed-shaped) build/attach plans don't
+    // re-plan per branch (the navAttachHealth discipline).
+    val b = built.select(col("vec_id"), col("rank"), col("nbr_id"),
+      col("sim_e6")).lineageCut
+    val a = att.lineageCut
+    val backs = a.filter(col("kind") === "back")
+      .select(col("vec_id"), col("nbr_id"), col("sim_e6"))
+    val fwd = a.filter(col("kind") === "fwd")
+      .select(col("vec_id"), col("rank"), col("nbr_id"), col("sim_e6"))
+    // Appended-node slice (∝ attach history, never the corpus): only
+    // these nodes' lists can have changed since the build.
+    val appended = backs.select("vec_id").distinct()
+    val merged = b.select(col("vec_id"), col("nbr_id"), col("sim_e6"))
+      .join(appended, Seq("vec_id"), "left_semi")
+      .union(backs)
+      .lineageCut
+    val overNodes = merged.groupBy("vec_id")
+      .agg(count(lit(1)).as("deg"))
+      .filter(col("deg") > maxDegree)
+      .select("vec_id")
+    // Overflow class: bounded heap to maxCandidates (the build's
+    // candidate bound), then the shared RobustPrune core.
+    val overCand = merged.join(overNodes, Seq("vec_id"), "left_semi")
+      .groupBy("vec_id")
+      .agg(top_k_by_score(col("sim_e6").cast("double"), col("nbr_id"),
+        lit(0L), maxCandidates).as("tk"))
+      .select(col("vec_id"), explode(col("tk")).as("t"))
+      .select(col("vec_id"), col("t.cand_id").as("nbr_id"),
+        col("t.sim").cast("long").as("se"))
+    val repruned = alphaPrune(overCand, withNorms(emb), alpha100,
+      maxDegree)
+    // Within-cap appended class: same edges, refreshed ranks.
+    val wN = Window.partitionBy("vec_id")
+      .orderBy(col("sim_e6").desc, col("nbr_id"))
+    val reranked = merged.join(overNodes, Seq("vec_id"), "left_anti")
+      .withColumn("rank", row_number().over(wN).cast("long"))
+      .select("vec_id", "rank", "nbr_id", "sim_e6")
+    val untouched = b.join(appended, Seq("vec_id"), "left_anti")
+    untouched
+      .union(reranked)
+      .union(repruned.select(col("vec_id"), col("rank"), col("nbr_id"),
+        col("sim_e6")))
+      .union(fwd)
+  }
+
   /** HIERARCHICAL incremental attach (e48) — [[navigableAttach]]'s
     * FreshDiskANN insert discipline applied to the
     * [[hierarchicalNavGraph]] layers, so the newest index shape no

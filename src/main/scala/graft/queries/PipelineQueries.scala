@@ -10321,6 +10321,118 @@ object PipelineQueries {
               |  CAST(overflow_nodes AS BIGINT) AS overflow_nodes,
               |  CAST(overflow_excess AS BIGINT) AS overflow_excess,
               |  reciprocity_built_e6, reciprocity_after_e6
-              |FROM counts, over, rb, ra""".stripMargin))
+              |FROM counts, over, rb, ra""".stripMargin)),
+
+    // SELECTIVE nav-graph COMPACTION (the FreshDiskANN consolidate
+    // step — the payoff of e51's card, which measures maintenance
+    // debt this operator PAYS): fold the e32 attach history into the
+    // e28 built graph by re-pruning ONLY base nodes whose built
+    // degree + backlink appends exceed the cap (heap-truncate the
+    // merged list to 32, then the SAME RobustPrune core the build
+    // used), rank-refreshing appended-but-within-cap lists, and
+    // passing every untouched list through bit-for-bit — cost ∝ the
+    // overflow/appended sets, never the corpus (the full e28 rebuild
+    // was previously the only remedy). Output is ONE consolidated
+    // graph over base ∪ delta on which e51 (empty attach) reads zero
+    // debt/overflow — OperatorsSpec pins that closure, the degree
+    // cap, and attached-node walk-reachability. Oracle: the e51
+    // fixture chain (build + attach), then the merged-list classes
+    // and one more alphaPrune unroll over the overflow candidates.
+    Q("e52_nav_compact",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val base = emb.filter(col("vec_id") % 2 === 0)
+        val delta = emb.filter(col("vec_id") % 2 === 1)
+        val tcb = Similarity.trainedCells(base)
+        val built = Similarity.navigableGraph(base,
+            Similarity.knnGraphProbed(tcb, "cell", k = 16, nprobe = 2)
+              .select(col("vec_id"), col("nbr_id")))
+        val att = Similarity.navigableAttach(tcb, delta, "cell")
+        Similarity.navCompact(emb, built, att)
+          .orderBy("vec_id", "rank")
+      },
+      Some(s"""WITH e AS MATERIALIZED (
+              |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+              |  FROM embeddings WHERE vec_id % 2 = 0
+              |),
+              |${trainedCellCtes()},
+              |${navGraphCtes(graphK = 16, alpha100 = 120,
+                              maxDeg = 16, maxCand = 32)},
+              |edel AS (
+              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              |  FROM embeddings WHERE vec_id % 2 = 1
+              |),
+              |assd AS MATERIALIZED (
+              |  SELECT vec_id, emb, cell FROM (
+              |    SELECT d.vec_id, d.emb, c.cell,
+              |      row_number() OVER (PARTITION BY d.vec_id
+              |        ORDER BY ${TextHash.duckCosine("d.emb", "c.cvec", 64)}
+              |          DESC, c.cell) AS rn
+              |    FROM edel d, mc c
+              |  ) WHERE rn <= 2
+              |),
+              |dnc AS MATERIALIZED (
+              |  SELECT vec_id, nbr_id, se, crank FROM (
+              |    SELECT vec_id, nbr_id, se, row_number() OVER (
+              |      PARTITION BY vec_id ORDER BY se DESC, nbr_id) AS crank
+              |    FROM (
+              |      SELECT a.vec_id, b.vec_id AS nbr_id,
+              |        CAST(floor(${TextHash.duckCosine("a.emb", "b.emb", 64)}
+              |          * 1000000 + 0.5) AS BIGINT) AS se
+              |      FROM assd a JOIN a4 b ON b.cell = a.cell
+              |    )
+              |  ) WHERE crank <= 32
+              |),
+              |${alphaPruneStepsSql(alpha100 = 120, maxDeg = 16,
+                                    maxCand = 32, ncCte = "dnc",
+                                    pfx = "d")},
+              |eall AS MATERIALIZED (
+              |  SELECT vec_id, emb FROM e
+              |  UNION ALL
+              |  SELECT vec_id, emb FROM edel
+              |),
+              |backs AS (
+              |  SELECT nbr_id AS vec_id, vec_id AS nbr_id, se
+              |  FROM dnav
+              |),
+              |appn AS MATERIALIZED (SELECT DISTINCT vec_id FROM backs),
+              |merged AS MATERIALIZED (
+              |  SELECT n.vec_id, n.nbr_id, n.se
+              |  FROM nav n JOIN appn USING (vec_id)
+              |  UNION ALL
+              |  SELECT vec_id, nbr_id, se FROM backs
+              |),
+              |overn AS MATERIALIZED (
+              |  SELECT vec_id FROM merged GROUP BY vec_id
+              |  HAVING count(*) > 16
+              |),
+              |cnc AS MATERIALIZED (
+              |  SELECT vec_id, nbr_id, se, crank FROM (
+              |    SELECT m.vec_id, m.nbr_id, m.se, row_number() OVER (
+              |      PARTITION BY m.vec_id ORDER BY m.se DESC, m.nbr_id)
+              |      AS crank
+              |    FROM merged m JOIN overn USING (vec_id)
+              |  ) WHERE crank <= 32
+              |),
+              |${alphaPruneStepsSql(alpha100 = 120, maxDeg = 16,
+                                    maxCand = 32, embCte = "eall",
+                                    ncCte = "cnc", pfx = "c")}
+              |SELECT * FROM (
+              |  SELECT n.vec_id, n.rank, n.nbr_id, n.se AS sim_e6
+              |  FROM nav n
+              |  WHERE NOT EXISTS (SELECT 1 FROM appn p
+              |    WHERE p.vec_id = n.vec_id)
+              |  UNION ALL
+              |  SELECT m.vec_id, row_number() OVER (
+              |      PARTITION BY m.vec_id ORDER BY m.se DESC, m.nbr_id)
+              |      AS rank, m.nbr_id, m.se AS sim_e6
+              |  FROM merged m
+              |  WHERE NOT EXISTS (SELECT 1 FROM overn o
+              |    WHERE o.vec_id = m.vec_id)
+              |  UNION ALL
+              |  SELECT vec_id, rank, nbr_id, se AS sim_e6 FROM cnav
+              |  UNION ALL
+              |  SELECT vec_id, rank, nbr_id, se AS sim_e6 FROM dnav
+              |) ORDER BY vec_id, rank""".stripMargin))
   )
 }

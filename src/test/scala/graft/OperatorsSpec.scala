@@ -2113,4 +2113,90 @@ class OperatorsSpec extends SparkSpec {
     assert(c2._6 > 0L, "the heavy history must overflow the cap")
     spark.catalog.clearCache()
   }
+
+  test("nav compaction pays the debt: caps degrees, zeroes the card, keeps reach") {
+    // e52's three contracts on the MAINTENANCE fixture the operator
+    // exists for — deltas are perturbed copies of base nodes (new
+    // versions of existing documents), so every delta is its host's
+    // rank-1 merged candidate, which RobustPrune keeps
+    // unconditionally: (a) every node's out-degree ≤ maxDegree after
+    // compaction, (b) walk-reachability from the entry set is
+    // preserved (every node reachable over built ∪ attach edges
+    // stays reachable over the compacted graph — the ±δ twin design
+    // keeps the two deltas of one host farther from EACH OTHER than
+    // from the host, so neither α-dominates the other), (c) the e51
+    // health card over (compacted, empty attach) reads zero debt and
+    // zero overflow — the card's rebuild trigger disarms.
+    val rnd = new scala.util.Random(7L)
+    val anchors = (0 until 25).map(_ => Seq.fill(8)(rnd.nextGaussian()))
+    val dirs = (0 until 25).map(_ => Seq.fill(8)(rnd.nextGaussian()))
+    val rows = (0 until 25).flatMap { i =>
+      val a = anchors(i); val u = dirs(i)
+      Seq((3L * i, a),
+        (3L * i + 1, a.zip(u).map { case (x, y) => x + 0.05 * y }),
+        (3L * i + 2, a.zip(u).map { case (x, y) => x - 0.05 * y }))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val base = emb.filter(col("vec_id") % 3 === 0)
+    val delta = emb.filter(col("vec_id") % 3 =!= 0)
+    val tcb = Similarity.trainedCells(base, perCell = 10)
+    val built = Similarity.navigableGraph(base,
+        Similarity.knnGraphProbed(tcb, "cell", k = 4, nprobe = 2)
+          .select(col("vec_id"), col("nbr_id")),
+        maxDegree = 4, maxCandidates = 8)
+    val att = Similarity.navigableAttach(tcb, delta, "cell",
+      maxDegree = 4, maxCandidates = 8)
+    val preHealth = Similarity.navAttachHealth(base, built, att,
+        maxDegree = 4)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(preHealth._6 > 0L, "fixture must overflow before compaction")
+    val compacted = Similarity.navCompact(emb, built, att,
+      maxDegree = 4, maxCandidates = 8)
+    // (a) degree cap — every list, base and delta alike.
+    val maxDeg = compacted.groupBy("vec_id").count()
+      .agg(max("count")).as[Long].head()
+    assert(maxDeg <= 4L, s"compacted degree $maxDeg exceeds the cap")
+    // Untouched base nodes (no appends) keep their built rows
+    // bit-for-bit.
+    val appendedIds = att.filter(col("kind") === "back")
+      .select("vec_id").as[Long].collect().toSet
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "rank", "nbr_id", "sim_e6")
+        .as[(Long, Long, Long, Long)].collect()
+        .filterNot(r => appendedIds(r._1)).toSet
+    assert(rowsOf(compacted.filter(col("vec_id") % 3 === 0)) ==
+      rowsOf(built), "untouched lists must pass through unchanged")
+    // (b) reachability preserved: BFS from the cell medoids (the
+    // walk's entry set) over built ∪ attach edges vs the compacted
+    // graph — on this fixture the re-prune loses no reachable node.
+    val entries = Similarity.cellMedoids(tcb, "cell")
+      .select("cand_id").as[Long].collect().toSet
+    def reach(edges: Set[(Long, Long)]): Set[Long] = {
+      val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      var seen = entries
+      var frontier = entries
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+          .diff(seen)
+        seen ++= next
+        frontier = next
+      }
+      seen
+    }
+    def edgeSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val before = reach(edgeSet(built.select("vec_id", "nbr_id")
+      .union(att.select("vec_id", "nbr_id"))))
+    val after = reach(edgeSet(compacted))
+    assert(before.subsetOf(after),
+      s"compaction lost reachability of ${before.diff(after)}")
+    // (c) the card over the consolidated graph with an empty attach
+    // history: zero debt, zero overflow.
+    val post = Similarity.navAttachHealth(emb, compacted,
+        att.limit(0), maxDegree = 4)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(post._4 == 0L && post._5 == 0L && post._6 == 0L,
+      s"card must read zero debt/overflow after compaction: $post")
+    spark.catalog.clearCache()
+  }
 }
