@@ -9,7 +9,7 @@ import graft.functions.TextHashExprs.token_hashes
 import graft.graph.ConnectedComponents
 import graft.multimodal.Multimodal
 import graft.operators.Checkpointing.CutOps
-import graft.operators.{BpeTrain, CurationFunnel, Decontaminate, Dedup, HtmlExtract, KMeans, LogReg, PiiScrub, Sampling, Similarity, TextAnalysis}
+import graft.operators.{BpeTrain, CurationFunnel, Decontaminate, Dedup, HtmlExtract, KMeans, LogReg, PiiScrub, Sampling, Similarity, TextAnalysis, UnigramLm}
 
 /** Training-data pipeline surface (SURVEY.md §2 block D): dedup
   * family, text analysis, similarity search, multimodal plumbing.
@@ -156,6 +156,80 @@ object PipelineQueries {
     * must still share ≥ 1 shingle with df ≤ the cap. `da`/`db` are
     * the pair columns in the enclosing scope; requires a `rare` CTE.
     */
+  /** One unigram-LM E-step as DuckDB CTEs (mirrors
+    * `UnigramLm.scoredSegs`/`bestSegs`/`usage` — same mask
+    * enumeration, same BIGINT score sum, same (score DESC, np ASC,
+    * segstr ASC) tie rule): `{pfx}seg` (cut masks → piece lists),
+    * `{pfx}sc` (vocabulary-scored segmentations), `{pfx}best`
+    * (per-word winner), `{pfx}use` (piece usage weighted by the
+    * word counts in `wordsCte`, which must expose (w, n)).
+    */
+  private def unigramEStepSql(pfx: String, wordsCte: String,
+      piecesCte: String, minPieces: Int = 1): String =
+    s"""${pfx}seg AS (
+       |  SELECT w, mask, CAST(len(cuts) - 1 AS BIGINT) AS np,
+       |    list_transform(range(1, len(cuts)), i ->
+       |      substr(w, cuts[i] + 1, cuts[i + 1] - cuts[i])) AS ps
+       |  FROM (
+       |    SELECT w, mask,
+       |      list_concat(list_concat([0],
+       |        list_filter(range(1, length(w)),
+       |          t -> (mask // (1 << (t - 1))) % 2 = 1)),
+       |        [length(w)]) AS cuts
+       |    FROM $wordsCte,
+       |      unnest(range(0, 1 << (length(w) - 1))) AS tm(mask)
+       |  )
+       |),
+       |${pfx}sc AS MATERIALIZED (
+       |  SELECT w, mask, np, array_to_string(ps, ' ') AS segstr,
+       |    count(*) AS nf, CAST(sum(lp.logp_e6) AS BIGINT) AS score
+       |  FROM (SELECT w, mask, np, ps, unnest(ps) AS piece
+       |        FROM ${pfx}seg WHERE np >= $minPieces) s
+       |  JOIN $piecesCte lp USING (piece)
+       |  GROUP BY w, mask, np, segstr
+       |  HAVING count(*) = np
+       |),
+       |${pfx}best AS (
+       |  SELECT w, segstr, score FROM (
+       |    SELECT w, segstr, score, row_number() OVER (PARTITION BY w
+       |      ORDER BY score DESC, np, segstr) AS rn
+       |    FROM ${pfx}sc
+       |  ) WHERE rn = 1
+       |),
+       |${pfx}use AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(n) AS BIGINT) AS c
+       |  FROM (SELECT unnest(string_split(b.segstr, ' ')) AS piece,
+       |          wd.n
+       |        FROM ${pfx}best b JOIN $wordsCte wd USING (w))
+       |  GROUP BY 1
+       |)""".stripMargin
+
+  /** The unigram M-step count table as a CTE (mirrors
+    * `UnigramLm.mStepCounts`): single chars floored at 1, zero-usage
+    * multi-char pieces dropped.
+    */
+  private def unigramMStepSql(name: String, useCte: String): String =
+    s"""$name AS (
+       |  SELECT ch.piece,
+       |    CAST(greatest(coalesce(u.c, 0), 1) AS BIGINT) AS c
+       |  FROM (SELECT piece FROM useed WHERE length(piece) = 1) ch
+       |  LEFT JOIN $useCte u USING (piece)
+       |  UNION ALL
+       |  SELECT piece, c FROM $useCte WHERE length(piece) > 1
+       |)""".stripMargin
+
+  /** e6-floored ln(c/Σc) normalization as a CTE (mirrors
+    * `UnigramLm.logpTable`).
+    */
+  private def unigramLogpSql(name: String, countsCte: String): String =
+    s"""$name AS MATERIALIZED (
+       |  SELECT piece,
+       |    CAST(floor(ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))
+       |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS logp_e6
+       |  FROM $countsCte,
+       |    (SELECT CAST(sum(c) AS BIGINT) AS tot FROM $countsCte) t
+       |)""".stripMargin
+
   private def shareRareSql(da: String, db: String): String =
     s"""EXISTS (SELECT 1 FROM sh x3
        |    JOIN rare r3 ON r3.s = x3.s
@@ -4003,6 +4077,88 @@ object PipelineQueries {
              .mkString("\n  UNION ALL\n")}
            |) ORDER BY merge_rank""".stripMargin
       }),
+
+    // Unigram-LM tokenizer TRAINING (operators.UnigramLm, Kudo 2018
+    // — the SentencePiece vocabulary): the tokenizer family's other
+    // trainer next to BPE d47 — BPE composes bottom-up by fusing
+    // frequent pairs, unigram-LM PRUNES an over-complete substring
+    // seed top-down by likelihood loss under the corpus's own
+    // maximum-likelihood segmentations. Deterministic bounded form:
+    // e6-floored ln log-probs, exhaustive cut-mask Viterbi (words
+    // capped at 12 chars ⇒ ≤ 2048 masks) with the (score DESC,
+    // piece count ASC, segstr ASC) tie rule, two EM rounds with
+    // zero-usage drops (chars floored at 1), one ⌈n/2⌉ prune by
+    // loss = usage·(logp − best-alternative-segmentation score),
+    // and a final normalize-and-count E-step. Everything runs over
+    // the Zipf-bounded distinct-word table (the d47 discipline);
+    // piece scoring is an equi-join on the piece key, the argmax
+    // one partial aggregate per word. Oracle: the identical rounds
+    // as generated CTE blocks (unigramEStepSql / unigramMStepSql /
+    // unigramLogpSql).
+    Q("d83_unigram_lm",
+      (s, d) => {
+        val words = Tables.documents(s, d)
+          .select(explode(expr(TextHash.sparkTokens("text"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("n"))
+        UnigramLm.train(words).orderBy("piece")
+      },
+      Some(s"""WITH uwords AS MATERIALIZED (
+              |  SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+              |    SELECT unnest(${TextHash.duckTokens("text")}) AS w
+              |    FROM documents
+              |  ) WHERE length(w) <= 12 GROUP BY 1
+              |),
+              |useed AS MATERIALIZED (
+              |  SELECT piece, CAST(sum(n) AS BIGINT) AS c FROM (
+              |    SELECT substr(w, st, l) AS piece, n
+              |    FROM uwords,
+              |      unnest(range(1, length(w) + 1)) AS t1(st),
+              |      unnest(range(1, least(4, length(w) - st + 1) + 1))
+              |        AS t2(l)
+              |  ) GROUP BY 1
+              |),
+              |${unigramLogpSql("ulp0", "useed")},
+              |${unigramEStepSql("u1", "uwords", "ulp0")},
+              |${unigramMStepSql("uc1", "u1use")},
+              |${unigramLogpSql("ulp1", "uc1")},
+              |${unigramEStepSql("u2", "uwords", "ulp1")},
+              |${unigramMStepSql("uc2", "u2use")},
+              |${unigramLogpSql("ulp2", "uc2")},
+              |umulti AS (
+              |  SELECT piece, logp_e6 FROM ulp2 WHERE length(piece) > 1
+              |),
+              |umw AS (
+              |  SELECT piece AS w, CAST(1 AS BIGINT) AS n FROM umulti
+              |),
+              |${unigramEStepSql("ua", "umw", "ulp2", minPieces = 2)},
+              |uloss AS (
+              |  SELECT m.piece,
+              |    CAST(c2.c * (m.logp_e6 - ab.score) AS BIGINT) AS loss
+              |  FROM umulti m JOIN uc2 c2 USING (piece)
+              |  JOIN uabest ab ON ab.w = m.piece
+              |),
+              |ukeepk AS (SELECT (count(*) + 1) // 2 AS k FROM umulti),
+              |ukept AS (
+              |  SELECT piece FROM (
+              |    SELECT piece, row_number() OVER (
+              |      ORDER BY loss DESC, piece) AS rn
+              |    FROM uloss
+              |  ) WHERE rn <= (SELECT k FROM ukeepk)
+              |),
+              |uc3 AS (
+              |  SELECT c2.piece, c2.c FROM uc2 c2
+              |  WHERE length(c2.piece) = 1
+              |     OR EXISTS (SELECT 1 FROM ukept k
+              |          WHERE k.piece = c2.piece)
+              |),
+              |${unigramLogpSql("ulp3", "uc3")},
+              |${unigramEStepSql("uf", "uwords", "ulp3")},
+              |${unigramMStepSql("uc4", "ufuse")},
+              |${unigramLogpSql("ulp4", "uc4")}
+              |SELECT l.piece, CAST(coalesce(u.c, 0) AS BIGINT)
+              |    AS n_used, l.logp_e6
+              |FROM ulp4 l LEFT JOIN ufuse u USING (piece)
+              |ORDER BY piece""".stripMargin)),
 
     // d15's decontamination with the q43 runtime bloom composed in
     // (Decontaminate.matchesBloomPruned): the probe grams build a

@@ -2199,4 +2199,41 @@ class OperatorsSpec extends SparkSpec {
       s"card must read zero debt/overflow after compaction: $post")
     spark.catalog.clearCache()
   }
+
+  test("unigram-LM trainer: hand-traced prune sequence and totality") {
+    // d83 on a corpus small enough to run the EM by hand:
+    //   words = abab×50, ab×30, zq×2.
+    // Seed counts (substring occurrences × word freq): a=130, b=130,
+    // ab=130, ba/aba/bab/abab=50, z=q=zq=2, total 594. E1 winners:
+    // [abab] (-2.47 beats [ab ab] -3.04), [ab], [zq] — so u1 keeps
+    // only {abab:50, ab:30, zq:2}, chars floor at 1 (total 86). E2
+    // reproduces u1. Prune (keep ⌈3/2⌉ = 2 of 3 multi pieces) by
+    // loss = usage·(logp − best ≥2-piece alternative):
+    //   ab   30·(ln(30/86) − 2·ln(1/86)) ≈ 235.7  (kept)
+    //   abab 50·(ln(50/86) − 2·ln(30/86)) ≈  78.2 (kept)
+    //   zq    2·(ln(2/86) − 2·ln(1/86)) ≈  10.3  (PRUNED)
+    // Final E-step: abab→[abab], ab→[ab], zq→[z q], so the emitted
+    // vocabulary is exactly {a,b,z,q,ab,abab} with n_used
+    // 0/0/2/2/30/50 — and Σ n_used·len(piece) = 264 = Σ n·len(word)
+    // (totality: every word is covered exactly by its winning
+    // segmentation).
+    val words = Seq(("abab", 50L), ("ab", 30L), ("zq", 2L))
+      .toDF("w", "n")
+    val out = graft.operators.UnigramLm.train(words)
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq ==
+      Seq("a", "ab", "abab", "b", "q", "z"),
+      s"final vocabulary mismatch: ${out.toSeq}")
+    val used = out.map(r => r._1 -> r._2).toMap
+    assert(used == Map("a" -> 0L, "b" -> 0L, "z" -> 2L, "q" -> 2L,
+      "ab" -> 30L, "abab" -> 50L), s"usage mismatch: $used")
+    assert(out.map(r => r._2 * r._1.length).sum == 264L,
+      "winning segmentations must cover the corpus exactly")
+    // logp parity with the documented formula: final counts are
+    // chars a/b at floor 1, z/q at 2, ab 30, abab 50 (total 86).
+    val lp = out.map(r => r._1 -> r._3).toMap
+    def e6(c: Long) = math.floor(math.log(c.toDouble / 86.0) * 1e6).toLong
+    assert(lp("abab") == e6(50) && lp("ab") == e6(30) &&
+      lp("z") == e6(2) && lp("a") == e6(1), s"logp mismatch: $lp")
+  }
 }
