@@ -363,6 +363,55 @@ object Dedup {
     verifyJaccard(candidates, persistedSets(docs), minJaccard)
   }
 
+  /** The df-capped winnowing fingerprint table (doc_id, hash) — the
+    * artifact a 100 TB pipeline PERSISTS bucketed by hash (the
+    * [[bandTable]] discipline for the d82 candidate path) so every
+    * incremental probe reads it exchange-free. Distinct per
+    * (doc, hash); hashes with document frequency over `maxFpDf`
+    * dropped (the MOSS §5 boilerplate cut — see [[DefaultMaxFpDf]]).
+    */
+  def winnowFingerprintTable(docs: DataFrame, k: Int = 3, w: Int = 4,
+      maxFpDf: Int = DefaultMaxFpDf): DataFrame = {
+    val fps = TextAnalysis.winnowingFingerprints(docs, k, w)
+      .select(col("doc_id"), col("hash")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = fps.groupBy("hash").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxFpDf)
+      .select("hash")
+    fps.join(rare, "hash")
+  }
+
+  /** Incremental winnowing near-dup detection: a DELTA batch checked
+    * against an existing CORPUS — d82's candidate path in
+    * [[minhashLshAgainst]]'s delta-vs-corpus shape, and the ~2.5×
+    * cheaper candidate stream with the shared-run GUARANTEE (any
+    * ≥ k+w−1 = 6-token run shared with a corpus doc yields a shared
+    * fingerprint, subject to the corpus-side df cap): delta
+    * fingerprints are pure map-side kernels, candidates come from
+    * one equi-join on the fingerprint hash against the (maintained,
+    * bucketed) corpus table, exact Jaccard verifies each surviving
+    * pair once. Work scales with the delta; the corpus is never
+    * re-fingerprinted.
+    *
+    * @return (da = delta doc, db = corpus doc, jaccard_e6) pairs
+    *   with Jaccard ≥ `minJaccard`
+    */
+  def winnowingAgainst(delta: DataFrame, corpus: DataFrame,
+      minJaccard: Double, k: Int = 3, w: Int = 4,
+      maxFpDf: Int = DefaultMaxFpDf): DataFrame = {
+    val dSets = shingleSets(delta)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cSets = shingleSets(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dFp = TextAnalysis.winnowingFingerprints(delta, k, w)
+      .select(col("doc_id").as("da"), col("hash")).distinct()
+    val candidates = dFp
+      .join(winnowFingerprintTable(corpus, k, w, maxFpDf)
+        .select(col("doc_id").as("db"), col("hash")), "hash")
+      .select("da", "db").distinct()
+    verifyJaccard2(candidates, dSets, cSets, minJaccard)
+  }
+
   /** Exact-Jaccard verification of candidate pairs against the full
     * shingle sets; shared by the inverted-index and LSH paths.
     * `setsA`/`setsB` are the da/db sides — the same table for

@@ -221,6 +221,22 @@ object TextAnalysis {
         (col("fp") % P).as("hash"))
   }
 
+  /** [[winnowingFingerprints]]' hash stream with CARRIED columns —
+    * the streaming-twin form (stream twins watermark on a carried
+    * ingest timestamp and ride the doc's shingle set through the
+    * candidate join): one row per selected fingerprint HASH, all
+    * input columns except `text` preserved. Same selection kernel,
+    * so batch and stream share one definition of the fingerprint.
+    */
+  def winnowingFingerprintHashes(docs: DataFrame, k: Int = 3,
+      w: Int = 4): DataFrame = {
+    val P = TextHash.P
+    winnowed(docs, k, w)
+      .withColumn("_f", explode(col("_fp")))
+      .withColumn("hash", col("_f") % P)
+      .drop("_gh", "_fp", "_f", "text")
+  }
+
   private def winnowed(docs: DataFrame, k: Int, w: Int): DataFrame = {
     require(k >= 1 && w >= 2, s"need k >= 1, w >= 2; got k=$k w=$w")
     import graft.functions.TextHashExprs.{ngram_hashes_pos, token_hashes}

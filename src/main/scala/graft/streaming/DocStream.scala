@@ -175,6 +175,66 @@ object DocStream {
         floor(col("jaccard") * 1000000 + 0.5).cast("long").as("jaccard_e6"))
   }
 
+  /** Streaming incremental WINNOWING near-dup detection —
+    * [[Dedup.winnowingAgainst]] (the d82 candidate path) in its
+    * streaming form, the ~2.5×-cheaper candidate stream next to
+    * [[incrementalDedup]]'s MinHash bands, WITH the shared-run
+    * guarantee (any ≥ 6-token run shared with a corpus doc yields a
+    * shared fingerprint, subject to the corpus-side df cap):
+    * arriving documents are winnowing-fingerprinted map-side (the
+    * SAME selection kernel as batch — one definition), candidates
+    * come from a stream-static equi-join on the fingerprint hash
+    * against the maintained corpus table, multi-fingerprint
+    * collisions dedup through `dropDuplicatesWithinWatermark`
+    * (state bounded by the watermark), and exact Jaccard verifies
+    * once per surviving pair against the static shingle sets.
+    */
+  def incrementalWinnowDedup(delta: DataFrame, corpusDocs: DataFrame,
+      minJaccard: Double, watermark: String = "1 hour",
+      k: Int = 3, w: Int = 4,
+      maxFpDf: Int = Dedup.DefaultMaxFpDf): DataFrame =
+    incrementalWinnowDedupAgainst(delta,
+      Dedup.winnowFingerprintTable(corpusDocs, k, w, maxFpDf),
+      Dedup.shingleSets(corpusDocs), minJaccard, watermark, k, w)
+
+  /** [[incrementalWinnowDedup]] against PRECOMPUTED corpus tables —
+    * the production form ([[incrementalDedupAgainstSets]]'
+    * discipline): `corpusFps` = [[Dedup.winnowFingerprintTable]]
+    * maintained bucketed by hash, `corpusSets` = the shingle-set
+    * table bucketed by doc_id.
+    */
+  def incrementalWinnowDedupAgainst(delta: DataFrame,
+      corpusFps: DataFrame, corpusSets: DataFrame, minJaccard: Double,
+      watermark: String = "1 hour", k: Int = 3, w: Int = 4): DataFrame = {
+    // Stream side: shingle set + fingerprint hashes in ONE map-side
+    // pass (the set rides through the candidate join so the verify
+    // needs no second stream-side tokenize).
+    val dRows = delta
+      .select(col("doc_id").as("da"), col("ingest_ts"),
+        token_hashes(expr(TextHash.sparkTokens("text"))).as("th"),
+        col("text"))
+      .filter(size(col("th")) >= 3)
+      .select(col("da"), col("ingest_ts"),
+        shingle_set(col("th")).as("sha"), col("text"))
+    val dFp = TextAnalysis.winnowingFingerprintHashes(dRows, k, w)
+    dFp
+      .withWatermark("ingest_ts", watermark)
+      .join(corpusFps.select(col("doc_id").as("db"), col("hash")),
+        Seq("hash"))
+      .select(col("da"), col("ingest_ts"), col("sha"), col("db"))
+      .dropDuplicatesWithinWatermark("da", "db")
+      .join(corpusSets.select(col("doc_id").as("db"),
+        col("sh").as("shb")), "db")
+      .withColumn("inter",
+        size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("da"), col("db"),
+        floor(col("jaccard") * 1000000 + 0.5).cast("long")
+          .as("jaccard_e6"))
+  }
+
   /** Ingestion-time NOVELTY scoring — d55's audit in its incremental
     * form: each arriving document is scored by how much of it the
     * CORPUS already contains (fraction of its 8-grams present in the

@@ -116,6 +116,57 @@ class DocStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("parity: streaming winnowing dedup equals batch winnowingAgainst") {
+    // The d82 candidate path's streaming twin: corpus a pipeline
+    // already keeps; deltas arrive over TWO micro-batches so a
+    // cross-batch candidate proves the stream-static join finds
+    // pairs whenever they arrive, not only in the first batch.
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "red green blue cyan magenta yellow black white"))
+      .toDF("doc_id", "text")
+    val batch1 = Seq(
+      doc(101, 10, "alpha beta gamma delta epsilon zeta eta theta"),
+      doc(103, 12, "completely unrelated words live here instead now"))
+    // 102 shares the 6-token run "one two three four five six" with
+    // corpus doc 2 — the winnowing shared-run guarantee must surface
+    // it as a candidate even though the suffix diverges.
+    val batch2 = Seq(
+      doc(102, 11, "one two three four five six apple pear plum"))
+    val stream = MemoryStream[Doc](spark)
+    val q = DocStream.incrementalWinnowDedup(stream.toDF(), corpus,
+        minJaccard = 0.15)
+      .writeStream.format("memory").queryName("incwinnow_t")
+      .outputMode("append").start()
+    try {
+      stream.addData(batch1: _*)
+      q.processAllAvailable()
+      stream.addData(batch2: _*)
+      q.processAllAvailable()
+      val got = spark.table("incwinnow_t")
+        .as[(Long, Long, Long)].collect().toSet
+      val want = Dedup.winnowingAgainst(
+          (batch1 ++ batch2).toDF().select(col("doc_id"), col("text")),
+          corpus, minJaccard = 0.15)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == want, s"stream $got vs batch $want")
+      // The exact copy is found at jaccard exactly 1; the cross-batch
+      // shared-run pair is found; the unrelated doc pairs with no one.
+      assert(got.contains((101L, 1L, 1000000L)))
+      assert(got.exists(p => p._1 == 102L && p._2 == 2L))
+      assert(!got.exists(_._1 == 103L))
+      // Re-delivering a pair within the watermark is suppressed by
+      // the (da, db) dedup state.
+      stream.addData(doc(101, 13,
+        "alpha beta gamma delta epsilon zeta eta theta"))
+      q.processAllAvailable()
+      val again = spark.table("incwinnow_t")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(again.count(r => r._1 == 101L && r._2 == 1L) == 1)
+    } finally { q.stop(); spark.catalog.clearCache() }
+  }
+
   test("parity: streaming chunking equals the batch d22 explode") {
     val rows = Seq(
       doc(1, 10, (1 to 80).map(i => s"w$i").mkString(" ")), // 4 chunks
