@@ -4160,6 +4160,131 @@ object PipelineQueries {
               |FROM ulp4 l LEFT JOIN ufuse u USING (piece)
               |ORDER BY piece""".stripMargin)),
 
+    // d83's vocabulary fed through d53's tokenizer EVALUATION — the
+    // number that decides BETWEEN the two trainers: per-language
+    // fertility (units/word), compression (chars/unit) and
+    // whole-word rate under the trained unigram-LM segmentations
+    // (d53 reports the same numbers for the fixed BPE table, so the
+    // two rows compare directly). One more E-step over the
+    // distinct-word table against the final vocabulary, then the
+    // d53 rollup over corpus word instances; words over the
+    // trainer's 12-char cap carry no segmentation and drop from the
+    // rollup in both engines (the documented cap).
+    Q("d84_unigram_stats",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val words = docs
+          .select(explode(expr(TextHash.sparkTokens("text"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("n"))
+        val vocab = UnigramLm.train(words)
+          .select(col("piece"), col("logp_e6"))
+        val units = UnigramLm.bestSegs(
+            words.filter(length(col("w")) <= 12), vocab)
+          .select(col("w"),
+            size(split(col("segstr"), " ")).cast("long").as("nu"))
+        docs
+          .select(col("lang"),
+            explode(expr(TextHash.sparkTokens("text"))).as("w"))
+          .join(units, "w")
+          .select(col("lang"), length(col("w")).cast("long").as("chars"),
+            col("nu"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_words"),
+            sum("nu").as("n_units"),
+            sum("chars").as("n_chars"),
+            sum(when(col("nu") === 1, 1L).otherwise(0L))
+              .as("n_one_unit"))
+          .select(col("lang"), col("n_words"), col("n_units"),
+            floor(col("n_units").cast("double") / col("n_words")
+              * 10000 + 0.5).cast("long").as("fertility_e4"),
+            floor(col("n_chars").cast("double") / col("n_units")
+              * 10000 + 0.5).cast("long").as("chars_per_unit_e4"),
+            floor(col("n_one_unit").cast("double") / col("n_words")
+              * 10000 + 0.5).cast("long").as("one_unit_rate_e4"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH uwords AS MATERIALIZED (
+              |  SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+              |    SELECT unnest(${TextHash.duckTokens("text")}) AS w
+              |    FROM documents
+              |  ) WHERE length(w) <= 12 GROUP BY 1
+              |),
+              |useed AS MATERIALIZED (
+              |  SELECT piece, CAST(sum(n) AS BIGINT) AS c FROM (
+              |    SELECT substr(w, st, l) AS piece, n
+              |    FROM uwords,
+              |      unnest(range(1, length(w) + 1)) AS t1(st),
+              |      unnest(range(1, least(4, length(w) - st + 1) + 1))
+              |        AS t2(l)
+              |  ) GROUP BY 1
+              |),
+              |${unigramLogpSql("ulp0", "useed")},
+              |${unigramEStepSql("u1", "uwords", "ulp0")},
+              |${unigramMStepSql("uc1", "u1use")},
+              |${unigramLogpSql("ulp1", "uc1")},
+              |${unigramEStepSql("u2", "uwords", "ulp1")},
+              |${unigramMStepSql("uc2", "u2use")},
+              |${unigramLogpSql("ulp2", "uc2")},
+              |umulti AS (
+              |  SELECT piece, logp_e6 FROM ulp2 WHERE length(piece) > 1
+              |),
+              |umw AS (
+              |  SELECT piece AS w, CAST(1 AS BIGINT) AS n FROM umulti
+              |),
+              |${unigramEStepSql("ua", "umw", "ulp2", minPieces = 2)},
+              |uloss AS (
+              |  SELECT m.piece,
+              |    CAST(c2.c * (m.logp_e6 - ab.score) AS BIGINT) AS loss
+              |  FROM umulti m JOIN uc2 c2 USING (piece)
+              |  JOIN uabest ab ON ab.w = m.piece
+              |),
+              |ukeepk AS (SELECT (count(*) + 1) // 2 AS k FROM umulti),
+              |ukept AS (
+              |  SELECT piece FROM (
+              |    SELECT piece, row_number() OVER (
+              |      ORDER BY loss DESC, piece) AS rn
+              |    FROM uloss
+              |  ) WHERE rn <= (SELECT k FROM ukeepk)
+              |),
+              |uc3 AS (
+              |  SELECT c2.piece, c2.c FROM uc2 c2
+              |  WHERE length(c2.piece) = 1
+              |     OR EXISTS (SELECT 1 FROM ukept k
+              |          WHERE k.piece = c2.piece)
+              |),
+              |${unigramLogpSql("ulp3", "uc3")},
+              |${unigramEStepSql("uf", "uwords", "ulp3")},
+              |${unigramMStepSql("uc4", "ufuse")},
+              |${unigramLogpSql("ulp4", "uc4")},
+              |${unigramEStepSql("ue", "uwords", "ulp4")},
+              |units AS (
+              |  SELECT w, CAST(len(string_split(segstr, ' ')) AS BIGINT)
+              |    AS nu
+              |  FROM uebest
+              |),
+              |wi AS (
+              |  SELECT lang, w FROM (
+              |    SELECT lang, unnest(${TextHash.duckTokens("text")}) AS w
+              |    FROM documents
+              |  )
+              |),
+              |w2 AS (
+              |  SELECT wi.lang, length(wi.w) AS chars, u.nu
+              |  FROM wi JOIN units u ON u.w = wi.w
+              |)
+              |SELECT lang,
+              |  CAST(count(*) AS BIGINT) AS n_words,
+              |  CAST(sum(nu) AS BIGINT) AS n_units,
+              |  CAST(floor(CAST(sum(nu) AS DOUBLE) / count(*)
+              |    * 10000 + 0.5) AS BIGINT) AS fertility_e4,
+              |  CAST(floor(CAST(sum(chars) AS DOUBLE) / sum(nu)
+              |    * 10000 + 0.5) AS BIGINT) AS chars_per_unit_e4,
+              |  CAST(floor(CAST(sum(CASE WHEN nu = 1 THEN 1 ELSE 0 END)
+              |      AS DOUBLE) / count(*)
+              |    * 10000 + 0.5) AS BIGINT) AS one_unit_rate_e4
+              |FROM w2 GROUP BY lang
+              |ORDER BY lang""".stripMargin)),
+
     // d15's decontamination with the q43 runtime bloom composed in
     // (Decontaminate.matchesBloomPruned): the probe grams build a
     // bloom reaching the corpus-gram stream as a scalar subquery;
