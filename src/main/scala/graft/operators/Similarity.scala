@@ -939,6 +939,80 @@ object Similarity {
       .union(fwd)
   }
 
+  /** Nav-graph DELETE + consolidate (e53 — the FreshDiskANN delete
+    * step, completing the maintenance triple: attach e32 inserts,
+    * [[navCompact]] pays append debt, this removes): drop a
+    * tombstoned node set D from the built graph WITHOUT a rebuild,
+    * reconnecting the graph THROUGH the deleted nodes — for every
+    * surviving node p with an out-edge into D, the new candidate
+    * list is (N(p) \ D) ∪ (∪_{d∈N(p)∩D} N(d) \ D \ {p}) (each
+    * deleted neighbor is replaced by its own out-neighborhood — the
+    * FreshDiskANN consolidate rule that preserves the walk paths
+    * that used to route through d), rescored on the e6 grid,
+    * heap-truncated to `maxCandidates` and re-pruned with the SAME
+    * RobustPrune core as the build. Nodes with no deleted neighbor
+    * pass through bit-for-bit; rows of D (both directions) vanish.
+    *
+    * Cost ∝ the affected set (|D| × in-degree), never the corpus:
+    * the affected/candidate gathers are co-partitioned equi-joins
+    * on node keys, per-node candidate volume is bounded by
+    * maxDegree + maxDegree² before the heap, and the untouched
+    * slice is an anti-join pass-through. OperatorsSpec pins deleted
+    * absence (both directions), the degree cap, survivor
+    * walk-reachability on the maintenance fixture, and untouched
+    * pass-through.
+    *
+    * @param emb     embeddings covering every surviving node
+    * @param built   (vec_id, rank, nbr_id, sim_e6) built graph
+    * @param deleted one-column (vec_id) tombstone set
+    */
+  def navDelete(emb: DataFrame, built: DataFrame, deleted: DataFrame,
+      alpha100: Long = 120, maxDegree: Int = 16,
+      maxCandidates: Int = 32): DataFrame = {
+    import graft.operators.Checkpointing.CutOps
+    val b = built.select(col("vec_id"), col("rank"), col("nbr_id"),
+      col("sim_e6")).lineageCut
+    val del = deleted.select(col("vec_id")).lineageCut
+    val alive = b.join(del, Seq("vec_id"), "left_anti")
+    // Affected slice: survivors that lose at least one out-edge.
+    val aff = alive
+      .join(del.select(col("vec_id").as("nbr_id")), Seq("nbr_id"),
+        "left_semi")
+      .select("vec_id").distinct()
+    val affEdges = alive.join(aff, Seq("vec_id"), "left_semi")
+    val keep = affEdges
+      .join(del.select(col("vec_id").as("nbr_id")), Seq("nbr_id"),
+        "left_anti")
+      .select(col("vec_id"), col("nbr_id"))
+    // Bridge through each deleted neighbor's own out-list.
+    val bridge = affEdges
+      .select(col("vec_id"), col("nbr_id").as("mid"))
+      .join(del.select(col("vec_id").as("mid")), Seq("mid"), "left_semi")
+      .join(b.select(col("vec_id").as("mid"), col("nbr_id")), "mid")
+      .join(del.select(col("vec_id").as("nbr_id")), Seq("nbr_id"),
+        "left_anti")
+      .filter(col("nbr_id") =!= col("vec_id"))
+      .select(col("vec_id"), col("nbr_id"))
+    val en = withNorms(emb)
+    val scored = keep.union(bridge).distinct()
+      .join(en.select(col("vec_id"), col("e").as("ea")), "vec_id")
+      .join(en.select(col("vec_id").as("nbr_id"), col("e").as("eb")),
+        "nbr_id")
+      .withColumn("se",
+        floor(cosine_sim(col("ea"), col("eb")) * 1000000 + 0.5)
+          .cast("long"))
+      .groupBy("vec_id")
+      .agg(top_k_by_score(col("se").cast("double"), col("nbr_id"),
+        lit(0L), maxCandidates).as("tk"))
+      .select(col("vec_id"), explode(col("tk")).as("t"))
+      .select(col("vec_id"), col("t.cand_id").as("nbr_id"),
+        col("t.sim").cast("long").as("se"))
+    val repruned = alphaPrune(scored, en, alpha100, maxDegree)
+    alive.join(aff, Seq("vec_id"), "left_anti")
+      .union(repruned.select(col("vec_id"), col("rank"), col("nbr_id"),
+        col("sim_e6")))
+  }
+
   /** HIERARCHICAL incremental attach (e48) — [[navigableAttach]]'s
     * FreshDiskANN insert discipline applied to the
     * [[hierarchicalNavGraph]] layers, so the newest index shape no

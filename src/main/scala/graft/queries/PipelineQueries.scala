@@ -10714,6 +10714,88 @@ object PipelineQueries {
               |  SELECT vec_id, rank, nbr_id, se AS sim_e6 FROM cnav
               |  UNION ALL
               |  SELECT vec_id, rank, nbr_id, se AS sim_e6 FROM dnav
+              |) ORDER BY vec_id, rank""".stripMargin)),
+
+    // Nav-graph DELETE + consolidate (the FreshDiskANN delete step —
+    // completes the index-maintenance triple: e32 inserts, e52 pays
+    // append debt, this REMOVES): tombstone every 10th vector and
+    // reconnect the e28 graph through the deleted nodes — each
+    // survivor that lost an out-edge gets its deleted neighbors
+    // replaced by their own out-neighborhoods, rescored on the e6
+    // grid, heap-truncated to 32 and re-pruned with the build's
+    // RobustPrune core; survivors with no deleted neighbor pass
+    // through bit-for-bit, deleted rows vanish in both directions.
+    // Cost ∝ the affected slice, never the corpus. Oracle: the e28
+    // chain + affected/bridge CTEs + one more α-prune unroll.
+    Q("e53_nav_delete",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val built = Similarity.navigableGraph(emb,
+          Similarity.knnGraphProbed(Similarity.trainedCells(emb),
+              "cell", k = 16, nprobe = 2)
+            .select(col("vec_id"), col("nbr_id")))
+        Similarity.navDelete(emb, built,
+            emb.filter(col("vec_id") % 10 === 0).select("vec_id"))
+          .orderBy("vec_id", "rank")
+      },
+      Some(s"""WITH $trainedKnnCtes,
+              |${navGraphCtes(graphK = 16, alpha100 = 120,
+                              maxDeg = 16, maxCand = 32)},
+              |del AS (SELECT vec_id FROM e WHERE vec_id % 10 = 0),
+              |alive AS (
+              |  SELECT n.* FROM nav n
+              |  WHERE NOT EXISTS (SELECT 1 FROM del d
+              |    WHERE d.vec_id = n.vec_id)
+              |),
+              |aff AS MATERIALIZED (
+              |  SELECT DISTINCT a.vec_id
+              |  FROM alive a JOIN del d ON d.vec_id = a.nbr_id
+              |),
+              |keepe AS (
+              |  SELECT a.vec_id, a.nbr_id
+              |  FROM alive a JOIN aff USING (vec_id)
+              |  WHERE NOT EXISTS (SELECT 1 FROM del d
+              |    WHERE d.vec_id = a.nbr_id)
+              |),
+              |bridge AS (
+              |  SELECT a.vec_id, m.nbr_id
+              |  FROM alive a JOIN aff USING (vec_id)
+              |  JOIN del d ON d.vec_id = a.nbr_id
+              |  JOIN nav m ON m.vec_id = a.nbr_id
+              |  WHERE NOT EXISTS (SELECT 1 FROM del dd
+              |    WHERE dd.vec_id = m.nbr_id)
+              |    AND m.nbr_id <> a.vec_id
+              |),
+              |cand0 AS (
+              |  SELECT DISTINCT vec_id, nbr_id FROM (
+              |    SELECT * FROM keepe UNION ALL SELECT * FROM bridge
+              |  )
+              |),
+              |xnc AS MATERIALIZED (
+              |  SELECT vec_id, nbr_id, se, crank FROM (
+              |    SELECT vec_id, nbr_id, se, row_number() OVER (
+              |      PARTITION BY vec_id ORDER BY se DESC, nbr_id)
+              |      AS crank
+              |    FROM (
+              |      SELECT c.vec_id, c.nbr_id,
+              |        CAST(floor(${TextHash.duckCosine("a.emb", "b.emb", 64)}
+              |          * 1000000 + 0.5) AS BIGINT) AS se
+              |      FROM cand0 c
+              |      JOIN e a ON a.vec_id = c.vec_id
+              |      JOIN e b ON b.vec_id = c.nbr_id
+              |    )
+              |  ) WHERE crank <= 32
+              |),
+              |${alphaPruneStepsSql(alpha100 = 120, maxDeg = 16,
+                                    maxCand = 32, ncCte = "xnc",
+                                    pfx = "x")}
+              |SELECT * FROM (
+              |  SELECT a.vec_id, a.rank, a.nbr_id, a.se AS sim_e6
+              |  FROM alive a
+              |  WHERE NOT EXISTS (SELECT 1 FROM aff f
+              |    WHERE f.vec_id = a.vec_id)
+              |  UNION ALL
+              |  SELECT vec_id, rank, nbr_id, se AS sim_e6 FROM xnav
               |) ORDER BY vec_id, rank""".stripMargin))
   )
 }

@@ -2200,6 +2200,73 @@ class OperatorsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("nav delete reconnects through tombstones: absence, cap, reach") {
+    // e53's contracts on the maintenance fixture: build over the
+    // full anchor+twin corpus, tombstone the +δ twins (ids ≡ 1 mod
+    // 3), then pin (a) deleted ids absent in BOTH directions, (b)
+    // degrees ≤ cap, (c) survivors reachable before stay reachable
+    // after (the bridge-through-deleted rule preserves the walk
+    // paths that routed through a tombstone), (d) survivors with no
+    // deleted neighbor pass through bit-for-bit.
+    val rnd = new scala.util.Random(7L)
+    val anchors = (0 until 25).map(_ => Seq.fill(8)(rnd.nextGaussian()))
+    val dirs = (0 until 25).map(_ => Seq.fill(8)(rnd.nextGaussian()))
+    val rows = (0 until 25).flatMap { i =>
+      val a = anchors(i); val u = dirs(i)
+      Seq((3L * i, a),
+        (3L * i + 1, a.zip(u).map { case (x, y) => x + 0.05 * y }),
+        (3L * i + 2, a.zip(u).map { case (x, y) => x - 0.05 * y }))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val tc = Similarity.trainedCells(emb, perCell = 10)
+    val built = Similarity.navigableGraph(emb,
+        Similarity.knnGraphProbed(tc, "cell", k = 4, nprobe = 2)
+          .select(col("vec_id"), col("nbr_id")),
+        maxDegree = 4, maxCandidates = 8)
+    val delIds = (0 until 25).map(i => 3L * i + 1).toSet
+    val deleted = emb.filter(col("vec_id") % 3 === 1).select("vec_id")
+    val after = Similarity.navDelete(emb, built, deleted,
+      maxDegree = 4, maxCandidates = 8)
+    val afterRows = after
+      .as[(Long, Long, Long, Long)].collect()
+    // (a) absence in both directions.
+    assert(!afterRows.exists(r => delIds(r._1) || delIds(r._3)),
+      "tombstoned ids must vanish as both source and target")
+    // (b) degree cap.
+    val degs = afterRows.groupBy(_._1).map(_._2.length)
+    assert(degs.max <= 4, s"degree ${degs.max} exceeds the cap")
+    // (d) untouched pass-through: survivors whose built list had no
+    // deleted neighbor keep identical rows.
+    val builtRows = built.as[(Long, Long, Long, Long)].collect()
+    val touched = builtRows.filter(r => delIds(r._3)).map(_._1).toSet
+    def untouchedOf(rs: Array[(Long, Long, Long, Long)]) =
+      rs.filter(r => !delIds(r._1) && !touched(r._1)).toSet
+    assert(untouchedOf(afterRows) == untouchedOf(builtRows),
+      "untouched survivors must keep their built lists")
+    // (c) reachability: from the surviving medoids, every survivor
+    // reachable over the built graph stays reachable after delete.
+    val entries = Similarity.cellMedoids(tc, "cell")
+      .select("cand_id").as[Long].collect().toSet.diff(delIds)
+    def reach(edges: Set[(Long, Long)]): Set[Long] = {
+      val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      var seen = entries
+      var frontier = entries
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+          .diff(seen)
+        seen ++= next
+        frontier = next
+      }
+      seen
+    }
+    val beforeReach = reach(builtRows.map(r => (r._1, r._3)).toSet)
+      .diff(delIds)
+    val afterReach = reach(afterRows.map(r => (r._1, r._3)).toSet)
+    assert(beforeReach.subsetOf(afterReach),
+      s"delete lost survivors ${beforeReach.diff(afterReach)}")
+    spark.catalog.clearCache()
+  }
+
   test("unigram-LM trainer: hand-traced prune sequence and totality") {
     // d83 on a corpus small enough to run the EM by hand:
     //   words = abab×50, ab×30, zq×2.
