@@ -76,7 +76,13 @@ object Bench {
     // round-13 graph plan) and the CCNet perplexity terciles (the
     // KN bigram LM chain + percentile split — the heaviest
     // round-13 text plan).
-    "g33_truss_decomp", "d78_ccnet_buckets")
+    "g33_truss_decomp", "d78_ccnet_buckets",
+    // Round 15 widening: the selective nav-graph compaction (build +
+    // attach + merged-list re-prune — the round's heaviest
+    // maintenance composition) and the unigram-LM tokenizer trainer
+    // (three enumeration E-steps + the loss prune — the heaviest
+    // round-15 text plan).
+    "e52_nav_compact", "d83_unigram_lm")
 
   /** Per-query quiet-box gate rows (sf0.1 cross-run steady medians,
     * BASELINE.md round-14 record) — the CURRENT reference the run
