@@ -202,6 +202,18 @@ class CacheHygieneSpec extends SparkSpec {
       minJaccard = 0.8))
   checkCallerReleased("Dedup.simhashPairs")(
     Dedup.simhashPairs(docs, maxHamming = 3))
+  checkCallerReleased("Dedup.winnowFingerprintTable")(
+    Dedup.winnowFingerprintTable(docs))
+  checkCallerReleased("Dedup.winnowingAgainst")(
+    Dedup.winnowingAgainst(docs.filter($"doc_id" > 3), docs,
+      minJaccard = 0.8))
+
+  test("UnigramLm.train releases every internal cache on return") {
+    spark.sharedState.cacheManager.clearCache()
+    val words = Seq(("abab", 5L), ("ab", 3L)).toDF("w", "n")
+    assert(graft.operators.UnigramLm.train(words).count() >= 0)
+    assert(cacheEmpty, "UnigramLm left cached entries behind")
+  }
   checkCallerReleased("Similarity.embedNearDupPairs")(
     Similarity.embedNearDupPairs(embD
       .join(emb.select($"vec_id", $"label"), "vec_id"), minCos = 0.9))
@@ -229,6 +241,7 @@ class CacheHygieneSpec extends SparkSpec {
       "PageRank.scala", "ConnectedComponents.scala", "Sssp.scala",
       "Bfs.scala", "Harmonic.scala", "Walks.scala", "KMeans.scala",
       "BpeTrain.scala", "Similarity.scala", "Betweenness.scala",
+      "UnigramLm.scala",
       // documented caller-releases, pinned by checkCallerReleased
       "Dedup.scala",
       // query-local persist under Verify's per-query clearCache
