@@ -168,6 +168,13 @@ object Bench {
       s"[bench] WARNING: unknown SPARK_GRAFT_BENCH_EXTRA name '$n' " +
         "dropped (not a SparkEntry.queries key)"))
     val names = headline.filterNot(skip) ++ extra
+    // SPARK_GRAFT_BENCH_RUNS: steady-run count override (default 5)
+    // — the dev knob for one-shot scale probes (an sf10 decade point
+    // doesn't need 6 runs per query; the slope table wants one warm
+    // number). Like skip/extra, a non-default value is recorded in
+    // the JSON so a reduced-protocol run can't read as a gate run.
+    val steadyRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .map(_.toInt.max(1)).getOrElse(5)
     def benchOne(name: String): R = {
       def run(): Double = {
         val t0 = System.nanoTime()
@@ -181,7 +188,7 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val cold = run()
-      val steady = scala.collection.mutable.ArrayBuffer.fill(5)(run())
+      val steady = scala.collection.mutable.ArrayBuffer.fill(steadyRuns)(run())
       def median = steady.sorted.apply(steady.size / 2)
       var extraRounds = 0
       while (extraRounds < 4 && median > 1.5 * steady.min) {
@@ -202,9 +209,14 @@ object Bench {
     // rows and re-runs the whole set ONCE when > GateInflated×; if
     // the re-run is still inflated the JSON self-flags, and either
     // way the ratio ships in the artifact.
+    // The gate rows are sf0.1 quiet-box medians — adjudication only
+    // means anything on that corpus; a scale probe (sf1/sf10 via
+    // SPARK_GRAFT_SF_DIR) would read 4-30x of gate and pay a
+    // pointless full re-run.
+    val atGateSf = sfDir.contains("sf0.1")
     def gateRatio(rs: Seq[R]): Option[Double] = {
       val g = rs.filter(r => gate.contains(r.name))
-      if (g.isEmpty) None
+      if (g.isEmpty || !atGateSf) None
       else Some(g.map(_.median).sum / g.map(r => gate(r.name)).sum)
     }
     var results = names.map(benchOne)
@@ -251,6 +263,8 @@ object Bench {
       (if (extra.isEmpty) ""
        else s""""extra":[${extra.sorted
          .map("\"" + _ + "\"").mkString(",")}],""") +
+      (if (steadyRuns == 5) ""
+       else s""""steady_runs_cfg":$steadyRuns,""") +
       s""""sf":"$sfDir"}"""
     // The JSON must survive sbt's [info]-prefixed stdout wrapping:
     // write it to a file too, and stop Spark BEFORE printing so the
