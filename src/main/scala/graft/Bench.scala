@@ -173,8 +173,17 @@ object Bench {
     // doesn't need 6 runs per query; the slope table wants one warm
     // number). Like skip/extra, a non-default value is recorded in
     // the JSON so a reduced-protocol run can't read as a gate run.
-    val steadyRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
-      .map(_.toInt.max(1)).getOrElse(5)
+    // toIntOption + warn: a malformed value must not crash an
+    // hours-long scale probe (the SPARK_GRAFT_BENCH_EXTRA contract).
+    val steadyRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS") match {
+      case Some(v) => v.trim.toIntOption.map(_.max(1)).getOrElse {
+        System.err.println(
+          s"[bench] WARNING: SPARK_GRAFT_BENCH_RUNS '$v' is not an " +
+            "int - using the default 5")
+        5
+      }
+      case None => 5
+    }
     def benchOne(name: String): R = {
       def run(): Double = {
         val t0 = System.nanoTime()
@@ -248,13 +257,18 @@ object Bench {
         // distinguish a localized plan regression from uniform
         // co-tenant inflation — ship each query's median/gate ratio
         // and the worst one so a reader adjudicates from the artifact.
+        // Locale-proof 3-decimal rendering: the f"%.3f" interpolator
+        // is JVM-default-locale-dependent (decimal COMMAS under e.g.
+        // de_DE would corrupt the JSON); round-then-toString always
+        // emits a dot.
+        def r3(x: Double): String = ((x * 1000).round / 1000.0).toString
         val perQ = gated.map(r =>
-          "\"" + r.name + "\":" + f"${r.median / gate(r.name)}%.3f")
+          "\"" + r.name + "\":" + r3(r.median / gate(r.name)))
           .mkString("{", ",", "}")
         val worst = gated.maxBy(r => r.median / gate(r.name))
         s""""gate_total":$gt,"gate_ratio":$rr,"inflated":$inflated,""" +
           s""""queries_gate_ratio":$perQ,""" +
-          f""""gate_ratio_max":${worst.median / gate(worst.name)}%.3f,""" +
+          s""""gate_ratio_max":${r3(worst.median / gate(worst.name))},""" +
           s""""gate_ratio_max_query":"${worst.name}","""
       } +
       (if (skip.isEmpty) ""

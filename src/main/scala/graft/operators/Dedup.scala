@@ -344,17 +344,11 @@ object Dedup {
     */
   def winnowingPairs(docs: DataFrame, minJaccard: Double, k: Int = 3,
       w: Int = 4, maxFpDf: Int = DefaultMaxFpDf): DataFrame = {
-    // Both signature tables persist under the header's caller-release
-    // convention: fingerprints feed the df count AND both self-join
-    // sides, shingle sets both verify sides — unpersisted, the
-    // corpus would tokenize up to four extra times per action.
-    val fps = TextAnalysis.winnowingFingerprints(docs, k, w)
-      .select(col("doc_id"), col("hash")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rare = fps.groupBy("hash").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxFpDf)
-      .select("hash")
-    val fpsRare = fps.join(rare, "hash")
+    // The df-capped fingerprint table is ONE definition shared with
+    // the maintained-artifact/streaming path ([[winnowFingerprintTable]]
+    // persists the raw fingerprints under the header's caller-release
+    // convention — they feed the df count AND both self-join sides).
+    val fpsRare = winnowFingerprintTable(docs, k, w, maxFpDf)
     val candidates = fpsRare.as("a").join(fpsRare.as("b"),
         col("a.hash") === col("b.hash") &&
           col("a.doc_id") < col("b.doc_id"))

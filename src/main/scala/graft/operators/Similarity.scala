@@ -892,6 +892,11 @@ object Similarity {
   def navCompact(emb: DataFrame, built: DataFrame, att: DataFrame,
       alpha100: Long = 120, maxDegree: Int = 16,
       maxCandidates: Int = 32): DataFrame = {
+    require(alpha100 >= 100,
+      s"alpha100 is a ×100 fixed-point α ≥ 1, got $alpha100")
+    require(maxDegree >= 1 && maxCandidates >= maxDegree,
+      s"need 1 <= maxDegree <= maxCandidates, " +
+        s"got $maxDegree/$maxCandidates")
     import graft.operators.Checkpointing.CutOps
     // Both inputs are consumed by several branches below — cut once
     // so the (already-executed-shaped) build/attach plans don't
@@ -969,6 +974,11 @@ object Similarity {
   def navDelete(emb: DataFrame, built: DataFrame, deleted: DataFrame,
       alpha100: Long = 120, maxDegree: Int = 16,
       maxCandidates: Int = 32): DataFrame = {
+    require(alpha100 >= 100,
+      s"alpha100 is a ×100 fixed-point α ≥ 1, got $alpha100")
+    require(maxDegree >= 1 && maxCandidates >= maxDegree,
+      s"need 1 <= maxDegree <= maxCandidates, " +
+        s"got $maxDegree/$maxCandidates")
     import graft.operators.Checkpointing.CutOps
     val b = built.select(col("vec_id"), col("rank"), col("nbr_id"),
       col("sim_e6")).lineageCut

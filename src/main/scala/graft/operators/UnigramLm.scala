@@ -152,9 +152,22 @@ object UnigramLm {
     */
   def train(words0: DataFrame, maxPieceLen: Int = 4,
       maxWordLen: Int = 12): DataFrame = {
-    import graft.operators.Checkpointing.CutOps
     val words = words0.filter(length(col("w")) <= maxWordLen)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    try trainOnPrepared(words, maxPieceLen)
+    finally words.unpersist()
+  }
+
+  /** [[train]] over an ALREADY length-capped (and ideally persisted)
+    * word table — the form a caller that also segments with the
+    * result uses (d84 feeds the same table to [[bestSegs]]; without
+    * this split the corpus would tokenize twice). Safe to release
+    * `words` on return: every frame the result depends on is an
+    * eager lineage cut taken here.
+    */
+  def trainOnPrepared(words: DataFrame,
+      maxPieceLen: Int = 4): DataFrame = {
+    import graft.operators.Checkpointing.CutOps
     val seed = seedPieces(words, maxPieceLen).lineageCut
     val chars = seed.filter(length(col("piece")) === 1).lineageCut
     // EM round 1: seed probs → usage → re-counted vocabulary.
@@ -192,12 +205,10 @@ object UnigramLm {
     val p3 = logpTable(c3)
     val u3 = usage(words, p3).lineageCut
     val c4 = mStepCounts(u3, chars)
-    val out = logpTable(c4)
+    logpTable(c4)
       .join(u3.select(col("piece"), col("c").as("n_used")), Seq("piece"),
         "left")
       .select(col("piece"),
         coalesce(col("n_used"), lit(0L)).as("n_used"), col("logp_e6"))
-    words.unpersist()
-    out
   }
 }

@@ -230,6 +230,67 @@ object PipelineQueries {
        |    (SELECT CAST(sum(c) AS BIGINT) AS tot FROM $countsCte) t
        |)""".stripMargin
 
+  /** The COMPLETE d83 training chain as one generated CTE block —
+    * uwords (length-capped distinct words) through ulp4 (the final
+    * normalized vocabulary) and ufuse (the final usage counts).
+    * Shared verbatim by d83 and d84 so the evaluation can never
+    * desynchronize from the trainer it evaluates.
+    */
+  private def unigramTrainSql: String =
+    s"""uwords AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT unnest(${TextHash.duckTokens("text")}) AS w
+       |    FROM documents
+       |  ) WHERE length(w) <= 12 GROUP BY 1
+       |),
+       |useed AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(n) AS BIGINT) AS c FROM (
+       |    SELECT substr(w, st, l) AS piece, n
+       |    FROM uwords,
+       |      unnest(range(1, length(w) + 1)) AS t1(st),
+       |      unnest(range(1, least(4, length(w) - st + 1) + 1))
+       |        AS t2(l)
+       |  ) GROUP BY 1
+       |),
+       |${unigramLogpSql("ulp0", "useed")},
+       |${unigramEStepSql("u1", "uwords", "ulp0")},
+       |${unigramMStepSql("uc1", "u1use")},
+       |${unigramLogpSql("ulp1", "uc1")},
+       |${unigramEStepSql("u2", "uwords", "ulp1")},
+       |${unigramMStepSql("uc2", "u2use")},
+       |${unigramLogpSql("ulp2", "uc2")},
+       |umulti AS (
+       |  SELECT piece, logp_e6 FROM ulp2 WHERE length(piece) > 1
+       |),
+       |umw AS (
+       |  SELECT piece AS w, CAST(1 AS BIGINT) AS n FROM umulti
+       |),
+       |${unigramEStepSql("ua", "umw", "ulp2", minPieces = 2)},
+       |uloss AS (
+       |  SELECT m.piece,
+       |    CAST(c2.c * (m.logp_e6 - ab.score) AS BIGINT) AS loss
+       |  FROM umulti m JOIN uc2 c2 USING (piece)
+       |  JOIN uabest ab ON ab.w = m.piece
+       |),
+       |ukeepk AS (SELECT (count(*) + 1) // 2 AS k FROM umulti),
+       |ukept AS (
+       |  SELECT piece FROM (
+       |    SELECT piece, row_number() OVER (
+       |      ORDER BY loss DESC, piece) AS rn
+       |    FROM uloss
+       |  ) WHERE rn <= (SELECT k FROM ukeepk)
+       |),
+       |uc3 AS (
+       |  SELECT c2.piece, c2.c FROM uc2 c2
+       |  WHERE length(c2.piece) = 1
+       |     OR EXISTS (SELECT 1 FROM ukept k
+       |          WHERE k.piece = c2.piece)
+       |),
+       |${unigramLogpSql("ulp3", "uc3")},
+       |${unigramEStepSql("uf", "uwords", "ulp3")},
+       |${unigramMStepSql("uc4", "ufuse")},
+       |${unigramLogpSql("ulp4", "uc4")}""".stripMargin
+
   private def shareRareSql(da: String, db: String): String =
     s"""EXISTS (SELECT 1 FROM sh x3
        |    JOIN rare r3 ON r3.s = x3.s
@@ -4102,59 +4163,7 @@ object PipelineQueries {
           .groupBy("w").agg(count(lit(1)).as("n"))
         UnigramLm.train(words).orderBy("piece")
       },
-      Some(s"""WITH uwords AS MATERIALIZED (
-              |  SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
-              |    SELECT unnest(${TextHash.duckTokens("text")}) AS w
-              |    FROM documents
-              |  ) WHERE length(w) <= 12 GROUP BY 1
-              |),
-              |useed AS MATERIALIZED (
-              |  SELECT piece, CAST(sum(n) AS BIGINT) AS c FROM (
-              |    SELECT substr(w, st, l) AS piece, n
-              |    FROM uwords,
-              |      unnest(range(1, length(w) + 1)) AS t1(st),
-              |      unnest(range(1, least(4, length(w) - st + 1) + 1))
-              |        AS t2(l)
-              |  ) GROUP BY 1
-              |),
-              |${unigramLogpSql("ulp0", "useed")},
-              |${unigramEStepSql("u1", "uwords", "ulp0")},
-              |${unigramMStepSql("uc1", "u1use")},
-              |${unigramLogpSql("ulp1", "uc1")},
-              |${unigramEStepSql("u2", "uwords", "ulp1")},
-              |${unigramMStepSql("uc2", "u2use")},
-              |${unigramLogpSql("ulp2", "uc2")},
-              |umulti AS (
-              |  SELECT piece, logp_e6 FROM ulp2 WHERE length(piece) > 1
-              |),
-              |umw AS (
-              |  SELECT piece AS w, CAST(1 AS BIGINT) AS n FROM umulti
-              |),
-              |${unigramEStepSql("ua", "umw", "ulp2", minPieces = 2)},
-              |uloss AS (
-              |  SELECT m.piece,
-              |    CAST(c2.c * (m.logp_e6 - ab.score) AS BIGINT) AS loss
-              |  FROM umulti m JOIN uc2 c2 USING (piece)
-              |  JOIN uabest ab ON ab.w = m.piece
-              |),
-              |ukeepk AS (SELECT (count(*) + 1) // 2 AS k FROM umulti),
-              |ukept AS (
-              |  SELECT piece FROM (
-              |    SELECT piece, row_number() OVER (
-              |      ORDER BY loss DESC, piece) AS rn
-              |    FROM uloss
-              |  ) WHERE rn <= (SELECT k FROM ukeepk)
-              |),
-              |uc3 AS (
-              |  SELECT c2.piece, c2.c FROM uc2 c2
-              |  WHERE length(c2.piece) = 1
-              |     OR EXISTS (SELECT 1 FROM ukept k
-              |          WHERE k.piece = c2.piece)
-              |),
-              |${unigramLogpSql("ulp3", "uc3")},
-              |${unigramEStepSql("uf", "uwords", "ulp3")},
-              |${unigramMStepSql("uc4", "ufuse")},
-              |${unigramLogpSql("ulp4", "uc4")}
+      Some(s"""WITH $unigramTrainSql
               |SELECT l.piece, CAST(coalesce(u.c, 0) AS BIGINT)
               |    AS n_used, l.logp_e6
               |FROM ulp4 l LEFT JOIN ufuse u USING (piece)
@@ -4173,13 +4182,18 @@ object PipelineQueries {
     Q("d84_unigram_stats",
       (s, d) => {
         val docs = Tables.documents(s, d)
+        // Query-local persist (the d30 roster convention — Verify's
+        // per-query clearCache releases it): the capped word table
+        // feeds the trainer AND the segmentation E-step; without it
+        // the corpus tokenizes twice.
         val words = docs
           .select(explode(expr(TextHash.sparkTokens("text"))).as("w"))
           .groupBy("w").agg(count(lit(1)).as("n"))
-        val vocab = UnigramLm.train(words)
+          .filter(length(col("w")) <= 12)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val vocab = UnigramLm.trainOnPrepared(words)
           .select(col("piece"), col("logp_e6"))
-        val units = UnigramLm.bestSegs(
-            words.filter(length(col("w")) <= 12), vocab)
+        val units = UnigramLm.bestSegs(words, vocab)
           .select(col("w"),
             size(split(col("segstr"), " ")).cast("long").as("nu"))
         docs
@@ -4203,59 +4217,7 @@ object PipelineQueries {
               * 10000 + 0.5).cast("long").as("one_unit_rate_e4"))
           .orderBy("lang")
       },
-      Some(s"""WITH uwords AS MATERIALIZED (
-              |  SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
-              |    SELECT unnest(${TextHash.duckTokens("text")}) AS w
-              |    FROM documents
-              |  ) WHERE length(w) <= 12 GROUP BY 1
-              |),
-              |useed AS MATERIALIZED (
-              |  SELECT piece, CAST(sum(n) AS BIGINT) AS c FROM (
-              |    SELECT substr(w, st, l) AS piece, n
-              |    FROM uwords,
-              |      unnest(range(1, length(w) + 1)) AS t1(st),
-              |      unnest(range(1, least(4, length(w) - st + 1) + 1))
-              |        AS t2(l)
-              |  ) GROUP BY 1
-              |),
-              |${unigramLogpSql("ulp0", "useed")},
-              |${unigramEStepSql("u1", "uwords", "ulp0")},
-              |${unigramMStepSql("uc1", "u1use")},
-              |${unigramLogpSql("ulp1", "uc1")},
-              |${unigramEStepSql("u2", "uwords", "ulp1")},
-              |${unigramMStepSql("uc2", "u2use")},
-              |${unigramLogpSql("ulp2", "uc2")},
-              |umulti AS (
-              |  SELECT piece, logp_e6 FROM ulp2 WHERE length(piece) > 1
-              |),
-              |umw AS (
-              |  SELECT piece AS w, CAST(1 AS BIGINT) AS n FROM umulti
-              |),
-              |${unigramEStepSql("ua", "umw", "ulp2", minPieces = 2)},
-              |uloss AS (
-              |  SELECT m.piece,
-              |    CAST(c2.c * (m.logp_e6 - ab.score) AS BIGINT) AS loss
-              |  FROM umulti m JOIN uc2 c2 USING (piece)
-              |  JOIN uabest ab ON ab.w = m.piece
-              |),
-              |ukeepk AS (SELECT (count(*) + 1) // 2 AS k FROM umulti),
-              |ukept AS (
-              |  SELECT piece FROM (
-              |    SELECT piece, row_number() OVER (
-              |      ORDER BY loss DESC, piece) AS rn
-              |    FROM uloss
-              |  ) WHERE rn <= (SELECT k FROM ukeepk)
-              |),
-              |uc3 AS (
-              |  SELECT c2.piece, c2.c FROM uc2 c2
-              |  WHERE length(c2.piece) = 1
-              |     OR EXISTS (SELECT 1 FROM ukept k
-              |          WHERE k.piece = c2.piece)
-              |),
-              |${unigramLogpSql("ulp3", "uc3")},
-              |${unigramEStepSql("uf", "uwords", "ulp3")},
-              |${unigramMStepSql("uc4", "ufuse")},
-              |${unigramLogpSql("ulp4", "uc4")},
+      Some(s"""WITH $unigramTrainSql,
               |${unigramEStepSql("ue", "uwords", "ulp4")},
               |units AS (
               |  SELECT w, CAST(len(string_split(segstr, ' ')) AS BIGINT)

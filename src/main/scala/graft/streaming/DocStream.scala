@@ -160,12 +160,24 @@ object DocStream {
     val cSets = corpusSets
     val cBands = cSets.select(col("doc_id").as("db"),
       posexplode(band_sigs(minhash_sig(col("sh")))).as(Seq("band", "sig")))
-    dBands
+    verifyAgainstSets(dBands
       .withWatermark("ingest_ts", watermark)
       .join(cBands, Seq("band", "sig"))
       .select(col("da"), col("ingest_ts"), col("sha"), col("db"))
-      .dropDuplicatesWithinWatermark("da", "db")
-      .join(cSets.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
+      .dropDuplicatesWithinWatermark("da", "db"), cSets, minJaccard)
+  }
+
+  /** The exact-Jaccard verify tail shared by both streaming
+    * incremental twins (MinHash bands and winnowing fingerprints) —
+    * one definition of the verification arithmetic (the batch
+    * verifyJaccard2 protocol: floor(j·1e6 + 0.5) — rule-free on
+    * rounding boundaries). Input must carry (da, sha, db).
+    */
+  private def verifyAgainstSets(cands: DataFrame, corpusSets: DataFrame,
+      minJaccard: Double): DataFrame =
+    cands
+      .join(corpusSets.select(col("doc_id").as("db"),
+        col("sh").as("shb")), "db")
       .withColumn("inter",
         size(array_intersect(col("sha"), col("shb"))).cast("long"))
       .withColumn("jaccard", col("inter").cast("double") /
@@ -173,7 +185,6 @@ object DocStream {
       .filter(col("jaccard") >= minJaccard)
       .select(col("da"), col("db"),
         floor(col("jaccard") * 1000000 + 0.5).cast("long").as("jaccard_e6"))
-  }
 
   /** Streaming incremental WINNOWING near-dup detection —
     * [[Dedup.winnowingAgainst]] (the d82 candidate path) in its
@@ -217,22 +228,13 @@ object DocStream {
       .select(col("da"), col("ingest_ts"),
         shingle_set(col("th")).as("sha"), col("text"))
     val dFp = TextAnalysis.winnowingFingerprintHashes(dRows, k, w)
-    dFp
+    verifyAgainstSets(dFp
       .withWatermark("ingest_ts", watermark)
       .join(corpusFps.select(col("doc_id").as("db"), col("hash")),
         Seq("hash"))
       .select(col("da"), col("ingest_ts"), col("sha"), col("db"))
-      .dropDuplicatesWithinWatermark("da", "db")
-      .join(corpusSets.select(col("doc_id").as("db"),
-        col("sh").as("shb")), "db")
-      .withColumn("inter",
-        size(array_intersect(col("sha"), col("shb"))).cast("long"))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("sha")) + size(col("shb")) - col("inter")))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("da"), col("db"),
-        floor(col("jaccard") * 1000000 + 0.5).cast("long")
-          .as("jaccard_e6"))
+      .dropDuplicatesWithinWatermark("da", "db"), corpusSets,
+      minJaccard)
   }
 
   /** Ingestion-time NOVELTY scoring — d55's audit in its incremental
