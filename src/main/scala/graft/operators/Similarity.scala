@@ -267,11 +267,21 @@ object Similarity {
     * `nprobe` knob (there the query set is small; here every corpus
     * vector is a query).
     *
-    * Scale shape: the bounded centroid table collapses to ONE sorted
-    * (label, cvec) array row broadcast to every partition (the
-    * KMeans-assignment trick) — each vector picks its top-`nprobe`
-    * cells map-side via an array_sort over nlist scored cells, so
-    * assignment costs ZERO shuffle (never a corpus×nlist exchange).
+    * Scale shape: the bounded k×dims centroid table collapses to a
+    * DRIVER-side matrix baked into the compiled
+    * [[graft.functions.NearestCellsProbed]] kernel (the
+    * [[KMeans.assign]] handoff class — O(nlist×dims) scalars, never
+    * corpus data): each vector picks its top-`nprobe` cells map-side
+    * inside whole-stage codegen, so routing costs ZERO shuffle (never
+    * a corpus×nlist exchange) and ZERO per-cell interpreter dispatch.
+    * The previous formulation (one broadcast centroid-array row + an
+    * interpreted `transform` lambda + a full `array_sort` over nlist
+    * structs per row) was the nav-build family's measured super-linear
+    * term at sf1→sf10 — nlist ∝ n under [[trainedCells]] makes routing
+    * O(n·nlist·dims), and the lambda/struct-sort constant (~10× the
+    * cosine arithmetic, KMeansProfile) turned that into 15–25× per
+    * decade; the kernel removes the constant and the per-row sort
+    * allocation (bounded nprobe-slot insertion instead).
     * The candidate join then shuffles nprobe probe rows per vector
     * against the corpus keyed on the cell — work is
     * Σ_cell |cell|·(probes landing there) ≈ nprobe·Σ_cell |cell|² —
@@ -281,20 +291,25 @@ object Similarity {
     */
   def knnGraphProbed(emb: DataFrame, labelCol: String, k: Int,
       nprobe: Int = 2): DataFrame = {
-    val centArr = centroidVectors(emb, labelCol)
-      .agg(array_sort(collect_list(struct(col("label"), col("cvec"))))
-        .as("cents"))
-    // (-cos, label) sorts as (cos DESC, label ASC) — the same probe
-    // order ivfProbeTopK's row_number states; negation is exact in
-    // IEEE doubles, so no tie behavior can diverge from the oracle.
+    import graft.functions.NearestCentroidCell.nearest_cells
+    val cents = centroidVectors(emb, labelCol)
+      .select(col("label").cast("long"), col("cvec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    if (cents.isEmpty)
+      // Empty corpus: the old broadcast formulation produced zero
+      // probe rows; the kernel requires a non-empty table, so short
+      // out with the same (vec_id, rank, nbr_id, sim) empty shape.
+      return emb.select(col("vec_id"), lit(1).as("rank"),
+        col("vec_id").as("nbr_id"), lit(0.0).as("sim")).limit(0)
+    val labelType = emb.schema(labelCol).dataType
+    // Probe order (cos DESC, cell ASC) — the same order the previous
+    // (-cos, label) array_sort stated and ivfProbeTopK's row_number
+    // states; the kernel's gtSparkSql comparison matches the DuckDB
+    // oracle's ORDER BY on the NaN corner too (see NearestCentroid).
     val probes = emb
       .select(col("vec_id"), col("embedding").as("ea"))
-      .crossJoin(broadcast(centArr))
-      .select(col("vec_id"), col("ea"),
-        explode(slice(array_sort(transform(col("cents"), c =>
-          struct((-cosine_sim(col("ea"), c.getField("cvec"))).as("neg"),
-            c.getField("label").as("label")))), 1, nprobe)).as("p"))
-      .select(col("vec_id"), col("ea"), col("p.label").as("label"))
+      .withColumn("_pc", explode(nearest_cells(col("ea"), cents, nprobe)))
+      .select(col("vec_id"), col("ea"), col("_pc").cast(labelType).as("label"))
     val cand = emb.select(col(labelCol).as("label"),
       col("vec_id").as("nbr_id"), col("embedding").as("eb"))
     probes.join(cand, Seq("label"))

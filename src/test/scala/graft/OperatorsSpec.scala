@@ -1047,6 +1047,87 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Map(0L -> 3L, 1L -> 8L))
   }
 
+  test("nearest-cells kernel: probe order, ties, and short tables") {
+    import graft.functions.NearestCentroidCell.nearest_cells
+    // Same tie construction as the nearest-centroid test: cells 5/9
+    // are one direction at a power-of-2 scale (bit-identical cosine
+    // for every query), so the probe list must keep 5 BEFORE 9 —
+    // ties resolve ascending WITHIN the order, not just at rank 1.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),   // cos: 5=1, 9=1, 7=0 -> [5, 9]
+      (1L, Array(0.0f, 2.0f)),   // cos: 7=1, 5=0, 9=0 -> [7, 5]
+      (2L, Array(1.0f, 1.0f)))   // three-way tie -> [5, 7] (asc)
+      .toDF("vec_id", "embedding")
+    val cents = Seq(
+      (9L, Array(4.0, 0.0)),     // deliberately unsorted input order
+      (5L, Array(2.0, 0.0)),
+      (7L, Array(0.0, 1.0)))
+    val got = emb.select(col("vec_id"),
+        nearest_cells(col("embedding"), cents, 2).as("cs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got == Map(0L -> Seq(5L, 9L), 1L -> Seq(7L, 5L),
+      2L -> Seq(5L, 7L)))
+    // nprobe beyond the table returns ALL cells, in probe order —
+    // the slice(array_sort(..), 1, nprobe) behavior it replaces.
+    val all = emb.filter(col("vec_id") === 1L)
+      .select(nearest_cells(col("embedding"), cents, 10).as("cs"))
+      .as[Seq[Long]].collect().head
+    assert(all == Seq(7L, 5L, 9L))
+  }
+
+  test("nearest-cells kernel: NaN cosines rank first (oracle order)") {
+    import graft.functions.NearestCentroidCell.nearest_cells
+    // Spark SQL / DuckDB both rank NaN above every real value in a
+    // DESC order; the kernel's gtSparkSql comparison must agree (the
+    // array_sort formulation this kernel replaced ranked NaN last —
+    // the one corner where it diverged from the oracle).
+    val emb = Seq(
+      (0L, Array(0.0f, 0.0f)),   // zero-norm: ALL NaN tie -> cells asc [3, 5]
+      (1L, Array(1.0f, 0.0f)))   // NaN cell 8 outranks cos 1 -> [8, 3]
+      .toDF("vec_id", "embedding")
+    val cents = Seq(
+      (3L, Array(1.0, 0.0)),
+      (8L, Array(0.0, 0.0)),     // zero centroid: cosine NaN for everyone
+      (5L, Array(0.0, 1.0)))
+    val got = emb.select(col("vec_id"),
+        nearest_cells(col("embedding"), cents, 2).as("cs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got == Map(0L -> Seq(3L, 5L), 1L -> Seq(8L, 3L)))
+  }
+
+  test("knnGraphProbed: kernel routing matches the array_sort formulation") {
+    // Parity pin for the round-16 routing swap: the compiled
+    // NearestCellsProbed route must reproduce the previous
+    // broadcast + transform + array_sort probe stage edge-for-edge
+    // on a trained substrate (real float embeddings, trained cells).
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val tc = Similarity.trainedCells(emb)
+    val got = Similarity.knnGraphProbed(tc, "cell", k = 4, nprobe = 2)
+    val centArr = Similarity.centroidVectors(tc, "cell")
+      .agg(array_sort(collect_list(struct(col("label"), col("cvec"))))
+        .as("cents"))
+    val oldProbes = tc
+      .select(col("vec_id"), col("embedding").as("ea"))
+      .crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("ea"),
+        explode(slice(array_sort(transform(col("cents"), c =>
+          struct((-cosine_sim(col("ea"), c.getField("cvec"))).as("neg"),
+            c.getField("label").as("label")))), 1, 2)).as("p"))
+      .select(col("vec_id"), col("ea"), col("p.label").as("label"))
+    val cand = tc.select(col("cell").as("label"),
+      col("vec_id").as("nbr_id"), col("embedding").as("eb"))
+    val want = oldProbes.join(cand, Seq("label"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .withColumn("sim", cosine_sim(col("ea"), col("eb")))
+      .groupBy("vec_id")
+      .agg(graft.functions.TopKByScore.top_k_by_score(
+        col("sim"), col("nbr_id"), lit(0L), 4).as("tk"))
+      .select(col("vec_id"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("vec_id"), (col("pos") + 1).as("rank"),
+        col("s.cand_id").as("nbr_id"), round(col("s.sim"), 6).as("sim"))
+    assert(got.collect().toSet == want.collect().toSet)
+  }
+
   test("convergence-driven kmeans reaches the fixed-round fixpoint") {
     // On cleanly separated cones Lloyd stabilizes in a few rounds:
     // residual-driven training must land on the same centroids as a
