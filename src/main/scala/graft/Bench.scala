@@ -222,7 +222,11 @@ object Bench {
     // means anything on that corpus; a scale probe (sf1/sf10 via
     // SPARK_GRAFT_SF_DIR) would read 4-30x of gate and pay a
     // pointless full re-run.
-    val atGateSf = sfDir.contains("sf0.1")
+    // Exact basename match (round-15 advice): a substring test would
+    // adjudicate sf0.15/sf0.12-style paths — any directory merely
+    // CONTAINING "sf0.1" — against sf0.1 quiet-box medians and pay a
+    // pointless full re-run on a corpus the rows don't describe.
+    val atGateSf = new java.io.File(sfDir).getName == "sf0.1"
     def gateRatio(rs: Seq[R]): Option[Double] = {
       val g = rs.filter(r => gate.contains(r.name))
       if (g.isEmpty || !atGateSf) None

@@ -257,6 +257,21 @@ object Dedup {
     * Scaladocs document.
     */
   def nearDupPairsAuto(docs: DataFrame, minJaccard: Double,
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame =
+    nearDupPairsAutoRouted(docs, minJaccard, maxShingleDf).drop("route")
+
+  /** [[nearDupPairsAuto]] with the routing decision EMITTED: every
+    * pair carries a constant `route` column ('direct' | 'lsh') — the
+    * round-15 advice: the two routes have different RECALL regimes
+    * (the LSH branch's per-pair bucket probability is
+    * 1−(1−j⁴)⁴ ≈ 23% at j=0.5), so an audit artifact drawn from the
+    * pairs (d68's threshold curve) must say which regime drew it
+    * rather than relying on recall happening to be 100%. The route
+    * is a deterministic function of the corpus (the saturation
+    * scalar below), so oracle mirrors compute it too and the column
+    * hash-checks like any other.
+    */
+  def nearDupPairsAutoRouted(docs: DataFrame, minJaccard: Double,
       maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
     require(maxShingleDf >= 1,
       s"maxShingleDf must be >= 1, got $maxShingleDf")
@@ -273,8 +288,10 @@ object Dedup {
     // integer-dividing the cap first would floor cap/4 to <= 1 for
     // caps under 8 and silently route every diverse corpus to LSH.
     val saturated = uniq > 0 && 4L * occ >= maxShingleDf.toLong * uniq
-    if (saturated) minhashLshFromSets(sets, minJaccard)
-    else ngramJaccardFromSets(sets, minJaccard, maxShingleDf)
+    val pairs =
+      if (saturated) minhashLshFromSets(sets, minJaccard)
+      else ngramJaccardFromSets(sets, minJaccard, maxShingleDf)
+    pairs.withColumn("route", lit(if (saturated) "lsh" else "direct"))
   }
 
   /** Asymmetric CONTAINMENT near-dup pairs: C(A⊆B) = |A∩B| / |A| on

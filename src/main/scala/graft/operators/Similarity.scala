@@ -1019,12 +1019,28 @@ object Similarity {
       .filter(col("nbr_id") =!= col("vec_id"))
       .select(col("vec_id"), col("nbr_id"))
     val en = withNorms(emb)
+    // Coverage contract, enforced loudly (round-15 advice): every
+    // surviving/bridged node must appear in `emb` — an inner join
+    // would silently DROP edges for a missing node (and a node whose
+    // whole candidate list dropped would vanish from the output with
+    // no signal). Left-join and raise inside the scoring expression
+    // instead: the guard is load-bearing (it feeds `se`), so column
+    // pruning cannot remove it, and incomplete emb input fails with
+    // a clear message in one pass — no extra counting action.
     val scored = keep.union(bridge).distinct()
-      .join(en.select(col("vec_id"), col("e").as("ea")), "vec_id")
+      .join(en.select(col("vec_id"), col("e").as("ea")),
+        Seq("vec_id"), "left")
       .join(en.select(col("vec_id").as("nbr_id"), col("e").as("eb")),
-        "nbr_id")
+        Seq("nbr_id"), "left")
       .withColumn("se",
-        floor(cosine_sim(col("ea"), col("eb")) * 1000000 + 0.5)
+        when(col("ea").isNull || col("eb").isNull,
+          raise_error(concat(
+            lit("navDelete: graph node missing from emb (vec_id="),
+            col("vec_id"), lit(", nbr_id="), col("nbr_id"),
+            lit(") - the embedding input must cover every "),
+            lit("surviving graph node"))))
+          .otherwise(
+            floor(cosine_sim(col("ea"), col("eb")) * 1000000 + 0.5))
           .cast("long"))
       .groupBy("vec_id")
       .agg(top_k_by_score(col("se").cast("double"), col("nbr_id"),

@@ -4023,40 +4023,66 @@ object PipelineQueries {
     // (α weakened to (na+nb)/3), so on a saturated vocabulary even
     // the prefix path grew candidates super-linearly (measured 18.8×
     // per 10× data at sf1). Below saturation the router picks the
-    // direct path — bit-identical to the old form, which is what the
-    // oracle mirrors (route equality pinned in OperatorsSpec); at
-    // saturation it switches to df-independent MinHash-LSH
-    // candidates, whose t=0.5 recall caveat (bucket probability
-    // 1−(1−j⁴)⁴ ≈ 23% at j=0.5) is the documented audit trade —
-    // measured against the exact curve in BASELINE.md's sf1 record.
+    // direct path — bit-identical to the old form; at saturation it
+    // switches to df-independent MinHash-LSH candidates, whose t=0.5
+    // recall caveat (bucket probability 1−(1−j⁴)⁴ ≈ 23% at j=0.5) is
+    // the documented audit trade — measured against the exact curve
+    // in BASELINE.md's sf1 record. The chosen route ships IN the
+    // output (round-15 advice): the `route` column says which recall
+    // regime drew the curve, and the oracle mirrors the whole router
+    // — the saturation scalar gates each branch's shingle feed (the
+    // exact-prefix feed empties at saturation, so its quadratic
+    // candidate join never materializes there; the band feed empties
+    // below it), so the selfcheck compares like-for-like on EVERY
+    // corpus instead of relying on LSH recall happening to be 100%.
     Q("d68_dedup_curve",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val pairs = Dedup
-          .nearDupPairsAuto(Tables.documents(s, d), minJaccard = 0.5)
+          .nearDupPairsAutoRouted(Tables.documents(s, d), minJaccard = 0.5)
         val w = Window.orderBy(col("bucket").desc)
           .rowsBetween(Window.unboundedPreceding, 0)
         pairs
           .groupBy(floor(col("jaccard_e6") / 100000).cast("long")
             .as("bucket"))
-          .agg(count(lit(1)).as("n_pairs"))
+          .agg(count(lit(1)).as("n_pairs"), max("route").as("route"))
           .withColumn("n_cum", sum("n_pairs").over(w))
           .orderBy("bucket")
       },
-      Some(s"""WITH ${TextHash.duckToksCte},
-              |${TextHash.duckShinglesCte},
+      Some(s"""WITH ${TextHash.duckToksCte("documents", "0")},
+              |${TextHash.duckShinglesCte("0")},
+              |satr AS (
+              |  SELECT count(*) > 0 AND 4 * count(*)
+              |    >= ${Dedup.DefaultMaxShingleDf} * count(DISTINCT s)
+              |    AS sat
+              |  FROM sh0
+              |),
+              |sh AS (SELECT * FROM sh0 WHERE NOT (SELECT sat FROM satr)),
               |${prefixCandSql(500000)},
               |rare AS (
               |  SELECT s FROM dfs WHERE df <= ${Dedup.DefaultMaxShingleDf}
               |),
+              |shl AS (SELECT * FROM sh0 WHERE (SELECT sat FROM satr)),
+              |${TextHash.duckMinHashCte("l")},
+              |${TextHash.duckBandsCte("l")},
+              |candl AS (
+              |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+              |  FROM bandsl a JOIN bandsl b
+              |    ON a.band = b.band AND a.sig = b.sig
+              |   AND a.doc_id < b.doc_id
+              |),
+              |call AS (
+              |  SELECT da, db FROM cand
+              |  UNION ALL SELECT da, db FROM candl
+              |),
               |ix AS (
               |  SELECT c.da, c.db, count(*) AS inter
-              |  FROM cand c
-              |  JOIN sh x ON x.doc_id = c.da
-              |  JOIN sh y ON y.doc_id = c.db AND y.s = x.s
+              |  FROM call c
+              |  JOIN sh0 x ON x.doc_id = c.da
+              |  JOIN sh0 y ON y.doc_id = c.db AND y.s = x.s
               |  GROUP BY c.da, c.db
               |),
-              |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |sz AS (SELECT doc_id, count(*) AS n FROM sh0 GROUP BY doc_id),
               |jac AS (
               |  SELECT ix.da, ix.db,
               |    CAST(ix.inter AS DOUBLE) / (x.n + y.n - ix.inter)
@@ -4068,7 +4094,8 @@ object PipelineQueries {
               |f AS (
               |  SELECT CAST(floor(j * 1000000 + 0.5) AS BIGINT) AS je6
               |  FROM jac WHERE j >= 0.5
-              |    AND ${shareRareSql("jac.da", "jac.db")}
+              |    AND ((SELECT sat FROM satr)
+              |         OR ${shareRareSql("jac.da", "jac.db")})
               |),
               |b AS (
               |  SELECT je6 // 100000 AS bucket, count(*) AS n_pairs
@@ -4077,7 +4104,9 @@ object PipelineQueries {
               |SELECT CAST(bucket AS BIGINT) AS bucket, n_pairs,
               |  CAST(sum(n_pairs) OVER (ORDER BY bucket DESC
               |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              |    AS BIGINT) AS n_cum
+              |    AS BIGINT) AS n_cum,
+              |  (SELECT CASE WHEN sat THEN 'lsh' ELSE 'direct' END
+              |   FROM satr) AS route
               |FROM b ORDER BY bucket""".stripMargin)),
 
     // BPE merge-table TRAINING (operators.BpeTrain, Sennrich et al.

@@ -2348,6 +2348,33 @@ class OperatorsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("nav delete fails loudly when emb misses a graph node") {
+    // The coverage contract (round-15 advice): an emb input that
+    // lacks a surviving graph node must raise, not silently drop
+    // the node's edges. Drop one survivor's embedding and expect
+    // the raise_error guard to fire with the documented message.
+    val rnd = new scala.util.Random(11L)
+    val rows = (0L until 30L).map(i => (i, Seq.fill(8)(rnd.nextGaussian())))
+    val emb = rows.toDF("vec_id", "embedding")
+    val tc = Similarity.trainedCells(emb, perCell = 10)
+    val built = Similarity.navigableGraph(emb,
+        Similarity.knnGraphProbed(tc, "cell", k = 4, nprobe = 2)
+          .select(col("vec_id"), col("nbr_id")),
+        maxDegree = 4, maxCandidates = 8)
+    val deleted = emb.filter(col("vec_id") % 7 === 1).select("vec_id")
+    val holey = emb.filter(col("vec_id") =!= 0L)
+    val ex = intercept[Exception] {
+      Similarity.navDelete(holey, built, deleted,
+        maxDegree = 4, maxCandidates = 8).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("missing from emb")),
+      s"expected the coverage guard, got: ${messages(ex).headOption}")
+    spark.catalog.clearCache()
+  }
+
   test("unigram-LM trainer: hand-traced prune sequence and totality") {
     // d83 on a corpus small enough to run the EM by hand:
     //   words = abab×50, ab×30, zq×2.

@@ -24,12 +24,23 @@ import json, sys
 print("\n".join(sorted(json.load(open(f"{sys.argv[1]}/oracle_sql.json")))))
 PY
 rm -f /tmp/close_${sf}_f.log /tmp/close_${sf}_r.log
+rm -rf /tmp/_close_claim_$sf && mkdir -p /tmp/_close_claim_$sf
 run_lane() { # $1 = names file, $2 = own log, $3 = other lane's log
   while read -r q; do
     grep -q " ($q)\$" "$3" 2>/dev/null && break
+    # Atomic per-query claim (round-15 advice): check-then-run races
+    # at the lanes' meeting point — both lanes could start the same
+    # query and duplicate up to ~10 min of work. mkdir is the atomic
+    # test-and-set; the loser skips instead of re-running.
+    mkdir "/tmp/_close_claim_$sf/$q" 2>/dev/null || continue
     out=$(timeout 600 python3 tools/selfcheck.py /root/testdata/sf$sf \
       "$OUT" --skip-verify --timeout=420 "$q" 2>&1)
     line=$(echo "$out" | grep -E "^(PASS|FAIL|TIMEOUT)" | head -1)
+    # Distinct result classes (round-15 advice): empty output = the
+    # process-level timeout killed the run (PROCKILL); non-empty
+    # output with no known prefix = a script/Python error (ERROR) —
+    # conflating the two hid tracebacks as timeout kills.
+    if [ -z "$line" ] && [ -n "$out" ]; then line="ERROR $q"; fi
     echo "${line:-PROCKILL $q} ($q)" >> "$2"
   done < "$1"
 }
@@ -47,7 +58,7 @@ res = {}
 for lane in (f'/tmp/close_{sf}_f.log', f'/tmp/close_{sf}_r.log'):
     try:
         for line in open(lane):
-            m = re.match(r'(PASS|FAIL|TIMEOUT|PROCKILL)\b.* \((\S+)\)$', line.strip())
+            m = re.match(r'(PASS|FAIL|TIMEOUT|PROCKILL|ERROR)\b.* \((\S+)\)$', line.strip())
             if m: res.setdefault(m.group(2), m.group(1))
     except FileNotFoundError: pass
 npass = sum(1 for v in res.values() if v == 'PASS')
