@@ -141,7 +141,40 @@ object Bench {
     // the contention self-adjudication loop documented above. Min
     // and cold ship alongside for transparency.
     case class R(name: String, median: Double, min: Double, cold: Double,
-        nSteady: Int, contended: Boolean)
+        nSteady: Int, contended: Boolean, spillMb: Long, peakExecMb: Long,
+        rssHwmMb: Long)
+    // Memory-pressure instrumentation (round-15 verdict): the nav
+    // family's 101 GB RSS / cold-617 s signal and the sf10 probes'
+    // disk exhaustion both needed numbers the JSON didn't carry.
+    // A task listener accumulates shuffle/agg SPILL bytes and the
+    // max per-task peak execution memory; per query the run records
+    // the spill DELTA, the peak over its own tasks, and the
+    // process's RSS high-water mark (/proc/self/status VmHWM) after
+    // the query — monotone, so the query that pushes it is visible.
+    // Listener events are async; the snapshot sleeps briefly after
+    // the last run, so the numbers are best-effort (documented) —
+    // the signal wanted is GB-scale, not byte-exact.
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong
+    val peakTaskMem = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            spillBytes.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
+            peakTaskMem.updateAndGet(p => math.max(p, m.peakExecutionMemory))
+          }
+        }
+      })
+    def rssHwmMb(): Long = {
+      try {
+        val src = scala.io.Source.fromFile("/proc/self/status")
+        try src.getLines().find(_.startsWith("VmHWM:"))
+          .map(_.replaceAll("[^0-9]", "").toLong / 1024).getOrElse(-1L)
+        finally src.close()
+      } catch { case _: Exception => -1L }
+    }
     // SPARK_GRAFT_BENCH_SKIP: comma-separated headline names to
     // exclude — the dev knob for scale-sweep subsets (the sf3+ step
     // excludes the three label-blocked probed-kNN builds whose
@@ -196,6 +229,8 @@ object Bench {
         SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9
       }
+      val spill0 = spillBytes.get()
+      peakTaskMem.set(0L)
       val cold = run()
       val steady = scala.collection.mutable.ArrayBuffer.fill(steadyRuns)(run())
       def median = steady.sorted.apply(steady.size / 2)
@@ -205,11 +240,17 @@ object Bench {
         extraRounds += 1
       }
       val contended = median > 1.5 * steady.min
+      Thread.sleep(150) // let the async listener queue drain
+      val spillMb = (spillBytes.get() - spill0) / (1024 * 1024)
+      val peakMb = peakTaskMem.get() / (1024 * 1024)
+      val hwm = rssHwmMb()
       System.err.println(
         f"[bench] $name%-16s median $median%8.3f s  min ${steady.min}%.3f" +
           f"  cold $cold%.3f  (${steady.size} steady runs" +
-          (if (contended) ", STILL CONTENDED)" else ")"))
-      R(name, median, steady.min, cold, steady.size, contended)
+          (if (contended) ", STILL CONTENDED)" else ")") +
+          f"  spill ${spillMb}MB peakTask ${peakMb}MB rssHwm ${hwm}MB")
+      R(name, median, steady.min, cold, steady.size, contended,
+        spillMb, peakMb, hwm)
     }
     // Gate adjudication (round-13 verdict): within-run spread only
     // catches bursts; SUSTAINED co-tenant load inflates every query
@@ -254,6 +295,9 @@ object Bench {
       s""""queries_cold":${jmap(_.cold.toString)},""" +
       s""""queries_runs":${jmap(_.nSteady.toString)},""" +
       s""""queries_contended":${jmap(_.contended.toString)},""" +
+      s""""queries_spill_mb":${jmap(_.spillMb.toString)},""" +
+      s""""queries_peak_task_mb":${jmap(_.peakExecMb.toString)},""" +
+      s""""queries_rss_hwm_mb":${jmap(_.rssHwmMb.toString)},""" +
       ratio.fold("") { rr =>
         val gated = results.filter(r => gate.contains(r.name))
         val gt = gated.map(r => gate(r.name)).sum
