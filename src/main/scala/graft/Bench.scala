@@ -82,7 +82,14 @@ object Bench {
     // maintenance composition) and the unigram-LM tokenizer trainer
     // (three enumeration E-steps + the loss prune — the heaviest
     // round-15 text plan).
-    "e52_nav_compact", "d83_unigram_lm")
+    "e52_nav_compact", "d83_unigram_lm",
+    // Round 16 widening (the round-15 verdict's ask): the nav-graph
+    // delete+consolidate (e53 — the heaviest round-15 shape that was
+    // not yet at the gate: tombstone reconnection through deleted
+    // out-lists + the overflow re-prune) and the unigram-LM corpus
+    // stats (d84 — the d53-evaluation feed, a second E-step shape
+    // over the trained pieces).
+    "e53_nav_delete", "d84_unigram_stats")
 
   /** Per-query quiet-box gate rows (sf0.1 cross-run steady medians,
     * BASELINE.md round-14 record) — the CURRENT reference the run
@@ -114,7 +121,13 @@ object Bench {
     "e41_filtered_graph_ann" -> 6.05, "g21_core_decomp" -> 2.87,
     "g26_louvain" -> 6.26, "e46_hier_graph" -> 7.69,
     "e49_pq_nav" -> 7.33, "g33_truss_decomp" -> 3.47,
-    "d78_ccnet_buckets" -> 1.47)
+    "d78_ccnet_buckets" -> 1.47,
+    // Round-15 quiet-box rows (BENCH_r15, 5 steady runs, gate_ratio
+    // 1.048 run) for the queries round 15 added to the headline set.
+    // e53/d84 enter the gate once this round's sf0.1 cross-run
+    // medians are recorded (new rows simply don't join the ratio
+    // until then, per the documented protocol).
+    "e52_nav_compact" -> 6.32, "d83_unigram_lm" -> 3.64)
 
   /** Run-total-vs-gate threshold above which the set re-runs once
     * and, failing again, the JSON self-flags `inflated`. */

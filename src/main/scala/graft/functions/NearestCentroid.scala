@@ -152,6 +152,93 @@ case class NearestCellsProbed(
     copy(child = c)
 }
 
+/** Compiled TWO-LEVEL cell routing — the sf100+ scale path for the
+  * walk-family substrate: even compiled, flat routing is
+  * O(n·nlist·dims) with nlist ∝ n (quadratic in principle; deferred
+  * but not removed by [[NearestCellsProbed]]). This kernel scores
+  * ~√nlist COARSE centroids first (a k-means over the fine-centroid
+  * table), then only the fine cells inside the top-`cprobe` coarse
+  * groups — O(n·(√nlist + cprobe·nlist/√nlist)·dims) ≈ O(n·√nlist·dims)
+  * per corpus pass. The price is the standard hierarchical-routing
+  * approximation: a fine cell in a non-selected coarse group cannot
+  * be probed (its own recall gate measures the cost).
+  *
+  * Semantics (the oracle states them): top-`cprobe` coarse by
+  * (cos DESC, coarse cell ASC); among the UNION of those groups'
+  * fine cells, top-`nprobe` by (cos DESC, fine cell ASC) — the
+  * global fine tie-break, which is why the fine pass iterates the
+  * globally cell-ascending fine table under a selected-group mask
+  * (the mask test is branch-cheap; only selected entries pay the
+  * dot product). All comparisons are the same `gtSparkSql` as the
+  * flat kernels.
+  *
+  * `fineCoarseIdx(i)` is the coarse POSITION (index into
+  * `coarseCells`) owning fine entry i; fine arrays are sorted by
+  * fine cell ascending, coarse arrays by coarse cell ascending.
+  */
+case class NearestCellsRouted(
+    child: Expression,
+    coarseCells: Array[Long],
+    coarseVecs: Array[Array[Double]],
+    fineCells: Array[Long],
+    fineVecs: Array[Array[Double]],
+    fineCoarseIdx: Array[Int],
+    cprobe: Int,
+    nprobe: Int) extends UnaryExpression {
+
+  require(coarseCells.length == coarseVecs.length && coarseCells.nonEmpty,
+    "nearest_cells_routed needs a non-empty coarse table")
+  require(fineCells.length == fineVecs.length &&
+    fineCells.length == fineCoarseIdx.length && fineCells.nonEmpty,
+    "nearest_cells_routed needs a non-empty, aligned fine table")
+  require(fineCoarseIdx.forall(i => i >= 0 && i < coarseCells.length),
+    "fineCoarseIdx out of range")
+  require(cprobe >= 1 && nprobe >= 1,
+    s"nearest_cells_routed needs cprobe/nprobe >= 1, got $cprobe/$nprobe")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cells_routed expects array<float|double>, got ${other.catalogString}")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  private def norms(m: Array[Array[Double]]): Array[Double] =
+    m.map { v =>
+      var ny = 0.0; var i = 0
+      while (i < v.length) { ny += v(i) * v(i); i += 1 }
+      math.sqrt(ny)
+    }
+
+  @transient private lazy val coarseNorms: Array[Double] = norms(coarseVecs)
+  @transient private lazy val fineNorms: Array[Double] = norms(fineVecs)
+
+  override def nullSafeEval(a: Any): Any =
+    NearestCentroidKernels.routed(a.asInstanceOf[ArrayData], isFloat,
+      coarseVecs, coarseNorms, fineCells, fineVecs, fineNorms,
+      fineCoarseIdx, cprobe, nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cvRef = ctx.addReferenceObj("coarseVecs", coarseVecs, "double[][]")
+    val cnRef = ctx.addReferenceObj("coarseNorms", coarseNorms, "double[]")
+    val fcRef = ctx.addReferenceObj("fineCells", fineCells, "long[]")
+    val fvRef = ctx.addReferenceObj("fineVecs", fineVecs, "double[][]")
+    val fnRef = ctx.addReferenceObj("fineNorms", fineNorms, "double[]")
+    val fiRef = ctx.addReferenceObj("fineCoarseIdx", fineCoarseIdx, "int[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.NearestCentroidKernels.routed(" +
+        s"$a, $isFloat, $cvRef, $cnRef, $fcRef, $fvRef, $fnRef, $fiRef, " +
+        s"$cprobe, $nprobe);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object NearestCentroidKernels {
 
   /** Spark SQL's double comparison: NaN greater than everything,
@@ -242,6 +329,79 @@ object NearestCentroidKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       java.util.Arrays.copyOf(kc, filled))
   }
+
+  /** Two-level routing (see [[NearestCellsRouted]]): coarse
+    * top-`cprobe` insertion pass, then a masked fine pass in global
+    * fine-cell-ascending order — both with the (cos DESC, id ASC)
+    * tie rule `gtSparkSql` encodes by strict-greater insertion over
+    * an ascending iteration.
+    */
+  def routed(emb: ArrayData, floatElems: Boolean,
+      coarseVecs: Array[Array[Double]], coarseNorms: Array[Double],
+      fineCells: Array[Long], fineVecs: Array[Array[Double]],
+      fineNorms: Array[Double], fineCoarseIdx: Array[Int],
+      cprobe: Int, nprobe: Int): ArrayData = {
+    val n = emb.numElements()
+    val x = new Array[Double](n)
+    var nx = 0.0
+    var i = 0
+    while (i < n) {
+      val v = if (floatElems) emb.getFloat(i).toDouble else emb.getDouble(i)
+      x(i) = v; nx += v * v
+      i += 1
+    }
+    val sx = math.sqrt(nx)
+    def cos(cv: Array[Double], sn: Double): Double = {
+      val d = math.min(n, cv.length)
+      var dot = 0.0
+      var j = 0
+      while (j < d) { dot += x(j) * cv(j); j += 1 }
+      dot / (sx * sn)
+    }
+    // Coarse pass: top-cprobe coarse POSITIONS.
+    val mc = math.min(cprobe, coarseVecs.length)
+    val cs = new Array[Double](mc)
+    val ci = new Array[Int](mc)
+    var cFilled = 0
+    var c = 0
+    while (c < coarseVecs.length) {
+      val s = cos(coarseVecs(c), coarseNorms(c))
+      var p = 0
+      while (p < cFilled && !gtSparkSql(s, cs(p))) p += 1
+      if (p < mc) {
+        var t = math.min(cFilled, mc - 1)
+        while (t > p) { cs(t) = cs(t - 1); ci(t) = ci(t - 1); t -= 1 }
+        cs(p) = s; ci(p) = c
+        if (cFilled < mc) cFilled += 1
+      }
+      c += 1
+    }
+    val selected = new Array[Boolean](coarseVecs.length)
+    var q = 0
+    while (q < cFilled) { selected(ci(q)) = true; q += 1 }
+    // Fine pass: globally cell-ascending, masked to selected groups.
+    val mf = math.min(nprobe, fineCells.length)
+    val fs = new Array[Double](mf)
+    val fc = new Array[Long](mf)
+    var fFilled = 0
+    var f = 0
+    while (f < fineCells.length) {
+      if (selected(fineCoarseIdx(f))) {
+        val s = cos(fineVecs(f), fineNorms(f))
+        var p = 0
+        while (p < fFilled && !gtSparkSql(s, fs(p))) p += 1
+        if (p < mf) {
+          var t = math.min(fFilled, mf - 1)
+          while (t > p) { fs(t) = fs(t - 1); fc(t) = fc(t - 1); t -= 1 }
+          fs(p) = s; fc(p) = fineCells(f)
+          if (fFilled < mf) fFilled += 1
+        }
+      }
+      f += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(fc, fFilled))
+  }
 }
 
 object NearestCentroidCell {
@@ -265,5 +425,31 @@ object NearestCentroidCell {
     val sorted = cents.sortBy(_._1)
     ColumnBridge.column(NearestCellsProbed(ColumnBridge.expression(emb),
       sorted.map(_._1).toArray, sorted.map(_._2).toArray, nprobe))
+  }
+
+  /** Column API for the two-level router:
+    * `nearest_cells_routed($"embedding", coarse, fine, fineOwner,
+    * cprobe, nprobe)` — array<bigint> of the top-nprobe fine cells.
+    * @param coarse    (coarse cell, centroid) pairs, any order
+    * @param fine      (fine cell, centroid) pairs, any order
+    * @param fineOwner fine cell → owning coarse cell (total map)
+    */
+  def nearest_cells_routed(emb: Column, coarse: Seq[(Long, Array[Double])],
+      fine: Seq[(Long, Array[Double])], fineOwner: Map[Long, Long],
+      cprobe: Int, nprobe: Int): Column = {
+    val cSorted = coarse.sortBy(_._1)
+    val cPos = cSorted.map(_._1).zipWithIndex.toMap
+    val fSorted = fine.sortBy(_._1)
+    val idx = fSorted.map { case (fcell, _) =>
+      val owner = fineOwner.getOrElse(fcell, throw new IllegalArgumentException(
+        s"nearest_cells_routed: fine cell $fcell has no coarse owner"))
+      cPos.getOrElse(owner, throw new IllegalArgumentException(
+        s"nearest_cells_routed: owner $owner of fine cell $fcell is " +
+          "not a coarse cell"))
+    }
+    ColumnBridge.column(NearestCellsRouted(ColumnBridge.expression(emb),
+      cSorted.map(_._1).toArray, cSorted.map(_._2).toArray,
+      fSorted.map(_._1).toArray, fSorted.map(_._2).toArray,
+      idx.toArray, cprobe, nprobe))
   }
 }

@@ -358,6 +358,74 @@ object Similarity {
     KMeans.withCells(e2, KMeans.train(e2, k, iters))
   }
 
+  /** TWO-LEVEL ROUTED bulk kNN graph — the sf100+ routing path
+    * (e54): [[knnGraphProbed]]'s compiled flat routing is
+    * O(n·nlist·dims) with nlist ∝ n under [[trainedCells]] —
+    * quadratic in principle, compiled-constant small at sf10 but the
+    * dominant term again a decade or two up. This variant k-means
+    * the FINE CENTROID TABLE itself into ~√(2·nlist) coarse groups
+    * (both driver-side bounded — nlist rows, the [[KMeans.train]]
+    * handoff class) and routes each corpus vector through the
+    * compiled [[graft.functions.NearestCellsRouted]] kernel: score
+    * the coarse centroids, take the top `cprobe` groups, then score
+    * only THOSE groups' fine cells for the top `nprobe` —
+    * O(n·√nlist·dims) routing, zero shuffle, map-side codegen.
+    *
+    * The approximation this buys (the standard IVF-HNSW hierarchy
+    * trade): a fine cell whose coarse group is not selected cannot
+    * be probed even when it is the true 2nd-nearest — e55 carries
+    * the oracle-checked recall gate against [[knnGraphProbed]]'s
+    * exact routing, per the engine's every-approximate-axis rule.
+    * Candidate scoring, heap ranking and output shape are identical
+    * to [[knnGraphProbed]].
+    *
+    * Tie rules (the oracle states them): coarse top-`cprobe` by
+    * (cos DESC, coarse cell ASC); fine top-`nprobe` by
+    * (cos DESC, fine cell ASC) across the selected groups' union.
+    */
+  def knnGraphRouted(emb: DataFrame, labelCol: String, k: Int,
+      cprobe: Int = 2, nprobe: Int = 2, coarseIters: Int = 2): DataFrame = {
+    import graft.functions.NearestCentroidCell.nearest_cells_routed
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val fine = centroidVectors(emb, labelCol)
+      .select(col("label").cast("long"), col("cvec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    if (fine.isEmpty)
+      return emb.select(col("vec_id"), lit(1).as("rank"),
+        col("vec_id").as("nbr_id"), lit(0.0).as("sim")).limit(0)
+    // Coarse k-means over the fine-centroid table (vec_id = fine
+    // cell): deterministic hash seeds + fixed rounds, so the oracle
+    // replays it with the shared kmeansCtes mirror.
+    val ncoarse = math.max(1,
+      math.ceil(math.sqrt(2.0 * fine.length)).toInt)
+    val mcDF = fine.map { case (c, v) => (c, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val coarseDF = KMeans.train(mcDF, ncoarse, coarseIters)
+    val coarse = coarseDF
+      .select(col("cell").cast("long"), col("cvec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val owner = KMeans.assign(mcDF, coarseDF)
+      .select(col("vec_id"), col("cell").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val labelType = emb.schema(labelCol).dataType
+    val probes = emb
+      .select(col("vec_id"), col("embedding").as("ea"))
+      .withColumn("_pc", explode(nearest_cells_routed(col("ea"), coarse,
+        fine, owner, cprobe, nprobe)))
+      .select(col("vec_id"), col("ea"), col("_pc").cast(labelType).as("label"))
+    val cand = emb.select(col(labelCol).as("label"),
+      col("vec_id").as("nbr_id"), col("embedding").as("eb"))
+    probes.join(cand, Seq("label"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .withColumn("sim", cosine_sim(col("ea"), col("eb")))
+      .groupBy("vec_id")
+      .agg(top_k_by_score(col("sim"), col("nbr_id"), lit(0L), k).as("tk"))
+      .select(col("vec_id"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("vec_id"), (col("pos") + 1).as("rank"),
+        col("s.cand_id").as("nbr_id"), round(col("s.sim"), 6).as("sim"))
+  }
+
   /** IVF query path: assign each query to its `nprobe` nearest
     * centroids, then brute-force top-k over the UNION of those cells
     * only. Two broadcasts (centroid table, then assigned queries) —

@@ -4461,6 +4461,182 @@ object PipelineQueries {
               |FROM r WHERE rank <= 3
               |ORDER BY vec_id, rank""".stripMargin)),
 
+    // TWO-LEVEL ROUTED bulk kNN (the sf100+ routing path, round 16):
+    // e9's flat routing — even compiled — scores every vector
+    // against ALL nlist centroids, O(n·nlist·dims) with nlist ∝ n
+    // under the trainedCells rule: quadratic in principle, small at
+    // sf10 after the round-16 kernel, the dominant term again a
+    // decade or two up. This operator k-means the FINE CENTROID
+    // TABLE itself into ⌈√(2·nlist)⌉ coarse groups (both tables
+    // driver-bounded) and routes through the compiled two-level
+    // kernel: top-2 coarse groups, then top-2 fine cells among only
+    // those groups' centroids — O(n·√nlist·dims) routing. The trade
+    // is hierarchical-routing recall (a fine cell outside the
+    // selected coarse groups can't be probed); e55 carries the gate.
+    // Oracle: the SAME kmeansCtes Lloyd mirror run over mc (fine
+    // centroids as the training rows), fine→coarse assignment and
+    // both probe ranks as windows over bounded centroid tables.
+    Q("e54_routed_knn",
+      (s, d) => Similarity.knnGraphRouted(
+          Similarity.trainedCells(Tables.embeddings(s, d)), "cell",
+          k = 3, cprobe = 2, nprobe = 2, coarseIters = 2)
+        .select(col("vec_id"), col("rank").cast("long").as("rank"),
+          col("nbr_id"), col("sim"))
+        .orderBy("vec_id", "rank"),
+      Some(s"""WITH $trainedKnnCtes,
+              |ncr AS (
+              |  SELECT greatest(1, CAST(ceil(sqrt(2.0 * count(*)))
+              |    AS BIGINT)) AS nc
+              |  FROM mc
+              |),
+              |${kmeansCtes("(SELECT nc FROM ncr)", 2,
+                 embExpr = "cvec", prefix = "co",
+                 src = "(SELECT cell AS vec_id, cvec FROM mc)")},
+              |fo AS (
+              |  SELECT vec_id AS fcell, cell AS ccell FROM (
+              |    SELECT v.vec_id, c.cell,
+              |      row_number() OVER (PARTITION BY v.vec_id
+              |        ORDER BY ${TextHash.duckCosine("v.emb", "c.cvec", 64)}
+              |          DESC, c.cell) AS rn
+              |    FROM coet v, cocent2 c
+              |  ) WHERE rn = 1
+              |),
+              |vco AS (
+              |  SELECT vec_id, emb, ccell FROM (
+              |    SELECT v.vec_id, v.emb, c.cell AS ccell,
+              |      row_number() OVER (PARTITION BY v.vec_id
+              |        ORDER BY ${TextHash.duckCosine("v.emb", "c.cvec", 64)}
+              |          DESC, c.cell) AS rn
+              |    FROM e v, cocent2 c
+              |  ) WHERE rn <= 2
+              |),
+              |vfi AS (
+              |  SELECT vec_id, emb, fcell FROM (
+              |    SELECT v.vec_id, v.emb, m.cell AS fcell,
+              |      row_number() OVER (PARTITION BY v.vec_id
+              |        ORDER BY ${TextHash.duckCosine("v.emb", "m.cvec", 64)}
+              |          DESC, m.cell) AS rn
+              |    FROM vco v
+              |    JOIN fo ON fo.ccell = v.ccell
+              |    JOIN mc m ON m.cell = fo.fcell
+              |  ) WHERE rn <= 2
+              |),
+              |p2 AS (
+              |  SELECT a.vec_id, b.vec_id AS nbr_id,
+              |    ${TextHash.duckCosine("a.emb", "b.emb", 64)} AS sim
+              |  FROM vfi a JOIN a4 b
+              |    ON b.cell = a.fcell AND b.vec_id <> a.vec_id
+              |),
+              |r2 AS (
+              |  SELECT vec_id, nbr_id, sim,
+              |    row_number() OVER (
+              |      PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS rank
+              |  FROM p2
+              |)
+              |SELECT vec_id, rank, nbr_id, round(sim, 6) AS sim
+              |FROM r2 WHERE rank <= 3
+              |ORDER BY vec_id, rank""".stripMargin)),
+
+    // Recall gate for the two-level route (the engine's
+    // every-approximate-axis rule — e13/e18/e26/e30's pattern):
+    // recall@3 of e54's routed neighbor lists against float
+    // brute-force ground truth on the probe queries. The gap to
+    // e9's flat-routing recall is exactly the hierarchy's price —
+    // a reader gets both numbers from the oracle artifacts.
+    Q("e55_routed_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") < 10)
+        val exact = Similarity.bruteForceTopK(emb, qs, k = 3)
+          .select(col("query_id"), col("cand_id"))
+        val routed = Similarity.knnGraphRouted(
+            Similarity.trainedCells(emb), "cell",
+            k = 3, cprobe = 2, nprobe = 2, coarseIters = 2)
+          .filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"),
+            col("nbr_id").as("cand_id"))
+        val hits = exact.join(routed, Seq("query_id", "cand_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("h"))
+        qs.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("h"), lit(0L)).as("n_hits"),
+            (coalesce(col("h"), lit(0L)) * 333333).as("recall_e6"))
+          .orderBy("query_id")
+      },
+      Some(s"""WITH $trainedKnnCtes,
+              |ncr AS (
+              |  SELECT greatest(1, CAST(ceil(sqrt(2.0 * count(*)))
+              |    AS BIGINT)) AS nc
+              |  FROM mc
+              |),
+              |${kmeansCtes("(SELECT nc FROM ncr)", 2,
+                 embExpr = "cvec", prefix = "co",
+                 src = "(SELECT cell AS vec_id, cvec FROM mc)")},
+              |fo AS (
+              |  SELECT vec_id AS fcell, cell AS ccell FROM (
+              |    SELECT v.vec_id, c.cell,
+              |      row_number() OVER (PARTITION BY v.vec_id
+              |        ORDER BY ${TextHash.duckCosine("v.emb", "c.cvec", 64)}
+              |          DESC, c.cell) AS rn
+              |    FROM coet v, cocent2 c
+              |  ) WHERE rn = 1
+              |),
+              |q AS (SELECT vec_id AS query_id, emb AS qe FROM e
+              |      WHERE vec_id < 10),
+              |vco AS (
+              |  SELECT vec_id, emb, ccell FROM (
+              |    SELECT v.vec_id, v.emb, c.cell AS ccell,
+              |      row_number() OVER (PARTITION BY v.vec_id
+              |        ORDER BY ${TextHash.duckCosine("v.emb", "c.cvec", 64)}
+              |          DESC, c.cell) AS rn
+              |    FROM (SELECT vec_id, emb FROM e WHERE vec_id < 10) v,
+              |      cocent2 c
+              |  ) WHERE rn <= 2
+              |),
+              |vfi AS (
+              |  SELECT vec_id, emb, fcell FROM (
+              |    SELECT v.vec_id, v.emb, m.cell AS fcell,
+              |      row_number() OVER (PARTITION BY v.vec_id
+              |        ORDER BY ${TextHash.duckCosine("v.emb", "m.cvec", 64)}
+              |          DESC, m.cell) AS rn
+              |    FROM vco v
+              |    JOIN fo ON fo.ccell = v.ccell
+              |    JOIN mc m ON m.cell = fo.fcell
+              |  ) WHERE rn <= 2
+              |),
+              |p2 AS (
+              |  SELECT a.vec_id, b.vec_id AS nbr_id,
+              |    ${TextHash.duckCosine("a.emb", "b.emb", 64)} AS sim
+              |  FROM vfi a JOIN a4 b
+              |    ON b.cell = a.fcell AND b.vec_id <> a.vec_id
+              |),
+              |w3 AS (
+              |  SELECT vec_id AS query_id, nbr_id AS cand_id FROM (
+              |    SELECT vec_id, nbr_id, row_number() OVER (
+              |      PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS rank
+              |    FROM p2
+              |  ) WHERE rank <= 3
+              |),
+              |ex0 AS (
+              |  SELECT q.query_id, c.vec_id AS cand_id,
+              |    row_number() OVER (PARTITION BY q.query_id
+              |      ORDER BY ${TextHash.duckCosine("q.qe", "c.emb", 64)}
+              |        DESC, c.vec_id) AS rank
+              |  FROM q JOIN e c ON c.vec_id <> q.query_id
+              |),
+              |exact AS (SELECT query_id, cand_id FROM ex0 WHERE rank <= 3),
+              |hits AS (
+              |  SELECT query_id, count(*) AS h
+              |  FROM exact JOIN w3 USING (query_id, cand_id)
+              |  GROUP BY query_id
+              |)
+              |SELECT q.query_id,
+              |  coalesce(h, 0) AS n_hits,
+              |  coalesce(h, 0) * 333333 AS recall_e6
+              |FROM q LEFT JOIN hits ON hits.query_id = q.query_id
+              |ORDER BY q.query_id""".stripMargin)),
+
     // Graph-walk ANN — beam search over the degree-16 probed kNN
     // graph (the HNSW/DiskANN family's search step, batch-shaped):
     // every query starts at the per-cell MEDOIDS (fixed global

@@ -1095,6 +1095,65 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Map(0L -> Seq(3L, 5L), 1L -> Seq(8L, 3L)))
   }
 
+  test("nearest-cells-routed kernel: hierarchy, masking, global ties") {
+    import graft.functions.NearestCentroidCell.nearest_cells_routed
+    // Two coarse groups on the axes; fine cells 2/4 under coarse 0
+    // (x-ish), 6/8 under coarse 1 (y-ish). cprobe=1 masks the other
+    // group's fine cells even when one of them would be globally
+    // 2nd-nearest — the documented hierarchy approximation.
+    val coarse = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)))
+    val fine = Seq(
+      (2L, Array(1.0, 0.0)), (4L, Array(0.9, 0.1)),
+      (6L, Array(0.0, 1.0)), (8L, Array(0.1, 0.9)))
+    val owner = Map(2L -> 0L, 4L -> 0L, 6L -> 1L, 8L -> 1L)
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),   // coarse 0 -> fine [2, 4]
+      (1L, Array(0.0f, 1.0f)),   // coarse 1 -> fine [6, 8]
+      (2L, Array(0.6f, 0.8f)))   // nearest coarse 1 -> [8, 6], NOT 4
+      .toDF("vec_id", "embedding")
+    val got = emb.select(col("vec_id"),
+        nearest_cells_routed(col("embedding"), coarse, fine, owner,
+          cprobe = 1, nprobe = 2).as("cs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got == Map(0L -> Seq(2L, 4L), 1L -> Seq(6L, 8L),
+      2L -> Seq(8L, 6L)))
+    // cprobe=2 unmasks everything: the fine ranking must then be the
+    // GLOBAL (cos DESC, cell ASC) order across both groups — for
+    // vec 2, fine 8 (cos .85) then 4 (cos .75... beaten by 6? cos .8)
+    val got2 = emb.filter(col("vec_id") === 2L)
+      .select(nearest_cells_routed(col("embedding"), coarse, fine, owner,
+        cprobe = 2, nprobe = 4).as("cs"))
+      .as[Seq[Long]].collect().head
+    // cosines for (0.6, 0.8): f2=0.6, f4≈0.6844, f6=0.8, f8≈0.8616
+    assert(got2 == Seq(8L, 6L, 4L, 2L))
+    // Exact tie across DIFFERENT groups resolves to the lower fine
+    // cell: cells 2 and 6 tie at cos(45°) for the diagonal query.
+    val diag = Seq((9L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val gotTie = diag.select(nearest_cells_routed(col("embedding"),
+        coarse, fine, owner, cprobe = 2, nprobe = 1).as("cs"))
+      .as[Seq[Long]].collect().head
+    assert(gotTie == Seq(2L))
+  }
+
+  test("knnGraphRouted degenerates to knnGraphProbed under one coarse group") {
+    // With every fine cell in a single selected coarse group the
+    // two-level route scores exactly the full fine table — the
+    // routed graph must equal the flat probed graph edge-for-edge.
+    // 40 vectors / perCell=5 -> 8 fine cells, and cprobe = #coarse
+    // forces all groups selected, which is the same degeneration.
+    val rnd = new scala.util.Random(23L)
+    val rows = (0L until 40L).map(i => (i, Seq.fill(8)(rnd.nextGaussian())))
+    val emb = rows.toDF("vec_id", "embedding")
+    val tc = Similarity.trainedCells(emb, perCell = 5)
+    val routed = Similarity.knnGraphRouted(tc, "cell", k = 4,
+        cprobe = 100, nprobe = 2, coarseIters = 2)
+      .collect().toSet
+    val flat = Similarity.knnGraphProbed(tc, "cell", k = 4, nprobe = 2)
+      .collect().toSet
+    assert(routed == flat,
+      "cprobe >= ncoarse must reproduce flat probed routing exactly")
+  }
+
   test("knnGraphProbed: kernel routing matches the array_sort formulation") {
     // Parity pin for the round-16 routing swap: the compiled
     // NearestCellsProbed route must reproduce the previous

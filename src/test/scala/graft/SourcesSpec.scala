@@ -446,4 +446,120 @@ class SourcesSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(v), GreaterThan(v,10)"),
       s"orc scan lost filter pushdown\n$p")
   }
+
+  test("nav index pipeline: the FreshDiskANN chain on files matches " +
+      "the operator twins step for step") {
+    import graft.operators.Similarity
+    import graft.sources.NavIndexPipeline
+    val idx = Files.createTempDirectory("graft_navidx").toFile
+      .getAbsolutePath
+    val all = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = all.filter(col("vec_id") < 400)
+    val delta = all.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+    def castD(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"),
+        expr("transform(embedding, v -> cast(v as double))")
+          .as("embedding"))
+    def edgesOf(df: org.apache.spark.sql.DataFrame)
+        : Set[(Long, Long, Long, Long)] =
+      df.select(col("vec_id"), col("rank"), col("nbr_id"), col("sim_e6"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+
+    // build == e28's operator composition, bit-for-bit (k-means is
+    // deterministic, so re-running the twin reproduces the cells).
+    val n0 = NavIndexPipeline.build(spark, base, idx,
+      maxDegree = 8, maxCandidates = 16, perCell = 50, iters = 2)
+    assert(n0 == 400L)
+    val tc = Similarity.trainedCells(castD(base), perCell = 50, iters = 2)
+      .persist()
+    val builtMem = Similarity.navigableGraph(
+        tc.select("vec_id", "embedding"),
+        Similarity.knnGraphProbed(tc, "cell", k = 8, nprobe = 2)
+          .select(col("vec_id"), col("nbr_id")),
+        maxDegree = 8, maxCandidates = 16)
+      .persist()
+    assert(edgesOf(spark.read.parquet(s"$idx/graph")) == edgesOf(builtMem),
+      "stored built graph diverges from navigableGraph")
+
+    // attach == e32's insert (fwd lists + backlink debt appended).
+    val nd = NavIndexPipeline.attach(spark, idx, delta,
+      maxDegree = 8, maxCandidates = 16)
+    assert(nd == 50L)
+    val attMem = Similarity.navigableAttach(tc, castD(delta), "cell",
+        maxDegree = 8, maxCandidates = 16)
+      .persist()
+    def attRows(df: org.apache.spark.sql.DataFrame)
+        : Set[(Long, String, Option[Long], Long, Long)] =
+      df.select(col("vec_id"), col("kind"), col("rank"), col("nbr_id"),
+        col("sim_e6")).as[(Long, String, Option[Long], Long, Long)]
+        .collect().toSet
+    assert(attRows(spark.read.parquet(s"$idx/attach")) == attRows(attMem),
+      "stored attach history diverges from navigableAttach")
+
+    // health card over files == e51 over the in-memory artifacts —
+    // and it must show debt (the compaction trigger is live).
+    val cardGot = NavIndexPipeline.healthCard(spark, idx, maxDegree = 8)
+      .collect().toSeq
+    val cardWant = Similarity.navAttachHealth(
+      tc.select("vec_id", "embedding"), builtMem, attMem, maxDegree = 8)
+      .collect().toSeq
+    assert(cardGot == cardWant, s"health card: $cardGot vs $cardWant")
+    assert(cardGot.head.getAs[Long]("n_backlink_debt") > 0,
+      "fixture must carry backlink debt or compaction tests nothing")
+
+    // compact == e52 (attach folded, overflow re-pruned, history
+    // truncated).
+    NavIndexPipeline.compact(spark, idx, maxDegree = 8,
+      maxCandidates = 16)
+    val embAll = tc.select("vec_id", "embedding")
+      .union(castD(delta)).persist()
+    val compMem = Similarity.navCompact(embAll, builtMem, attMem,
+        maxDegree = 8, maxCandidates = 16)
+      .persist()
+    assert(edgesOf(spark.read.parquet(s"$idx/graph")) == edgesOf(compMem),
+      "stored compacted graph diverges from navCompact")
+    assert(spark.read.parquet(s"$idx/attach").count() == 0,
+      "compaction must truncate the attach history")
+
+    // delete == e53 (tombstones reconnected through, every artifact
+    // rewritten without them).
+    val tomb = all.filter(col("vec_id") % 7 === 3 && col("vec_id") < 450)
+      .select("vec_id")
+    val nKept = NavIndexPipeline.delete(spark, idx, tomb,
+      maxDegree = 8, maxCandidates = 16)
+    val tombIds = tomb.as[Long].collect().toSet
+    assert(nKept == 450L - tombIds.size)
+    val delMem = Similarity.navDelete(embAll, compMem, tomb,
+        maxDegree = 8, maxCandidates = 16)
+      .persist()
+    assert(edgesOf(spark.read.parquet(s"$idx/graph")) == edgesOf(delMem),
+      "stored post-delete graph diverges from navDelete")
+    val embIds = spark.read.parquet(s"$idx/emb")
+      .select("vec_id").as[Long].collect().toSet
+    assert(embIds.intersect(tombIds).isEmpty && embIds.size == nKept,
+      "emb/ must drop exactly the tombstones")
+    assert(spark.read.parquet(s"$idx/entries").select("cand_id")
+      .as[Long].collect().toSet.intersect(tombIds).isEmpty,
+      "entries/ must drop tombstoned medoids")
+
+    // search over the final files == the beam walk over the in-memory
+    // final graph — and every query comes back non-empty.
+    val queries = all.filter(col("vec_id") < 5)
+    val got = NavIndexPipeline.search(spark, idx, queries,
+      beamWidth = 8, rounds = 3).collect().toSet
+    val entriesMem = Similarity.cellMedoids(tc, "cell")
+      .join(tomb.select(col("vec_id").as("cand_id")), Seq("cand_id"),
+        "left_anti")
+    val want = Similarity.graphBeamSearch(
+      embAll.join(tomb, Seq("vec_id"), "left_anti"), castD(queries),
+      delMem.select("vec_id", "nbr_id").distinct(), entriesMem,
+      beamWidth = 8, rounds = 3).collect().toSet
+    assert(got == want, "file-served search diverges from the walk twin")
+    assert(got.map(_.getAs[Long]("query_id")) ==
+      Set(0L, 1L, 2L, 3L, 4L), "every query must return results")
+    Seq(tc, builtMem, attMem, embAll, compMem, delMem)
+      .foreach(_.unpersist())
+    spark.catalog.clearCache()
+  }
 }
