@@ -340,6 +340,16 @@ class OperatorsSpec extends SparkSpec {
     val routed = Dedup.nearDupPairsAuto(sd, minJaccard = 0.9,
       maxShingleDf = 4)
     assert(routed.count() == 30L * 29 / 2)
+    // The routed variant EMITS the decision (round-15 advice): a
+    // constant route column naming the recall regime, one value per
+    // corpus — 'direct' below saturation, 'lsh' at it.
+    assert(Dedup.nearDupPairsAutoRouted(dd, minJaccard = 0.5)
+      .select("route").distinct().as[String].collect().toSeq ==
+      Seq("direct"))
+    assert(Dedup.nearDupPairsAutoRouted(sd, minJaccard = 0.9,
+      maxShingleDf = 4)
+      .select("route").distinct().as[String].collect().toSeq ==
+      Seq("lsh"))
     spark.catalog.clearCache() // both pair paths are caller-releases
   }
 
