@@ -218,6 +218,21 @@ class CacheHygieneSpec extends SparkSpec {
     Similarity.embedNearDupPairs(embD
       .join(emb.select($"vec_id", $"label"), "vec_id"), minCos = 0.9))
 
+  test("NavIndexPipeline build/delete release every internal cache") {
+    spark.sharedState.cacheManager.clearCache()
+    val idx = java.nio.file.Files.createTempDirectory("graft_navhyg")
+      .toFile.getAbsolutePath
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter($"vec_id" < 120)
+    graft.sources.NavIndexPipeline.build(spark, emb, idx,
+      maxDegree = 4, maxCandidates = 8, perCell = 30, iters = 2)
+    assert(cacheEmpty, "NavIndexPipeline.build left cached entries behind")
+    graft.sources.NavIndexPipeline.delete(spark, idx,
+      emb.select($"vec_id").filter($"vec_id" < 10))
+    assert(cacheEmpty, "NavIndexPipeline.delete left cached entries behind")
+  }
+
   /** The grep-driven roster (round-11 verdict item): every file in
     * src/main with a `.persist(` site must be enumerated here, so a
     * NEW persist cannot dodge hygiene coverage — adding one forces
@@ -241,7 +256,7 @@ class CacheHygieneSpec extends SparkSpec {
       "PageRank.scala", "ConnectedComponents.scala", "Sssp.scala",
       "Bfs.scala", "Harmonic.scala", "Walks.scala", "KMeans.scala",
       "BpeTrain.scala", "Similarity.scala", "Betweenness.scala",
-      "UnigramLm.scala",
+      "UnigramLm.scala", "NavIndexPipeline.scala",
       // documented caller-releases, pinned by checkCallerReleased
       "Dedup.scala",
       // query-local persist under Verify's per-query clearCache
