@@ -29,5 +29,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Heap default sized to the box (guide §5): at 8g the bench JVM's
+  // unified memory fills with not-yet-GC'd localCheckpoint blocks
+  // across a query's 6 timed runs and later runs pay eviction + GC —
+  // measured on e52_nav_compact (isolated, sf0.1): cold 10.4 s →
+  // steady MEDIAN 15.0 s at 8g, vs cold 8.3 s → steady 7.96 s at
+  // 32g. Still env-overridable for constrained boxes.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

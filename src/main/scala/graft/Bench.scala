@@ -253,7 +253,18 @@ object Bench {
         extraRounds += 1
       }
       val contended = median > 1.5 * steady.min
-      Thread.sleep(150) // let the async listener queue drain
+      // Deterministic inter-query cleanup (guide §1: time the query,
+      // not the previous one's garbage): ContextCleaner releases a
+      // finished run's localCheckpoint blocks / broadcasts only after
+      // a GC notices the dead weak refs, and on a large heap that can
+      // lag MANY queries behind — measured on the 28-query sf0.1 set:
+      // e41's median read 16.4 s mid-set vs 6.8 s in a fresh JVM at
+      // identical code, with the JVM RSS climbing monotonically. One
+      // explicit GC per QUERY (never inside a timed run; timing
+      // windows are untouched) keeps every query's runs in the same
+      // JVM state its isolated measurement sees.
+      System.gc()
+      Thread.sleep(150) // let the async listener/cleaner queues drain
       val spillMb = (spillBytes.get() - spill0) / (1024 * 1024)
       val peakMb = peakTaskMem.get() / (1024 * 1024)
       val hwm = rssHwmMb()
