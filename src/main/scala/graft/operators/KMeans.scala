@@ -154,6 +154,19 @@ object KMeans {
   def train(emb: DataFrame, k: Int, iters: Int): DataFrame = {
     val corpus = emb.select("vec_id", "embedding")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val out = trainCached(corpus, k, iters)
+    corpus.unpersist()
+    out
+  }
+
+  /** [[train]] over a corpus the CALLER has already persisted (and
+    * will release) — lets [[Similarity.trainedCells]] reuse the one
+    * cache its sizing count() materialized instead of paying a second
+    * full input scan to fill train's own (round-16 optimization:
+    * one corpus pass, not two, per trained build).
+    */
+  private[graft] def trainCached(corpus: DataFrame, k: Int,
+      iters: Int): DataFrame = {
     var cent = seeds(corpus, k)
     for (_ <- 1 to iters) {
       val a = assignedWithEmb(corpus, cent)
@@ -166,9 +179,7 @@ object KMeans {
     // once (every later action reads k stored rows instead of
     // re-running `iters` Lloyd rounds) and lets the corpus cache be
     // released now instead of leaking into the caller's session.
-    val out = cent.lineageCut
-    corpus.unpersist()
-    out
+    cent.lineageCut
   }
 
   /** k-means++-style FARTHEST-POINT seeding — the init-quality half

@@ -234,6 +234,19 @@ object Similarity {
         "transform(array_sort(collect_list(struct(dim, centroid)))," +
           " s -> s.centroid)").as("cvec"))
 
+  /** [[centroidVectors]] collected to the driver — the bounded
+    * k×dims scalar handoff (the [[KMeans.train]] collect class,
+    * never corpus data). Queries composing [[knnGraphProbed]] with
+    * [[cellMedoids]] over the SAME cells should collect this ONCE
+    * and pass it to both: each otherwise recomputes the identical
+    * per-cell mean aggregation — a full corpus pass apiece.
+    */
+  def centroidRows(emb: DataFrame,
+      labelCol: String): Seq[(Long, Array[Double])] =
+    centroidVectors(emb, labelCol)
+      .select(col("label").cast("long"), col("cvec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+
   /** Bulk kNN-graph construction: top-k cosine neighbors for EVERY
     * vector, restricted to its own cluster (IVF cell) — the operator
     * behind dedup graphs and semantic clustering at corpus scale.
@@ -290,11 +303,10 @@ object Similarity {
     * candidate lives in exactly one cell, so no pair is scored twice.
     */
   def knnGraphProbed(emb: DataFrame, labelCol: String, k: Int,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = 2,
+      sharedCents: Option[Seq[(Long, Array[Double])]] = None): DataFrame = {
     import graft.functions.NearestCentroidCell.nearest_cells
-    val cents = centroidVectors(emb, labelCol)
-      .select(col("label").cast("long"), col("cvec")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val cents = sharedCents.getOrElse(centroidRows(emb, labelCol))
     if (cents.isEmpty)
       // Empty corpus: the old broadcast formulation produced zero
       // probe rows; the kernel requires a non-empty table, so short
@@ -349,13 +361,22 @@ object Similarity {
     require(perCell >= 1, s"perCell must be >= 1, got $perCell")
     val e2 = emb.withColumn("embedding",
       expr("transform(embedding, v -> cast(v as double))"))
-    // toIntExact: at 100 TB-corpus counts beyond ~2^31·perCell the
-    // Long→Int narrowing would otherwise wrap NEGATIVE and feed a
-    // nonsense k into KMeans.train — fail loudly and point the
-    // caller at the documented hash-sample training path instead.
-    val k = Math.toIntExact(
-      math.max(8L, (e2.count() + perCell - 1) / perCell))
-    KMeans.withCells(e2, KMeans.train(e2, k, iters))
+    // One corpus pass, not two: the sizing count() runs on the SAME
+    // persisted frame train iterates over (previously count scanned
+    // the input, then train filled its own cache with a second full
+    // scan). Release-on-return: the returned frame references only
+    // e2's lineage and the localCheckpointed k-row centroid table.
+    val corpus = e2.select("vec_id", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // toIntExact: at 100 TB-corpus counts beyond ~2^31·perCell the
+      // Long→Int narrowing would otherwise wrap NEGATIVE and feed a
+      // nonsense k into KMeans.train — fail loudly and point the
+      // caller at the documented hash-sample training path instead.
+      val k = Math.toIntExact(
+        math.max(8L, (corpus.count() + perCell - 1) / perCell))
+      KMeans.withCells(e2, KMeans.trainCached(corpus, k, iters))
+    } finally corpus.unpersist()
   }
 
   /** TWO-LEVEL ROUTED bulk kNN graph — the sf100+ routing path
@@ -487,9 +508,21 @@ object Similarity {
     * over each cell's rows against the one broadcast centroid table;
     * output is O(nlist).
     */
-  def cellMedoids(emb: DataFrame, labelCol: String): DataFrame = {
-    val cent = centroidVectors(emb, labelCol)
-      .select(col("label").as("_clabel"), col("cvec"))
+  def cellMedoids(emb: DataFrame, labelCol: String,
+      sharedCents: Option[Seq[(Long, Array[Double])]] = None): DataFrame = {
+    // With shared rows the broadcast side is a k-row local relation
+    // (the same rounded per-cell means [[centroidRows]] collected) —
+    // the whole per-cell mean aggregation subtree disappears from
+    // the plan, saving the second corpus pass a walk query otherwise
+    // pays on top of [[knnGraphProbed]]'s identical collect.
+    val cent = sharedCents match {
+      case Some(cs) =>
+        val spark = emb.sparkSession
+        import spark.implicits._
+        cs.map { case (l, v) => (l, v.toSeq) }.toDF("_clabel", "cvec")
+      case None => centroidVectors(emb, labelCol)
+        .select(col("label").as("_clabel"), col("cvec"))
+    }
     // Per-cell argmax via the bounded-heap aggregate (k=1), NOT a
     // row_number window: a window would sort the full corpus per
     // cell; the heap partial-aggregates map-side with O(1) state and
@@ -617,14 +650,21 @@ object Similarity {
     // Predicate BEFORE scoring (the e23/e24 discipline): the filter
     // sits below the gather join, so ineligible candidates never
     // reach the cosine kernel or the per-query ranking window.
+    // Cut once: every round's gather join re-executed this subtree
+    // (a full corpus scan+filter per round — rounds+1 passes per
+    // walk); the rounds now read the one materialized projection.
     val e = pred.fold(emb)(emb.filter)
       .select(col("vec_id"), col("embedding"))
+      .lineageCut
     val g = graph.select(col("vec_id"), col("nbr_id"))
       .repartition(col("vec_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // Same cut for the (bounded) query projection: it broadcasts
+      // into every round's scoring join and would otherwise re-run
+      // its corpus scan+filter subtree per round.
       val q = queries.select(col("vec_id").as("query_id"),
-        col("embedding").as("qe"))
+        col("embedding").as("qe")).lineageCut
       val w = Window.partitionBy("query_id")
         .orderBy(col("sim").desc, col("cand_id"))
       // gather-by-id + score + keep best `beamWidth` per query
@@ -721,12 +761,21 @@ object Similarity {
     require(maxDegree >= 1 && maxCandidates >= maxDegree,
       s"need 1 <= maxDegree <= maxCandidates, " +
         s"got $maxDegree/$maxCandidates")
-    val edges = knn.select(col("vec_id"), col("nbr_id"))
+    import graft.operators.Checkpointing.CutOps
+    // The symmetrize union references `knn` TWICE, and nothing
+    // dedupes the duplicated subtree (measured on e28: zero
+    // ReusedExchange — the whole probed-kNN build executed twice,
+    // 14 corpus scans in one action). Cut the O(n·k) edge list once;
+    // both union branches then read the checkpoint.
+    val edges = knn.select(col("vec_id"), col("nbr_id")).lineageCut
     val sym = edges
       .union(edges.select(col("nbr_id").as("vec_id"),
         col("vec_id").as("nbr_id")))
       .distinct()
-    val en = withNorms(emb)
+    // Three consumers (both edge-scoring sides + the prune's
+    // candidate-embedding join) — cut once: ONE corpus
+    // transform+norm pass instead of three full re-scans.
+    val en = withNorms(emb).lineageCut
     val sel = sym
       .join(en.select(col("vec_id"), col("e").as("ea")), "vec_id")
       .join(en.select(col("vec_id").as("nbr_id"), col("e").as("eb")),
@@ -766,25 +815,24 @@ object Similarity {
     */
   private def alphaPrune(cand: DataFrame, en: DataFrame,
       alpha100: Long, maxDegree: Int): DataFrame = {
+    import graft.functions.AlphaPruneKept.alpha_prune
+    // The greedy walk runs in the compiled [[AlphaPruneKept]] kernel
+    // (sort + prune in one tight primitive loop): the previous
+    // interpreted `array_sort` + `aggregate`/`exists`/`zip_with` HOF
+    // chain dispatched maxCandidates × |kept| × dims interpreted
+    // lambda steps per node — NavProfile measured it as the largest
+    // single stage increment of the e28 build. Same results on the
+    // same e6 integer grid (the kernel doc pins the op-order parity);
+    // the collect_list struct also drops the `ns` sort key the kernel
+    // no longer needs — fewer bytes through the per-node exchange.
     val kept = cand
       .join(en.select(col("vec_id").as("nbr_id"), col("e"), col("nrm")),
         "nbr_id")
       .groupBy("vec_id")
-      .agg(array_sort(collect_list(struct((-col("se")).as("ns"),
-        col("nbr_id").as("nbr"), col("se"), col("nrm"), col("e"))))
-        .as("cands"))
-      .select(col("vec_id"), expr(
-        s"""aggregate(cands,
-           |  cast(array() as array<struct<ns:bigint,nbr:bigint,
-           |    se:bigint,nrm:double,e:array<double>>>),
-           |  (acc, c) -> if(size(acc) < $maxDegree and not exists(acc,
-           |      b -> $alpha100 * (1000000 - floor(
-           |        aggregate(zip_with(b.e, c.e, (x, y) -> x * y),
-           |          cast(0 as double), (s, v) -> s + v)
-           |        / (b.nrm * c.nrm) * 1000000.0d + 0.5d))
-           |      <= 100 * (1000000 - c.se)),
-           |    array_append(acc, c), acc))""".stripMargin
-          .replaceAll("\n\\s*", " ")).as("kept"))
+      .agg(collect_list(struct(col("nbr_id").as("nbr"), col("se"),
+        col("nrm"), col("e"))).as("cands"))
+      .select(col("vec_id"),
+        alpha_prune(col("cands"), alpha100, maxDegree).as("kept"))
     kept
       .select(col("vec_id"), posexplode(col("kept")).as(Seq("pos", "s")))
       .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
@@ -1086,7 +1134,9 @@ object Similarity {
         "left_anti")
       .filter(col("nbr_id") =!= col("vec_id"))
       .select(col("vec_id"), col("nbr_id"))
-    val en = withNorms(emb)
+    // Three consumers (both rescoring sides + the prune join) — one
+    // corpus transform+norm pass, not three (the navigableGraph cut).
+    val en = withNorms(emb).lineageCut
     // Coverage contract, enforced loudly (round-15 advice): every
     // surviving/bridged node must appear in `emb` — an inner join
     // would silently DROP edges for a missing node (and a node whose
@@ -1248,19 +1298,25 @@ object Similarity {
       k0: Int = 16, kUpper: Int = 8, nprobe: Int = 2,
       perCell: Int = 250, iters: Int = 3): DataFrame = {
     val lvl = hierLevel(maxLevel)
-    val base = navigableGraph(emb,
-        knnGraphProbed(trainedCells(emb, perCell, iters), "cell", k0,
-          nprobe)
-          .select(col("vec_id"), col("nbr_id")))
-      .select(lit(0L).as("level"), col("vec_id"), col("nbr_id"))
-    (1 to maxLevel).foldLeft(base) { (acc, l) =>
-      acc.unionByName(
+    // Levels are independent builds whose construction is ACTION-
+    // driven (each trainedCells runs count + Lloyd collects) — build
+    // them concurrently ([[Par.inParallel]], guide §2.6 job overlap)
+    // instead of serializing 5 × ~6 driver-blocking jobs; the union
+    // order (level 0 first, then 1..maxLevel) and every level's rows
+    // are identical to the sequential fold this replaces.
+    val builds: Seq[() => DataFrame] =
+      (() => navigableGraph(emb,
+          knnGraphProbed(trainedCells(emb, perCell, iters), "cell", k0,
+            nprobe)
+            .select(col("vec_id"), col("nbr_id")))
+        .select(lit(0L).as("level"), col("vec_id"), col("nbr_id"))) +:
+      (1 to maxLevel).map(l => () =>
         knnGraphProbed(
           trainedCells(emb.filter(lvl >= l), perCell, iters), "cell",
           kUpper, nprobe)
           .select(lit(l.toLong).as("level"), col("vec_id"),
             col("nbr_id")))
-    }
+    Par.inParallel(builds).reduce(_.unionByName(_))
   }
 
   /** [[hierarchicalAttach]] on the TRAINED-cell substrate (the e48
@@ -1278,25 +1334,29 @@ object Similarity {
       : DataFrame = {
     require(maxLevel >= 1, s"maxLevel must be >= 1, got $maxLevel")
     val lvl = hierLevel(maxLevel)
-    val base0 = navigableAttach(trainedCells(embBase, perCell, iters),
-        embDelta, "cell", alpha100, maxDegree, maxCandidates, nprobe)
-      .select(lit(0L).as("level"), col("vec_id"), col("kind"),
-        col("rank"), col("nbr_id"), col("sim_e6"))
-    (1 to maxLevel).foldLeft(base0) { (acc, l) =>
-      val fwd = probedSel(
-          trainedCells(embBase.filter(lvl >= l), perCell, iters),
-          embDelta.filter(lvl >= l), "cell", kUpper, nprobe)
-        .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
-          col("nbr_id"), col("se").as("sim_e6"))
-      acc
-        .unionByName(fwd.select(lit(l.toLong).as("level"),
-          col("vec_id"), lit("fwd").as("kind"), col("rank"),
-          col("nbr_id"), col("sim_e6")))
-        .unionByName(fwd.select(lit(l.toLong).as("level"),
-          col("nbr_id").as("vec_id"), lit("back").as("kind"),
-          lit(null).cast("long").as("rank"),
-          col("vec_id").as("nbr_id"), col("sim_e6")))
-    }
+    // Per-level trains are independent action-driven builds — run
+    // them concurrently (the [[hierarchicalNavGraphTrained]]
+    // rationale); union order and rows match the sequential fold.
+    val builds: Seq[() => DataFrame] =
+      (() => navigableAttach(trainedCells(embBase, perCell, iters),
+          embDelta, "cell", alpha100, maxDegree, maxCandidates, nprobe)
+        .select(lit(0L).as("level"), col("vec_id"), col("kind"),
+          col("rank"), col("nbr_id"), col("sim_e6"))) +:
+      (1 to maxLevel).map(l => () => {
+        val fwd = probedSel(
+            trainedCells(embBase.filter(lvl >= l), perCell, iters),
+            embDelta.filter(lvl >= l), "cell", kUpper, nprobe)
+          .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+            col("nbr_id"), col("se").as("sim_e6"))
+        fwd.select(lit(l.toLong).as("level"),
+            col("vec_id"), lit("fwd").as("kind"), col("rank"),
+            col("nbr_id"), col("sim_e6"))
+          .unionByName(fwd.select(lit(l.toLong).as("level"),
+            col("nbr_id").as("vec_id"), lit("back").as("kind"),
+            lit(null).cast("long").as("rank"),
+            col("vec_id").as("nbr_id"), col("sim_e6")))
+      })
+    Par.inParallel(builds).reduce(_.unionByName(_))
   }
 
   /** HIERARCHICAL beam search — the descent half of the HNSW story:

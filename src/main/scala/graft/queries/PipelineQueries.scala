@@ -978,13 +978,18 @@ object PipelineQueries {
     val emb = Tables.embeddings(s, d).select(col("vec_id"),
       expr("transform(embedding, v -> cast(v as double))").as("e"))
     def sub(m: Int) = expr(s"slice(e, ${m * PqSubDims + 1}, $PqSubDims)")
+    // The four subspace codebook trains are independent action-driven
+    // Lloyd loops — run them concurrently (Par.inParallel, guide §2.6
+    // job overlap) instead of ~16 serialized driver-blocking jobs;
+    // each train is deterministic, so the books are identical to the
+    // sequential form's.
     val books: IndexedSeq[Seq[(Long, Array[Double])]] =
-      (0 until PqM).map { m =>
+      graft.operators.Par.inParallel((0 until PqM).map(m => () =>
         KMeans.train(emb.select(col("vec_id"),
             sub(m).as("embedding")), k = 8, iters = 2)
           .select(col("cell").cast("long"), col("cvec")).collect()
           .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
-      }
+      )).toIndexedSeq
     val coded = (0 until PqM).foldLeft(emb) { (df, m) =>
       df.withColumn(s"code_$m", nearest_centroid(sub(m), books(m)))
     }
@@ -1043,10 +1048,15 @@ object PipelineQueries {
         .as("embedding"))
     val qsD = embD.filter(col("vec_id") < 10)
     val tc = Similarity.trainedCells(emb)
+    // One centroid collect feeds both the probed routing kernel and
+    // the medoid entries (round-16: two identical corpus aggregation
+    // passes collapsed into one).
+    val cents = Similarity.centroidRows(tc, "cell")
     val walked = Similarity.graphBeamSearch(pqReconstructed(s, d), qsD,
-      Similarity.knnGraphProbed(tc, "cell", k = 16, nprobe = 2)
+      Similarity.knnGraphProbed(tc, "cell", k = 16, nprobe = 2,
+          sharedCents = Some(cents))
         .select(col("vec_id"), col("nbr_id")),
-      Similarity.cellMedoids(tc, "cell"),
+      Similarity.cellMedoids(tc, "cell", Some(cents)),
       beamWidth = 16, rounds = 4)
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("cand_id"))
@@ -4655,11 +4665,13 @@ object PipelineQueries {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val tc = Similarity.trainedCells(emb)
+        val cents = Similarity.centroidRows(tc, "cell")
         Similarity.graphBeamSearch(emb,
           emb.filter(col("vec_id") < 10),
-          Similarity.knnGraphProbed(tc, "cell", k = 16, nprobe = 2)
+          Similarity.knnGraphProbed(tc, "cell", k = 16, nprobe = 2,
+              sharedCents = Some(cents))
             .select(col("vec_id"), col("nbr_id")),
-          Similarity.cellMedoids(tc, "cell"),
+          Similarity.cellMedoids(tc, "cell", Some(cents)),
           beamWidth = 16, rounds = 4)
           .orderBy("query_id", "rank")
       },
@@ -4692,11 +4704,13 @@ object PipelineQueries {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val tc = Similarity.trainedCells(emb)
+        val cents = Similarity.centroidRows(tc, "cell")
         Similarity.graphBeamSearchFiltered(emb,
           emb.filter(col("vec_id") < 10),
-          Similarity.knnGraphProbed(tc, "cell", k = 16, nprobe = 2)
+          Similarity.knnGraphProbed(tc, "cell", k = 16, nprobe = 2,
+              sharedCents = Some(cents))
             .select(col("vec_id"), col("nbr_id")),
-          Similarity.cellMedoids(tc, "cell"),
+          Similarity.cellMedoids(tc, "cell", Some(cents)),
           beamWidth = 16, rounds = 4,
           candidatePred = col("label") % 2 === 0)
           .orderBy("query_id", "rank")
@@ -4731,10 +4745,12 @@ object PipelineQueries {
         val exact = Similarity.bruteForceTopK(emb.filter(pred), qs, k = 4)
           .select(col("query_id"), col("cand_id"))
         val tc = Similarity.trainedCells(emb)
+        val cents = Similarity.centroidRows(tc, "cell")
         val walk = Similarity.graphBeamSearchFiltered(emb, qs,
-            Similarity.knnGraphProbed(tc, "cell", k = 16, nprobe = 2)
+            Similarity.knnGraphProbed(tc, "cell", k = 16, nprobe = 2,
+                sharedCents = Some(cents))
               .select(col("vec_id"), col("nbr_id")),
-            Similarity.cellMedoids(tc, "cell"),
+            Similarity.cellMedoids(tc, "cell", Some(cents)),
             beamWidth = 16, rounds = 4, candidatePred = pred)
           .filter(col("rank") <= 4)
           .select(col("query_id"), col("cand_id"))
@@ -4802,12 +4818,14 @@ object PipelineQueries {
         val exact = Similarity.bruteForceTopK(emb.filter(pred), qs, k = 4)
           .select(col("query_id"), col("cand_id"))
         val tc = Similarity.trainedCells(emb)
+        val cents = Similarity.centroidRows(tc, "cell")
         val nav = Similarity.navigableGraph(emb,
-            Similarity.knnGraphProbed(tc, "cell", k = 16, nprobe = 2)
+            Similarity.knnGraphProbed(tc, "cell", k = 16, nprobe = 2,
+                sharedCents = Some(cents))
               .select(col("vec_id"), col("nbr_id")))
           .select(col("vec_id"), col("nbr_id"))
         val walk = Similarity.graphBeamSearchFiltered(emb, qs, nav,
-            Similarity.cellMedoids(tc, "cell"),
+            Similarity.cellMedoids(tc, "cell", Some(cents)),
             beamWidth = 16, rounds = 4, candidatePred = pred)
           .filter(col("rank") <= 4)
           .select(col("query_id"), col("cand_id"))
@@ -4900,12 +4918,14 @@ object PipelineQueries {
         val exact = Similarity.bruteForceTopK(emb, qs, k = 4)
           .select(col("query_id"), col("cand_id"))
         val tc = Similarity.trainedCells(emb)
+        val cents = Similarity.centroidRows(tc, "cell")
         val nav = Similarity.navigableGraph(emb,
-            Similarity.knnGraphProbed(tc, "cell", k = 16, nprobe = 2)
+            Similarity.knnGraphProbed(tc, "cell", k = 16, nprobe = 2,
+                sharedCents = Some(cents))
               .select(col("vec_id"), col("nbr_id")))
           .select(col("vec_id"), col("nbr_id"))
         val walk = Similarity.graphBeamSearch(emb, qs, nav,
-            Similarity.cellMedoids(tc, "cell"),
+            Similarity.cellMedoids(tc, "cell", Some(cents)),
             beamWidth = 16, rounds = 4)
           .filter(col("rank") <= 4)
           .select(col("query_id"), col("cand_id"))
@@ -7940,10 +7960,12 @@ object PipelineQueries {
         val exact = Similarity.bruteForceTopK(emb, qs, k = 4)
           .select(col("query_id"), col("cand_id"))
         val tc = Similarity.trainedCells(emb)
+        val cents = Similarity.centroidRows(tc, "cell")
         val walk = Similarity.graphBeamSearch(emb, qs,
-            Similarity.knnGraphProbed(tc, "cell", k = 16, nprobe = 2)
+            Similarity.knnGraphProbed(tc, "cell", k = 16, nprobe = 2,
+                sharedCents = Some(cents))
               .select(col("vec_id"), col("nbr_id")),
-            Similarity.cellMedoids(tc, "cell"),
+            Similarity.cellMedoids(tc, "cell", Some(cents)),
             beamWidth = 16, rounds = 4)
           .filter(col("rank") <= 4)
           .select(col("query_id"), col("cand_id"))
@@ -8509,10 +8531,11 @@ object PipelineQueries {
         val exact = Similarity.bruteForceTopK(emb, qs, k = 4)
           .select("query_id", "cand_id")
         val tc = Similarity.trainedCells(emb)
+        val cents = Similarity.centroidRows(tc, "cell")
         val g = Similarity.knnGraphProbed(tc, "cell", k = 16,
-            nprobe = 2)
+            nprobe = 2, sharedCents = Some(cents))
           .select(col("vec_id"), col("nbr_id"))
-        val med = Similarity.cellMedoids(tc, "cell")
+        val med = Similarity.cellMedoids(tc, "cell", Some(cents))
         Seq(4, 8, 16).map { bw =>
           val walk = Similarity.graphBeamSearch(emb, qs, g, med,
               beamWidth = bw, rounds = 4)

@@ -99,13 +99,19 @@ object NavIndexPipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = tc.count()
     writeEmb(tc, indexDir, SaveMode.Overwrite)
-    Similarity.centroidVectors(tc, "cell")
-      .select(col("label").cast("long").as("cell"), col("cvec"))
+    // One centroid collect (bounded k×dims driver handoff) feeds the
+    // stored centroid table, the medoid entries AND the probed-kNN
+    // routing kernel — previously three identical per-cell mean
+    // aggregation passes over the corpus (round-16 optimization).
+    val cents = Similarity.centroidRows(tc, "cell")
+    import spark.implicits._
+    cents.map { case (c, v) => (c, v.toSeq) }.toDF("cell", "cvec")
       .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/centroids")
-    Similarity.cellMedoids(tc, "cell")
+    Similarity.cellMedoids(tc, "cell", Some(cents))
       .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/entries")
     Similarity.navigableGraph(tc.select("vec_id", "embedding"),
-        Similarity.knnGraphProbed(tc, "cell", k = maxDegree, nprobe = 2)
+        Similarity.knnGraphProbed(tc, "cell", k = maxDegree, nprobe = 2,
+            sharedCents = Some(cents))
           .select(col("vec_id"), col("nbr_id")),
         alpha100, maxDegree, maxCandidates)
       .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/graph")

@@ -574,18 +574,35 @@ class PlanShapeSpec extends SparkSpec {
       Checkpointing.capturedPlans.asScala.toList
     }
     Checkpointing.capturedPlans.clear()
-    val rounds = plans.filter(p =>
-      p.contains("windowspecdefinition") && p.contains("% 2) = 0"))
+    // Round-16 shape: the walk cuts the ELIGIBLE corpus projection
+    // once, upstream of every round (one filtered scan instead of a
+    // re-scan per round) — so the predicate lives in its own
+    // captured cut plan, strictly below any join or ranking window
+    // (there are none in it), and every round's gather join reads
+    // the pre-filtered checkpoint. That is the same contract in a
+    // strictly stronger position: ineligible vectors never even
+    // materialize into the gathered relation, let alone score.
+    val eProj = plans.filter(p => p.contains("% 2) = 0"))
+    assert(eProj.nonEmpty,
+      s"no captured plan carries the eligibility predicate; " +
+        s"captured ${plans.size} plans")
+    for (p <- eProj)
+      assert(!p.contains("windowspecdefinition") && !p.contains("Join"),
+        s"the predicate plan is no longer the pure pre-round corpus " +
+          s"projection (a join or window crept above the filter)\n$p")
+    val rounds = plans.filter(p => p.contains("windowspecdefinition"))
     assert(rounds.nonEmpty,
-      s"no captured round plan carries both the ranking window and " +
-        s"the predicate; captured ${plans.size} plans")
+      s"no captured round plan carries the ranking window; " +
+        s"captured ${plans.size} plans")
     for (p <- rounds) {
       val wIdx = p.indexOf("Window")
       val jIdx = p.indexOf("Join", wIdx)
-      val fIdx = p.indexOf("% 2) = 0", jIdx)
-      assert(wIdx >= 0 && jIdx > wIdx && fIdx > jIdx,
-        s"predicate not below the gather join and ranking window " +
-          s"(window@$wIdx join@$jIdx filter@$fIdx)\n$p")
+      assert(wIdx >= 0 && jIdx > wIdx,
+        s"round plan lost the gather join below the ranking window " +
+          s"(window@$wIdx join@$jIdx)\n$p")
+      assert(p.contains("LogicalRDD") || p.contains("ExistingRDD"),
+        s"round plan no longer gathers from the cut corpus " +
+          s"projection\n$p")
     }
   }
 
