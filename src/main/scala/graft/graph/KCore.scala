@@ -29,13 +29,19 @@ import graft.operators.Checkpointing.CutOps
   */
 object KCore {
 
-  /** Symmetric distinct-neighbor pairs (u, v), self-loops dropped. */
+  /** Symmetric distinct-neighbor pairs (u, v), self-loops dropped.
+    * The canonical list is cut before the two-direction union:
+    * nothing dedupes the doubled subtree, and for the word-graph
+    * queries it is the whole tokenize+pair+distinct chain
+    * (round-16 optimization — one execution, not two).
+    */
   private def sym(edges: DataFrame): DataFrame = {
     val und = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
+      .lineageCut
     und.select(col("a").as("u"), col("b").as("v"))
       .union(und.select(col("b").as("u"), col("a").as("v")))
   }

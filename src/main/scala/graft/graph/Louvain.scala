@@ -125,9 +125,14 @@ object Louvain {
     val shufflePartitions =
       spark.conf.get("spark.sql.shuffle.partitions").toInt
 
+    // Cut the canonical weighted edge input once: it feeds the
+    // dense-id union TWICE and the level-1 graph build once, and
+    // nothing dedupes the repeated subtree — for the word-graph
+    // queries that subtree is the whole tokenize+pair+sum chain,
+    // previously executed three times (round-16 optimization).
+    val und = undw.lineageCut
     // Dense ids by sorted name — the distributed two-pass scheme
     // (per-partition offsets, no single-task sort; see DenseIds).
-    val und = undw
     val ids = DenseIds.byKey(
       und.select(col("a").as("node"))
         .union(und.select(col("b").as("node"))).distinct(), "node")
@@ -194,10 +199,14 @@ object Louvain {
             lit(0L).as("w")))
           .groupBy("n", "c").agg(max("w").as("w"))
         // Exact integer score; d'_c excludes the node's own k when
-        // scoring its current community. Consumed TWICE below
-        // (argmax + stay row) — cut it per round or the whole
-        // wic/cand/dc scoring subtree plans twice per round (the
-        // Sssp carried/relaxed double-reference discipline).
+        // scoring its current community. Consumed ONCE: the stay
+        // score rides the SAME aggregation as the argmax (each n has
+        // exactly one c = cur row after the (n, c) max(w) collapse,
+        // so max(when(c = cur, s)) IS that row's score) — previously
+        // a second consumer (a filter + an extra join) forced a
+        // per-round lineage cut of this whole scoring subtree
+        // (round-16 optimization: one aggregation pass and one fewer
+        // eager job per move round, same integers).
         val sc = cand
           .join(deg, "n")
           .join(labels.select(col("id").as("n"), col("comm").as("cur")), "n")
@@ -206,23 +215,21 @@ object Louvain {
             (lit(2L * m) * col("w") - col("k") *
               (col("d") - when(col("c") === col("cur"), col("k"))
                 .otherwise(lit(0L)))).as("s"))
-          .lineageCut
         // HashAggregate argmax: pack (S + 4m²)·K + (K − c).
         val best = sc
           .groupBy("n")
           .agg(max((col("s") + lit(off)) * lit(k) + (lit(k) - col("c")))
-            .as("p"))
+            .as("p"),
+            max(when(col("c") === col("cur"), col("s"))).as("ss"))
           // Exact decode (p ≥ 0, remainder k−c ∈ [1, k−1]): integer
           // `div`, never `/` — long/long division is DOUBLE in Spark
           // and would lose exactness past 2^53.
           .select(col("n"),
             (lit(k) - pmod(col("p"), lit(k))).as("bc"),
-            (expr(s"(p - (p % ${k}L)) div ${k}L") - lit(off)).as("bs"))
-        val stay = sc.filter(col("c") === col("cur"))
-          .select(col("n"), col("s").as("ss"))
+            (expr(s"(p - (p % ${k}L)) div ${k}L") - lit(off)).as("bs"),
+            col("ss"))
         labels = labels
           .join(best, labels("id") === best("n"))
-          .join(stay, "n")
           .select(col("id"),
             when(pmod(col("id"), lit(2L)) === lit((r % 2).toLong) &&
                 col("bs") > col("ss"), col("bc"))

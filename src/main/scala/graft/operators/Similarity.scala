@@ -762,20 +762,22 @@ object Similarity {
       s"need 1 <= maxDegree <= maxCandidates, " +
         s"got $maxDegree/$maxCandidates")
     import graft.operators.Checkpointing.CutOps
-    // The symmetrize union references `knn` TWICE, and nothing
-    // dedupes the duplicated subtree (measured on e28: zero
-    // ReusedExchange — the whole probed-kNN build executed twice,
-    // 14 corpus scans in one action). Cut the O(n·k) edge list once;
-    // both union branches then read the checkpoint.
-    val edges = knn.select(col("vec_id"), col("nbr_id")).lineageCut
+    // Two independent eager cuts, run concurrently (Par, guide §2.6):
+    // - the symmetrize union references `knn` TWICE and nothing
+    //   dedupes the duplicated subtree (measured on e28: zero
+    //   ReusedExchange — the whole probed-kNN build executed twice,
+    //   14 corpus scans in one action); cut the O(n·k) edge list
+    //   once and both union branches read the checkpoint.
+    // - `en` has three consumers (both edge-scoring sides + the
+    //   prune's candidate-embedding join) — cut once: ONE corpus
+    //   transform+norm pass instead of three full re-scans.
+    val Seq(edges, en) = Par.inParallel(Seq(
+      () => knn.select(col("vec_id"), col("nbr_id")).lineageCut,
+      () => withNorms(emb).lineageCut))
     val sym = edges
       .union(edges.select(col("nbr_id").as("vec_id"),
         col("vec_id").as("nbr_id")))
       .distinct()
-    // Three consumers (both edge-scoring sides + the prune's
-    // candidate-embedding join) — cut once: ONE corpus
-    // transform+norm pass instead of three full re-scans.
-    val en = withNorms(emb).lineageCut
     val sel = sym
       .join(en.select(col("vec_id"), col("e").as("ea")), "vec_id")
       .join(en.select(col("vec_id").as("nbr_id"), col("e").as("eb")),
@@ -1031,10 +1033,13 @@ object Similarity {
     import graft.operators.Checkpointing.CutOps
     // Both inputs are consumed by several branches below — cut once
     // so the (already-executed-shaped) build/attach plans don't
-    // re-plan per branch (the navAttachHealth discipline).
-    val b = built.select(col("vec_id"), col("rank"), col("nbr_id"),
-      col("sim_e6")).lineageCut
-    val a = att.lineageCut
+    // re-plan per branch (the navAttachHealth discipline). The two
+    // cuts are independent materializations — run them concurrently
+    // (Par, guide §2.6).
+    val Seq(b, a) = Par.inParallel(Seq(
+      () => built.select(col("vec_id"), col("rank"), col("nbr_id"),
+        col("sim_e6")).lineageCut,
+      () => att.lineageCut))
     val backs = a.filter(col("kind") === "back")
       .select(col("vec_id"), col("nbr_id"), col("sim_e6"))
     val fwd = a.filter(col("kind") === "fwd")
@@ -1111,9 +1116,14 @@ object Similarity {
       s"need 1 <= maxDegree <= maxCandidates, " +
         s"got $maxDegree/$maxCandidates")
     import graft.operators.Checkpointing.CutOps
-    val b = built.select(col("vec_id"), col("rank"), col("nbr_id"),
-      col("sim_e6")).lineageCut
-    val del = deleted.select(col("vec_id")).lineageCut
+    // Three independent eager cuts (built graph, tombstones, corpus
+    // norms) — run concurrently (Par, guide §2.6) instead of
+    // serializing three driver-blocking materializations.
+    val Seq(b, del, en) = Par.inParallel(Seq(
+      () => built.select(col("vec_id"), col("rank"), col("nbr_id"),
+        col("sim_e6")).lineageCut,
+      () => deleted.select(col("vec_id")).lineageCut,
+      () => withNorms(emb).lineageCut))
     val alive = b.join(del, Seq("vec_id"), "left_anti")
     // Affected slice: survivors that lose at least one out-edge.
     val aff = alive
@@ -1134,9 +1144,8 @@ object Similarity {
         "left_anti")
       .filter(col("nbr_id") =!= col("vec_id"))
       .select(col("vec_id"), col("nbr_id"))
-    // Three consumers (both rescoring sides + the prune join) — one
-    // corpus transform+norm pass, not three (the navigableGraph cut).
-    val en = withNorms(emb).lineageCut
+    // `en` (cut above, one corpus transform+norm pass for its three
+    // consumers — the navigableGraph discipline).
     // Coverage contract, enforced loudly (round-15 advice): every
     // surviving/bridged node must appear in `emb` — an inner join
     // would silently DROP edges for a missing node (and a node whose

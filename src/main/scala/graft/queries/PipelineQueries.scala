@@ -9,7 +9,7 @@ import graft.functions.TextHashExprs.token_hashes
 import graft.graph.ConnectedComponents
 import graft.multimodal.Multimodal
 import graft.operators.Checkpointing.CutOps
-import graft.operators.{BpeTrain, CurationFunnel, Decontaminate, Dedup, HtmlExtract, KMeans, LogReg, PiiScrub, Sampling, Similarity, TextAnalysis, UnigramLm}
+import graft.operators.{BpeTrain, CurationFunnel, Decontaminate, Dedup, HtmlExtract, KMeans, LogReg, Par, PiiScrub, Sampling, Similarity, TextAnalysis, UnigramLm}
 
 /** Training-data pipeline surface (SURVEY.md §2 block D): dedup
   * family, text analysis, similarity search, multimodal plumbing.
@@ -1047,12 +1047,21 @@ object PipelineQueries {
       expr("transform(embedding, v -> cast(v as double))")
         .as("embedding"))
     val qsD = embD.filter(col("vec_id") < 10)
-    val tc = Similarity.trainedCells(emb)
     // One centroid collect feeds both the probed routing kernel and
     // the medoid entries (round-16: two identical corpus aggregation
-    // passes collapsed into one).
-    val cents = Similarity.centroidRows(tc, "cell")
-    val walked = Similarity.graphBeamSearch(pqReconstructed(s, d), qsD,
+    // passes collapsed into one); the cell-training chain and the
+    // four-subspace PQ codebook chain are independent action-driven
+    // builds — overlapped (Par, guide §2.6).
+    val parts = Par.inParallel(Seq[() => Any](
+      () => {
+        val tc = Similarity.trainedCells(emb)
+        (tc, Similarity.centroidRows(tc, "cell"))
+      },
+      () => pqReconstructed(s, d)))
+    val (tc, cents) = parts(0)
+      .asInstanceOf[(DataFrame, Seq[(Long, Array[Double])])]
+    val rc = parts(1).asInstanceOf[DataFrame]
+    val walked = Similarity.graphBeamSearch(rc, qsD,
       Similarity.knnGraphProbed(tc, "cell", k = 16, nprobe = 2,
           sharedCents = Some(cents))
         .select(col("vec_id"), col("nbr_id")),
