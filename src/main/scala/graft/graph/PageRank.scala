@@ -81,7 +81,12 @@ object PageRank {
     */
   private def countStatics(edges: DataFrame)
       : (DataFrame, DataFrame, Long) = {
-    val e = edges.select("src", "dst").distinct()
+    // Cut the distinct edge set first: it feeds the out-degree
+    // aggregate, the linked join and BOTH node-union branches, and
+    // nothing dedupes the repeated subtree — for the wiki queries
+    // that subtree is the whole regex link-extraction chain,
+    // previously executed ~4× per run (round-16 optimization).
+    val e = edges.select("src", "dst").distinct().lineageCut
     val outDeg = e.groupBy("src").agg(count("*").as("outdeg"))
     val linked = e.join(outDeg, "src")
       .repartition(col("src"))
@@ -244,7 +249,9 @@ object PageRank {
     */
   def runWeighted(edges: DataFrame, iterations: Int = 10,
       damping: Double = 0.85, saltHotKeys: Int = 0): DataFrame = {
-    val e = edges.select("src", "dst", "weight")
+    // Cut first — four consumers of the edge subtree (see
+    // countStatics).
+    val e = edges.select("src", "dst", "weight").lineageCut
     val outW = e.groupBy("src").agg(sum("weight").as("outw"))
     val linked = e.join(outW, "src")
       .repartition(col("src"))
@@ -295,7 +302,9 @@ object PageRank {
       maxIterations: Int = 100, damping: Double = 0.85,
       checkpointEvery: Int = 20,
       seedRanks: Option[DataFrame] = None): (DataFrame, Int) = {
-    val e = edges.select("src", "dst").distinct()
+    // Cut first — four consumers of the edge subtree (see
+    // countStatics).
+    val e = edges.select("src", "dst").distinct().lineageCut
     val outDeg = e.groupBy("src").agg(count("*").as("outdeg"))
     val linked = e.join(outDeg, "src")
       .repartition(col("src"))

@@ -87,30 +87,23 @@ object UnigramLm {
     */
   def scoredSegs(words: DataFrame, pieces: DataFrame,
       minPieces: Int = 1): DataFrame = {
+    import graft.functions.SegEnumAll.seg_enum
+    // Mask enumeration runs in the compiled [[SegEnumAll]] kernel
+    // (round-16): the previous chain paid an interpreted `sequence`
+    // explode plus `filter`/`transform`/`substring`/`array_join`
+    // higher-order dispatches per (word, mask) row. Same rows: the
+    // kernel doc pins cut/substring/join parity, and the cut set ↔
+    // segstr bijection (spaces mark exactly the cut positions) makes
+    // (w, segstr) the same aggregation key the (w, mask) pair was.
     val segs = words
-      .withColumn("len", length(col("w")).cast("int"))
-      .withColumn("mask", explode(expr(
-        "sequence(0L, shiftleft(1L, len - 1) - 1)")))
-      .withColumn("cuts", expr(
-        """concat(array(0),
-          |  if(len >= 2, filter(sequence(1, len - 1),
-          |    t -> (mask div shiftleft(1L, t - 1)) % 2 = 1),
-          |    array()),
-          |  array(len))"""
-          .stripMargin.replaceAll("\n\\s*", " ")))
-      .withColumn("np", (size(col("cuts")) - 1).cast("long"))
-      .filter(col("np") >= minPieces)
-      .withColumn("ps", expr(
-        """transform(sequence(1, cast(np as int)),
-          |  i -> substring(w, element_at(cuts, i) + 1,
-          |    element_at(cuts, i + 1) - element_at(cuts, i)))"""
-          .stripMargin.replaceAll("\n\\s*", " ")))
-      .withColumn("segstr", array_join(col("ps"), " "))
+      .select(col("w"), explode(seg_enum(col("w"), minPieces)).as("m"))
+      .select(col("w"), col("m.np").as("np"),
+        col("m.segstr").as("segstr"), col("m.ps").as("ps"))
     segs
-      .select(col("w"), col("mask"), col("np"), col("segstr"),
+      .select(col("w"), col("np"), col("segstr"),
         explode(col("ps")).as("piece"))
       .join(pieces.select(col("piece"), col("logp_e6")), Seq("piece"))
-      .groupBy("w", "mask", "np", "segstr")
+      .groupBy("w", "np", "segstr")
       .agg(count(lit(1)).as("nf"), sum("logp_e6").as("score"))
       .filter(col("nf") === col("np"))
       .select("w", "np", "segstr", "score")
